@@ -1,0 +1,528 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{QueryDef, Tables}
+
+/** Relational operator surface (SURVEY.md §2 parity set, O1–O6/O14–O16 plus
+  * the full declarative surface of §7 M3: scans, projection/filter, joins of
+  * every flavor, partial+final aggregation, windows, sort/limit/top-k, set
+  * ops, scalar string/date/math/regex functions).
+  *
+  * Design rules for every query here:
+  *  - declarative DataFrame ops only → Catalyst pushes filters/projections
+  *    into the parquet scan and keeps everything inside whole-stage codegen;
+  *  - deterministic output: every ORDER BY has a unique key, every float
+  *    aggregate is rounded so sum-order nondeterminism cannot flip a hash;
+  *  - scale-aware: broadcast hints only on genuinely small dims (region,
+  *    nation, supplier, customer at test SF — at 100 TB customer would NOT
+  *    be broadcast, so the broadcast hint lives only on region/nation and
+  *    AQE decides the rest).
+  */
+object Relational {
+  import Tables._
+
+  /** O1+O16 (ALS.java:82-105, mapid.py:4-24): schema-enforced CSV scan with
+    * FAILFAST parity (the reference's Integer.parseInt throws on malformed
+    * rows). Round-trips lineitem keys through CSV text and back.
+    */
+  def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    val tmp = s"/tmp/graft_csv_${new java.io.File(d).getName}"
+    lineitem(s, d).select(cols.map(col): _*)
+      .write.mode("overwrite").csv(tmp)
+    s.read
+      .schema("l_orderkey BIGINT, l_linenumber INT, l_partkey BIGINT, l_suppkey BIGINT, l_quantity DOUBLE")
+      .option("mode", "FAILFAST")
+      .csv(tmp)
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** O2 (ALS.java:132-150): grouped vector assembly with duplicate-key
+    * summation (`Vectors.sum` semantics — duplicate (user,item) pairs SUM).
+    * Map-side partial aggregation is Spark's automatic combiner.
+    */
+  def dupSum(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey").as("user_id"), col("l_partkey").as("item_id"))
+      .agg(round(sum("l_quantity"), 4).as("rating_sum"), count(lit(1)).as("n_dups"))
+      .orderBy("user_id", "item_id")
+
+  /** O3 (ALS.java:240-245,274-279): entity counts — distributed agg instead
+    * of the reference's driver-side SequenceFile iteration.
+    */
+  def entityCounts(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct("l_partkey").as("n_items"),
+      countDistinct("l_suppkey").as("n_users"))
+
+  /** O4 (ALS.java:173-196): transpose = regroup by the other key; in
+    * relational form a plain groupBy("user") — no explode/regroup shuffle
+    * dance needed.
+    */
+  def userRegroup(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_suppkey").as("user_id"))
+      .agg(
+        count(lit(1)).as("n_entries"),
+        min("l_partkey").as("min_item"),
+        max("l_partkey").as("max_item"),
+        round(sum("l_quantity"), 4).as("total_rating"))
+      .orderBy("user_id")
+
+  /** O5+O6 (ALS.java:152-171,198-214): per-item average kept as a
+    * distributed (item, avg) table — the reference's single-key global
+    * vector merge is an anti-pattern we deliberately do not reproduce.
+    */
+  def itemAvg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_partkey").as("item_id"))
+      .agg(round(avg("l_quantity"), 6).as("avg_rating"))
+      .orderBy("item_id")
+
+  /** O14 (ALS.java:423-433): RMSE as a distributed agg — here RMSE of
+    * quantity against its per-item mean (window avg = the item-average
+    * baseline predictor of ALS.java:344-345).
+    */
+  def rmseBaseline(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_partkey")
+    lineitem(s, d)
+      .withColumn("pred", avg("l_quantity").over(w))
+      .agg(round(sqrt(avg(pow(col("l_quantity") - col("pred"), 2))), 6).as("rmse"))
+  }
+
+  /** O15 (mapid.py:14-46): deterministic dictionary encoding. The reference
+    * builds ids from Python set order (nondeterministic); we sort then
+    * zipWithIndex — distributed, no single-reducer window, reproducible.
+    */
+  def dictEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val distinctSorted = customer(s, d).select("c_name").distinct().orderBy("c_name")
+    val enc = distinctSorted.as[String].rdd.zipWithIndex.toDF("c_name", "id")
+    enc.orderBy("c_name")
+  }
+
+  // ---- joins (O8/O13 generalized: broadcast hash is the reference's only
+  // join; we add the full surface: inner/left/semi/anti/outer, sort-merge
+  // for fact-fact) ----
+
+  /** Broadcast-hash inner join (DistributedCache pattern, ALS.java:380-383)
+    * — dim side explicitly hinted; fact side streams.
+    */
+  def joinBroadcast(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(broadcast(customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+
+  /** Star-schema multi-join: lineitem⨝orders (fact-fact, sort-merge/AQE)
+    * then snowflake dims broadcast. Revenue per region/nation.
+    */
+  def joinStarRevenue(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+
+  /** Left-semi join = EXISTS (the containsKey guard shape of ALS.java:460). */
+  def joinSemi(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Left-anti join = NOT EXISTS (cold-start complement). */
+  def joinAnti(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey")
+      .orderBy("c_custkey")
+
+  /** Left-outer join + null-aware agg. */
+  def joinOuterCounts(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(
+        count("o_orderkey").as("n_orders"),
+        round(coalesce(sum("o_totalprice"), lit(0.0)), 2).as("total_spent"))
+      .orderBy("c_custkey")
+
+  // ---- aggregations ----
+
+  /** TPC-H Q1 shape: filtered scan → wide grouped agg with partial
+    * (map-side) aggregation. Filter + column pruning must reach the
+    * parquet scan.
+    */
+  def tpchQ1(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** ROLLUP grouping-set aggregation over the dim snowflake. Expressed via
+    * spark.sql (the Dataset rollup API trips Spark 4.1's ambiguous-self-join
+    * detector when the input is a join — analyzer quirk).
+    */
+  def rollupAcctbal(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_customer")
+    nation(s, d).createOrReplaceTempView("graft_nation")
+    region(s, d).createOrReplaceTempView("graft_region")
+    s.sql(
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM graft_customer
+        |JOIN graft_nation ON c_nationkey = n_nationkey
+        |JOIN graft_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** Statistical aggregates: min/max/avg/stddev per group. */
+  def statsBySegment(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        round(min("c_acctbal"), 2).as("min_bal"),
+        round(max("c_acctbal"), 2).as("max_bal"),
+        round(avg("c_acctbal"), 6).as("avg_bal"),
+        round(stddev_samp("c_acctbal"), 6).as("sd_bal"))
+      .orderBy("c_mktsegment")
+
+  /** Approximate distinct (HLL sketch) — no DuckDB hash parity by nature;
+    * correctness pinned by unit test (±5% of exact).
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      approx_count_distinct("l_partkey").as("approx_parts"),
+      countDistinct("l_partkey").as("exact_parts"))
+
+  // ---- windows ----
+
+  /** Top-N per group via row_number (unique tiebreak ⇒ deterministic). */
+  def windowTopNPerCustomer(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** Running sum with an explicit ROWS frame over a unique ordering. */
+  def windowRunningSum(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lineitem(s, d)
+      .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+  }
+
+  /** lag() delta per customer over order date. */
+  def windowLagDelta(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .withColumn("delta", round(col("o_totalprice") - lag("o_totalprice", 1).over(w), 2))
+      .select("o_custkey", "o_orderkey", "delta")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // ---- sort / limit / top-k ----
+
+  /** Global top-k: Spark plans TakeOrderedAndProject (per-partition heap +
+    * driver merge of k) — no full sort, scales to any input size.
+    */
+  def topKOrders(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(100)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  // ---- set operations ----
+
+  /** UNION / INTERSECT / EXCEPT over nation keys of customers vs suppliers,
+    * tagged and stacked so one result pins all three semantics.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(col("c_nationkey").cast("int").as("nk")).distinct()
+    val sup = supplier(s, d).select(col("s_nationkey").cast("int").as("nk")).distinct()
+    c.intersect(sup).withColumn("op", lit("intersect"))
+      .union(c.except(sup).withColumn("op", lit("except")))
+      .union(c.union(sup).distinct().withColumn("op", lit("union")))
+      .orderBy("op", "nk")
+  }
+
+  // ---- scalar functions ----
+
+  /** String function surface. */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_upper"),
+      lower(col("p_brand")).as("brand_lower"),
+      substring(col("p_type"), 1, 5).as("type_prefix"),
+      length(col("p_name")).cast("bigint").as("name_len"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), " ", "_").as("name_snake"),
+      lpad(col("p_size").cast("string"), 4, "0").as("size_pad"))
+      .orderBy("p_partkey")
+
+  /** Date/time function surface (UTC session). */
+  def dateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("yr"),
+      month(col("o_orderdate")).as("mo"),
+      dayofmonth(col("o_orderdate")).as("dom"),
+      quarter(col("o_orderdate")).as("qtr"),
+      (weekday(col("o_orderdate")) + 1).as("dow_iso"),
+      date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+      datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date")).cast("bigint").as("days_since"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"))
+      .orderBy("o_orderkey")
+
+  /** Math function surface. */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(
+      col("c_custkey"),
+      round(abs(col("c_acctbal")), 6).as("abs_bal"),
+      ceil(col("c_acctbal")).as("ceil_bal"),
+      floor(col("c_acctbal")).as("floor_bal"),
+      round(sqrt(abs(col("c_acctbal"))), 6).as("sqrt_bal"),
+      round(log(abs(col("c_acctbal")) + 1), 6).as("ln_bal"),
+      round(pow(col("c_acctbal") / 1000.0, 2), 6).as("pow_bal"),
+      signum(col("c_acctbal")).cast("int").as("sign_bal"),
+      (col("c_custkey") % 7).as("mod7"))
+      .orderBy("c_custkey")
+
+  /** Regex field extraction from the JSON-ish events.props payload
+    * (get_json_object equivalent, kept regex-based for oracle parity).
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("double"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"), round(sum("k"), 4).as("sum_k"))
+      .orderBy("event_type")
+
+  /** CASE WHEN conditional tiering. */
+  def caseTiers(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .withColumn("tier",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "mid")
+          .otherwise("high"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum("c_acctbal"), 2).as("sum_bal"))
+      .orderBy("tier")
+
+  // ---- event-time analytics ----
+
+  /** Hourly tumbling aggregation over event time (batch form of the
+    * streaming window — see graft.streaming).
+    */
+  def eventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization via lag + cumulative conditional sum (30-min gap). */
+  def eventsSessionize(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  // ---- registry ----
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("o1_csv_roundtrip", csvRoundtrip, Some(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    QueryDef("o2_dup_sum", dupSum, Some(
+      """SELECT l_suppkey AS user_id, l_partkey AS item_id,
+        |  round(sum(l_quantity), 4) AS rating_sum, count(*) AS n_dups
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("o3_entity_counts", entityCounts, Some(
+      """SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_items,
+        |  count(DISTINCT l_suppkey) AS n_users FROM lineitem""".stripMargin)),
+    QueryDef("o4_user_regroup", userRegroup, Some(
+      """SELECT l_suppkey AS user_id, count(*) AS n_entries,
+        |  min(l_partkey) AS min_item, max(l_partkey) AS max_item,
+        |  round(sum(l_quantity), 4) AS total_rating
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("o5_item_avg", itemAvg, Some(
+      """SELECT l_partkey AS item_id, round(avg(l_quantity), 6) AS avg_rating
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("o14_rmse_baseline", rmseBaseline, Some(
+      """SELECT round(sqrt(avg(pow(l_quantity - pred, 2))), 6) AS rmse
+        |FROM (SELECT l_quantity,
+        |        avg(l_quantity) OVER (PARTITION BY l_partkey) AS pred
+        |      FROM lineitem)""".stripMargin)),
+    QueryDef("o15_dict_encode", dictEncode, Some(
+      """SELECT c_name, CAST(dense_rank() OVER (ORDER BY c_name) - 1 AS BIGINT) AS id
+        |FROM (SELECT DISTINCT c_name FROM customer) ORDER BY c_name""".stripMargin)),
+    QueryDef("j1_broadcast_inner", joinBroadcast, Some(
+      """SELECT c_mktsegment, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("j2_star_revenue", joinStarRevenue, Some(
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("j3_semi_exists", joinSemi, Some(
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("j4_anti_not_exists", joinAnti, Some(
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("j5_outer_counts", joinOuterCounts, Some(
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a1_tpch_q1", tpchQ1, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("a2_rollup", rollupAcctbal, Some(
+      """SELECT r_name, n_name, count(*) AS n_cust, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin)),
+    QueryDef("a3_stats_by_segment", statsBySegment, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
+        |  round(avg(c_acctbal), 6) AS avg_bal, round(stddev_samp(c_acctbal), 6) AS sd_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a4_approx_distinct", approxDistinct, None),
+    QueryDef("w1_topn_per_group", windowTopNPerCustomer, Some(
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+    QueryDef("w2_running_sum", windowRunningSum, Some(
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+        |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+    QueryDef("w3_lag_delta", windowLagDelta, Some(
+      """SELECT o_custkey, o_orderkey,
+        |  round(o_totalprice - lag(o_totalprice, 1) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) AS delta
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+    QueryDef("s1_topk", topKOrders, Some(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin)),
+    QueryDef("set1_ops", setOps, Some(
+      """WITH c AS (SELECT DISTINCT c_nationkey AS nk FROM customer),
+        |     s AS (SELECT DISTINCT s_nationkey AS nk FROM supplier)
+        |SELECT nk, 'intersect' AS op FROM (SELECT nk FROM c INTERSECT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT nk, 'except' AS op FROM (SELECT nk FROM c EXCEPT SELECT nk FROM s)
+        |UNION ALL
+        |SELECT nk, 'union' AS op FROM (SELECT nk FROM c UNION SELECT nk FROM s)
+        |ORDER BY op, nk""".stripMargin)),
+    QueryDef("f1_string_funcs", stringFuncs, Some(
+      """SELECT p_partkey, upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+        |  substr(p_type, 1, 5) AS type_prefix, length(p_name) AS name_len,
+        |  concat_ws('|', p_brand, p_type) AS brand_type,
+        |  replace(p_name, ' ', '_') AS name_snake,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+    QueryDef("f2_date_funcs", dateFuncs, Some(
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(day(o_orderdate) AS INT) AS dom, CAST(quarter(o_orderdate) AS INT) AS qtr,
+        |  CAST(isodow(o_orderdate) AS INT) AS dow_iso,
+        |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("f3_math_funcs", mathFuncs, Some(
+      """SELECT c_custkey, round(abs(c_acctbal), 6) AS abs_bal,
+        |  CAST(ceil(c_acctbal) AS BIGINT) AS ceil_bal,
+        |  CAST(floor(c_acctbal) AS BIGINT) AS floor_bal,
+        |  round(sqrt(abs(c_acctbal)), 6) AS sqrt_bal,
+        |  round(ln(abs(c_acctbal) + 1), 6) AS ln_bal,
+        |  round(pow(c_acctbal / 1000.0, 2), 6) AS pow_bal,
+        |  CAST(sign(c_acctbal) AS INT) AS sign_bal,
+        |  c_custkey % 7 AS mod7
+        |FROM customer ORDER BY c_custkey""".stripMargin)),
+    QueryDef("f4_json_extract", jsonExtract, Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(avg(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS DOUBLE)), 6) AS avg_k,
+        |  round(sum(TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS DOUBLE)), 4) AS sum_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("f5_case_tiers", caseTiers, Some(
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'mid'
+        |            ELSE 'high' END AS tier,
+        |  count(*) AS n, round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("e1_hourly_agg", eventsHourly, Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("e2_sessionize", eventsSessionize, Some(
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}
