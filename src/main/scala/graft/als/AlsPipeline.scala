@@ -1,0 +1,211 @@
+package graft.als
+
+import org.apache.spark.ml.evaluation.RegressionEvaluator
+import org.apache.spark.ml.recommendation.{ALS, ALSModel}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** ALS-WR training + evaluation (SURVEY.md §2 O7–O14).
+  *
+  * The reference hand-wires 2×10 MapReduce solver jobs around Mahout's
+  * per-row QR solve (ALS-Hadoop/ALS/ALS.java:312-327,
+  * ALS-Hadoop/ALS/SolveExplicitFeedbackMapper.java:61-102). MLlib ALS
+  * implements the identical normal-equations solve
+  * `(MᵀM + λ·n_u·I) x = MᵀR_u` (Cholesky vs QR on an SPD system — same
+  * solution to fp tolerance) with blocked in-RDD factor storage, which
+  * removes the reference's per-task full-matrix broadcast ceiling
+  * (ALS.java:443-451) — the property that matters at 100 TB.
+  *
+  * Reference hyperparameters (ALS.java:52-57): rank=20, maxIter=10,
+  * λ=0.065, explicit feedback.
+  */
+object AlsPipeline {
+
+  final case class Config(
+      rank: Int = 20,
+      maxIter: Int = 10,
+      regParam: Double = 0.065,
+      seed: Long = 1L,
+      blocks: Int = 16)
+
+  /** O7–O12: alternating solves. coldStartStrategy="drop" is exactly the
+    * reference's containsKey guard (ALS.java:460).
+    */
+  def fit(train: DataFrame, cfg: Config = Config()): ALSModel =
+    new ALS()
+      .setRank(cfg.rank)
+      .setMaxIter(cfg.maxIter)
+      .setRegParam(cfg.regParam)
+      .setSeed(cfg.seed)
+      .setNumBlocks(cfg.blocks)
+      .setImplicitPrefs(false)
+      .setUserCol("user").setItemCol("item").setRatingCol("rating")
+      .setColdStartStrategy("drop")
+      .fit(train)
+
+  /** O13+O14: model transform + distributed RMSE (the reference folds
+    * errors sequentially on the driver, ALS.java:423-433 — ours is a
+    * single distributed agg).
+    */
+  def rmse(model: ALSModel, probe: DataFrame): Double = {
+    val pred = model.transform(probe)
+    new RegressionEvaluator()
+      .setMetricName("rmse").setLabelCol("rating").setPredictionCol("prediction")
+      .evaluate(pred)
+  }
+
+  /** O13 hand-rolled: the reference's PredictRatingsMapper
+    * (ALS.java:435-477) = two equi-joins against the factor matrices +
+    * a dot product. Joins replace the per-task full-matrix load; inner
+    * joins ARE the cold-start drop. Dot product via zip_with + aggregate
+    * (codegen'd built-ins, no UDF).
+    */
+  def predictManual(userFactors: DataFrame, itemFactors: DataFrame, probe: DataFrame): DataFrame = {
+    val uf = userFactors.select(col("id").as("user"), col("features").as("uf"))
+    val mf = itemFactors.select(col("id").as("item"), col("features").as("mf"))
+    probe
+      .join(uf, "user")
+      .join(mf, "item")
+      .withColumn("prediction",
+        aggregate(
+          zip_with(col("uf"), col("mf"), (a, b) => a * b),
+          lit(0.0d),
+          (acc, x) => acc + x))
+      .drop("uf", "mf")
+  }
+
+  /** Item-average baseline predictor — the reference's own init idea
+    * (row 0 of M = per-item average, ALS.java:344-345) doubled as a
+    * quality floor: ALS must beat this RMSE.
+    */
+  def itemAvgBaselineRmse(train: DataFrame, probe: DataFrame): Double = {
+    val avgs = train.groupBy("item").agg(avg("rating").as("prediction"))
+    val pred = probe.join(avgs, "item") // inner = cold-start drop
+    pred.agg(sqrt(avg(pow(col("rating") - col("prediction"), 2))))
+      .head().getDouble(0)
+  }
+
+  // ---- declared queries over the driver's test tables ----
+
+  /** Deterministic MovieLens-shaped ratings derived from lineitem:
+    * user = l_suppkey, item = l_partkey, rating in 0.5..5.0 with a
+    * planted per-user/per-item structure so factorization has signal.
+    */
+  def syntheticRatings(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_suppkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"),
+        (round(
+          (lit(2.5)
+            + (col("l_suppkey") % 7 - lit(3)) * 0.35
+            + (col("l_partkey") % 5 - lit(2)) * 0.45
+            + (pmod(col("l_orderkey") * 31 + col("l_partkey") * 17, lit(100)).cast("double") / 100.0 - 0.5))
+          * 2) / 2).as("raw"))
+      .withColumn("rating", greatest(lit(0.5), least(lit(5.0), col("raw"))).cast("float"))
+      .drop("raw")
+      // duplicate (user,item) pairs SUM in the reference (O2,
+      // Vectors.sum at ALS.java:137,146) — here they'd be distinct
+      // observations; collapse to the mean to keep ratings in-domain.
+      .groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))
+
+  /** Full EP1 pipeline (train → eval) as one declared query. Returns the
+    * run's headline metrics as a single row — the Spark analogue of
+    * rmse.txt (ALS.java:411-419).
+    */
+  def alsEndToEnd(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ratings = syntheticRatings(s, d).cache()
+    val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
+    train.cache(); probe.cache()
+    val cfg = Config(rank = 10, maxIter = 5)
+    val model = fit(train, cfg)
+    val alsRmse = rmse(model, probe)
+    val baseRmse = itemAvgBaselineRmse(train, probe)
+    val out = Seq((alsRmse, baseRmse, train.count(), probe.count(), cfg.rank, cfg.maxIter))
+      .toDF("rmse", "baseline_rmse", "n_train", "n_probe", "rank", "max_iter")
+    ratings.unpersist(); train.unpersist(); probe.unpersist()
+    out
+  }
+
+  /** Factor-matrix output shape parity: (id, features ARRAY<FLOAT>) —
+    * the reference's SequenceFile[IntWritable, DenseVector(k)]
+    * (ALS.java:334-356) re-expressed as a parquet-friendly DataFrame.
+    */
+  def alsFactors(s: SparkSession, d: String): DataFrame = {
+    val ratings = syntheticRatings(s, d)
+    val model = fit(ratings, Config(rank = 6, maxIter = 3))
+    model.userFactors
+      .select(col("id"), size(col("features")).as("k"))
+      .orderBy("id")
+  }
+
+  /** O13 as a standalone query: manual join+dot predict must agree with
+    * ALSModel.transform row-for-row (pinned exactly in the spec; here it
+    * reports the max divergence so the driver sees a 1-row result).
+    */
+  def alsPredictParity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ratings = syntheticRatings(s, d).cache()
+    val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
+    val model = fit(train, Config(rank = 6, maxIter = 3))
+    val viaModel = model.transform(probe)
+      .select(col("user"), col("item"), col("prediction").as("p_model"))
+    val manual = predictManual(model.userFactors, model.itemFactors, probe)
+      .select(col("user"), col("item"), col("prediction").as("p_manual"))
+    val out = viaModel.join(manual, Seq("user", "item"))
+      .agg(
+        count(lit(1)).as("n_predictions"),
+        round(max(abs(col("p_model") - col("p_manual"))), 5).as("max_abs_diff"))
+    ratings.unpersist()
+    out
+  }
+
+  /** O17: seeded split fractions (rows-only — RNG streams differ from the
+    * reference by design; distribution pinned by spec binomial CI).
+    */
+  def splitFractions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ratings = syntheticRatings(s, d).cache()
+    val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
+    val (nt, np) = (train.count(), probe.count())
+    ratings.unpersist()
+    Seq((nt, np, nt.toDouble / (nt + np)))
+      .toDF("n_train", "n_probe", "train_frac")
+  }
+
+  /** O16 as a query: round-trip the synthetic ratings through the ml-1m
+    * `::` text layout and re-aggregate — oracle-able against lineitem.
+    */
+  def movielensRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tmp = s"/tmp/graft_ml1m_${new java.io.File(d).getName}"
+    syntheticRatings(s, d)
+      .select(concat_ws("::", col("user"), col("item"), col("rating"), lit("0")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    graft.ingest.Ratings.read(s, tmp, graft.ingest.Ratings.DoubleColon)
+      .groupBy("user")
+      .agg(count(lit(1)).as("n_items"), round(sum("rating"), 2).as("rating_sum"))
+      .orderBy("user")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("als_end_to_end", alsEndToEnd, None),
+    QueryDef("als_factors", alsFactors, None),
+    QueryDef("als_predict_parity", alsPredictParity, None),
+    QueryDef("o17_split_fractions", splitFractions, None),
+    QueryDef("o16_movielens_roundtrip", movielensRoundtrip, Some(
+      """WITH ratings AS (
+        |  -- decimal literals MUST be cast: DuckDB's 0.35 is DECIMAL (exact),
+        |  -- Spark's is DOUBLE — different rounding at .5 boundaries otherwise
+        |  SELECT CAST(l_suppkey AS INT) AS "user", CAST(l_partkey AS INT) AS item,
+        |    CAST(avg(CAST(greatest(0.5::DOUBLE, least(5.0::DOUBLE,
+        |      round((2.5::DOUBLE + (l_suppkey % 7 - 3) * 0.35::DOUBLE + (l_partkey % 5 - 2) * 0.45::DOUBLE
+        |        + (CAST(((l_orderkey * 31 + l_partkey * 17) % 100 + 100) % 100 AS DOUBLE) / 100.0::DOUBLE - 0.5::DOUBLE)) * 2) / 2)) AS FLOAT)) AS FLOAT) AS rating
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT "user", count(*) AS n_items, round(sum(rating), 2) AS rating_sum
+        |FROM ratings GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -1,0 +1,80 @@
+package graft.als
+
+import scala.util.Random
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.ingest.Ratings
+
+/** End-to-end ALS semantics (SURVEY.md §5 items 2/4): RMSE band, ALS beats
+  * the item-average baseline, cold-start drop, manual-predict parity.
+  * Fixture: seeded low-rank + noise ratings (FIXTURES.md A2).
+  */
+class AlsPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** ~60 users × ~80 items, rank-3 structure + noise, ratings clipped to
+    * the MovieLens 0.5..5 domain (value 0 never occurs — observed-entries
+    * semantics, ALS.java:160,177).
+    */
+  lazy val fixture: DataFrame = {
+    val rnd = new Random(1)
+    val k = 3
+    val uf = Array.fill(60, k)(rnd.nextGaussian() * 0.6)
+    val mf = Array.fill(80, k)(rnd.nextGaussian() * 0.6)
+    val rows = for {
+      u <- 0 until 60; i <- 0 until 80 if rnd.nextDouble() < 0.25
+    } yield {
+      val dot = (0 until k).map(j => uf(u)(j) * mf(i)(j)).sum
+      val r = math.max(0.5, math.min(5.0, 3.0 + dot + rnd.nextGaussian() * 0.3))
+      (u, i, r.toFloat)
+    }
+    rows.toDF("user", "item", "rating").cache()
+  }
+
+  test("ALS beats the item-average baseline and lands in a sane RMSE band") {
+    val (train, probe) = Ratings.trainProbeSplit(fixture)
+    val model = AlsPipeline.fit(train, AlsPipeline.Config(rank = 8, maxIter = 10, regParam = 0.065))
+    val als = AlsPipeline.rmse(model, probe)
+    val base = AlsPipeline.itemAvgBaselineRmse(train, probe)
+    assert(als < base, s"ALS rmse $als not below baseline $base")
+    assert(als > 0.1 && als < 1.2, s"rmse $als outside sanity band")
+  }
+
+  test("cold-start probe ids are dropped (containsKey guard, ALS.java:460)") {
+    val train = fixture
+    val model = AlsPipeline.fit(train, AlsPipeline.Config(rank = 4, maxIter = 2))
+    val probeWithCold = Seq((0, 0, 3f), (9999, 0, 3f), (0, 8888, 3f)).toDF("user", "item", "rating")
+    val pred = model.transform(probeWithCold)
+    assert(pred.count() == 1) // only the fully-known pair survives
+  }
+
+  test("manual join+dot predict matches ALSModel.transform to fp tolerance") {
+    val model = AlsPipeline.fit(fixture, AlsPipeline.Config(rank = 4, maxIter = 3))
+    val viaModel = model.transform(fixture)
+      .select($"user", $"item", $"prediction".as("p_model"))
+    val manual = AlsPipeline.predictManual(model.userFactors, model.itemFactors, fixture)
+      .select($"user", $"item", $"prediction".as("p_manual"))
+    val maxDiff = viaModel.join(manual, Seq("user", "item"))
+      .agg(max(abs($"p_model" - $"p_manual"))).head().getDouble(0)
+    assert(maxDiff < 1e-4, s"manual predict diverges: $maxDiff")
+  }
+
+  test("factor matrices have reference shape: (id, features[k])") {
+    val model = AlsPipeline.fit(fixture, AlsPipeline.Config(rank = 5, maxIter = 2))
+    val uf = model.userFactors
+    assert(uf.columns.toSeq == Seq("id", "features"))
+    assert(uf.select(size($"features")).distinct().head().getInt(0) == 5)
+    assert(uf.count() == fixture.select("user").distinct().count())
+  }
+
+  test("duplicate (user,item) observations collapse before training (O2 semantics)") {
+    val dup = Seq((1, 1, 2f), (1, 1, 4f), (2, 1, 3f)).toDF("user", "item", "rating")
+    val collapsed = dup.groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))
+    assert(collapsed.count() == 2)
+    val r11 = collapsed.filter($"user" === 1 && $"item" === 1).head().getFloat(2)
+    assert(r11 == 3f)
+  }
+}
