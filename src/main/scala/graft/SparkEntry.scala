@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    ops.Relational.defs ++ als.AlsPipeline.defs
+    ops.Relational.defs ++ als.AlsPipeline.defs ++
+      ops.TextAnalysis.defs ++ ops.Dedup.defs ++ ops.Similarity.defs ++
+      ops.Multimodal.defs ++ streaming.EventStreams.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

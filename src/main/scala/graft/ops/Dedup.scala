@@ -1,0 +1,210 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+  * embedding-cosine near-dup.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - shingling/minhashing/simhashing are narrow per-row array ops
+  *    (codegen'd higher-order functions, no UDFs, no shuffle);
+  *  - candidate generation shuffles only (band_id, band_key, doc_id)
+  *    tuples — never full text;
+  *  - within-bucket self-joins are bounded by a bucket-size cap (skew
+  *    guard: a degenerate bucket of near-identical boilerplate would
+  *    otherwise produce O(n²) pairs on one executor);
+  *  - exact verification runs only on surviving candidate pairs.
+  */
+object Dedup {
+  import Tables._
+
+  /** Word k-shingles as an array column: one pass, codegen'd. Documents
+    * shorter than k tokens fall back to the whole text as one shingle.
+    */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array(text))
+  }
+
+  /** numHashes deterministic minhashes: min over shingles of
+    * xxhash64(seed_i, shingle). No RNG state — reproducible across runs
+    * and cluster layouts, unlike hash families seeded at fit time.
+    */
+  def minhashes(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+
+  /** 64-bit SimHash from token stream: per bit, (#tokens with bit set) −
+    * (#without) > 0. One xxhash per token, then 64 cheap array passes —
+    * all inside whole-stage codegen.
+    */
+  def simhash64(text: Column): Column = {
+    val hs = transform(split(text, " "), t => xxhash64(t))
+    val n = size(hs).cast("long")
+    (0 until 64).map { i =>
+      val ones = size(filter(hs, h => shiftrightunsigned(h, i) % 2 === 1)).cast("long")
+      shiftleft(when(ones * 2 > n, 1L).otherwise(0L), i)
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Exact dedup: group identical text, keep the smallest doc_id. Grouping
+    * key at scale would be xxhash64(text) (64-bit shuffle keys instead of
+    * full documents); kept as text here for oracle parity — semantics are
+    * identical absent 64-bit collisions.
+    */
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** MinHash+LSH near-dup pairs: shingle → minhash (H=48) → band (12×4) →
+    * bucket join → exact-Jaccard verify ≥ threshold on candidates only.
+    */
+  def minhashLshPairs(s: SparkSession, d: String,
+      numHashes: Int = 48, bands: Int = 12, threshold: Double = 0.7,
+      maxBucket: Int = 64): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val docs = documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .withColumn("mh", minhashes(col("sh"), numHashes))
+
+    val banded = docs.select(
+      col("doc_id"), col("sh"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(b, slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+
+    // skew guard: drop degenerate buckets before the self-join
+    val bucketSizes = banded.groupBy("band", "key").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val inBuckets = banded.join(bucketSizes, Seq("band", "key"))
+
+    val l = inBuckets.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = inBuckets.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash near-dup pairs: 4×16-bit chunk blocking (any pair within
+    * hamming distance 3 shares at least one intact chunk — pigeonhole),
+    * then exact hamming ≤ maxHamming on candidates.
+    */
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), simhash64(col("text")).as("sh"))
+    val chunked = docs.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("c"),
+          shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("ck"))
+      .select(col("doc_id"), col("sh"), col("ck.c"), col("ck.chunk"))
+    val l = chunked.select(col("c"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = chunked.select(col("c"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    l.join(r, Seq("c", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Exact n-gram Jaccard ≥ threshold via inverted shingle index
+    * (explode → join on shingle → count common → |A∩B|/|A∪B|), with a
+    * document-frequency cut as the scale/skew guard (standard df-cut:
+    * shingles in > maxDf docs can't discriminate and would dominate the
+    * join). Fully deterministic integer counting → oracle-able.
+    */
+  def ngramJaccardPairs(s: SparkSession, d: String,
+      threshold: Double = 0.5, maxDf: Int = 200): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    val keep = inv.groupBy("shingle").count().filter(col("count") <= maxDf).drop("count")
+    val pruned = inv.join(keep, "shingle")
+    val common = pruned.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+      .join(pruned.select(col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("nb")), "shingle")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("common"))
+    common
+      .withColumn("jaccard", col("common").cast("double") /
+        (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** Embedding-cosine near-dup pairs. Test scale: exact self-join (the
+    * oracle); 100 TB scale path = Similarity.annIvf's cluster-bucketed
+    * variant of the same cosine kernel.
+    */
+  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.95): DataFrame = {
+    val e = embeddings(s, d)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("d1_exact_dedup", exactDedup, Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+    QueryDef("d2_minhash_lsh", (s, d) => minhashLshPairs(s, d), None),
+    QueryDef("d3_simhash", (s, d) => simhashPairs(s, d), None),
+    QueryDef("d4_ngram_jaccard", (s, d) => ngramJaccardPairs(s, d), Some(
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+        |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |sized AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM docs),
+        |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized),
+        |keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 200),
+        |pruned AS (SELECT inv.* FROM inv JOIN keep USING (shingle)),
+        |common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+        |    count(*) AS common
+        |  FROM pruned a JOIN pruned b USING (shingle)
+        |  WHERE a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
+        |FROM common
+        |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE
+        |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("d5_embedding_neardup", (s, d) => embeddingNearDupPairs(s, d), Some(
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.embedding, b.embedding)
+        |    / (sqrt(list_inner_product(a.embedding, a.embedding))
+        |       * sqrt(list_inner_product(b.embedding, b.embedding))), 6) AS cos
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_inner_product(a.embedding, b.embedding)
+        |    / (sqrt(list_inner_product(a.embedding, a.embedding))
+        |       * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.95::DOUBLE
+        |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Multimodal column handling: opaque binary payloads + typed metadata.
+  *
+  * Real pipelines carry image/audio/video as `binary` columns with a
+  * metadata struct, and run decode/feature-extract as partition-batched
+  * functions (in PySpark: Pandas UDFs over mapInPandas; the Scala
+  * equivalent is a typed mapPartitions over an iterator, which gives the
+  * same batch-amortized shape). The decode step itself is STUBBED — the
+  * container ships no image/audio codecs — with a deterministic fake
+  * (byte histogram); the Spark-side plumbing (schema, batching,
+  * partitioning, feature shape) is real and tested.
+  */
+object Multimodal {
+  import Tables._
+
+  final case class Blob(doc_id: Long, payload: Array[Byte], mime: String, n_bytes: Long)
+  final case class BlobFeatures(doc_id: Long, mime: String, n_bytes: Long, features: Array[Float])
+
+  /** Synthesize a blob table from documents: payload = UTF-8 bytes (the
+    * deterministic stand-in for real image/audio bytes) + typed metadata.
+    */
+  def blobTable(s: SparkSession, d: String): Dataset[Blob] = {
+    import s.implicits._
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        col("text").cast("binary").as("payload"),
+        concat(lit("text/plain;lang="), col("lang")).as("mime"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+      .as[Blob]
+  }
+
+  /** STUB decoder — deterministic fake standing in for a real image/audio
+    * decode (no codec libraries in this container). Produces a 16-bin byte
+    * histogram normalized to 1; a real deployment swaps only this function
+    * (same `Array[Byte] => Array[Float]` signature, same batched call
+    * site).
+    */
+  def decodeStub(payload: Array[Byte]): Array[Float] = {
+    val bins = new Array[Float](16)
+    var i = 0
+    while (i < payload.length) { bins((payload(i) & 0xFF) / 16) += 1f; i += 1 }
+    val n = math.max(1, payload.length).toFloat
+    var j = 0
+    while (j < 16) { bins(j) /= n; j += 1 }
+    bins
+  }
+
+  /** Partition-batched feature extraction: one decoder instantiation per
+    * partition (the mapInPandas batch shape), rows streamed through it.
+    * At scale this is a narrow map — no shuffle, decoder setup cost
+    * amortized over the partition.
+    */
+  def extractFeatures(blobs: Dataset[Blob]): Dataset[BlobFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions { it =>
+      // per-partition setup would construct the real decoder here
+      it.map(b => BlobFeatures(b.doc_id, b.mime, b.n_bytes, decodeStub(b.payload)))
+    }
+  }
+
+  /** Metadata + content hash over the binary column (oracle-able: byte
+    * length and SHA-256 agree with DuckDB over the same payload).
+    */
+  def blobMeta(s: SparkSession, d: String): DataFrame =
+    blobTable(s, d).toDF()
+      .select(
+        col("doc_id"),
+        col("mime"),
+        col("n_bytes"),
+        sha2(col("payload"), 256).as("sha256"))
+      .orderBy("doc_id")
+
+  /** Feature-extract query: stub-decoded features, first bins surfaced as
+    * columns (rows-only — xxhash/histogram have no DuckDB twin; pinned by
+    * spec against a reference implementation).
+    */
+  def blobFeatures(s: SparkSession, d: String): DataFrame =
+    extractFeatures(blobTable(s, d)).toDF()
+      .select(
+        col("doc_id"),
+        col("n_bytes"),
+        round(element_at(col("features"), 1), 5).as("bin0"),
+        round(element_at(col("features"), 2), 5).as("bin1"),
+        round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("bin_sum"))
+      .orderBy("doc_id")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("m1_blob_meta", blobMeta, Some(
+      """SELECT doc_id, 'text/plain;lang=' || lang AS mime,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("m2_blob_features", blobFeatures, None)
+  )
+}

@@ -356,8 +356,10 @@ object Relational {
     events(s, d)
       .withColumn("ms", unix_millis(col("ts")))
       .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      // >= gap starts a new session — matches session_window merge
+      // semantics (windows merge only on strict overlap)
       .withColumn("new_session",
-        when(col("prev_ms").isNull || col("ms") - col("prev_ms") > 1800000L, 1L).otherwise(0L))
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") >= 1800000L, 1L).otherwise(0L))
       .groupBy("user_id")
       .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
       .orderBy("user_id")
@@ -521,7 +523,7 @@ object Relational {
         |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
         |  FROM events)
         |SELECT user_id,
-        |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+        |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
   )

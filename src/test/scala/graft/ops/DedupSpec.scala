@@ -1,0 +1,96 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the fuzzy-dedup operators on planted fixtures: LSH precision is
+  * exact (verify step), recall is checked against brute-force Jaccard,
+  * simhash hamming on near-identical docs.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fixture dir with a documents.parquet containing planted near-dups. */
+  lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft_dedup").toString
+    val base = (0 until 40).map(i => s"tok${i % 17} w$i common text body piece number ${i * 7 % 11}").mkString(" ")
+    // near dup: exactly two token positions changed
+    val toks = base.split(" "); toks(30) = "CHANGED1"; toks(190) = "CHANGED2"
+    val nearDup = toks.mkString(" ")
+    val docs = Seq(
+      (0L, base, "en", "a"),
+      (1L, base, "en", "a"),                                      // exact dup of 0
+      (2L, nearDup, "en", "a"),                                   // near dup of 0
+      (3L, base.split(" ").drop(6).mkString(" "), "en", "b"),     // high-overlap suffix
+      (4L, (0 until 40).map(i => s"zz$i qq${i * 3} rr${i * 5}").mkString(" "), "en", "b"), // unrelated
+      (5L, (0 until 40).map(i => s"aa$i bb${i * 2} cc${i * 9}").mkString(" "), "de", "b")  // unrelated
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  /** Brute-force exact Jaccard over all pairs (the recall oracle). */
+  def bruteJaccard(minJ: Double): Set[(Long, Long)] = {
+    val docs = graft.Tables.documents(spark, fixtureDir)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+    val a = docs.select(col("doc_id").as("da"), col("sh").as("sa"))
+    val b = docs.select(col("doc_id").as("db"), col("sh").as("sb"))
+    a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("j", size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double"))
+      .filter(col("j") >= minJ)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  test("exact dedup keeps min doc_id per text group") {
+    val out = Dedup.exactDedup(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(out(0L) == 2L)            // docs 0,1 collapse onto keep_id 0
+    assert(!out.contains(1L))
+    assert(out.values.sum == 6L)     // every doc accounted for
+  }
+
+  test("minhash LSH finds all strong near-dups, reports only true ones") {
+    val found = Dedup.minhashLshPairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val strong = bruteJaccard(0.9)   // P(LSH miss | j>=0.9) < 1e-5 at 12x4
+    assert(strong.subsetOf(found), s"missed strong pairs: ${strong -- found}")
+    val truthy = bruteJaccard(0.7)   // verify step guarantees precision
+    assert(found.subsetOf(truthy), s"false positives: ${found -- truthy}")
+    assert(found.contains((0L, 1L)) && found.contains((0L, 2L)))
+    assert(!found.exists { case (x, y) => Set(x, y).contains(4L) })
+  }
+
+  test("simhash: identical docs at hamming 0, unrelated docs not paired") {
+    val out = Dedup.simhashPairs(spark, fixtureDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(out((0L, 1L)) == 0)
+    assert(out.contains((0L, 2L)))   // 2-token change → few bits flip
+    // unrelated docs never pair with the near-dup cluster
+    assert(!out.keySet.exists { case (x, y) =>
+      (Set(x, y) & Set(4L, 5L)).nonEmpty && (Set(x, y) -- Set(4L, 5L)).nonEmpty })
+  }
+
+  test("ngram jaccard pairs agree with brute force at the 0.5 threshold") {
+    val found = Dedup.ngramJaccardPairs(spark, fixtureDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == bruteJaccard(0.5))
+  }
+
+  test("embedding near-dup finds planted near-identical vectors") {
+    val dir = Files.createTempDirectory("graft_emb").toString
+    val v0 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
+    val v0eps = v0.clone(); v0eps(0) = v0eps(0) + 0.001f
+    val vOrth = Array.tabulate(8)(i => math.cos(3 * i + 2).toFloat)
+    Seq((0L, v0.toSeq, 0), (1L, v0eps.toSeq, 0), (2L, vOrth.toSeq, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = Dedup.embeddingNearDupPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+}

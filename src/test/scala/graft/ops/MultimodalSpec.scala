@@ -1,0 +1,24 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  test("blob pipeline: schema, batch map, deterministic stub features") {
+    val blobs = Multimodal.blobTable(spark, sf0001)
+    val feats = Multimodal.extractFeatures(blobs).collect()
+    assert(feats.nonEmpty)
+    assert(feats.forall(_.features.length == 16))
+    // histogram is normalized: bins sum to ~1 for non-empty payloads
+    assert(feats.filter(_.n_bytes > 0).forall(f => math.abs(f.features.sum - 1f) < 1e-3))
+    // deterministic: same input → same features
+    val again = Multimodal.extractFeatures(blobs).collect()
+    assert(feats.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("decode stub: known byte histogram") {
+    val f = Multimodal.decodeStub("AAAA".getBytes("UTF-8")) // 'A'=65 → bin 4
+    assert(f(4) == 1f && f.sum == 1f)
+  }
+}
