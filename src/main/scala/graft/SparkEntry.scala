@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private def modules: Seq[QueryDef] =
-    ops.Relational.defs ++ als.AlsPipeline.defs ++
+    ops.Relational.defs ++ ops.Analytics.defs ++ sources.Sources.defs ++
+      als.AlsPipeline.defs ++
       ops.TextAnalysis.defs ++ ops.Dedup.defs ++ ops.Similarity.defs ++
       ops.Multimodal.defs ++ streaming.EventStreams.defs
 

@@ -1,0 +1,269 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Second wave of relational surface: grouping sets (CUBE), exact
+  * percentiles, PIVOT, as-of join, range/band join, correlated scalar
+  * subqueries, array-function surface, and the typed-Aggregator UDAF.
+  *
+  * Scale notes per operator are on each method — the common thread: each
+  * query is one shuffle (or none beyond the scan) and every join is either
+  * broadcast-by-construction (tiny dim) or a single co-partitioned
+  * shuffle.
+  */
+object Analytics {
+  import Tables._
+
+  /** CUBE over (returnflag, linestatus): 2ⁿ grouping sets in one pass —
+    * Spark expands to a single Expand + hash-agg (no re-scan per set).
+    */
+  def cubeFlags(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+
+  /** Exact percentiles (continuous interpolation) per group. Spark's
+    * `percentile` matches DuckDB's quantile_cont; at 100 TB you'd switch
+    * to approx_percentile (t-digest) — both are declared here.
+    */
+  def percentilesByPriority(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      .orderBy("o_orderpriority")
+
+  /** PIVOT: market segments to columns. The value list is explicit —
+    * without it Spark runs a driver-side distinct first (an extra job).
+    */
+  def pivotSegments(s: SparkSession, d: String): DataFrame = {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .pivot("c_mktsegment", segs)
+      .count()
+      .na.fill(0L, segs)
+      .orderBy("n_name")
+  }
+
+  /** As-of join (each event ↔ most recent order of that customer at or
+    * before the event): the union + partitioned last-non-null window
+    * pattern — ONE shuffle on the key, no range-explosion, no
+    * per-row subquery. This is how as-of scales: the naive
+    * join-then-filter-then-rank form shuffles |events|×|orders per key|
+    * rows; this shuffles |events|+|orders|.
+    * Orders are deduped per (cust, date) first so tie-breaking is
+    * deterministic on both engines.
+    */
+  def asofLastOrder(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .groupBy(col("o_custkey").as("user_id"), col("o_orderdate").as("ts"))
+      .agg(
+        max("o_orderkey").as("ok"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("price"))
+      .select(
+        lit(null).cast("bigint").as("event_id"), col("user_id"), col("ts"),
+        lit(0).as("src"), col("ok"), col("price"))
+    val e = events(s, d).select(
+      col("event_id"), col("user_id"), col("ts"),
+      lit(1).as("src"), lit(null).cast("bigint").as("ok"),
+      lit(null).cast("double").as("price"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("src"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    e.unionByName(o)
+      .withColumn("last_orderkey", last("ok", ignoreNulls = true).over(w))
+      .withColumn("last_price", round(last("price", ignoreNulls = true).over(w), 2))
+      .filter(col("src") === 1)
+      .select("event_id", "user_id", "last_orderkey", "last_price")
+      .orderBy("event_id")
+  }
+
+  /** Range/band join: orders against an inline price-band dim. The band
+    * table is broadcast (nested-loop with 5 rows ≡ free); the equivalent
+    * at scale keeps the dim broadcast so the fact side never shuffles.
+    */
+  def bandJoinPriceTiers(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq(
+      ("t1_budget", 0.0, 50000.0),
+      ("t2_low", 50000.0, 150000.0),
+      ("t3_mid", 150000.0, 300000.0),
+      ("t4_high", 300000.0, 450000.0),
+      ("t5_top", 450000.0, Double.MaxValue)).toDF("tier", "lo", "hi")
+    orders(s, d)
+      .join(broadcast(bands), col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("tier")
+  }
+
+  /** Correlated scalar subquery through the SQL front-end: customers whose
+    * balance beats their nation's average. Catalyst decorrelates this into
+    * an aggregate + join — pinned here so the rewrite stays exercised.
+    */
+  def aboveNationAvg(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_cust_sq")
+    s.sql(
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM graft_cust_sq o
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM graft_cust_sq i
+        |                   WHERE i.c_nationkey = o.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Array-function surface over tokenized part names: size, distinct,
+    * sort, slice, reverse — all codegen'd collection expressions.
+    */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val toks = split(col("p_name"), " ")
+    part(s, d).select(
+      col("p_partkey"),
+      size(toks).cast("bigint").as("n_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct"),
+      concat_ws(",", array_sort(toks)).as("sorted_toks"),
+      concat_ws(",", slice(toks, 1, 2)).as("first2"),
+      concat_ws(",", reverse(toks)).as("reversed"),
+      element_at(toks, -1).as("last_tok"))
+      .orderBy("p_partkey")
+  }
+
+  /** O2's literal sparse-vector-sum semantics as a typed
+    * Aggregator[IN, BUF, OUT] (graft.functions.SparseVectorSum): duplicate
+    * item keys sum into one sparse vector per user; surfaced as
+    * (n_items, checksum) so the result is oracle-able.
+    */
+  def vectorSumAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = lineitem(s, d)
+      .select(
+        col("l_suppkey").cast("long").as("user_id"),
+        col("l_partkey").cast("long").as("item"),
+        col("l_quantity").as("q"))
+      .as[(Long, Long, Double)]
+    ds.groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(graft.functions.SparseVectorSum.toColumn.name("vec"))
+      .select(
+        col("key").as("user_id"),
+        size(map_keys(col("vec"))).cast("bigint").as("n_items"),
+        round(aggregate(map_values(col("vec")), lit(0.0d), (a, x) => a + x), 4).as("vec_sum"))
+      .orderBy("user_id")
+  }
+
+  /** Typed JSON parsing of the events payload: `from_json` with an
+    * explicit schema (vs f4's regex extraction) — the codegen'd Jackson
+    * path, no inference pass.
+    */
+  def jsonParse(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType.fromDDL("k INT")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("j.k")).as("min_k"),
+        max(col("j.k")).as("max_k"),
+        round(avg(col("j.k")), 6).as("avg_k"))
+      .orderBy("event_type")
+
+  /** Two-stage salted aggregation — the skew pattern: stage 1 groups on
+    * (key, salt) so one hot key spreads over 8 reducers; stage 2 merges
+    * the 8 partials. Result is identical to a direct groupBy (sums are
+    * associative); only the shuffle shape changes. At this SF the direct
+    * form is fine — the query pins the pattern the engine reaches for
+    * when a key is hot at 100 TB.
+    */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey"), lit(8)))
+      .groupBy("l_suppkey", "salt")
+      .agg(sum("l_quantity").as("part_sum"), count(lit(1)).as("part_n"))
+      .groupBy("l_suppkey")
+      .agg(
+        round(sum("part_sum"), 4).as("total_qty"),
+        sum("part_n").as("n_rows"))
+      .orderBy("l_suppkey")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("a5_cube", cubeFlags, Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+    QueryDef("a6_percentiles", percentilesByPriority, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a7_pivot", pivotSegments, Some(
+      """SELECT n_name,
+        |  count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS "AUTOMOBILE",
+        |  count(*) FILTER (c_mktsegment = 'BUILDING') AS "BUILDING",
+        |  count(*) FILTER (c_mktsegment = 'FURNITURE') AS "FURNITURE",
+        |  count(*) FILTER (c_mktsegment = 'HOUSEHOLD') AS "HOUSEHOLD",
+        |  count(*) FILTER (c_mktsegment = 'MACHINERY') AS "MACHINERY"
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("j6_asof", asofLastOrder, Some(
+      """WITH o AS (
+        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+        |    max(o_orderkey) AS ok, arg_max(o_totalprice, o_orderkey) AS price
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, o.ok AS last_orderkey,
+        |  round(o.price, 2) AS last_price
+        |FROM events e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND e.ts >= o.ots
+        |ORDER BY e.event_id""".stripMargin)),
+    QueryDef("j7_band_join", bandJoinPriceTiers, Some(
+      """SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN (VALUES ('t1_budget', 0, 50000), ('t2_low', 50000, 150000),
+        |             ('t3_mid', 150000, 300000), ('t4_high', 300000, 450000),
+        |             ('t5_top', 450000, 1e18)) t(tier, lo, hi)
+        |  ON o_totalprice >= lo AND o_totalprice < hi
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q1_correlated_subquery", aboveNationAvg, Some(
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM customer o
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer i
+        |                   WHERE i.c_nationkey = o.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("f6_array_funcs", arrayFuncs, Some(
+      """SELECT p_partkey,
+        |  len(string_split(p_name, ' ')) AS n_tokens,
+        |  len(list_distinct(string_split(p_name, ' '))) AS n_distinct,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_toks,
+        |  array_to_string(string_split(p_name, ' ')[1:2], ',') AS first2,
+        |  array_to_string(list_reverse(string_split(p_name, ' ')), ',') AS reversed,
+        |  string_split(p_name, ' ')[-1] AS last_tok
+        |FROM part ORDER BY p_partkey""".stripMargin)),
+    QueryDef("u1_vector_sum_agg", vectorSumAgg, Some(
+      """SELECT l_suppkey AS user_id, count(DISTINCT l_partkey) AS n_items,
+        |  round(sum(l_quantity), 4) AS vec_sum
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("f7_json_parse", jsonParse, Some(
+      """SELECT event_type, count(*) AS n,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("u2_salted_agg", saltedAgg, Some(
+      """SELECT l_suppkey, round(sum(l_quantity), 4) AS total_qty,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

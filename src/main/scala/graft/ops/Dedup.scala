@@ -155,7 +155,7 @@ object Dedup {
     * oracle); 100 TB scale path = Similarity.annIvf's cluster-bucketed
     * variant of the same cosine kernel.
     */
-  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.95): DataFrame = {
+  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
     val e = embeddings(s, d)
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
@@ -196,15 +196,19 @@ object Dedup {
         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE
         |ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("d5_embedding_neardup", (s, d) => embeddingNearDupPairs(s, d), Some(
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_inner_product(a.embedding, b.embedding)
-        |    / (sqrt(list_inner_product(a.embedding, a.embedding))
-        |       * sqrt(list_inner_product(b.embedding, b.embedding))), 6) AS cos
-        |FROM embeddings a, embeddings b
+      // CAST ... AS DOUBLE[]: DuckDB's list_inner_product on FLOAT[]
+      // accumulates in float32; Spark accumulates in double — without the
+      // cast the 6th rounded decimal can differ by 1ulp.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_inner_product(a.emb, b.emb)
+        |    / (sqrt(list_inner_product(a.emb, a.emb))
+        |       * sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos
+        |FROM e a, e b
         |WHERE a.vec_id < b.vec_id
-        |  AND list_inner_product(a.embedding, b.embedding)
-        |    / (sqrt(list_inner_product(a.embedding, a.embedding))
-        |       * sqrt(list_inner_product(b.embedding, b.embedding))) >= 0.95::DOUBLE
+        |  AND list_inner_product(a.emb, b.emb)
+        |    / (sqrt(list_inner_product(a.emb, a.emb))
+        |       * sqrt(list_inner_product(b.emb, b.emb))) >= 0.35::DOUBLE
         |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -141,10 +141,15 @@ object Relational {
       .select("c_custkey")
       .orderBy("c_custkey")
 
-  /** Left-anti join = NOT EXISTS (cold-start complement). */
+  /** Left-anti join = NOT EXISTS (cold-start complement). The orders side
+    * is filtered (no order above 400k) so the result is non-empty at every
+    * SF — a 0-row result would make the oracle check trivially true.
+    */
   def joinAnti(s: SparkSession, d: String): DataFrame =
     customer(s, d)
-      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .join(
+        orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey")
       .orderBy("c_custkey")
 
@@ -414,7 +419,8 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)),
     QueryDef("j4_anti_not_exists", joinAnti, Some(
       """SELECT c_custkey FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
         |ORDER BY c_custkey""".stripMargin)),
     QueryDef("j5_outer_counts", joinOuterCounts, Some(
       """SELECT c_custkey, count(o_orderkey) AS n_orders,

@@ -1,0 +1,66 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Source/sink surface beyond csv+parquet scans: JSON lines in/out and
+  * partitioned parquet with partition pruning.
+  *
+  * The reference's only formats are text CSV and SequenceFile
+  * (ALS-Hadoop/ALS/ALS.java:228-237, README.txt); JSON and hive-style
+  * partitioned parquet are the engine's extension surface — the two
+  * formats a training-data pipeline actually ingests/emits.
+  */
+object Sources {
+  import Tables._
+
+  /** JSON-lines sink + schema-enforced JSON scan: round-trip a projection
+    * of orders. Explicit schema on read — schema inference over JSON is a
+    * full extra pass over the data at 100 TB.
+    */
+  def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"/tmp/graft_json_${new java.io.File(d).getName}"
+    orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").json(tmp)
+    s.read
+      .schema("o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, o_orderpriority STRING")
+      .json(tmp)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Hive-style partitioned parquet write + partition-pruned read: the
+    * filter on the partition column must prune at planning time (the scan
+    * shows `PartitionFilters`, reading 1/5 of the files) — the layout
+    * pattern that turns a 100 TB scan into a 20 TB scan.
+    */
+  def partitionedPruning(s: SparkSession, d: String): DataFrame = {
+    val tmp = s"/tmp/graft_part_${new java.io.File(d).getName}"
+    orders(s, d)
+      .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
+    s.read.parquet(tmp)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy("o_orderpriority")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("o_totalprice"), 2).as("revenue"),
+        min("o_orderkey").as("min_key"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderpriority")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("src1_json_roundtrip", jsonRoundtrip, Some(
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src2_partitioned_pruning", partitionedPruning, Some(
+      """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

@@ -75,11 +75,44 @@ object EventStreams {
       .orderBy("user_id")
   }
 
-  /** Stateful custom aggregation via flatMapGroupsWithState-equivalent
-    * typed API: running max value per event_type with event counts —
-    * expressed with mapGroups over the replayed batch for determinism,
-    * streaming-state shape pinned in the spec.
+  final case class EvRow(event_type: String, value: Double)
+  final case class EvAgg(event_type: String, max_value: Double, n_events: Long)
+
+  /** Custom keyed state via mapGroupsWithState: running max + count per
+    * event_type. The state object is the engine's own (not a built-in
+    * agg) — the shape used for arbitrary per-key accumulators
+    * (dedup-seen sets, rate limiters, session carts) when session_window/
+    * windowed aggs can't express the logic. Update-mode memory sink; the
+    * final state per key must equal the batch aggregate — the oracle.
     */
+  def statefulRunningMax(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import s.implicits._
+    val src = stageDir(s, d, "state")
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(src)
+      .select(col("event_type"), col("value")).as[EvRow]
+    val updated = stream.groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (k: String, it: Iterator[EvRow], state: GroupState[EvAgg]) =>
+          var mx = state.getOption.map(_.max_value).getOrElse(Double.NegativeInfinity)
+          var n = state.getOption.map(_.n_events).getOrElse(0L)
+          it.foreach { e => mx = math.max(mx, e.value); n += 1 }
+          val agg = EvAgg(k, mx, n)
+          state.update(agg)
+          agg
+      }
+    val qname = "graft_stateful_max"
+    val q = updated.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    // one update row per key per micro-batch → keep the final state
+    s.table(qname)
+      .groupBy("event_type")
+      .agg(round(max("max_value"), 4).as("max_value"), max("n_events").as("n_events"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st1_windowed_counts", windowedCounts, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -93,6 +126,9 @@ object EventStreams {
         |SELECT user_id,
         |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("st3_stateful_max", statefulRunningMax, Some(
+      """SELECT event_type, round(max(value), 4) AS max_value, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

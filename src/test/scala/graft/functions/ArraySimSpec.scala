@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkSpec
+
+class ArraySimSpec extends AnyFunSuite with SparkSpec {
+
+  test("native cosine/dot match the composable zip_with+aggregate forms exactly") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0.5f, -0.25f, 0f), Array(-1f, 2f, 3.5f)),
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (Array(2f, 2f, 2f), Array(2f, 2f, 2f))
+    ).toDF("a", "b")
+
+    val out = df.select(
+      ArraySim.cosineNative(col("a"), col("b")).as("cn"),
+      graft.ops.Similarity.cosineBuiltin(col("a"), col("b")).as("cb"),
+      ArraySim.dotNative(col("a"), col("b")).as("dn"),
+      graft.ops.Similarity.dot(col("a"), col("b")).as("db")
+    ).collect()
+
+    out.foreach { r =>
+      // bit-identical: same element order, same double accumulation
+      assert(r.getDouble(0) === r.getDouble(1))
+      assert(r.getDouble(2) === r.getDouble(3))
+    }
+  }
+
+  test("native cosine: self-similarity 1, orthogonal 0, null propagates") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some(Array(3f, 4f)), Some(Array(3f, 4f))),
+      (Some(Array(1f, 0f)), Some(Array(0f, 1f))),
+      (None: Option[Array[Float]], Some(Array(1f, 1f)))
+    ).toDF("a", "b")
+    val rows = df.select(ArraySim.cosineNative(col("a"), col("b"))).collect()
+    assert(math.abs(rows(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(0)) < 1e-12)
+    assert(rows(2).isNullAt(0))
+  }
+
+  test("interpreted eval agrees with codegen path") {
+    // force interpreted evaluation via the expression's eval
+    val e = CosineSim(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, 2f, 3f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(4f, 5f, 6f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)))
+    val expect = (4.0 + 10.0 + 18.0) / (math.sqrt(14.0) * math.sqrt(77.0))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - expect) < 1e-12)
+  }
+}
