@@ -89,6 +89,23 @@ object AlsPipeline {
 
   // ---- declared queries over the driver's test tables ----
 
+  /** Run an ALS job, localize its (small, diagnostic-sized) result, and
+    * unpersist every RDD the fit left cached. MLlib ALS persists the
+    * final factor RDDs with no public release API; without this, each
+    * fit in a long-lived session leaks cached blocks that evict other
+    * operators' caches. Collecting first severs lineage so the unpersist
+    * can't trigger a silent re-train downstream.
+    */
+  private def localized(s: SparkSession)(body: => DataFrame): DataFrame = {
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val df = body
+    val rows = df.collect()
+    s.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** Deterministic MovieLens-shaped ratings derived from lineitem:
     * user = l_suppkey, item = l_partkey, rating in 0.5..5.0 with a
     * planted per-user/per-item structure so factorization has signal.
@@ -192,9 +209,9 @@ object AlsPipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("als_end_to_end", alsEndToEnd, None),
-    QueryDef("als_factors", alsFactors, None),
-    QueryDef("als_predict_parity", alsPredictParity, None),
+    QueryDef("als_end_to_end", (s, d) => localized(s)(alsEndToEnd(s, d)), None),
+    QueryDef("als_factors", (s, d) => localized(s)(alsFactors(s, d)), None),
+    QueryDef("als_predict_parity", (s, d) => localized(s)(alsPredictParity(s, d)), None),
     QueryDef("o17_split_fractions", splitFractions, None),
     QueryDef("o16_movielens_roundtrip", movielensRoundtrip, Some(
       """WITH ratings AS (

@@ -48,14 +48,21 @@ case class DotProduct(left: Expression, right: Expression) extends FloatArrayBin
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double acc = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  acc += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // fresh names: the fragment is inlined into a scope that may already
+      // declare i/n (e.g. two of these expressions in one projection)
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $acc = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
       |}
-      |${ev.value} = acc;
-      |""".stripMargin)
+      |${ev.value} = $acc;
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
@@ -77,16 +84,25 @@ case class CosineSim(left: Expression, right: Expression) extends FloatArrayBina
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double dot = 0.0, na = 0.0, nb = 0.0;
-      |for (int i = 0; i < n; i++) {
-      |  double x = (double) $a.getFloat(i);
-      |  double y = (double) $b.getFloat(i);
-      |  dot += x * y; na += x * x; nb += y * y;
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+      |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      |for (int $i = 0; $i < $n; $i++) {
+      |  double $x = (double) $a.getFloat($i);
+      |  double $y = (double) $b.getFloat($i);
+      |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
       |}
-      |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
-      |""".stripMargin)
+      |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+      |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)

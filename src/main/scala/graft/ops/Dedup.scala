@@ -41,10 +41,19 @@ object Dedup {
       array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
 
   /** 64-bit SimHash from token stream: per bit, (#tokens with bit set) −
-    * (#without) > 0. One xxhash per token, then 64 cheap array passes —
-    * all inside whole-stage codegen.
+    * (#without) > 0. One xxhash per token, then one fused pass with 64
+    * counters via the native graft.functions.SimHash64 expression
+    * (codegen'd; the composable 64×filter form it replaces is kept in
+    * its Scaladoc and pinned equal in the spec).
     */
-  def simhash64(text: Column): Column = {
+  def simhash64(text: Column): Column =
+    graft.functions.SimHash.simhash64Native(
+      transform(split(text, " "), t => xxhash64(t)))
+
+  /** Composable reference form of [[simhash64]] — 64 filter passes over
+    * the token-hash array. Used by the spec to pin the native expression.
+    */
+  def simhash64Builtin(text: Column): Column = {
     val hs = transform(split(text, " "), t => xxhash64(t))
     val n = size(hs).cast("long")
     (0 until 64).map { i =>
@@ -67,6 +76,12 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: shingle → minhash (H=48) → band (12×4) →
     * bucket join → exact-Jaccard verify ≥ threshold on candidates only.
+    *
+    * The band shuffle moves ONLY (doc_id, band, key) — 24 bytes/row — never
+    * shingle arrays; candidate pairs (few, post-LSH) join back to the
+    * cached shingle table for exact verification. That asymmetry is what
+    * makes LSH viable at 100 TB: the O(n·bands) shuffle is narrow, the
+    * O(candidates) verify is wide.
     */
   def minhashLshPairs(s: SparkSession, d: String,
       numHashes: Int = 48, bands: Int = 12, threshold: Double = 0.7,
@@ -74,27 +89,39 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     val docs = documents(s, d)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
-      .withColumn("mh", minhashes(col("sh"), numHashes))
+      .cache() // reused: minhash pass + per-side candidate verify
 
-    val banded = docs.select(
-      col("doc_id"), col("sh"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(b, slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))).as("bk"))
-      .select(col("doc_id"), col("sh"), col("bk.band"), col("bk.key"))
+    // Materialize (doc_id, mh) — ~8·numHashes bytes/doc — before banding.
+    // Without the cache boundary, CollapseProject inlines the 48-minhash
+    // array into the band-explode lambda and recomputes it once PER BAND
+    // (×12), and the skew-guard + self-join consume the banded plan three
+    // times on top — a ~36× blowup of the minhash kernel.
+    val mh = docs
+      .select(col("doc_id"), minhashes(col("sh"), numHashes).as("mh"))
+      .cache()
+
+    val banded = mh
+      .select(
+        col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(b, slice(col("mh"), b * rowsPerBand + 1, lit(rowsPerBand))).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
 
     // skew guard: drop degenerate buckets before the self-join
     val bucketSizes = banded.groupBy("band", "key").count()
       .filter(col("count") <= maxBucket).drop("count")
     val inBuckets = banded.join(bucketSizes, Seq("band", "key"))
 
-    val l = inBuckets.select(col("band"), col("key"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = inBuckets.select(col("band"), col("key"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    l.join(r, Seq("band", "key"))
+    val candidates = inBuckets.select(col("band"), col("key"), col("doc_id").as("doc_a"))
+      .join(inBuckets.select(col("band"), col("key"), col("doc_id").as("doc_b")),
+        Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sh_a", "sh_b").dropDuplicates("doc_a", "doc_b")
+      .select("doc_a", "doc_b").distinct()
+
+    candidates
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -136,7 +163,14 @@ object Dedup {
     val docs = documents(s, d)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
-    val inv = docs.select(col("doc_id"), col("n_sh"), explode(col("sh")).as("shingle"))
+    // join on xxhash64(shingle), not the shingle string: 8-byte shuffle
+    // keys instead of ~30-byte text. array_distinct upstream means a
+    // 64-bit collision within one doc can't inflate counts; cross-doc
+    // collisions are ~n²/2⁶⁵ — immaterial next to the df-cut itself.
+    val inv = docs
+      .select(col("doc_id"), col("n_sh"),
+        explode(transform(col("sh"), x => xxhash64(x))).as("shingle"))
+      .cache() // reused: df-cut groupBy + both sides of the pair join
     val keep = inv.groupBy("shingle").count().filter(col("count") <= maxDf).drop("count")
     val pruned = inv.join(keep, "shingle")
     val common = pruned.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
