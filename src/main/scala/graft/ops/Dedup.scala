@@ -133,16 +133,27 @@ object Dedup {
   /** SimHash near-dup pairs: 4×16-bit chunk blocking (any pair within
     * hamming distance 3 shares at least one intact chunk — pigeonhole),
     * then exact hamming ≤ maxHamming on candidates.
+    *
+    * Skew guard (same as [[minhashLshPairs]]): chunk buckets larger than
+    * maxBucket are dropped before the self-join — a boilerplate-heavy
+    * corpus puts thousands of near-identical simhashes in one 16-bit
+    * bucket and would go quadratic on a single executor otherwise.
+    * Mega-clusters of *identical* docs are [[exactDedup]]'s job, not
+    * simhash's; the cap is the price of bounded work, pinned in the spec.
     */
-  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 3,
+      maxBucket: Int = 64): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), simhash64(col("text")).as("sh"))
     val chunked = docs.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("c"),
           shiftrightunsigned(col("sh"), c * 16).bitwiseAND(lit(0xFFFFL)).as("chunk"))): _*)).as("ck"))
       .select(col("doc_id"), col("sh"), col("ck.c"), col("ck.chunk"))
-    val l = chunked.select(col("c"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val r = chunked.select(col("c"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val smallBuckets = chunked.groupBy("c", "chunk").count()
+      .filter(col("count") <= maxBucket).drop("count")
+    val bounded = chunked.join(smallBuckets, Seq("c", "chunk"))
+    val l = bounded.select(col("c"), col("chunk"), col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val r = bounded.select(col("c"), col("chunk"), col("doc_id").as("doc_b"), col("sh").as("sh_b"))
     l.join(r, Seq("c", "chunk"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "sh_a", "sh_b").distinct()
@@ -185,18 +196,80 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** Embedding-cosine near-dup pairs. Test scale: exact self-join (the
-    * oracle); 100 TB scale path = Similarity.annIvf's cluster-bucketed
-    * variant of the same cosine kernel.
+  /** Embedding-cosine near-dup pairs — cell-bucketed EXACT all-pairs.
+    *
+    * Plan: (1) coarse-quantize the corpus with Similarity's sampled seeded
+    * KMeans (the IVF quantizer); (2) compute each cell's angular radius
+    * r_c = max θ(v, centroid); (3) keep only cell pairs that can contain a
+    * qualifying pair by the spherical triangle inequality
+    * θ(a,b) ≥ θ(c_i,c_j) − r_i − r_j — any pair with cos ≥ threshold
+    * (θ ≤ acos(threshold)) is guaranteed to survive, so the operator is
+    * EXACT, not approximate (recall = 1 by construction); (4) score
+    * surviving cell pairs with the native cosine kernel.
+    *
+    * Scale shape: the work is a pair-grid equi-join keyed by eligible
+    * cell-pair id — each task scores one |cell_i|×|cell_j| block, so there
+    * is no CartesianProduct node and no single-executor O(n²). On real
+    * near-dup corpora (tight clusters, high thresholds) the bound prunes
+    * most of the grid; on adversarial isotropic data it degrades to a
+    * DISTRIBUTED blocked all-pairs — still exact, work spread over the
+    * k² grid. Corpus-side shuffle replication = per-cell eligible-pair
+    * degree (O(1) when the bound bites, ≤ nlist worst case).
+    *
+    * Driver traffic: centroids (nlist·dim floats) + radii (nlist doubles)
+    * — diagnostic-sized, not data-sized.
     */
-  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
-    val e = embeddings(s, d)
-    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    a.crossJoin(b).filter(col("id_a") < col("id_b"))
+  def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.35,
+      nlist: Int = 16): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val cents = Similarity.fitQuantizer(e, "embedding", nlist)
+    val best = Similarity.assignCell(col("embedding"), cents)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      (lit(0) - best.getField("negcell")).as("cell"),
+      best.getField("cos").as("ccos"))
+      .cache() // consumed by the radius agg + both sides of the pair grid
+
+    // per-cell max angle to own centroid (nlist rows → driver)
+    val radii = assigned.groupBy("cell")
+      .agg(max(acos(least(greatest(col("ccos"), lit(-1.0)), lit(1.0)))).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val thetaT = math.acos(threshold)
+    val byCell = cents.toMap
+    val eligible = for {
+      (i, _) <- cents.toSeq if radii.contains(i)
+      (j, _) <- cents.toSeq if j >= i && radii.contains(j)
+      thij = math.acos(math.max(-1.0, math.min(1.0, cosLocal(byCell(i), byCell(j)))))
+      if thij - radii(i) - radii(j) <= thetaT + 1e-6 // fp margin, exactness-safe
+    } yield (i.toLong * nlist + j, i, j)
+    val pairs = eligible.toDF("pair_id", "cell_a", "cell_b")
+
+    val aSide = assigned.join(broadcast(pairs), col("cell") === col("cell_a"))
+      .select(col("pair_id"), col("cell_a"), col("cell_b"),
+        col("vec_id").as("raw_a"), col("embedding").as("va"))
+    val bSide = assigned.join(broadcast(pairs.select("pair_id", "cell_b")),
+        col("cell") === col("cell_b"))
+      .select(col("pair_id"), col("vec_id").as("raw_b"), col("embedding").as("vb"))
+
+    aSide.join(bSide, "pair_id")
+      // same-cell blocks: order the pair; cross-cell blocks are disjoint
+      .filter(col("cell_a") =!= col("cell_b") || col("raw_a") < col("raw_b"))
       .withColumn("cos", Similarity.cosine(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(
+        least(col("raw_a"), col("raw_b")).as("id_a"),
+        greatest(col("raw_a"), col("raw_b")).as("id_b"),
+        round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
   }
 

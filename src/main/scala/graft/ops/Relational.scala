@@ -213,13 +213,20 @@ object Relational {
         round(stddev_samp("c_acctbal"), 6).as("sd_bal"))
       .orderBy("c_mktsegment")
 
-  /** Approximate distinct (HLL sketch) — no DuckDB hash parity by nature;
-    * correctness pinned by unit test (±5% of exact).
+  /** Approximate distinct (HLL sketch) alongside the exact count. The
+    * sketch value itself has no DuckDB twin, so the oracle-able surface is
+    * the exact count plus the sketch's error bound as a boolean: the
+    * oracle pins `approx_within_5pct = TRUE`, so a drifting sketch fails
+    * the hash gate (the unit test pins the same ±5% band).
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
     lineitem(s, d).agg(
       approx_count_distinct("l_partkey").as("approx_parts"),
       countDistinct("l_partkey").as("exact_parts"))
+      .select(
+        col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.05).as("approx_within_5pct"))
 
   // ---- windows ----
 
@@ -452,7 +459,10 @@ object Relational {
         |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal,
         |  round(avg(c_acctbal), 6) AS avg_bal, round(stddev_samp(c_acctbal), 6) AS sd_bal
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
-    QueryDef("a4_approx_distinct", approxDistinct, None),
+    QueryDef("a4_approx_distinct", approxDistinct, Some(
+      """SELECT count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS approx_within_5pct
+        |FROM lineitem""".stripMargin)),
     QueryDef("w1_topn_per_group", windowTopNPerCustomer, Some(
       """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -76,31 +76,71 @@ object Similarity {
       .orderBy("q_id", "n_id")
   }
 
-  /** IVF approximate NN: seeded KMeans coarse quantizer (nlist cells),
-    * corpus bucketed by cell, each query probes its nprobe nearest cells.
-    * Returns per-query approximate top-k. Recall vs brute force is pinned
-    * in the spec.
+  /** Coarse quantizer fit: seeded KMeans over L2-NORMALIZED vectors
+    * (angular k-means: on the unit sphere, euclidean cells == cosine
+    * cells), fit on a seeded SAMPLE capped at maxFitRows — quantizer cost
+    * is ∝ sample, not corpus (a 100 TB corpus still fits on 50k rows).
+    * The normalize-to-Vector UDF runs on the sample only; the corpus is
+    * never converted to VectorUDT (see [[assignCell]]).
+    * k is clamped to the corpus size for tiny inputs.
+    * Returns (cell id, centroid) pairs — a driver-sized array (nlist·dim).
+    */
+  private[ops] def fitQuantizer(corpus: DataFrame, embCol: String, nlist: Int,
+      seed: Long = 42L, maxFitRows: Long = 50000L): Array[(Int, Seq[Float])] = {
+    val n = corpus.count()
+    val frac = math.min(1.0, maxFitRows.toDouble / math.max(1L, n))
+    val sample =
+      if (frac >= 1.0) corpus
+      else corpus.sample(withReplacement = false, frac, seed)
+    val toVec = udf { (a: Seq[Float]) =>
+      val nn = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-12
+      Vectors.dense(a.map(_.toDouble / nn).toArray)
+    }
+    val kEff = math.max(1, math.min(nlist.toLong, n).toInt)
+    val km = new KMeans().setK(kEff).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell")
+    val model = km.fit(sample.select(toVec(col(embCol)).as("fv")))
+    model.clusterCenters.zipWithIndex.map { case (v, i) =>
+      (i, v.toArray.map(_.toFloat).toSeq)
+    }
+  }
+
+  /** Nearest-centroid assignment as a codegen'd expression: argmax over
+    * nlist native cosines via greatest-of-structs (ties → smallest cell).
+    * No UDF, no VectorUDT, no boxing on the corpus hot path. Returns
+    * STRUCT(cos DOUBLE, negcell INT); callers take `-negcell` as the cell
+    * id and `cos` as the centroid similarity.
+    */
+  private[ops] def assignCell(emb: Column, cents: Array[(Int, Seq[Float])]): Column = {
+    val structs = cents.map { case (i, c) =>
+      struct(cosine(emb, typedlit(c)).as("cos"), lit(-i).as("negcell"))
+    }
+    if (structs.length == 1) structs.head else greatest(structs: _*)
+  }
+
+  /** IVF approximate NN: sampled seeded KMeans coarse quantizer (nlist
+    * cells), corpus bucketed by cell and PERSISTED partitionBy(cell) so a
+    * probe prunes partitions at the scan (the ANN analogue of partition
+    * pruning — `PartitionFilters` on the probe scan, pinned in the spec);
+    * each query probes its nprobe nearest cells. Returns per-query
+    * approximate top-k. Recall vs brute force is pinned in the spec.
     */
   def annIvf(s: SparkSession, d: String,
       numQueries: Int = 5, k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // cosine metric ⇒ cluster L2-NORMALIZED vectors (angular k-means):
-    // on the unit sphere, euclidean cells == cosine cells
-    val toVec = udf { (a: Seq[Float]) =>
-      val n = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-12
-      Vectors.dense(a.map(_.toDouble / n).toArray)
-    }
-    val e = embeddings(s, d).withColumn("fv", toVec(col("embedding"))).cache()
-    val km = new KMeans().setK(nlist).setSeed(42L).setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(e)
-    val assigned = model.transform(e).select(col("vec_id"), col("embedding"), col("cell"))
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val cents = fitQuantizer(e, "embedding", nlist)
+    val best = assignCell(col("embedding"), cents)
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      (lit(0) - best.getField("negcell")).as("cell"))
 
-    val centroids = model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat).toSeq)
-    }.toSeq
+    // bucketed index: one partition dir per cell — probes read only theirs
+    val bucketDir = s"/tmp/graft_ivf_${new java.io.File(d).getName}"
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(bucketDir)
+    val corpus = s.read.parquet(bucketDir)
+
     import s.implicits._
-    val centDf = centroids.toDF("cell", "centroid")
-
-    val q = assigned.filter(col("vec_id") < numQueries)
+    val centDf = cents.toSeq.toDF("cell", "centroid")
+    val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
     // nprobe nearest cells per query (tiny: queries × nlist)
     val probeW = Window.partitionBy("q_id").orderBy(desc("ccos"), asc("cell"))
@@ -109,17 +149,20 @@ object Similarity {
       .withColumn("pr", row_number().over(probeW))
       .filter(col("pr") <= nprobe)
       .select("q_id", "qv", "cell")
+      .cache()
+    // probed cells to the driver (≤ queries × nprobe ints) → a LITERAL
+    // partition filter on the bucketed scan: only those dirs are read
+    val probedCells = probes.select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    val pruned = corpus.filter(col("cell").isin(probedCells: _*))
 
-    // probe join: only the selected cells' vectors are scored
-    val scored = probes.join(assigned, "cell")
+    val scored = probes.join(pruned, "cell")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("embedding")))
     val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-    val out = scored.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rank")
-    out
   }
 
   /** Elementwise centroid per label (posexplode → grouped avg): the
@@ -146,7 +189,23 @@ object Similarity {
         |    / (sqrt(list_inner_product(q.emb, q.emb))
         |       * sqrt(list_inner_product(c.emb, c.emb))) >= 0.25::DOUBLE
         |ORDER BY q_id, n_id""".stripMargin)),
-    QueryDef("v2_bruteforce_topk", (s, d) => bruteForceTopK(s, d), None),
+    QueryDef("v2_bruteforce_topk", (s, d) => bruteForceTopK(s, d), Some(
+      // rank over the UNROUNDED cosine (as the Spark side does), CAST to
+      // INT to match Spark's row_number type; round only in the output.
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_inner_product(q.emb, c.emb)
+        |      / (sqrt(list_inner_product(q.emb, q.emb))
+        |         * sqrt(list_inner_product(c.emb, c.emb))) AS raw_cos
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, raw_cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, n_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id, round(raw_cos, 6) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     QueryDef("v3_ann_ivf", (s, d) => annIvf(s, d), None),
     QueryDef("v4_centroid_by_label", centroidByLabel, Some(
       """SELECT label, dim, round(avg(v), 6) AS mean_v FROM (

@@ -101,9 +101,11 @@ object TextAnalysis {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t1_token_counts", tokenCounts, Some(
+      // CAST AS BIGINT: DuckDB's list_sum over a BIGINT list yields HUGEINT
+      // (float64 through pandas) — hash-mismatches Spark's int64 otherwise.
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |  list_sum(list_transform(string_split(text, ' '),
-        |    t -> greatest(1, CAST(ceil(length(t) / 4.0::DOUBLE) AS BIGINT)))) AS n_bpeish,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> greatest(1, CAST(ceil(length(t) / 4.0::DOUBLE) AS BIGINT)))) AS BIGINT) AS n_bpeish,
         |  length(text) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("t2_quality_score", qualityScore, Some(

@@ -93,4 +93,65 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((0L, 1L)))
   }
+
+  test("embedding near-dup: full recall vs brute force on planted clusters, no cartesian in plan") {
+    // 300 vectors in 12 tight clusters + planted near-dup pairs — the
+    // regime the cell bucketing is built for; operator is exact by the
+    // triangle-inequality bound, so recall vs brute force must be 1.0
+    val rnd = new scala.util.Random(11)
+    val dim = 24
+    val centers = Array.fill(12, dim)(rnd.nextGaussian())
+    val rows = (0 until 300).map { id =>
+      val c = centers(id % 12)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.25).toFloat).toSeq, id % 12)
+    }
+    val dir = Files.createTempDirectory("graft_embrec").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val op = Dedup.embeddingNearDupPairs(spark, dir, threshold = 0.8)
+    val plan = op.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"all-pairs node in plan:\n$plan")
+    val got = op.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force oracle (crossJoin lives ONLY here, as the recall oracle)
+    val e = graft.Tables.embeddings(spark, dir)
+    val brute = e.select(col("vec_id").as("a"), col("embedding").as("va"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("embedding").as("vb")))
+      .filter(col("a") < col("b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.8)
+      .select("a", "b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture must contain qualifying pairs")
+    val recall = (got intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"recall $recall < 0.95 (missed ${brute -- got})")
+    assert(got == brute, s"exact operator must equal brute force; extra=${got -- brute} missing=${brute -- got}")
+  }
+
+  test("simhash skew cap bounds degenerate-bucket pair count") {
+    // 200 identical docs — web-boilerplate shape: every chunk bucket is
+    // degenerate. With the cap the blocked self-join must not go
+    // quadratic; the clones' pairs are exactDedup's job, not simhash's.
+    val rnd = new scala.util.Random(3)
+    val boiler = (0 until 60).map(i => s"boiler${i % 9} plate$i").mkString(" ")
+    val clones = (100 until 300).map(i => (i.toLong, boiler, "en", "c"))
+    val distinctDocs = (0 until 6).map { i =>
+      (i.toLong, (0 until 60).map(j => s"w${rnd.nextInt(5000)}x${i}_$j").mkString(" "), "en", "d")
+    }
+    val dir = Files.createTempDirectory("graft_simcap").toString
+    (clones ++ distinctDocs).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val capped = Dedup.simhashPairs(spark, dir).collect()
+    // all 4 chunk buckets of the clone cluster exceed maxBucket=64 → dropped;
+    // bound = pairs from small buckets only, never the 200·199/2 quadratic set
+    assert(capped.length < 200, s"cap failed: ${capped.length} pairs")
+    assert(!capped.exists(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L),
+      "degenerate clone bucket leaked through the cap")
+    // raising the cap above the cluster size restores the quadratic set
+    val uncapped = Dedup.simhashPairs(spark, dir, maxBucket = 300).collect()
+    assert(uncapped.count(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L) == 200 * 199 / 2)
+  }
 }
