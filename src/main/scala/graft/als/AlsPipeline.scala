@@ -89,23 +89,6 @@ object AlsPipeline {
 
   // ---- declared queries over the driver's test tables ----
 
-  /** Run an ALS job, localize its (small, diagnostic-sized) result, and
-    * unpersist every RDD the fit left cached. MLlib ALS persists the
-    * final factor RDDs with no public release API; without this, each
-    * fit in a long-lived session leaks cached blocks that evict other
-    * operators' caches. Collecting first severs lineage so the unpersist
-    * can't trigger a silent re-train downstream.
-    */
-  private def localized(s: SparkSession)(body: => DataFrame): DataFrame = {
-    val before = s.sparkContext.getPersistentRDDs.keySet
-    val df = body
-    val rows = df.collect()
-    s.sparkContext.getPersistentRDDs
-      .filterNot { case (id, _) => before(id) }
-      .values.foreach(_.unpersist(blocking = false))
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
-  }
-
   /** Deterministic MovieLens-shaped ratings derived from lineitem:
     * user = l_suppkey, item = l_partkey, rating in 0.5..5.0 with a
     * planted per-user/per-item structure so factorization has signal.
@@ -128,36 +111,82 @@ object AlsPipeline {
       // observations; collapse to the mean to keep ratings in-domain.
       .groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))
 
+  /** One fitted model's materialized outputs per sfDir — the reference's
+    * observable artifacts, produced by exactly ONE training run at the
+    * reference's published hyperparameters (rank=20, maxIter=10, λ=0.065;
+    * ALS.java:52-57) and shared by every declared ALS query:
+    *   `<dir>/U`, `<dir>/M` — factor matrices as parquet
+    *     (id, features ARRAY<FLOAT>), the SequenceFile /U,/M analogue
+    *     (ALS.java:312-327);
+    *   `<dir>/rmse.txt` — the metrics file (ALS.java:411-419).
+    * Headline scalars (RMSE, baseline, predict-parity divergence) are
+    * computed while the model is alive; then every RDD the fit persisted
+    * is released (MLlib ALS has no public unpersist for its final factor
+    * RDDs — without this each fit leaks cached blocks for the session).
+    */
+  final case class Artifacts(
+      dir: String,
+      rank: Int, maxIter: Int, regParam: Double,
+      nTrain: Long, nProbe: Long,
+      alsRmse: Double, baseRmse: Double,
+      nPredictions: Long, maxAbsDiff: Double)
+
+  private val fitted = scala.collection.concurrent.TrieMap.empty[String, Artifacts]
+
+  def artifacts(s: SparkSession, d: String): Artifacts =
+    fitted.getOrElseUpdate(d, {
+      val cfg = Config() // the reference configuration, nothing reduced
+      val dir = s"/tmp/graft_als_${new java.io.File(d).getName}"
+      val ratings = syntheticRatings(s, d).cache()
+      val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
+      train.cache(); probe.cache()
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val model = fit(train, cfg)
+      val alsRmse = rmse(model, probe)
+      val baseRmse = itemAvgBaselineRmse(train, probe)
+      // O13 parity (transform vs manual join+dot) while the model is alive
+      val parity = model.transform(probe)
+        .select(col("user"), col("item"), col("prediction").as("p_model"))
+        .join(predictManual(model.userFactors, model.itemFactors, probe)
+          .select(col("user"), col("item"), col("prediction").as("p_manual")),
+          Seq("user", "item"))
+        .agg(count(lit(1)), max(abs(col("p_model") - col("p_manual"))))
+        .head()
+      model.userFactors.write.mode("overwrite").parquet(s"$dir/U")
+      model.itemFactors.write.mode("overwrite").parquet(s"$dir/M")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/rmse.txt"), s"$alsRmse\n")
+      val (nt, np) = (train.count(), probe.count())
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      ratings.unpersist(); train.unpersist(); probe.unpersist()
+      Artifacts(dir, cfg.rank, cfg.maxIter, cfg.regParam, nt, np,
+        alsRmse, baseRmse, parity.getLong(0),
+        math.rint(parity.getDouble(1) * 1e5) / 1e5)
+    })
+
   /** Full EP1 pipeline (train → eval) as one declared query. Returns the
     * run's headline metrics as a single row — the Spark analogue of
-    * rmse.txt (ALS.java:411-419).
+    * rmse.txt (ALS.java:411-419). Shares the memoized reference-config
+    * fit with the other ALS queries.
     */
   def alsEndToEnd(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ratings = syntheticRatings(s, d).cache()
-    val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
-    train.cache(); probe.cache()
-    val cfg = Config(rank = 10, maxIter = 5)
-    val model = fit(train, cfg)
-    val alsRmse = rmse(model, probe)
-    val baseRmse = itemAvgBaselineRmse(train, probe)
-    val out = Seq((alsRmse, baseRmse, train.count(), probe.count(), cfg.rank, cfg.maxIter))
+    val a = artifacts(s, d)
+    Seq((a.alsRmse, a.baseRmse, a.nTrain, a.nProbe, a.rank, a.maxIter))
       .toDF("rmse", "baseline_rmse", "n_train", "n_probe", "rank", "max_iter")
-    ratings.unpersist(); train.unpersist(); probe.unpersist()
-    out
   }
 
   /** Factor-matrix output shape parity: (id, features ARRAY<FLOAT>) —
     * the reference's SequenceFile[IntWritable, DenseVector(k)]
-    * (ALS.java:334-356) re-expressed as a parquet-friendly DataFrame.
+    * (ALS.java:334-356) re-expressed as parquet, read back from the
+    * persisted `<dir>/U` artifact.
     */
-  def alsFactors(s: SparkSession, d: String): DataFrame = {
-    val ratings = syntheticRatings(s, d)
-    val model = fit(ratings, Config(rank = 6, maxIter = 3))
-    model.userFactors
+  def alsFactors(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"${artifacts(s, d).dir}/U")
       .select(col("id"), size(col("features")).as("k"))
       .orderBy("id")
-  }
 
   /** O13 as a standalone query: manual join+dot predict must agree with
     * ALSModel.transform row-for-row (pinned exactly in the spec; here it
@@ -165,19 +194,8 @@ object AlsPipeline {
     */
   def alsPredictParity(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val ratings = syntheticRatings(s, d).cache()
-    val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
-    val model = fit(train, Config(rank = 6, maxIter = 3))
-    val viaModel = model.transform(probe)
-      .select(col("user"), col("item"), col("prediction").as("p_model"))
-    val manual = predictManual(model.userFactors, model.itemFactors, probe)
-      .select(col("user"), col("item"), col("prediction").as("p_manual"))
-    val out = viaModel.join(manual, Seq("user", "item"))
-      .agg(
-        count(lit(1)).as("n_predictions"),
-        round(max(abs(col("p_model") - col("p_manual"))), 5).as("max_abs_diff"))
-    ratings.unpersist()
-    out
+    val a = artifacts(s, d)
+    Seq((a.nPredictions, a.maxAbsDiff)).toDF("n_predictions", "max_abs_diff")
   }
 
   /** O17: seeded split fractions (rows-only — RNG streams differ from the
@@ -209,9 +227,9 @@ object AlsPipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("als_end_to_end", (s, d) => localized(s)(alsEndToEnd(s, d)), None),
-    QueryDef("als_factors", (s, d) => localized(s)(alsFactors(s, d)), None),
-    QueryDef("als_predict_parity", (s, d) => localized(s)(alsPredictParity(s, d)), None),
+    QueryDef("als_end_to_end", alsEndToEnd, None),
+    QueryDef("als_factors", alsFactors, None),
+    QueryDef("als_predict_parity", alsPredictParity, None),
     QueryDef("o17_split_fractions", splitFractions, None),
     QueryDef("o16_movielens_roundtrip", movielensRoundtrip, Some(
       """WITH ratings AS (

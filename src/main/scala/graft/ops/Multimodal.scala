@@ -91,12 +91,52 @@ object Multimodal {
         round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("bin_sum"))
       .orderBy("doc_id")
 
+  /** Real binary-asset ingest: spark.read.format("binaryFile") over a
+    * generated fixture dir (one file per document, bytes = the UTF-8 text
+    * — the deterministic stand-in for real image/audio files), doc_id
+    * recovered from the filename, content verified by byte length +
+    * SHA-256 against the documents table (the oracle recomputes both).
+    * At scale this is THE ingest path for raw assets: a distributed
+    * directory scan, no driver materialization of content — only the
+    * bounded fixture generation here touches the driver.
+    */
+  def binaryFileIngest(s: SparkSession, d: String, maxDocs: Int = 50): DataFrame = {
+    val dir = java.nio.file.Paths.get(
+      s"/tmp/graft_blobs_${new java.io.File(d).getName}")
+    // bounded fixture generation (maxDocs small files); fresh dir so a
+    // previous run with different contents can't pollute the scan
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    java.nio.file.Files.createDirectories(dir)
+    documents(s, d).filter(col("doc_id") < maxDocs)
+      .select("doc_id", "text").collect()
+      .foreach { r =>
+        java.nio.file.Files.write(
+          dir.resolve(f"doc_${r.getLong(0)}%06d.bin"),
+          r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+    s.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1).cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("m1_blob_meta", blobMeta, Some(
       """SELECT doc_id, 'text/plain;lang=' || lang AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin)),
-    QueryDef("m2_blob_features", blobFeatures, None)
+    QueryDef("m2_blob_features", blobFeatures, None),
+    QueryDef("m3_binaryfile_ingest", (s, d) => binaryFileIngest(s, d), Some(
+      """SELECT doc_id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS sha256
+        |FROM documents WHERE doc_id < 50 ORDER BY doc_id""".stripMargin))
   )
 }

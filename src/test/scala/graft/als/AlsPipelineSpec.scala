@@ -70,6 +70,24 @@ class AlsPipelineSpec extends SparkSpec {
     assert(uf.count() == fixture.select("user").distinct().count())
   }
 
+  test("reference configuration end-to-end: rank=20, maxIter=10, λ=0.065 (ALS.java:52-57)") {
+    val a = AlsPipeline.artifacts(spark, sf0001)
+    assert((a.rank, a.maxIter, a.regParam) == ((20, 10, 0.065)),
+      "artifacts must be trained at the reference's published hyperparameters")
+    assert(a.alsRmse < a.baseRmse,
+      s"reference-config ALS rmse ${a.alsRmse} not below item-avg baseline ${a.baseRmse}")
+    assert(a.maxAbsDiff < 1e-4, s"predict parity diverges: ${a.maxAbsDiff}")
+    // persisted artifacts: /U, /M factor parquet (ALS.java:312-327) + rmse.txt (:411-419)
+    for (m <- Seq("U", "M")) {
+      val f = spark.read.parquet(s"${a.dir}/$m")
+      assert(f.columns.toSeq == Seq("id", "features"))
+      assert(f.select(size($"features")).distinct().head().getInt(0) == 20)
+    }
+    val rmseTxt = java.nio.file.Files
+      .readString(java.nio.file.Paths.get(s"${a.dir}/rmse.txt")).trim.toDouble
+    assert(math.abs(rmseTxt - a.alsRmse) < 1e-12)
+  }
+
   test("duplicate (user,item) observations collapse before training (O2 semantics)") {
     val dup = Seq((1, 1, 2f), (1, 1, 4f), (2, 1, 3f)).toDF("user", "item", "rating")
     val collapsed = dup.groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))

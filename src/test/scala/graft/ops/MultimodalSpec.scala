@@ -21,4 +21,14 @@ class MultimodalSpec extends SparkSpec {
     val f = Multimodal.decodeStub("AAAA".getBytes("UTF-8")) // 'A'=65 → bin 4
     assert(f(4) == 1f && f.sum == 1f)
   }
+
+  test("binaryFile ingest round-trips file bytes (sha256 parity with blob table)") {
+    val viaFiles = Multimodal.binaryFileIngest(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val viaTable = Multimodal.blobMeta(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(3))).toMap
+    assert(viaFiles.size == 50)
+    assert(viaFiles == viaTable)
+  }
 }

@@ -70,4 +70,12 @@ class SimilaritySpec extends SparkSpec {
     val r = recallVsBrute(sf0001)
     assert(r >= 0.3, s"mean recall@10 $r not better than random probing")
   }
+
+  test("IVF ANN: probe scan prunes bucketed-corpus partitions") {
+    val plan = Similarity.annIvf(spark, sf0001).queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(pf.exists(f => f.nonEmpty && f.contains("cell")),
+      s"no non-empty cell PartitionFilters on the probe scan:\n$plan")
+  }
 }

@@ -25,4 +25,43 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(streamed == batch)
   }
+
+  test("append mode: watermark drops late data and bounds state size") {
+    // Incremental semantics the complete-mode oracles can't show: a
+    // window is emitted once (when the watermark passes its end) and
+    // evicted from state; rows arriving behind the watermark are dropped
+    // and counted in numRowsDroppedByWatermark.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val windowed = src.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val q = windowed.writeStream.outputMode("append")
+      .format("memory").queryName("graft_append_evict").start()
+    try {
+      src.addData((ts(0), 1.0), (ts(5), 1.0), (ts(25), 1.0))
+      q.processAllAvailable() // watermark afterwards: 10:25 − 10m = 10:15
+      // 10:02 is behind the 10:15 watermark → dropped, never re-opens the
+      // already-closed [10:00,10:10) window; 10:40 advances the watermark
+      src.addData((ts(2), 99.0), (ts(40), 1.0))
+      q.processAllAvailable()
+      src.addData((ts(59), 1.0))
+      q.processAllAvailable()
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      assert(dropped >= 1, "late event was not dropped by the watermark")
+      val out = spark.table("graft_append_evict")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(out.get("10:00").contains(2L),
+        s"closed window must hold exactly the 2 on-time events: $out")
+      // eviction bounds state: only the still-open trailing windows remain
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 3, s"state not bounded by eviction: $stateRows rows")
+    } finally q.stop()
+  }
 }
