@@ -23,14 +23,22 @@ object Dedup {
 
   /** Word k-shingles as an array column: one pass, codegen'd. Documents
     * shorter than k tokens fall back to the whole text as one shingle.
+    *
+    * The tokens array is BOUND to a lambda variable via a one-element
+    * outer `transform` before the sliding window runs: expressions inside
+    * a higher-order lambda get no whole-stage subexpression elimination,
+    * so referencing `split(text)` directly there would re-tokenize the
+    * document once per shingle position × k (O(tokens²) per row — a ~3×
+    * measured slowdown on the fingerprint/ngram paths).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    when(size(toks) >= k,
-      transform(sequence(lit(0), size(toks) - k),
-        i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
-      .otherwise(array(text))
-  }
+  def shingles(text: Column, k: Int): Column =
+    element_at(
+      transform(array(split(text, " ")), toks =>
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+          .otherwise(array(text))),
+      1)
 
   /** numHashes deterministic minhashes: min over shingles of
     * xxhash64(seed_i, shingle). No RNG state — reproducible across runs
