@@ -17,7 +17,13 @@ object Bench {
       // scan+count; noop computes every declared column.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // intra-query caches (LSH shingle tables, IVF assignments, ...) are
+      // dead once the sink completes; dropping them keeps each query's
+      // timing honest and stops 60+ queries of leaked blocks starving the
+      // expensive tail (ALS) of executor memory
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -23,12 +23,20 @@ import graft.{QueryDef, Tables}
   */
 object AlsPipeline {
 
+  /** blocks sizes the ALS in-RDD factor sharding. It must scale with the
+    * RATINGS volume, not the core count: at bench scale (~500k ratings)
+    * 32 blocks means ~30-user blocks whose per-stage scheduling overhead
+    * dominates the 2×maxIter shuffle rounds (measured 60s vs 23s for the
+    * same fit); 10 keeps block work above task overhead. On a real
+    * cluster raise it so blocks ≈ total cores once per-block solve time
+    * clears scheduling latency.
+    */
   final case class Config(
       rank: Int = 20,
       maxIter: Int = 10,
       regParam: Double = 0.065,
       seed: Long = 1L,
-      blocks: Int = 16)
+      blocks: Int = 10)
 
   /** O7–O12: alternating solves. coldStartStrategy="drop" is exactly the
     * reference's containsKey guard (ALS.java:460).
