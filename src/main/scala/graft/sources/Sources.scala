@@ -53,6 +53,45 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** Bucketed co-located join: both sides written bucketBy(join key) with
+    * the same bucket count, then sort-merge-joined with NO shuffle on
+    * either side — at 100 TB this is the difference between re-shuffling
+    * two fact tables per join and a map-side merge of pre-sorted buckets.
+    * The no-Exchange property is pinned in SourcesSpec; here the join
+    * feeds an aggregate so the result is small and oracle-able.
+    */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+    val base = s"/tmp/graft_bucket_$tag"
+    val (liTbl, oTbl) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
+    writeBucketed(s, lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", s"$base/li", liTbl)
+    writeBucketed(s, orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", s"$base/o", oTbl)
+    bucketedJoinPlan(s, liTbl, oTbl)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private[graft] def writeBucketed(s: SparkSession, df: DataFrame,
+      key: String, path: String, table: String, buckets: Int = 8): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write.mode("overwrite")
+      .option("path", path)
+      .bucketBy(buckets, key).sortBy(key)
+      .saveAsTable(table)
+  }
+
+  /** The bare co-located join (no agg) — the plan SourcesSpec asserts is
+    * Exchange-free. merge hint: a broadcastable small side would otherwise
+    * hide the bucketing property this query exists to demonstrate.
+    */
+  private[graft] def bucketedJoinPlan(s: SparkSession, liTbl: String, oTbl: String): DataFrame =
+    s.table(liTbl).hint("merge")
+      .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("src1_json_roundtrip", jsonRoundtrip, Some(
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
@@ -61,6 +100,11 @@ object Sources {
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue,
         |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
         |FROM orders WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src3_bucketed_join", bucketedJoin, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

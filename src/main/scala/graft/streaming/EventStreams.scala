@@ -113,6 +113,30 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Streaming exact dedup — the streaming face of Dedup.exactDedup:
+    * dropDuplicates keyed state over the replayed stream, append output.
+    * Global dedup holds one state row per distinct key (that IS the
+    * semantics); the bounded-state variant for infinite streams
+    * (dropDuplicatesWithinWatermark: within-horizon dedup + state
+    * eviction) is pinned in EventStreamsSpec. Full replay ⇒ output rows =
+    * batch DISTINCT — the oracle.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d, "dedup")
+    val schema = Tables.events(s, d).schema
+    val deduped = s.readStream.schema(schema).parquet(src)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+    val qname = "graft_stream_dedup"
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_distinct_users"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st1_windowed_counts", windowedCounts, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -129,6 +153,9 @@ object EventStreams {
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st3_stateful_max", statefulRunningMax, Some(
       """SELECT event_type, round(max(value), 4) AS max_value, count(*) AS n_events
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("st4_stream_dedup", streamDedup, Some(
+      """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

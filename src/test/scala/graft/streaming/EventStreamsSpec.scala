@@ -26,6 +26,43 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming dedup equals batch distinct; watermark variant evicts dedup state") {
+    // declared-query side: full replay == batch distinct
+    val streamed = EventStreams.streamDedup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    val batch = graft.Tables.events(spark, sf0001)
+      .groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(streamed == batch)
+
+    // bounded-state variant: duplicates within the watermark horizon are
+    // dropped; once the watermark passes a key's horizon its state is
+    // evicted, so the same key re-admits — the infinite-stream shape
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val src = MemoryStream[(java.sql.Timestamp, String)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val deduped = src.toDF().toDF("ts", "k")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("k")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup_evict").start()
+    try {
+      src.addData((ts(0), "a"), (ts(5), "a")) // dup within horizon → dropped
+      q.processAllAvailable()
+      src.addData((ts(40), "b")) // watermark → 10:30, evicts a's state
+      q.processAllAvailable()
+      src.addData((ts(41), "a")) // same key after eviction → re-admitted
+      q.processAllAvailable()
+      val ks = spark.table("graft_dedup_evict").collect().map(_.getString(1))
+      assert(ks.count(_ == "a") == 2, s"expected a re-admitted after eviction: ${ks.toSeq}")
+      assert(ks.count(_ == "b") == 1)
+      val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      assert(stateRows <= 2, s"dedup state not evicted: $stateRows rows")
+    } finally q.stop()
+  }
+
   test("append mode: watermark drops late data and bounds state size") {
     // Incremental semantics the complete-mode oracles can't show: a
     // window is emitted once (when the watermark passes its end) and
