@@ -24,19 +24,23 @@ object EventStreams {
 
   /** Copy the single events.parquet into a fresh directory (file stream
     * sources watch directories) with nanos→micros rewrite via batch Spark,
-    * so the stream schema matches Tables.events.
+    * so the stream schema matches Tables.events. Staged ONCE per dataset
+    * and shared by every streaming query — the replay input is identical,
+    * so re-materializing it per query was pure waste.
     */
-  private def stageDir(s: SparkSession, d: String, tag: String): String = {
-    val dir = s"/tmp/graft_stream_${tag}_${new java.io.File(d).getName}"
-    Tables.events(s, d).write.mode("overwrite").parquet(dir)
-    dir
-  }
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stageDir(s: SparkSession, d: String): String =
+    staged.getOrElseUpdate(d, {
+      val dir = s"/tmp/graft_stream_${new java.io.File(d).getName}"
+      Tables.events(s, d).write.mode("overwrite").parquet(dir)
+      dir
+    })
 
   /** Tumbling 1-hour event-time windows per event_type with a 2-hour
     * watermark, complete output to a memory sink.
     */
   def windowedCounts(s: SparkSession, d: String): DataFrame = {
-    val src = stageDir(s, d, "win")
+    val src = stageDir(s, d)
     val schema = Tables.events(s, d).schema
     val stream = s.readStream.schema(schema).parquet(src)
       .withWatermark("ts", "2 hours")
@@ -59,7 +63,7 @@ object EventStreams {
     * sessionization (Relational.eventsSessionize) — that's the oracle.
     */
   def sessionWindows(s: SparkSession, d: String): DataFrame = {
-    val src = stageDir(s, d, "sess")
+    val src = stageDir(s, d)
     val schema = Tables.events(s, d).schema
     val stream = s.readStream.schema(schema).parquet(src)
       .withWatermark("ts", "2 hours")
@@ -88,7 +92,7 @@ object EventStreams {
   def statefulRunningMax(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
     import s.implicits._
-    val src = stageDir(s, d, "state")
+    val src = stageDir(s, d)
     val schema = Tables.events(s, d).schema
     val stream = s.readStream.schema(schema).parquet(src)
       .select(col("event_type"), col("value")).as[EvRow]
@@ -122,7 +126,7 @@ object EventStreams {
     * batch DISTINCT — the oracle.
     */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
-    val src = stageDir(s, d, "dedup")
+    val src = stageDir(s, d)
     val schema = Tables.events(s, d).schema
     val deduped = s.readStream.schema(schema).parquet(src)
       .select(col("user_id"), col("event_type"))
