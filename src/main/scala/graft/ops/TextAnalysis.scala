@@ -46,44 +46,56 @@ object TextAnalysis {
       length(col("text")).cast("bigint").as("n_chars"))
       .orderBy("doc_id")
 
-  /** Quality scoring: mean word length, stopword ratio, digit ratio, and a
-    * blended 0..1 score — the shape of Gopher/C4-style quality filters.
-    */
-  def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val nTok = size(tokens(col("text"))).cast("double")
-    val meanWordLen = (length(col("text")) - (nTok - 1)) / nTok
-    val stopRatio = hitCount(col("text"), stopEn) / nTok
-    val digitRatio = length(regexp_replace(col("text"), "[^0-9]", "")).cast("double") /
-      length(col("text")).cast("double")
-    documents(s, d).select(
-      col("doc_id"),
-      round(meanWordLen, 6).as("mean_word_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(digitRatio, 6).as("digit_ratio"),
-      // in-range word length + some stopwords + few digits → high quality
-      round(
-        when(meanWordLen.between(2.0, 12.0), 0.4).otherwise(0.0)
-          + least(stopRatio * 3.0, lit(0.4))
-          + when(digitRatio < 0.2, 0.2).otherwise(0.0), 6).as("quality"))
-      .orderBy("doc_id")
+  private def meanWordLen(text: Column): Column = {
+    val nTok = size(tokens(text)).cast("double")
+    (length(text) - (nTok - 1)) / nTok
   }
 
-  /** Language ID: CJK-script regex, else argmax of per-language stopword
-    * hits (n-gram/stopword heuristic — the no-model baseline).
+  private def stopRatio(text: Column): Column =
+    hitCount(text, stopEn) / size(tokens(text)).cast("double")
+
+  private def digitRatio(text: Column): Column =
+    length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      length(text).cast("double")
+
+  /** Blended 0..1 quality score (unrounded): in-range word length + some
+    * stopwords + few digits — the shape of Gopher/C4-style filters.
     */
-  def langId(s: SparkSession, d: String): DataFrame = {
-    val en = hitCount(col("text"), stopEn)
-    val es = hitCount(col("text"), stopEs)
-    val de = hitCount(col("text"), stopDe)
+  def qualityCol(text: Column): Column =
+    when(meanWordLen(text).between(2.0, 12.0), 0.4).otherwise(0.0) +
+      least(stopRatio(text) * 3.0, lit(0.4)) +
+      when(digitRatio(text) < 0.2, 0.2).otherwise(0.0)
+
+  /** Predicted language: CJK-script regex, else argmax of per-language
+    * stopword hits (n-gram/stopword heuristic — the no-model baseline).
+    */
+  def predLangCol(text: Column): Column = {
+    val en = hitCount(text, stopEn)
+    val es = hitCount(text, stopEs)
+    val de = hitCount(text, stopDe)
+    when(text.rlike("[\\u4e00-\\u9fff]"), "zh")
+      .when(en >= es && en >= de, "en")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Quality scoring query: ratios + blended score per document. */
+  def qualityScore(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id"),
+      round(meanWordLen(col("text")), 6).as("mean_word_len"),
+      round(stopRatio(col("text")), 6).as("stopword_ratio"),
+      round(digitRatio(col("text")), 6).as("digit_ratio"),
+      round(qualityCol(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID query: labeled vs predicted language per document. */
+  def langId(s: SparkSession, d: String): DataFrame =
     documents(s, d).select(
       col("doc_id"),
       col("lang").as("labeled_lang"),
-      when(col("text").rlike("[\\u4e00-\\u9fff]"), "zh")
-        .when(en >= es && en >= de, "en")
-        .when(es >= de, "es")
-        .otherwise("de").as("pred_lang"))
+      predLangCol(col("text")).as("pred_lang"))
       .orderBy("doc_id")
-  }
 
   /** Document fingerprinting: 64-bit content hash of normalized text plus a
     * rolling-shingle min-hash — the cheap building block for exact and
@@ -97,6 +109,47 @@ object TextAnalysis {
       xxhash64(norm).as("content_hash"),
       array_min(transform(Dedup.shingles(col("text"), 3), sh => xxhash64(sh))).as("min_shingle_hash"))
       .orderBy("doc_id")
+  }
+
+  /** The composed corpus-cleaning pipeline — quality gate → token-count
+    * bounds → exact dedup (keep smallest doc_id per identical text) →
+    * per-doc predicted language — i.e. the C4/Gopher-style chain every
+    * LLM training-data run performs, as ONE declared narrow-then-one-
+    * shuffle query: the scoring/filter stage is a pure projection over
+    * the scan, and the only shuffle is the dedup's partition-by-text
+    * (at 100 TB you'd swap the window key to xxhash64(text), same plan
+    * shape). Fully deterministic → DuckDB-oracled end to end.
+    */
+  def corpusPipeline(s: SparkSession, d: String,
+      minQuality: Double = 0.5, minTokens: Int = 5, maxTokens: Int = 5000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text").orderBy("doc_id")
+    documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+        qualityCol(col("text")).as("quality"),
+        predLangCol(col("text")).as("pred_lang"))
+      .filter(col("quality") >= minQuality &&
+        col("n_tokens").between(minTokens, maxTokens))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        round(col("quality"), 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Stratified sampling by language — seeded per-stratum Bernoulli
+    * (df.stat.sampleBy), the standard rebalancing step before training.
+    * Engine-specific RNG stream → rows-only; per-stratum fractions are
+    * pinned by a binomial-CI spec.
+    */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    val fractions = Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "zh" -> 1.0)
+    documents(s, d)
+      .stat.sampleBy("lang", fractions, 7L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -140,6 +193,41 @@ object TextAnalysis {
         |       THEN 'es'
         |       ELSE 'de' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin)),
-    QueryDef("t4_fingerprint", fingerprint, None)
+    QueryDef("t4_fingerprint", fingerprint, None),
+    QueryDef("t5_stratified_sample", stratifiedSample, None),
+    QueryDef("p1_corpus_pipeline", (s, d) => corpusPipeline(s, d), Some(
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(length(text) AS DOUBLE) AS n_chr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS sw,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS dg,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is')))
+        |           >= len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','que','en','un')))
+        |          AND len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is')))
+        |           >= len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu','ist','ein')))
+        |         THEN 'en'
+        |         WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','que','en','un')))
+        |           >= len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu','ist','ein')))
+        |         THEN 'es'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, text, n_tokens, pred_lang,
+        |    (CASE WHEN (n_chr - (n_tok - 1)) / n_tok BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE
+        |          THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        |    + least(sw / n_tok * 3.0::DOUBLE, 0.4::DOUBLE)
+        |    + (CASE WHEN dg / n_chr < 0.2::DOUBLE THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END) AS quality
+        |  FROM q),
+        |kept AS (
+        |  SELECT doc_id, text, n_tokens, pred_lang, quality,
+        |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |  FROM scored
+        |  WHERE quality >= 0.5::DOUBLE AND n_tokens BETWEEN 5 AND 5000)
+        |SELECT doc_id, pred_lang, n_tokens, round(quality, 6) AS quality
+        |FROM kept WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 }

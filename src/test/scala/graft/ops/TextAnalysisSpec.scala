@@ -1,0 +1,68 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Fixture with one doc per pipeline fate: kept, exact-dup (dropped),
+    * too short (dropped), low quality (dropped).
+    */
+  lazy val fixtureDir: String = {
+    val dir = Files.createTempDirectory("graft_text").toString
+    val good = "the quick brown fox jumps over the lazy dog and runs to the hills in a day"
+    val lowQ = "0123456789 9876543210 1111111 2222222 33333 4444 55555 666 77 88 99 000"
+    Seq(
+      (0L, good, "en", "a"),
+      (1L, good, "en", "a"),          // exact dup of 0 → deduped
+      (2L, "too short", "en", "a"),   // under minTokens
+      (3L, lowQ, "en", "a"),          // digit-heavy, no stopwords → low quality
+      (4L, "el la de y que en un dia bueno para caminar entre los arboles", "es", "b")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("corpus pipeline: quality gate, token bounds, exact dedup compose") {
+    val out = TextAnalysis.corpusPipeline(spark, fixtureDir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set(0L, 4L), s"surviving docs: $out")
+    assert(out(0L) == "en" && out(4L) == "es")
+  }
+
+  test("stratified sample: per-stratum fractions inside binomial CI") {
+    val n = graft.Tables.documents(spark, sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sampled = TextAnalysis.stratifiedSample(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.25, "es" -> 0.5, "de" -> 0.5, "fr" -> 0.5, "zh" -> 1.0)
+    fractions.foreach { case (lang, p) =>
+      val total = n(lang)
+      val got = sampled.getOrElse(lang, 0L).toDouble
+      val sd = math.sqrt(total * p * (1 - p))
+      assert(math.abs(got - total * p) <= 4 * sd + 1,
+        s"$lang: sampled $got of $total at p=$p (expected ±${4 * sd + 1})")
+    }
+  }
+
+  test("language ID: planted texts route to the right language") {
+    // (the sf corpora label langs randomly over English-ish tokens, so
+    // label-accuracy there is meaningless — behavior is pinned on text
+    // that actually carries the signal)
+    val got = Seq(
+      "the cat is in the house and a dog is of the yard",
+      "el perro y la casa de un gato que en un dia",
+      "der hund und die katze das ist ein zu haus",
+      "机器 学习 模型 训练 数据")
+      .toDF("text")
+      .select(TextAnalysis.predLangCol(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("en", "es", "de", "zh"))
+  }
+}
