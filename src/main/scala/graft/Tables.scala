@@ -32,6 +32,20 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** Collision-free scratch tag for a dataset dir: sanitized basename plus
+    * a short hash of the FULL path. Scratch dirs / table names derived from
+    * the basename alone would silently collide for two datasets named e.g.
+    * `sf0.1` under different parents — the second overwrites the first's
+    * staged data while memoized readers still point at it.
+    */
+  def scratchTag(d: String): String = {
+    val abs = new java.io.File(d).getAbsolutePath
+    val base = new java.io.File(abs).getName.replaceAll("[^A-Za-z0-9]", "_")
+    f"${base}_${scala.util.hashing.MurmurHash3.stringHash(abs) & 0xffffffffL}%08x"
+  }
+
+  def scratchDir(prefix: String, d: String): String = s"/tmp/${prefix}_${scratchTag(d)}"
 }
 
 /** One declared engine operator: a Spark query plus (when SQL-expressible)

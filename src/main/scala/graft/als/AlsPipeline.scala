@@ -144,7 +144,7 @@ object AlsPipeline {
   def artifacts(s: SparkSession, d: String): Artifacts =
     fitted.getOrElseUpdate(d, {
       val cfg = Config() // the reference configuration, nothing reduced
-      val dir = s"/tmp/graft_als_${new java.io.File(d).getName}"
+      val dir = Tables.scratchDir("graft_als", d)
       val ratings = syntheticRatings(s, d).cache()
       val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
       train.cache(); probe.cache()
@@ -169,9 +169,12 @@ object AlsPipeline {
         .filterNot { case (id, _) => before(id) }
         .values.foreach(_.unpersist(blocking = false))
       ratings.unpersist(); train.unpersist(); probe.unpersist()
+      // max() over zero rows is null (e.g. every probe row cold-start
+      // dropped on a degenerate split) — report 0 divergence, not an NPE
+      val maxDiff = if (parity.isNullAt(1)) 0.0 else parity.getDouble(1)
       Artifacts(dir, cfg.rank, cfg.maxIter, cfg.regParam, nt, np,
         alsRmse, baseRmse, parity.getLong(0),
-        math.rint(parity.getDouble(1) * 1e5) / 1e5)
+        math.rint(maxDiff * 1e5) / 1e5)
     })
 
   /** Full EP1 pipeline (train → eval) as one declared query. Returns the
@@ -224,7 +227,7 @@ object AlsPipeline {
     */
   def movielensRoundtrip(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val tmp = s"/tmp/graft_ml1m_${new java.io.File(d).getName}"
+    val tmp = Tables.scratchDir("graft_ml1m", d)
     syntheticRatings(s, d)
       .select(concat_ws("::", col("user"), col("item"), col("rating"), lit("0")).as("value"))
       .write.mode("overwrite").text(tmp)

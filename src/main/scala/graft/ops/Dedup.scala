@@ -216,13 +216,25 @@ object Dedup {
     * surviving cell pairs with the native cosine kernel.
     *
     * Scale shape: the work is a pair-grid equi-join keyed by eligible
-    * cell-pair id — each task scores one |cell_i|×|cell_j| block, so there
-    * is no CartesianProduct node and no single-executor O(n²). On real
-    * near-dup corpora (tight clusters, high thresholds) the bound prunes
-    * most of the grid; on adversarial isotropic data it degrades to a
-    * DISTRIBUTED blocked all-pairs — still exact, work spread over the
-    * k² grid. Corpus-side shuffle replication = per-cell eligible-pair
-    * degree (O(1) when the bound bites, ≤ nlist worst case).
+    * cell-pair id — each block scores |cell_i|×|cell_j| pairs, so there
+    * is no CartesianProduct node. On real near-dup corpora (tight
+    * clusters, high thresholds) the bound prunes most of the grid; on
+    * adversarial isotropic data it degrades to a DISTRIBUTED blocked
+    * all-pairs — still exact, work spread over the k² grid. Corpus-side
+    * shuffle replication = per-cell eligible-pair degree (O(1) when the
+    * bound bites, ≤ nlist worst case).
+    *
+    * Same-cell hot blocks (a dominant cluster quantizing into one cell →
+    * one (c,c) grid key holding |cell|² pairs): the grid join is a
+    * shuffle sort-merge join, so AQE's skew-join splits that partition at
+    * runtime — left side in advisory-size chunks, right side duplicated
+    * per chunk — which distributes even a single hot key across tasks
+    * with bounded memory. A static sub-split would tax every workload ~g×
+    * in shuffle volume to pre-solve what AQE fixes only when it actually
+    * happens. Identical-payload mega-clusters should not reach this
+    * operator at all: run [[exactDedup]] first (identical vectors ⇒
+    * identical content), the same contract the capped [[simhashPairs]]
+    * documents.
     *
     * Driver traffic: centroids (nlist·dim floats) + radii (nlist doubles)
     * — diagnostic-sized, not data-sized.
@@ -232,6 +244,8 @@ object Dedup {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
     val cents = Similarity.fitQuantizer(e, "embedding", nlist)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val best = Similarity.assignCell(col("embedding"), cents)
     val assigned = e.select(col("vec_id"), col("embedding"),
       (lit(0) - best.getField("negcell")).as("cell"),

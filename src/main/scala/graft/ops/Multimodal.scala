@@ -102,13 +102,14 @@ object Multimodal {
     */
   def binaryFileIngest(s: SparkSession, d: String, maxDocs: Int = 50): DataFrame = {
     val dir = java.nio.file.Paths.get(
-      s"/tmp/graft_blobs_${new java.io.File(d).getName}")
+      graft.Tables.scratchDir("graft_blobs", d))
     // bounded fixture generation (maxDocs small files); fresh dir so a
     // previous run with different contents can't pollute the scan
     if (java.nio.file.Files.exists(dir)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
+      val walk = java.nio.file.Files.walk(dir) // close: walk holds open dir handles
+      try walk.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally walk.close()
     }
     java.nio.file.Files.createDirectories(dir)
     documents(s, d).filter(col("doc_id") < maxDocs)

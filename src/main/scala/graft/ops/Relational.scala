@@ -30,7 +30,7 @@ object Relational {
     */
   def csvRoundtrip(s: SparkSession, d: String): DataFrame = {
     val cols = Seq("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
-    val tmp = s"/tmp/graft_csv_${new java.io.File(d).getName}"
+    val tmp = graft.Tables.scratchDir("graft_csv", d)
     lineitem(s, d).select(cols.map(col): _*)
       .write.mode("overwrite").csv(tmp)
     s.read
@@ -220,8 +220,12 @@ object Relational {
     * the hash gate (the unit test pins the same ±5% band).
     */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
+    // rsd=0.01 against a 5% gate: the default rsd (0.05) is ONE standard
+    // deviation, so the pinned-TRUE oracle would fail on ~1/3 of datasets
+    // with perfectly healthy code; at 5σ the band is deterministic in
+    // practice for any dataset
     lineitem(s, d).agg(
-      approx_count_distinct("l_partkey").as("approx_parts"),
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
       countDistinct("l_partkey").as("exact_parts"))
       .select(
         col("exact_parts"),

@@ -86,23 +86,31 @@ object Similarity {
     * Returns (cell id, centroid) pairs — a driver-sized array (nlist·dim).
     */
   private[ops] def fitQuantizer(corpus: DataFrame, embCol: String, nlist: Int,
-      seed: Long = 42L, maxFitRows: Long = 50000L): Array[(Int, Seq[Float])] = {
-    val n = corpus.count()
-    val frac = math.min(1.0, maxFitRows.toDouble / math.max(1L, n))
-    val sample =
-      if (frac >= 1.0) corpus
-      else corpus.sample(withReplacement = false, frac, seed)
-    val toVec = udf { (a: Seq[Float]) =>
-      val nn = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-12
-      Vectors.dense(a.map(_.toDouble / nn).toArray)
-    }
-    val kEff = math.max(1, math.min(nlist.toLong, n).toInt)
-    val km = new KMeans().setK(kEff).setSeed(seed)
-      .setFeaturesCol("fv").setPredictionCol("cell")
-    val model = km.fit(sample.select(toVec(col(embCol)).as("fv")))
-    model.clusterCenters.zipWithIndex.map { case (v, i) =>
-      (i, v.toArray.map(_.toFloat).toSeq)
-    }
+      seed: Long = 42L, maxFitRows: Int = 50000): Array[(Int, Seq[Float])] = {
+    // limit(), not count()+sample(): a count just to size a sample
+    // fraction is a FULL corpus pass before any real work. limit stops
+    // reading after maxFitRows rows. The prefix sample can be
+    // layout-biased, which affects only cell QUALITY: near-dup stays
+    // exact for any centroids (triangle-inequality bound) and annIvf
+    // recall is spec-pinned.
+    val fitRows = corpus.select(col(embCol).as("emb")).limit(maxFitRows).cache()
+    try {
+      val n = fitRows.count() // bounded by maxFitRows
+      if (n == 0) return Array.empty // callers return empty results pre-join
+      if (n == 1) // KMeans needs k >= 2; one cell containing the one vector
+        return Array((0, fitRows.head().getSeq[Float](0)))
+      val toVec = udf { (a: Seq[Float]) =>
+        val nn = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-12
+        Vectors.dense(a.map(_.toDouble / nn).toArray)
+      }
+      val kEff = math.max(2, math.min(nlist.toLong, n).toInt)
+      val km = new KMeans().setK(kEff).setSeed(seed)
+        .setFeaturesCol("fv").setPredictionCol("cell")
+      val model = km.fit(fitRows.select(toVec(col("emb")).as("fv")))
+      model.clusterCenters.zipWithIndex.map { case (v, i) =>
+        (i, v.toArray.map(_.toFloat).toSeq)
+      }
+    } finally fitRows.unpersist(blocking = false)
   }
 
   /** Nearest-centroid assignment as a codegen'd expression: argmax over
@@ -127,18 +135,20 @@ object Similarity {
     */
   def annIvf(s: SparkSession, d: String,
       numQueries: Int = 5, k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
     val cents = fitQuantizer(e, "embedding", nlist)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
     val best = assignCell(col("embedding"), cents)
     val assigned = e.select(col("vec_id"), col("embedding"),
       (lit(0) - best.getField("negcell")).as("cell"))
 
     // bucketed index: one partition dir per cell — probes read only theirs
-    val bucketDir = s"/tmp/graft_ivf_${new java.io.File(d).getName}"
+    val bucketDir = graft.Tables.scratchDir("graft_ivf", d)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(bucketDir)
     val corpus = s.read.parquet(bucketDir)
 
-    import s.implicits._
     val centDf = cents.toSeq.toDF("cell", "centroid")
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))

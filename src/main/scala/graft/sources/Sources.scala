@@ -21,7 +21,7 @@ object Sources {
     * full extra pass over the data at 100 TB.
     */
   def jsonRoundtrip(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"/tmp/graft_json_${new java.io.File(d).getName}"
+    val tmp = Tables.scratchDir("graft_json", d)
     orders(s, d)
       .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
       .write.mode("overwrite").json(tmp)
@@ -39,7 +39,7 @@ object Sources {
     * pattern that turns a 100 TB scan into a 20 TB scan.
     */
   def partitionedPruning(s: SparkSession, d: String): DataFrame = {
-    val tmp = s"/tmp/graft_part_${new java.io.File(d).getName}"
+    val tmp = Tables.scratchDir("graft_part", d)
     orders(s, d)
       .write.mode("overwrite").partitionBy("o_orderpriority").parquet(tmp)
     s.read.parquet(tmp)
@@ -60,10 +60,14 @@ object Sources {
     * The no-Exchange property is pinned in SourcesSpec; here the join
     * feeds an aggregate so the result is small and oracle-able.
     */
+  private[graft] def bucketTableNames(d: String): (String, String) = {
+    val tag = Tables.scratchTag(d)
+    (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
+  }
+
   def bucketedJoin(s: SparkSession, d: String): DataFrame = {
-    val tag = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val base = s"/tmp/graft_bucket_$tag"
-    val (liTbl, oTbl) = (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
+    val base = Tables.scratchDir("graft_bucket", d)
+    val (liTbl, oTbl) = bucketTableNames(d)
     writeBucketed(s, lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
       "l_orderkey", s"$base/li", liTbl)
     writeBucketed(s, orders(s, d).select("o_orderkey", "o_orderpriority"),

@@ -31,7 +31,7 @@ object EventStreams {
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
   private def stageDir(s: SparkSession, d: String): String =
     staged.getOrElseUpdate(d, {
-      val dir = s"/tmp/graft_stream_${new java.io.File(d).getName}"
+      val dir = Tables.scratchDir("graft_stream", d)
       Tables.events(s, d).write.mode("overwrite").parquet(dir)
       dir
     })

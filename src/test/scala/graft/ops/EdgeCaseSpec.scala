@@ -1,0 +1,55 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Degenerate-input behavior: every operator must return an empty (or
+  * singleton) result on empty/singleton tables, never crash — the library
+  * contract a pipeline composes against.
+  */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emptyDir: String = {
+    val dir = Files.createTempDirectory("graft_empty").toString
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq.empty[(Long, Seq[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  lazy val singletonDir: String = {
+    val dir = Files.createTempDirectory("graft_single").toString
+    Seq((0L, "the only document in the corpus with some words", "en", "a", 47L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    Seq((0L, Seq(1f, 2f, 3f, 4f), 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("dedup + text ops return empty on an empty corpus") {
+    assert(Dedup.exactDedup(spark, emptyDir).count() == 0)
+    assert(Dedup.minhashLshPairs(spark, emptyDir).count() == 0)
+    assert(Dedup.simhashPairs(spark, emptyDir).count() == 0)
+    assert(Dedup.ngramJaccardPairs(spark, emptyDir).count() == 0)
+    assert(Dedup.embeddingNearDupPairs(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.corpusPipeline(spark, emptyDir).count() == 0)
+    assert(Similarity.annIvf(spark, emptyDir).count() == 0)
+    assert(Similarity.bruteForceTopK(spark, emptyDir).count() == 0)
+  }
+
+  test("singleton corpus: no self-pairs, pipeline keeps the doc") {
+    assert(Dedup.embeddingNearDupPairs(spark, singletonDir).count() == 0)
+    assert(Dedup.simhashPairs(spark, singletonDir).count() == 0)
+    assert(TextAnalysis.corpusPipeline(spark, singletonDir)
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+}

@@ -11,7 +11,8 @@ class SourcesSpec extends SparkSpec {
     val agg = Sources.bucketedJoin(spark, sf0001)
     val viaBuckets = agg.collect().map(r => (r.getString(0), r.getLong(1))).toMap
 
-    val bare = Sources.bucketedJoinPlan(spark, "graft_li_bkt_sf0_001", "graft_o_bkt_sf0_001")
+    val (liTbl, oTbl) = Sources.bucketTableNames(sf0001)
+    val bare = Sources.bucketedJoinPlan(spark, liTbl, oTbl)
     val plan = bare.queryExecution.executedPlan.toString
     assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
     assert(!plan.contains("Exchange"),
