@@ -60,6 +60,26 @@ object Sources {
     * The no-Exchange property is pinned in SourcesSpec; here the join
     * feeds an aggregate so the result is small and oracle-able.
     */
+  /** ORC sink + scan round-trip (the second columnar format Spark ships;
+    * spark-avro is not on this classpath). Predicate pushdown and column
+    * pruning work on ORC exactly as on parquet — the filter below reaches
+    * the ORC reader.
+    */
+  def orcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Tables.scratchDir("graft_orc", d)
+    lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_returnflag")
+      .write.mode("overwrite").orc(tmp)
+    s.read.orc(tmp)
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        countDistinct("l_suppkey").as("n_supp"))
+      .orderBy("l_returnflag")
+  }
+
   private[graft] def bucketTableNames(d: String): (String, String) = {
     val tag = Tables.scratchTag(d)
     (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
@@ -109,6 +129,11 @@ object Sources {
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src4_orc_roundtrip", orcRoundtrip, Some(
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
