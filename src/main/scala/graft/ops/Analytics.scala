@@ -178,6 +178,44 @@ object Analytics {
         round(avg(col("j.k")), 6).as("avg_k"))
       .orderBy("event_type")
 
+  /** The rest of the ranking-window family in one query: ntile,
+    * percent_rank, cume_dist, first_value, lag/lead with offsets —
+    * unique (price, key) ordering so every function is deterministic.
+    */
+  def windowZoo(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d).select(
+      col("o_orderpriority"), col("o_orderkey"),
+      ntile(4).over(w).as("quartile"),
+      round(percent_rank().over(w), 6).as("pct_rank"),
+      round(cume_dist().over(w), 6).as("cume"),
+      first("o_orderkey").over(w).as("first_key"),
+      lag("o_orderkey", 2).over(w).as("lag2"),
+      lead("o_orderkey", 2).over(w).as("lead2"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
+  /** Column profiling — the data-quality pass every training pipeline
+    * runs before ingest: per-column row/null/distinct counts + numeric
+    * range. One union of column-pruned single-column aggregates (each
+    * scan reads exactly one column).
+    */
+  def columnStats(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    def stats(cname: String) =
+      o.agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col(cname))).as("n_null"),
+        countDistinct(col(cname)).as("n_distinct"),
+        round(min(col(cname)).cast("double"), 4).as("min_val"),
+        round(max(col(cname)).cast("double"), 4).as("max_val"))
+        .select(lit(cname).as("column"), col("*"))
+    Seq("o_orderkey", "o_custkey", "o_totalprice")
+      .map(stats).reduce(_ unionByName _)
+      .orderBy("column")
+  }
+
   /** Two-stage salted aggregation — the skew pattern: stage 1 groups on
     * (key, salt) so one hot key spreads over 8 reducers; stage 2 merges
     * the 8 partials. Result is identical to a direct groupBy (sums are
@@ -264,6 +302,37 @@ object Analytics {
     QueryDef("u2_salted_agg", saltedAgg, Some(
       """SELECT l_suppkey, round(sum(l_quantity), 4) AS total_qty,
         |  count(*) AS n_rows
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("w4_window_zoo", windowZoo, Some(
+      """SELECT o_orderpriority, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  first_value(o_orderkey) OVER w AS first_key,
+        |  lag(o_orderkey, 2) OVER w AS lag2,
+        |  lead(o_orderkey, 2) OVER w AS lead2
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+    QueryDef("prof1_column_stats", columnStats, Some(
+      """SELECT 'o_orderkey' AS "column", count(*) AS n,
+        |  count(*) - count(o_orderkey) AS n_null,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  round(CAST(min(o_orderkey) AS DOUBLE), 4) AS min_val,
+        |  round(CAST(max(o_orderkey) AS DOUBLE), 4) AS max_val
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  round(CAST(min(o_custkey) AS DOUBLE), 4),
+        |  round(CAST(max(o_custkey) AS DOUBLE), 4)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(*) - count(o_totalprice),
+        |  count(DISTINCT o_totalprice),
+        |  round(CAST(min(o_totalprice) AS DOUBLE), 4),
+        |  round(CAST(max(o_totalprice) AS DOUBLE), 4)
+        |FROM orders
+        |ORDER BY 1""".stripMargin))
   )
 }
