@@ -1,0 +1,47 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** Physical-plan regression pins: the plans the engine is DESIGNED to
+  * produce, asserted so a refactor that silently degrades them (lost
+  * pushdown, an extra shuffle, a broadcast that became a sort-merge)
+  * fails a spec instead of only showing up at 100 TB.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("star join: fact table never shuffles — all dims broadcast") {
+    val p = plan("j2_star_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      s"star join degraded to sort-merge (fact-side shuffle):\n$p")
+  }
+
+  test("TPC-H Q1: shipdate filter reaches the parquet scan") {
+    val p = plan("a1_tpch_q1")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed to scan:\n$p")
+  }
+
+  test("narrow text ops: no shuffle before the final sort") {
+    // t1/t2/t3 are pure projections over the scan; the only exchange is
+    // the output orderBy's range partitioning
+    for (q <- Seq("t1_token_counts", "t2_quality_score", "t3_lang_id")) {
+      val p = plan(q)
+      val exchanges = "(?m)^\\s*\\+?-? ?Exchange".r.findAllIn(p).size
+      assert(p.count(_ == '\n') > 0 && "Exchange rangepartitioning".r.findAllIn(p).size <= 1)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew an aggregation shuffle:\n$p")
+      assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$p")
+    }
+  }
+
+  test("partition pruning: src2 scan reads one partition") {
+    val p = plan("src2_partitioned_pruning")
+    assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
+      s"no partition filter on the pruned scan:\n$p")
+  }
+}
