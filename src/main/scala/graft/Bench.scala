@@ -10,13 +10,18 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink (not count()): count() lets Catalyst prune unreferenced
       // projections, so narrow queries would time little more than
       // scan+count; noop computes every declared column.
       try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        // a swallowed failure would masquerade as a fast query
+        failed ::= name
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // intra-query caches (LSH shingle tables, IVF assignments, ...) are
       // dead once the sink completes; dropping them keeps each query's
@@ -27,8 +32,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

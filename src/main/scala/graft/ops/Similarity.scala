@@ -104,7 +104,10 @@ object Similarity {
         Vectors.dense(a.map(_.toDouble / nn).toArray)
       }
       val kEff = math.max(2, math.min(nlist.toLong, n).toInt)
-      val km = new KMeans().setK(kEff).setSeed(seed)
+      // maxIter 8: a coarse quantizer needs rough cells, not convergence —
+      // assignment consistency (same rule for corpus and probes) is what
+      // recall depends on, and near-dup is exact for ANY centroids
+      val km = new KMeans().setK(kEff).setSeed(seed).setMaxIter(8)
         .setFeaturesCol("fv").setPredictionCol("cell")
       val model = km.fit(fitRows.select(toVec(col("emb")).as("fv")))
       model.clusterCenters.zipWithIndex.map { case (v, i) =>
