@@ -35,6 +35,14 @@ object Similarity {
 
   def cosineBuiltin(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
+  /** Null-guard for parquet-sourced ARRAY<FLOAT>: parquet schemas mark list
+    * elements nullable even when no null ever occurs, and the optimizer's
+    * kernel fusion ([[graft.plans.NativeKernelRule]]) only fires on
+    * provably null-free arrays. `coalesce(x, 0f)` is the identity on real
+    * data and flips `containsNull` off in the type.
+    */
+  def nullGuard(a: Column): Column = transform(a, x => coalesce(x, lit(0.0f)))
+
   /** Hot-path cosine: native Catalyst expression (graft.functions.CosineSim,
     * fused single-loop doGenCode) — same element order and double
     * accumulation as the builtin form, so results are bit-identical; ~10×
@@ -71,6 +79,28 @@ object Similarity {
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
     c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
+      .filter(col("cos") >= threshold)
+      .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "n_id")
+  }
+
+  /** The cosine-threshold query as a NAIVE user would write it — composable
+    * `zip_with` + `aggregate` built-ins, no native kernels. The engine's
+    * optimizer rule ([[graft.plans.NativeKernelRule]], injected via
+    * GraftExtensions) rewrites the shape into the fused codegen'd
+    * `graft_cosine` kernel — bit-identical numerics, so this query is
+    * oracle-checked like v1 and its physical plan is pinned to contain the
+    * kernel in NativeKernelsSpec.
+    */
+  def cosineThresholdNaive(s: SparkSession, d: String,
+      numQueries: Int = 8, threshold: Double = 0.25): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), nullGuard(col("embedding")).as("emb"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("emb").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("emb").as("nv"))
+    c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosineBuiltin(col("qv"), col("nv")))
       .filter(col("cos") >= threshold)
       .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "n_id")
@@ -220,6 +250,18 @@ object Similarity {
         |SELECT q_id, rank, n_id, round(raw_cos, 6) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     QueryDef("v3_ann_ivf", (s, d) => annIvf(s, d), None),
+    QueryDef("v5_fused_naive_cosine", (s, d) => cosineThresholdNaive(s, d), Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+        |SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |  round(list_inner_product(q.emb, c.emb)
+        |    / (sqrt(list_inner_product(q.emb, q.emb))
+        |       * sqrt(list_inner_product(c.emb, c.emb))), 6) AS cos
+        |FROM e q, e c
+        |WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+        |  AND list_inner_product(q.emb, c.emb)
+        |    / (sqrt(list_inner_product(q.emb, q.emb))
+        |       * sqrt(list_inner_product(c.emb, c.emb))) >= 0.25::DOUBLE
+        |ORDER BY q_id, n_id""".stripMargin)),
     QueryDef("v4_centroid_by_label", centroidByLabel, Some(
       """SELECT label, dim, round(avg(v), 6) AS mean_v FROM (
         |  SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,

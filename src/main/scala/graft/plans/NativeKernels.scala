@@ -1,0 +1,119 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+import graft.functions.{CosineSim, DotProduct}
+
+/** Optimizer rule rewriting the composable vector-kernel patterns into the
+  * native codegen'd expressions — the engine accelerates naive user code:
+  *
+  *   aggregate(zip_with(a, b, (x,y) → double(x)*double(y)), 0.0, (acc,e) → acc+e)
+  *     ⇒ graft_dot(a, b)
+  *   graft_dot(a,b) / (sqrt(graft_dot(a,a)) · sqrt(graft_dot(b,b)))
+  *     ⇒ graft_cosine(a, b)
+  *
+  * The composable form allocates a lambda-evaluated intermediate array and
+  * boxes every element (CodegenFallback on higher-order functions); the
+  * native kernels are a single fused primitive loop inside whole-stage
+  * codegen. The match is deliberately strict so the rewrite is
+  * bit-identical, not merely "close": the multiply must be over
+  * double-cast elements (a float×float multiply rounds the product to
+  * float32 — different numerics, so that shape is left alone), the fold
+  * zero must be literal 0.0, and the finish lambda must be identity.
+  * Given that, kernel and builtin run the same IEEE ops in the same
+  * order (pinned in NativeKernelsSpec).
+  *
+  * Safety guards: both sides must be ARRAY<FLOAT> with containsNull=false
+  * (a null element makes the builtin form return null, while the kernel
+  * reads it as undefined — so the rewrite only fires when provably safe;
+  * parquet-sourced columns get there via an explicit null-guard like
+  * `transform(v, x → coalesce(x, 0f))`, which flips containsNull off).
+  * For mismatched lengths the cosine fusion canonicalizes to prefix
+  * norms (the kernel's documented semantics) — cosine between
+  * different-length vectors is ill-defined either way, and embedding
+  * columns are fixed-dimension by contract.
+  */
+object NativeKernelRule extends Rule[LogicalPlan] {
+
+  private def isSafeFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, containsNull) => !containsNull
+    case _ => false
+  }
+
+  /** The given lambda variable itself (no cast). */
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nlv: NamedLambdaVariable => nlv.exprId == v.exprId
+    case _ => false
+  }
+
+  /** The given lambda variable behind an exact cast to double. */
+  private def isDoubledVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case Cast(nlv: NamedLambdaVariable, DoubleType, _, _) => nlv.exprId == v.exprId
+    case _ => false
+  }
+
+  private object DotShape {
+    def unapply(e: Expression): Option[(Expression, Expression)] = e match {
+      case ArrayAggregate(
+          ZipWith(a, b,
+            LambdaFunction(Multiply(ml, mr, _),
+              Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+          Literal(0.0, DoubleType),
+          LambdaFunction(Add(al, ar, _),
+            Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
+          LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
+        if isSafeFloatArray(a) && isSafeFloatArray(b) &&
+          ((isDoubledVar(ml, x) && isDoubledVar(mr, y)) ||
+           (isDoubledVar(ml, y) && isDoubledVar(mr, x))) &&
+          ((isVar(al, acc) && isVar(ar, el)) || (isVar(al, el) && isVar(ar, acc))) &&
+          fin.exprId == fv.exprId =>
+        Some((a, b))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val dotted = plan.transformAllExpressions {
+      case DotShape(a, b) => DotProduct(a, b)
+    }
+    dotted.transformAllExpressions {
+      case Divide(
+          DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a1, a2)), Sqrt(DotProduct(b1, b2)), _), _)
+        if a1.semanticEquals(a2) && b1.semanticEquals(b2) &&
+          ((a.semanticEquals(a1) && b.semanticEquals(b1)) ||
+           (a.semanticEquals(b1) && b.semanticEquals(a1))) =>
+        CosineSim(a, b)
+    }
+  }
+}
+
+/** `spark.sql.extensions`-compatible registration (zero-arg class
+  * instantiated by reflection) — also usable via
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`.
+  * Besides the optimizer rule, exposes the native kernels to SQL as
+  * `graft_dot(a, b)` / `graft_cosine(a, b)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  private def binary(name: String, make: (Expression, Expression) => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[NativeKernelRule.type].getName, name),
+      { args =>
+        require(args.length == 2, s"$name takes exactly 2 arguments, got ${args.length}")
+        make(args(0), args(1))
+      })
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => NativeKernelRule)
+    ext.injectFunction(binary("graft_dot", DotProduct))
+    ext.injectFunction(binary("graft_cosine", CosineSim))
+  }
+}
