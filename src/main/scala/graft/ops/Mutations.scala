@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Mutation-shaped operators a warehouse user expects from an engine:
+  * MERGE-style upsert (update-matched + insert-unmatched in one pass) and
+  * SCD2 history construction (attribute-change intervals). Both are
+  * declarative single-shuffle plans:
+  *
+  *  - upsert = ONE full-outer equi-join on the key, column-wise coalesce
+  *    preferring the source side. Both sides hash-partition on the key —
+  *    the canonical plan at any scale (with a small changeset Spark's
+  *    AQE/broadcast thresholds turn it into a broadcast join for free).
+  *    No read-modify-write loop, no driver-side diffing.
+  *  - SCD2 = change-point filter (lag) + interval close (lead) + version
+  *    (row_number) over the SAME (partition, sort) spec, so Catalyst plans
+  *    one exchange and reuses the sort.
+  */
+object Mutations {
+  import Tables._
+
+  /** Generic MERGE/upsert: rows of `source` replace same-key rows of
+    * `target`; source-only keys are inserts, target-only keys pass
+    * through. `source` must share `target`'s schema.
+    */
+  def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
+    val payload = target.columns.filterNot(_ == key)
+    target.as("t").join(source.as("s"), Seq(key), "full_outer")
+      .select(col(key) +: payload.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
+  }
+
+  /** Declared upsert over orders: a deterministic changeset (every 97th
+    * key re-priced and re-statused, plus the same rows re-keyed as
+    * inserts) merged into the full table.
+    */
+  def ordersUpsert(s: SparkSession, d: String): DataFrame = {
+    val t = orders(s, d)
+    val updates = t.filter(col("o_orderkey") % 97 === 0)
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0d)
+    val inserts = updates
+      .withColumn("o_orderkey", col("o_orderkey") + 500000000L)
+      .withColumn("o_orderstatus", lit("N"))
+    mergeUpsert(t, updates.unionByName(inserts), "o_orderkey")
+      .orderBy("o_orderkey")
+  }
+
+  /** SCD2 status history per customer: one row per status CHANGE with
+    * [valid_from, valid_to) interval and a version counter; open intervals
+    * have null valid_to.
+    */
+  def scd2History(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders(s, d)
+      .select(col("o_custkey"), col("o_orderstatus"), col("o_orderdate"), col("o_orderkey"))
+      .withColumn("prev", lag("o_orderstatus", 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("o_orderstatus"))
+      .withColumn("valid_to", lead("o_orderdate", 1).over(w))
+      .withColumn("version", row_number().over(w))
+      .select(col("o_custkey"), col("version"), col("o_orderstatus"),
+        col("o_orderdate").as("valid_from"), col("valid_to"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("up1_merge_upsert", ordersUpsert, Some(
+      """WITH upd AS (
+        |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+        |    o_totalprice + 1000.0::DOUBLE AS o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 97 = 0),
+        |ins AS (
+        |  SELECT o_orderkey + 500000000 AS o_orderkey, o_custkey,
+        |    'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM upd),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins)
+        |SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+        |  COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+        |  COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+        |  COALESCE(s.o_totalprice, t.o_totalprice) AS o_totalprice,
+        |  COALESCE(s.o_orderdate, t.o_orderdate) AS o_orderdate,
+        |  COALESCE(s.o_orderpriority, t.o_orderpriority) AS o_orderpriority
+        |FROM orders t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey
+        |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("up2_scd2_history", scd2History, Some(
+      // CAST row_number AS INT: DuckDB's is BIGINT, Spark's is INT
+      """WITH seq AS (
+        |  SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+        |    lag(o_orderstatus) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |chg AS (SELECT * FROM seq WHERE prev IS NULL OR prev <> o_orderstatus)
+        |SELECT o_custkey,
+        |  CAST(row_number() OVER w AS INT) AS version,
+        |  o_orderstatus,
+        |  o_orderdate AS valid_from,
+        |  lead(o_orderdate) OVER w AS valid_to
+        |FROM chg
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, version""".stripMargin))
+  )
+}

@@ -138,6 +138,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- PII redaction -------------------------------------------------
+  // The synthetic corpus is digit-free, so the declared query augments
+  // each document with DETERMINISTIC doc_id-derived contact strings
+  // (same construction in the DuckDB oracle) — the redaction operator
+  // itself is generic: count + strip emails, IPv4s, and long digit runs.
+
+  private[ops] val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[ops] val ipRe = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  private[ops] val numRe = "\\b\\d{8,}\\b"
+
+  /** Strip PII in a fixed pass order (emails first — their local parts may
+    * contain digits; long-digit runs last). Pure codegen'd regexes: a
+    * narrow map at any scale.
+    */
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipRe, "<IP>"),
+      numRe, "<NUM>")
+
+  private def piiDirty: Column = concat(
+    col("text"),
+    lit(" contact user"), col("doc_id").cast("string"), lit("@mail.example.com"),
+    when(col("doc_id") % 3 === 0,
+      concat(lit(" from 10."), (col("doc_id") % 256).cast("string"),
+        lit("."), ((col("doc_id") * 7) % 256).cast("string"), lit(".1")))
+      .otherwise(lit("")),
+    when(col("doc_id") % 5 === 0,
+      concat(lit(" acct "), (col("doc_id") * 1000003L + 12345678L).cast("string")))
+      .otherwise(lit("")))
+
+  /** PII-redaction query: per-document match counts + md5 of the scrubbed
+    * text (the cheap equality witness for the full redacted payload).
+    */
+  def piiRedaction(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(col("doc_id"), piiDirty.as("dirty"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("dirty"), lit(emailRe), lit(0))).cast("bigint").as("n_emails"),
+        size(regexp_extract_all(col("dirty"), lit(ipRe), lit(0))).cast("bigint").as("n_ips"),
+        size(regexp_extract_all(col("dirty"), lit(numRe), lit(0))).cast("bigint").as("n_nums"),
+        md5(redact(col("dirty"))).as("redacted_md5"))
+      .orderBy("doc_id")
+
+  // ---- Repetition / diversity signals --------------------------------
+
+  /** Gopher-style repetition signals: top-token fraction and unique-token
+    * ratio from a two-level (doc_id, token) aggregation — the scalable
+    * shape: map-side partial counts, keys never wider than (id, token) —
+    * plus a projection-only duplicate-trigram fraction. One narrow join on
+    * doc_id stitches them (both sides already hash-partitioned by doc_id).
+    */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    val tri = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("tris"))
+      .select(col("doc_id"),
+        (lit(1.0) - size(array_distinct(col("tris"))).cast("double")
+          / size(col("tris")).cast("double")).as("dup_trigram_frac"))
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val agg = tc.groupBy("doc_id").agg(
+      (max(col("c")).cast("double") / sum(col("c")).cast("double")).as("top_token_frac"),
+      (count(lit(1)).cast("double") / sum(col("c")).cast("double")).as("unique_token_ratio"))
+    agg.join(tri, "doc_id")
+      .select(col("doc_id"),
+        round(col("top_token_frac"), 6).as("top_token_frac"),
+        round(col("unique_token_ratio"), 6).as("unique_token_ratio"),
+        round(col("dup_trigram_frac"), 6).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus vocabulary heavy hitters: global top-k tokens by frequency.
+    * Exact two-level aggregation (map-side partial combine is automatic);
+    * the final top-k is a TakeOrdered over (count desc, token) — no full
+    * sort, no driver-side fold.
+    */
+  def vocabTopK(s: SparkSession, d: String, k: Int = 100): DataFrame =
+    documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("token"))
+      .limit(k)
+
   /** Stratified sampling by language — seeded per-stratum Bernoulli
     * (df.stat.sampleBy), the standard rebalancing step before training.
     * Engine-specific RNG stream → rows-only; per-stratum fractions are
@@ -195,6 +279,51 @@ object TextAnalysis {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     QueryDef("t4_fingerprint", fingerprint, None),
     QueryDef("t5_stratified_sample", stratifiedSample, None),
+    QueryDef("t6_pii_redaction", piiRedaction, Some(
+      // regexes are shared literals; DuckDB needs the explicit 'g' flag
+      // (Spark's regexp_replace is global by default)
+      s"""WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+        |           || '.' || CAST((doc_id * 7) % 256 AS VARCHAR) || '.1'
+        |         ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' acct ' || CAST(doc_id * 1000003 + 12345678 AS VARCHAR)
+        |         ELSE '' END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(dirty, '$emailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(dirty, '$ipRe')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(dirty, '$numRe')) AS BIGINT) AS n_nums,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+        |    '$emailRe', '<EMAIL>', 'g'), '$ipRe', '<IP>', 'g'), '$numRe', '<NUM>', 'g')) AS redacted_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin)),
+    QueryDef("t7_repetition", repetitionSignals, Some(
+      // CAST sums to DOUBLE: DuckDB sum(BIGINT) is HUGEINT
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY doc_id, token),
+        |agg AS (SELECT doc_id,
+        |    CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS ttf,
+        |    CAST(count(*) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS utr
+        |  FROM tc GROUP BY doc_id),
+        |tri AS (SELECT doc_id,
+        |    CASE WHEN len(string_split(text,' ')) >= 3
+        |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+        |      ELSE [text] END AS tris
+        |  FROM documents),
+        |trif AS (SELECT doc_id,
+        |    1.0::DOUBLE - CAST(len(list_distinct(tris)) AS DOUBLE) / CAST(len(tris) AS DOUBLE) AS dtf
+        |  FROM tri)
+        |SELECT a.doc_id, round(ttf, 6) AS top_token_frac,
+        |  round(utr, 6) AS unique_token_ratio, round(dtf, 6) AS dup_trigram_frac
+        |FROM agg a JOIN trif t ON a.doc_id = t.doc_id ORDER BY a.doc_id""".stripMargin)),
+    QueryDef("t8_vocab_topk", (s, d) => vocabTopK(s, d), Some(
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin)),
     QueryDef("p1_corpus_pipeline", (s, d) => corpusPipeline(s, d), Some(
       """WITH q AS (
         |  SELECT doc_id, text,

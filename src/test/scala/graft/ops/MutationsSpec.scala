@@ -1,0 +1,64 @@
+package graft.ops
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MutationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeUpsert: source wins on match, inserts survive, rest pass through") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "status", "price")
+    val source = Seq((2L, "B", 200.0), (9L, "new", 90.0))
+      .toDF("k", "status", "price")
+    val got = Mutations.mergeUpsert(target, source, "k")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set(
+      (1L, "a", 10.0),   // untouched
+      (2L, "B", 200.0),  // updated
+      (3L, "c", 30.0),   // untouched
+      (9L, "new", 90.0)  // inserted
+    ))
+  }
+
+  test("mergeUpsert plan: single join, no driver-side diffing") {
+    val merged = Mutations.ordersUpsert(spark, sf0001)
+    val p = merged.queryExecution.executedPlan.toString
+    assert("Join|HashJoin".r.findAllIn(p).nonEmpty)
+    assert(!p.contains("CartesianProduct"), s"cartesian in upsert plan:\n$p")
+  }
+
+  test("scd2: planted status runs collapse to change-point intervals") {
+    def ts(day: Int) = Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    // customer 7: O,O,F,F,O — three change points; customer 8: single run
+    val orders = Seq(
+      (101L, 7L, "O", 1.0, ts(1), "1-URGENT"),
+      (102L, 7L, "O", 1.0, ts(2), "1-URGENT"),
+      (103L, 7L, "F", 1.0, ts(3), "1-URGENT"),
+      (104L, 7L, "F", 1.0, ts(4), "1-URGENT"),
+      (105L, 7L, "O", 1.0, ts(5), "1-URGENT"),
+      (201L, 8L, "P", 1.0, ts(2), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_scd2").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val got = Mutations.scd2History(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4))))
+    assert(got.toSeq == Seq(
+      (7L, 1, "O", ts(1), Some(ts(3))),
+      (7L, 2, "F", ts(3), Some(ts(5))),
+      (7L, 3, "O", ts(5), None),
+      (8L, 1, "P", ts(2), None)))
+  }
+
+  test("scd2: one exchange — change filter and interval windows share it") {
+    val p = Mutations.scd2History(spark, sf0001).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+}

@@ -51,6 +51,51 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction strips every email/IP/long-number occurrence") {
+    val dirty = Seq(
+      "write to alice.smith+spam@corp.example.org or bob@ex.io today",
+      "server 192.168.001.1 and 10.0.0.255 responded",
+      "card 41111111111111111 ref 00012345678 short 1234567",
+      "clean text with no secrets at all")
+      .toDF("text")
+    val red = dirty.select(TextAnalysis.redact(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(red(0) == "write to <EMAIL> or <EMAIL> today")
+    assert(red(1) == "server <IP> and <IP> responded")
+    assert(red(2) == "card <NUM> ref <NUM> short 1234567") // 7 digits: kept
+    assert(red(3) == "clean text with no secrets at all")
+  }
+
+  test("repetition signals: planted repetitive vs diverse docs") {
+    val dir = Files.createTempDirectory("graft_rep").toString
+    Seq(
+      (0L, "spam spam spam spam spam spam", "en", "a"), // one token repeated
+      (1L, "one two three four five six", "en", "a"))   // all unique
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.repetitionSignals(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    // doc 0: 6×"spam" → top-token 1.0, unique 1/6, trigrams all identical
+    assert(got(0L) == ((1.0, 0.166667, 0.75)))
+    // doc 1: every token unique → top 1/6, unique 1.0, no dup trigrams
+    assert(got(1L) == ((0.166667, 1.0, 0.0)))
+  }
+
+  test("vocab top-k is exact and ordered (count desc, token asc)") {
+    val top = TextAnalysis.vocabTopK(spark, sf0001, k = 20).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(top.length == 20)
+    assert(top.sliding(2).forall { case Array((ta, na), (tb, nb)) =>
+      na > nb || (na == nb && ta < tb) }, s"ordering violated: ${top.toSeq}")
+    // exact count cross-check for the single top token
+    val (t0, n0) = top.head
+    val direct = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") === t0).count()
+    assert(n0 == direct)
+  }
+
   test("language ID: planted texts route to the right language") {
     // (the sf corpora label langs randomly over English-ish tokens, so
     // label-accuracy there is meaningless — behavior is pinned on text
