@@ -204,6 +204,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over near-dup pairs: the pairs→clusters step
+    * every production dedup ends with (pick ONE canonical doc per
+    * transitive near-dup family). Edges = [[ngramJaccardPairs]] (exact,
+    * oracled); labels converge by min-label propagation PLUS a
+    * pointer-jumping contraction each round (label := label(label)), so
+    * rounds needed are O(log diameter), not O(diameter) — the
+    * Kiveris et al. "Connected Components in MapReduce" recipe, expressed
+    * as two equi-joins per round on (id, label) pairs. The driver loop
+    * only schedules rounds and checks a convergence COUNT — per-round
+    * driver traffic is one long, never data.
+    *
+    * Every document appears in the output; docs with no near-dup edge are
+    * their own cluster (cluster_id = doc_id = min id of the family).
+    */
+  def dedupClusters(s: SparkSession, d: String, maxRounds: Int = 12): DataFrame = {
+    val p = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+      .toDF("a", "b").cache()
+    var labels = documents(s, d)
+      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges.join(labels, edges("a") === labels("doc_id"))
+        .select(edges("b").as("doc_id"), col("label"))
+        .groupBy("doc_id").agg(min("label").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping: adopt the label's own label (path halving)
+      val parents = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+      val next = stepped.join(parents, stepped("label") === parents("pid"), "left")
+        .select(col("doc_id"), coalesce(col("plabel"), col("label")).as("label"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+      round += 1
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs — cell-bucketed EXACT all-pairs.
     *
     * Plan: (1) coarse-quantize the corpus with Similarity's sampled seeded
@@ -295,6 +339,28 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** Shared DuckDB CTE chain mirroring [[ngramJaccardPairs]] (shingle →
+    * df-cut → inverted-index pair counts); d4 and d6 build on it.
+    */
+  private val jaccardCtes: String =
+    """docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+      |      ELSE [text] END) AS sh
+      |  FROM documents),
+      |sized AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM docs),
+      |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized),
+      |keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 200),
+      |pruned AS (SELECT inv.* FROM inv JOIN keep USING (shingle)),
+      |common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
+      |    count(*) AS common
+      |  FROM pruned a JOIN pruned b USING (shingle)
+      |  WHERE a.doc_id < b.doc_id
+      |  GROUP BY 1, 2, 3, 4)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("d1_exact_dedup", exactDedup, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -302,28 +368,28 @@ object Dedup {
     QueryDef("d2_minhash_lsh", (s, d) => minhashLshPairs(s, d), None),
     QueryDef("d3_simhash", (s, d) => simhashPairs(s, d), None),
     QueryDef("d4_ngram_jaccard", (s, d) => ngramJaccardPairs(s, d), Some(
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-        |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
-        |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-        |      ELSE [text] END) AS sh
-        |  FROM documents),
-        |sized AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM docs),
-        |inv AS (SELECT doc_id, n_sh, unnest(sh) AS shingle FROM sized),
-        |keep AS (SELECT shingle FROM inv GROUP BY shingle HAVING count(*) <= 200),
-        |pruned AS (SELECT inv.* FROM inv JOIN keep USING (shingle)),
-        |common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sh AS na, b.n_sh AS nb,
-        |    count(*) AS common
-        |  FROM pruned a JOIN pruned b USING (shingle)
-        |  WHERE a.doc_id < b.doc_id
-        |  GROUP BY 1, 2, 3, 4)
+      s"""WITH $jaccardCtes
         |SELECT doc_a, doc_b,
         |  round(CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE), 6) AS jaccard
         |FROM common
         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("d6_dedup_clusters", (s, d) => dedupClusters(s, d), Some(
+      // transitive closure by recursive CTE: cluster id = min doc_id
+      // reachable over the (undirected) near-dup edge set
+      s"""WITH RECURSIVE $jaccardCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |SELECT src AS doc_id, min(dst) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
     QueryDef("d5_embedding_neardup", (s, d) => embeddingNearDupPairs(s, d), Some(
       // CAST ... AS DOUBLE[]: DuckDB's list_inner_product on FLOAT[]
       // accumulates in float32; Spark accumulates in double — without the

@@ -388,6 +388,32 @@ object Relational {
       .orderBy("user_id")
   }
 
+  /** Ordered conversion funnel (view → click → purchase): cumulative
+    * stage flags via running max over (user, time), then one per-user
+    * collapse and one global rollup. All three window passes share a
+    * single (user_id) exchange + sort; the per-user agg reuses the same
+    * partitioning — the whole funnel is ONE shuffle at any scale.
+    */
+  def eventsFunnel(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("seen_view",
+        max(when(col("event_type") === "view", 1).otherwise(0)).over(w))
+      .withColumn("seen_click",
+        max(when(col("event_type") === "click" && col("seen_view") === 1, 1).otherwise(0)).over(w))
+      .groupBy("user_id")
+      .agg(
+        max("seen_view").as("viewed"),
+        max("seen_click").as("clicked"),
+        max(when(col("event_type") === "purchase" && col("seen_click") === 1, 1).otherwise(0)).as("purchased"))
+      .agg(
+        count(lit(1)).as("n_users"),
+        sum("viewed").cast("bigint").as("n_viewed"),
+        sum("clicked").cast("bigint").as("n_clicked"),
+        sum("purchased").cast("bigint").as("n_purchased"))
+  }
+
   // ---- registry ----
 
   val defs: Seq[QueryDef] = Seq(
@@ -552,6 +578,27 @@ object Relational {
         |SELECT user_id,
         |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
-        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("e3_funnel", eventsFunnel, Some(
+      // CAST sums AS BIGINT: DuckDB sum(int) is HUGEINT
+      """WITH s1 AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seen_view
+        |  FROM events),
+        |s2 AS (
+        |  SELECT user_id, event_type, seen_view,
+        |    max(CASE WHEN event_type = 'click' AND seen_view = 1 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS seen_click
+        |  FROM s1),
+        |u AS (
+        |  SELECT user_id, max(seen_view) AS viewed, max(seen_click) AS clicked,
+        |    max(CASE WHEN event_type = 'purchase' AND seen_click = 1 THEN 1 ELSE 0 END) AS purchased
+        |  FROM s2 GROUP BY user_id)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(viewed) AS BIGINT) AS n_viewed,
+        |  CAST(sum(clicked) AS BIGINT) AS n_clicked,
+        |  CAST(sum(purchased) AS BIGINT) AS n_purchased
+        |FROM u""".stripMargin))
   )
 }

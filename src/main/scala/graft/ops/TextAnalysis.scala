@@ -222,6 +222,35 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("token"))
       .limit(k)
 
+  /** Benchmark-contamination check: per corpus document, how many of its
+    * distinct trigram shingles appear in ANY benchmark document (here: the
+    * deterministic doc_id % 50 == 0 slice stands in for the eval set).
+    * Shape at scale: the benchmark shingle set is the SMALL side of a
+    * left-semi join on 8-byte hashed shingles (broadcast-able; and
+    * semi-join never materializes match multiplicity), then one groupBy
+    * per doc. The standard pre-training decontamination pass.
+    */
+  def contamination(s: SparkSession, d: String,
+      benchMod: Long = 50, flagFrac: Double = 0.2): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
+      .withColumn("n_sh", size(col("sh")).cast("long"))
+    val sh = docs.select(col("doc_id"), explode(transform(col("sh"), x => xxhash64(x))).as("shingle"))
+    val bench = sh.filter(col("doc_id") % benchMod === 0).select("shingle").distinct()
+    val matched = sh.filter(col("doc_id") % benchMod =!= 0)
+      .join(bench, Seq("shingle"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    docs.filter(col("doc_id") % benchMod =!= 0)
+      .select(col("doc_id"), col("n_sh"))
+      .join(matched, Seq("doc_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("frac", col("n_overlap").cast("double") / col("n_sh").cast("double"))
+      .select(col("doc_id"), col("n_sh"), col("n_overlap"),
+        round(col("frac"), 6).as("overlap_frac"),
+        when(col("frac") >= flagFrac, 1).otherwise(0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Stratified sampling by language — seeded per-stratum Bernoulli
     * (df.stat.sampleBy), the standard rebalancing step before training.
     * Engine-specific RNG stream → rows-only; per-stratum fractions are
@@ -320,6 +349,29 @@ object TextAnalysis {
         |SELECT a.doc_id, round(ttf, 6) AS top_token_frac,
         |  round(utr, 6) AS unique_token_ratio, round(dtf, 6) AS dup_trigram_frac
         |FROM agg a JOIN trif t ON a.doc_id = t.doc_id ORDER BY a.doc_id""".stripMargin)),
+    QueryDef("t9_contamination", (s, d) => contamination(s, d), Some(
+      """WITH docs AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+        |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+        |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+        |      ELSE [text] END) AS sh
+        |  FROM documents),
+        |sized AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM docs),
+        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sized),
+        |bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 50 = 0),
+        |matched AS (
+        |  SELECT doc_id, count(*) AS n_overlap
+        |  FROM inv JOIN bench USING (shingle)
+        |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+        |SELECT s.doc_id, s.n_sh,
+        |  CAST(COALESCE(m.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |  round(CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS overlap_frac,
+        |  CASE WHEN CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= 0.2::DOUBLE
+        |       THEN 1 ELSE 0 END AS contaminated
+        |FROM sized s LEFT JOIN matched m ON s.doc_id = m.doc_id
+        |WHERE s.doc_id % 50 <> 0
+        |ORDER BY s.doc_id""".stripMargin)),
     QueryDef("t8_vocab_topk", (s, d) => vocabTopK(s, d), Some(
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

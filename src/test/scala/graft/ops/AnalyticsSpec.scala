@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 
 class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
 
   test("asof join picks the most recent order at-or-before each event") {
     val rows = Analytics.asofLastOrder(spark, sf0001)
@@ -36,6 +37,45 @@ class AnalyticsSpec extends SparkSpec {
         }
       assert(got(eid) === expect, s"event $eid user $uid")
     }
+  }
+
+  test("funnel counts agree with a naive per-user replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byUser = ev.groupBy(_._1).view.mapValues(_.sortBy(e => (e._2, e._3)))
+    var viewed, clicked, purchased = 0L
+    byUser.foreach { case (_, es) =>
+      var sv = false; var sc = false; var sp = false
+      es.foreach { case (_, _, _, t) =>
+        if (t == "view") sv = true
+        if (t == "click" && sv) sc = true
+        if (t == "purchase" && sc) sp = true
+      }
+      if (sv) viewed += 1; if (sc) clicked += 1; if (sp) purchased += 1
+    }
+    val got = Relational.eventsFunnel(spark, sf0001).head()
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      ((byUser.size.toLong, viewed, clicked, purchased)))
+  }
+
+  test("contamination: exact copy of a benchmark doc is flagged, unrelated is clean") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cont").toString
+    val benchText = (0 until 30).map(i => s"b$i").mkString(" ")
+    Seq(
+      (0L, benchText, "en", "a"),                                  // benchmark (0 % 50 == 0)
+      (1L, benchText, "en", "a"),                                  // fully contaminated copy
+      (2L, (0 until 30).map(i => s"c${i * 7}x").mkString(" "), "en", "b")) // clean
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.contamination(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getInt(4)))).toMap
+    assert(got.keySet == Set(1L, 2L)) // benchmark docs excluded from output
+    assert(got(1L) == ((28L, 1.0, 1)), s"copy: ${got(1L)}")  // 30 tokens → 28 trigrams
+    assert(got(2L) == ((0L, 0.0, 0)), s"clean: ${got(2L)}")
   }
 
   test("vector-sum Aggregator sums duplicate keys (Vectors.sum semantics)") {

@@ -81,6 +81,32 @@ class DedupSpec extends SparkSpec {
     assert(found == bruteJaccard(0.5))
   }
 
+  test("dedup clusters: transitive chain collapses to min id; singleton keeps its own") {
+    val dir = Files.createTempDirectory("graft_cc").toString
+    // chain 0–1–2: j(0,1)=18/22≈0.82, j(1,2)=15/25=0.60, but j(0,2)=13/27≈0.48
+    // sits BELOW the 0.5 threshold — 0 and 2 connect only transitively
+    val t0 = (0 until 22).map(i => s"w$i").toArray
+    val t1 = t0.clone; t1(20) = "X1"; t1(21) = "X2"
+    val t2 = t1.clone; t2(9) = "Y1"; t2(10) = "Y2"; t2(11) = "Y3"
+    Seq(
+      (0L, t0.mkString(" "), "en", "a"),
+      (1L, t1.mkString(" "), "en", "a"),
+      (2L, t2.mkString(" "), "en", "a"),
+      (3L, (0 until 22).map(i => s"q${i * 3}z").mkString(" "), "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val pairs = Dedup.ngramJaccardPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (1L, 2L)), s"edge set: $pairs")
+
+    val clusters = Dedup.dedupClusters(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(clusters == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L),
+      s"clusters: $clusters")
+  }
+
   test("embedding near-dup finds planted near-identical vectors") {
     val dir = Files.createTempDirectory("graft_emb").toString
     val v0 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)
