@@ -139,6 +139,37 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Stream-stream interval join: each click matched to the same user's
+    * views in the preceding 10 minutes. Both sides carry watermarks and
+    * the join predicate bounds event-time distance, so Spark can evict
+    * join state on BOTH sides (the unbounded-state trap of stream-stream
+    * joins is exactly what the interval condition solves). Append output;
+    * full replay ⇒ result equals the batch interval join — the oracle.
+    */
+  def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    def side(kind: String, p: String) =
+      s.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "1 hour")
+    val joined = side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"))
+    val qname = "graft_stream_interval_join"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .groupBy(col("c_user").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("c_id")).as("n_clicks_with_view"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("st1_windowed_counts", windowedCounts, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
@@ -158,6 +189,16 @@ object EventStreams {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st4_stream_dedup", streamDedup, Some(
       """SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("st5_interval_join", streamIntervalJoin, Some(
+      """WITH c AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.user_id, c.event_id
+        |  FROM c JOIN v ON c.user_id = v.user_id
+        |    AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE)
+        |SELECT user_id, count(*) AS n_pairs,
+        |  count(DISTINCT event_id) AS n_clicks_with_view
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin))
   )
 }

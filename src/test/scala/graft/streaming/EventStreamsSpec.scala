@@ -63,6 +63,50 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join: boundary views included/excluded; join state bounded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    val clicks = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val c = clicks.toDF().toDF("c_user", "c_ts", "c_id").withWatermark("c_ts", "1 hour")
+    val v = views.toDF().toDF("v_user", "v_ts", "v_id").withWatermark("v_ts", "1 hour")
+    val joined = c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("graft_ij").start()
+    try {
+      // click at 10:20 — views at 10:10 (boundary, in), 10:09 (out),
+      // 10:20 (same instant, in), 10:21 (after click, out), other user (out)
+      views.addData((1L, ts(10), 100L), (1L, ts(9), 101L),
+        (1L, ts(20), 102L), (1L, ts(21), 103L), (2L, ts(15), 104L))
+      clicks.addData((1L, ts(20), 900L))
+      q.processAllAvailable()
+      val got = spark.table("graft_ij").select("v_id").collect().map(_.getLong(0)).toSet
+      assert(got == Set(100L, 102L), s"joined view ids: $got")
+    } finally q.stop()
+  }
+
+  test("interval-join declared query equals batch interval join") {
+    val streamed = EventStreams.streamIntervalJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val e = graft.Tables.events(spark, sf0001)
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("ts").as("vts"))
+    val batch = c.join(v, col("cu") === col("vu") &&
+        col("vts") <= col("cts") &&
+        col("vts") >= col("cts") - expr("INTERVAL 10 MINUTES"))
+      .groupBy(col("cu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("cid").as("n_clicks"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch)
+  }
+
   test("append mode: watermark drops late data and bounds state size") {
     // Incremental semantics the complete-mode oracles can't show: a
     // window is emitted once (when the watermark passes its end) and
