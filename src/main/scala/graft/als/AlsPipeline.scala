@@ -209,6 +209,30 @@ object AlsPipeline {
     Seq((a.nPredictions, a.maxAbsDiff)).toDF("n_predictions", "max_abs_diff")
   }
 
+  /** Recommendation serving: top-k items per user from the PERSISTED
+    * factor artifacts (no refit, no model object) — the query a
+    * recommender actually answers. Shape: the user slice is the small
+    * broadcast side against one narrow scan of the item factors; scoring
+    * is the native codegen'd dot kernel; per-user top-k via window
+    * row_number. At full scale swap the user slice for the request batch —
+    * the plan is unchanged.
+    */
+  def alsRecommend(s: SparkSession, d: String, numUsers: Int = 20, k: Int = 10): DataFrame = {
+    val a = artifacts(s, d)
+    val uf = s.read.parquet(s"${a.dir}/U").orderBy("id").limit(numUsers)
+      .select(col("id").as("user"), col("features").as("ufeat"))
+    val mf = s.read.parquet(s"${a.dir}/M")
+      .select(col("id").as("item"), col("features").as("mfeat"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user").orderBy(desc("score"), asc("item"))
+    mf.crossJoin(broadcast(uf))
+      .withColumn("score", graft.functions.ArraySim.dotNative(col("ufeat"), col("mfeat")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("user"), col("rank"), col("item"), round(col("score"), 6).as("score"))
+      .orderBy("user", "rank")
+  }
+
   /** O17: seeded split fractions (rows-only — RNG streams differ from the
     * reference by design; distribution pinned by spec binomial CI).
     */
@@ -241,6 +265,7 @@ object AlsPipeline {
     QueryDef("als_end_to_end", alsEndToEnd, None),
     QueryDef("als_factors", alsFactors, None),
     QueryDef("als_predict_parity", alsPredictParity, None),
+    QueryDef("als_recommend", (s, d) => alsRecommend(s, d), None),
     QueryDef("o17_split_fractions", splitFractions, None),
     QueryDef("o16_movielens_roundtrip", movielensRoundtrip, Some(
       """WITH ratings AS (

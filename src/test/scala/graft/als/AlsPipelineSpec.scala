@@ -88,6 +88,25 @@ class AlsPipelineSpec extends SparkSpec {
     assert(math.abs(rmseTxt - a.alsRmse) < 1e-12)
   }
 
+  test("recommend top-k matches an exact local rescore of the persisted factors") {
+    val a = AlsPipeline.artifacts(spark, sf0001)
+    val got = AlsPipeline.alsRecommend(spark, sf0001, numUsers = 5, k = 5).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val uf = spark.read.parquet(s"${a.dir}/U").orderBy("id").limit(5).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    val mf = spark.read.parquet(s"${a.dir}/M").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1))
+    def dot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    val want = uf.flatMap { case (u, f) =>
+      mf.map { case (i, g) => (u, i, dot(f, g)) }
+        .sortBy { case (_, i, s) => (-s, i) }
+        .take(5).zipWithIndex
+        .map { case ((_, i, s), r) => (u, r + 1, i, math.rint(s * 1e6) / 1e6) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("duplicate (user,item) observations collapse before training (O2 semantics)") {
     val dup = Seq((1, 1, 2f), (1, 1, 4f), (2, 1, 3f)).toDF("user", "item", "rating")
     val collapsed = dup.groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))
