@@ -253,8 +253,13 @@ object Relational {
 
   /** Running sum with an explicit ROWS frame over a unique ordering. */
   def windowRunningSum(s: SparkSession, d: String): DataFrame = {
+    // l_quantity tiebreaker: the synthetic lineitem contains duplicate
+    // (l_orderkey, l_linenumber) rows, so without it the sort is not total
+    // and the intermediate running sum at the tied rows is engine-arbitrary
+    // (one real collision at sf0.1). With it, ties can only be full-row
+    // duplicates, whose running sums are order-invariant.
     val w = Window.partitionBy("l_suppkey")
-      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lineitem(s, d)
       .withColumn("running_qty", round(sum("l_quantity").over(w), 4))
@@ -509,7 +514,7 @@ object Relational {
     QueryDef("w2_running_sum", windowRunningSum, Some(
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |  round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
         |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
     QueryDef("w3_lag_delta", windowLagDelta, Some(
