@@ -216,6 +216,32 @@ object Analytics {
       .orderBy("column")
   }
 
+  /** Fixed-bin histogram: pure-arithmetic bucketing (floor division on
+    * literal bounds — no engine-specific width_bucket) + one aggregation.
+    * The shape of every distribution dashboard at scale: the map side
+    * reduces each partition to ≤ nbins partials.
+    */
+  def histogram(s: SparkSession, d: String, binWidth: Double = 25000.0): DataFrame =
+    orders(s, d)
+      .withColumn("bucket", floor(col("o_totalprice") / binWidth).cast("int"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("sum_price"))
+      .orderBy("bucket")
+
+  /** Bivariate statistics: Pearson correlation + sample/population
+    * covariance of (quantity, extendedprice) in one pass. Co-moment
+    * accumulators merge associatively — the distributed shape; corr is
+    * scale-free so 6-decimal rounding is fp-merge-safe, covariances round
+    * at 2 (their magnitude makes tighter rounding oversensitive to
+    * partition merge order).
+    */
+  def bivariateStats(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).agg(
+      count(lit(1)).as("n"),
+      round(corr("l_quantity", "l_extendedprice"), 6).as("corr_qty_price"),
+      round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_samp_qp"),
+      round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_pop_qp"))
+
   /** Two-stage salted aggregation — the skew pattern: stage 1 groups on
     * (key, salt) so one hot key spreads over 8 reducers; stage 2 merges
     * the 8 partials. Result is identical to a direct groupBy (sums are
@@ -314,6 +340,16 @@ object Analytics {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+    QueryDef("a8_histogram", (s, d) => histogram(s, d), Some(
+      """SELECT CAST(floor(o_totalprice / 25000.0::DOUBLE) AS INT) AS bucket,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a9_bivariate_stats", bivariateStats, Some(
+      """SELECT count(*) AS n,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_samp_qp,
+        |  round(covar_pop(l_quantity, l_extendedprice), 2) AS covar_pop_qp
+        |FROM lineitem""".stripMargin)),
     QueryDef("prof1_column_stats", columnStats, Some(
       """SELECT 'o_orderkey' AS "column", count(*) AS n,
         |  count(*) - count(o_orderkey) AS n_null,
