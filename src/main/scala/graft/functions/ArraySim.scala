@@ -15,8 +15,18 @@ import org.apache.spark.sql.types._
   * array per row and boxes every element. These expressions generate a
   * tight primitive loop inside whole-stage codegen — the preference order
   * mandated for the engine: built-in functions, then native `Expression`,
-  * then (never, here) UDFs. Numerics match the composable form exactly:
-  * same element order, same double accumulation.
+  * then (never, here) UDFs.
+  *
+  * Semantics are EXACTLY the builtin composable form's, so the optimizer
+  * rewrite ([[graft.plans.NativeKernelRule]]) is sound on arbitrary input:
+  *  - different array lengths → NULL (zip_with null-pads, the multiply and
+  *    fold then yield NULL);
+  *  - any NULL element → NULL (same propagation);
+  *  - cosine with a zero-norm side follows Spark's Divide on a zero
+  *    divisor: DIVIDE_BY_ZERO error under ANSI (the default), NULL with
+  *    ANSI off — mode captured at construction like Divide's evalMode;
+  *  - otherwise: same element order, same double accumulation —
+  *    bit-identical (pinned in ArraySimSpec / ExprProps).
   *
   * Interpreted `nullSafeEval` is provided for completeness (e.g. inside
   * non-codegen contexts); the generated path is what runs in practice.
@@ -33,17 +43,26 @@ abstract class FloatArrayBinary extends BinaryExpression {
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  // may return NULL for non-null inputs (length mismatch / null element /
+  // zero norm) — without this the codegen'd isNull slot is a literal
+  override def nullable: Boolean = true
 }
 
-/** dot(a, b) = Σ aᵢ·bᵢ over min length, accumulated in double. */
+/** dot(a, b) = Σ aᵢ·bᵢ accumulated in double; NULL on length mismatch or
+  * any null element (builtin-form semantics).
+  */
 case class DotProduct(left: Expression, right: Expression) extends FloatArrayBinary {
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var i = 0
-    while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1
+    }
     dot
   }
 
@@ -55,12 +74,17 @@ case class DotProduct(left: Expression, right: Expression) extends FloatArrayBin
       val acc = ctx.freshName("acc")
       val i = ctx.freshName("i")
       s"""
-      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double $acc = 0.0;
-      |for (int $i = 0; $i < $n; $i++) {
-      |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+      |int $n = $a.numElements();
+      |if ($n != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double $acc = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+      |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+      |  }
+      |  if (!${ev.isNull}) { ${ev.value} = $acc; }
       |}
-      |${ev.value} = $acc;
       |""".stripMargin
     })
 
@@ -68,19 +92,32 @@ case class DotProduct(left: Expression, right: Expression) extends FloatArrayBin
     copy(left = l, right = r)
 }
 
-/** cosine(a, b) = dot/(‖a‖·‖b‖), one fused pass over both arrays. */
+/** cosine(a, b) = dot/(‖a‖·‖b‖), one fused pass over both arrays; NULL on
+  * length mismatch, null element, or a zero-norm side (builtin-form
+  * semantics: Divide by exact 0 is NULL in Spark).
+  */
 case class CosineSim(left: Expression, right: Expression) extends FloatArrayBinary {
   override def prettyName: String = "graft_cosine"
 
+  // like Divide.evalMode: the ANSI decision is fixed at plan time
+  private val failOnZeroDivisor: Boolean =
+    org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    val div = math.sqrt(na) * math.sqrt(nb)
+    if (div == 0.0) {
+      if (failOnZeroDivisor) throw GraftColumns.divideByZeroError()
+      null
+    } else dot / div
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -92,15 +129,30 @@ case class CosineSim(left: Expression, right: Expression) extends FloatArrayBina
       val i = ctx.freshName("i")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val div = ctx.freshName("div")
+      val onZeroDivisor =
+        if (failOnZeroDivisor)
+          "throw org.apache.spark.sql.GraftColumns.divideByZeroError();"
+        else s"${ev.isNull} = true;"
       s"""
-      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-      |for (int $i = 0; $i < $n; $i++) {
-      |  double $x = (double) $a.getFloat($i);
-      |  double $y = (double) $b.getFloat($i);
-      |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+      |int $n = $a.numElements();
+      |if ($n != $b.numElements()) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+      |    double $x = (double) $a.getFloat($i);
+      |    double $y = (double) $b.getFloat($i);
+      |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+      |  }
+      |  if (!${ev.isNull}) {
+      |    double $div = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+      |    if ($div == 0.0D) {
+      |      $onZeroDivisor
+      |    } else { ${ev.value} = $dot / $div; }
+      |  }
       |}
-      |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
       |""".stripMargin
     })
 

@@ -218,7 +218,7 @@ object Dedup {
     * Every document appears in the output; docs with no near-dup edge are
     * their own cluster (cluster_id = doc_id = min id of the family).
     */
-  def dedupClusters(s: SparkSession, d: String, maxRounds: Int = 12): DataFrame = {
+  def dedupClusters(s: SparkSession, d: String, maxRounds: Int = 20): DataFrame = {
     val p = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
     val edges = p.union(p.select(col("doc_b"), col("doc_a")))
       .toDF("a", "b").cache()
@@ -245,6 +245,12 @@ object Dedup {
       round += 1
     }
     edges.unpersist(blocking = false)
+    // silent non-convergence would return plausible-but-wrong labels;
+    // with pointer jumping 20 rounds covers any component a dedup corpus
+    // can realistically produce, so treat exhaustion as a hard error
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge in $maxRounds rounds ($changed labels still moving)")
     labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
   }
 

@@ -24,13 +24,19 @@ object Mutations {
   import Tables._
 
   /** Generic MERGE/upsert: rows of `source` replace same-key rows of
-    * `target`; source-only keys are inserts, target-only keys pass
-    * through. `source` must share `target`'s schema.
+    * `target` — including NULL payload values (a matched source row wins
+    * wholesale, so a changeset can null a column; a per-column coalesce
+    * could not express that). Source-only keys are inserts, target-only
+    * keys pass through. `source` must share `target`'s schema.
     */
   def mergeUpsert(target: DataFrame, source: DataFrame, key: String): DataFrame = {
     val payload = target.columns.filterNot(_ == key)
-    target.as("t").join(source.as("s"), Seq(key), "full_outer")
-      .select(col(key) +: payload.map(c => coalesce(col(s"s.$c"), col(s"t.$c")).as(c)): _*)
+    // presence marker, not value-coalesce: "matched" must be decided by
+    // the join, never by whether a payload value happens to be null
+    val src = source.withColumn("_matched", lit(true))
+    target.as("t").join(src.as("s"), Seq(key), "full_outer")
+      .select(col(key) +: payload.map(c =>
+        when(col("_matched").isNotNull, col(s"s.$c")).otherwise(col(s"t.$c")).as(c)): _*)
   }
 
   /** Declared upsert over orders: a deterministic changeset (every 97th

@@ -35,14 +35,6 @@ object Similarity {
 
   def cosineBuiltin(a: Column, b: Column): Column = dot(a, b) / (norm2(a) * norm2(b))
 
-  /** Null-guard for parquet-sourced ARRAY<FLOAT>: parquet schemas mark list
-    * elements nullable even when no null ever occurs, and the optimizer's
-    * kernel fusion ([[graft.plans.NativeKernelRule]]) only fires on
-    * provably null-free arrays. `coalesce(x, 0f)` is the identity on real
-    * data and flips `containsNull` off in the type.
-    */
-  def nullGuard(a: Column): Column = transform(a, x => coalesce(x, lit(0.0f)))
-
   /** Hot-path cosine: native Catalyst expression (graft.functions.CosineSim,
     * fused single-loop doGenCode) — same element order and double
     * accumulation as the builtin form, so results are bit-identical; ~10×
@@ -88,14 +80,16 @@ object Similarity {
     * `zip_with` + `aggregate` built-ins, no native kernels. The engine's
     * optimizer rule ([[graft.plans.NativeKernelRule]], injected via
     * GraftExtensions) rewrites the shape into the fused codegen'd
-    * `graft_cosine` kernel — bit-identical numerics, so this query is
-    * oracle-checked like v1 and its physical plan is pinned to contain the
-    * kernel in NativeKernelsSpec.
+    * `graft_cosine` kernel — identical numerics AND null semantics (the
+    * kernels are builtin-equivalent on every input), so the rewrite fires
+    * directly on the parquet-sourced nullable-element arrays. Oracle-checked
+    * like v1; physical plan pinned to contain the kernel in
+    * NativeKernelsSpec.
     */
   def cosineThresholdNaive(s: SparkSession, d: String,
       numQueries: Int = 8, threshold: Double = 0.25): DataFrame = {
     val e = embeddings(s, d)
-      .select(col("vec_id"), nullGuard(col("embedding")).as("emb"))
+      .select(col("vec_id"), col("embedding").as("emb"))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("emb").as("qv"))
     val c = e.select(col("vec_id").as("n_id"), col("emb").as("nv"))

@@ -235,6 +235,8 @@ object TextAnalysis {
     val docs = documents(s, d)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
+      .cache() // shingling is the dominant cost; reused by bench side,
+               // corpus side, and the per-doc base below
     val sh = docs.select(col("doc_id"), explode(transform(col("sh"), x => xxhash64(x))).as("shingle"))
     val bench = sh.filter(col("doc_id") % benchMod === 0).select("shingle").distinct()
     val matched = sh.filter(col("doc_id") % benchMod =!= 0)

@@ -24,23 +24,17 @@ import graft.functions.{CosineSim, DotProduct}
   * double-cast elements (a float×float multiply rounds the product to
   * float32 — different numerics, so that shape is left alone), the fold
   * zero must be literal 0.0, and the finish lambda must be identity.
-  * Given that, kernel and builtin run the same IEEE ops in the same
-  * order (pinned in NativeKernelsSpec).
-  *
-  * Safety guards: both sides must be ARRAY<FLOAT> with containsNull=false
-  * (a null element makes the builtin form return null, while the kernel
-  * reads it as undefined — so the rewrite only fires when provably safe;
-  * parquet-sourced columns get there via an explicit null-guard like
-  * `transform(v, x → coalesce(x, 0f))`, which flips containsNull off).
-  * For mismatched lengths the cosine fusion canonicalizes to prefix
-  * norms (the kernel's documented semantics) — cosine between
-  * different-length vectors is ill-defined either way, and embedding
-  * columns are fixed-dimension by contract.
+  * Given that, kernel and builtin agree on EVERY input — same IEEE ops in
+  * the same order, and the same NULL semantics (length mismatch, null
+  * element, zero-norm cosine divisor all yield NULL in both forms) — so
+  * the rewrite needs no nullability guard and fires directly on
+  * parquet-sourced columns (whose list elements always read as nullable).
+  * Pinned in NativeKernelsSpec.
   */
 object NativeKernelRule extends Rule[LogicalPlan] {
 
-  private def isSafeFloatArray(e: Expression): Boolean = e.dataType match {
-    case ArrayType(FloatType, containsNull) => !containsNull
+  private def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
     case _ => false
   }
 
@@ -66,7 +60,7 @@ object NativeKernelRule extends Rule[LogicalPlan] {
           LambdaFunction(Add(al, ar, _),
             Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(fv: NamedLambdaVariable), _))
-        if isSafeFloatArray(a) && isSafeFloatArray(b) &&
+        if isFloatArray(a) && isFloatArray(b) &&
           ((isDoubledVar(ml, x) && isDoubledVar(mr, y)) ||
            (isDoubledVar(ml, y) && isDoubledVar(mr, x))) &&
           ((isVar(al, acc) && isVar(ar, el)) || (isVar(al, el) && isVar(ar, acc))) &&

@@ -102,7 +102,10 @@ class AlsPipelineSpec extends SparkSpec {
       mf.map { case (i, g) => (u, i, dot(f, g)) }
         .sortBy { case (_, i, s) => (-s, i) }
         .take(5).zipWithIndex
-        .map { case ((_, i, s), r) => (u, r + 1, i, math.rint(s * 1e6) / 1e6) }
+        // HALF_UP on the decimal repr — Spark's round(col, 6), NOT rint
+        .map { case ((_, i, s), r) =>
+          (u, r + 1, i,
+            BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
     }.sortBy(t => (t._1, t._2))
     assert(got.toSeq == want.toSeq)
   }

@@ -45,6 +45,41 @@ class ArraySimSpec extends AnyFunSuite with SparkSpec {
     assert(rows(2).isNullAt(0))
   }
 
+  test("builtin-equivalent null semantics: length mismatch, null element, zero norm") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(Option(1f), Option(2f)), Seq(Option(3f))),       // length mismatch
+      (Seq(Option(1f), None), Seq(Option(3f), Option(4f)))) // null element
+      .toDF("a", "b")
+    val rows = df.select(
+      ArraySim.dotNative(col("a"), col("b")).as("dn"),
+      graft.ops.Similarity.dot(col("a"), col("b")).as("db"),
+      ArraySim.cosineNative(col("a"), col("b")).as("cn"),
+      graft.ops.Similarity.cosineBuiltin(col("a"), col("b")).as("cb")
+    ).collect()
+    // native and builtin agree ROW-FOR-ROW on the null cases
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.isNullAt(0) && r.isNullAt(1), s"row $i dot null-parity")
+      assert(r.isNullAt(2) && r.isNullAt(3), s"row $i cosine null-parity")
+    }
+    // zero-norm cosine: BOTH forms raise DIVIDE_BY_ZERO under ANSI (the
+    // session default) — the fused kernel must not downgrade the error
+    val zero = Seq((Array(0f, 0f), Array(1f, 1f))).toDF("a", "b")
+    val eNative = intercept[Exception] {
+      zero.select(ArraySim.cosineNative(col("a"), col("b"))).collect()
+    }
+    val eBuiltin = intercept[Exception] {
+      zero.select(graft.ops.Similarity.cosineBuiltin(col("a"), col("b"))).collect()
+    }
+    assert(eNative.getMessage.contains("DIVIDE_BY_ZERO"), eNative.getMessage)
+    assert(eBuiltin.getMessage.contains("DIVIDE_BY_ZERO"), eBuiltin.getMessage)
+    // zero-norm dot is a plain 0.0 on both forms
+    val dz = zero.select(ArraySim.dotNative(col("a"), col("b")),
+      graft.ops.Similarity.dot(col("a"), col("b"))).head()
+    assert(dz.getDouble(0) == 0.0 && dz.getDouble(1) == 0.0)
+  }
+
   test("interpreted eval agrees with codegen path") {
     // force interpreted evaluation via the expression's eval
     val e = CosineSim(

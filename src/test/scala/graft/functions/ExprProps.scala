@@ -20,27 +20,43 @@ object ExprProps extends Properties("graft.functions.expressions") {
   private def litF(a: Array[Float]) = Literal.create(a, ArrayType(FloatType))
   private def litL(a: Array[Long]) = Literal.create(a, ArrayType(LongType))
 
-  // NaN==NaN for the 0-length / zero-norm cosine edge
-  private def eqD(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+  // builtin-equivalent semantics: null for length mismatch / zero-norm
+  // cosine; otherwise bit-identical doubles (NaN==NaN for NaN inputs)
+  private def eqD(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null) => true
+    case (x: Double, y: Double) => (x.isNaN && y.isNaN) || x == y
+    case _ => false
+  }
 
-  property("DotProduct.eval == double-accumulated reference over min length") =
+  property("DotProduct.eval == builtin fold: equal lengths accumulate, else null") =
     forAll(floatArr, floatArr) { (a, b) =>
-      val n = math.min(a.length, b.length)
-      var ref = 0.0; var i = 0
-      while (i < n) { ref += a(i).toDouble * b(i).toDouble; i += 1 }
-      eqD(DotProduct(litF(a), litF(b)).eval(null).asInstanceOf[Double], ref)
+      val ref: Any =
+        if (a.length != b.length) null
+        else {
+          var d = 0.0; var i = 0
+          while (i < a.length) { d += a(i).toDouble * b(i).toDouble; i += 1 }
+          d
+        }
+      eqD(DotProduct(litF(a), litF(b)).eval(null), ref)
     }
 
-  property("CosineSim.eval == dot/(‖a‖·‖b‖) reference, same accumulation order") =
+  property("CosineSim.eval == builtin dot/(‖a‖·‖b‖): ANSI error on zero divisor") =
     forAll(floatArr, floatArr) { (a, b) =>
-      val n = math.min(a.length, b.length)
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < n) {
-        val x = a(i).toDouble; val y = b(i).toDouble
-        dot += x * y; na += x * x; nb += y * y; i += 1
+      def zeroNorm(v: Array[Float]) = v.forall(x => x.toDouble * x == 0.0)
+      if (a.length != b.length)
+        CosineSim(litF(a), litF(b)).eval(null) == null
+      else if (zeroNorm(a) || zeroNorm(b))
+        // the session default is ANSI → zero divisor raises, like Divide
+        scala.util.Try(CosineSim(litF(a), litF(b)).eval(null)).isFailure
+      else {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        eqD(CosineSim(litF(a), litF(b)).eval(null),
+          dot / (math.sqrt(na) * math.sqrt(nb)))
       }
-      val ref = dot / (math.sqrt(na) * math.sqrt(nb))
-      eqD(CosineSim(litF(a), litF(b)).eval(null).asInstanceOf[Double], ref)
     }
 
   property("SimHash64.eval == per-bit strict-majority reference") =

@@ -65,23 +65,21 @@ class NativeKernelsSpec extends SparkSpec {
     assert(!optimized(q).contains("graft_dot"))
   }
 
-  test("nullable-element arrays are left alone; nullGuard restores fusion") {
+  test("nullable-element arrays fuse too, with the builtin's null semantics") {
     import spark.implicits._
     // Seq[Option[Float]] encoder ⇒ containsNull = true (like parquet reads)
     val nullable = Seq(
-      (Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f), Option(4.0f))))
+      (Seq(Option(1.0f), Option(2.0f)), Seq(Option(3.0f), Option(4.0f))), // clean
+      (Seq(Option(1.0f), None), Seq(Option(3.0f), Option(4.0f))),         // null element
+      (Seq(Option(1.0f)), Seq(Option(3.0f), Option(4.0f))))               // length mismatch
       .toDF("a", "b").repartition(1)
-    val raw = nullable.selectExpr(s"${dotSql("a", "b")} AS dot")
-    assert(!optimized(raw).contains("graft_dot"),
-      "rule fired on nullable elements — unsound")
-
-    val guarded = nullable
-      .select(graft.ops.Similarity.nullGuard($"a").as("a"),
-        graft.ops.Similarity.nullGuard($"b").as("b"))
-      .selectExpr(s"${dotSql("a", "b")} AS dot")
-    assert(optimized(guarded).contains("graft_dot"),
-      s"nullGuard did not restore fusion:\n${optimized(guarded)}")
-    assert(guarded.head().getDouble(0) == (3.0 + 8.0))
+    val q = nullable.selectExpr(s"${dotSql("a", "b")} AS dot")
+    assert(optimized(q).contains("graft_dot"),
+      s"rule did not fire on nullable elements:\n${optimized(q)}")
+    val rows = q.collect()
+    assert(rows(0).getDouble(0) == (3.0 + 8.0))
+    assert(rows(1).isNullAt(0), "null element must yield NULL like the builtin")
+    assert(rows(2).isNullAt(0), "length mismatch must yield NULL like the builtin")
   }
 
   test("declared v5 runs the fused kernel in its physical plan") {
