@@ -216,6 +216,28 @@ object Analytics {
       .orderBy("column")
   }
 
+  /** Top-k per group via the bounded [[graft.functions.TopK]] Aggregator —
+    * the scale-path alternative to w1's window row_number: map tasks
+    * reduce each group slice to ≤ k pairs BEFORE the shuffle (two-phase
+    * ObjectHashAggregate), so shuffle volume is O(groups·k), not O(rows),
+    * and no global sort happens. Same total order as the window form
+    * (score desc, id asc) → oracled with w1's own SQL.
+    */
+  def topKAgg(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    import s.implicits._
+    val grouped = orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, price, key) => (price, key) }
+      .agg(graft.functions.TopK(k).toColumn.name("top"))
+    grouped.toDF("o_custkey", "top")
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("idx", "t")))
+      .select(col("o_custkey"), (col("idx") + 1).cast("int").as("rn"),
+        col("t._2").as("o_orderkey"), col("t._1").as("o_totalprice"))
+      .orderBy("o_custkey", "rn")
+  }
+
   /** Fixed-bin histogram: pure-arithmetic bucketing (floor division on
     * literal bounds — no engine-specific width_bucket) + one aggregation.
     * The shape of every distribution dashboard at scale: the map side
@@ -340,6 +362,14 @@ object Analytics {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+    QueryDef("u3_topk_agg", (s, d) => topKAgg(s, d), Some(
+      // identical semantics to w1's window top-3 — intentionally the same
+      // oracle: the aggregator must reproduce the window form exactly
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        |  FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
     QueryDef("a8_histogram", (s, d) => histogram(s, d), Some(
       """SELECT CAST(floor(o_totalprice / 25000.0::DOUBLE) AS INT) AS bucket,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price

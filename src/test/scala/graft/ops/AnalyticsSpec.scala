@@ -100,6 +100,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(n === total)
   }
 
+  test("bounded top-k aggregator reproduces the window top-k exactly, ties to smaller id") {
+    val agg = Analytics.topKAgg(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val win = Relational.windowTopNPerCustomer(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(agg.toSeq == win.toSeq)
+
+    // planted ties: equal scores must order by ascending id through trims
+    val local = graft.functions.TopK(2)
+    val fed = (1L to 100L).foldLeft(local.zero) { (b, i) => local.reduce(b, (5.0, 101L - i)) }
+    assert(local.finish(fed) == Seq((5.0, 1L), (5.0, 2L)))
+
+    // plan: two-phase ObjectHashAggregate — the partial (map-side) phase
+    // must run BEFORE the exchange, so only ≤k pairs per group shuffle
+    val p = Analytics.topKAgg(spark, sf0001).queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"not two-phase:\n$p")
+  }
+
   test("cube includes all four grouping-set shapes") {
     val rows = Analytics.cubeFlags(spark, sf0001).collect()
     val shapes = rows.map(r => (r.isNullAt(0), r.isNullAt(1))).distinct.toSet
