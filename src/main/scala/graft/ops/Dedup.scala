@@ -204,6 +204,27 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Fuzzy string matching via blocked levenshtein — the entity-resolution
+    * primitive (name/title reconciliation). Candidate generation blocks on
+    * a cheap key (here: the last token) so the quadratic edit-distance
+    * scoring runs only within blocks — the same guard-the-self-join
+    * pattern as simhash chunk blocking; an unblocked levenshtein join is
+    * O(n²) and never acceptable at scale. Exact integer distances →
+    * oracle-able (DuckDB's levenshtein is the same classic DP).
+    */
+  def fuzzyNameMatch(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
+    val names = part(s, d).select(col("p_name")).distinct()
+      .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+    val l = names.select(col("blk"), col("p_name").as("name_a"))
+    val r = names.select(col("blk"), col("p_name").as("name_b"))
+    l.join(r, "blk")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= maxDist)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
   /** Connected components over near-dup pairs: the pairs→clusters step
     * every production dedup ends with (pick ONE canonical doc per
     * transitive near-dup family). Edges = [[ngramJaccardPairs]] (exact,
@@ -380,6 +401,14 @@ object Dedup {
         |FROM common
         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("d7_fuzzy_match", (s, d) => fuzzyNameMatch(s, d), Some(
+      """WITH names AS (
+        |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part)
+        |SELECT a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 4
+        |ORDER BY name_a, name_b""".stripMargin)),
     QueryDef("d6_dedup_clusters", (s, d) => dedupClusters(s, d), Some(
       // transitive closure by recursive CTE: cluster id = min doc_id
       // reachable over the (undirected) near-dup edge set

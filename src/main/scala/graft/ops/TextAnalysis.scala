@@ -253,6 +253,24 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Consistent (hash-ordered) sampling: per language, the k documents
+    * with the smallest md5(doc_id) — a DETERMINISTIC sample that any
+    * engine reproduces bit-for-bit (unlike RNG-stream sampling, which is
+    * engine-specific — compare [[stratifiedSample]], rows-only). The
+    * standard trick for stable debug/eval subsets: membership depends only
+    * on the key, never on partitioning, row order, or seed streams.
+    */
+  def hashSample(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("hk", "doc_id")
+    documents(s, d)
+      .select(col("lang"), col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"))
+      .orderBy("lang", "rn")
+  }
+
   /** Stratified sampling by language — seeded per-stratum Bernoulli
     * (df.stat.sampleBy), the standard rebalancing step before training.
     * Engine-specific RNG stream → rows-only; per-stratum fractions are
@@ -351,6 +369,12 @@ object TextAnalysis {
         |SELECT a.doc_id, round(ttf, 6) AS top_token_frac,
         |  round(utr, 6) AS unique_token_ratio, round(dtf, 6) AS dup_trigram_frac
         |FROM agg a JOIN trif t ON a.doc_id = t.doc_id ORDER BY a.doc_id""".stripMargin)),
+    QueryDef("t10_hash_sample", (s, d) => hashSample(s, d), Some(
+      """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 3 ORDER BY lang, rn""".stripMargin)),
     QueryDef("t9_contamination", (s, d) => contamination(s, d), Some(
       """WITH docs AS (
         |  SELECT doc_id,

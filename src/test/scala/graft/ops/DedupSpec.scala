@@ -107,6 +107,20 @@ class DedupSpec extends SparkSpec {
       s"clusters: $clusters")
   }
 
+  test("fuzzy match: close names pair within block, far names and cross-block don't") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_fz").toString
+    Seq((1L, "red bolt", "Brand#1", "t", 1, "c", 1.0),
+      (2L, "ted bolt", "Brand#1", "t", 1, "c", 1.0),   // dist 1 from red bolt
+      (3L, "yellow bolt", "Brand#1", "t", 1, "c", 1.0), // dist 5 from red bolt: too far
+      (4L, "red gear", "Brand#1", "t", 1, "c", 1.0))   // other block, never compared
+      .toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_container", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Dedup.fuzzyNameMatch(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(got == Set(("red bolt", "ted bolt", 1)), s"pairs: $got")
+  }
+
   test("embedding near-dup finds planted near-identical vectors") {
     val dir = Files.createTempDirectory("graft_emb").toString
     val v0 = Array.tabulate(8)(i => math.sin(i + 1).toFloat)

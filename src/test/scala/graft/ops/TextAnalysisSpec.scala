@@ -96,6 +96,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n0 == direct)
   }
 
+  test("hash sample is deterministic and partition-invariant") {
+    val a = TextAnalysis.hashSample(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    // independent recomputation: per lang, 3 smallest (md5(id), id) pairs
+    val want = graft.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (lang, ds) =>
+        ds.map { case (_, id) =>
+          (java.security.MessageDigest.getInstance("MD5")
+            .digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString, id)
+        }.sorted.take(3).zipWithIndex.map { case ((_, id), i) => (lang, i + 1, id) }
+      }.sortBy(t => (t._1, t._2))
+    assert(a == want)
+  }
+
   test("language ID: planted texts route to the right language") {
     // (the sf corpora label langs randomly over English-ish tokens, so
     // label-accuracy there is meaningless — behavior is pinned on text
