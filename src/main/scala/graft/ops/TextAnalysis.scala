@@ -253,6 +253,30 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sequence packing for pretraining batch construction: documents are
+    * laid out in a stable order (doc_id within language) and assigned to
+    * fixed-token-budget training sequences by cumulative token offset —
+    * `seq_id = floor(start_offset / budget)`. One window pass, fully
+    * deterministic, so shards can be built independently per partition
+    * and reproduced by any engine (oracled). The greedy never-split
+    * variant needs per-bin running state; the offset-chunk form is the
+    * standard distributed approximation.
+    */
+  def sequencePacking(s: SparkSession, d: String, budget: Double = 8192.0): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget)).cast("bigint"))
+      .select("lang", "doc_id", "n_tokens", "seq_id")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Consistent (hash-ordered) sampling: per language, the k documents
     * with the smallest md5(doc_id) — a DETERMINISTIC sample that any
     * engine reproduces bit-for-bit (unlike RNG-stream sampling, which is
@@ -369,6 +393,16 @@ object TextAnalysis {
         |SELECT a.doc_id, round(ttf, 6) AS top_token_frac,
         |  round(utr, 6) AS unique_token_ratio, round(dtf, 6) AS dup_trigram_frac
         |FROM agg a JOIN trif t ON a.doc_id = t.doc_id ORDER BY a.doc_id""".stripMargin)),
+    QueryDef("p2_sequence_packing", (s, d) => sequencePacking(s, d), Some(
+      """SELECT lang, doc_id, n_tokens,
+        |  CAST(floor((cum - n_tokens) / 8192.0::DOUBLE) AS BIGINT) AS seq_id
+        |FROM (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    sum(CAST(len(string_split(text, ' ')) AS BIGINT)) OVER (
+        |      PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |ORDER BY lang, doc_id""".stripMargin)),
     QueryDef("t10_hash_sample", (s, d) => hashSample(s, d), Some(
       """SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -52,4 +52,19 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.corpusPipeline(spark, singletonDir)
       .collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
+
+  test("round-2 ops degrade cleanly on empty and singleton corpora") {
+    assert(Dedup.dedupClusters(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.contamination(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.repetitionSignals(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.vocabTopK(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.sequencePacking(spark, emptyDir).count() == 0)
+    // singleton: one cluster mapping the doc to itself; doc 0 is the
+    // benchmark slice (0 % 50 == 0) so contamination output is empty
+    assert(Dedup.dedupClusters(spark, singletonDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 0L)))
+    assert(TextAnalysis.contamination(spark, singletonDir).count() == 0)
+    assert(TextAnalysis.sequencePacking(spark, singletonDir).collect()
+      .map(r => (r.getLong(1), r.getLong(3))).toSeq == Seq((0L, 0L)))
+  }
 }

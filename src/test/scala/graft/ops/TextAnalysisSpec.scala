@@ -96,6 +96,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(n0 == direct)
   }
 
+  test("sequence packing assigns bins by cumulative start offset") {
+    val dir = Files.createTempDirectory("graft_pack").toString
+    // token counts 3, 4, 3, 2 in one lang; budget 6 ⇒ starts 0,3,7,10 ⇒
+    // bins 0,0,1,1
+    Seq(
+      (0L, "a b c", "en", "x"),
+      (1L, "d e f g", "en", "x"),
+      (2L, "h i j", "en", "x"),
+      (3L, "k l", "en", "x"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.sequencePacking(spark, dir, budget = 6.0).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 3L, 0L), (1L, 4L, 0L), (2L, 3L, 1L), (3L, 2L, 1L)))
+  }
+
   test("hash sample is deterministic and partition-invariant") {
     val a = TextAnalysis.hashSample(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
