@@ -216,6 +216,23 @@ object Analytics {
       .orderBy("column")
   }
 
+  /** Sliding event-time window aggregation via a RANGE frame: per
+    * customer, the 30-day trailing revenue at each order. RANGE frames
+    * are value-based, so tied order dates share one frame — no
+    * total-order requirement (unlike ROWS running sums) and the result is
+    * deterministic by construction. The time axis is epoch days (Spark's
+    * rangeBetween is numeric); one shuffle + sort per partition key.
+    */
+  def slidingRevenue(s: SparkSession, d: String, windowDays: Int = 30): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+      .rangeBetween(-windowDays.toLong, 0L)
+    orders(s, d)
+      .withColumn("day", datediff(col("o_orderdate"), lit("1990-01-01")).cast("long"))
+      .withColumn("rev30", round(sum("o_totalprice").over(w), 2))
+      .select("o_custkey", "o_orderkey", "day", "rev30")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** Top-k per group via the bounded [[graft.functions.TopK]] Aggregator —
     * the scale-path alternative to w1's window row_number: map tasks
     * reduce each group slice to ≤ k pairs BEFORE the shuffle (two-phase
@@ -362,6 +379,14 @@ object Analytics {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
+    QueryDef("w5_sliding_revenue", (s, d) => slidingRevenue(s, d), Some(
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS day,
+        |  round(sum(o_totalprice) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |    RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS rev30
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
     QueryDef("u3_topk_agg", (s, d) => topKAgg(s, d), Some(
       // identical semantics to w1's window top-3 — intentionally the same
       // oracle: the aggregator must reproduce the window form exactly
