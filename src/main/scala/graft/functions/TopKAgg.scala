@@ -21,9 +21,17 @@ import org.apache.spark.sql.expressions.Aggregator
 final case class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0)
 
-  // descending score, ascending id — the window's (DESC score, ASC id)
-  private def ord: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, i) => (-s, i) }
+  // descending score, ascending id — Spark's (DESC score, ASC id) window
+  // order exactly: NaN ranks above +Inf (Double.compare semantics) and
+  // -0.0 is collapsed to 0.0 first (SQL ordering treats them equal, so the
+  // id tiebreak must apply); a naive Ordering.by(-s) gets both wrong
+  private def norm(s: Double): Double = if (s == 0.0) 0.0 else s
+  private def ord: Ordering[(Double, Long)] = new Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(norm(b._1), norm(a._1))
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
 
   private def trim(buf: List[(Double, Long)]): List[(Double, Long)] =
     if (buf.lengthCompare(2 * k) > 0) buf.sorted(ord).take(k) else buf

@@ -212,11 +212,19 @@ object Dedup {
     * O(n²) and never acceptable at scale. Exact integer distances →
     * oracle-able (DuckDB's levenshtein is the same classic DP).
     */
-  def fuzzyNameMatch(s: SparkSession, d: String, maxDist: Int = 4): DataFrame = {
+  def fuzzyNameMatch(s: SparkSession, d: String, maxDist: Int = 4,
+      maxBlock: Int = 1000): DataFrame = {
     val names = part(s, d).select(col("p_name")).distinct()
       .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-    val l = names.select(col("blk"), col("p_name").as("name_a"))
-    val r = names.select(col("blk"), col("p_name").as("name_b"))
+    // block-size cap — the same skew guard as simhash chunk blocking: a
+    // hot block (many names sharing the key) would otherwise go quadratic;
+    // capped blocks are skipped, never sampled, so results stay
+    // deterministic and the oracle mirrors the cap
+    val smallBlocks = names.groupBy("blk").count()
+      .filter(col("count") <= maxBlock).drop("count")
+    val bounded = names.join(smallBlocks, "blk")
+    val l = bounded.select(col("blk"), col("p_name").as("name_a"))
+    val r = bounded.select(col("blk"), col("p_name").as("name_b"))
     l.join(r, "blk")
       .filter(col("name_a") < col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
@@ -403,10 +411,12 @@ object Dedup {
         |ORDER BY doc_a, doc_b""".stripMargin)),
     QueryDef("d7_fuzzy_match", (s, d) => fuzzyNameMatch(s, d), Some(
       """WITH names AS (
-        |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part)
+        |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part),
+        |small AS (SELECT blk FROM names GROUP BY blk HAVING count(*) <= 1000),
+        |bounded AS (SELECT names.* FROM names JOIN small USING (blk))
         |SELECT a.p_name AS name_a, b.p_name AS name_b,
         |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-        |FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+        |FROM bounded a JOIN bounded b ON a.blk = b.blk AND a.p_name < b.p_name
         |WHERE levenshtein(a.p_name, b.p_name) <= 4
         |ORDER BY name_a, name_b""".stripMargin)),
     QueryDef("d6_dedup_clusters", (s, d) => dedupClusters(s, d), Some(

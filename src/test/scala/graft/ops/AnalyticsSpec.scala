@@ -116,6 +116,37 @@ class AnalyticsSpec extends SparkSpec {
     // must run BEFORE the exchange, so only ≤k pairs per group shuffle
     val p = Analytics.topKAgg(spark, sf0001).queryExecution.executedPlan.toString
     assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, s"not two-phase:\n$p")
+
+    // Spark DESC-order corner semantics: NaN ranks above +Inf, and -0.0
+    // ties 0.0 (id tiebreak applies, not sign ordering)
+    val nk = graft.functions.TopK(2)
+    val withNaN = Seq((1.0, 1L), (Double.NaN, 5L), (2.0, 2L))
+      .foldLeft(nk.zero)(nk.reduce)
+    val fin = nk.finish(withNaN)
+    assert(fin.head._2 == 5L && fin.head._1.isNaN, s"NaN must rank first: $fin")
+    assert(fin(1) == ((2.0, 2L)))
+    val zeros = Seq((0.0, 9L), (-0.0, 3L)).foldLeft(nk.zero)(nk.reduce)
+    assert(nk.finish(zeros).map(_._2) == Seq(3L, 9L), "signed zeros tie → id order")
+  }
+
+  test("sliding 30-day revenue matches a naive per-row replay") {
+    val rows = graft.Tables.orders(spark, sf0001)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).cast("long").as("day"),
+        col("o_totalprice"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byCust = rows.groupBy(_._1)
+    val want = rows.map { case (c, o, day, _) =>
+      val sum = byCust(c).filter(t => t._3 >= day - 30 && t._3 <= day).map(_._4).sum
+      (c, o, day) -> BigDecimal(sum).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = Analytics.slidingRevenue(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3)).toMap
+    assert(got.size == want.size)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-6, s"$k: got $v want ${want(k)}")
+    }
   }
 
   test("cube includes all four grouping-set shapes") {

@@ -119,6 +119,9 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.fuzzyNameMatch(spark, dir).collect()
       .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
     assert(got == Set(("red bolt", "ted bolt", 1)), s"pairs: $got")
+
+    // block cap: with maxBlock=1 the 3-name "bolt" block is skipped whole
+    assert(Dedup.fuzzyNameMatch(spark, dir, maxBlock = 1).count() == 0)
   }
 
   test("embedding near-dup finds planted near-identical vectors") {
