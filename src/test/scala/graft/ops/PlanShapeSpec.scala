@@ -39,6 +39,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("contamination: benchmark side broadcasts into a semi join") {
+    val p = plan("t9_contamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"t9 lost the broadcast semi join:\n$p")
+  }
+
+  test("funnel: windows and per-user collapse share one data shuffle") {
+    val p = plan("e3_funnel")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    // one user_id exchange; the final single-row rollup is SinglePartition
+    assert(exchanges == 1, s"funnel grew extra shuffles ($exchanges):\n$p")
+  }
+
   test("partition pruning: src2 scan reads one partition") {
     val p = plan("src2_partitioned_pruning")
     assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
