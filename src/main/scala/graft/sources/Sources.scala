@@ -80,6 +80,31 @@ object Sources {
       .orderBy("l_returnflag")
   }
 
+  /** CSV sink + scan under adversarial content: embedded delimiters,
+    * quotes, newlines, and backslashes round-trip through RFC-4180
+    * double-quote escaping (escape = quote char) with a multiLine read.
+    * The default `\`-escape + single-line read silently corrupts exactly
+    * this content — the classic source-layer data-loss trap. The oracle
+    * recomputes from the base table, so any corruption hash-mismatches.
+    */
+  def csvEscapingRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Tables.scratchDir("graft_csvesc", d)
+    nation(s, d)
+      .select(col("n_nationkey"),
+        concat(col("n_name"), lit(", \"x\"\nline\\2")).as("tricky"))
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(tmp)
+    s.read
+      .schema("n_nationkey BIGINT, tricky STRING")
+      .option("header", "true").option("escape", "\"").option("multiLine", "true")
+      .csv(tmp)
+      .select(col("n_nationkey"),
+        length(col("tricky")).cast("int").as("n_len"),
+        md5(col("tricky")).as("tricky_md5"))
+      .orderBy("n_nationkey")
+  }
+
   private[graft] def bucketTableNames(d: String): (String, String) = {
     val tag = Tables.scratchTag(d)
     (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
@@ -130,6 +155,11 @@ object Sources {
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src5_csv_escaping", csvEscapingRoundtrip, Some(
+      """SELECT n_nationkey,
+        |  CAST(length(n_name || ', "x"' || chr(10) || 'line\2') AS INT) AS n_len,
+        |  md5(n_name || ', "x"' || chr(10) || 'line\2') AS tricky_md5
+        |FROM nation ORDER BY n_nationkey""".stripMargin)),
     QueryDef("src4_orc_roundtrip", orcRoundtrip, Some(
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
         |  count(DISTINCT l_suppkey) AS n_supp
