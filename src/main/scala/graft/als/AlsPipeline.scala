@@ -213,9 +213,12 @@ object AlsPipeline {
     * factor artifacts (no refit, no model object) — the query a
     * recommender actually answers. Shape: the user slice is the small
     * broadcast side against one narrow scan of the item factors; scoring
-    * is the native codegen'd dot kernel; per-user top-k via window
-    * row_number. At full scale swap the user slice for the request batch —
-    * the plan is unchanged.
+    * is the native codegen'd dot kernel; per-user top-k via the bounded
+    * [[graft.functions.TopK]] Aggregator, so each map task reduces its
+    * slice of the scored (user × item) grid to ≤ k pairs BEFORE the
+    * shuffle — O(batch·k) shuffled rows, not O(batch·|items|), and no
+    * global sort. At full scale swap the user slice for the request
+    * batch — the plan is unchanged.
     */
   def alsRecommend(s: SparkSession, d: String, numUsers: Int = 20, k: Int = 10): DataFrame = {
     val a = artifacts(s, d)
@@ -223,13 +226,12 @@ object AlsPipeline {
       .select(col("id").as("user"), col("features").as("ufeat"))
     val mf = s.read.parquet(s"${a.dir}/M")
       .select(col("id").as("item"), col("features").as("mfeat"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("user").orderBy(desc("score"), asc("item"))
-    mf.crossJoin(broadcast(uf))
+    val scored = mf.crossJoin(broadcast(uf))
       .withColumn("score", graft.functions.ArraySim.dotNative(col("ufeat"), col("mfeat")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("user"), col("rank"), col("item"), round(col("score"), 6).as("score"))
+    graft.functions.TopK.perGroup(scored, "user", "score", "item", k)
+      // factor ids are INT; re-cast at the (batch·k)-sized output
+      .select(col("user").cast("int").as("user"), col("rank"),
+        col("item").cast("int").as("item"), round(col("score"), 6).as("score"))
       .orderBy("user", "rank")
   }
 

@@ -18,6 +18,37 @@ import org.apache.spark.sql.expressions.Aggregator
   * Results are EXACTLY the window form's for any k (same total order),
   * which is how the declared query is oracled.
   */
+object TopK {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Bounded per-group top-k as a reusable plan fragment: ranks `id` by
+    * `score` (desc, ties → smaller id) within each `group` and keeps the
+    * k best — the ObjectHashAggregate form every serving/ranking path in
+    * the engine routes through instead of a `row_number` window, so the
+    * shuffle carries O(groups·k) pairs, not every scored row, and no
+    * group is ever globally sorted. Output columns, in order:
+    * (`group` LONG, `rankCol` INT 1-based, `id` LONG, `score` DOUBLE);
+    * callers re-cast narrow key types at the (groups·k)-sized output.
+    * Result order within a group is EXACTLY the window form's, so
+    * window-based oracles stay valid.
+    */
+  def perGroup(df: DataFrame, group: String, score: String, id: String,
+      k: Int, rankCol: String = "rank"): DataFrame = {
+    val s = df.sparkSession
+    import s.implicits._
+    df.select(col(group).cast("long"), col(score).cast("double"), col(id).cast("long"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues { case (_, sc, i) => (sc, i) }
+      .agg(TopK(k).toColumn.name("top"))
+      .toDF(group, "top")
+      .select(col(group), posexplode(col("top")).as(Seq("idx", "t")))
+      .select(col(group), (col("idx") + 1).cast("int").as(rankCol),
+        col("t._2").as(id), col("t._1").as(score))
+  }
+}
+
 final case class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], Seq[(Double, Long)]] {
   require(k > 0)
 

@@ -240,20 +240,11 @@ object Analytics {
     * and no global sort happens. Same total order as the window form
     * (score desc, id asc) → oracled with w1's own SQL.
     */
-  def topKAgg(s: SparkSession, d: String, k: Int = 3): DataFrame = {
-    import s.implicits._
-    val grouped = orders(s, d)
-      .select(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
-      .as[(Long, Double, Long)]
-      .groupByKey(_._1)
-      .mapValues { case (_, price, key) => (price, key) }
-      .agg(graft.functions.TopK(k).toColumn.name("top"))
-    grouped.toDF("o_custkey", "top")
-      .select(col("o_custkey"), posexplode(col("top")).as(Seq("idx", "t")))
-      .select(col("o_custkey"), (col("idx") + 1).cast("int").as("rn"),
-        col("t._2").as("o_orderkey"), col("t._1").as("o_totalprice"))
+  def topKAgg(s: SparkSession, d: String, k: Int = 3): DataFrame =
+    graft.functions.TopK.perGroup(
+      orders(s, d).select(col("o_custkey"), col("o_totalprice"), col("o_orderkey")),
+      "o_custkey", "o_totalprice", "o_orderkey", k, rankCol = "rn")
       .orderBy("o_custkey", "rn")
-  }
 
   /** Fixed-bin histogram: pure-arithmetic bucketing (floor division on
     * literal bounds — no engine-specific width_bucket) + one aggregation.

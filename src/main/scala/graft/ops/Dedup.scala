@@ -249,12 +249,48 @@ object Dedup {
     */
   def dedupClusters(s: SparkSession, d: String, maxRounds: Int = 20): DataFrame = {
     val p = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val edges = p.union(p.select(col("doc_b"), col("doc_a")))
+    val nodes = documents(s, d).select(col("doc_id"))
+    connectedComponents(nodes, p.toDF("a", "b"), maxRounds)
+      .orderBy("doc_id")
+  }
+
+  /** The iterative min-label/pointer-jumping core of [[dedupClusters]],
+    * over an explicit undirected edge list (a, b) and node set (doc_id).
+    *
+    * Iteration cadence — the two costs a naive loop pays per round and
+    * this one doesn't:
+    *   - LINEAGE: each round's plan references the previous round's TWICE
+    *     (the pointer-jumping self-join), and Catalyst analyzes the plan
+    *     as a tree, not a DAG — so planning cost grows ~4× per round and
+    *     a 12-round loop would re-plan millions of nodes.
+    *     `localCheckpoint()` every [[CheckpointEvery]] rounds truncates
+    *     the logical plan to the materialized blocks (executor-local, no
+    *     reliable-storage round trip needed: the loop is
+    *     driver-synchronous and a lost executor just fails the job the
+    *     way any cached iterative job fails), bounding per-round planning
+    *     at 4^CheckpointEvery over a LogicalRDD leaf. The RESULT is also
+    *     checkpointed — one cheap pass over already-cached blocks — so
+    *     consumers compose it downstream against a leaf, not the loop's
+    *     plan history.
+    *   - ACTIONS: a convergence `count()` is a full extra job, so it runs
+    *     only every 2nd round; propagation is monotone (labels only ever
+    *     decrease), so one potentially-redundant extra round is idempotent
+    *     and a "no change since the previous round" observation at ANY
+    *     round proves convergence.
+    */
+  private val CheckpointEvery = 3
+  private[ops] def connectedComponents(nodes: DataFrame, undirected: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val edges = undirected.union(undirected.select(col("b"), col("a")))
       .toDF("a", "b").cache()
-    var labels = documents(s, d)
-      .select(col("doc_id"), col("doc_id").as("label")).cache()
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
     var changed = 1L
     var round = 0
+    // superseded rounds' caches; released only once the CURRENT round is
+    // known materialized (checkpoint or count) — unpersisting a parent of
+    // a still-lazy child would force the child to recompute from the last
+    // checkpoint
+    var retired = List.empty[DataFrame]
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("a") === labels("doc_id"))
         .select(edges("b").as("doc_id"), col("label"))
@@ -264,14 +300,21 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // pointer jumping: adopt the label's own label (path halving)
       val parents = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
+      val prev = labels
+      round += 1
       val next = stepped.join(parents, stepped("label") === parents("pid"), "left")
         .select(col("doc_id"), coalesce(col("plabel"), col("label")).as("label"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist(blocking = false)
-      labels = next
-      round += 1
+      labels =
+        if (round % CheckpointEvery == 0) next.localCheckpoint() // eager; truncates lineage
+        else next.cache()
+      retired ::= prev
+      if (round % 2 == 0 || round >= maxRounds)
+        changed = labels.join(prev.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).count()
+      if (round % CheckpointEvery == 0 || round % 2 == 0 || round >= maxRounds) {
+        retired.foreach(_.unpersist(blocking = false))
+        retired = Nil
+      }
     }
     edges.unpersist(blocking = false)
     // silent non-convergence would return plausible-but-wrong labels;
@@ -279,8 +322,10 @@ object Dedup {
     // can realistically produce, so treat exhaustion as a hard error
     if (changed > 0)
       throw new IllegalStateException(
-        s"dedupClusters did not converge in $maxRounds rounds ($changed labels still moving)")
-    labels.select(col("doc_id"), col("label").as("cluster_id")).orderBy("doc_id")
+        s"connectedComponents did not converge in $maxRounds rounds ($changed labels still moving)")
+    val out = labels.localCheckpoint() // flat leaf for downstream plans
+    labels.unpersist(blocking = false)
+    out.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** Embedding-cosine near-dup pairs — cell-bucketed EXACT all-pairs.

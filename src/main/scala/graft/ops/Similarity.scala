@@ -44,8 +44,12 @@ object Similarity {
 
   /** Brute-force exact top-k neighbors for a set of query vectors.
     * Query side is tiny → broadcast; corpus side is one narrow scan;
-    * per-query top-k via window row_number (at scale: aggregate partial
-    * top-k per partition before the window — AQE keeps this cheap here).
+    * per-query top-k via the bounded [[graft.functions.TopK]] Aggregator —
+    * map tasks reduce their slice to ≤ k pairs before the shuffle, so
+    * shuffle volume is O(queries·k·partitions), never O(corpus), and no
+    * group is globally sorted. Same total order as a row_number window
+    * (cos desc, n_id asc), which is how the query stays oracled against
+    * the window-form SQL.
     */
   def bruteForceTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10): DataFrame = {
     val e = embeddings(s, d)
@@ -54,9 +58,7 @@ object Similarity {
     val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
     val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("nv")))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    graft.functions.TopK.perGroup(scored, "q_id", "cos", "n_id", k)
       .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rank")
   }
@@ -195,9 +197,9 @@ object Similarity {
     val scored = probes.join(pruned, "cell")
       .filter(col("q_id") =!= col("vec_id"))
       .withColumn("cos", cosine(col("qv"), col("embedding")))
-    val w = Window.partitionBy("q_id").orderBy(desc("cos"), asc("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded top-k, not a window: probed cells can hold O(corpus/nlist)
+    // candidates — the aggregator keeps the rank shuffle at O(queries·k)
+    graft.functions.TopK.perGroup(scored, "q_id", "cos", "vec_id", k)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rank")
   }

@@ -197,4 +197,23 @@ class DedupSpec extends SparkSpec {
     val uncapped = Dedup.simhashPairs(spark, dir, maxBucket = 300).collect()
     assert(uncapped.count(r => r.getLong(0) >= 100L && r.getLong(1) >= 100L) == 200 * 199 / 2)
   }
+
+  test("connected components: 64-doc chain converges with bounded plan lineage") {
+    import spark.implicits._
+    // worst-case diameter for the round budget: one long chain — needs
+    // several pointer-jumping rounds, crossing the checkpoint cadence
+    val nodes = (0L until 64L).toDF("doc_id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+    val rows = cc.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == 64 && rows.forall(_._2 == 0L),
+      s"chain did not collapse to cluster 0: ${rows.filter(_._2 != 0L).take(5).toSeq}")
+    // lineage pin: the result is localCheckpoint'ed, so the FINAL plan is
+    // a LogicalRDD leaf — without in-loop checkpoints the plan text (and
+    // Catalyst's per-round analysis cost) grows ~4× per round (the
+    // pointer-jumping self-join references each round twice; measured
+    // 6895 lines for this fixture before the cadence fix)
+    val depth = cc.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
+    assert(depth < 80, s"final plan grew to $depth lines — lineage not truncated")
+  }
 }

@@ -52,6 +52,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges == 1, s"funnel grew extra shuffles ($exchanges):\n$p")
   }
 
+  test("serving top-k ranks via bounded aggregate, not a window") {
+    // als_recommend scores batch × |items|; a Window would shuffle and
+    // sort every scored row — the TopK Aggregator form shuffles O(k·batch)
+    val p = plan("als_recommend")
+    assert(p.contains("ObjectHashAggregate"),
+      s"als_recommend lost the bounded TopK aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"als_recommend ranks through a full-sort window again:\n$p")
+  }
+
   test("partition pruning: src2 scan reads one partition") {
     val p = plan("src2_partitioned_pruning")
     assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
