@@ -364,10 +364,14 @@ object Dedup {
     * — diagnostic-sized, not data-sized.
     */
   def embeddingNearDupPairs(s: SparkSession, d: String, threshold: Double = 0.35,
-      nlist: Int = 16): DataFrame = {
+      nlist: Int = 0): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
-    val cents = Similarity.fitQuantizer(e, "embedding", nlist)
+    // nlist <= 0 → size cells to the corpus so same-cell blocks stay
+    // ~targetCell² as n grows (see Similarity.adaptiveNlist); exactness
+    // holds for ANY nlist (the triangle-inequality bound is per-pair)
+    val nl = if (nlist > 0) nlist else Similarity.adaptiveNlist(e.count())
+    val cents = Similarity.fitQuantizer(e, "embedding", nl)
     if (cents.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val best = Similarity.assignCell(col("embedding"), cents)
@@ -397,7 +401,7 @@ object Dedup {
       (j, _) <- cents.toSeq if j >= i && radii.contains(j)
       thij = math.acos(math.max(-1.0, math.min(1.0, cosLocal(byCell(i), byCell(j)))))
       if thij - radii(i) - radii(j) <= thetaT + 1e-6 // fp margin, exactness-safe
-    } yield (i.toLong * nlist + j, i, j)
+    } yield (i.toLong * nl + j, i, j)
     val pairs = eligible.toDF("pair_id", "cell_a", "cell_b")
 
     val aSide = assigned.join(broadcast(pairs), col("cell") === col("cell_a"))

@@ -102,6 +102,19 @@ object Similarity {
       .orderBy("q_id", "n_id")
   }
 
+  /** Quantizer cell-count sizing: `nlist = clamp(n / targetCell, 16,
+    * 4096)`. With nlist fixed, cell populations are O(n/nlist) and a
+    * same-cell scoring block is O((n/nlist)²) — quadratic in corpus size;
+    * growing nlist with n keeps the EXPECTED cell near targetCell, so
+    * per-block work stays ~targetCell² no matter how the corpus scales
+    * (hot natural clusters split across cells because k-means allocates
+    * centroids where the mass is). The count the caller feeds this is one
+    * parquet metadata-level count — never a data pass over payload
+    * columns.
+    */
+  private[ops] def adaptiveNlist(n: Long, targetCell: Int = 1024): Int =
+    math.max(16L, math.min(4096L, n / targetCell)).toInt
+
   /** Coarse quantizer fit: seeded KMeans over L2-NORMALIZED vectors
     * (angular k-means: on the unit sphere, euclidean cells == cosine
     * cells), fit on a seeded SAMPLE capped at maxFitRows — quantizer cost
@@ -163,10 +176,14 @@ object Similarity {
     * approximate top-k. Recall vs brute force is pinned in the spec.
     */
   def annIvf(s: SparkSession, d: String,
-      numQueries: Int = 5, k: Int = 10, nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+      numQueries: Int = 5, k: Int = 10, nlist: Int = 0, nprobe: Int = 4): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
-    val cents = fitQuantizer(e, "embedding", nlist)
+    // nlist <= 0 → size cells to the corpus (see adaptiveNlist); probes
+    // then cover nprobe/nlist of the corpus, so recall-sensitive callers
+    // scale nprobe alongside an explicit nlist
+    val nl = if (nlist > 0) nlist else adaptiveNlist(e.count())
+    val cents = fitQuantizer(e, "embedding", nl)
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
     val best = assignCell(col("embedding"), cents)

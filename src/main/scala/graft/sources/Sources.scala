@@ -105,6 +105,38 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** JDBC source/sink round-trip against embedded Derby (on the Spark
+    * classpath) — the in-container stand-in for a networked RDBMS; the
+    * API surface exercised here (partitioned parallel read, predicate
+    * pushdown into the remote WHERE clause) is identical for any JDBC
+    * URL. The read declares partitionColumn/numPartitions so the scan
+    * issues one range-bounded query per partition — at scale THE
+    * difference between one connection dragging the whole table and N
+    * parallel range scans — and the `n_nationkey < 20` filter is pushed
+    * into the remote query (PushedFilters on the JDBCRelation scan,
+    * pinned in SourcesSpec). Embedded Derby is single-JVM, so the write
+    * coalesces to one connection; a networked target takes the parallel
+    * write path unchanged.
+    */
+  def jdbcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val url = s"jdbc:derby:${Tables.scratchDir("graft_derby", d)}/db;create=true"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    nation(s, d)
+      .select("n_nationkey", "n_name", "n_regionkey")
+      .coalesce(1) // embedded derby: one writer connection
+      .write.mode("overwrite").jdbc(url, "nation_rt", props)
+    s.read
+      .option("partitionColumn", "n_nationkey")
+      .option("numPartitions", "3")
+      .option("lowerBound", "0").option("upperBound", "25")
+      .jdbc(url, "nation_rt", props)
+      .filter(col("n_nationkey") < 20)
+      .groupBy("n_regionkey")
+      .agg(count(lit(1)).as("n"), sum("n_nationkey").as("key_sum"))
+      .orderBy("n_regionkey")
+  }
+
   private[graft] def bucketTableNames(d: String): (String, String) = {
     val tag = Tables.scratchTag(d)
     (s"graft_li_bkt_$tag", s"graft_o_bkt_$tag")
@@ -164,6 +196,11 @@ object Sources {
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
         |  count(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src6_jdbc_roundtrip", jdbcRoundtrip, Some(
+      """SELECT n_regionkey, count(*) AS n,
+        |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+        |FROM nation WHERE n_nationkey < 20
         |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -71,6 +71,41 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.3, s"mean recall@10 $r not better than random probing")
   }
 
+  test("adaptive nlist keeps the max cell population bounded as the corpus grows") {
+    import spark.implicits._
+    // planted skew: 20 separated gaussian clusters, one holding 40% of
+    // all points — the regime where a FIXED nlist lets one cell grow
+    // O(n) and its same-cell scoring block grow O(n²)
+    val dim = 8
+    def corpus(n: Int) = {
+      val rnd = new scala.util.Random(11)
+      val centers = Array.fill(20, dim)(rnd.nextGaussian() * 3)
+      (0 until n).map { id =>
+        val c = if (id % 10 < 4) centers(0) else centers(1 + id % 19)
+        (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq)
+      }.toDF("vec_id", "embedding")
+    }
+    def maxCell(n: Int): (Int, Long) = {
+      val df = corpus(n).cache()
+      val nl = Similarity.adaptiveNlist(df.count())
+      val cents = Similarity.fitQuantizer(df, "embedding", nl)
+      val best = Similarity.assignCell(col("embedding"), cents)
+      val m = df.select((lit(0) - best.getField("negcell")).as("cell"))
+        .groupBy("cell").count().agg(max("count")).head().getLong(0)
+      df.unpersist(blocking = false)
+      (nl, m)
+    }
+    val (nl1, m1) = maxCell(16384)
+    val (nl2, m2) = maxCell(65536) // 4× the corpus → 4× the cells
+    assert(nl2 == 4 * nl1, s"nlist did not scale with n: $nl1 -> $nl2")
+    // k-means puts centroids where the mass is, so the 40% cluster is
+    // split across cells and the max cell stays near targetCell at BOTH
+    // sizes instead of growing 4×
+    val bound = 8 * 1024L
+    assert(m1 <= bound, s"max cell $m1 at n=16384 exceeds $bound (nlist=$nl1)")
+    assert(m2 <= bound, s"max cell $m2 at n=65536 exceeds $bound (nlist=$nl2)")
+  }
+
   test("IVF ANN: probe scan prunes bucketed-corpus partitions") {
     val plan = Similarity.annIvf(spark, sf0001).queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[([^\\]]*)\\]".r

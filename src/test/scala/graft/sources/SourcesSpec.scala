@@ -25,4 +25,23 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(viaBuckets == plainCounts)
   }
+
+  test("jdbc scan is range-partitioned and pushes the filter to the database") {
+    Sources.jdbcRoundtrip(spark, sf0001).collect() // materialize the derby db
+    val url = s"jdbc:derby:${graft.Tables.scratchDir("graft_derby", sf0001)}/db"
+    val props = new java.util.Properties()
+    props.setProperty("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    val scan = spark.read
+      .option("partitionColumn", "n_nationkey")
+      .option("numPartitions", "3")
+      .option("lowerBound", "0").option("upperBound", "25")
+      .jdbc(url, "nation_rt", props)
+      .filter(col("n_nationkey") < 20)
+    // 3 partitions → 3 range-bounded remote queries, not 1 full drag
+    assert(scan.rdd.getNumPartitions == 3)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_nationkey"),
+      s"filter not pushed into the remote query:\n$plan")
+    assert(scan.count() == 20)
+  }
 }
