@@ -290,7 +290,35 @@ object Analytics {
         sum("part_n").as("n_rows"))
       .orderBy("l_suppkey")
 
+  /** Wide→long unpivot (the inverse of a7's pivot): melt numeric order
+    * columns into (metric, value) rows, then profile each metric. Uses the
+    * native `unpivot` operator — a Generator (one row in, M out) that
+    * stays narrow and codegen'd; the only shuffle is the final per-metric
+    * aggregate, and unreferenced order columns are pruned at the scan.
+    */
+  def unpivotProfile(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderkey"),
+        col("o_custkey").cast("double").as("o_custkey"),
+        col("o_totalprice"))
+      .unpivot(Array(col("o_orderkey")), Array(col("o_custkey"), col("o_totalprice")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        round(avg("value"), 4).as("avg_value"),
+        round(sum("value"), 2).as("sum_value"))
+      .orderBy("metric")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a10_unpivot", unpivotProfile, Some(
+      """WITH long AS (
+        |  SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'o_totalprice', o_totalprice FROM orders)
+        |SELECT metric, count(*) AS n,
+        |  round(avg(value), 4) AS avg_value,
+        |  round(sum(value), 2) AS sum_value
+        |FROM long GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("a5_cube", cubeFlags, Some(
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -378,6 +378,32 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** Time-series gap fill: the hourly aggregation of [[eventsHourly]]
+    * with MISSING hours materialized as zero rows, per event_type — what
+    * every downstream rolling/forecast computation needs (a rolling mean
+    * over a series with silent holes is wrong, not just incomplete).
+    * Shape at scale: the dense hour grid is generated from each type's
+    * [min, max] span via `sequence` + `explode` — O(types × span) narrow
+    * rows, never a data-sized cross join — then one left join back onto
+    * the aggregated (not raw) series.
+    */
+  def eventsGapFill(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .cache() // feeds both the span computation and the final join
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0d)).as("sum_value"))
+      .orderBy("event_type", "hour")
+  }
+
   /** Sessionization via lag + cumulative conditional sum (30-min gap). */
   def eventsSessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -575,6 +601,19 @@ object Relational {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("e4_gap_fill", eventsGapFill, Some(
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n, round(sum(value), 4) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        |         FROM spans)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(coalesce(hh.n, 0) AS BIGINT) AS n,
+        |  coalesce(hh.sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN hourly hh ON g.event_type = hh.event_type AND g.h = hh.h
+        |ORDER BY 1, 2""".stripMargin)),
     QueryDef("e2_sessionize", eventsSessionize, Some(
       """WITH g AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,

@@ -231,7 +231,25 @@ object TextAnalysis {
     * per doc. The standard pre-training decontamination pass.
     */
   def contamination(s: SparkSession, d: String,
-      benchMod: Long = 50, flagFrac: Double = 0.2): DataFrame = {
+      benchMod: Long = 50, flagFrac: Double = 0.2): DataFrame =
+    contaminationImpl(s, d, benchMod, flagFrac, bloomFpp = None)
+
+  /** [[contamination]] with a Bloom-filter prefilter on the corpus side —
+    * the 100 TB shape. The exact semi-join is only reached by shingles
+    * the sketch says MIGHT be benchmark shingles, so the join input drops
+    * from |corpus shingles| to |true overlap| + fpp·|corpus shingles|; a
+    * benchmark of 10M distinct shingles at 1% fpp is a ~12 MB sketch —
+    * broadcastable to any cluster size, where even the hashed benchmark
+    * shingle TABLE may not be. The exact semi-join then removes the false
+    * positives, so the operator's output is IDENTICAL to [[contamination]]
+    * (same oracle) — sketch for the data reduction, join for exactness.
+    */
+  def bloomContamination(s: SparkSession, d: String,
+      benchMod: Long = 50, flagFrac: Double = 0.2, fpp: Double = 0.01): DataFrame =
+    contaminationImpl(s, d, benchMod, flagFrac, bloomFpp = Some(fpp))
+
+  private def contaminationImpl(s: SparkSession, d: String,
+      benchMod: Long, flagFrac: Double, bloomFpp: Option[Double]): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), array_distinct(Dedup.shingles(col("text"), 3)).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
@@ -239,7 +257,21 @@ object TextAnalysis {
                // corpus side, and the per-doc base below
     val sh = docs.select(col("doc_id"), explode(transform(col("sh"), x => xxhash64(x))).as("shingle"))
     val bench = sh.filter(col("doc_id") % benchMod === 0).select("shingle").distinct()
-    val matched = sh.filter(col("doc_id") % benchMod =!= 0)
+    val corpus = sh.filter(col("doc_id") % benchMod =!= 0)
+    val prefiltered = bloomFpp match {
+      case None => corpus
+      case Some(f) =>
+        val cached = bench.cache()
+        // stat.bloomFilter is one distributed agg; the sketch (driver →
+        // broadcast) is KB–MB, never data-sized
+        val bloom = cached.stat.bloomFilter("shingle", math.max(cached.count(), 1L), f)
+        val bc = s.sparkContext.broadcast(bloom)
+        // UDF justified: sketch probe has no builtin; runs before the
+        // shuffle so the rows it kills never leave the map side
+        val mightContain = udf((h: Long) => bc.value.mightContainLong(h))
+        corpus.filter(mightContain(col("shingle")))
+    }
+    val matched = prefiltered
       .join(bench, Seq("shingle"), "left_semi")
       .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
     docs.filter(col("doc_id") % benchMod =!= 0)
@@ -308,6 +340,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
   }
+
+  /** Shared by t9 and t11: the bloom variant is exact by construction, so
+    * both hash-check against the same DuckDB recomputation.
+    */
+  private val contaminationOracle: String =
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
+      |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
+      |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
+      |      ELSE [text] END) AS sh
+      |  FROM documents),
+      |sized AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM docs),
+      |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sized),
+      |bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 50 = 0),
+      |matched AS (
+      |  SELECT doc_id, count(*) AS n_overlap
+      |  FROM inv JOIN bench USING (shingle)
+      |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+      |SELECT s.doc_id, s.n_sh,
+      |  CAST(COALESCE(m.n_overlap, 0) AS BIGINT) AS n_overlap,
+      |  round(CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS overlap_frac,
+      |  CASE WHEN CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= 0.2::DOUBLE
+      |       THEN 1 ELSE 0 END AS contaminated
+      |FROM sized s LEFT JOIN matched m ON s.doc_id = m.doc_id
+      |WHERE s.doc_id % 50 <> 0
+      |ORDER BY s.doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("t1_token_counts", tokenCounts, Some(
@@ -409,29 +468,13 @@ object TextAnalysis {
         |    row_number() OVER (PARTITION BY lang
         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |  FROM documents) WHERE rn <= 3 ORDER BY lang, rn""".stripMargin)),
-    QueryDef("t9_contamination", (s, d) => contamination(s, d), Some(
-      """WITH docs AS (
-        |  SELECT doc_id,
-        |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
-        |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
-        |             i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])
-        |      ELSE [text] END) AS sh
-        |  FROM documents),
-        |sized AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_sh, sh FROM docs),
-        |inv AS (SELECT doc_id, unnest(sh) AS shingle FROM sized),
-        |bench AS (SELECT DISTINCT shingle FROM inv WHERE doc_id % 50 = 0),
-        |matched AS (
-        |  SELECT doc_id, count(*) AS n_overlap
-        |  FROM inv JOIN bench USING (shingle)
-        |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)
-        |SELECT s.doc_id, s.n_sh,
-        |  CAST(COALESCE(m.n_overlap, 0) AS BIGINT) AS n_overlap,
-        |  round(CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS overlap_frac,
-        |  CASE WHEN CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE) >= 0.2::DOUBLE
-        |       THEN 1 ELSE 0 END AS contaminated
-        |FROM sized s LEFT JOIN matched m ON s.doc_id = m.doc_id
-        |WHERE s.doc_id % 50 <> 0
-        |ORDER BY s.doc_id""".stripMargin)),
+    QueryDef("t9_contamination", (s, d) => contamination(s, d),
+      Some(contaminationOracle)),
+    // t11 is t9 with a bloom prefilter — exact by construction, so it
+    // shares t9's oracle verbatim: the strongest possible statement that
+    // the sketch path loses nothing
+    QueryDef("t11_bloom_contamination", (s, d) => bloomContamination(s, d),
+      Some(contaminationOracle)),
     QueryDef("t8_vocab_topk", (s, d) => vocabTopK(s, d), Some(
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

@@ -105,6 +105,30 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** XML sink + scan round-trip (native `xml` source, in-core since
+    * Spark 4.0). Explicit schema on read — like JSON, XML schema
+    * inference is a full extra pass at scale. The rowTag framing means
+    * the reader splits files on element boundaries, so parallelism is
+    * per-file; at 100 TB, land XML as MANY files (it is not a splittable
+    * format the way parquet is) or convert to columnar at ingest — this
+    * query documents the round-trip contract, not a recommendation to
+    * keep XML as a working format.
+    */
+  def xmlRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val tmp = Tables.scratchDir("graft_xml", d)
+    supplier(s, d)
+      .write.mode("overwrite").format("xml")
+      .option("rootTag", "suppliers").option("rowTag", "supplier")
+      .save(tmp)
+    s.read.format("xml")
+      .schema("s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, s_acctbal DOUBLE")
+      .option("rowTag", "supplier")
+      .load(tmp)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("s_acctbal"), 2).as("acctbal_sum"))
+      .orderBy("s_nationkey")
+  }
+
   /** JDBC source/sink round-trip against embedded Derby (on the Spark
     * classpath) — the in-container stand-in for a networked RDBMS; the
     * API surface exercised here (partitioned parallel read, predicate
@@ -197,6 +221,10 @@ object Sources {
         |  count(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src7_xml_roundtrip", xmlRoundtrip, Some(
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(sum(s_acctbal), 2) AS acctbal_sum
+        |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src6_jdbc_roundtrip", jdbcRoundtrip, Some(
       """SELECT n_regionkey, count(*) AS n,
         |  CAST(sum(n_nationkey) AS BIGINT) AS key_sum

@@ -170,7 +170,35 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Stream-static enrichment: the live event stream joined against a
+    * SLOW dimension (customer segments) read as a plain batch table —
+    * the lookup-table shape of every real-time dashboard. The static
+    * side is broadcast, so each micro-batch is a map-side hash join with
+    * no stream-side shuffle and NO join state kept between batches
+    * (unlike stream-stream joins — the static side is re-resolvable, so
+    * nothing needs buffering); aggregation state is only |segments|
+    * rows. Full replay must equal the batch join+agg — the oracle.
+    */
+  def streamStaticEnrich(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    val stream = s.readStream.schema(schema).parquet(src)
+      .join(broadcast(dim), col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    val qname = "graft_stream_static"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname).orderBy("c_mktsegment")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st6_stream_static_join", streamStaticEnrich, Some(
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st1_windowed_counts", windowedCounts, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value

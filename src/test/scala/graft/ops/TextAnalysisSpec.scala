@@ -144,4 +144,12 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(got == Seq("en", "es", "de", "zh"))
   }
+
+  test("bloom contamination is row-identical to the exact semi-join form") {
+    // exactness contract: the sketch only PREfilters; the exact join
+    // removes its false positives, so outputs must match bit-for-bit
+    val exact = TextAnalysis.contamination(spark, sf0001).collect().map(_.toSeq).toSeq
+    val bloom = TextAnalysis.bloomContamination(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(bloom == exact)
+  }
 }

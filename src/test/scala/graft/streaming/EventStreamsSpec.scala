@@ -72,6 +72,19 @@ class EventStreamsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("stream-static enrichment equals the batch join+agg") {
+    val streamed = EventStreams.streamStaticEnrich(spark, sf0001).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val batch = graft.Tables.events(spark, sf0001)
+      .join(graft.Tables.customer(spark, sf0001),
+        col("user_id") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed == batch)
+  }
+
   test("session windows: per-user session counts equal batch sessionization") {
     val streamed = EventStreams.sessionWindows(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
