@@ -309,7 +309,32 @@ object Analytics {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("metric")
 
+  /** Key-skew diagnostic: the report you run BEFORE choosing a join/agg
+    * strategy at scale — per-key row counts for the heaviest keys, each
+    * with its share of the table and its multiple of the mean key. One
+    * grouped count, one single-row global (broadcast), a bounded top-k.
+    * A key at 100× the mean is the signal to salt (u2) or lean on AQE
+    * skew-join; this makes that decision data-driven instead of folklore.
+    */
+  def keySkew(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val counts = lineitem(s, d).groupBy("l_suppkey").agg(count(lit(1)).as("n"))
+    val global = counts.agg(
+      sum("n").cast("double").as("total"), avg("n").as("mean_n"))
+    counts.crossJoin(broadcast(global))
+      .select(col("l_suppkey"), col("n"),
+        round(col("n") / col("total"), 6).as("share"),
+        round(col("n") / col("mean_n"), 4).as("x_mean"))
+      .orderBy(desc("n"), asc("l_suppkey"))
+      .limit(k)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("prof2_key_skew", (s, d) => keySkew(s, d), Some(
+      """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS DOUBLE) AS total, avg(n) AS mean_n FROM c)
+        |SELECT l_suppkey, n, round(n / total, 6) AS share,
+        |  round(n / mean_n, 4) AS x_mean
+        |FROM c, g ORDER BY n DESC, l_suppkey LIMIT 10""".stripMargin)),
     QueryDef("a10_unpivot", unpivotProfile, Some(
       """WITH long AS (
         |  SELECT o_orderkey, 'o_custkey' AS metric, CAST(o_custkey AS DOUBLE) AS value FROM orders

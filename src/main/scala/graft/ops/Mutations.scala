@@ -72,7 +72,42 @@ object Mutations {
       .orderBy("o_custkey", "version")
   }
 
+  /** Incremental materialized-rollup maintenance: the pattern that keeps
+    * a 100 TB-backed dashboard fresh without recomputing history. The
+    * hourly rollup over everything before a cutoff is PERSISTED (the
+    * materialized view); new data beyond the cutoff is aggregated alone
+    * (cost ∝ delta, not corpus) and merged by re-aggregating the union of
+    * partials — sound because (count, sum) are algebraic: partial states
+    * combine by addition, so hours straddling the cutoff merge exactly.
+    * The MV stores UNROUNDED partials; rounding happens only at
+    * presentation (rounded partials would not re-combine). Oracle: the
+    * full recompute over all events — incremental must equal it.
+    */
+  def incrementalRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("ts"), col("event_type"), col("value"))
+    // one scalar action to place the cutoff 24h before the newest event —
+    // driver traffic is a single timestamp, never data
+    val mx = ev.agg(max("ts")).head().getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(mx.getTime - 24L * 3600 * 1000)
+    def rollup(df: DataFrame): DataFrame =
+      df.groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("value").as("sum_value"))
+    val mvDir = Tables.scratchDir("graft_mv", d)
+    rollup(ev.filter(col("ts") < lit(cutoff))).write.mode("overwrite").parquet(mvDir)
+    s.read.parquet(mvDir)
+      .unionByName(rollup(ev.filter(col("ts") >= lit(cutoff))))
+      .groupBy("h", "event_type")
+      .agg(sum("n").as("n"), round(sum("sum_value"), 4).as("sum_value"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up3_incremental_rollup", incrementalRollup, Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up1_merge_upsert", ordersUpsert, Some(
       """WITH upd AS (
         |  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,

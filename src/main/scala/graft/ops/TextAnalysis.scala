@@ -341,6 +341,45 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** Exact distributed heavy hitters: all tokens with global count ≥
+    * minCount, WITHOUT shuffling the full distinct-token set.
+    *
+    * Phase 1 (candidates): each partition counts its own slice in a hash
+    * map and emits only tokens with local count ≥ ceil(minCount / P) —
+    * sound by pigeonhole: a token with global count ≥ minCount over P
+    * partitions must clear that bar in at least one, so no true heavy
+    * hitter is lost (the classic distributed-threshold bound).
+    * Phase 2 (verify): exact counts for candidate tokens only, via a
+    * broadcast semi-join — candidates are near-heavy tokens, a set
+    * orders of magnitude smaller than the vocabulary, so the only
+    * aggregation shuffle carries candidates, not every distinct token.
+    * `mapPartitions` is justified here: phase 1 is genuine per-partition
+    * imperative logic (a bounded local frequency map) that no built-in
+    * expresses.
+    *
+    * The vocabulary-pruning / boilerplate-token pass of a corpus
+    * pipeline — and the candidate trick is what makes it run at 100 TB.
+    */
+  def heavyHitters(s: SparkSession, d: String, minCount: Long = 500): DataFrame = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .as[String]
+      .cache() // two passes: candidate generation + exact verify
+    val p = math.max(1, toks.rdd.getNumPartitions)
+    val localBar = (minCount + p - 1) / p // ceil(minCount / P)
+    val candidates = toks.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+      m.iterator.collect { case (t, c) if c >= localBar => t }
+    }.distinct().toDF("token")
+    toks.toDF("token")
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), asc("token"))
+  }
+
   /** Shared by t9 and t11: the bloom variant is exact by construction, so
     * both hash-check against the same DuckDB recomputation.
     */
@@ -475,6 +514,11 @@ object TextAnalysis {
     // the sketch path loses nothing
     QueryDef("t11_bloom_contamination", (s, d) => bloomContamination(s, d),
       Some(contaminationOracle)),
+    QueryDef("t12_heavy_hitters", (s, d) => heavyHitters(s, d), Some(
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token HAVING count(*) >= 500
+        |ORDER BY n DESC, token""".stripMargin)),
     QueryDef("t8_vocab_topk", (s, d) => vocabTopK(s, d), Some(
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
