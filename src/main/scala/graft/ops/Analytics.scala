@@ -309,6 +309,27 @@ object Analytics {
         round(sum("value"), 2).as("sum_value"))
       .orderBy("metric")
 
+  /** Gaps-and-islands: per customer, the longest streak of CONSECUTIVE
+    * order days. The classic trick — `day − row_number()` is constant
+    * exactly within a consecutive run, so runs become group keys — turns
+    * an order-dependent sequential scan into two grouped aggregations
+    * over one window pass: everything shuffles once on the customer key
+    * and composes with partial aggregation. The sequential-looking
+    * computation a naive port would write as a per-key loop.
+    */
+  def longestStreak(s: SparkSession, d: String): DataFrame = {
+    val days = orders(s, d)
+      .select(col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1990-01-01")).as("day"))
+      .distinct()
+    val w = Window.partitionBy("o_custkey").orderBy("day")
+    days.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy("o_custkey", "grp").agg(count(lit(1)).as("len"))
+      .groupBy("o_custkey")
+      .agg(max("len").as("longest_streak"), sum("len").as("n_active_days"))
+      .orderBy("o_custkey")
+  }
+
   /** Key-skew diagnostic: the report you run BEFORE choosing a join/agg
     * strategy at scale — per-key row counts for the heaviest keys, each
     * with its share of the table and its multiple of the mean key. One
@@ -329,6 +350,19 @@ object Analytics {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("w6_longest_streak", longestStreak, Some(
+      """WITH days AS (
+        |  SELECT DISTINCT o_custkey,
+        |    date_diff('day', TIMESTAMP '1990-01-01', o_orderdate) AS day
+        |  FROM orders),
+        |seq AS (
+        |  SELECT o_custkey, day,
+        |    day - row_number() OVER (PARTITION BY o_custkey ORDER BY day) AS grp
+        |  FROM days),
+        |runs AS (SELECT o_custkey, grp, count(*) AS len FROM seq GROUP BY 1, 2)
+        |SELECT o_custkey, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("prof2_key_skew", (s, d) => keySkew(s, d), Some(
       """WITH c AS (SELECT l_suppkey, count(*) AS n FROM lineitem GROUP BY 1),
         |g AS (SELECT CAST(sum(n) AS DOUBLE) AS total, avg(n) AS mean_n FROM c)

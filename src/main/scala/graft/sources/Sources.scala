@@ -105,6 +105,60 @@ object Sources {
       .orderBy("n_nationkey")
   }
 
+  /** PERMISSIVE CSV scan with corrupt-record capture — the OTHER half of
+    * o1's FAILFAST contract: a 100 TB ingest cannot abort on row 3
+    * billion, it must land bad rows in a quarantine column and keep an
+    * auditable count. Every 5th staged line is deliberately malformed
+    * (non-numeric key); the scan parses good rows and captures bad lines
+    * whole in `_corrupt_record`. The result reports good/bad counts and
+    * a checksum over the good keys — so a parser that silently dropped
+    * or misparsed anything hash-mismatches the oracle.
+    */
+  def csvBadRecords(s: SparkSession, d: String): DataFrame = {
+    val tmp = Tables.scratchDir("graft_badcsv", d)
+    nation(s, d)
+      .select(concat_ws(",",
+        when(col("n_nationkey") % 5 === 0, concat(lit("x"), col("n_nationkey")))
+          .otherwise(col("n_nationkey").cast("string")),
+        col("n_name")).as("value"))
+      .write.mode("overwrite").text(tmp)
+    // cache: Spark refuses filters that touch ONLY the corrupt-record
+    // column on a lazily parsed CSV relation (internal-row aliasing);
+    // materializing first is the documented pattern
+    val parsed = s.read
+      .schema("n_nationkey BIGINT, n_name STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(tmp)
+      .cache()
+    parsed.agg(
+      count(col("n_nationkey")).as("n_good"),
+      count(col("_corrupt_record")).as("n_bad"),
+      sum("n_nationkey").as("good_key_sum"))
+  }
+
+  /** Schema-evolution read: two parquet batches written over the table's
+    * life — an early one WITHOUT the priority column, a later one with
+    * it — unioned by a `mergeSchema` scan that fills pre-evolution rows
+    * with NULL. The drift-tolerant read every long-lived 100 TB dataset
+    * eventually needs; without mergeSchema the scan takes one footer's
+    * schema and silently drops the evolved column from the other batch.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    val tmp = Tables.scratchDir("graft_evo", d)
+    val o = orders(s, d)
+    o.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.mode("overwrite").parquet(s"$tmp/batch1")
+    o.filter(col("o_orderkey") % 2 =!= 0)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.mode("overwrite").parquet(s"$tmp/batch2")
+    s.read.option("mergeSchema", "true").parquet(s"$tmp/batch1", s"$tmp/batch2")
+      .groupBy(coalesce(col("o_orderpriority"), lit("(pre-evolution)")).as("prio"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("prio")
+  }
+
   /** XML sink + scan round-trip (native `xml` source, in-core since
     * Spark 4.0). Explicit schema on read — like JSON, XML schema
     * inference is a full extra pass at scale. The rowTag framing means
@@ -221,6 +275,16 @@ object Sources {
         |  count(DISTINCT l_suppkey) AS n_supp
         |FROM lineitem WHERE l_returnflag <> 'N'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src8_csv_bad_records", csvBadRecords, Some(
+      """SELECT count(CASE WHEN n_nationkey % 5 <> 0 THEN 1 END) AS n_good,
+        |  count(CASE WHEN n_nationkey % 5 = 0 THEN 1 END) AS n_bad,
+        |  CAST(sum(CASE WHEN n_nationkey % 5 <> 0 THEN n_nationkey END) AS BIGINT) AS good_key_sum
+        |FROM nation""".stripMargin)),
+    QueryDef("src9_schema_evolution", schemaEvolution, Some(
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN '(pre-evolution)'
+        |            ELSE o_orderpriority END AS prio,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src7_xml_roundtrip", xmlRoundtrip, Some(
       """SELECT s_nationkey, count(*) AS n,
         |  round(sum(s_acctbal), 2) AS acctbal_sum

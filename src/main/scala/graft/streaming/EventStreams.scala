@@ -194,7 +194,38 @@ object EventStreams {
     s.table(qname).orderBy("c_mktsegment")
   }
 
+  /** foreachBatch sink — the production write path when the destination
+    * is a TABLE, not an append log: each micro-batch runs arbitrary batch
+    * code against the batch's DataFrame. Here the complete-mode aggregate
+    * snapshot overwrites a parquet rollup per batch — overwrite of a
+    * complete snapshot is idempotent, so a batch replayed after a failure
+    * converges to the same files (the exactly-once recipe for sinks with
+    * no transactional log). State stays bounded: |event types| rows. The
+    * declared result reads the rollup BACK from parquet — the oracle sees
+    * what the sink durably wrote, not what the query computed in memory.
+    */
+  def streamForeachBatchRollup(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    val out = Tables.scratchDir("graft_febatch", d)
+    val agg = s.readStream.schema(schema).parquet(src)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("overwrite").parquet(out)
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(out)
+      .select(col("event_type"), col("n"), round(col("sv"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st7_foreachbatch_rollup", streamForeachBatchRollup, Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st6_stream_static_join", streamStaticEnrich, Some(
       """SELECT c_mktsegment, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events JOIN customer ON user_id = c_custkey
