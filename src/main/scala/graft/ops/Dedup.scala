@@ -227,8 +227,11 @@ object Dedup {
     val r = bounded.select(col("blk"), col("p_name").as("name_b"))
     l.join(r, "blk")
       .filter(col("name_a") < col("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= maxDist)
+      // threshold form: the DP early-exits once distance provably exceeds
+      // maxDist (banded O(maxDist·len) per pair, not O(len²)); returns -1
+      // past the bound, so the kept rows carry the exact distance
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("dist") >= 0)
       .select("name_a", "name_b", "dist")
       .orderBy("name_a", "name_b")
   }
