@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -290,6 +290,51 @@ object Analytics {
         sum("part_n").as("n_rows"))
       .orderBy("l_suppkey")
 
+  /** Salted equi-join — the skewed-JOIN mitigation completing the skew
+    * triad: prof2 diagnoses, u2 salts an aggregation, this salts a join.
+    * The fact side gets a salt in [0, numSalts) (caller-supplied
+    * expression — derived from a non-key fact column so a hot key's rows
+    * spread over numSalts reducers; NEVER from the key itself, which
+    * would re-collapse them); the dim side is exploded numSalts× so every
+    * (key, salt) pair still finds its dim row. Join on (key, salt) is
+    * then provably row-identical to the plain join on key, but the
+    * biggest shuffle partition shrinks by ~numSalts for the hot key. The
+    * shuffle_hash hint keeps the demo honest: salting is the tool for
+    * exactly the case where the dim is too big to broadcast (AQE
+    * skew-join covers sort-merge after the fact; salting fixes the
+    * partition layout up front).
+    */
+  def saltedEquiJoin(fact: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, salt: Column, numSalts: Int): DataFrame = {
+    val sf = fact.withColumn("__salt_f", pmod(salt, lit(numSalts)).cast("int"))
+    val sd = dim.withColumn("__salt_d",
+      explode(sequence(lit(0), lit(numSalts - 1))))
+    sf.join(sd.hint("shuffle_hash"),
+        sf(factKey) === sd(dimKey) && sf("__salt_f") === sd("__salt_d"))
+      .drop("__salt_f", "__salt_d")
+  }
+
+  /** Declared salted-join query: lineitem with a planted hot foreign key
+    * (every l_orderkey % 3 == 0 row rewires to supplier 1 → one key owns
+    * ~1/3 of the fact) joined to supplier via [[saltedEquiJoin]]. Salt is
+    * pmod(l_orderkey, 16) — deterministic, key-independent — so the
+    * oracle (DuckDB running the PLAIN join) hash-matching is the proof
+    * that salting changes only the shuffle shape, never the result.
+    */
+  def saltedSkewJoin(s: SparkSession, d: String, numSalts: Int = 16): DataFrame = {
+    val fact = lineitem(s, d).select(
+      when(pmod(col("l_orderkey"), lit(3)) === 0, lit(1L))
+        .otherwise(col("l_suppkey")).as("fk"),
+      col("l_orderkey"), col("l_extendedprice"))
+    val dim = supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    saltedEquiJoin(fact, "fk", dim, "s_suppkey",
+        pmod(col("l_orderkey"), lit(numSalts)), numSalts)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("s_nationkey")
+  }
+
   /** Wide→long unpivot (the inverse of a7's pivot): melt numeric order
     * columns into (metric, value) rows, then profile each metric. Uses the
     * native `unpivot` operator — a Generator (one row in, M out) that
@@ -446,6 +491,14 @@ object Analytics {
       """SELECT l_suppkey, round(sum(l_quantity), 4) AS total_qty,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // oracle is the PLAIN (unsalted) join: hash-match proves the salted
+    // plan is a pure shuffle-shape change
+    QueryDef("j8_salted_join", (s, d) => saltedSkewJoin(s, d), Some(
+      """SELECT s_nationkey, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN supplier
+        |  ON (CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END) = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("w4_window_zoo", windowZoo, Some(
       """SELECT o_orderpriority, o_orderkey,
         |  CAST(ntile(4) OVER w AS INT) AS quartile,

@@ -357,27 +357,80 @@ object TextAnalysis {
     * imperative logic (a bounded local frequency map) that no built-in
     * expresses.
     *
+    * Scale guard: the pigeonhole bar only PRUNES when ceil(minCount / P)
+    * is meaningfully above 1 — at cluster partition counts (P in the
+    * 10⁴–10⁶ range) with a modest minCount the bar rounds to 1, every
+    * distinct token becomes a candidate, and the broadcast ships the
+    * whole vocabulary. When the bar is below [[pigeonholeMinBar]] the
+    * candidate phase is pure overhead, so we fall back to the plain
+    * exact two-level aggregation (map-side partial combine carries one
+    * (token, count) per distinct token per task — the same shuffle the
+    * candidate path's phase 2 would do anyway once it stops pruning).
+    *
     * The vocabulary-pruning / boilerplate-token pass of a corpus
-    * pipeline — and the candidate trick is what makes it run at 100 TB.
+    * pipeline — the candidate trick makes it cheap when minCount ≫ P,
+    * and the guard keeps it correct-and-sane when it isn't.
     */
   def heavyHitters(s: SparkSession, d: String, minCount: Long = 500): DataFrame = {
     import s.implicits._
     val toks = documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))
       .as[String]
-      .cache() // two passes: candidate generation + exact verify
     val p = math.max(1, toks.rdd.getNumPartitions)
     val localBar = (minCount + p - 1) / p // ceil(minCount / P)
-    val candidates = toks.mapPartitions { it =>
+    val exact =
+      if (!pigeonholeBarBites(minCount, p)) {
+        // bar too low to prune: exact two-level aggregation, one pass
+        toks.toDF("token").groupBy("token").agg(count(lit(1)).as("n"))
+      } else {
+        val cached = toks.cache() // two passes: candidates + exact verify
+        val candidates = cached.mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
+          m.iterator.collect { case (t, c) if c >= localBar => t }
+        }.distinct().toDF("token")
+        cached.toDF("token")
+          .join(broadcast(candidates), Seq("token"), "left_semi")
+          .groupBy("token").agg(count(lit(1)).as("n"))
+      }
+    exact
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), asc("token"))
+  }
+
+  /** Minimum useful per-partition pigeonhole bar: below this, the
+    * candidate set approaches the full vocabulary and candidate-broadcast
+    * costs more than it saves. Exposed for the many-partition spec.
+    */
+  val pigeonholeMinBar: Long = 8L
+
+  /** The path decision in [[heavyHitters]]: true iff ceil(minCount / p)
+    * clears [[pigeonholeMinBar]] — i.e. the per-partition bar actually
+    * prunes. Exposed so the spec can pin the cluster-scale regime
+    * (p ≥ minCount → bar = 1 → exact-agg fallback) without driving a
+    * million-partition job.
+    */
+  def pigeonholeBarBites(minCount: Long, p: Int): Boolean =
+    (minCount + p - 1) / math.max(1, p) >= pigeonholeMinBar
+
+  /** Phase-1 candidate count under the pigeonhole bar, for the spec that
+    * pins candidate-set boundedness on a many-partition fixture. Mirrors
+    * [[heavyHitters]]'s candidate phase exactly (no guard — the spec
+    * probes the raw bound's behavior).
+    */
+  def pigeonholeCandidateCount(s: SparkSession, d: String, minCount: Long,
+      numPartitions: Int): Long = {
+    import s.implicits._
+    val toks = documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .as[String]
+      .repartition(numPartitions)
+    val localBar = math.max(1L, (minCount + numPartitions - 1) / numPartitions)
+    toks.mapPartitions { it =>
       val m = scala.collection.mutable.HashMap.empty[String, Long]
       it.foreach(t => m.update(t, m.getOrElse(t, 0L) + 1L))
       m.iterator.collect { case (t, c) if c >= localBar => t }
-    }.distinct().toDF("token")
-    toks.toDF("token")
-      .join(broadcast(candidates), Seq("token"), "left_semi")
-      .groupBy("token").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
-      .orderBy(desc("n"), asc("token"))
+    }.distinct().count()
   }
 
   /** Shared by t9 and t11: the bloom variant is exact by construction, so

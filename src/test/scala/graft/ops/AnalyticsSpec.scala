@@ -154,4 +154,40 @@ class AnalyticsSpec extends SparkSpec {
     val shapes = rows.map(r => (r.isNullAt(0), r.isNullAt(1))).distinct.toSet
     assert(shapes === Set((false, false), (false, true), (true, false), (true, true)))
   }
+
+  test("salted join: equal to plain join, hot key spread ~numSalts ways") {
+    // planted skew: one key owns ~30% of the fact
+    val nFact = 10000
+    val fact = spark.range(nFact.toLong)
+      .select(col("id"),
+        when(pmod(col("id"), lit(10)) < 3, lit(7L))
+          .otherwise(pmod(col("id"), lit(100))).as("k"),
+        (col("id") * 3 % 97).cast("double").as("v"))
+    val dim = spark.range(100).select(col("id").as("dk"),
+      concat(lit("g"), pmod(col("id"), lit(5))).as("grp"))
+    val k = 16
+    val salted = Analytics.saltedEquiJoin(fact, "k", dim, "dk",
+      pmod(col("id"), lit(k)), k)
+    val plain = fact.join(dim, fact("k") === dim("dk"))
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3), r.getString(4))
+    assert(salted.collect().map(key).sortBy(_._1).toSeq ==
+      plain.collect().map(key).sortBy(_._1).toSeq)
+
+    // the salted plan must not sneak a broadcast in (that would make the
+    // salt moot) — the hint pins shuffle-hash
+    val phys = salted.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastHashJoin"), phys.takeWhile(_ != '\n'))
+
+    // shuffle-shape claim: the hot key's biggest (key, salt) cell is
+    // ~1/numSalts of its unsalted row count
+    val hot = fact.filter(col("k") === 7).count()
+    val maxCell = fact
+      .withColumn("salt", pmod(col("id"), lit(k)))
+      .groupBy("k", "salt").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(hot >= nFact * 3 / 10)
+    assert(maxCell <= hot / k * 2,
+      s"hot=$hot spread over $k salts but max cell=$maxCell")
+  }
 }

@@ -152,4 +152,34 @@ class TextAnalysisSpec extends SparkSpec {
     val bloom = TextAnalysis.bloomContamination(spark, sf0001).collect().map(_.toSeq).toSeq
     assert(bloom == exact)
   }
+
+  test("heavy hitters: pigeonhole guard routes degenerate regimes to exact agg") {
+    // the path decision itself: at cluster partition counts the bar
+    // collapses to 1 and the candidate set would be the whole vocabulary
+    assert(TextAnalysis.pigeonholeBarBites(500, 32))       // bar = 16: prunes
+    assert(!TextAnalysis.pigeonholeBarBites(10, 256))      // bar = 1: degenerate
+    assert(!TextAnalysis.pigeonholeBarBites(500, 1000000)) // 100 TB shape
+    // on a many-partition fixture the RAW bound really does explode:
+    // candidates ≈ vocabulary, not ≈ heavy hitters
+    val vocab = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("t")).distinct().count()
+    val trueHH = TextAnalysis.heavyHitters(spark, sf0001, minCount = 10).count()
+    val rawCand = TextAnalysis.pigeonholeCandidateCount(spark, sf0001,
+      minCount = 10, numPartitions = 256)
+    assert(rawCand > vocab / 2,
+      s"raw pigeonhole at P=256,minCount=10 should approach vocab ($vocab), got $rawCand")
+    // ...and in the regime where the bar bites, candidates stay bounded
+    // by a small multiple of the true heavy-hitter count
+    val prunedCand = TextAnalysis.pigeonholeCandidateCount(spark, sf0001,
+      minCount = 500, numPartitions = 4)
+    val hh500 = TextAnalysis.heavyHitters(spark, sf0001, minCount = 500).count()
+    assert(prunedCand <= math.max(1L, hh500) * 8,
+      s"biting bar: $prunedCand candidates vs $hh500 true heavy hitters")
+    // both paths are exact: guarded operator == plain groupBy count
+    val plain = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10).count()
+    assert(trueHH == plain)
+  }
 }
