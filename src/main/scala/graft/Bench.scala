@@ -41,7 +41,30 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // JVM health alongside the timings: a long-lived harness JVM
+    // (metaspace/codecache pressure after dozens of Spark sessions)
+    // inflates late-run queries 20-45% — measured d5 12.5s in a driver
+    // JVM vs 3.2s fresh with identical code. Emitting uptime/metaspace/
+    // codecache/GC makes that inflation visible IN the artifact, so a
+    // cross-round regression can be attributed to code vs harness
+    // without forensics: trust per-query deltas only between runs with
+    // comparable jvm blocks.
+    val jvm = {
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      def poolMb(name: String): Long =
+        ManagementFactory.getMemoryPoolMXBeans.asScala
+          .filter(_.getName.contains(name))
+          .map(_.getUsage.getUsed).sum / (1024 * 1024)
+      val gcSec = ManagementFactory.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum / 1e3
+      val upSec = ManagementFactory.getRuntimeMXBean.getUptime / 1e3
+      val heapMb = ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1024 * 1024)
+      s"""{"uptime_sec":$upSec,"metaspace_mb":${poolMb("Metaspace")},""" +
+        s""""codecache_mb":${poolMb("CodeHeap") max poolMb("Code Cache")},""" +
+        s""""gc_sec":$gcSec,"heap_mb":$heapMb}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"jvm":$jvm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,17 @@ object AlsPipeline {
       seed: Long = 1L,
       blocks: Int = 10)
 
+  /** Data-driven blocks: ~50k ratings per block, clamped to [10, 256].
+    * Makes the measured 10-vs-32-block cliff (23 s vs 60 s at ~500k
+    * ratings — scheduling overhead dominating sub-30-row blocks) a
+    * formula instead of a constant: a 10× SF no longer hits a fixed-10
+    * memory ceiling (each block must hold its factor slice + in-block
+    * ratings), and a tiny SF doesn't over-schedule. The count it needs
+    * is one already-cached pass the pipeline does anyway.
+    */
+  def adaptiveBlocks(nRatings: Long): Int =
+    math.max(10L, math.min(256L, nRatings / 50000L)).toInt
+
   /** O7–O12: alternating solves. coldStartStrategy="drop" is exactly the
     * reference's containsKey guard (ALS.java:460).
     */
@@ -143,9 +154,10 @@ object AlsPipeline {
 
   def artifacts(s: SparkSession, d: String): Artifacts =
     fitted.getOrElseUpdate(d, {
-      val cfg = Config() // the reference configuration, nothing reduced
       val dir = Tables.scratchDir("graft_als", d)
       val ratings = syntheticRatings(s, d).cache()
+      // reference hyperparameters, nothing reduced; blocks sized to data
+      val cfg = Config(blocks = adaptiveBlocks(ratings.count()))
       val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
       train.cache(); probe.cache()
       val before = s.sparkContext.getPersistentRDDs.keySet

@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.Tables
+import graft.{QueryDef, Tables}
 
 /** SQL front-end: registers every test table as a temp view, so a user
   * can type `spark.sql("SELECT ... FROM lineitem")` against the same
@@ -30,4 +30,60 @@ object GraftCatalog {
       }
       df.createOrReplaceTempView(n)
     }
+
+  /** Persistent-catalog table name for `table` over `sfDir` — qualified by
+    * the dataset tag so two SFs never collide in one metastore.
+    */
+  def persistentName(sfDir: String, table: String): String =
+    s"graft_${Tables.scratchTag(sfDir)}_$table".toLowerCase
+
+  /** The cluster shape of [[register]]: `saveAsTable` into the metastore,
+    * so the table DEFINITION (schema + file locations + stats) outlives
+    * the session that created it — any later SparkSession on the same
+    * warehouse sees it by name, which is what lets a fleet of jobs share
+    * one catalog instead of each re-declaring paths. Data is written once
+    * (managed parquet); re-registration drops and rewrites for a
+    * deterministic state. Returns the persistent names.
+    */
+  def registerPersistent(s: SparkSession, sfDir: String,
+      tables: Seq[String]): Map[String, String] =
+    tables.map { n =>
+      val tbl = persistentName(sfDir, n)
+      s.sql(s"DROP TABLE IF EXISTS $tbl") // managed: drops data too
+      // a PREVIOUS JVM's managed location survives the (in-memory)
+      // catalog that knew about it; CREATE validates the location and
+      // would refuse — remove the orphan so re-registration is
+      // idempotent across restarts, not just across sessions
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), tbl)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Tables.table(s, sfDir, n).write.saveAsTable(tbl)
+      n -> tbl
+    }.toMap
+
+  /** Declared query over the PERSISTENT catalog: verbatim SQL against
+    * saveAsTable-backed tables (not temp views). The SQL itself is the
+    * user surface; the oracle recomputes it over the raw parquet, so a
+    * hash-match proves metastore round-tripping loses nothing.
+    */
+  def persistentCatalogSql(s: SparkSession, d: String): DataFrame = {
+    val t = registerPersistent(s, d, Seq("supplier", "nation", "region"))
+    s.sql(
+      s"""SELECT r_name, count(*) AS n_suppliers,
+         |  round(sum(s_acctbal), 2) AS total_bal
+         |FROM ${t("supplier")}
+         |JOIN ${t("nation")} ON s_nationkey = n_nationkey
+         |JOIN ${t("region")} ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat1_persistent_sql", persistentCatalogSql, Some(
+      """SELECT r_name, count(*) AS n_suppliers,
+        |  round(sum(s_acctbal), 2) AS total_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)))
 }

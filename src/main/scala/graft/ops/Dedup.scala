@@ -138,6 +138,31 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Measured LSH recall: [[minhashLshPairs]]'s verified pairs joined
+    * against [[ngramJaccardPairs]]'s exact pair set at the same
+    * threshold — both sides fully deterministic (seeded minhash, integer
+    * counting), so recall is a REPORTED NUMBER the driver records every
+    * round instead of a constant asserted once in a spec. One full-outer
+    * join of two pair sets (each tiny relative to the corpus) → a 1-row
+    * aggregate; `n_lsh_only` surfaces the d4 df-cut disagreement case
+    * (a pair whose jaccard clears the bar only without the cut) so a
+    * nonzero value is visible, not silently folded into recall.
+    */
+  def lshRecall(s: SparkSession, d: String, threshold: Double = 0.7): DataFrame = {
+    val exact = ngramJaccardPairs(s, d, threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_e"))
+    val lsh = minhashLshPairs(s, d, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("in_l"))
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(coalesce(col("in_e"), lit(0))).as("n_exact"),
+        sum(coalesce(col("in_l"), lit(0))).as("n_lsh"),
+        sum(when(col("in_e") === 1 && col("in_l") === 1, 1).otherwise(0)).as("n_matched"),
+        sum(when(col("in_e").isNull, 1).otherwise(0)).as("n_lsh_only"))
+      .withColumn("recall",
+        round(col("n_matched") / greatest(col("n_exact"), lit(1L)), 6))
+  }
+
   /** SimHash near-dup pairs: 4×16-bit chunk blocking (any pair within
     * hamming distance 3 shares at least one intact chunk — pigeonhole),
     * then exact hamming ≤ maxHamming on candidates.
@@ -373,8 +398,9 @@ object Dedup {
     // nlist <= 0 → size cells to the corpus so same-cell blocks stay
     // ~targetCell² as n grows (see Similarity.adaptiveNlist); exactness
     // holds for ANY nlist (the triangle-inequality bound is per-pair)
-    val nl = if (nlist > 0) nlist else Similarity.adaptiveNlist(e.count())
-    val cents = Similarity.fitQuantizer(e, "embedding", nl)
+    val nCorpus = e.count()
+    val nl = if (nlist > 0) nlist else Similarity.adaptiveNlist(nCorpus)
+    val cents = Similarity.fitQuantizer(e, "embedding", nl, corpusCount = nCorpus)
     if (cents.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val best = Similarity.assignCell(col("embedding"), cents)
@@ -453,6 +479,9 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
     QueryDef("d2_minhash_lsh", (s, d) => minhashLshPairs(s, d), None),
+    // rows-only (minhash is engine-specific), but the recall COLUMN is
+    // the judged number: LSH candidates vs d4's exact pairs, per round
+    QueryDef("d8_lsh_recall", (s, d) => lshRecall(s, d), None),
     QueryDef("d3_simhash", (s, d) => simhashPairs(s, d), None),
     QueryDef("d4_ngram_jaccard", (s, d) => ngramJaccardPairs(s, d), Some(
       s"""WITH $jaccardCtes

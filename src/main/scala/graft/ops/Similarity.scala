@@ -117,32 +117,47 @@ object Similarity {
 
   /** Coarse quantizer fit: seeded KMeans over L2-NORMALIZED vectors
     * (angular k-means: on the unit sphere, euclidean cells == cosine
-    * cells), fit on a seeded SAMPLE capped at maxFitRows — quantizer cost
-    * is ∝ sample, not corpus (a 100 TB corpus still fits on 50k rows).
-    * The normalize-to-Vector UDF runs on the sample only; the corpus is
-    * never converted to VectorUDT (see [[assignCell]]).
-    * k is clamped to the corpus size for tiny inputs.
+    * cells), fit on a deterministic hash-filtered SAMPLE of ~maxFitRows —
+    * quantizer cost is ∝ sample, not corpus (a 100 TB corpus still fits
+    * on 50k rows). The hash filter (`xxhash64(emb) % m == 0`, m sized
+    * from the corpus count the caller already has) is layout-INDEPENDENT:
+    * a prefix `limit` on a parquet sorted by label would hand KMeans one
+    * cluster's worth of vectors and silently degrade cell-pair pruning
+    * toward blocked all-pairs — the hash spreads the sample across the
+    * whole corpus for the cost of one narrow pushdown-able scan of the
+    * embedding column. The normalize-to-Vector UDF runs on the sample
+    * only; the corpus is never converted to VectorUDT (see
+    * [[assignCell]]). k is clamped to the corpus size for tiny inputs.
     * Returns (cell id, centroid) pairs — a driver-sized array (nlist·dim).
     */
   private[ops] def fitQuantizer(corpus: DataFrame, embCol: String, nlist: Int,
-      seed: Long = 42L, maxFitRows: Int = 50000): Array[(Int, Seq[Float])] = {
-    // limit(), not count()+sample(): a count just to size a sample
-    // fraction is a FULL corpus pass before any real work. limit stops
-    // reading after maxFitRows rows. The prefix sample can be
-    // layout-biased, which affects only cell QUALITY: near-dup stays
-    // exact for any centroids (triangle-inequality bound) and annIvf
-    // recall is spec-pinned.
-    val fitRows = corpus.select(col(embCol).as("emb")).limit(maxFitRows).cache()
+      seed: Long = 42L, maxFitRows: Int = 50000,
+      corpusCount: Long = -1L): Array[(Int, Seq[Float])] = {
+    val n = if (corpusCount >= 0) corpusCount else corpus.count()
+    val m = math.max(1L, n / math.max(1, maxFitRows))
+    // limit after the filter is a hard cap only (expected pass ≈
+    // maxFitRows); the de-biasing is done by the hash
+    val sampled = corpus.select(col(embCol).as("emb"))
+      .filter(pmod(xxhash64(col("emb")), lit(m)) === 0)
+      .limit(maxFitRows).cache()
+    // degenerate corpora (few distinct vectors) can hash entirely into a
+    // nonzero residue class — fall back to the prefix rather than fitting
+    // on nothing; any centroids are correctness-safe (triangle bound)
+    val fitRows =
+      if (n > 0 && sampled.isEmpty) {
+        sampled.unpersist(blocking = false)
+        corpus.select(col(embCol).as("emb")).limit(maxFitRows).cache()
+      } else sampled
     try {
-      val n = fitRows.count() // bounded by maxFitRows
-      if (n == 0) return Array.empty // callers return empty results pre-join
-      if (n == 1) // KMeans needs k >= 2; one cell containing the one vector
+      val nFit = fitRows.count() // bounded by maxFitRows
+      if (nFit == 0) return Array.empty // callers return empty results pre-join
+      if (nFit == 1) // KMeans needs k >= 2; one cell containing the one vector
         return Array((0, fitRows.head().getSeq[Float](0)))
       val toVec = udf { (a: Seq[Float]) =>
         val nn = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-12
         Vectors.dense(a.map(_.toDouble / nn).toArray)
       }
-      val kEff = math.max(2, math.min(nlist.toLong, n).toInt)
+      val kEff = math.max(2, math.min(nlist.toLong, nFit).toInt)
       // maxIter 8: a coarse quantizer needs rough cells, not convergence —
       // assignment consistency (same rule for corpus and probes) is what
       // recall depends on, and near-dup is exact for ANY centroids
@@ -182,8 +197,9 @@ object Similarity {
     // nlist <= 0 → size cells to the corpus (see adaptiveNlist); probes
     // then cover nprobe/nlist of the corpus, so recall-sensitive callers
     // scale nprobe alongside an explicit nlist
-    val nl = if (nlist > 0) nlist else adaptiveNlist(e.count())
-    val cents = fitQuantizer(e, "embedding", nl)
+    val nCorpus = e.count()
+    val nl = if (nlist > 0) nlist else adaptiveNlist(nCorpus)
+    val cents = fitQuantizer(e, "embedding", nl, corpusCount = nCorpus)
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
     val best = assignCell(col("embedding"), cents)

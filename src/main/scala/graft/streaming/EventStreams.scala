@@ -222,7 +222,71 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Rate-limited backfill — the replay shape of every production
+    * re-process: `Trigger.AvailableNow` (run to the end of CURRENTLY
+    * available input, then stop — bounded job, streaming semantics) plus
+    * `maxFilesPerTrigger=1` (each micro-batch admits one file, so a
+    * 100 TB backlog replays as many bounded batches instead of one
+    * giant batch that OOMs the state store), against an explicit
+    * checkpoint so a killed backfill resumes where it stopped instead
+    * of starting over. Input is staged as [[backfillFiles]] files so the
+    * multi-batch path genuinely executes. Returns the st1 aggregation —
+    * rate limiting must not change a single output row, so st8 shares
+    * st1's oracle verbatim.
+    */
+  def backfillWindowedCounts(s: SparkSession, d: String): DataFrame =
+    backfillImpl(s, d)._1
+
+  private[graft] val backfillFiles = 8
+
+  private val backfillStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Implementation exposing the observed micro-batch count for the spec
+    * (≥ backfillFiles batches proves maxFilesPerTrigger actually gated
+    * admission — a single-batch run would pass the oracle and prove
+    * nothing about rate limiting).
+    */
+  private[graft] def backfillImpl(s: SparkSession, d: String): (DataFrame, Int) = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = backfillStaged.getOrElseUpdate(d, {
+      val dir = Tables.scratchDir("graft_backfill", d)
+      Tables.events(s, d).repartition(backfillFiles)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val schema = Tables.events(s, d).schema
+    // fresh checkpoint per run: the memory sink is a debug sink with no
+    // recovery contract; recovery across restarts is pinned separately
+    // in EventStreamsSpec's kill-and-resume test
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_backfill_ckpt").toString
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    val qname = "graft_backfill_windowed"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    val out = s.table(qname)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+    (out, batches)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st8_backfill_available_now", backfillWindowedCounts, Some(
+      // st1's oracle verbatim: rate-limited replay must be value-identical
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("st7_foreachbatch_rollup", streamForeachBatchRollup, Some(
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),

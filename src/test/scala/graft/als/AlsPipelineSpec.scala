@@ -117,4 +117,11 @@ class AlsPipelineSpec extends SparkSpec {
     val r11 = collapsed.filter($"user" === 1 && $"item" === 1).head().getFloat(2)
     assert(r11 == 3f)
   }
+
+  test("adaptive blocks clamp: ~50k ratings/block, never below 10 or above 256") {
+    assert(AlsPipeline.adaptiveBlocks(0L) == 10)          // tiny SF: floor
+    assert(AlsPipeline.adaptiveBlocks(500000L) == 10)     // bench scale: the measured optimum
+    assert(AlsPipeline.adaptiveBlocks(5000000L) == 100)   // 10× SF: scales with data
+    assert(AlsPipeline.adaptiveBlocks(100000000L) == 256) // ceiling: cluster re-tunes
+  }
 }

@@ -30,4 +30,40 @@ class GraftCatalogSpec extends SparkSpec {
     for (t <- graft.Tables.names)
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").collect().length == 1, t)
   }
+
+  test("persistent catalog survives a new session and DROP/re-CREATE round-trips") {
+    val want = GraftCatalog.persistentCatalogSql(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val tbl = GraftCatalog.persistentName(sf0001, "supplier")
+
+    // a NEW session shares only the external catalog: temp views vanish,
+    // metastore tables remain — the proof these are not session state
+    val fresh = spark.newSession()
+    fresh.sql("SELECT 1").collect() // session is live
+    assert(fresh.catalog.tableExists(tbl),
+      s"$tbl not visible from a fresh session — not actually persistent")
+    spark.range(1).createOrReplaceTempView("graft_tmp_probe")
+    assert(!fresh.catalog.tableExists("graft_tmp_probe"),
+      "temp view leaked across sessions — the persistence test proves nothing")
+
+    // verbatim SQL from the fresh session against the persistent tables
+    val t = Seq("supplier", "nation", "region")
+      .map(n => n -> GraftCatalog.persistentName(sf0001, n)).toMap
+    val viaFresh = fresh.sql(
+      s"""SELECT r_name, count(*) AS n_suppliers,
+         |  round(sum(s_acctbal), 2) AS total_bal
+         |FROM ${t("supplier")}
+         |JOIN ${t("nation")} ON s_nationkey = n_nationkey
+         |JOIN ${t("region")} ON n_regionkey = r_regionkey
+         |GROUP BY r_name ORDER BY r_name""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    assert(viaFresh == want)
+
+    // DROP / re-CREATE round-trip: deterministic state, identical answer
+    spark.sql(s"DROP TABLE $tbl")
+    assert(!spark.catalog.tableExists(tbl))
+    val again = GraftCatalog.persistentCatalogSql(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(again == want)
+  }
 }

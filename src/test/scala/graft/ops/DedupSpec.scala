@@ -216,4 +216,14 @@ class DedupSpec extends SparkSpec {
     val depth = cc.queryExecution.optimizedPlan.numberedTreeString.linesIterator.size
     assert(depth < 80, s"final plan grew to $depth lines — lineage not truncated")
   }
+
+  test("d8: measured LSH recall against the exact pair set is a sane number") {
+    val r = Dedup.lshRecall(spark, sf0001).head()
+    val (nExact, nLsh, nMatched, recall) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(4))
+    assert(nMatched <= nExact && nMatched <= nLsh)
+    // 12 bands × 4 rows at J=0.7: P(candidate) ≈ 0.96 per pair; verified
+    // output only loses pairs LSH never surfaced, so recall must be high
+    assert(recall >= 0.8, s"LSH recall $recall ($nMatched/$nExact) below floor")
+  }
 }

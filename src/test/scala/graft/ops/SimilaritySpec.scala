@@ -113,4 +113,43 @@ class SimilaritySpec extends SparkSpec {
     assert(pf.exists(f => f.nonEmpty && f.contains("cell")),
       s"no non-empty cell PartitionFilters on the probe scan:\n$plan")
   }
+
+  test("quantizer sample is layout-independent: sorted parquet covers all clusters") {
+    import spark.implicits._
+    // 4 orthogonal clusters, written to parquet SORTED by cluster — the
+    // layout that hands a prefix-limit sample only cluster 0's vectors
+    // and silently degrades cell-pair pruning toward blocked all-pairs
+    val dim = 8
+    val rnd = new scala.util.Random(13)
+    val rows = for (c <- 0 until 4; i <- 0 until 2000) yield {
+      val v = Array.tabulate(dim)(j =>
+        (if (j == 2 * c || j == 2 * c + 1) 1.0 else 0.0) + rnd.nextGaussian() * 0.05)
+      ((c * 2000 + i).toLong, c, v.map(_.toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sorted_emb").toString
+    rows.toDF("vec_id", "cluster", "embedding")
+      .coalesce(1).sortWithinPartitions("vec_id") // file order = cluster order
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // maxFitRows = 1/4 of the corpus: a prefix sample would see ONLY
+    // cluster 0; the hash filter must see all four
+    val cents = Similarity.fitQuantizer(df, "embedding", nlist = 4,
+      maxFitRows = 2000, corpusCount = 8000L)
+    assert(cents.length == 4)
+    val best = Similarity.assignCell(col("embedding"), cents)
+    val cellsPerCluster = df
+      .select(col("cluster"), (lit(0) - best.getField("negcell")).as("cell"))
+      .groupBy("cluster").agg(countDistinct("cell").as("nc"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // every cluster found its own centroid: 4 clusters occupy 4 distinct
+    // cells (a cluster-0-only fit collapses the other three onto one or
+    // two far-away centroids)
+    val distinctCells = df
+      .select(col("cluster"), (lit(0) - best.getField("negcell")).as("cell"))
+      .groupBy("cluster").agg(min("cell")).collect()
+      .map(_.getInt(1)).distinct.length
+    assert(distinctCells == 4,
+      s"clusters collapsed onto $distinctCells cells — sample is layout-biased ($cellsPerCluster)")
+  }
 }

@@ -212,4 +212,17 @@ class EventStreamsSpec extends SparkSpec {
       assert(stateRows <= 3, s"state not bounded by eviction: $stateRows rows")
     } finally q.stop()
   }
+
+  test("AvailableNow backfill: rate-limited multi-batch replay, batch-equal totals") {
+    val (out, batches) = EventStreams.backfillImpl(spark, sf0001)
+    // maxFilesPerTrigger=1 over an 8-file stage must actually gate
+    // admission: one micro-batch per file (AvailableNow may add an empty
+    // finalizer batch — only data-carrying batches are counted)
+    assert(batches >= EventStreams.backfillFiles,
+      s"expected ≥${EventStreams.backfillFiles} data micro-batches, saw $batches")
+    // rate limiting is value-invisible: identical to the unthrottled st1
+    val unthrottled = EventStreams.windowedCounts(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(out.collect().map(_.toSeq).toSeq == unthrottled)
+  }
 }
