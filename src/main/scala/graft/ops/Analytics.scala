@@ -30,6 +30,24 @@ object Analytics {
         round(sum("l_extendedprice"), 2).as("sum_price"))
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
 
+  /** Arbitrary GROUPING SETS — the general form a5's CUBE and a2's ROLLUP
+    * specialize: the user picks exactly which aggregation shapes to
+    * compute ((flag,status), (flag), ()) and Spark expands them in ONE
+    * pass over the scan (a single Expand + hash-agg — not one re-scan
+    * per set, which is what a naive UNION ALL of three GROUP BYs costs).
+    * Declared through the SQL front-end: GROUPING SETS has no DataFrame
+    * verb, and the view IS the same Catalyst plan.
+    */
+  def groupingSetsFlags(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("graft_gs_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM graft_gs_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Exact percentiles (continuous interpolation) per group. Spark's
     * `percentile` matches DuckDB's quantile_cont; at 100 TB you'd switch
     * to approx_percentile (t-digest) — both are declared here.
@@ -423,6 +441,12 @@ object Analytics {
         |  round(avg(value), 4) AS avg_value,
         |  round(sum(value), 2) AS sum_value
         |FROM long GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a11_grouping_sets", groupingSetsFlags, Some(
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)),
     QueryDef("a5_cube", cubeFlags, Some(
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -103,7 +103,54 @@ object Mutations {
       .orderBy("hour", "event_type")
   }
 
+  /** Snapshot diff / CDC extract: the change set between two versions of
+    * a table — the feed every downstream incremental consumer (up3's
+    * delta input, a replication stream, an audit log) starts from. ONE
+    * full-outer join on the key classifies every row as insert / delete /
+    * update (payload compared) / unchanged (dropped); no window, no
+    * driver loop, both sides hash-partition once on the key. Snapshots
+    * are derived deterministically from orders (old = keys % 7 ≠ 0;
+    * new = keys % 11 ≠ 0 with a +10.0 price bump on % 5 = 0) so the
+    * oracle reconstructs both sides exactly; the bump is an exact double
+    * add, never a round.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val old = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"))
+    val nw = base.filter(pmod(col("o_orderkey"), lit(11)) =!= 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(5)) === 0, col("o_totalprice") + 10.0)
+          .otherwise(col("o_totalprice")).as("new_price"))
+    old.join(nw, Seq("o_orderkey"), "full_outer")
+      .withColumn("change_type",
+        when(col("old_price").isNull, lit("insert"))
+          .when(col("new_price").isNull, lit("delete"))
+          .when(col("old_price") =!= col("new_price"), lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col("o_orderkey"), col("change_type"),
+        col("old_price"), col("new_price"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up4_snapshot_diff", snapshotDiff, Some(
+      """WITH old AS (
+        |  SELECT o_orderkey, o_totalprice AS old_price
+        |  FROM orders WHERE o_orderkey % 7 <> 0),
+        |nw AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS new_price
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |j AS (
+        |  SELECT coalesce(old.o_orderkey, nw.o_orderkey) AS o_orderkey,
+        |    old_price, new_price,
+        |    CASE WHEN old_price IS NULL THEN 'insert'
+        |         WHEN new_price IS NULL THEN 'delete'
+        |         WHEN old_price <> new_price THEN 'update' END AS change_type
+        |  FROM old FULL OUTER JOIN nw ON old.o_orderkey = nw.o_orderkey)
+        |SELECT o_orderkey, change_type, old_price, new_price
+        |FROM j WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin)),
     QueryDef("up3_incremental_rollup", incrementalRollup, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value

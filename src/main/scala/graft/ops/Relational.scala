@@ -404,6 +404,58 @@ object Relational {
       .orderBy("event_type", "hour")
   }
 
+  /** Time-series LOCF (last observation carried forward): e4's hour grid
+    * with gaps INTERPOLATED from the most recent observed hour instead of
+    * zero-filled — the standard forward-fill every metrics backfill uses.
+    * One extra window pass over the grid (last_value ignoreNulls with a
+    * history-only frame); values are rounded BEFORE the carry so both
+    * engines forward identical doubles. Partitioned by series key, so the
+    * window shuffles once on event_type and scales with series count.
+    */
+  def eventsLocf(s: SparkSession, d: String): DataFrame = {
+    val hourly = events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"))
+      .cache() // feeds both the span computation and the final join
+    val grid = hourly.groupBy("event_type")
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("event_type").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("event_type", "h"), "left")
+      .withColumn("locf_value", last(col("avg_value"), ignoreNulls = true).over(w))
+      .select(col("event_type"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("locf_value"))
+      .orderBy("event_type", "hour")
+  }
+
+  /** First/last-touch attribution: each purchase attributed to the FIRST
+    * and the LAST preceding touch event (click/view) of the same user —
+    * the marketing-attribution primitive. One window pass over the
+    * user-ordered event sequence (first/last ignoreNulls over a
+    * history-only frame) instead of the naive per-purchase as-of join:
+    * everything shuffles once on user_id and the carry is O(1) state per
+    * row. Total order (ts, event_id) makes same-timestamp behavior
+    * deterministic and oracle-mirrorable.
+    */
+  def eventsAttribution(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .withColumn("touch_id",
+        when(col("event_type").isin("click", "view"), col("event_id")))
+      .withColumn("first_touch_id", first(col("touch_id"), ignoreNulls = true).over(w))
+      .withColumn("last_touch_id", last(col("touch_id"), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("first_touch_id"), col("last_touch_id"))
+      .orderBy("purchase_id")
+  }
+
   /** Sessionization via lag + cumulative conditional sum (30-min gap). */
   def eventsSessionize(s: SparkSession, d: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -614,6 +666,35 @@ object Relational {
         |  coalesce(hh.sum_value, 0.0) AS sum_value
         |FROM grid g LEFT JOIN hourly hh ON g.event_type = hh.event_type AND g.h = hh.h
         |ORDER BY 1, 2""".stripMargin)),
+    QueryDef("e5_locf_fill", eventsLocf, Some(
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h,
+        |    count(*) AS n, round(avg(value), 4) AS avg_value
+        |  FROM events GROUP BY 1, 2),
+        |spans AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM hourly GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+        |         FROM spans)
+        |SELECT g.event_type, strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  CAST(coalesce(hh.n, 0) AS BIGINT) AS n,
+        |  last_value(hh.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.event_type ORDER BY g.h
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM grid g LEFT JOIN hourly hh ON g.event_type = hh.event_type AND g.h = hh.h
+        |ORDER BY 1, 2""".stripMargin)),
+    QueryDef("e6_attribution", eventsAttribution, Some(
+      """WITH tp AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN event_type IN ('click','view') THEN event_id END AS touch_id
+        |  FROM events WHERE event_type IN ('click','view','purchase')),
+        |seq AS (
+        |  SELECT user_id, event_id, event_type,
+        |    first_value(touch_id IGNORE NULLS) OVER w AS first_touch_id,
+        |    last_value(touch_id IGNORE NULLS) OVER w AS last_touch_id
+        |  FROM tp
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT user_id, event_id AS purchase_id, first_touch_id, last_touch_id
+        |FROM seq WHERE event_type = 'purchase' ORDER BY purchase_id""".stripMargin)),
     QueryDef("e2_sessionize", eventsSessionize, Some(
       """WITH g AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,

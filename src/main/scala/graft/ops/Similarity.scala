@@ -247,7 +247,59 @@ object Similarity {
       .agg(round(avg(col("v").cast("double")), 6).as("mean_v"))
       .orderBy("label", "dim")
 
+  /** Int8 scalar quantization — the standard 4× memory cut for serving
+    * embeddings at 100 TB (float32 → int8 + one float scale per vector).
+    * Per-vector symmetric quantization: scale = max|x|/127, code =
+    * round-half-up(x/scale) clamped to [-127,127]; the declared result
+    * reports, per vector, the cosine between the original and its
+    * dequantized self plus the max absolute reconstruction error — the
+    * quality numbers that justify (or veto) serving from int8. All
+    * narrow codegen'd array ops, no shuffle before the output sort.
+    * Rounding uses floor(x+0.5) explicitly: `round()`'s half-up-vs-
+    * banker's semantics differ across engines, floor doesn't.
+    */
+  def int8Quantization(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("x"))
+      .withColumn("scale",
+        greatest(
+          aggregate(col("x"), lit(0.0), (a, v) => greatest(a, abs(v))) / 127.0,
+          lit(1e-30))) // zero vector: keep the divide total, codes all 0
+      .withColumn("dq", transform(col("x"), v =>
+        greatest(lit(-127.0), least(lit(127.0),
+          floor(v / col("scale") + 0.5))) * col("scale")))
+      .withColumn("dot_xd",
+        aggregate(zip_with(col("x"), col("dq"), (a, b) => a * b),
+          lit(0.0), (acc, v) => acc + v))
+      .withColumn("nx",
+        sqrt(aggregate(transform(col("x"), v => v * v), lit(0.0), (a, v) => a + v)))
+      .withColumn("nd",
+        sqrt(aggregate(transform(col("dq"), v => v * v), lit(0.0), (a, v) => a + v)))
+      .withColumn("max_err",
+        aggregate(zip_with(col("x"), col("dq"), (a, b) => abs(a - b)),
+          lit(0.0), (a, v) => greatest(a, v)))
+      .select(col("vec_id"),
+        round(col("dot_xd") / (col("nx") * col("nd")), 6).as("cos_dq"),
+        round(col("max_err"), 6).as("max_abs_err"))
+      .orderBy("vec_id")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v6_int8_quant", (s, d) => int8Quantization(s, d), Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
+        |s1 AS (SELECT vec_id, x,
+        |    greatest(list_max(list_transform(x, v -> abs(v))) / 127.0, 1e-30) AS scale
+        |  FROM e),
+        |s2 AS (SELECT vec_id, x, scale,
+        |    list_transform(x, v ->
+        |      greatest(-127.0, least(127.0, floor(v / scale + 0.5))) * scale) AS dq
+        |  FROM s1)
+        |SELECT vec_id,
+        |  round(list_inner_product(x, dq)
+        |    / (sqrt(list_inner_product(x, x)) * sqrt(list_inner_product(dq, dq))), 6) AS cos_dq,
+        |  round(list_max(list_transform(generate_series(1, len(x)),
+        |    i -> abs(x[i] - dq[i]))), 6) AS max_abs_err
+        |FROM s2 ORDER BY vec_id""".stripMargin)),
     QueryDef("v1_cosine_threshold", (s, d) => cosineThreshold(s, d), Some(
       // DOUBLE[] cast: see d5 — float32 vs double accumulation
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -433,6 +434,62 @@ object TextAnalysis {
     }.distinct().count()
   }
 
+  /** TF-IDF top-k terms per document — the classic salience scoring
+    * (keyword extraction, boilerplate detection, sparse retrieval). Three
+    * grouped aggregations over ONE tokenized pass: per-(doc,token) counts
+    * feed both the per-doc length and the document frequency, the corpus
+    * size joins in as a broadcast scalar, and the final top-k is a
+    * per-doc window over the scored rows. Ranking happens on the ROUNDED
+    * score with the token as tiebreaker, so ordering is reproducible
+    * across engines (raw fp products of ln() are 1-ulp territory).
+    */
+  def tfidfTopTerms(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = documents(s, d)
+    val tc = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+      .cache() // feeds doc lengths, document frequencies, and scoring
+    val nTok = tc.groupBy("doc_id").agg(sum("c").as("n_tok"))
+    val dfreq = tc.groupBy("token").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("token"))
+    tc.join(nTok, "doc_id").join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round((col("c").cast("double") / col("n_tok").cast("double")) *
+          log(col("n_docs").cast("double") / col("df").cast("double")), 6))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("rn"), col("token"), col("tfidf"))
+      .orderBy("doc_id", "rn")
+  }
+
+  /** RAG-style document chunking: overlapping token windows (64-token
+    * chunks, stride 48 → 16-token overlap) — the retrieval-corpus prep
+    * step between cleaning and embedding. Pure narrow generator work:
+    * tokenize once, explode one small index range per doc, slice — no
+    * shuffle until the output sort, codegen throughout, and chunk count
+    * scales with doc length so a 100 TB corpus chunks in one map stage.
+    * Chunks are fingerprinted (md5 of the joined window) rather than
+    * re-emitted as text, keeping the declared result narrow.
+    */
+  def ragChunks(s: SparkSession, d: String,
+      window: Int = 64, stride: Int = 48): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("n_chunks",
+        (lit(1) + ceil(greatest(col("n_tok") - window, lit(0L))
+          .cast("double") / stride)).cast("int"))
+      .select(col("doc_id"), col("n_tok"),
+        explode(transform(sequence(lit(0), col("n_chunks") - 1),
+          i => struct(i.as("chunk_idx"),
+            slice(col("toks"), i * stride + 1, lit(window)).as("chunk")))).as("ck"))
+      .select(col("doc_id"),
+        col("ck.chunk_idx").cast("int").as("chunk_idx"),
+        size(col("ck.chunk")).as("n_chunk_tokens"),
+        md5(array_join(col("ck.chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+
   /** Shared by t9 and t11: the bloom variant is exact by construction, so
     * both hash-check against the same DuckDB recomputation.
     */
@@ -572,6 +629,36 @@ object TextAnalysis {
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token HAVING count(*) >= 500
         |ORDER BY n DESC, token""".stripMargin)),
+    QueryDef("t13_tfidf", (s, d) => tfidfTopTerms(s, d), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, sum(c) AS n_tok FROM tc GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS df FROM tc GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tc.doc_id, tc.token,
+        |    round((CAST(c AS DOUBLE) / CAST(n_tok AS DOUBLE))
+        |      * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)), 6) AS tfidf
+        |  FROM tc JOIN nt USING (doc_id) JOIN dfq USING (token) CROSS JOIN nd),
+        |rk AS (SELECT doc_id, token, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS rn
+        |  FROM scored)
+        |SELECT doc_id, CAST(rn AS INT) AS rn, token, tfidf
+        |FROM rk WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin)),
+    QueryDef("t14_rag_chunks", (s, d) => ragChunks(s, d), Some(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(generate_series(0,
+        |      CAST(1 + ceil(greatest(n_tok - 64, 0) / 48.0) AS INT) - 1)) AS chunk_idx
+        |  FROM t)
+        |SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64)) AS INT) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(toks, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
     QueryDef("t8_vocab_topk", (s, d) => vocabTopK(s, d), Some(
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)

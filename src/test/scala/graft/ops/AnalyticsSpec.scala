@@ -155,6 +155,62 @@ class AnalyticsSpec extends SparkSpec {
     assert(shapes === Set((false, false), (false, true), (true, false), (true, true)))
   }
 
+  test("grouping sets: exactly the three declared shapes, no cube extras") {
+    val rows = Analytics.groupingSetsFlags(spark, sf0001).collect()
+    val shapes = rows.map(r => (r.isNullAt(0), r.isNullAt(1))).distinct.toSet
+    // (flag,status), (flag), () — and NOT cube's fourth (status-only) set
+    assert(shapes == Set((false, false), (false, true), (true, true)))
+    // grand total row equals the table count
+    val total = rows.filter(r => r.isNullAt(0) && r.isNullAt(1)).map(_.getLong(2))
+    assert(total.toSeq == Seq(graft.Tables.lineitem(spark, sf0001).count()))
+  }
+
+  test("LOCF fill: gap hours carry the last observed value forward") {
+    val got = Relational.eventsLocf(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3))))
+    assert(got.nonEmpty)
+    // per series: first grid hour is observed (span starts at min observed
+    // hour), so locf is never null; every gap hour (n=0) equals the
+    // previous hour's locf value
+    got.groupBy(_._1).foreach { case (et, rs) =>
+      val seq = rs.sortBy(_._2)
+      assert(seq.head._4.isDefined, s"$et: leading locf null")
+      seq.sliding(2).foreach {
+        case Array(prev, cur) if cur._3 == 0L =>
+          assert(cur._4 == prev._4, s"$et@${cur._2}: gap not carried (${cur._4} vs ${prev._4})")
+        case _ =>
+      }
+    }
+    // and the fixture actually exercises gaps
+    assert(got.exists(_._3 == 0L), "no gap hours at this SF — test is vacuous")
+  }
+
+  test("attribution: first/last touch match a naive per-user replay") {
+    val ev = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val naive = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+      var first: Option[Long] = None; var last: Option[Long] = None
+      sorted.flatMap { case (u, _, id, tp) =>
+        if (tp == "purchase") Some((id, (u, first, last)))
+        else { if (first.isEmpty) first = Some(id); last = Some(id); None }
+      }
+    }.toMap
+    val got = Relational.eventsAttribution(spark, sf0001).collect()
+      .map { r =>
+        r.getLong(1) -> ((r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      }.toMap
+    assert(got == naive)
+    // and some purchase actually has distinct first/last touches
+    assert(got.values.exists(v => v._2 != v._3))
+  }
+
   test("salted join: equal to plain join, hot key spread ~numSalts ways") {
     // planted skew: one key owns ~30% of the fact
     val nFact = 10000

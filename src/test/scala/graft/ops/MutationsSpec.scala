@@ -61,4 +61,23 @@ class MutationsSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
   }
+
+  test("snapshot diff classifies exactly the planted modular changes") {
+    val keys = graft.Tables.orders(spark, sf0001)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    def expectType(k: Long): Option[String] =
+      if (k % 7 == 0 && k % 11 != 0) Some("insert")
+      else if (k % 11 == 0 && k % 7 != 0) Some("delete")
+      else if (k % 7 != 0 && k % 11 != 0 && k % 5 == 0) Some("update")
+      else None // unchanged or absent from both snapshots
+    val want = keys.flatMap(k => expectType(k).map(k -> _)).toMap
+    val got = Mutations.snapshotDiff(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want)
+    // update rows really carry the +10.0 bump
+    val upd = Mutations.snapshotDiff(spark, sf0001)
+      .filter(col("change_type") === "update")
+      .select((col("new_price") - col("old_price")).as("d")).collect()
+    assert(upd.nonEmpty && upd.forall(_.getDouble(0) == 10.0))
+  }
 }

@@ -114,6 +114,24 @@ class SimilaritySpec extends SparkSpec {
       s"no non-empty cell PartitionFilters on the probe scan:\n$plan")
   }
 
+  test("int8 quantization: reconstruction error bounded by scale/2, cosine near 1") {
+    val rows = Similarity.int8Quantization(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(rows.nonEmpty)
+    // per-vector bound: |x - dq| <= scale/2 = max|x|/254 (clamp can't
+    // bite: |x|/scale <= 127 by construction)
+    val maxAbs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"),
+        aggregate(transform(col("embedding"), v => abs(v.cast("double"))),
+          lit(0.0), (a, v) => greatest(a, v)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { case (id, cosDq, err) =>
+      val bound = maxAbs(id) / 254.0 + 1e-6 // 1e-6: output rounding slack
+      assert(err <= bound, s"vec $id: err $err > scale/2 bound $bound")
+      assert(cosDq > 0.99, s"vec $id: int8 cosine $cosDq too lossy")
+    }
+  }
+
   test("quantizer sample is layout-independent: sorted parquet covers all clusters") {
     import spark.implicits._
     // 4 orthogonal clusters, written to parquet SORTED by cluster — the

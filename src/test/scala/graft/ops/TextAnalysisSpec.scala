@@ -153,6 +153,45 @@ class TextAnalysisSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("RAG chunks: stride-48/window-64 overlap and count are exact") {
+    val dir = Files.createTempDirectory("graft_chunk").toString
+    val toks160 = (0 until 160).map(i => s"w$i").mkString(" ")
+    val toks30 = (0 until 30).map(i => s"s$i").mkString(" ")
+    Seq((0L, toks160, "en", "a"), (1L, toks30, "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalysis.ragChunks(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // doc 0: 160 tokens → 1 + ceil(96/48) = 3 chunks at offsets 0/48/96,
+    // sizes 64/64/64; doc 1: 30 tokens → 1 chunk of 30
+    assert(got.toSeq == Seq((0L, 0, 64), (0L, 1, 64), (0L, 2, 64), (1L, 0, 30)))
+    // consecutive chunks overlap by exactly window − stride = 16 tokens
+    val c0 = (0 until 64).map(i => s"w$i").toSet
+    val c1 = (48 until 112).map(i => s"w$i").toSet
+    assert((c0 intersect c1).size == 16)
+  }
+
+  test("tf-idf: corpus-wide tokens score zero, rare tokens rank first") {
+    val dir = Files.createTempDirectory("graft_tfidf").toString
+    // 'common' appears in every doc → idf = ln(1) = 0; each doc's unique
+    // token must outrank it
+    Seq(
+      (0L, "common alpha alpha", "en", "a"),
+      (1L, "common beta", "en", "a"),
+      (2L, "common gamma gamma gamma", "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val top1 = TextAnalysis.tfidfTopTerms(spark, dir, k = 1).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getDouble(3))).toMap
+    assert(top1(0L)._1 == "alpha" && top1(1L)._1 == "beta" && top1(2L)._1 == "gamma")
+    assert(top1.values.forall(_._2 > 0))
+    val all = TextAnalysis.tfidfTopTerms(spark, dir, k = 10).collect()
+      .filter(_.getString(2) == "common").map(_.getDouble(3))
+    assert(all.nonEmpty && all.forall(_ == 0.0), "ubiquitous token must score 0")
+  }
+
   test("heavy hitters: pigeonhole guard routes degenerate regimes to exact agg") {
     // the path decision itself: at cluster partition counts the bar
     // collapses to 1 and the candidate set would be the whole vocabulary
