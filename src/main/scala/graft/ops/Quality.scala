@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Data-quality and robust-statistics operators: constraint profiling
+  * (the Deequ-shaped "validate before you train" pass every 100 TB
+  * ingest runs first), exact median + deterministic mode, and
+  * exponentially-weighted smoothing over per-key daily series.
+  *
+  * Scale notes: dq1 is one hash-agg pass over the fact table plus two
+  * anti-joins on DISTINCT keys (the distinct shrinks the shuffle to the
+  * key cardinality); a12 is two hash-aggs joined on a 5-row dim;
+  * ts1 is one (key, day) agg + a same-key window + a key agg — the
+  * window and second agg reuse the first shuffle's hash partitioning.
+  */
+object Quality {
+  import Tables._
+
+  /** a12 — exact median plus a DETERMINISTIC mode per group. Spark's
+    * built-in `mode` is tie-arbitrary (as is DuckDB's), so the mode is
+    * computed explicitly: most frequent order date, earliest on ties,
+    * via max_by over a (count, -epoch_day) struct — lexicographic
+    * struct comparison makes the tie-break total, so both engines
+    * agree bit-for-bit.
+    */
+  def medianMode(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val med = o.groupBy("o_orderpriority").agg(
+      count(lit(1)).as("n"),
+      round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"))
+    val mode = o.groupBy("o_orderpriority", "o_orderdate")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderpriority")
+      .agg(
+        max("cnt").as("mode_n"),
+        max_by(col("o_orderdate"),
+          struct(col("cnt"), negate(unix_micros(col("o_orderdate").cast("timestamp")))))
+          .as("mode_date"))
+    med.join(mode, Seq("o_orderpriority"))
+      .select("o_orderpriority", "n", "median_price", "mode_date", "mode_n")
+      .orderBy("o_orderpriority")
+  }
+
+  /** dq1 — one-pass constraint report over lineitem + referential
+    * checks: null counts, primary-key duplicate rows, range violations,
+    * and orphan foreign keys (lineitem→orders, orders→customer). The
+    * scalar branches cross-join as 1×1 rows; the anti-joins run on
+    * DISTINCT keys so the shuffled volume is |keys|, not |rows| — at
+    * 100 TB the distinct is the difference between shuffling the fact
+    * table and shuffling its key dictionary.
+    */
+  def qualityProfile(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val base = li.agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("l_quantity").isNull, true)).as("null_qty"),
+      count(when(col("l_quantity") <= 0 || col("l_quantity") > 1000, true))
+        .as("qty_range_viol"),
+      count(when(col("l_discount") < 0 || col("l_discount") > 1, true))
+        .as("discount_viol"),
+      count(when(col("l_extendedprice") <= 0, true)).as("price_viol"))
+    val dup = li.groupBy("l_orderkey", "l_linenumber")
+      .agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(when(col("cnt") > 1, col("cnt") - 1)), lit(0L))
+        .cast("bigint").as("dup_pk_rows"))
+    val liOrphans = li.select("l_orderkey").distinct()
+      .join(orders(s, d).select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_orderkeys"))
+    val custOrphans = orders(s, d).select("o_custkey").distinct()
+      .join(customer(s, d).select("c_custkey"),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("orphan_custkeys"))
+    base.crossJoin(dup).crossJoin(liOrphans).crossJoin(custOrphans)
+  }
+
+  /** ts1 — per-user exponentially-weighted moving average of the daily
+    * value series (α=0.2, adjust-style normalization: weights
+    * (1-α)^(last_day-day), so gaps in the calendar decay correctly).
+    * Reported at the final observed day only, which turns the windowed
+    * recurrence into ONE weighted aggregation — exponents are bounded
+    * by the series' day span, so no overflow, and round(4) absorbs the
+    * engines' summation-order fp noise.
+    */
+  def ewmaDaily(s: SparkSession, d: String): DataFrame = {
+    val alpha = 0.2
+    val daily = events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+      .agg(sum("value").as("x"))
+      .withColumn("di", unix_date(col("day")))
+    daily
+      .withColumn("span", max("di").over(Window.partitionBy("user_id")) - col("di"))
+      .withColumn("wt", pow(lit(1 - alpha), col("span")))
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_days"),
+        round(sum(col("x") * col("wt")) / sum(col("wt")), 4).as("ewma"))
+      .orderBy("user_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("a12_median_mode", medianMode, Some(
+      """WITH med AS (
+        |  SELECT o_orderpriority, count(*) AS n,
+        |    round(quantile_cont(o_totalprice, 0.5), 4) AS median_price
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT o_orderpriority, o_orderdate, count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (
+        |  SELECT o_orderpriority, o_orderdate AS mode_date,
+        |    CAST(cnt AS BIGINT) AS mode_n,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cnt DESC, o_orderdate ASC) AS rn
+        |  FROM c)
+        |SELECT med.o_orderpriority, med.n, med.median_price,
+        |  m.mode_date, m.mode_n
+        |FROM med JOIN m USING (o_orderpriority)
+        |WHERE m.rn = 1 ORDER BY 1""".stripMargin)),
+    QueryDef("dq1_quality_profile", qualityProfile, Some(
+      """WITH base AS (
+        |  SELECT count(*) AS n_rows,
+        |    count(*) FILTER (l_quantity IS NULL) AS null_qty,
+        |    count(*) FILTER (l_quantity <= 0 OR l_quantity > 1000) AS qty_range_viol,
+        |    count(*) FILTER (l_discount < 0 OR l_discount > 1) AS discount_viol,
+        |    count(*) FILTER (l_extendedprice <= 0) AS price_viol
+        |  FROM lineitem),
+        |dup AS (
+        |  SELECT CAST(coalesce(sum(cnt - 1) FILTER (cnt > 1), 0) AS BIGINT)
+        |    AS dup_pk_rows
+        |  FROM (SELECT count(*) AS cnt FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |lo AS (
+        |  SELECT count(*) AS orphan_orderkeys FROM (
+        |    SELECT DISTINCT l_orderkey FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))),
+        |co AS (
+        |  SELECT count(*) AS orphan_custkeys FROM (
+        |    SELECT DISTINCT o_custkey FROM orders
+        |    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)))
+        |SELECT * FROM base, dup, lo, co""".stripMargin)),
+    QueryDef("ts1_ewma", ewmaDaily, Some(
+      """WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, sum(value) AS x
+        |  FROM events GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT user_id, x,
+        |    max(day - DATE '1970-01-01') OVER (PARTITION BY user_id)
+        |      - (day - DATE '1970-01-01') AS span
+        |  FROM daily)
+        |SELECT user_id, count(*) AS n_days,
+        |  round(sum(x * power(0.8, span)) / sum(power(0.8, span)), 4) AS ewma
+        |FROM d2 GROUP BY 1 ORDER BY 1""".stripMargin)))
+}

@@ -1,0 +1,83 @@
+package graft.ops
+
+import java.sql.Date
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class QualitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("medianMode: deterministic mode tie-break picks the earliest date") {
+    // priority P has dates 2024-01-05 x2 and 2024-01-02 x2 (tie) — the
+    // earlier date must win; median of (10, 20, 30, 40) = 25
+    val orders = Seq(
+      (1L, 1L, "O", 10.0, Date.valueOf("2024-01-05"), "P"),
+      (2L, 1L, "O", 20.0, Date.valueOf("2024-01-05"), "P"),
+      (3L, 1L, "O", 30.0, Date.valueOf("2024-01-02"), "P"),
+      (4L, 1L, "O", 40.0, Date.valueOf("2024-01-02"), "P"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_a12").toString
+    orders.write.mode("overwrite").parquet(s"$dir/orders.parquet")
+
+    val r = Quality.medianMode(spark, dir).collect()
+    assert(r.length == 1)
+    assert(r(0).getString(0) == "P")
+    assert(r(0).getLong(1) == 4L)
+    assert(r(0).getDouble(2) == 25.0)
+    assert(r(0).getDate(3) == Date.valueOf("2024-01-02"))
+    assert(r(0).getLong(4) == 2L)
+  }
+
+  test("qualityProfile counts planted violations exactly") {
+    val li = Seq(
+      // (orderkey, linenumber, qty, extprice, discount)
+      (1L, 1, Some(5.0), 100.0, 0.1),   // clean
+      (1L, 1, Some(5.0), 100.0, 0.1),   // duplicate PK -> 1 dup row
+      (2L, 1, None, 100.0, 0.1),        // null qty
+      (3L, 1, Some(-2.0), 100.0, 0.1),  // qty range violation
+      (4L, 1, Some(5.0), -1.0, 0.1),    // price violation
+      (5L, 1, Some(5.0), 100.0, 1.5),   // discount violation
+      (99L, 1, Some(5.0), 100.0, 0.1))  // orphan orderkey (99 not in orders)
+      .toDF("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+        "l_discount")
+    val orders = Seq(
+      (1L, 10L), (2L, 10L), (3L, 10L), (4L, 10L), (5L, 77L)) // 77 orphan cust
+      .toDF("o_orderkey", "o_custkey")
+    val cust = Seq(Tuple1(10L)).toDF("c_custkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq1").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+    orders.write.parquet(s"$dir/orders.parquet")
+    cust.write.parquet(s"$dir/customer.parquet")
+
+    val r = Quality.qualityProfile(spark, dir).collect()(0)
+    val got = (0 until 8).map(i => r.getLong(i))
+    //         rows nullq qty disc price dup orphanOrd orphanCust
+    assert(got == Seq(7L, 1L, 1L, 1L, 1L, 1L, 1L, 1L),
+      s"got $got (cols ${r.schema.fieldNames.mkString(",")})")
+  }
+
+  test("ewmaDaily matches a naive per-user replay on sf0.001") {
+    val raw = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_date(to_date(col("ts"))).as("di"),
+        col("value"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val expect = raw.groupBy(_._1).map { case (uid, rows) =>
+      val daily = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum).toSeq
+      val nmax = daily.map(_._1).max
+      val num = daily.map { case (di, x) => x * math.pow(0.8, (nmax - di).toDouble) }.sum
+      val den = daily.map { case (di, _) => math.pow(0.8, (nmax - di).toDouble) }.sum
+      uid -> (daily.size.toLong, BigDecimal(num / den)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Quality.ewmaDaily(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == expect.keySet)
+    expect.foreach { case (uid, (n, e)) =>
+      assert(got(uid)._1 == n, s"n_days user $uid")
+      assert(math.abs(got(uid)._2 - e) < 1e-3, s"ewma user $uid: ${got(uid)._2} vs $e")
+    }
+  }
+}
