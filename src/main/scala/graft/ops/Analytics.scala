@@ -353,6 +353,36 @@ object Analytics {
       .orderBy("s_nationkey")
   }
 
+  /** j9 — bloom-prefiltered selective join: the dim side is a filtered
+    * slice of orders (top price band); its keys are aggregated into a
+    * Bloom sketch (one distributed agg, KB–MB on the driver) and
+    * broadcast, so non-matching fact rows die MAP-SIDE before the join's
+    * shuffle. At 100 TB this is the difference between shuffling the
+    * whole fact table into an SMJ and shuffling ~selectivity·|fact|: a
+    * 100M-key Bloom at 1% fpp is ~120 MB — broadcastable where the
+    * equivalent hash relation (8+ bytes/key plus table overhead) is not.
+    * The exact join then removes the ≤fpp false positives, so output ≡
+    * the plain join (the oracle). Spark's AQE runtime bloom
+    * (spark.sql.optimizer.runtime.bloomFilter.*) injects this same shape
+    * automatically when thresholds align; the explicit operator is
+    * deterministic about it. Same sketch-then-exact contract as t11.
+    */
+  def bloomPrefilterJoin(s: SparkSession, d: String,
+      cutoff: Double = 480000.0, fpp: Double = 0.01): DataFrame = {
+    val hot = orders(s, d).filter(col("o_totalprice") > cutoff)
+      .select("o_orderkey", "o_orderpriority").cache()
+    val bloom = hot.stat.bloomFilter("o_orderkey", math.max(hot.count(), 1L), fpp)
+    val bc = s.sparkContext.broadcast(bloom)
+    // UDF justified: sketch probe has no builtin; runs in the scan stage
+    val mightContain = udf((k: Long) => bc.value.mightContainLong(k))
+    lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .filter(mightContain(col("l_orderkey")))
+      .join(hot, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Wide→long unpivot (the inverse of a7's pivot): melt numeric order
     * columns into (metric, value) rows, then profile each metric. Uses the
     * native `unpivot` operator — a Generator (one row in, M out) that
@@ -522,6 +552,14 @@ object Analytics {
         |  round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem JOIN supplier
         |  ON (CASE WHEN l_orderkey % 3 = 0 THEN 1 ELSE l_suppkey END) = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // oracle is the PLAIN join: hash-match proves the bloom prefilter is
+    // a pure data-reduction, never a semantics change
+    QueryDef("j9_bloom_join", (s, d) => bloomPrefilterJoin(s, d), Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_totalprice > 480000
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("w4_window_zoo", windowZoo, Some(
       """SELECT o_orderpriority, o_orderkey,

@@ -1,0 +1,203 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Iterative + combinatorial graph operators over relational edge lists:
+  * PageRank (the canonical "ranks flow until fixpoint" loop) and exact
+  * triangle counting (the canonical "bound the blow-up" self-join).
+  *
+  * Both reuse the discipline the CC operator ([[Dedup.connectedComponents]])
+  * established for iterative DataFrame programs: per-iteration work is ONE
+  * shuffle, lineage is cut with localCheckpoint on a cadence, and nothing
+  * data-sized ever reaches the driver.
+  */
+object Graph {
+  import Tables._
+
+  /** Generic PageRank over a weighted edge list `(src, dst, w)` where `w`
+    * is already out-normalized per src (Σ_dst w(src,·) = 1). Dangling
+    * nodes (no out-edges) redistribute their mass uniformly — the
+    * standard correction, kept INSIDE the dataflow: the dangling mass is
+    * a 1-row aggregate cross-joined back in, not a per-iteration driver
+    * collect, so one iteration = one edges⋈ranks shuffle + one 1×1 join.
+    *
+    * Ranks are rounded to 12 decimals each iteration: both engines then
+    * carry bit-identical values, so summation-order fp noise (~1e-16)
+    * cannot compound across iterations — this is what makes an ITERATIVE
+    * fp computation hash-matchable across engines.
+    *
+    * At 100 TB: ranks is |nodes| rows partitioned by node; the join with
+    * edges shuffles on src (or broadcasts ranks when nodes ≪ edges);
+    * localCheckpoint every 3 iterations stops Catalyst re-analyzing a
+    * plan that doubles per round — the same cadence d6 measured.
+    */
+  def pageRank(edges: DataFrame, iterations: Int = 10,
+      damping: Double = 0.85): DataFrame = {
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    val n = nodes.count().toDouble
+    val dangling = nodes.join(edges.select("src").distinct(),
+      nodes("node") === col("src"), "left_anti").select("node").cache()
+
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (i <- 1 to iterations) {
+      val dm = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .groupBy(edges("dst").as("cnode"))
+        .agg(sum(col("w") * col("rank")).as("mass"))
+      ranks = nodes
+        .join(contrib, nodes("node") === col("cnode"), "left")
+        .crossJoin(dm)
+        .select(col("node"),
+          round(lit((1 - damping) / n) +
+            lit(damping) * (coalesce(col("mass"), lit(0.0)) + col("dm") / n), 12)
+            .as("rank"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** g1 — PageRank over the nation-level trade graph: an edge
+    * customer-nation → supplier-nation per lineitem (via its order),
+    * weighted by flow count and out-normalized. The edge build is the
+    * expensive part at scale — a fact-fact shuffle join on orderkey plus
+    * broadcastable dims — and it happens ONCE; the 10 rank iterations
+    * then run on the |nations|² aggregate.
+    */
+  def nationPageRank(s: SparkSession, d: String): DataFrame = {
+    val flows = lineitem(s, d).select("l_orderkey", "l_suppkey")
+      .join(orders(s, d).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(supplier(s, d).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val edges = flows.withColumn("w",
+      round(col("cnt") / sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("src")), 12))
+      .select("src", "dst", "w")
+    pageRank(edges).select(col("node").as("nationkey"), col("rank"))
+      .orderBy("nationkey")
+  }
+
+  /** g2 — exact triangle count on the part co-occurrence graph (parts
+    * sharing an order). Scale design: the wedge join runs on the
+    * DEGREE-ORDERED orientation — every undirected edge points from its
+    * lower-(degree, id) endpoint to the higher one, which caps any
+    * node's out-degree at O(√m) regardless of hubs, so the wedge
+    * blow-up is bounded by Σ out-deg² = O(m^1.5) instead of the
+    * id-ordered worst case Σ deg² (a low-id hub with 10⁵ neighbors is
+    * 10¹⁰ wedges). The count is orientation-invariant — the oracle uses
+    * the simple id-ordering and must agree exactly.
+    */
+  def triangleStats(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+      .distinct().cache()
+    val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("dg")).cache()
+    // orient {u,v} from lower (deg, id) to higher
+    val du = deg.select(col("node").as("u"), col("dg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("dg").as("dv"))
+    val oriented = e.join(du, "u").join(dv, "v")
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+      .cache()
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+      col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("x"), col("e2.dst").as("y"))
+    // a wedge closes iff {x,y} is an edge — in EITHER orientation
+    val closing = oriented.select(col("src").as("cx"), col("dst").as("cy"))
+      .union(oriented.select(col("dst").as("cx"), col("src").as("cy")))
+    val tri = wedges.join(closing,
+      col("x") === col("cx") && col("y") === col("cy"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val shape = e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(col("dg") * (col("dg") - 1) / 2).cast("double").as("n_wedges")))
+    shape.crossJoin(tri)
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("transitivity"))
+  }
+
+  /** Unrolled 10-step PageRank oracle (recursive CTEs can reference the
+    * previous state only once; the dangling-mass term needs it twice, so
+    * the iteration is generated as chained CTEs instead). Every CTE is
+    * MATERIALIZED: DuckDB otherwise inlines the whole chain — ~30 copies
+    * of the 4-table edge build — and runs out of file handles.
+    */
+  private def pageRankOracle: String = {
+    val steps = (1 to 10).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT n.node,
+         |    round((SELECT 0.15/n FROM nn) + 0.85*(coalesce(im.mass, 0) +
+         |      (SELECT coalesce(sum(rank), 0) FROM pr${i - 1}
+         |       WHERE node IN (SELECT node FROM dang)) / (SELECT n FROM nn)), 12)
+         |      AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS dnode, sum(p.rank * e.w) AS mass
+         |    FROM edges e JOIN pr${i - 1} p ON p.node = e.src GROUP BY 1) im
+         |    ON n.node = im.dnode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |e0 AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |    CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    round(cnt / sum(cnt) OVER (PARTITION BY src), 12) AS w
+       |  FROM e0),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+       |dang AS MATERIALIZED (
+       |  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e0)),
+       |pr0 AS MATERIALIZED (
+       |  SELECT node, 1.0/(SELECT n FROM nn) AS rank FROM nodes),
+       |$steps
+       |SELECT node AS nationkey, rank FROM pr10 ORDER BY 1""".stripMargin
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("g1_pagerank", nationPageRank, Some(pageRankOracle)),
+    QueryDef("g2_triangle_count", triangleStats, Some(
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |tri AS (
+        |  SELECT count(*) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT
+        |  (SELECT count(*) FROM deg) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  tri.n_triangles,
+        |  round(3.0 * tri.n_triangles /
+        |    (SELECT CAST(sum(dg*(dg-1)/2) AS DOUBLE) FROM deg), 6)
+        |    AS transitivity
+        |FROM tri""".stripMargin)))
+}

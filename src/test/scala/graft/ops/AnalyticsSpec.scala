@@ -39,6 +39,21 @@ class AnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("bloom prefilter join is output-identical to the plain join") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val o = graft.Tables.orders(spark, sf0001)
+    val plain = li.join(o.filter(col("o_totalprice") > 480000.0),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = Analytics.bloomPrefilterJoin(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == plain)
+    assert(got.nonEmpty)
+  }
+
   test("funnel counts agree with a naive per-user replay") {
     val ev = graft.Tables.events(spark, sf0001)
       .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("ms"),

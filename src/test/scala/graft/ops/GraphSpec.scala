@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank on a known 4-node graph matches hand-computed fixpoint behavior") {
+    // A->B, A->C, B->C, C->A, D dangling (receives nothing, spreads 1/n)
+    val edges = Seq(
+      (1L, 2L, 0.5), (1L, 3L, 0.5),
+      (2L, 3L, 1.0),
+      (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+      .union(Seq((4L, 4L, 0.0)).toDF("src", "dst", "w").filter(lit(false)))
+    // add node 4 as an isolated dangling node via a self-loop-free trick:
+    // it must appear in the node set, so give it an incoming zero-weight
+    // edge instead (keeps the graph identical: no mass flows along w=0)
+    val withD = edges.union(Seq((1L, 4L, 0.0)).toDF("src", "dst", "w"))
+
+    val got = Graph.pageRank(withD, iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // naive replay in Scala with the identical update rule
+    var ranks = Map(1L -> 0.25, 2L -> 0.25, 3L -> 0.25, 4L -> 0.25)
+    val out = Map(1L -> Seq((2L, 0.5), (3L, 0.5), (4L, 0.0)),
+      2L -> Seq((3L, 1.0)), 3L -> Seq((1L, 1.0)))
+    for (_ <- 1 to 10) {
+      val dm = ranks(4L) // node 4 has no out-edges
+      ranks = ranks.keys.map { n =>
+        val in = out.toSeq.flatMap { case (s2, es) =>
+          es.collect { case (d2, w) if d2 == n => w * ranks(s2) } }.sum
+        n -> BigDecimal(0.15 / 4 + 0.85 * (in + dm / 4))
+          .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toMap
+    }
+    ranks.foreach { case (n, r) =>
+      assert(math.abs(got(n) - r) < 1e-9, s"node $n: ${got(n)} vs $r")
+    }
+    // mass conservation: ranks sum to ~1
+    assert(math.abs(got.values.sum - 1.0) < 1e-6)
+  }
+
+  test("triangleStats counts a planted clique exactly") {
+    // orders built so parts {1,2,3} form a triangle and {4,5} a lone edge:
+    // order 10 contains parts 1,2,3 (K3 = 3 edges, 1 triangle);
+    // order 20 contains parts 4,5 (1 edge, no triangle)
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (10L, 3L),
+      (20L, 4L), (20L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_g2").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+
+    val r = Graph.triangleStats(spark, dir).collect()(0)
+    assert(r.getLong(0) == 5L, "n_nodes")
+    assert(r.getLong(1) == 4L, "n_edges")
+    assert(r.getLong(2) == 1L, "n_triangles")
+    // wedges: deg(1,2,3)=2 each -> 3 wedges; deg(4,5)=1 -> 0. 3*1/3 = 1.0
+    assert(r.getDouble(3) == 1.0, "transitivity")
+  }
+
+  test("triangleStats orientation is exhaustive: counts match an id-ordered count on sf0.001") {
+    val op = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .select(col("a.pk").as("u"), col("b.pk").as("v")).distinct().cache()
+    val idOrdered = e.as("e1").join(e.as("e2"), col("e1.v") === col("e2.u"))
+      .join(e.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .count()
+    val got = Graph.triangleStats(spark, sf0001).collect()(0).getLong(2)
+    assert(got == idOrdered, s"degree-oriented $got vs id-ordered $idOrdered")
+  }
+}
