@@ -517,7 +517,115 @@ object TextAnalysis {
       |WHERE s.doc_id % 50 <> 0
       |ORDER BY s.doc_id""".stripMargin
 
+  /** p3 — token-budget source rebalancing ("domain mixing"): spend a
+    * global token budget (frac · corpus tokens) EQUALLY across sources,
+    * filling each source's share greedily in md5(doc_id) order. The
+    * hash order makes membership a pure function of the key (t10's
+    * trick), so any engine — or any rerun after the corpus grows —
+    * reproduces the same mix decisions for unchanged docs. One window
+    * cumsum per source partition + a 1-row budget cross join; no
+    * per-source driver loop. At 100 TB the full per-source sort is the
+    * honest cost of EXACT budgeting; the approximate path (sample the
+    * hash distribution, pick a threshold, one filter) trades exactness
+    * for a sort-free scan and keeps the same determinism.
+    */
+  def sourceMix(s: SparkSession, d: String, frac: Double = 0.3): DataFrame = {
+    val docs = documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string")).as("hk"))
+    val budget = docs.agg(
+      floor(sum("n_tok").cast("double") * frac / countDistinct("source"))
+        .cast("long").as("budget"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("hk", "doc_id")
+    docs.withColumn("cum", sum("n_tok").over(w))
+      .crossJoin(budget)
+      .filter(col("cum") <= col("budget"))
+      .select("doc_id", "source", "n_tok", "cum")
+      .orderBy("doc_id")
+  }
+
+  /** t15 — exact duplicated-span detection (ExactSubstr-style dedup
+    * signal, Lee et al. 2022 scaled to a join): every 16-token sliding
+    * window is fingerprinted; a span is duplicated iff its fingerprint
+    * occurs in MORE THAN ONE document. The span index is the same
+    * inverted-index shape as d4's n-gram index — the groupBy carries
+    * (hash, doc counts), never text, and a df-style cut (count>1)
+    * shrinks it to the duplicated tail before the semi-join back.
+    * At 100 TB: fingerprints become xxhash64 (8 bytes vs md5's 32-char
+    * string — kept here for cross-engine parity), and the window
+    * generator stays a narrow codegen'd transform+explode, so the only
+    * shuffles are the index groupBy and the per-doc rollup.
+    */
+  def dupSpans(s: SparkSession, d: String, w: Int = 16,
+      flagFrac: Double = 0.5): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n_spans",
+        greatest(size(col("t")) - (w - 1), lit(0)).cast("long"))
+    val spans = toks.filter(col("n_spans") > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), col("n_spans").cast("int")),
+          i => md5(array_join(slice(col("t"), i, lit(w)), " ")))).as("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val perDoc = spans.join(dupHashes, Seq("h"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup_spans"))
+    toks.select("doc_id", "n_spans")
+      .join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .withColumn("dup_frac", round(
+        when(col("n_spans") > 0,
+          col("n_dup_spans").cast("double") / col("n_spans"))
+          .otherwise(lit(0.0)), 6))
+      .withColumn("flagged",
+        when(col("dup_frac") >= flagFrac, 1).otherwise(0))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("p3_source_mix", (s, d) => sourceMix(s, d), Some(
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |b AS (
+        |  SELECT CAST(floor(CAST(sum(n_tok) AS DOUBLE) * 0.3
+        |    / count(DISTINCT source)) AS BIGINT) AS budget
+        |  FROM docs),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM docs)
+        |SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum
+        |FROM c, b WHERE cum <= budget ORDER BY doc_id""".stripMargin)),
+    QueryDef("t15_dup_spans", (s, d) => dupSpans(s, d), Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (
+        |  SELECT doc_id, CAST(greatest(len(t) - 15, 0) AS BIGINT)
+        |    AS n_spans, t FROM toks),
+        |sp AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 15),
+        |    i -> md5(array_to_string(t[i:i+15], ' ')))) AS h
+        |  FROM base WHERE n_spans > 0),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_dup_spans FROM sp
+        |  WHERE h IN (SELECT h FROM dup) GROUP BY 1)
+        |SELECT b.doc_id, b.n_spans,
+        |  CAST(coalesce(p.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+        |  round(CASE WHEN b.n_spans > 0
+        |    THEN CAST(coalesce(p.n_dup_spans, 0) AS DOUBLE) / b.n_spans
+        |    ELSE 0 END, 6) AS dup_frac,
+        |  CASE WHEN (CASE WHEN b.n_spans > 0
+        |    THEN CAST(coalesce(p.n_dup_spans, 0) AS DOUBLE) / b.n_spans
+        |    ELSE 0 END) >= 0.5::DOUBLE THEN 1 ELSE 0 END AS flagged
+        |FROM base b LEFT JOIN per p USING (doc_id) ORDER BY 1""".stripMargin)),
     QueryDef("t1_token_counts", tokenCounts, Some(
       // CAST AS BIGINT: DuckDB's list_sum over a BIGINT list yields HUGEINT
       // (float64 through pandas) — hash-mismatches Spark's int64 otherwise.

@@ -251,7 +251,40 @@ object Sources {
     s.table(liTbl).hint("merge")
       .join(s.table(oTbl), col("l_orderkey") === col("o_orderkey"))
 
+  /** src10 — small-file compaction: the housekeeping job every long-lived
+    * 100 TB table needs. Plants the problem (a 64-way over-partitioned
+    * write of events — the shape a streaming sink or over-parallel ETL
+    * leaves behind), then compacts by BYTE SIZE, not row count: target
+    * partition count = ceil(input bytes / targetBytes), from a
+    * filesystem listing (pure metadata — on HDFS/S3 the same numbers
+    * come from the FileSystem/ListObjects API; no data is read to plan).
+    * The audit aggregate runs over the COMPACTED files and must equal
+    * the oracle over the ORIGINAL table — compaction is bit-preserving
+    * or it is wrong. File-count collapse is pinned in SourcesSpec.
+    */
+  def compactSmallFiles(s: SparkSession, d: String,
+      targetBytes: Long = 8L << 20): DataFrame = {
+    val small = Tables.scratchDir("graft_src10_small", d)
+    val out = Tables.scratchDir("graft_src10_compact", d)
+    events(s, d).repartition(64).write.mode("overwrite").parquet(small)
+    val bytes = new java.io.File(small).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val n = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    s.read.parquet(small).repartition(n).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("event_id").as("n_ids"),
+        round(sum("value"), 2).as("value_sum"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src10_compaction", (s, d) => compactSmallFiles(s, d), Some(
+      """SELECT event_type, count(*) AS n,
+        |  count(DISTINCT event_id) AS n_ids,
+        |  round(sum(value), 2) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src1_json_roundtrip", jsonRoundtrip, Some(
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),

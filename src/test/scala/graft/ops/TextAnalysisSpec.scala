@@ -192,6 +192,57 @@ class TextAnalysisSpec extends SparkSpec {
     assert(all.nonEmpty && all.forall(_ == 0.0), "ubiquitous token must score 0")
   }
 
+  test("sourceMix: per-source kept tokens respect the budget; greedy order is md5") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    def md5hex(v: String): String = {
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8"))
+      dig.map("%02x".format(_)).mkString
+    }
+    val totalTok = docs.map(_._3).sum
+    val nSrc = docs.map(_._2).distinct.length
+    val budget = math.floor(totalTok.toDouble * 0.3 / nSrc).toLong
+    val expect = docs.groupBy(_._2).toSeq.flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(x => (md5hex(x._1.toString), x._1)).flatMap { x =>
+        cum += x._3
+        if (cum <= budget) Some(x._1 -> cum) else None
+      }
+    // greedy stops at the first overflow per source, so re-filter the
+    // prefix property the operator declares: cum <= budget
+    }.toMap
+    val got = TextAnalysis.sourceMix(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expect, s"kept-set mismatch: ${got.size} vs ${expect.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("dupSpans: planted shared 16-token span is detected, short docs get 0 spans") {
+    import spark.implicits._
+    val span = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span alpha beta gamma delta"),       // shares span with doc 2
+      (2L, s"prefix one two three $span"),          // shares span with doc 1
+      (3L, "completely different words here only"), // 5 tokens < 16 -> 0 spans
+      (4L, (1 to 40).map(i => s"u$i").mkString(" "))) // unique long doc
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_t15").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val got = TextAnalysis.dupSpans(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(4)))).toMap
+    // doc 1: 20 tokens -> 5 spans; spans starting at pos 1 only contain
+    // the full planted span
+    assert(got(1L)._1 == 5L)
+    assert(got(1L)._2 >= 1L, s"doc 1 should have >=1 duplicated span: ${got(1L)}")
+    assert(got(2L)._2 >= 1L, "doc 2 shares the span")
+    assert(got(3L) == ((0L, 0L, 0)), "short doc: no spans, unflagged")
+    assert(got(4L)._2 == 0L, "unique doc has no duplicated spans")
+  }
+
   test("heavy hitters: pigeonhole guard routes degenerate regimes to exact agg") {
     // the path decision itself: at cluster partition counts the bar
     // collapses to 1 and the candidate set would be the whole vocabulary

@@ -44,4 +44,24 @@ class SourcesSpec extends SparkSpec {
       s"filter not pushed into the remote query:\n$plan")
     assert(scan.count() == 20)
   }
+
+  test("compaction collapses the planted 64-file layout and preserves content") {
+    val agg = Sources.compactSmallFiles(spark, sf0001).collect()
+    def parquetFiles(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+    val small = parquetFiles(graft.Tables.scratchDir("graft_src10_small", sf0001))
+    val compact = parquetFiles(graft.Tables.scratchDir("graft_src10_compact", sf0001))
+    assert(small.length == 64, s"planted layout: ${small.length} files")
+    assert(compact.length < 8, s"compacted layout: ${compact.length} files")
+    // content identity vs the original table
+    val want = graft.Tables.events(spark, sf0001)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"),
+        round(sum("value"), 2).as("value_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = agg.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == want)
+  }
 }
