@@ -14,7 +14,7 @@ object SparkEntry {
     ops.Relational.defs ++ ops.Analytics.defs ++ sources.Sources.defs ++
       als.AlsPipeline.defs ++
       ops.TextAnalysis.defs ++ ops.Dedup.defs ++ ops.Similarity.defs ++
-      ops.Quality.defs ++ ops.Graph.defs ++
+      ops.Quality.defs ++ ops.Graph.defs ++ ops.Behavior.defs ++
       ops.Mutations.defs ++ engine.GraftCatalog.defs ++
       ops.Multimodal.defs ++ streaming.EventStreams.defs
 

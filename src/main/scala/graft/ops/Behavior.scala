@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** User-behavior analytics over the events stream: cohort retention and
+  * session-interval overlap — the two queries every product-analytics
+  * workload runs that do NOT reduce to a single groupBy.
+  *
+  * Scale thread: every derived table here keys on user_id, so the
+  * window pass, the first-day agg, and the join back all reuse ONE
+  * hash partitioning; the interval join replaces the quadratic range
+  * predicate with bin-local equi-joins.
+  */
+object Behavior {
+  import Tables._
+
+  /** e7 — weekly cohort retention matrix: users bucketed by first-seen
+    * week, activity counted per (cohort, weeks-since) cell, reported as
+    * a fraction of the cohort. Three aggregations, ONE logical key: the
+    * per-user min, the join back, and the (user, week) dedup all hash on
+    * user_id (AQE reuses the exchange); only the final tiny
+    * (cohort, age) rollup reshuffles.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("user_id"),
+        floor(unix_date(to_date(col("ts"))) / 7).as("week"))
+      .distinct()
+    val cohort = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val size = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_cohort"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("age_weeks"))
+      .agg(count(lit(1)).as("n_active"))
+      .join(size, Seq("cohort_week"))
+      .select(col("cohort_week"), col("age_weeks"), col("n_active"),
+        round(col("n_active").cast("double") / col("n_cohort"), 6).as("retention"))
+      .orderBy("cohort_week", "age_weeks")
+  }
+
+  /** Per-user session intervals (same ≥30-min-gap rule as e2, but kept
+    * as [start, end] spans instead of per-user counts).
+    */
+  def sessionIntervals(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") >= 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(min("ms").as("lo"), max("ms").as("hi"))
+  }
+
+  /** j10 — interval-overlap join, binned: which users were active at
+    * overlapping times? Every session explodes to the hour bins it
+    * covers (a narrow generator); candidate pairs meet in bin-local
+    * equi-joins; the exact overlap predicate then filters and DISTINCT
+    * removes multi-bin duplicates. This is the scalable range-join
+    * shape: the quadratic interval×interval predicate becomes
+    * |bins|-bounded local joins — the same reason d5 grids embeddings
+    * and d4 inverts n-grams. Bin width trades explode factor against
+    * join selectivity; sessions are hours-scale, so hour bins keep the
+    * explode O(session length).
+    */
+  def intervalOverlapJoin(s: SparkSession, d: String,
+      binMs: Long = 3600000L): DataFrame = {
+    val sess = sessionIntervals(s, d).cache()
+    val binned = sess.select(col("user_id"), col("lo"), col("hi"),
+      explode(sequence(floor(col("lo") / binMs),
+        floor(col("hi") / binMs))).as("bin"))
+    val a = binned.select(col("bin"), col("user_id").as("u1"),
+      col("lo").as("lo1"), col("hi").as("hi1"))
+    val b = binned.select(col("bin"), col("user_id").as("u2"),
+      col("lo").as("lo2"), col("hi").as("hi2"))
+    a.join(b, Seq("bin"))
+      .filter(col("u1") < col("u2") &&
+        col("lo1") <= col("hi2") && col("lo2") <= col("hi1"))
+      .select("u1", "lo1", "hi1", "u2", "lo2", "hi2").distinct()
+      .groupBy("u1", "u2")
+      .agg(count(lit(1)).as("n_overlapping_sessions"))
+      .orderBy("u1", "u2")
+  }
+
+  private val sessionSql: String =
+    """sessions AS (
+      |  SELECT user_id, session_id, min(ms) AS lo, max(ms) AS hi FROM (
+      |    SELECT user_id, ms,
+      |      sum(new_session) OVER (PARTITION BY user_id ORDER BY ms, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |    FROM (
+      |      SELECT user_id, event_id,
+      |        epoch_ms(CAST(ts AS TIMESTAMP)) AS ms,
+      |        CASE WHEN lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER
+      |            (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |          OR epoch_ms(CAST(ts AS TIMESTAMP))
+      |            - lag(epoch_ms(CAST(ts AS TIMESTAMP))) OVER
+      |              (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000
+      |          THEN 1 ELSE 0 END AS new_session
+      |      FROM events))
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("e7_cohort_retention", cohortRetention, Some(
+      """WITH ev AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor((CAST(ts AS DATE) - DATE '1970-01-01') / 7) AS BIGINT)
+        |      AS week
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+        |sz AS (
+        |  SELECT cohort_week, count(*) AS n_cohort FROM cohort GROUP BY 1),
+        |act AS (
+        |  SELECT c.cohort_week, e.week - c.cohort_week AS age_weeks,
+        |    count(*) AS n_active
+        |  FROM ev e JOIN cohort c USING (user_id) GROUP BY 1, 2)
+        |SELECT a.cohort_week, a.age_weeks, a.n_active,
+        |  round(CAST(a.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+        |FROM act a JOIN sz s USING (cohort_week)
+        |ORDER BY 1, 2""".stripMargin)),
+    // oracle is the NAIVE quadratic overlap join — hash-match proves the
+    // binned plan exhaustive (no missed pairs) and duplicate-free
+    QueryDef("j10_interval_join", (s, d) => intervalOverlapJoin(s, d), Some(
+      s"""WITH $sessionSql
+         |SELECT a.user_id AS u1, b.user_id AS u2,
+         |  count(*) AS n_overlapping_sessions
+         |FROM sessions a JOIN sessions b
+         |  ON a.user_id < b.user_id AND a.lo <= b.hi AND b.lo <= a.hi
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+}

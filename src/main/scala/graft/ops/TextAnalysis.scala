@@ -585,7 +585,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t16 — corpus bigram language-model scoring (the CCNet-style "LM
+    * quality filter" stand-in): every document is scored by the mean
+    * add-one-smoothed log-probability of its bigrams under the corpus's
+    * own bigram statistics, ln((c(w1 w2)+1)/(c(w1·)+V)). Perplexity
+    * outliers (gibberish, boilerplate, wrong-language) score low.
+    * Dataflow: one narrow bigram generator feeds three aggregations —
+    * the bigram count table, the first-word count table (both
+    * vocab-sized, joined back on their keys), and the per-doc rollup.
+    * At 100 TB the count tables shard like any aggregate and the joins
+    * hash on the bigram — swap the string key for xxhash64 to shrink
+    * the shuffle 4× (md5/strings kept here for cross-engine parity).
+    */
+  def bigramScore(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val big = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("t")) - 1),
+          i => struct(element_at(col("t"), i).as("w1"),
+            concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1)).as("bg")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+    val bigc = big.groupBy("bg").agg(count(lit(1)).as("cb"))
+    val unic = big.groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vocab = toks.select(explode(col("t")).as("tok"))
+      .agg(countDistinct("tok").cast("double").as("vocab"))
+    big.join(bigc, Seq("bg")).join(unic, Seq("w1")).crossJoin(vocab)
+      .select(col("doc_id"),
+        log((col("cb") + 1).cast("double") / (col("cu") + col("vocab")))
+          .as("lp"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg("lp"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t16_bigram_score", bigramScore, Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |bigc AS (SELECT bg, count(*) AS cb FROM big GROUP BY 1),
+        |unic AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, count(*) AS cu
+        |  FROM big GROUP BY 1),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+        |  FROM (SELECT unnest(t) AS tok FROM toks)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    ln(CAST(bc.cb + 1 AS DOUBLE) / (u.cu + v.vocab)) AS lp
+        |  FROM big b JOIN bigc bc USING (bg)
+        |  JOIN unic u ON string_split(b.bg, ' ')[1] = u.w1, v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("p3_source_mix", (s, d) => sourceMix(s, d), Some(
       """WITH docs AS (
         |  SELECT doc_id, source,

@@ -1,0 +1,51 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class BehaviorSpec extends SparkSpec {
+
+  test("cohort retention: age-0 cell is the full cohort; cells never exceed it") {
+    val rows = Behavior.cohortRetention(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    val age0 = rows.filter(_._2 == 0L)
+    // every user is active in their own first week -> retention 1.0
+    age0.foreach { case (cw, _, _, ret) =>
+      assert(ret == 1.0, s"cohort $cw age-0 retention $ret")
+    }
+    val cohortN = age0.map(r => r._1 -> r._3).toMap
+    rows.foreach { case (cw, age, n, ret) =>
+      assert(n <= cohortN(cw), s"cohort $cw age $age active $n > cohort")
+      assert(ret > 0.0 && ret <= 1.0)
+    }
+  }
+
+  test("binned interval join equals the naive quadratic overlap join") {
+    val sess = Behavior.sessionIntervals(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val naive = (for {
+      a <- sess; b <- sess
+      if a._1 < b._1 && a._2 <= b._3 && b._2 <= a._3
+    } yield ((a._1, b._1))).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = Behavior.intervalOverlapJoin(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == naive, s"${got.size} pairs vs naive ${naive.size}")
+    assert(got.nonEmpty)
+  }
+
+  test("session intervals within a user never overlap (gap rule)") {
+    val sess = Behavior.sessionIntervals(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    sess.values.foreach { ss =>
+      val sorted = ss.sortBy(_._2).toSeq
+      sorted.sliding(2).foreach {
+        case Seq(a, b) => assert(b._2 - a._3 >= 1800000L,
+          s"sessions closer than the gap: $a $b")
+        case _ =>
+      }
+    }
+  }
+}

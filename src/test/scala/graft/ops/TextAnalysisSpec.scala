@@ -243,6 +243,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L)._2 == 0L, "unique doc has no duplicated spans")
   }
 
+  test("bigram score: common-phrase docs outscore gibberish under the corpus LM") {
+    import spark.implicits._
+    val common = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, common), (2L, common), (3L, common),   // high-probability bigrams
+      (4L, "zq xv qpw mlk jhg fds apo iuy tre")) // every bigram unique
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_t16").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val got = TextAnalysis.bigramScore(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L)._1 == 8L, "9 tokens -> 8 bigrams")
+    assert(got(1L)._2 == got(2L)._2, "identical docs score identically")
+    assert(got(1L)._2 > got(4L)._2,
+      s"common ${got(1L)._2} should beat gibberish ${got(4L)._2}")
+  }
+
   test("heavy hitters: pigeonhole guard routes degenerate regimes to exact agg") {
     // the path decision itself: at cluster partition counts the bar
     // collapses to 1 and the candidate set would be the whole vocabulary
