@@ -128,6 +128,25 @@ object Analytics {
       .orderBy("tier")
   }
 
+  /** q2 — LATERAL correlated subquery through the SQL front-end: top-3
+    * customers by balance per nation, written the way an analyst writes
+    * it (a per-row dependent subquery with ORDER BY + LIMIT). Catalyst
+    * DECORRELATES this into a window rank over one partitioned exchange
+    * — no per-nation re-scan survives in the physical plan; declared to
+    * keep that rewrite exercised alongside q1's scalar form.
+    */
+  def lateralTopPerNation(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_lat_cust")
+    nation(s, d).createOrReplaceTempView("graft_lat_nation")
+    s.sql(
+      """SELECT n_name, c_custkey, bal
+        |FROM graft_lat_nation,
+        |LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |         FROM graft_lat_cust WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3)
+        |ORDER BY n_name, bal DESC, c_custkey""".stripMargin)
+  }
+
   /** Correlated scalar subquery through the SQL front-end: customers whose
     * balance beats their nation's average. Catalyst decorrelates this into
     * an aggregate + join — pinned here so the rewrite stays exercised.
@@ -516,6 +535,13 @@ object Analytics {
         |             ('t5_top', 450000, 1e18)) t(tier, lo, hi)
         |  ON o_totalprice >= lo AND o_totalprice < hi
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q2_lateral_topk", lateralTopPerNation, Some(
+      """SELECT n_name, c_custkey, bal
+        |FROM nation,
+        |LATERAL (SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |         FROM customer WHERE c_nationkey = n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3)
+        |ORDER BY n_name, bal DESC, c_custkey""".stripMargin)),
     QueryDef("q1_correlated_subquery", aboveNationAvg, Some(
       """SELECT c_custkey, round(c_acctbal, 2) AS bal
         |FROM customer o

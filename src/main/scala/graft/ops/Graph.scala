@@ -96,13 +96,20 @@ object Graph {
     * 10¹⁰ wedges). The count is orientation-invariant — the oracle uses
     * the simple id-ordering and must agree exactly.
     */
-  def triangleStats(s: SparkSession, d: String): DataFrame = {
+  /** Undirected part co-occurrence edges (parts sharing an order),
+    * stored once per unordered pair as u < v. Shared by g2 and g3.
+    */
+  private def partCoEdges(s: SparkSession, d: String): DataFrame = {
     val op = lineitem(s, d).select(col("l_orderkey").as("ok"),
       col("l_partkey").as("pk")).distinct()
-    val e = op.as("a").join(op.as("b"),
+    op.as("a").join(op.as("b"),
         col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
       .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct().cache()
+      .distinct()
+  }
+
+  def triangleStats(s: SparkSession, d: String): DataFrame = {
+    val e = partCoEdges(s, d).cache()
     val deg = e.select(col("u").as("node")).union(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("dg")).cache()
     // orient {u,v} from lower (deg, id) to higher
@@ -131,6 +138,54 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"),
         round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
           .as("transitivity"))
+  }
+
+  /** Multi-source BFS hop distances over a DIRECTED edge list
+    * `(src, dst)` from a seed set `(node)`. Level-synchronous
+    * frontier expansion: each hop joins only the NEW frontier against
+    * edges, anti-joins the settled set, and localCheckpoints the level
+    * (BFS is the one iterative shape where a per-level driver action is
+    * inherent — the emptiness check IS the termination condition; each
+    * check is a count over an already-materialized level, not a
+    * recompute). Settled distances only ever grow by the frontier, so
+    * the cumulative state is |reached| rows — the textbook Pregel/BSP
+    * equivalent without per-vertex messaging.
+    */
+  def bfsDistances(edges: DataFrame, sources: DataFrame,
+      maxHops: Int = 20): DataFrame = {
+    var dist = sources.select(col("node"), lit(0L).as("dist"))
+      .distinct().localCheckpoint()
+    var frontier = dist
+    var hop = 0L
+    var grew = true
+    while (grew && hop < maxHops) {
+      hop += 1
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(edges("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .select(col("node"), lit(hop).as("dist"))
+        .localCheckpoint()
+      if (next.isEmpty) grew = false
+      else {
+        dist = dist.union(next).localCheckpoint()
+        frontier = next
+      }
+    }
+    dist
+  }
+
+  /** g3 — BFS reachability/distance on the part co-occurrence graph from
+    * a deterministic multi-source seed set (partkey % 97 = 0). The
+    * undirected pair list symmetrizes into a directed edge list first.
+    */
+  def partBfs(s: SparkSession, d: String): DataFrame = {
+    val e = partCoEdges(s, d).cache()
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .filter(pmod(col("node"), lit(97)) === 0).distinct()
+    bfsDistances(sym, seeds).orderBy("node")
   }
 
   /** Unrolled 10-step PageRank oracle (recursive CTEs can reference the
@@ -178,6 +233,29 @@ object Graph {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("g1_pagerank", nationPageRank, Some(pageRankOracle)),
+    // UNION (not UNION ALL) recursion: DuckDB's semi-naive evaluation
+    // dedups (node, dist) states, so the walk is |nodes|·maxHops bounded
+    // instead of path-enumerating; min() collapses to hop distance
+    QueryDef("g3_bfs_distance", partBfs, Some(
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |seeds AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  WHERE node % 97 = 0),
+        |walk(node, dist) AS (
+        |  SELECT node, 0 FROM seeds
+        |  UNION
+        |  SELECT s.dst, w.dist + 1
+        |  FROM walk w JOIN sym s ON s.src = w.node WHERE w.dist < 20)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("g2_triangle_count", triangleStats, Some(
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

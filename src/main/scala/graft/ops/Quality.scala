@@ -102,7 +102,55 @@ object Quality {
       .orderBy("user_id")
   }
 
+  /** dq2 — robust anomaly detection on the daily revenue series per
+    * order priority: median/MAD (not mean/stddev — one fat-finger day
+    * would drag a mean-based threshold toward itself) with the standard
+    * 1.4826 consistency constant. Exact percentiles at this grouping
+    * are cheap because the DAILY series is already aggregated — the
+    * percentile runs over ~365·groups rows regardless of fact-table
+    * size; at 100 TB the only full-data pass is the first daily rollup.
+    * Daily revenues are rounded BEFORE the medians so both engines
+    * compute statistics on identical doubles.
+    */
+  def madOutliers(s: SparkSession, d: String, k: Double = 3.0): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val med = daily.groupBy("prio")
+      .agg(expr("percentile(rev, 0.5)").as("med"))
+    val withDev = daily.join(med, Seq("prio"))
+      .withColumn("absdev", abs(col("rev") - col("med")))
+    val mad = withDev.groupBy("prio")
+      .agg(expr("percentile(absdev, 0.5)").as("mad"))
+    withDev.join(mad, Seq("prio"))
+      .filter(col("absdev") > lit(k) * lit(1.4826) * col("mad"))
+      .select(col("prio"), col("day"), col("rev"),
+        when(col("mad") > 0,
+          round((col("rev") - col("med")) / (lit(1.4826) * col("mad")), 4))
+          .as("robust_z"))
+      .orderBy("prio", "day")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq2_mad_outliers", (s, d) => madOutliers(s, d), Some(
+      """WITH daily AS (
+        |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1, 2),
+        |med AS (
+        |  SELECT prio, quantile_cont(rev, 0.5) AS med FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.prio, d.day, d.rev, m.med, abs(d.rev - m.med) AS absdev
+        |  FROM daily d JOIN med m USING (prio)),
+        |mad AS (
+        |  SELECT prio, quantile_cont(absdev, 0.5) AS mad FROM dev GROUP BY 1)
+        |SELECT v.prio, v.day, v.rev,
+        |  CASE WHEN a.mad > 0
+        |    THEN round((v.rev - v.med) / (1.4826 * a.mad), 4) END AS robust_z
+        |FROM dev v JOIN mad a USING (prio)
+        |WHERE v.absdev > 3.0 * 1.4826 * a.mad
+        |ORDER BY 1, 2""".stripMargin)),
     QueryDef("a12_median_mode", medianMode, Some(
       """WITH med AS (
         |  SELECT o_orderpriority, count(*) AS n,

@@ -301,6 +301,42 @@ object Relational {
       .orderBy("op", "nk")
   }
 
+  /** set2 — BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): unlike
+    * set1's distinct forms, multiplicities carry through — the
+    * difference between "which customers appear in both halves" and
+    * "how many times". Spark plans these as aggregate+generate over
+    * per-side counts (no row-by-row matching), which is exactly the
+    * min/​difference-of-counts semantics the SQL standard specifies.
+    */
+  def bagOps(s: SparkSession, d: String): DataFrame = {
+    val open = orders(s, d).filter(col("o_orderstatus") === "O")
+      .select(col("o_custkey"))
+    val urgent = orders(s, d)
+      .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      .select(col("o_custkey"))
+    open.intersectAll(urgent).groupBy("o_custkey")
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .union(open.exceptAll(urgent).groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+      .orderBy("op", "o_custkey")
+  }
+
+  /** f8 — regex function surface. Patterns stay inside RE2's subset (no
+    * backreferences, no lookaround) so every engine — Java regex here,
+    * RE2 in DuckDB, hyperscan elsewhere — agrees; Spark's regexp_count /
+    * regexp_replace(all) match DuckDB's len(regexp_extract_all) /
+    * regexp_replace(..., 'g').
+    */
+  def regexFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "^[a-z]+", 0).as("first_word"),
+      expr("regexp_count(p_name, '[aeiou]')").cast("bigint").as("n_vowels"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+      when(col("p_name").rlike("(ss|ee|oo|ll)"), 1).otherwise(0)
+        .as("has_double"))
+      .orderBy("p_partkey")
+
   // ---- scalar functions ----
 
   /** String function surface. */
@@ -612,6 +648,27 @@ object Relational {
         |UNION ALL
         |SELECT nk, 'union' AS op FROM (SELECT nk FROM c UNION SELECT nk FROM s)
         |ORDER BY op, nk""".stripMargin)),
+    QueryDef("set2_bag_ops", bagOps, Some(
+      """WITH o AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'),
+        |     u AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderpriority IN ('1-URGENT', '2-HIGH'))
+        |SELECT o_custkey, count(*) AS n, 'intersect_all' AS op FROM (
+        |  SELECT o_custkey FROM o INTERSECT ALL SELECT o_custkey FROM u)
+        |GROUP BY 1
+        |UNION ALL
+        |SELECT o_custkey, count(*) AS n, 'except_all' AS op FROM (
+        |  SELECT o_custkey FROM o EXCEPT ALL SELECT o_custkey FROM u)
+        |GROUP BY 1
+        |ORDER BY op, o_custkey""".stripMargin)),
+    QueryDef("f8_regex_funcs", regexFuncs, Some(
+      """SELECT p_partkey,
+        |  coalesce(regexp_extract(p_name, '^[a-z]+'), '') AS first_word,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT)
+        |    AS n_vowels,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+        |  CASE WHEN regexp_matches(p_name, '(ss|ee|oo|ll)') THEN 1 ELSE 0 END
+        |    AS has_double
+        |FROM part ORDER BY p_partkey""".stripMargin)),
     QueryDef("f1_string_funcs", stringFuncs, Some(
       """SELECT p_partkey, upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
         |  substr(p_type, 1, 5) AS type_prefix, length(p_name) AS name_len,

@@ -62,6 +62,31 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0, "transitivity")
   }
 
+  test("bfsDistances: planted path graph gets exact hop counts; disconnected nodes unreached") {
+    // path 1-2-3-4 (undirected), island 8-9; seed = {1}
+    val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
+      .toDF("u", "v")
+    val sym = undirected.select(col("u").as("src"), col("v").as("dst"))
+      .union(undirected.select(col("v").as("src"), col("u").as("dst")))
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val got = Graph.bfsDistances(sym, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L),
+      s"got $got")
+  }
+
+  test("bfsDistances: multi-source takes the nearest seed") {
+    val sym = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("u", "v")
+      .select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(Seq((2L, 1L), (3L, 2L), (4L, 3L), (5L, 4L))
+        .toDF("src", "dst"))
+    val seeds = Seq(Tuple1(1L), Tuple1(5L)).toDF("node")
+    val got = Graph.bfsDistances(sym, seeds)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 0L))
+  }
+
   test("triangleStats orientation is exhaustive: counts match an id-ordered count on sf0.001") {
     val op = graft.Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()

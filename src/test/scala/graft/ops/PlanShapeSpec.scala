@@ -62,6 +62,15 @@ class PlanShapeSpec extends SparkSpec {
       s"als_recommend ranks through a full-sort window again:\n$p")
   }
 
+  test("lateral top-k decorrelates to a window rank, not a per-row re-scan") {
+    val p = plan("q2_lateral_topk")
+    // Catalyst rewrites the correlated LIMIT subquery into a rank over
+    // one partitioned window — no nested-loop / cartesian re-scan
+    assert(p.contains("Window"), s"lateral did not decorrelate to a window:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"lateral fell back to a cartesian:\n$p")
+  }
+
   test("partition pruning: src2 scan reads one partition") {
     val p = plan("src2_partitioned_pruning")
     assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,

@@ -59,6 +59,24 @@ class QualitySpec extends SparkSpec {
       s"got $got (cols ${r.schema.fieldNames.mkString(",")})")
   }
 
+  test("madOutliers flags a planted spike day and nothing else") {
+    // 9 quiet days at ~100 plus one 10x spike; median=100, MAD small
+    val base = (1 to 9).map(i =>
+      (i.toLong, 1L, "O", 100.0 + (i % 3), Date.valueOf(f"2024-01-0$i"), "P"))
+    val spike = Seq((99L, 1L, "O", 1000.0, Date.valueOf("2024-01-15"), "P"))
+    val orders = (base ++ spike)
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq2").toString
+    orders.write.parquet(s"$dir/orders.parquet")
+
+    val got = Quality.madOutliers(spark, dir).collect()
+    assert(got.length == 1, s"exactly the spike: ${got.mkString(";")}")
+    assert(got(0).getDate(1) == Date.valueOf("2024-01-15"))
+    assert(got(0).getDouble(2) == 1000.0)
+    assert(got(0).getDouble(3) > 3.0, "robust z of the spike is large")
+  }
+
   test("ewmaDaily matches a naive per-user replay on sf0.001") {
     val raw = graft.Tables.events(spark, sf0001)
       .select(col("user_id"), unix_date(to_date(col("ts"))).as("di"),
