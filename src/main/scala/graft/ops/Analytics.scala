@@ -309,6 +309,29 @@ object Analytics {
       round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_samp_qp"),
       round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_pop_qp"))
 
+  /** a14 — per-group least-squares trend (regr_slope / regr_intercept /
+    * regr_r2): revenue-vs-time trend per market segment, the "is this
+    * segment growing" query. One hash aggregation — the regression
+    * moments (n, Σx, Σy, Σxx, Σxy, Σyy) are algebraic, so partial
+    * aggregation runs map-side and the shuffle carries six doubles per
+    * group regardless of data size. x is days since a fixed epoch (not
+    * raw epoch-days) to keep the normal equations well-conditioned.
+    */
+  def regrBySegment(s: SparkSession, d: String): DataFrame = {
+    val x = datediff(to_date(col("o_orderdate")), lit("1995-01-01"))
+      .cast("double")
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), x.as("x"), col("o_totalprice").as("y"))
+      .groupBy("c_mktsegment")
+      .agg(
+        count(lit(1)).as("n"),
+        round(regr_slope(col("y"), col("x")), 6).as("slope_per_day"),
+        round(regr_intercept(col("y"), col("x")), 2).as("intercept"),
+        round(regr_r2(col("y"), col("x")), 6).as("r2"))
+      .orderBy("c_mktsegment")
+  }
+
   /** Two-stage salted aggregation — the skew pattern: stage 1 groups on
     * (key, salt) so one hot key spreads over 8 reducers; stage 2 merges
     * the 8 partials. Result is identical to a direct groupBy (sums are
@@ -618,6 +641,16 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 25000.0::DOUBLE) AS INT) AS bucket,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a14_regr_by_segment", regrBySegment, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(regr_slope(o_totalprice, o_orderdate::DATE - DATE '1995-01-01'), 6)
+        |    AS slope_per_day,
+        |  round(regr_intercept(o_totalprice, o_orderdate::DATE - DATE '1995-01-01'), 2)
+        |    AS intercept,
+        |  round(regr_r2(o_totalprice, o_orderdate::DATE - DATE '1995-01-01'), 6)
+        |    AS r2
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     QueryDef("a9_bivariate_stats", bivariateStats, Some(
       """SELECT count(*) AS n,
         |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,

@@ -133,7 +133,36 @@ object Mutations {
       .orderBy("o_orderkey")
   }
 
+  /** up5 — idempotent append-dedup ingestion: land a batch whose window
+    * OVERLAPS data already ingested (the at-least-once reality of every
+    * replayed feed) without double-counting. New rows = batch ANTI JOIN
+    * target on the event key; the append is then safe to re-run — a
+    * second identical batch contributes zero rows. The anti join hashes
+    * on event_id only (both sides project the key before shuffling
+    * payload); at 100 TB the target side prunes to the batch's partition
+    * range first, so the join is delta-vs-recent, never delta-vs-corpus.
+    * Timestamps surface as epoch millis (the engine reads the nanosecond
+    * feed at micro precision; millis are exact in both engines).
+    */
+  def idempotentAppend(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_id"), col("ts"),
+      col("user_id"), col("event_type"), col("value"))
+    val target = ev.filter(col("ts") < lit("2024-01-20").cast("timestamp"))
+    val batch = ev.filter(col("ts") >= lit("2024-01-10").cast("timestamp")
+      && col("ts") < lit("2024-01-25").cast("timestamp"))
+    val fresh = batch.join(target.select("event_id"), Seq("event_id"), "left_anti")
+    target.unionByName(fresh)
+      .select(col("event_id"), unix_millis(col("ts")).as("ts_ms"),
+        col("user_id"), col("event_type"), round(col("value"), 4).as("value"))
+      .orderBy("event_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up5_idempotent_append", idempotentAppend, Some(
+      """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
+        |  round(value, 4) AS value
+        |FROM events WHERE ts < TIMESTAMP '2024-01-25'
+        |ORDER BY event_id""".stripMargin)),
     QueryDef("up4_snapshot_diff", snapshotDiff, Some(
       """WITH old AS (
         |  SELECT o_orderkey, o_totalprice AS old_price

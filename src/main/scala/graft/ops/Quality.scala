@@ -132,7 +132,51 @@ object Quality {
       .orderBy("prio", "day")
   }
 
+  /** dq3 — cross-table reconciliation: does each order's header total
+    * agree with the sum of its line items (extended price net of
+    * discount, plus tax)? The staple "did the ingest drop rows" audit.
+    * One fact-side aggregation keyed on the join key (so the agg and
+    * the join share a single hash partitioning), then a left join back
+    * to headers — orders with NO lines count as fully drifted. Per-order
+    * line totals are rounded to cents BEFORE the drift math so both
+    * engines aggregate identical doubles.
+    */
+  def reconcileOrders(s: SparkSession, d: String, tol: Double = 1.0): DataFrame = {
+    val lineTotals = lineitem(s, d)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * (lit(1) + col("l_tax"))), 2).as("line_total"))
+    orders(s, d)
+      .join(lineTotals, Seq("o_orderkey"), "left")
+      .withColumn("drift",
+        round(abs(col("o_totalprice") - coalesce(col("line_total"), lit(0.0))), 2))
+      .groupBy("o_orderstatus")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        count(when(col("line_total").isNull, true)).as("n_lineless"),
+        count(when(col("drift") > tol, true)).as("n_drifted"),
+        round(max("drift"), 2).as("max_drift"),
+        round(avg("drift"), 2).as("avg_drift"))
+      .orderBy("o_orderstatus")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq3_reconciliation", (s, d) => reconcileOrders(s, d), Some(
+      """WITH lt AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+        |      AS line_total
+        |  FROM lineitem GROUP BY 1),
+        |j AS (
+        |  SELECT o.o_orderstatus, lt.line_total,
+        |    round(abs(o.o_totalprice - coalesce(lt.line_total, 0)), 2) AS drift
+        |  FROM orders o LEFT JOIN lt USING (o_orderkey))
+        |SELECT o_orderstatus, count(*) AS n_orders,
+        |  count(*) FILTER (line_total IS NULL) AS n_lineless,
+        |  count(*) FILTER (drift > 1.0) AS n_drifted,
+        |  round(max(drift), 2) AS max_drift,
+        |  round(avg(drift), 2) AS avg_drift
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("dq2_mad_outliers", (s, d) => madOutliers(s, d), Some(
       """WITH daily AS (
         |  SELECT o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS day,

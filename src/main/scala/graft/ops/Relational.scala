@@ -153,6 +153,31 @@ object Relational {
       .select("c_custkey")
       .orderBy("c_custkey")
 
+  /** j11 — null-aware anti join (SQL `NOT IN (subquery)`). NOT EXISTS
+    * (j4) is two-valued; NOT IN is three-valued: a NULL probe value
+    * never qualifies, and any NULL in the subquery empties the result.
+    * Both operand columns are nullable here (the probe genuinely
+    * produces NULLs via nullif), so Catalyst plans the single-column
+    * form as a broadcast null-aware anti join — the build side ships
+    * the subquery's key set plus one "saw a NULL" bit, the probe side
+    * never reshuffles. That is the right 100 TB shape: NOT IN over a
+    * big fact only works when the subquery side stays broadcast-small;
+    * a fact-sized subquery would instead be rewritten to the j4
+    * NOT EXISTS form (plain anti join) after an explicit IS NOT NULL
+    * guard on both sides.
+    */
+  def joinNullAwareAnti(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_naaj_customer")
+    supplier(s, d).createOrReplaceTempView("graft_naaj_supplier")
+    s.sql(
+      """SELECT c_custkey, c_nationkey
+        |FROM graft_naaj_customer
+        |WHERE nullif(c_nationkey, 3) NOT IN
+        |      (SELECT s_nationkey FROM graft_naaj_supplier
+        |       WHERE s_acctbal < -800)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Left-outer join + null-aware agg. */
   def joinOuterCounts(s: SparkSession, d: String): DataFrame =
     customer(s, d)
@@ -584,6 +609,12 @@ object Relational {
       """SELECT c_custkey FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("j11_null_aware_anti", joinNullAwareAnti, Some(
+      """SELECT c_custkey, c_nationkey
+        |FROM customer
+        |WHERE nullif(c_nationkey, 3) NOT IN
+        |      (SELECT s_nationkey FROM supplier WHERE s_acctbal < -800)
         |ORDER BY c_custkey""".stripMargin)),
     QueryDef("j5_outer_counts", joinOuterCounts, Some(
       """SELECT c_custkey, count(o_orderkey) AS n_orders,
