@@ -78,7 +78,48 @@ object GraftCatalog {
          |GROUP BY r_name ORDER BY r_name""".stripMargin)
   }
 
+  /** cat2 — table + column statistics feeding the cost-based optimizer:
+    * `ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS …]` on the
+    * persistent tables, then a selectively-FILTERED join evaluated with
+    * CBO on. Without column stats Catalyst sizes a filtered relation at
+    * the full table (it cannot judge selectivity), so a genuinely tiny
+    * post-filter side still plans as a shuffle join; with min/max/ndv
+    * stats the estimate collapses and the side broadcasts on its own —
+    * no hint. That stats-driven flip is pinned in GraftCatalogSpec; the
+    * declared result is the join itself, oracled against raw parquet.
+    * At 100 TB, ANALYZE is a scheduled metadata job and every ad-hoc
+    * query inherits the planning win.
+    */
+  def analyzedCboJoin(s: SparkSession, d: String): DataFrame = {
+    val t = registerPersistent(s, d, Seq("orders", "customer"))
+    s.sql(s"ANALYZE TABLE ${t("orders")} COMPUTE STATISTICS")
+    s.sql(s"ANALYZE TABLE ${t("orders")} COMPUTE STATISTICS FOR COLUMNS o_totalprice")
+    s.sql(s"ANALYZE TABLE ${t("customer")} COMPUTE STATISTICS")
+    val saved = Seq("spark.sql.cbo.enabled" -> s.conf.getOption("spark.sql.cbo.enabled"),
+      "spark.sql.cbo.joinReorder.enabled" -> s.conf.getOption("spark.sql.cbo.joinReorder.enabled"))
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      s.sql(
+        s"""SELECT c_mktsegment, count(*) AS n,
+           |  round(sum(o_totalprice), 2) AS top_revenue
+           |FROM ${t("orders")} JOIN ${t("customer")} ON o_custkey = c_custkey
+           |WHERE o_totalprice > 499000
+           |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)
+        .localCheckpoint() // materialize under CBO before confs restore
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat2_analyze_cbo", analyzedCboJoin, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS top_revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 499000
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     QueryDef("cat1_persistent_sql", persistentCatalogSql, Some(
       """SELECT r_name, count(*) AS n_suppliers,
         |  round(sum(s_acctbal), 2) AS total_bal

@@ -309,6 +309,25 @@ object Analytics {
       round(covar_samp("l_quantity", "l_extendedprice"), 2).as("covar_samp_qp"),
       round(covar_pop("l_quantity", "l_extendedprice"), 2).as("covar_pop_qp"))
 
+  /** a13 — several COUNT(DISTINCT …) on DIFFERENT columns beside plain
+    * aggregates, one logical pass: Catalyst rewrites multi-distinct via
+    * Expand (each row replicated once per distinct group with the others
+    * nulled), so the whole thing is two hash aggregations over the
+    * expanded stream — no per-distinct re-scan of the fact table, which
+    * at 100 TB is the difference between one read and three. (a4 covers
+    * the sketch alternative when exactness is negotiable.)
+    */
+  def multiDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        countDistinct("l_partkey").as("n_parts"),
+        countDistinct("l_suppkey").as("n_supps"),
+        countDistinct("l_orderkey").as("n_orders"),
+        count(lit(1)).as("n_rows"),
+        round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+
   /** a14 — per-group least-squares trend (regr_slope / regr_intercept /
     * regr_r2): revenue-vs-time trend per market segment, the "is this
     * segment growing" query. One hash aggregation — the regression
@@ -641,6 +660,14 @@ object Analytics {
       """SELECT CAST(floor(o_totalprice / 25000.0::DOUBLE) AS INT) AS bucket,
         |  count(*) AS n, round(sum(o_totalprice), 2) AS sum_price
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a13_multi_distinct", multiDistinct, Some(
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(*) AS n_rows,
+        |  round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("a14_regr_by_segment", regrBySegment, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  round(regr_slope(o_totalprice, o_orderdate::DATE - DATE '1995-01-01'), 6)

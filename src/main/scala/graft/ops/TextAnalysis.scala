@@ -621,7 +621,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** p4 — quality-weighted subsampling (the DCLM/FineWeb move: keep
+    * high-quality documents with higher probability instead of a hard
+    * threshold). Keep-probability p = 0.2 + 0.6·quality — every doc
+    * retains a floor chance, quality triples it. The "coin flip" is a
+    * deterministic uniform from the key (Knuth multiplicative hash mod
+    * 2³²; both factors exact in int64), so membership is a pure function
+    * of doc_id: reruns, retries, and other engines reproduce the same
+    * sample — and the oracle recomputes it exactly. Narrow one-pass
+    * plan: no shuffle at all until the driver's ORDER BY. At 100 TB the
+    * uniform would be xxhash64(doc_id)/2⁶⁴ — same shape, same purity.
+    */
+  def qualityWeightedSample(s: SparkSession, d: String): DataFrame = {
+    val u = pmod(col("doc_id") * lit(2654435761L), lit(4294967296L))
+      .cast("double") / lit(4294967296.0d)
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        qualityCol(col("text")).as("q"), u.as("u"))
+      .filter(col("u") < lit(0.2) + lit(0.6) * col("q"))
+      .select(col("doc_id"), col("source"),
+        round(col("q"), 6).as("quality"), round(col("u"), 6).as("u"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("p4_weighted_sample", qualityWeightedSample, Some(
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN (CAST(length(text) AS DOUBLE)
+        |                - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1))
+        |               / CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |               BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE
+        |          THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        |    + least(CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |        / CAST(len(string_split(text, ' ')) AS DOUBLE) * 3.0::DOUBLE,
+        |        0.4::DOUBLE)
+        |    + (CASE WHEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+        |                 / CAST(length(text) AS DOUBLE) < 0.2::DOUBLE
+        |          THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END) AS q,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |      / 4294967296.0::DOUBLE AS u
+        |  FROM documents)
+        |SELECT doc_id, source, round(q, 6) AS quality, round(u, 6) AS u
+        |FROM q WHERE u < 0.2::DOUBLE + 0.6::DOUBLE * q
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("t16_bigram_score", bigramScore, Some(
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

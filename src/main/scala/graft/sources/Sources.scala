@@ -279,7 +279,57 @@ object Sources {
       .orderBy("event_type")
   }
 
+  /** src11 — sort-clustered layout (the poor man's Z-order): range-
+    * partition lineitem by ship date and sort within partitions, so each
+    * output file owns a disjoint date slice and every parquet row group
+    * carries tight min/max stats on the clustering key. A date-range
+    * scan then skips whole files/row groups via the pushed predicate —
+    * the read-side payoff is pinned in SourcesSpec (the clustered scan
+    * materializes a small fraction of the table's rows; the same scan on
+    * the UNCLUSTERED layout materializes all of them). At 100 TB this is
+    * the difference between a time-slice query costing proportional to
+    * the slice vs to the corpus. The audit aggregate over the clustered
+    * copy must equal the oracle over the original table — layout changes
+    * nothing semantically.
+    */
+  private[graft] def sortedLayoutDir(s: SparkSession, d: String): String = {
+    val out = Tables.scratchDir("graft_src11_sorted", d)
+    // Two measured pushdown traps (probed on this Spark build): INT96
+    // timestamps carry unusable stats, and TIMESTAMP_NTZ predicates are
+    // listed in PushedFilters but never become parquet row-group filters
+    // (the scan still materializes every row). Clustering is only worth
+    // its sort if the reader can skip, so the layout stores the key as a
+    // session-zone timestamp in INT64 micros — the one encoding this
+    // reader provably skips on.
+    val k = "spark.sql.parquet.outputTimestampType"
+    val saved = s.conf.get(k)
+    s.conf.set(k, "TIMESTAMP_MICROS")
+    try lineitem(s, d)
+      .withColumn("l_shipdate", col("l_shipdate").cast("timestamp"))
+      .repartitionByRange(16, col("l_shipdate"))
+      .sortWithinPartitions("l_shipdate", "l_orderkey", "l_linenumber")
+      .write.mode("overwrite").parquet(out)
+    finally s.conf.set(k, saved)
+    out
+  }
+
+  def sortedClusteredScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(sortedLayoutDir(s, d))
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-02-01").cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("price_sum"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src11_sorted_cluster", sortedClusteredScan, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS price_sum
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-02-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src10_compaction", (s, d) => compactSmallFiles(s, d), Some(
       """SELECT event_type, count(*) AS n,
         |  count(DISTINCT event_id) AS n_ids,

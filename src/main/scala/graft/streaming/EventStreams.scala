@@ -194,6 +194,69 @@ object EventStreams {
     s.table(qname).orderBy("c_mktsegment")
   }
 
+  /** st9 — stream-stream LEFT OUTER interval join: every click, matched
+    * to the same user's views in the preceding 10 minutes, INCLUDING
+    * clicks with no view (null-padded). The outer half is the semantics
+    * stream-stream joins make hard: an unmatched click can only emit
+    * once the watermark proves no matching view can still arrive, so
+    * null rows surface on WATERMARK PROGRESS, not on data arrival.
+    *
+    * Determinism recipe: the full dataset replays as batch 1 (matches
+    * emit, everything else is buffered — the initial watermark is 0);
+    * then a two-row sentinel file (one per side, far-future ts) forces a
+    * DATA batch 2, which runs with the watermark computed from batch 1's
+    * max event time and therefore flushes every unmatched click older
+    * than that watermark. processAllAvailable blocks on data batches, so
+    * no reliance on the async no-data-batch cleanup. The output keeps
+    * only clicks below a cutoff safely under batch 2's watermark, making
+    * the result independent of whether the tail past the cutoff ever
+    * flushed — and the batch left join under the same cutoff is then the
+    * exact oracle. State stays bounded by the same two-sided eviction as
+    * st5.
+    */
+  def streamOuterIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val schema = ev.schema
+    // dedicated replay dir: the sentinel append must never pollute the
+    // stage shared by the other streaming queries
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_st9_replay").toString
+    ev.write.mode("overwrite").parquet(src)
+    def side(kind: String, p: String) =
+      s.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "1 hour")
+    val joined = side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val qname = "graft_stream_outer_join"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable() // batch 1: all real data
+      import s.implicits._
+      Seq((-901L, "2024-03-01 00:00:00", -901L, "click", 0.0, ""),
+          (-902L, "2024-03-01 00:00:00", -902L, "view", 0.0, ""))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable() // batch 2: sentinel advances the watermark
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("c_ts") < lit("2024-01-28").cast("timestamp"))
+      .groupBy(col("c_user").as("user_id"))
+      .agg(
+        countDistinct(col("c_id")).as("n_clicks"),
+        countDistinct(when(col("v_ts").isNull, col("c_id"))).as("n_unviewed"),
+        count(col("v_ts")).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** foreachBatch sink — the production write path when the destination
     * is a TABLE, not an append log: each micro-batch runs arbitrary batch
     * code against the batch's DataFrame. Here the complete-mode aggregate
@@ -282,6 +345,18 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st9_outer_interval_join", streamOuterIntervalJoin, Some(
+      """WITH c AS (SELECT user_id, ts, event_id FROM events
+        |           WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-28'),
+        |v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT c.user_id, c.event_id, v.ts AS v_ts
+        |  FROM c LEFT JOIN v ON c.user_id = v.user_id
+        |    AND v.ts <= c.ts AND v.ts >= c.ts - INTERVAL 10 MINUTE)
+        |SELECT user_id, count(DISTINCT event_id) AS n_clicks,
+        |  count(DISTINCT CASE WHEN v_ts IS NULL THEN event_id END) AS n_unviewed,
+        |  count(v_ts) AS n_pairs
+        |FROM j GROUP BY user_id ORDER BY user_id""".stripMargin)),
     QueryDef("st8_backfill_available_now", backfillWindowedCounts, Some(
       // st1's oracle verbatim: rate-limited replay must be value-identical
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,

@@ -31,6 +31,40 @@ class GraftCatalogSpec extends SparkSpec {
       assert(spark.sql(s"SELECT * FROM $t LIMIT 1").collect().length == 1, t)
   }
 
+  test("ANALYZE column stats flip the filtered join from shuffle to broadcast") {
+    // CBO discrimination test: same query, same confs — the ONLY delta is
+    // ANALYZE. Threshold sits between the filtered side's stats-based
+    // estimate (top price sliver, ~0.1% of orders) and the full-table size both sides carry
+    // without stats, so the plan flip is attributable to statistics alone.
+    // sparkPlan (pre-AQE) is inspected: AQE's runtime size observation
+    // would mask the compile-time CBO decision this pins.
+    val t = GraftCatalog.registerPersistent(spark, sf0001, Seq("orders", "customer"))
+    val saved = Seq("spark.sql.cbo.enabled", "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1024")
+    try {
+      def planOf: String = spark.sql(
+        s"""SELECT c_mktsegment, count(*) AS n
+           |FROM ${t("orders")} JOIN ${t("customer")} ON o_custkey = c_custkey
+           |WHERE o_totalprice > 499000
+           |GROUP BY c_mktsegment""".stripMargin)
+        .queryExecution.sparkPlan.toString
+      val noStats = planOf
+      assert(!noStats.contains("BroadcastHashJoin"),
+        s"without stats both sides should exceed the 1 KB threshold:\n$noStats")
+      spark.sql(s"ANALYZE TABLE ${t("orders")} COMPUTE STATISTICS")
+      spark.sql(s"ANALYZE TABLE ${t("orders")} COMPUTE STATISTICS FOR COLUMNS o_totalprice")
+      spark.sql(s"ANALYZE TABLE ${t("customer")} COMPUTE STATISTICS")
+      val withStats = planOf
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"column stats did not shrink the filtered side below threshold:\n$withStats")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("persistent catalog survives a new session and DROP/re-CREATE round-trips") {
     val want = GraftCatalog.persistentCatalogSql(spark, sf0001)
       .collect().map(_.toSeq).toSeq

@@ -45,6 +45,41 @@ class SourcesSpec extends SparkSpec {
     assert(scan.count() == 20)
   }
 
+  test("sort-clustered layout prunes the date-range scan to a sliver") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    // rows MATERIALIZED by the scan (post row-group skip), not post-filter;
+    // AQE wraps executed stages in QueryStageExec whose plan is NOT a
+    // TreeNode child, so the walk unwraps them explicitly
+    def scanRows(df: DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case f: FileSourceScanExec => Seq(f)
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec => scans(q.plan)
+        }.flatten
+      scans(df.queryExecution.executedPlan)
+        .map(_.metrics("numOutputRows").value).sum
+    }
+    val dir = Sources.sortedLayoutDir(spark, sf0001)
+    val slice = (df: DataFrame) => df.filter(
+      col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1998-02-01").cast("timestamp"))
+      .agg(count(lit(1)))
+    val total = graft.Tables.lineitem(spark, sf0001).count()
+    val clustered = scanRows(slice(spark.read.parquet(dir)))
+    val unclustered = scanRows(slice(graft.Tables.lineitem(spark, sf0001)))
+    // unclustered baseline: one file whose min/max spans everything — the
+    // pushed predicate cannot skip, every row is materialized
+    assert(unclustered > (total * 0.9).toLong,
+      s"baseline unexpectedly pruned: $unclustered of $total")
+    // clustered: the range owns ~1/80 of the data in 1–2 of 16 files
+    assert(clustered < (total * 0.3).toLong,
+      s"clustered scan materialized $clustered of $total rows — no pruning")
+  }
+
   test("compaction collapses the planted 64-file layout and preserves content") {
     val agg = Sources.compactSmallFiles(spark, sf0001).collect()
     def parquetFiles(dir: String) =

@@ -225,4 +225,30 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(out.collect().map(_.toSeq).toSeq == unthrottled)
   }
+
+  test("outer interval join: unmatched clicks emit null rows, equals batch left join") {
+    val got = EventStreams.streamOuterIntervalJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // batch twin of st9's aggregation under the same cutoff
+    val ev = graft.Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click"
+        && col("ts") < lit("2024-01-28").cast("timestamp"))
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("c_id"))
+    val v = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val want = c.join(v, col("c_user") === col("v_user")
+        && col("v_ts") <= col("c_ts")
+        && col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"), "left_outer")
+      .groupBy(col("c_user").as("user_id"))
+      .agg(countDistinct(col("c_id")).as("n_clicks"),
+        countDistinct(when(col("v_ts").isNull, col("c_id"))).as("n_unviewed"),
+        count(col("v_ts")).as("n_pairs"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want.toSeq)
+    // the outer half genuinely exercised: some clicks must be view-less,
+    // and they can only appear via watermark-driven null emission
+    assert(want.map(_._3).sum > 0, "fixture has no unmatched clicks — outer path untested")
+  }
 }
