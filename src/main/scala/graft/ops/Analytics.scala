@@ -444,6 +444,35 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** f9 — nested build + flatten round-trip: per-order array-of-structs
+    * assembly (collect_list of line structs, sort_array'd so the nested
+    * order is deterministic) and the inverse explode back to flat rows.
+    * This is the document-shaped layout training-data stores use (one
+    * row per entity, repeated fields as a nested array); the oracle is
+    * the plain flat join the round-trip must reproduce — losing or
+    * duplicating a nested element breaks the hash. The assembly groups
+    * on the join key, so Catalyst reuses the join's hash partitioning
+    * (one logical exchange); the explode is a narrow generator. The
+    * per-group array is bounded by lines-per-order (≤7 in TPC-H shape),
+    * not by data size, so the collect_list buffer is safe at any SF.
+    */
+  def nestedRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val nested = orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderkey", "o_orderstatus")
+      .agg(sort_array(collect_list(struct(
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))))
+        .as("lines"))
+    nested
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        explode(col("lines")).as("ln"))
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        col("ln.l_linenumber").as("l_linenumber"),
+        col("ln.l_quantity").as("l_quantity"),
+        col("ln.l_extendedprice").as("l_extendedprice"))
+      .orderBy("o_orderkey", "l_linenumber")
+  }
+
   /** Wide→long unpivot (the inverse of a7's pivot): melt numeric order
     * columns into (metric, value) rows, then profile each metric. Uses the
     * native `unpivot` operator — a Generator (one row in, M out) that
@@ -609,6 +638,13 @@ object Analytics {
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // oracle is the PLAIN flat join: the nested assembly + explode must
+    // reproduce it row-for-row or the hash breaks
+    QueryDef("f9_nested_roundtrip", nestedRoundtrip, Some(
+      """SELECT o_orderkey, o_orderstatus, l_linenumber, l_quantity,
+        |  l_extendedprice
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey, l_linenumber""".stripMargin)),
     QueryDef("u2_salted_agg", saltedAgg, Some(
       """SELECT l_suppkey, round(sum(l_quantity), 4) AS total_qty,
         |  count(*) AS n_rows

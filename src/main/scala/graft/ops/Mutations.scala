@@ -157,7 +157,43 @@ object Mutations {
       .orderBy("event_id")
   }
 
+  /** up6 — dynamic partition overwrite: rewrite ONLY the partitions the
+    * incoming batch touches, leave every other partition's files alone —
+    * the lakehouse reprocessing primitive (backfill one day, restate one
+    * source) that plain `mode(overwrite)` gets catastrophically wrong by
+    * truncating the whole table. Staged: events written partitioned by
+    * event_type; a corrected 'click' batch (values doubled) overwrites
+    * under `partitionOverwriteMode=dynamic`; the audit agg over the
+    * resulting table must show exactly one partition restated and the
+    * rest byte-identical — which is the oracle, recomputed from the raw
+    * table with a CASE. At 100 TB the write cost is proportional to the
+    * restated partition, not the table, and readers of other partitions
+    * never see a hole (per-partition commit is atomic at the file-listing
+    * level).
+    */
+  def dynamicPartitionOverwrite(s: SparkSession, d: String): DataFrame = {
+    val dir = Tables.scratchDir("graft_up6_dpo", d)
+    val ev = events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    val restated = ev.filter(col("event_type") === "click")
+      .withColumn("value", col("value") * 2.0)
+    val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+    try restated.write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    s.read.parquet(dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up6_partition_overwrite", dynamicPartitionOverwrite, Some(
+      """SELECT event_type, count(*) AS n,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END), 4)
+        |    AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("up5_idempotent_append", idempotentAppend, Some(
       """SELECT event_id, epoch_ms(ts) AS ts_ms, user_id, event_type,
         |  round(value, 4) AS value

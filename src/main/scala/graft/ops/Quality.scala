@@ -160,7 +160,97 @@ object Quality {
       .orderBy("o_orderstatus")
   }
 
+  /** dq4 — k-anonymity suppression release: aggregate statistics over
+    * quasi-identifier groups (nation × market segment), with every group
+    * smaller than k collapsed into a single '*' bucket so no released
+    * row describes fewer than k individuals — the standard privacy gate
+    * before handing grouped statistics outside the data boundary. One
+    * hash agg over the fact table builds the group table; the release
+    * and the suppressed remainder both derive from that already-tiny
+    * grouped result, so at 100 TB the only wide op is the first groupBy
+    * and the k-decision runs on group cardinalities, never on rows.
+    * Averages are computed from merged (sum, count) partials AFTER the
+    * suppression union — algebraic, so the '*' bucket's mean is exact,
+    * not an average of averages.
+    */
+  def kAnonymity(s: SparkSession, d: String, k: Long = 10): DataFrame = {
+    val g = customer(s, d)
+      .groupBy(col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"), sum("c_acctbal").as("bal"))
+      .cache() // tiny (|nations|×|segments| rows), read twice below
+    val suppressed = g.filter(col("n") < k)
+      .agg(sum("n").as("n"), sum("bal").as("bal"))
+      .select(lit("*").as("nation"), lit("*").as("segment"),
+        col("n"), col("bal"))
+      .filter(col("n").isNotNull) // no small groups → no '*' row
+    g.filter(col("n") >= k).unionByName(suppressed)
+      .select(col("nation"), col("segment"), col("n"),
+        round(col("bal") / col("n"), 2).as("avg_acctbal"))
+      .orderBy("nation", "segment")
+  }
+
+  /** ts2 — seasonal-naive forecast backtest: forecast each of the last 7
+    * days' revenue by the historical mean of its day-of-week, report
+    * per-day absolute percentage error — the standard sanity baseline
+    * every forecasting pipeline is graded against (if a model can't
+    * beat dow-means, it isn't a model). The only full-data pass is the
+    * daily rollup; the cutoff (max day − 7) and the 7-row dow-mean table
+    * are broadcast scalars, so the backtest costs |days| rows of work
+    * after the first agg no matter the table size. Revenues are rounded
+    * BEFORE the means so both engines average identical doubles; the
+    * dow join key stays internal, so Spark's and DuckDB's different
+    * weekday numberings never meet.
+    */
+  def seasonalBacktest(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val mx = daily.agg(max("day").as("mx"))
+    val lab = daily.crossJoin(broadcast(mx))
+      .withColumn("is_test", col("day") > col("mx") - expr("INTERVAL 7 DAYS"))
+      .withColumn("dow", dayofweek(col("day")))
+    val f = lab.filter(!col("is_test")).groupBy("dow")
+      .agg(round(avg("rev"), 4).as("forecast"))
+    lab.filter(col("is_test"))
+      .join(broadcast(f), "dow")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev").as("actual"), col("forecast"),
+        round(abs(col("rev") - col("forecast")) / col("rev"), 6).as("ape"))
+      .orderBy("day")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ts2_seasonal_backtest", (s, d) => seasonalBacktest(s, d), Some(
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(day) AS mx FROM daily),
+        |lab AS (
+        |  SELECT day, rev, day > mx - INTERVAL 7 DAY AS is_test,
+        |    dayofweek(day) AS dow
+        |  FROM daily CROSS JOIN mx),
+        |f AS (
+        |  SELECT dow, round(avg(rev), 4) AS forecast
+        |  FROM lab WHERE NOT is_test GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, rev AS actual, forecast,
+        |  round(abs(rev - forecast) / rev, 6) AS ape
+        |FROM lab JOIN f USING (dow)
+        |WHERE is_test ORDER BY day""".stripMargin)),
+    QueryDef("dq4_k_anonymity", (s, d) => kAnonymity(s, d), Some(
+      """WITH g AS (
+        |  SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+        |         c_mktsegment AS segment,
+        |         count(*) AS n, sum(c_acctbal) AS bal
+        |  FROM customer GROUP BY 1, 2),
+        |rel AS (
+        |  SELECT nation, segment, n, bal FROM g WHERE n >= 10
+        |  UNION ALL
+        |  SELECT '*', '*', CAST(sum(n) AS BIGINT), sum(bal)
+        |  FROM g WHERE n < 10 HAVING sum(n) IS NOT NULL)
+        |SELECT nation, segment, n, round(bal / n, 2) AS avg_acctbal
+        |FROM rel ORDER BY nation, segment""".stripMargin)),
     QueryDef("dq3_reconciliation", (s, d) => reconcileOrders(s, d), Some(
       """WITH lt AS (
         |  SELECT l_orderkey AS o_orderkey,

@@ -399,6 +399,16 @@ object TextAnalysis {
       .orderBy(desc("n"), asc("token"))
   }
 
+  /** One oracle for every exact heavy-hitter path (t12 pigeonhole, t17
+    * CMS prefilter): sketches and candidate tricks decide what ships,
+    * never what's true.
+    */
+  val heavyHittersOracle: String =
+    """SELECT token, count(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token HAVING count(*) >= 500
+      |ORDER BY n DESC, token""".stripMargin
+
   /** Minimum useful per-partition pigeonhole bar: below this, the
     * candidate set approaches the full vocabulary and candidate-broadcast
     * costs more than it saves. Exposed for the many-partition spec.
@@ -433,6 +443,106 @@ object TextAnalysis {
       m.iterator.collect { case (t, c) if c >= localBar => t }
     }.distinct().count()
   }
+
+  /** Count-min-sketch prefiltered heavy hitters — identical output to
+    * [[heavyHitters]] (t12), different scale mechanics. One distributed
+    * sketch aggregation builds a FIXED-size frequency summary
+    * (width×depth counters — independent of vocabulary size and of the
+    * partition count, unlike t12's pigeonhole candidate set); it comes
+    * back to the driver as KBs, goes out as a broadcast, and a map-side
+    * probe drops every token whose estimated count is below `minCount`
+    * BEFORE the aggregation shuffle. CMS error is one-sided (estimate ≥
+    * true count, always), so no true heavy hitter can be dropped; the
+    * exact count over the survivors then removes the overestimates, so
+    * the OUTPUT is exact — the sketch only decides what never ships.
+    * This is the shape that still works where t12's bar degenerates
+    * (minCount ≲ P at cluster partition counts): sketch size is fixed at
+    * eps/confidence no matter how wide the vocabulary gets. Tokens are
+    * pre-hashed to xxhash64 longs so the build and the probe use the
+    * same key type (a 64-bit collision folds two tokens' counts
+    * TOGETHER — still overestimate-only, so exactness is unaffected).
+    */
+  def cmsHeavyHitters(s: SparkSession, d: String, minCount: Long = 500,
+      eps: Double = 2e-4, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val toks = documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .withColumn("h", xxhash64(col("token")))
+      .cache() // two passes: sketch build + prefiltered exact count
+    // stat.countMinSketch is one distributed agg; the sketch (driver →
+    // broadcast) is ~e/eps × ln(1/(1-conf)) counters, never data-sized
+    val cms = toks.stat.countMinSketch(col("h"), eps, confidence, seed)
+    val bc = s.sparkContext.broadcast(cms)
+    // UDF justified: sketch probe has no builtin; runs map-side so the
+    // light-token rows it kills never reach the shuffle
+    val mightBeHeavy = udf((h: Long) => bc.value.estimateCount(h) >= minCount)
+    toks.filter(mightBeHeavy(col("h")))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), asc("token"))
+  }
+
+  /** Deterministic global shuffle into training shards. Epoch-0 data
+    * order — shard membership AND within-shard position — is a pure
+    * function of the stable document key: shard = first two hex chars of
+    * md5(doc_id) (256 uniform buckets), position = rank of the full
+    * digest within the shard. No RNG state, and no row_number over a
+    * global ORDER BY (an empty-partition window collapses the whole
+    * table onto one task); the only wide op is the per-shard window,
+    * hash-partitioned on shard exactly like the downstream per-shard
+    * writers. Rerunning on any engine, any input partitioning, any day
+    * reproduces the identical layout — what makes training runs
+    * resumable and data ablations comparable. At 100 TB, widen the
+    * prefix (4 hex chars → 65 536 shards) so a shard stays
+    * executor-sized; the window stays per-shard either way.
+    */
+  def shardAssign(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("hk"))
+      .withColumn("shard", substring(col("hk"), 1, 2))
+      .withColumn("pos", row_number().over(w))
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  /** Deterministic train/valid/test split by hash bucket — the
+    * production replacement for seeded `randomSplit` (o17): membership
+    * is a pure function of the key (first two hex chars of md5(doc_id);
+    * hex compares lexicographically = numerically), so a document keeps
+    * its split across reruns, repartitions, engines, and incremental
+    * re-ingests — the invariant that prevents silent train/test leakage
+    * when a 100 TB corpus is rebuilt. Buckets 00–cb train (204/256 ≈
+    * 79.7%), cc–e5 valid (26/256 ≈ 10.2%), e6–ff test. Exactly oracled —
+    * unlike RNG splits, a second engine recomputes the same membership.
+    */
+  def hashSplit(s: SparkSession, d: String): DataFrame = {
+    val b = substring(md5(col("doc_id").cast("string")), 1, 2)
+    documents(s, d)
+      .withColumn("split",
+        when(b < "cc", "train").when(b < "e6", "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      .orderBy("split")
+  }
+
+  /** t18 — corpus trigram table: the n-gram count artifact behind
+    * statistical LM scoring (t16 derives bigrams internally; this emits
+    * the reusable table itself, the infini-gram / KenLM input shape).
+    * One narrow generator (3× token volume, no shuffle until the agg)
+    * feeds a count with map-side partial combine, then a frequency cut —
+    * at 100 TB the df-cut is what keeps the output a model, not a copy
+    * of the corpus: singleton n-grams (the long tail, ~90% of distinct
+    * mass) never survive the HAVING. Reuses [[Dedup.shingles]]; docs
+    * shorter than the window are dropped on both sides (the helper's
+    * whole-text fallback would otherwise pollute the table).
+    */
+  def trigramCounts(s: SparkSession, d: String, minCount: Long = 5): DataFrame =
+    documents(s, d)
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("trigram"))
+      .groupBy("trigram").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), asc("trigram"))
 
   /** TF-IDF top-k terms per document — the classic salience scoring
     * (keyword extraction, boilerplate detection, sparse retrieval). Three
@@ -835,11 +945,37 @@ object TextAnalysis {
     // the sketch path loses nothing
     QueryDef("t11_bloom_contamination", (s, d) => bloomContamination(s, d),
       Some(contaminationOracle)),
-    QueryDef("t12_heavy_hitters", (s, d) => heavyHitters(s, d), Some(
-      """SELECT token, count(*) AS n
-        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
-        |GROUP BY token HAVING count(*) >= 500
-        |ORDER BY n DESC, token""".stripMargin)),
+    QueryDef("t12_heavy_hitters", (s, d) => heavyHitters(s, d),
+      Some(heavyHittersOracle)),
+    // shares t12's oracle verbatim: CMS prefilter + exact verify is
+    // provably lossless (one-sided sketch error), same statement t11
+    // makes for the bloom path
+    QueryDef("t17_cms_heavy_hitters", (s, d) => cmsHeavyHitters(s, d),
+      Some(heavyHittersOracle)),
+    QueryDef("t18_trigram_counts", (s, d) => trigramCounts(s, d), Some(
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS t FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (
+        |  SELECT t[g] || ' ' || t[g+1] || ' ' || t[g+2] AS trigram
+        |  FROM tok, LATERAL (
+        |    SELECT unnest(generate_series(1, len(t) - 2)) AS g) AS x(g))
+        |SELECT trigram, count(*) AS n FROM tri
+        |GROUP BY 1 HAVING count(*) >= 5
+        |ORDER BY n DESC, trigram""".stripMargin)),
+    QueryDef("p5_shard_assign", (s, d) => shardAssign(s, d), Some(
+      """WITH h AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk FROM documents)
+        |SELECT doc_id, substr(hk, 1, 2) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substr(hk, 1, 2)
+        |    ORDER BY hk, doc_id) AS INT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin)),
+    QueryDef("p6_hash_split", (s, d) => hashSplit(s, d), Some(
+      """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin)),
     QueryDef("t13_tfidf", (s, d) => tfidfTopTerms(s, d), Some(
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),

@@ -322,7 +322,59 @@ object Sources {
         round(sum("l_extendedprice"), 2).as("price_sum"))
       .orderBy("l_returnflag")
 
+  /** src12 — Z-order (Morton curve) layout: bit-interleave TWO
+    * clustering keys into one z-value, range-partition + sort the table
+    * on it. Where src11's one-dimensional sort gives tight file/row-group
+    * min/max stats on its own key only, the Morton order keeps rows that
+    * are close in EITHER key physically close, so each file's stats
+    * envelope is a small rectangle in (partkey, suppkey) space and a
+    * slice predicate on either dimension skips most files. The
+    * coordinates are normalized to 16 bits from a one-row min/max agg
+    * (broadcast into the expression as literals) and the interleave is a
+    * fold of codegen'd shift/mask builtins — no UDF anywhere in the
+    * write path, so the layout job is a plain exchange + local sort at
+    * any scale. The audit aggregate over the z-ordered copy must equal
+    * the oracle over the original table (layout is semantics-free);
+    * the two-dimensional skipping payoff is pinned in SourcesSpec.
+    */
+  private[graft] def zorderLayoutDir(s: SparkSession, d: String): String = {
+    val out = Tables.scratchDir("graft_src12_zorder", d)
+    val li = lineitem(s, d)
+    val b = li.agg(
+      min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    def coord(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      ((c - lit(lo)).cast("double") * 65535.0 /
+        math.max(1L, hi - lo).toDouble).cast("long")
+    val x = coord(col("l_partkey"), b.getLong(0), b.getLong(1))
+    val y = coord(col("l_suppkey"), b.getLong(2), b.getLong(3))
+    val z = (0 until 16).map { i =>
+      shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i + 1)
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i))
+    }.reduce(_ bitwiseOR _)
+    li.repartitionByRange(16, z).sortWithinPartitions(z)
+      .write.mode("overwrite").parquet(out)
+    out
+  }
+
+  /** The declared z-order query slices on l_suppkey — deliberately the
+    * SECOND interleaved dimension, the one a plain sort-by-partkey
+    * layout cannot skip on at all.
+    */
+  def zorderClusteredScan(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(zorderLayoutDir(s, d))
+      .filter(col("l_suppkey") <= 2)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_extendedprice"), 2).as("price_sum"))
+      .orderBy("l_returnflag")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src12_zorder_cluster", zorderClusteredScan, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice), 2) AS price_sum
+        |FROM lineitem WHERE l_suppkey <= 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src11_sorted_cluster", sortedClusteredScan, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS price_sum

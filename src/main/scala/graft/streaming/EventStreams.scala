@@ -55,6 +55,33 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Sliding 2-hour windows advancing every hour — each event lands in
+    * exactly TWO overlapping windows, the semantics tumbling (st1) can't
+    * express (trend smoothing, rolling rate alerts). Spark expands the
+    * slide inside the window expression (a narrow generator: one row →
+    * windowLen/slide rows) before the keyed state agg, so state size is
+    * events × overlap, still bounded by the watermark. The oracle
+    * reproduces the expansion explicitly: every event joined to its two
+    * containing window starts.
+    */
+  def slidingCounts(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+    val qname = "graft_sliding_counts"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("wstart", "event_type")
+  }
+
   /** Session windows (30-minute gap) per user — built-in session_window
     * keyed state; per SURVEY §7 preferred over flatMapGroupsWithState.
     * Total session count per user equals the batch lag/cumsum
@@ -373,6 +400,14 @@ object EventStreams {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("st10_sliding_counts", slidingCounts, Some(
+      """WITH x AS (
+        |  SELECT date_trunc('hour', ts) - o * INTERVAL 1 HOUR AS wstart,
+        |    event_type, value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 1]) AS o))
+        |SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS wstart, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("st2_session_windows", sessionWindows, Some(
       """WITH g AS (
         |  SELECT user_id, epoch_ms(ts) AS ms,

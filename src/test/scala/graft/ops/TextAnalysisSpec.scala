@@ -291,4 +291,38 @@ class TextAnalysisSpec extends SparkSpec {
       .filter(col("n") >= 10).count()
     assert(trueHH == plain)
   }
+
+  test("CMS heavy hitters are row-identical to the pigeonhole/exact path") {
+    // one-sided sketch error + exact verify ⇒ identical output; pin it
+    // at a low minCount so both paths return a non-trivial set
+    val exact = TextAnalysis.heavyHitters(spark, sf0001, minCount = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cms = TextAnalysis.cmsHeavyHitters(spark, sf0001, minCount = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(exact.nonEmpty)
+    assert(cms == exact)
+  }
+
+  test("hash split is a partition of the corpus with sane fractions") {
+    val rows = TextAnalysis.hashSplit(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.keySet == Set("train", "valid", "test"))
+    assert(rows.values.sum == total) // partition: no doc lost or doubled
+    // md5 buckets are uniform; 204/26/26 of 256 with generous slack
+    assert(rows("train") > total * 0.70 && rows("train") < total * 0.90)
+  }
+
+  test("shard assignment is a permutation: every doc exactly once, dense positions") {
+    val df = TextAnalysis.shardAssign(spark, sf0001).cache()
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(df.count() == total)
+    assert(df.select("doc_id").distinct().count() == total)
+    // positions within each shard are 1..n with no gaps
+    val bad = df.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1)
+      .count()
+    assert(bad == 0)
+  }
 }

@@ -45,24 +45,25 @@ class SourcesSpec extends SparkSpec {
     assert(scan.count() == 20)
   }
 
-  test("sort-clustered layout prunes the date-range scan to a sliver") {
-    import org.apache.spark.sql.DataFrame
+  // rows MATERIALIZED by the scan (post row-group skip), not post-filter;
+  // AQE wraps executed stages in QueryStageExec whose plan is NOT a
+  // TreeNode child, so the walk unwraps them explicitly
+  private def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    // rows MATERIALIZED by the scan (post row-group skip), not post-filter;
-    // AQE wraps executed stages in QueryStageExec whose plan is NOT a
-    // TreeNode child, so the walk unwraps them explicitly
-    def scanRows(df: DataFrame): Long = {
-      df.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
-        p.collect {
-          case f: FileSourceScanExec => Seq(f)
-          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
-          case q: QueryStageExec => scans(q.plan)
-        }.flatten
-      scans(df.queryExecution.executedPlan)
-        .map(_.metrics("numOutputRows").value).sum
-    }
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+      }.flatten
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numOutputRows").value).sum
+  }
+
+  test("sort-clustered layout prunes the date-range scan to a sliver") {
+    import org.apache.spark.sql.DataFrame
     val dir = Sources.sortedLayoutDir(spark, sf0001)
     val slice = (df: DataFrame) => df.filter(
       col("l_shipdate") >= lit("1998-01-01").cast("timestamp")
@@ -78,6 +79,33 @@ class SourcesSpec extends SparkSpec {
     // clustered: the range owns ~1/80 of the data in 1–2 of 16 files
     assert(clustered < (total * 0.3).toLong,
       s"clustered scan materialized $clustered of $total rows — no pruning")
+  }
+
+  test("z-order layout prunes slice scans on BOTH interleaved dimensions") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val total = li.count()
+    val b = li.agg(min("l_partkey"), max("l_partkey"),
+      min("l_suppkey"), max("l_suppkey")).head()
+    // an eighth-of-the-range slice in each dimension, bounds from data so
+    // the fixture holds at any SF
+    val pCut = b.getLong(0) + (b.getLong(1) - b.getLong(0)) / 8
+    val sCut = b.getLong(2) + (b.getLong(3) - b.getLong(2)) / 8
+    val dir = Sources.zorderLayoutDir(spark, sf0001)
+    val z = spark.read.parquet(dir)
+    val byPart = scanRows(z.filter(col("l_partkey") <= pCut).agg(count(lit(1))))
+    val bySupp = scanRows(z.filter(col("l_suppkey") <= sCut).agg(count(lit(1))))
+    // the unclustered single file spans everything — no skipping at all
+    val baseline = scanRows(li.filter(col("l_suppkey") <= sCut).agg(count(lit(1))))
+    assert(baseline > (total * 0.9).toLong,
+      s"baseline unexpectedly pruned: $baseline of $total")
+    // Morton order: a 1/8 slice in either dimension touches only the
+    // files whose stat-rectangle overlaps that strip (~a quarter of 16)
+    assert(byPart < (total * 0.55).toLong,
+      s"partkey slice materialized $byPart of $total — no 2-D pruning")
+    assert(bySupp < (total * 0.55).toLong,
+      s"suppkey slice materialized $bySupp of $total — no 2-D pruning")
+    // and the layout is semantics-free: same row count as the original
+    assert(z.count() == total)
   }
 
   test("compaction collapses the planted 64-file layout and preserves content") {
