@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -108,7 +108,69 @@ object Behavior {
       |      FROM events))
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** e8 — RFM (recency/frequency/monetary) quartile segmentation, the
+    * classic customer-base cut. Scale shape: the per-customer rollup is
+    * the only fact-table pass (dimension-sized output); the three
+    * quartile boundaries are ONE exact-percentile agg over that rollup,
+    * broadcast back as a 1-row literal, and scores are pure comparisons
+    * against the cuts — deliberately NOT `ntile()`, whose empty-over
+    * window would drag every customer onto a single task. Exact
+    * `percentile` interpolates midpoints of integer/2dp-rounded values,
+    * so both engines compute bit-identical cuts (the a6 pairing:
+    * Spark `percentile` ↔ DuckDB `quantile_cont`). Output is the
+    * 4×4×4 segment grid with counts and revenue, not per-customer rows.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val cust = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(
+        datediff(max("o_orderdate"), lit("1992-01-01").cast("date"))
+          .cast("double").as("last_day"),
+        count(lit(1)).cast("double").as("freq"),
+        round(sum("o_totalprice"), 2).as("money"))
+    val cuts = cust.agg(
+      expr("percentile(last_day, array(0.25, 0.5, 0.75))").as("rc"),
+      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fc"),
+      expr("percentile(money, array(0.25, 0.5, 0.75))").as("mc"))
+    def score(v: Column, c: Column): Column =
+      lit(1) + (v > element_at(c, 1)).cast("int") +
+        (v > element_at(c, 2)).cast("int") + (v > element_at(c, 3)).cast("int")
+    cust.crossJoin(broadcast(cuts))
+      .select(
+        score(col("last_day"), col("rc")).as("r"),
+        score(col("freq"), col("fc")).as("f"),
+        score(col("money"), col("mc")).as("m"),
+        col("money"))
+      .groupBy("r", "f", "m")
+      .agg(count(lit(1)).as("n_cust"), round(sum("money"), 2).as("revenue"))
+      .orderBy("r", "f", "m")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e8_rfm_segments", (s, d) => rfmSegments(s, d), Some(
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(datediff('day', DATE '1992-01-01', max(o_orderdate)) AS DOUBLE) AS last_day,
+        |    CAST(count(*) AS DOUBLE) AS freq,
+        |    round(sum(o_totalprice), 2) AS money
+        |  FROM orders GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_cont(last_day, [0.25, 0.5, 0.75]) AS rc,
+        |    quantile_cont(freq, [0.25, 0.5, 0.75]) AS fc,
+        |    quantile_cont(money, [0.25, 0.5, 0.75]) AS mc
+        |  FROM cust),
+        |sc AS (
+        |  SELECT
+        |    1 + CAST(last_day > rc[1] AS INT) + CAST(last_day > rc[2] AS INT)
+        |      + CAST(last_day > rc[3] AS INT) AS r,
+        |    1 + CAST(freq > fc[1] AS INT) + CAST(freq > fc[2] AS INT)
+        |      + CAST(freq > fc[3] AS INT) AS f,
+        |    1 + CAST(money > mc[1] AS INT) + CAST(money > mc[2] AS INT)
+        |      + CAST(money > mc[3] AS INT) AS m,
+        |    money
+        |  FROM cust CROSS JOIN cuts)
+        |SELECT r, f, m, count(*) AS n_cust, round(sum(money), 2) AS revenue
+        |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
     QueryDef("e7_cohort_retention", cohortRetention, Some(
       """WITH ev AS (
         |  SELECT DISTINCT user_id,

@@ -356,6 +356,25 @@ object Dedup {
     out.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** d9 — the end-to-end near-dup dedup DECISION: d5's exact
+    * embedding-cosine pair graph, closed transitively into clusters
+    * ([[connectedComponents]] — min-label + pointer jumping), with one
+    * representative kept per cluster (the min id — deterministic, so
+    * reruns and engines agree on WHICH copy survives). This is the
+    * operator a pipeline actually consumes: `kept = 0` rows are the
+    * drop list. Cost is d5 (the dominant term) plus CC over a pair set
+    * that is near-dup-sized, not corpus-sized.
+    */
+  def embeddingKeepList(s: SparkSession, d: String, threshold: Double = 0.35): DataFrame = {
+    val pairs = embeddingNearDupPairs(s, d, threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val nodes = embeddings(s, d).select(col("vec_id").as("doc_id"))
+    connectedComponents(nodes, pairs)
+      .select(col("doc_id").as("vec_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).cast("int").as("kept"))
+      .orderBy("vec_id")
+  }
+
   /** Embedding-cosine near-dup pairs — cell-bucketed EXACT all-pairs.
     *
     * Plan: (1) coarse-quantize the corpus with Similarity's sampled seeded
@@ -516,6 +535,28 @@ object Dedup {
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+    // the full dedup DECISION, not just the evidence: d5's exact pair
+    // graph → connected components → keep one representative per cluster
+    QueryDef("d9_neardup_keep_list", (s, d) => embeddingKeepList(s, d), Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS pa, b.vec_id AS pb
+        |  FROM e a, e b
+        |  WHERE a.vec_id < b.vec_id
+        |    AND list_inner_product(a.emb, b.emb)
+        |      / (sqrt(list_inner_product(a.emb, a.emb))
+        |         * sqrt(list_inner_product(b.emb, b.emb))) >= 0.35::DOUBLE),
+        |edges AS (
+        |  SELECT pa AS a, pb AS b FROM pairs
+        |  UNION ALL SELECT pb, pa FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS src, vec_id AS dst FROM e
+        |  UNION
+        |  SELECT r.src, ed.b FROM reach r JOIN edges ed ON r.dst = ed.a)
+        |SELECT src AS vec_id, min(dst) AS cluster_id,
+        |  CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS INT) AS kept
+        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)),
     QueryDef("d5_embedding_neardup", (s, d) => embeddingNearDupPairs(s, d), Some(
       // CAST ... AS DOUBLE[]: DuckDB's list_inner_product on FLOAT[]
       // accumulates in float32; Spark accumulates in double — without the

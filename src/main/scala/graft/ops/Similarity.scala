@@ -284,7 +284,67 @@ object Similarity {
         round(col("max_err"), 6).as("max_abs_err"))
       .orderBy("vec_id")
 
+  /** v7 — MMR (maximal marginal relevance) diversified top-k: greedily
+    * re-rank each query's candidate pool so every pick balances
+    * relevance against redundancy with what's already picked
+    * (score = λ·rel − (1−λ)·max-sim-to-selected). The de-duplication
+    * knob for retrieval and for diverse training-example selection —
+    * plain top-k happily returns k near-copies. Distributed shape: the
+    * candidate pool per query is the bounded TopK aggregation (shuffle
+    * O(queries·pool·partitions), like v2); the greedy — genuinely
+    * iterative, no builtin expresses it — runs per query group over ≤
+    * pool rows via flatMapGroups, so the imperative part touches
+    * queries×pool rows, never the corpus. λ=1 degenerates to exact
+    * top-k order (pinned in SimilaritySpec, along with the diversity
+    * gain at λ=0.5). Relevance and pairwise sims are rounded to 6dp
+    * before the greedy so the trace is reproducible across layouts.
+    */
+  def mmrDiversifiedTopK(s: SparkSession, d: String, numQueries: Int = 5,
+      poolSize: Int = 20, k: Int = 5, lambda: Double = 0.5): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", round(cosine(col("qv"), col("nv")), 6))
+    val pool = graft.functions.TopK.perGroup(scored, "q_id", "cos", "n_id", poolSize)
+      .join(c, "n_id")
+      .select(col("q_id"), col("n_id"), col("cos").as("rel"), col("nv"))
+      .as[(Long, Long, Double, Array[Float])]
+    def cosArr(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      math.round(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cands = it.toArray.sortBy(x => (-x._3, x._2)) // rel desc, id asc
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Double, Array[Float])]
+      while (sel.length < k && sel.length < cands.length) {
+        val remaining = cands.filter(x => !sel.exists(_._1 == x._2))
+        val best = remaining.map { x =>
+          val red = if (sel.isEmpty) 0.0 else sel.map(s => cosArr(s._4, x._4)).max
+          val mmr = math.round((lambda * x._3 - (1 - lambda) * red) * 1e6) / 1e6
+          (x._2, x._3, mmr, x._4)
+        }.minBy(x => (-x._3, x._1)) // mmr desc, id asc
+        sel += best
+      }
+      sel.iterator.zipWithIndex.map { case ((nid, rel, mmr, _), i) =>
+        (qid, i + 1, nid, rel, mmr)
+      }
+    }.toDF("q_id", "rank", "n_id", "rel", "mmr")
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // rows-only: the greedy is iterative (not SQL-expressible); λ=1
+    // top-k degeneration and the diversity gain are pinned in the spec
+    QueryDef("v7_mmr_diversify", (s, d) => mmrDiversifiedTopK(s, d), None),
     QueryDef("v6_int8_quant", (s, d) => int8Quantization(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
         |s1 AS (SELECT vec_id, x,

@@ -371,7 +371,88 @@ object EventStreams {
     (out, batches)
   }
 
+  /** st11 — the DURABLE streaming sink: append-mode parquet file sink
+    * with a checkpoint. The sink's `_spark_metadata` commit log is what
+    * makes it exactly-once: each micro-batch's files are recorded
+    * atomically under the batch id, a batch reader lists files THROUGH
+    * the log (not the directory), and a restarted query never
+    * re-commits a batch id already logged — re-running the identical
+    * query over the same checkpoint adds ZERO rows (pinned in
+    * EventStreamsSpec, with orphan files from a killed run invisible to
+    * readers). Stateless transform (filter + project) because the file
+    * sink is append-only and a stateless stream needs no watermark to
+    * finalize. Input is staged as [[backfillFiles]] files and admitted
+    * two per trigger, so the commit log carries multiple batch entries,
+    * not a degenerate single commit. The declared query reads the sink
+    * back through the log and aggregates — equal to the batch filter,
+    * which is the oracle.
+    */
+  def fileSinkExactlyOnce(s: SparkSession, d: String): DataFrame = {
+    val out = fileSinkRun(s, d)._1
+    s.read.parquet(out) // batch reader honors _spark_metadata
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), countDistinct("event_id").as("n_ids"),
+        round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** One sink run per (dataset, session); the spec calls
+    * [[fileSinkRunAgain]] to prove the second run is a no-op.
+    */
+  private val fileSinkDone =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private[graft] def fileSinkRun(s: SparkSession, d: String): (String, String) =
+    fileSinkDone.getOrElseUpdate(d, {
+      val out = Tables.scratchDir("graft_st11_sink", d)
+      val ckpt = Tables.scratchDir("graft_st11_ckpt", d)
+      // a stale half-state (sink without its checkpoint, or vice versa)
+      // would break the exactly-once ledger — start from zero
+      def rmrf(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          Option(f.listFiles()).getOrElse(Array.empty)
+            .foreach(c => rmrf(c.getPath))
+          f.delete()
+        }
+      }
+      rmrf(out); rmrf(ckpt)
+      fileSinkQuery(s, d, out, ckpt)
+      (out, ckpt)
+    })
+
+  private[graft] def fileSinkRunAgain(s: SparkSession, d: String): String = {
+    val (out, ckpt) = fileSinkRun(s, d)
+    fileSinkQuery(s, d, out, ckpt) // same checkpoint: must commit nothing
+    out
+  }
+
+  private def fileSinkQuery(s: SparkSession, d: String,
+      out: String, ckpt: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = backfillStaged.getOrElseUpdate(d, {
+      val dir = Tables.scratchDir("graft_backfill", d)
+      Tables.events(s, d).repartition(backfillFiles)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val schema = Tables.events(s, d).schema
+    val q = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .filter(col("event_type") === "click")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st11_file_sink", fileSinkExactlyOnce, Some(
+      """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st9_outer_interval_join", streamOuterIntervalJoin, Some(
       """WITH c AS (SELECT user_id, ts, event_id FROM events
         |           WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-28'),

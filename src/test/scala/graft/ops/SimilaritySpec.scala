@@ -170,4 +170,44 @@ class SimilaritySpec extends SparkSpec {
     assert(distinctCells == 4,
       s"clusters collapsed onto $distinctCells cells — sample is layout-biased ($cellsPerCluster)")
   }
+
+  test("MMR: lambda=1 degenerates to exact top-k; lambda=0.5 never more redundant") {
+    import org.apache.spark.sql.Row
+    val k = 5
+    // λ=1: redundancy term vanishes — the greedy must reproduce v2's
+    // exact (cos desc, id asc) ranking over the same pool
+    val pure = Similarity.mmrDiversifiedTopK(spark, sf0001, k = k, lambda = 1.0)
+      .select("q_id", "rank", "n_id").collect().map {
+        case Row(q: Long, r: Int, n: Long) => (q, r, n) }.toSet
+    val topk = Similarity.bruteForceTopK(spark, sf0001, k = k)
+      .select("q_id", "rank", "n_id").collect().map {
+        case Row(q: Long, r: Int, n: Long) => (q, r, n) }.toSet
+    assert(pure == topk, "lambda=1 MMR must equal plain top-k")
+
+    // λ=0.5: per query, the selected set's mean pairwise similarity must
+    // not exceed plain top-k's (diversification can only reduce it)
+    def meanPairSim(sel: Map[Long, Seq[Long]]): Double = {
+      val emb = graft.Tables.embeddings(spark, sf0001)
+        .collect().map(r => r.getLong(0) ->
+          r.getSeq[Float](1).toArray).toMap
+      def cos(a: Array[Float], b: Array[Float]): Double = {
+        val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+        val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+        dot / (na * nb)
+      }
+      val sims = for {
+        (_, ids) <- sel.toSeq
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield cos(emb(ids(i)), emb(ids(j)))
+      sims.sum / sims.length
+    }
+    val mmrSel = Similarity.mmrDiversifiedTopK(spark, sf0001, k = k, lambda = 0.5)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+    val topkSel = topk.groupBy(_._1).map { case (q, rs) =>
+      q -> rs.toSeq.sortBy(_._2).map(_._3) }
+    assert(meanPairSim(mmrSel) <= meanPairSim(topkSel) + 1e-9,
+      "MMR selection is more redundant than plain top-k")
+  }
 }

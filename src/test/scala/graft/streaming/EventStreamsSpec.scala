@@ -251,4 +251,19 @@ class EventStreamsSpec extends SparkSpec {
     // and they can only appear via watermark-driven null emission
     assert(want.map(_._3).sum > 0, "fixture has no unmatched clicks — outer path untested")
   }
+
+  test("file sink: _spark_metadata ledger makes reruns exactly-once no-ops") {
+    val (out, _) = EventStreams.fileSinkRun(spark, sf0001)
+    assert(new java.io.File(s"$out/_spark_metadata").exists(),
+      "file sink did not write its commit log")
+    val once = spark.read.parquet(out).count()
+    val batch = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type") === "click").count()
+    assert(once == batch, s"sink rows $once != batch filter $batch")
+    // identical query, same checkpoint: the ledger already has every
+    // batch id, so the rerun must commit nothing
+    EventStreams.fileSinkRunAgain(spark, sf0001)
+    val twice = spark.read.parquet(out).count()
+    assert(twice == once, s"rerun duplicated rows: $twice vs $once")
+  }
 }
