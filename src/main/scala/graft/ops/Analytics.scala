@@ -444,6 +444,30 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** a15 — cumulative distinct users per day (the growth-curve query).
+    * The naive form — COUNT(DISTINCT user) OVER (ORDER BY day) — drags
+    * every fact row through one unbounded window task. The scalable
+    * identity: a user contributes to every day ≥ their FIRST day, so
+    * cumulative distinct = running sum of first-appearance counts. One
+    * fact-table agg (min day per user), one |days|-row rollup, and the
+    * running sum is a window over the |days|-row result — the empty
+    * ORDER BY window is fine THERE because the rollup is calendar-sized,
+    * never data-sized.
+    */
+  def cumulativeDistinctUsers(s: SparkSession, d: String): DataFrame = {
+    val first = events(s, d)
+      .groupBy("user_id")
+      .agg(min(date_trunc("day", col("ts"))).as("day"))
+    val daily = first.groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("new_users"), col("cum_users"))
+      .orderBy("day")
+  }
+
   /** f9 — nested build + flatten round-trip: per-order array-of-structs
     * assembly (collect_list of line structs, sort_array'd so the nested
     * order is deterministic) and the inverse explode back to flat rows.
@@ -638,6 +662,14 @@ object Analytics {
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a15_cumulative_distinct", cumulativeDistinctUsers, Some(
+      """WITH f AS (
+        |  SELECT user_id, min(date_trunc('day', ts)) AS day
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT) AS cum_users
+        |FROM daily ORDER BY day""".stripMargin)),
     // oracle is the PLAIN flat join: the nested assembly + explode must
     // reproduce it row-for-row or the hash breaks
     QueryDef("f9_nested_roundtrip", nestedRoundtrip, Some(

@@ -231,7 +231,81 @@ object Graph {
        |SELECT node AS nationkey, rank FROM pr10 ORDER BY 1""".stripMargin
   }
 
+  /** Bounded Bellman-Ford relaxation: after R rounds, `cost(node)` is the
+    * cheapest path from any seed using ≤ R edges — the distributed SSSP
+    * iterate (each round = one edges⋈dist shuffle + one min-agg, both
+    * hash-partitioned on node). Bounding the rounds is what makes the
+    * semantics exactly oracle-able: full SSSP's fixpoint is
+    * data-dependent, but "cheapest ≤R-hop path" unrolls to R relax
+    * layers any engine can replay. `localCheckpoint` per round bounds
+    * plan lineage exactly as d6/g3 do.
+    */
+  def weightedHopCosts(edges: DataFrame, sources: DataFrame,
+      rounds: Int = 4): DataFrame = {
+    var dist = sources.select(col("node"), lit(0L).as("cost"))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.join(edges, dist("node") === edges("src"))
+        .select(edges("dst").as("node"), (dist("cost") + edges("w")).as("cost"))
+      dist = dist.union(relaxed)
+        .groupBy("node").agg(min("cost").as("cost"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
+  /** g4 — 4-round weighted relaxation on the part co-occurrence graph,
+    * edge weight = number of orders the two parts share, seeds as in g3.
+    */
+  def partWeightedHops(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val e = op.as("a").join(op.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
+      .groupBy(col("a.pk").as("u"), col("b.pk").as("v"))
+      .agg(count(lit(1)).as("w"))
+      .cache()
+    val sym = e.select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .union(e.select(col("v").as("src"), col("u").as("dst"), col("w")))
+    val seeds = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .filter(pmod(col("node"), lit(97)) === 0).distinct()
+    weightedHopCosts(sym, seeds).orderBy("node")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("g4_weighted_hops", partWeightedHops, Some(
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS w
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2),
+        |sym AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst, w FROM e
+        |  UNION ALL SELECT v, u, w FROM e),
+        |seeds AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  WHERE node % 97 = 0),
+        |d0 AS (SELECT node, CAST(0 AS BIGINT) AS cost FROM seeds),
+        |d1 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT * FROM d0 UNION ALL
+        |  SELECT s.dst, d.cost + s.w FROM d0 d JOIN sym s ON d.node = s.src)
+        |  GROUP BY 1),
+        |d2 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT * FROM d1 UNION ALL
+        |  SELECT s.dst, d.cost + s.w FROM d1 d JOIN sym s ON d.node = s.src)
+        |  GROUP BY 1),
+        |d3 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT * FROM d2 UNION ALL
+        |  SELECT s.dst, d.cost + s.w FROM d2 d JOIN sym s ON d.node = s.src)
+        |  GROUP BY 1),
+        |d4 AS (SELECT node, min(cost) AS cost FROM (
+        |  SELECT * FROM d3 UNION ALL
+        |  SELECT s.dst, d.cost + s.w FROM d3 d JOIN sym s ON d.node = s.src)
+        |  GROUP BY 1)
+        |SELECT node, cost FROM d4 ORDER BY node""".stripMargin)),
     QueryDef("g1_pagerank", nationPageRank, Some(pageRankOracle)),
     // UNION (not UNION ALL) recursion: DuckDB's semi-naive evaluation
     // dedups (node, dist) states, so the walk is |nodes|·maxHops bounded
