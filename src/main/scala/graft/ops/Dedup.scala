@@ -40,13 +40,22 @@ object Dedup {
           .otherwise(array(text))),
       1)
 
-  /** numHashes deterministic minhashes: min over shingles of
-    * xxhash64(seed_i, shingle). No RNG state — reproducible across runs
+  /** numHashes deterministic minhashes. Each VARIABLE-LENGTH shingle is
+    * string-hashed once (xxhash64); the i-th signature hash re-hashes
+    * that 64-bit value with seed i — a fixed 8-byte input, so the 48-way
+    * fan-out costs numHashes·|shingles| constant-width hashes instead of
+    * numHashes·|shingles| full string traversals (the string pass, not
+    * the remix, is the d2 kernel's dominant term). Full xxhash64 quality
+    * per signature lane (not an affine remix, which ANSI-mode long
+    * arithmetic rejects anyway); no RNG state — reproducible across runs
     * and cluster layouts, unlike hash families seeded at fit time.
     */
-  def minhashes(sh: Column, numHashes: Int): Column =
-    array((0 until numHashes).map(i =>
-      array_min(transform(sh, x => xxhash64(lit(i), x)))): _*)
+  def minhashes(sh: Column, numHashes: Int): Column = {
+    val hashed = transform(sh, x => xxhash64(x))
+    array((0 until numHashes).map { i =>
+      array_min(transform(hashed, h => xxhash64(lit(i), h)))
+    }: _*)
+  }
 
   /** 64-bit SimHash from token stream: per bit, (#tokens with bit set) −
     * (#without) > 0. One xxhash per token, then one fused pass with 64
@@ -309,8 +318,17 @@ object Dedup {
   private val CheckpointEvery = 3
   private[ops] def connectedComponents(nodes: DataFrame, undirected: DataFrame,
       maxRounds: Int = 20): DataFrame = {
-    val edges = undirected.union(undirected.select(col("b"), col("a")))
-      .toDF("a", "b").cache()
+    // symmetrize with ONE narrow generator, not union(swap): both union
+    // branches would re-evaluate the `undirected` subtree before the
+    // cache materializes — for d9 that subtree is the full d5 pair
+    // pipeline (quantizer fit + blocked all-pairs), a measured 2×
+    // recompute the explode form avoids
+    val edges = undirected
+      .select(explode(array(
+        struct(col("a"), col("b")),
+        struct(col("b").as("a"), col("a").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .cache()
     var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
     var changed = 1L
     var round = 0
