@@ -125,10 +125,24 @@ object Graph {
     val wedges = oriented.as("e1").join(oriented.as("e2"),
       col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
       .select(col("e1.src").as("apex"), col("e1.dst").as("x"), col("e2.dst").as("y"))
-    // a wedge closes iff {x,y} is an edge — in EITHER orientation
-    val closing = oriented.select(col("src").as("cx"), col("dst").as("cy"))
-      .union(oriented.select(col("dst").as("cx"), col("src").as("cy")))
-    val tri = wedges.join(closing,
+    // a wedge closes iff {x,y} is an edge. Wedge (x, y) is id-ordered
+    // (the e1.dst < e2.dst join bound), so normalize each oriented edge
+    // to id order once — one closing row per edge, half the union-both-
+    // ways table this previously shuffled
+    val closing = oriented.select(
+      least(col("src"), col("dst")).as("cx"),
+      greatest(col("src"), col("dst")).as("cy"))
+    // The wedge set is Θ(Σ outdeg²) — 34× the edge count on this graph
+    // — while closing is exactly edge-sized. Shuffling wedges to meet
+    // closing moves the big side to the small one; broadcasting closing
+    // keeps the wedge stream map-side and it never touches an exchange.
+    // Data-driven, not unconditional: past ~4M edges (~64 MB of two
+    // longs) fall back to the shuffled semi-join rather than OOM the
+    // executors — the measured edge count (cached, needed for the shape
+    // row anyway) makes the call, the same broadcast discipline as j1/j8.
+    val closingSide =
+      if (e.count() <= 4000000L) broadcast(closing) else closing
+    val tri = wedges.join(closingSide,
       col("x") === col("cx") && col("y") === col("cy"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
     val shape = e.agg(count(lit(1)).as("n_edges"))
