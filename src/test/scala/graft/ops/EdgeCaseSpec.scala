@@ -67,4 +67,34 @@ class EdgeCaseSpec extends SparkSpec {
     assert(TextAnalysis.sequencePacking(spark, singletonDir).collect()
       .map(r => (r.getLong(1), r.getLong(3))).toSeq == Seq((0L, 0L)))
   }
+
+  test("round-5 ops degrade cleanly on empty and singleton corpora") {
+    // empty: no candidates, no shards, no splits, no heavy hitters
+    assert(TextAnalysis.cmsHeavyHitters(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.shardAssign(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.hashSplit(spark, emptyDir).count() == 0)
+    assert(TextAnalysis.trigramCounts(spark, emptyDir).count() == 0)
+    assert(Dedup.embeddingKeepList(spark, emptyDir).count() == 0)
+    assert(Similarity.mmrDiversifiedTopK(spark, emptyDir).count() == 0)
+    // singleton: the one doc is assigned a shard/split/position; the one
+    // vector forms its own cluster and is kept
+    val sh = TextAnalysis.shardAssign(spark, singletonDir).collect()
+    assert(sh.length == 1 && sh.head.getInt(2) == 1)
+    assert(TextAnalysis.hashSplit(spark, singletonDir)
+      .agg(sum("n_docs")).head.getLong(0) == 1L)
+    val keep = Dedup.embeddingKeepList(spark, singletonDir).collect()
+    assert(keep.length == 1 && keep.head.getInt(2) == 1) // kept = 1
+    // MMR with a pool smaller than k: returns the whole pool, no crash
+    // (singleton corpus has zero candidates for its own query)
+    assert(Similarity.mmrDiversifiedTopK(spark, singletonDir).count() == 0)
+    // trigram short-doc guard: a 2-token doc yields no trigrams at all
+    val shortDir = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_short").toString
+      Seq((0L, "two words", "en", "a", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      dir
+    }
+    assert(TextAnalysis.trigramCounts(spark, shortDir, minCount = 1).count() == 0)
+  }
 }
