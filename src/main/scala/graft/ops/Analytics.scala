@@ -444,6 +444,26 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** a16 — share-of-total (ratio_to_report): each priority class's
+    * revenue as a fraction of the global total. The naive spelling is
+    * `sum() OVER ()` — an empty-partition window that drags every fact
+    * row through one task. Scale shape: per-group aggregate first (one
+    * exchange over |groups| partials), global total re-aggregated from
+    * those PARTIALS (algebraic — the fact table is scanned once), and
+    * the 1-row total rejoins as a broadcast cross join.
+    */
+  def revenueShare(s: SparkSession, d: String): DataFrame = {
+    val per = orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(sum("o_totalprice").as("rev"))
+    val total = per.agg(sum("rev").as("total"))
+    per.crossJoin(broadcast(total))
+      .select(col("o_orderpriority"),
+        round(col("rev"), 2).as("revenue"),
+        round(col("rev") / col("total"), 6).as("share"))
+      .orderBy("o_orderpriority")
+  }
+
   /** a15 — cumulative distinct users per day (the growth-curve query).
     * The naive form — COUNT(DISTINCT user) OVER (ORDER BY day) — drags
     * every fact row through one unbounded window task. The scalable
@@ -662,6 +682,14 @@ object Analytics {
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("a16_revenue_share", revenueShare, Some(
+      """WITH per AS (
+        |  SELECT o_orderpriority, sum(o_totalprice) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM per)
+        |SELECT o_orderpriority, round(rev, 2) AS revenue,
+        |  round(rev / total, 6) AS share
+        |FROM per CROSS JOIN t ORDER BY o_orderpriority""".stripMargin)),
     QueryDef("a15_cumulative_distinct", cumulativeDistinctUsers, Some(
       """WITH f AS (
         |  SELECT user_id, min(date_trunc('day', ts)) AS day

@@ -139,6 +139,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** [[corpusPipeline]] with in-flight audit counters via `observe()`:
+    * rows entering, rows surviving the quality gate, and tokens kept are
+    * collected DURING the one pipeline pass — zero extra scans, the
+    * production alternative to recounting each stage with separate jobs
+    * (which doubles the I/O a 100 TB cleaning run pays). The observation
+    * completes with the sink action; the spec pins the counters against
+    * independently recomputed stage counts.
+    */
+  def corpusPipelineAudited(s: SparkSession, d: String):
+      (DataFrame, org.apache.spark.sql.Observation, org.apache.spark.sql.Observation) = {
+    val inObs = new org.apache.spark.sql.Observation("graft_p1_in")
+    val keptObs = new org.apache.spark.sql.Observation("graft_p1_kept")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("text").orderBy("doc_id")
+    val out = documents(s, d)
+      .observe(inObs, count(lit(1)).as("n_in"))
+      .select(col("doc_id"), col("text"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"),
+        qualityCol(col("text")).as("quality"),
+        predLangCol(col("text")).as("pred_lang"))
+      .filter(col("quality") >= 0.5 && col("n_tokens").between(5, 5000))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .observe(keptObs,
+        count(lit(1)).as("n_kept"), sum("n_tokens").as("tokens_kept"))
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"),
+        round(col("quality"), 6).as("quality"))
+    (out, inObs, keptObs)
+  }
+
   // ---- PII redaction -------------------------------------------------
   // The synthetic corpus is digit-free, so the declared query augments
   // each document with DETERMINISTIC doc_id-derived contact strings

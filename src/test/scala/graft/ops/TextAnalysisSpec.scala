@@ -313,6 +313,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows("train") > total * 0.70 && rows("train") < total * 0.90)
   }
 
+  test("observe() audit counters match recomputed stage counts in one pass") {
+    val (out, inObs, keptObs) = TextAnalysis.corpusPipelineAudited(spark, sf0001)
+    val kept = out.count() // the single action completes both observations
+    val nIn = inObs.get("n_in").asInstanceOf[Long]
+    val nKept = keptObs.get("n_kept").asInstanceOf[Long]
+    val tokensKept = keptObs.get("tokens_kept").asInstanceOf[Long]
+    assert(nIn == graft.Tables.documents(spark, sf0001).count())
+    assert(nKept == kept)
+    // independent recomputation of the surviving token mass
+    val expectTokens = TextAnalysis.corpusPipeline(spark, sf0001)
+      .agg(sum("n_tokens")).head.getLong(0)
+    assert(tokensKept == expectTokens)
+    assert(nKept <= nIn)
+  }
+
   test("shard assignment is a permutation: every doc exactly once, dense positions") {
     val df = TextAnalysis.shardAssign(spark, sf0001).cache()
     val total = graft.Tables.documents(spark, sf0001).count()
