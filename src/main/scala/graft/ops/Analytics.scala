@@ -76,6 +76,43 @@ object Analytics {
       .orderBy("n_name")
   }
 
+  /** One oracle for both as-of forms (j6 window composition, j12 custom
+    * physical operator): DuckDB's native ASOF LEFT JOIN.
+    */
+  val asofOracle: String =
+    """WITH o AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS ots,
+      |    max(o_orderkey) AS ok, arg_max(o_totalprice, o_orderkey) AS price
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, o.ok AS last_orderkey,
+      |  round(o.price, 2) AS last_price
+      |FROM events e ASOF LEFT JOIN o
+      |  ON e.user_id = o.user_id AND e.ts >= o.ots
+      |ORDER BY e.event_id""".stripMargin
+
+  /** j12 — the same as-of semantics as [[asofLastOrder]] (j6), computed
+    * by the CUSTOM PHYSICAL OPERATOR (`graft.plans.AsOfJoinExec`: one
+    * forward-merge pass per co-partition, O(1) state) instead of the
+    * union + last_value window composition. Shares j6's oracle verbatim
+    * — operator ≡ composition ≡ SQL ASOF JOIN, hash-verified. Both order
+    * rows per (cust, date) are pre-deduped, so within-key time ties
+    * cannot occur and the merge's tie-keep-last is never exercised
+    * (the composed form needs the same dedup for the same reason).
+    */
+  def asofNativeLastOrder(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .groupBy(col("o_custkey").as("o_user"), col("o_orderdate").as("ots"))
+      .agg(
+        max("o_orderkey").as("ok"),
+        max_by(col("o_totalprice"), col("o_orderkey")).as("price"))
+    val e = events(s, d).select(col("event_id"), col("user_id"), col("ts"))
+    graft.plans.AsOf.join(e, o, "user_id", "o_user", "ts", "ots")
+      .select(col("event_id"), col("user_id"),
+        col("ok").as("last_orderkey"),
+        round(col("price"), 2).as("last_price"))
+      .orderBy("event_id")
+  }
+
   /** As-of join (each event ↔ most recent order of that customer at or
     * before the event): the union + partitioned last-non-null window
     * pattern — ONE shuffle on the key, no range-explosion, no
@@ -632,16 +669,10 @@ object Analytics {
         |  count(*) FILTER (c_mktsegment = 'MACHINERY') AS "MACHINERY"
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
-    QueryDef("j6_asof", asofLastOrder, Some(
-      """WITH o AS (
-        |  SELECT o_custkey AS user_id, o_orderdate AS ots,
-        |    max(o_orderkey) AS ok, arg_max(o_totalprice, o_orderkey) AS price
-        |  FROM orders GROUP BY 1, 2)
-        |SELECT e.event_id, e.user_id, o.ok AS last_orderkey,
-        |  round(o.price, 2) AS last_price
-        |FROM events e ASOF LEFT JOIN o
-        |  ON e.user_id = o.user_id AND e.ts >= o.ots
-        |ORDER BY e.event_id""".stripMargin)),
+    QueryDef("j6_asof", asofLastOrder, Some(asofOracle)),
+    // j6's oracle VERBATIM: the custom physical operator, the window
+    // composition, and SQL ASOF JOIN must all hash-agree
+    QueryDef("j12_asof_native", asofNativeLastOrder, Some(asofOracle)),
     QueryDef("j7_band_join", bandJoinPriceTiers, Some(
       """SELECT tier, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders

@@ -1,0 +1,85 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("custom as-of exec matches a brute-force latest-at-or-before on sf0.001") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val got = AsOf.join(clicks, views, "user_id", "v_user", "ts", "v_ts")
+      .select(col("event_id"), col("v_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString))
+      .toMap
+    // brute force: per click, max view ts at or before
+    val want = clicks.join(views,
+        col("user_id") === col("v_user") && col("v_ts") <= col("ts"), "left")
+      .groupBy("event_id").agg(max("v_ts").as("v_ts"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.toString))
+      .toMap
+    assert(got.size == want.size)
+    assert(got == want)
+    // outer semantics genuinely exercised
+    assert(got.values.exists(_.isEmpty), "fixture has no view-less clicks")
+    assert(got.values.exists(_.nonEmpty), "fixture has no matched clicks")
+  }
+
+  test("as-of boundary: equal timestamp matches; strictly-later view does not") {
+    val left = Seq((1L, 100L), (1L, 200L), (2L, 100L))
+      .toDF("k", "t").withColumn("t", timestamp_millis(col("t")))
+    val right = Seq((1L, 100L, "at"), (1L, 150L, "mid"), (2L, 101L, "late"))
+      .toDF("rk", "rt", "tag").withColumn("rt", timestamp_millis(col("rt")))
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .select(col("k"), unix_millis(col("t")).as("t"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set(
+      (1L, 100L, Some("at")),   // v_ts == t: included (≤, not <)
+      (1L, 200L, Some("mid")),  // latest of {at, mid}
+      (2L, 100L, None)))        // only right row is later → null
+  }
+
+  test("as-of plan: custom exec node, hash-clustered children, sorted inputs") {
+    val ev = graft.Tables.events(spark, sf0001)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val df = AsOf.join(clicks, views, "user_id", "v_user", "ts", "v_ts")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), s"left not clustered:\n$plan")
+    assert(plan.contains("hashpartitioning(v_user"), s"right not clustered:\n$plan")
+    assert(plan.contains("Sort [user_id"), s"left not sorted:\n$plan")
+  }
+
+  test("as-of across many partitions: keys split over tasks stay correct") {
+    // 200 keys × 10 left rows, right rows every 7 ms — forces multiple
+    // keys per partition and partition boundaries between keys
+    val left = (0 until 2000).map(i => (i % 200L, (i / 200L) * 10L))
+      .toDF("k", "t").withColumn("t", timestamp_millis(col("t")))
+      .repartition(16)
+    val right = (0 until 1000).map(i => (i % 200L, i / 200L * 7L))
+      .toDF("rk", "rt").withColumn("rt", timestamp_millis(col("rt")))
+      .repartition(13)
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .agg(count(lit(1)), count(col("rt")),
+        sum(unix_millis(col("rt"))).as("s"))
+      .head()
+    val want = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy("k", "t").agg(max(unix_millis(col("rt"))).as("m"))
+      .agg(count(lit(1)), count(col("m")), sum("m").as("s"))
+      .head()
+    assert(got.getLong(0) == want.getLong(0))
+    assert(got.getLong(1) == want.getLong(1))
+    assert(got.getLong(2) == want.getLong(2))
+  }
+}
