@@ -555,6 +555,56 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** p7 — first-fit-decreasing sequence packing, the NEVER-SPLIT
+    * counterpart to p2's offset chunking: documents sorted by token
+    * count descending, each placed whole into the first open bin with
+    * room (fresh bin when none fits; a doc larger than the budget sits
+    * alone). FFD is the classic ≤(11/9)·OPT+1 bin-packing heuristic —
+    * p2 wastes nothing but splits documents across sequence boundaries;
+    * p7 keeps documents intact and pays bounded slack instead, which is
+    * what instruction-tuning and long-context mixes need. The greedy is
+    * genuinely imperative, so it runs per language group via
+    * `flatMapSortedGroups` — the group STREAMS through the iterator in
+    * (n_tok desc, doc_id) order (no per-group collect), and the open-bin
+    * list is capped at [[ffdMaxOpen]] (oldest bin retires first), so
+    * per-task state is O(maxOpen) regardless of group size. Fully
+    * deterministic: sort order and bin choice are pure functions of the
+    * data. At 100 TB, pre-shard each language (p5) and pack per shard —
+    * the operator's shape is unchanged, only the grouping key widens.
+    */
+  val ffdMaxOpen: Int = 256
+  def ffdPacking(s: SparkSession, d: String, budget: Long = 2048): DataFrame = {
+    import s.implicits._
+    val docs = documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .as[(String, Long, Long)]
+    docs.groupByKey(_._1)
+      .flatMapSortedGroups(col("n_tok").desc, col("doc_id")) { (lang, it) =>
+        val open = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+        var nextBin = 0
+        it.map { case (_, docId, n) =>
+          var idx = -1
+          var i = 0
+          while (idx < 0 && i < open.length) {
+            if (open(i)._2 + n <= budget) idx = i
+            i += 1
+          }
+          val bin =
+            if (idx >= 0) { val (b, u) = open(idx); open(idx) = (b, u + n); b }
+            else {
+              val b = nextBin; nextBin += 1
+              open += ((b, n))
+              if (open.length > ffdMaxOpen) open.remove(0)
+              b
+            }
+          (lang, bin, docId, n)
+        }
+      }
+      .toDF("lang", "bin", "doc_id", "n_tok")
+      .orderBy("lang", "bin", "doc_id")
+  }
+
   /** t18 — corpus trigram table: the n-gram count artifact behind
     * statistical LM scoring (t16 derives bigrams internally; this emits
     * the reusable table itself, the infini-gram / KenLM input shape).
@@ -982,6 +1032,9 @@ object TextAnalysis {
     // makes for the bloom path
     QueryDef("t17_cms_heavy_hitters", (s, d) => cmsHeavyHitters(s, d),
       Some(heavyHittersOracle)),
+    // rows-only: the FFD greedy is iterative (not SQL-expressible);
+    // budget/partition/density invariants are pinned in the spec
+    QueryDef("p7_ffd_packing", (s, d) => ffdPacking(s, d), None),
     QueryDef("t18_trigram_counts", (s, d) => trigramCounts(s, d), Some(
       """WITH tok AS (
         |  SELECT string_split(text, ' ') AS t FROM documents

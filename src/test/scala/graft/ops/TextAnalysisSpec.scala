@@ -313,6 +313,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows("train") > total * 0.70 && rows("train") < total * 0.90)
   }
 
+  test("FFD packing: budget respected, every doc packed once, denser than sequential") {
+    val budget = 2048L
+    val df = TextAnalysis.ffdPacking(spark, sf0001, budget).cache()
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // partition: every doc exactly once
+    assert(df.count() == docs.length)
+    assert(df.select("doc_id").distinct().count() == docs.length)
+    // budget: no multi-doc bin exceeds it (an oversize doc sits alone)
+    val over = df.groupBy("lang", "bin")
+      .agg(count(lit(1)).as("k"), sum("n_tok").as("tok"))
+      .filter(col("tok") > budget && col("k") > 1).count()
+    assert(over == 0, s"$over bins exceed the budget with multiple docs")
+    // density: FFD uses no more bins than a naive sequential
+    // close-on-overflow packing in doc_id order
+    val ffdBins = df.select("lang", "bin").distinct().count()
+    val seqBins = docs.groupBy(_._1).map { case (_, ds) =>
+      var bins = 0L; var used = budget + 1 // force-open on first doc
+      ds.sortBy(_._2).foreach { case (_, _, n) =>
+        if (used + n > budget) { bins += 1; used = n } else used += n
+      }
+      bins
+    }.sum
+    assert(ffdBins <= seqBins, s"FFD $ffdBins bins vs sequential $seqBins")
+  }
+
   test("observe() audit counters match recomputed stage counts in one pass") {
     val (out, inObs, keptObs) = TextAnalysis.corpusPipelineAudited(spark, sf0001)
     val kept = out.count() // the single action completes both observations
