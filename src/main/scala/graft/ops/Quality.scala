@@ -220,7 +220,68 @@ object Quality {
       .orderBy("day")
   }
 
+  /** dq5 — categorical distribution drift between the first and second
+    * half of the event timeline: per-category shares in each period plus
+    * the category's chi-square contribution against the pooled
+    * distribution — the standard "did my input mix shift?" monitor a
+    * training pipeline runs before trusting a new ingest. One fact-table
+    * pass builds the (category × period) counts; the timeline midpoint
+    * and the period totals are broadcast scalars, so everything after
+    * the first agg is |categories|-row work. Integer counts divide as
+    * doubles explicitly on both engines (DuckDB's `/` on BIGINT
+    * truncates; Spark's doesn't — the casts make them agree).
+    */
+  def categoryDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), unix_millis(col("ts")).as("ms"))
+    val b = ev.agg(min("ms").as("lo"), max("ms").as("hi"))
+    val per = ev.crossJoin(broadcast(b))
+      .withColumn("late", (col("ms") * 2 > col("lo") + col("hi")).cast("int"))
+      .groupBy("event_type")
+      .agg(
+        sum(when(col("late") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("late") === 1, 1L).otherwise(0L)).as("n_b"))
+    val tot = per.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    val pooled = (col("n_a") + col("n_b")).cast("double") /
+      (col("ta") + col("tb")).cast("double")
+    per.crossJoin(broadcast(tot))
+      .withColumn("share_a", col("n_a").cast("double") / col("ta").cast("double"))
+      .withColumn("share_b", col("n_b").cast("double") / col("tb").cast("double"))
+      .withColumn("chi2",
+        pow(col("n_a") - pooled * col("ta"), 2) / (pooled * col("ta")) +
+          pow(col("n_b") - pooled * col("tb"), 2) / (pooled * col("tb")))
+      .select(col("event_type"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round(col("chi2"), 6).as("chi2_contrib"),
+        (abs(col("share_a") - col("share_b")) > 0.01).cast("int").as("drifted"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq5_category_drift", (s, d) => categoryDrift(s, d), Some(
+      """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
+        |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM ev),
+        |per AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN ms * 2 > lo + hi THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN ms * 2 > lo + hi THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM ev CROSS JOIN b GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        |  FROM per),
+        |x AS (
+        |  SELECT event_type, n_a, n_b, ta, tb,
+        |    CAST(n_a AS DOUBLE) / ta AS share_a,
+        |    CAST(n_b AS DOUBLE) / tb AS share_b,
+        |    CAST(n_a + n_b AS DOUBLE) / (ta + tb) AS pooled
+        |  FROM per CROSS JOIN tot)
+        |SELECT event_type, n_a, n_b,
+        |  round(share_a, 6) AS share_a, round(share_b, 6) AS share_b,
+        |  round(pow(n_a - pooled * ta, 2) / (pooled * ta)
+        |      + pow(n_b - pooled * tb, 2) / (pooled * tb), 6) AS chi2_contrib,
+        |  CAST(abs(share_a - share_b) > 0.01 AS INT) AS drifted
+        |FROM x ORDER BY event_type""".stripMargin)),
     QueryDef("ts2_seasonal_backtest", (s, d) => seasonalBacktest(s, d), Some(
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,
