@@ -34,8 +34,12 @@ object Graph {
     * localCheckpoint every 3 iterations stops Catalyst re-analyzing a
     * plan that doubles per round — the same cadence d6 measured.
     */
-  def pageRank(edges: DataFrame, iterations: Int = 10,
+  def pageRank(edgesIn: DataFrame, iterations: Int = 10,
       damping: Double = 0.85): DataFrame = {
+    // every iteration joins the edge list; without this boundary the
+    // caller's edge DERIVATION (for g1: a four-table join + window) is
+    // re-evaluated once per iteration — measured 10 redundant passes
+    val edges = edgesIn.cache()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().cache()
     val n = nodes.count().toDouble
