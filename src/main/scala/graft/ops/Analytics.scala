@@ -481,6 +481,39 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** a17 — re-aggregatable distinct-count rollup via HLL sketches: one
+    * pass builds per-(week, day) user sketches; the weekly distinct
+    * estimate is a MERGE of the daily sketches (`hll_union_agg`), never
+    * a second pass over raw events. This is the pattern that makes
+    * distinct counts cheap at 100 TB: materialize sketch cubes once,
+    * answer any coarser rollup from the cube (register-max union is
+    * commutative and associative, so estimates are deterministic and
+    * partitioning-independent — unlike re-scanning). The exact weekly
+    * distinct and the relative error ride along so the estimate is
+    * judged in-query; rows-only (no DuckDB HLL twin), invariants pinned
+    * in AnalyticsSpec: union-of-dailies ≡ direct weekly sketch, error
+    * within the configured rsd.
+    */
+  def hllRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      date_trunc("week", col("ts")).as("week"),
+      date_trunc("day", col("ts")).as("day"),
+      col("user_id"))
+    val daily = ev.groupBy("week", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val weeklyEst = daily.groupBy("week")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val weeklyExact = ev.groupBy("week")
+      .agg(countDistinct("user_id").as("exact_users"))
+    weeklyExact.join(weeklyEst, "week")
+      .select(
+        date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("exact_users"), col("est_users"),
+        round(abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"), 6).as("rel_err"))
+      .orderBy("week")
+  }
+
   /** a16 — share-of-total (ratio_to_report): each priority class's
     * revenue as a fraction of the global total. The naive spelling is
     * `sum() OVER ()` — an empty-partition window that drags every fact
@@ -713,6 +746,9 @@ object Analytics {
         |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // rows-only: estimates have no DuckDB twin; merge-identity and error
+    // bounds pinned in AnalyticsSpec
+    QueryDef("a17_hll_rollup", hllRollup, None),
     QueryDef("a16_revenue_share", revenueShare, Some(
       """WITH per AS (
         |  SELECT o_orderpriority, sum(o_totalprice) AS rev

@@ -261,4 +261,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(maxCell <= hot / k * 2,
       s"hot=$hot spread over $k salts but max cell=$maxCell")
   }
+
+  test("HLL rollup: merged dailies equal the direct weekly sketch, error bounded") {
+    import org.apache.spark.sql.functions._
+    val rows = Analytics.hllRollup(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // default rsd ≈ 0.0408; allow 3 standard deviations
+    rows.foreach { r =>
+      assert(r.getDouble(3) <= 3 * 0.0408,
+        s"week ${r.getString(0)}: rel_err ${r.getDouble(3)} too high")
+    }
+    // register-max union is associative: merging per-day sketches must
+    // give the SAME estimate as sketching the whole week directly
+    val ev = graft.Tables.events(spark, sf0001).select(
+      date_trunc("week", col("ts")).as("week"),
+      date_trunc("day", col("ts")).as("day"), col("user_id"))
+    val merged = ev.groupBy("week", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .groupBy("week")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("e"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val direct = ev.groupBy("week")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("e"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    assert(merged == direct, "sketch merge is not lossless vs direct sketch")
+  }
 }
