@@ -605,6 +605,31 @@ object TextAnalysis {
       .orderBy("lang", "bin", "doc_id")
   }
 
+  /** t19 — text normalization (control-char scrub + whitespace
+    * collapse + trim), the first stage of every corpus-cleaning recipe.
+    * Like t6, the synthetic corpus is already clean, so the operator
+    * PLANTS deterministic dirt (control characters and doubled spaces)
+    * and must restore the original exactly — `restored = 1` for every
+    * row is the self-proving contract, and the md5 of the cleaned text
+    * makes the restoration hash-checkable cross-engine. All narrow
+    * codegen'd string expressions (regexp_replace chains kept inside
+    * RE2's subset per f8's discipline), no shuffle before the output
+    * sort.
+    */
+  def normalizeText(s: SparkSession, d: String): DataFrame = {
+    val dirty = concat(
+      lit("  "),
+      regexp_replace(col("text"), " ", "   "),
+      lit("\t\r "))
+    val clean = trim(regexp_replace(
+      regexp_replace(dirty, "[\\x00-\\x1f]", " "), " {2,}", " "))
+    documents(s, d)
+      .select(col("doc_id"),
+        (clean === col("text")).cast("int").as("restored"),
+        md5(clean).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   /** t18 — corpus trigram table: the n-gram count artifact behind
     * statistical LM scoring (t16 derives bigrams internally; this emits
     * the reusable table itself, the infini-gram / KenLM input shape).
@@ -1035,6 +1060,15 @@ object TextAnalysis {
     // rows-only: the FFD greedy is iterative (not SQL-expressible);
     // budget/partition/density invariants are pinned in the spec
     QueryDef("p7_ffd_packing", (s, d) => ffdPacking(s, d), None),
+    QueryDef("t19_normalize_text", (s, d) => normalizeText(s, d), Some(
+      """SELECT doc_id, CAST(t = text AS INT) AS restored, md5(t) AS clean_md5
+        |FROM (
+        |  SELECT doc_id, text,
+        |    trim(regexp_replace(regexp_replace(
+        |      '  ' || replace(text, ' ', '   ') || chr(9) || chr(13) || ' ',
+        |      '[\x00-\x1f]', ' ', 'g'), ' {2,}', ' ', 'g')) AS t
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("t18_trigram_counts", (s, d) => trigramCounts(s, d), Some(
       """WITH tok AS (
         |  SELECT string_split(text, ' ') AS t FROM documents

@@ -369,7 +369,49 @@ object Sources {
         round(sum("l_extendedprice"), 2).as("price_sum"))
       .orderBy("l_returnflag")
 
+  /** src13 — write-audit-publish (WAP): the batch is written to a
+    * STAGING path, audited there (row count, key nullability/uniqueness
+    * — dq1's constraints in miniature), and only on a clean audit
+    * atomically renamed to the published path readers watch. A failed
+    * audit leaves the published data untouched and the staging dir
+    * behind for forensics — readers can never observe a partial or bad
+    * batch, which `write.mode(overwrite)` straight to the serving path
+    * cannot promise. Local/HDFS `FileSystem.rename` is the atomic
+    * commit; on object stores the same pattern swaps a metastore
+    * pointer (cat1's `saveAsTable` tables) instead of a directory. The
+    * declared query reads the PUBLISHED path; its aggregate must equal
+    * the oracle over the source table — publication is semantics-free.
+    */
+  def writeAuditPublish(s: SparkSession, d: String): DataFrame = {
+    val staging = Tables.scratchDir("graft_src13_stage", d)
+    val publish = Tables.scratchDir("graft_src13_pub", d)
+    val batch = orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    batch.write.mode("overwrite").parquet(staging)
+    val audited = s.read.parquet(staging)
+    val a = audited.agg(
+      count(lit(1)).as("n"),
+      count(when(col("o_orderkey").isNull, true)).as("null_keys"),
+      (count(lit(1)) - countDistinct("o_orderkey")).as("dup_keys")).head()
+    require(a.getLong(0) > 0 && a.getLong(1) == 0 && a.getLong(2) == 0,
+      s"audit failed: $a — batch NOT published")
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(publish).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(publish), true)
+    require(fs.rename(
+      new org.apache.hadoop.fs.Path(staging),
+      new org.apache.hadoop.fs.Path(publish)), "atomic publish rename failed")
+    s.read.parquet(publish)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src13_write_audit_publish", writeAuditPublish, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src12_zorder_cluster", zorderClusteredScan, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice), 2) AS price_sum
