@@ -60,6 +60,37 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Sort [user_id"), s"left not sorted:\n$plan")
   }
 
+  test("as-of fuzz: 2000 random rows with ties match brute force (seeded)") {
+    val rnd = new scala.util.Random(20260813)
+    // small key/time domains force heavy duplication: many left rows per
+    // key, right ties on (key, time), keys present on only one side
+    val left = Seq.fill(2000)((rnd.nextInt(40).toLong, rnd.nextInt(200).toLong))
+      .toDF("k", "t").withColumn("t", timestamp_millis(col("t")))
+      .repartition(7)
+    val right = Seq.fill(1500)((rnd.nextInt(50).toLong, rnd.nextInt(200).toLong))
+      .toDF("rk", "rt").withColumn("rt", timestamp_millis(col("rt")))
+      .repartition(5)
+    // compare on the matched TIME only: among right ties on (key, time)
+    // the winning row is sort-order-arbitrary (documented contract), but
+    // the time itself is unique per match
+    val got = AsOf.join(left, right, "k", "rk", "t", "rt")
+      .groupBy("k", "t").agg(count(lit(1)).as("n"),
+        min(unix_millis(col("rt"))).as("lo"), max(unix_millis(col("rt"))).as("hi"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString) ->
+        (r.getLong(2), Option(r.get(3)), Option(r.get(4)))).toMap
+    val want = left.join(right,
+        col("k") === col("rk") && col("rt") <= col("t"), "left")
+      .groupBy("k", "t").agg(count(lit(1)).as("dup"),
+        max(unix_millis(col("rt"))).as("m"))
+      .collect().map(r => (r.getLong(0), r.get(1).toString) ->
+        Option(r.get(3))).toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (key, (_, lo, hi)) =>
+      assert(lo == hi, s"$key: tie group matched different times")
+      assert(lo == want(key), s"$key: got $lo want ${want(key)}")
+    }
+  }
+
   test("as-of across many partitions: keys split over tasks stay correct") {
     // 200 keys × 10 left rows, right rows every 7 ms — forces multiple
     // keys per partition and partition boundaries between keys
