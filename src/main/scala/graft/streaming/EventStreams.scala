@@ -447,7 +447,69 @@ object EventStreams {
     try q.awaitTermination() finally q.stop()
   }
 
+  /** st12 — UPDATE-mode aggregation + keyed MERGE sink: each micro-batch
+    * emits only the (hour, event_type) rows whose aggregate CHANGED, and
+    * `foreachBatch` merges them into the durable keyed store — replace
+    * same-key rows, keep the rest, publish by atomic rename (src13's WAP
+    * swap). st7's complete-snapshot overwrite rewrites the whole result
+    * every batch, fine for tiny rollups and fatal for large keyspaces;
+    * update+merge writes ∝ CHANGED keys per batch. The watermark is
+    * sized far above the replay's disorder so no window state is
+    * evicted mid-replay and every key's last update is its complete
+    * aggregate (production sets it to the real late-data bound, trading
+    * state for completeness). Input is staged as [[backfillFiles]]
+    * files, two per trigger, so the merge path is exercised across ≥ 4
+    * micro-batches — totals must equal the batch aggregation (st1's
+    * oracle shape over hours).
+    */
+  def updateMergeRollup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = backfillStaged.getOrElseUpdate(d, {
+      val dir = Tables.scratchDir("graft_backfill", d)
+      Tables.events(s, d).repartition(backfillFiles)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+    val schema = Tables.events(s, d).schema
+    val target = Tables.scratchDir("graft_st12_target", d)
+    val conf = s.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    val agg = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .withWatermark("ts", "30 days")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val sp = batch.sparkSession
+        val tPath = new org.apache.hadoop.fs.Path(target)
+        val sPath = new org.apache.hadoop.fs.Path(target + "_stage")
+        val merged =
+          if (fs.exists(tPath))
+            sp.read.parquet(target)
+              .join(batch.select("hour", "event_type").distinct(),
+                Seq("hour", "event_type"), "left_anti")
+              .unionByName(batch)
+          else batch
+        merged.write.mode("overwrite").parquet(target + "_stage")
+        fs.delete(tPath, true)
+        require(fs.rename(sPath, tPath), "merge publish rename failed")
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    s.read.parquet(target).orderBy("hour", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st12_update_merge", updateMergeRollup, Some(
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("st11_file_sink", fileSinkExactlyOnce, Some(
       """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
         |  round(sum(value), 4) AS sum_value
