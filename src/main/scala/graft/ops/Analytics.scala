@@ -481,6 +481,27 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** f10 — MapType surface: per-customer map of priority → order count,
+    * built with `map_from_entries` over the sorted struct list and
+    * exploded back to flat rows. Build and explode are inverse narrow
+    * generators around the hash agg, so the round-trip must equal the
+    * plain two-key GROUP BY — the oracle. (The second, per-customer agg
+    * runs on already-aggregated (cust, priority) rows — the re-shuffle
+    * carries group counts, not orders.)
+    */
+  def mapRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val grouped = orders(s, d)
+      .groupBy("o_custkey", "o_orderpriority")
+      .agg(count(lit(1)).as("n"))
+    grouped
+      .groupBy("o_custkey")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("o_orderpriority"), col("n"))))).as("m"))
+      .select(col("o_custkey"),
+        explode(col("m")).as(Seq("o_orderpriority", "n")))
+      .orderBy("o_custkey", "o_orderpriority")
+  }
+
   /** a17 — re-aggregatable distinct-count rollup via HLL sketches: one
     * pass builds per-(week, day) user sketches; the weekly distinct
     * estimate is a MERGE of the daily sketches (`hll_union_agg`), never
@@ -749,6 +770,9 @@ object Analytics {
     // rows-only: estimates have no DuckDB twin; merge-identity and error
     // bounds pinned in AnalyticsSpec
     QueryDef("a17_hll_rollup", hllRollup, None),
+    QueryDef("f10_map_roundtrip", mapRoundtrip, Some(
+      """SELECT o_custkey, o_orderpriority, count(*) AS n
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("a16_revenue_share", revenueShare, Some(
       """WITH per AS (
         |  SELECT o_orderpriority, sum(o_totalprice) AS rev

@@ -127,7 +127,28 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** m4 — binary content dedup: group blobs by payload digest, keep the
+    * min-id copy — d1's exact dedup re-expressed over the BINARY column
+    * (a petabyte image store dedups on content hash before any decode;
+    * the digest groupBy shuffles 16-byte hashes, never payloads). The
+    * shuffle carries md5(payload), so at 100 TB the wide op is
+    * hash-sized; payloads stay columnar in the scan. Oracled because the
+    * fixture payload is the document's UTF-8 bytes — DuckDB's md5 over
+    * the text computes the identical digest.
+    */
+  def blobDedup(s: SparkSession, d: String): DataFrame =
+    blobTable(s, d).toDF()
+      .groupBy(md5(col("payload")).as("content_md5"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"),
+        max("n_bytes").as("n_bytes"))
+      .orderBy("keeper_id")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m4_blob_dedup", blobDedup, Some(
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies,
+        |  CAST(max(octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1 ORDER BY keeper_id""".stripMargin)),
     QueryDef("m1_blob_meta", blobMeta, Some(
       """SELECT doc_id, 'text/plain;lang=' || lang AS mime,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
