@@ -481,6 +481,44 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** q3 — scalar subquery in the SELECT list (q1 covers the WHERE
+    * position): per customer, their order count and max order price as
+    * correlated scalars. Declared through the SQL front-end so Catalyst
+    * exercises its SELECT-position decorrelation — the plan is a left
+    * outer join against the pre-aggregated orders side, NOT a per-row
+    * subquery (that plan shape is what makes correlated scalars viable
+    * at 100 TB; the rewrite is Catalyst's, the engine just has to not
+    * get in its way).
+    */
+  def scalarSubqueries(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_q3_customer")
+    orders(s, d).createOrReplaceTempView("graft_q3_orders")
+    s.sql(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM graft_q3_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT round(max(o_totalprice), 2) FROM graft_q3_orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM graft_q3_customer c
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** f11 — bitwise aggregate surface: BIT_AND / BIT_OR / BIT_XOR over a
+    * masked key per group — the flag-accumulation idiom (permission
+    * masks, feature-presence bitmaps) that turns "which flags appear in
+    * this group" into one codegen'd agg instead of N boolean columns.
+    */
+  def bitwiseAggs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(col("o_orderpriority"),
+        pmod(col("o_orderkey"), lit(256)).as("m"))
+      .groupBy("o_orderpriority")
+      .agg(
+        expr("bit_and(m)").as("mask_and"),
+        expr("bit_or(m)").as("mask_or"),
+        expr("bit_xor(m)").as("mask_xor"))
+      .orderBy("o_orderpriority")
+
   /** f10 — MapType surface: per-customer map of priority → order count,
     * built with `map_from_entries` over the sorted struct list and
     * exploded back to flat rows. Build and explode are inverse narrow
@@ -773,6 +811,20 @@ object Analytics {
     QueryDef("f10_map_roundtrip", mapRoundtrip, Some(
       """SELECT o_custkey, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("q3_scalar_subqueries", scalarSubqueries, Some(
+      """SELECT c_custkey,
+        |  (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+        |  (SELECT round(max(o_totalprice), 2) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS max_price
+        |FROM customer c
+        |ORDER BY c_custkey""".stripMargin)),
+    QueryDef("f11_bitwise_aggs", bitwiseAggs, Some(
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey % 256) AS mask_and,
+        |  bit_or(o_orderkey % 256) AS mask_or,
+        |  bit_xor(o_orderkey % 256) AS mask_xor
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("a16_revenue_share", revenueShare, Some(
       """WITH per AS (
         |  SELECT o_orderpriority, sum(o_totalprice) AS rev
