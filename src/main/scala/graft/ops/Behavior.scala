@@ -146,7 +146,69 @@ object Behavior {
       .orderBy("r", "f", "m")
   }
 
+  /** e9 — TIME-BOUNDED funnel (view → click within 1 h → purchase within
+    * 24 h), the sequence-pattern semantics e3's unconstrained funnel
+    * can't express (MATCH_RECOGNIZE territory). Composed from TWO
+    * applications of the custom as-of exec (`graft.plans.AsOf`): latest
+    * click at-or-before each purchase, then latest view at-or-before
+    * that click, with the age bounds applied as post-join filters — each
+    * as-of is one merge pass per co-partition, so the whole funnel costs
+    * two key-clustered shuffles, never a per-purchase range explosion.
+    * Ties on equal timestamps are safe: only the matched TIME enters the
+    * aggregates, and ties share it. Oracle: DuckDB's native ASOF joins
+    * with the same bounds — a second engine-level validation of the
+    * custom operator, this time composed.
+    */
+  def timeBoundFunnel(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
+    val withClick = graft.plans.AsOf
+      .join(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
+      .withColumn("click_ok",
+        col("c_ts").isNotNull &&
+          col("c_ts") >= col("ts") - expr("INTERVAL 24 HOURS"))
+    val withView = graft.plans.AsOf
+      .join(withClick.filter(col("click_ok"))
+          .select(col("event_id"), col("user_id"), col("c_ts")),
+        views, "user_id", "v_user", "c_ts", "v_ts")
+      .withColumn("view_ok",
+        col("v_ts").isNotNull &&
+          col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR"))
+    purchases.agg(count(lit(1)).as("n_purchases"))
+      .crossJoin(withClick.agg(
+        sum(when(col("click_ok"), 1L).otherwise(0L)).as("n_with_click")))
+      .crossJoin(withView.agg(
+        sum(when(col("view_ok"), 1L).otherwise(0L)).as("n_full_chain")))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e9_timebound_funnel", (s, d) => timeBoundFunnel(s, d), Some(
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS vu, ts AS vts FROM events WHERE event_type = 'view'),
+        |pc0 AS MATERIALIZED (
+        |  SELECT p.event_id, p.user_id, p.ts, c.cts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts),
+        |pc AS MATERIALIZED (
+        |  SELECT *, cts IS NOT NULL AND cts >= ts - INTERVAL 24 HOUR AS click_ok
+        |  FROM pc0),
+        |pv AS MATERIALIZED (
+        |  SELECT x.event_id, x.cts, v.vts
+        |  FROM (SELECT * FROM pc WHERE click_ok) x
+        |  ASOF LEFT JOIN v ON x.user_id = v.vu AND x.cts >= v.vts)
+        |SELECT
+        |  (SELECT count(*) FROM p) AS n_purchases,
+        |  (SELECT CAST(sum(CASE WHEN click_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM pc) AS n_with_click,
+        |  (SELECT CAST(sum(CASE WHEN vts IS NOT NULL
+        |     AND vts >= cts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM pv) AS n_full_chain""".stripMargin)),
     QueryDef("e8_rfm_segments", (s, d) => rfmSegments(s, d), Some(
       """WITH cust AS (
         |  SELECT o_custkey,
