@@ -188,7 +188,41 @@ object Mutations {
       .orderBy("event_type")
   }
 
+  /** up7 — CDC APPLY, the inverse of up4's extract: replay the
+    * insert/update/delete changeset onto the OLD snapshot and reproduce
+    * the NEW one exactly — the round-trip that proves a diff feed loses
+    * nothing (what a downstream replica does with every batch it
+    * receives). One anti-join removes deleted/updated keys, one union
+    * adds inserts/updates — both hash on the key, and the changeset side
+    * is change-sized, not table-sized. The oracle recomputes the new
+    * snapshot directly from the source table: applying the diff must be
+    * indistinguishable from rebuilding.
+    */
+  def cdcApply(s: SparkSession, d: String): DataFrame = {
+    val base = orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+    val old = base.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("price"))
+    val diff = snapshotDiff(s, d) // (key, change_type, old_price, new_price)
+    val removed = old.join(
+      diff.filter(col("change_type").isin("delete", "update"))
+        .select("o_orderkey"),
+      Seq("o_orderkey"), "left_anti")
+    removed.unionByName(
+        diff.filter(col("change_type").isin("insert", "update"))
+          .select(col("o_orderkey"), col("new_price").as("price")))
+      .select(col("o_orderkey"), round(col("price"), 2).as("price"))
+      .orderBy("o_orderkey")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // oracle = the NEW snapshot rebuilt from source: diff-apply must be
+    // indistinguishable from a rebuild
+    QueryDef("up7_cdc_apply", cdcApply, Some(
+      """SELECT o_orderkey,
+        |  round(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10.0
+        |             ELSE o_totalprice END, 2) AS price
+        |FROM orders WHERE o_orderkey % 11 <> 0
+        |ORDER BY o_orderkey""".stripMargin)),
     QueryDef("up6_partition_overwrite", dynamicPartitionOverwrite, Some(
       """SELECT event_type, count(*) AS n,
         |  round(sum(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END), 4)
