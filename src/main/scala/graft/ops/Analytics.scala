@@ -481,6 +481,26 @@ object Analytics {
       .orderBy("o_orderpriority")
   }
 
+  /** a19 — top-k WITH TIES (`rank() ≤ k`), the boundary semantics
+    * row_number top-k (w1/u3) silently drops: every row tied with the
+    * k-th keeps its place. On integer-grained quantities the tie set is
+    * large, so the difference is real data, not a corner case. Spark 4
+    * plans this as a WindowGroupLimit: the rank filter is pushed below
+    * the window so each task keeps a bounded prefix instead of fully
+    * sorting its partition — the native engine optimization that makes
+    * rank-limit affordable at scale (pinned in AnalyticsSpec).
+    */
+  def topkWithTies(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy(desc("l_quantity"))
+    lineitem(s, d)
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") === 1)
+      .groupBy("l_returnflag")
+      .agg(round(max("l_quantity"), 4).as("top_qty"),
+        count(lit(1)).as("n_tied"))
+      .orderBy("l_returnflag")
+  }
+
   /** q3 — scalar subquery in the SELECT list (q1 covers the WHERE
     * position): per customer, their order count and max order price as
     * correlated scalars. Declared through the SQL front-end so Catalyst
@@ -811,6 +831,15 @@ object Analytics {
     QueryDef("f10_map_roundtrip", mapRoundtrip, Some(
       """SELECT o_custkey, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("a19_topk_with_ties", topkWithTies, Some(
+      """WITH r AS (
+        |  SELECT l_returnflag, l_quantity,
+        |    rank() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity DESC) AS rk
+        |  FROM lineitem)
+        |SELECT l_returnflag, round(max(l_quantity), 4) AS top_qty,
+        |  count(*) AS n_tied
+        |FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q3_scalar_subqueries", scalarSubqueries, Some(
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders o

@@ -258,7 +258,54 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** ts3 — STL-lite decomposition of the daily revenue series:
+    * trend = centered 7-day rolling mean, seasonal = day-of-week mean of
+    * the detrended series, residual = what neither explains — the
+    * decomposition behind every "is this dip seasonal or real?" triage.
+    * Like a15/ts2, the empty-partition windows run on the CALENDAR-SIZED
+    * daily rollup (the one fact-table pass is the first agg), so the
+    * global ordering is |days| rows on one task by construction, not an
+    * accident of scale. Revenues are rounded before the windows so both
+    * engines decompose identical doubles; dow stays internal (engine
+    * weekday numberings never meet).
+    */
+  def stlDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
+    val detrended = daily
+      .withColumn("trend", round(avg("rev").over(wTrend), 4))
+      .withColumn("detr", col("rev") - col("trend"))
+      .withColumn("dow", dayofweek(col("day")))
+    val seasonal = detrended.groupBy("dow")
+      .agg(round(avg("detr"), 4).as("seasonal"))
+    detrended.join(broadcast(seasonal), "dow")
+      .select(
+        date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("rev"), col("trend"), col("seasonal"),
+        round(col("detr") - col("seasonal"), 4).as("residual"))
+      .orderBy("day")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ts3_stl_decompose", (s, d) => stlDecompose(s, d), Some(
+      """WITH daily AS (
+        |  SELECT date_trunc('day', o_orderdate) AS day,
+        |    round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (
+        |  SELECT day, rev,
+        |    round(avg(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS trend,
+        |    dayofweek(day) AS dow
+        |  FROM daily),
+        |d2 AS (SELECT *, rev - trend AS detr FROM t),
+        |se AS (SELECT dow, round(avg(detr), 4) AS seasonal FROM d2 GROUP BY 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, rev, trend, seasonal,
+        |  round(detr - seasonal, 4) AS residual
+        |FROM d2 JOIN se USING (dow)
+        |ORDER BY day""".stripMargin)),
     QueryDef("dq5_category_drift", (s, d) => categoryDrift(s, d), Some(
       """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
         |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM ev),

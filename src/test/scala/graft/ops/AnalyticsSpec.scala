@@ -262,6 +262,14 @@ class AnalyticsSpec extends SparkSpec {
       s"hot=$hot spread over $k salts but max cell=$maxCell")
   }
 
+  test("top-k with ties plans a WindowGroupLimit (rank filter pushed below the window)") {
+    val df = Analytics.topkWithTies(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank-limit pushdown missing — full per-partition sort:\n$plan")
+  }
+
   test("HLL rollup: merged dailies equal the direct weekly sketch, error bounded") {
     import org.apache.spark.sql.functions._
     val rows = Analytics.hllRollup(spark, sf0001).collect()
