@@ -407,7 +407,51 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** j13 — DYNAMIC partition pruning: the fact table is partitioned on
+    * the join key, the dim side's filter is only known at runtime, and
+    * Spark turns the broadcast dim into a partition filter on the fact
+    * scan (`dynamicpruning` subquery) — so the fact side reads ONLY the
+    * partitions the filtered dim can match, without the user writing the
+    * partition predicate themselves. src2 pins the static half (literal
+    * predicate → pruned scan); this is the half that matters for star
+    * joins at 100 TB, where the selective predicate lives on the dim.
+    * Plan + scan-fraction pinned in SourcesSpec; the audit aggregate is
+    * the oracle.
+    */
+  private[graft] def dppFactDir(s: SparkSession, d: String): String = {
+    val dir = Tables.scratchDir("graft_j13_fact", d)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.partitionBy("event_type").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  def dynamicPartitionPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fact = s.read.parquet(dppFactDir(s, d))
+    // runtime-filtered dim: which event types are billable-tier is DATA the
+    // planner only sees through the join, never as a literal on the
+    // fact. The dim lives in parquet — an in-memory LocalRelation would
+    // constant-fold the filter away and the PartitionPruning rule would
+    // find no selective predicate to derive the runtime filter from.
+    val dimDir = Tables.scratchDir("graft_j13_dim", d)
+    Seq(("click", 1), ("purchase", 1), ("view", 2),
+      ("login", 3), ("logout", 3)).toDF("event_type", "tier")
+      .write.mode("overwrite").parquet(dimDir)
+    // attr = literal: the shape PartitionPruning's isLikelySelective
+    // recognizes (a bare boolean attribute is not "selective" to it)
+    val dim = s.read.parquet(dimDir).filter(col("tier") === 1)
+    fact.join(broadcast(dim), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j13_dynamic_pruning", dynamicPartitionPruning, Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src13_write_audit_publish", writeAuditPublish, Some(
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue

@@ -108,6 +108,22 @@ class SourcesSpec extends SparkSpec {
     assert(z.count() == total)
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    val df = Sources.dynamicPartitionPruning(spark, sf0001)
+    val rows = scanRows(df) // collects + sums FileSourceScan outputs
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no runtime partition filter in the fact scan:\n$plan")
+    val total = graft.Tables.events(spark, sf0001).count()
+    val expected = graft.Tables.events(spark, sf0001)
+      .filter(col("event_type").isin("click", "purchase")).count()
+    // fact scan materialized only the 2 matching partitions (+ the tiny
+    // dim side also counted by the scan walk)
+    assert(rows <= expected + 10,
+      s"fact scan read $rows rows — expected ~$expected of $total (no DPP)")
+    assert(rows < total, "scan read every partition — DPP did nothing")
+  }
+
   test("compaction collapses the planted 64-file layout and preserves content") {
     val agg = Sources.compactSmallFiles(spark, sf0001).collect()
     def parquetFiles(dir: String) =
