@@ -341,7 +341,53 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** v8 — quantized-then-rescored top-k: score the WHOLE corpus in the
+    * int8 domain (v6's symmetric quantization: dot ≈ scaleq·scalec·
+    * ⟨codes⟩ — the scan streams ¼ the bytes of fp32 and the inner loop
+    * is integer multiply-adds), keep a pool-deep candidate set per
+    * query, then exact-rescore ONLY the pool in fp and return the
+    * true-metric top-k. The memory-bound serving shape: full-precision
+    * vectors are touched for pool·queries rows, never the corpus. Same
+    * bounded-TopK shuffle discipline as v2 in both phases. Rows-only
+    * (quantized scores have no SQL twin); recall@k against exact v2 is
+    * pinned in SimilaritySpec.
+    */
+  def quantizedTopK(s: SparkSession, d: String, numQueries: Int = 5,
+      k: Int = 10, pool: Int = 30): DataFrame = {
+    val e = embeddings(s, d)
+    def quant(v: Column): Column = {
+      val x = transform(v, f => f.cast("double"))
+      val scale = greatest(
+        aggregate(x, lit(0.0), (a, u) => greatest(a, abs(u))) / 127.0,
+        lit(1e-30))
+      struct(scale.as("s"),
+        transform(x, u => greatest(lit(-127.0), least(lit(127.0),
+          floor(u / scale + 0.5)))).as("c"))
+    }
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), quant(col("embedding")).as("qq"))
+    val c = e.select(col("vec_id").as("n_id"), quant(col("embedding")).as("cq"))
+    val approx = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("ascore",
+        col("qq.s") * col("cq.s") *
+          aggregate(zip_with(col("qq.c"), col("cq.c"), (a, b) => a * b),
+            lit(0.0), (acc, v) => acc + v))
+    val cand = graft.functions.TopK.perGroup(approx, "q_id", "ascore", "n_id", pool)
+    val full = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val qf = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val rescored = cand.join(full, "n_id").join(broadcast(qf), "q_id")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    graft.functions.TopK.perGroup(rescored, "q_id", "cos", "n_id", k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // rows-only: quantized scores have no SQL twin; recall@k vs exact v2
+    // pinned in the spec
+    QueryDef("v8_quantized_topk", (s, d) => quantizedTopK(s, d), None),
     // rows-only: the greedy is iterative (not SQL-expressible); λ=1
     // top-k degeneration and the diversity gain are pinned in the spec
     QueryDef("v7_mmr_diversify", (s, d) => mmrDiversifiedTopK(s, d), None),

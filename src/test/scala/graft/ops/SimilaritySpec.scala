@@ -171,6 +171,27 @@ class SimilaritySpec extends SparkSpec {
       s"clusters collapsed onto $distinctCells cells — sample is layout-biased ($cellsPerCluster)")
   }
 
+  test("quantized top-k: recall@10 vs exact search >= 0.9, ranks by true cosine") {
+    val exact = Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val quant = Similarity.quantizedTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(quant.keySet == exact.keySet)
+    val recall = exact.map { case (q, ids) =>
+      (ids intersect quant(q)).size.toDouble / ids.size }.sum / exact.size
+    assert(recall >= 0.9, s"quantized recall@10 = $recall")
+    // the rescore phase ranks by TRUE cosine: every returned cos must
+    // match the exact query's cos for that (q, n) pair
+    val exactCos = Similarity.bruteForceTopK(spark, sf0001, k = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.quantizedTopK(spark, sf0001).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+  }
+
   test("MMR: lambda=1 degenerates to exact top-k; lambda=0.5 never more redundant") {
     import org.apache.spark.sql.Row
     val k = 5
