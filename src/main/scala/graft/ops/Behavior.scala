@@ -186,7 +186,46 @@ object Behavior {
         sum(when(col("view_ok"), 1L).otherwise(0L)).as("n_full_chain")))
   }
 
+  /** e11 — revenue Pareto summary: how many customers it takes to reach
+    * 50 / 80 / 90 % of total revenue — the concentration question behind
+    * every "whale" analysis. The per-customer rollup is the only fact
+    * pass; the cumulative-share window is a global ORDER BY, safe here
+    * for the a15/ts3 reason (it runs on the dimension-sized rollup) and
+    * rounded to cents FIRST so both engines order and sum identical
+    * doubles — a 1-ulp grouped-sum wobble would otherwise swap adjacent
+    * ranks and flip a threshold count.
+    */
+  def revenuePareto(s: SparkSession, d: String): DataFrame = {
+    val per = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+    val tot = per.agg(sum("rev").as("total"))
+    val w = Window.orderBy(desc("rev"), asc("o_custkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per.crossJoin(broadcast(tot))
+      .withColumn("cum_share", sum("rev").over(w) / col("total"))
+      .agg(
+        count(lit(1)).as("n_customers"),
+        (sum(when(col("cum_share") < 0.5, 1L).otherwise(0L)) + 1).as("n_for_50"),
+        (sum(when(col("cum_share") < 0.8, 1L).otherwise(0L)) + 1).as("n_for_80"),
+        (sum(when(col("cum_share") < 0.9, 1L).otherwise(0L)) + 1).as("n_for_90"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e11_revenue_pareto", (s, d) => revenuePareto(s, d), Some(
+      """WITH per AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(rev) AS total FROM per),
+        |c AS (
+        |  SELECT sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |    ROWS UNBOUNDED PRECEDING) / total AS cum_share
+        |  FROM per CROSS JOIN t)
+        |SELECT count(*) AS n_customers,
+        |  CAST(sum(CASE WHEN cum_share < 0.5 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_50,
+        |  CAST(sum(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_80,
+        |  CAST(sum(CASE WHEN cum_share < 0.9 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_90
+        |FROM c""".stripMargin)),
     QueryDef("e9_timebound_funnel", (s, d) => timeBoundFunnel(s, d), Some(
       """WITH p AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
