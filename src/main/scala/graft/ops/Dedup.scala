@@ -393,6 +393,26 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** d11 — QUALITY-AWARE keeper selection: per near-dup cluster (d6's
+    * n-gram-Jaccard components), keep the LONGEST document (max n_chars,
+    * min doc_id on ties) instead of d9's min-id convention — the policy
+    * real corpus dedup uses, because near-dup groups usually contain one
+    * full article and several truncations/boilerplate copies. One
+    * max_by over the (already tiny) cluster map joined back to the
+    * dimension columns; the heavy lifting is d6's, shared verbatim.
+    */
+  def qualityKeeperList(s: SparkSession, d: String): DataFrame = {
+    val clusters = dedupClusters(s, d) // (doc_id, cluster_id)
+    val meta = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val keepers = clusters.join(meta, "doc_id")
+      .groupBy("cluster_id")
+      .agg(expr("max_by(doc_id, struct(n_chars, -doc_id))").as("keeper_id"),
+        count(lit(1)).as("n_members"))
+    keepers
+      .select(col("cluster_id"), col("keeper_id"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Embedding-cosine near-dup pairs — cell-bucketed EXACT all-pairs.
     *
     * Plan: (1) coarse-quantize the corpus with Similarity's sampled seeded
@@ -575,6 +595,27 @@ object Dedup {
         |SELECT src AS vec_id, min(dst) AS cluster_id,
         |  CAST(CASE WHEN min(dst) = src THEN 1 ELSE 0 END AS INT) AS kept
         |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin)),
+    QueryDef("d11_quality_keeper", (s, d) => qualityKeeperList(s, d), Some(
+      s"""WITH RECURSIVE $jaccardCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+        |clu AS (SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |k AS (
+        |  SELECT cluster_id, doc_id AS keeper_id,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |  FROM clu JOIN documents USING (doc_id))
+        |SELECT cluster_id, keeper_id, n_members
+        |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
     QueryDef("d5_embedding_neardup", (s, d) => embeddingNearDupPairs(s, d), Some(
       // CAST ... AS DOUBLE[]: DuckDB's list_inner_product on FLOAT[]
       // accumulates in float32; Spark accumulates in double — without the
