@@ -555,6 +555,33 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** p9 — the assembled clean training corpus, summarized per source:
+    * exact dedup (keep the min-id copy per identical text) and benchmark
+    * decontamination (t9's shingle-overlap flag) composed into one
+    * per-source accounting of what survives and WHY each drop happened.
+    * Precedence is explicit — a doc that is both a duplicate and
+    * contaminated counts as 'dup' (dedup runs first in the pipeline, so
+    * the contamination check never sees it). This is the report a data
+    * lead reads before signing off a training mix; the underlying passes
+    * are d1's window and t9's semi-join, both already scale-shaped.
+    */
+  def cleanCorpusSummary(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("text").orderBy("doc_id")
+    val corpus = documents(s, d)
+      .filter(pmod(col("doc_id"), lit(50)) =!= 0) // bench slice excluded
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_tok", size(tokens(col("text"))).cast("long"))
+    val contam = contamination(s, d).select(col("doc_id"), col("contaminated"))
+    corpus.join(contam, Seq("doc_id"), "left")
+      .withColumn("status",
+        when(col("rn") > 1, "dup")
+          .when(col("contaminated") === 1, "contaminated")
+          .otherwise("kept"))
+      .groupBy("source", "status")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .orderBy("source", "status")
+  }
+
   /** p7 — first-fit-decreasing sequence packing, the NEVER-SPLIT
     * counterpart to p2's offset chunking: documents sorted by token
     * count descending, each placed whole into the first open bin with
@@ -708,8 +735,9 @@ object TextAnalysis {
   /** Shared by t9 and t11: the bloom variant is exact by construction, so
     * both hash-check against the same DuckDB recomputation.
     */
-  private val contaminationOracle: String =
-    """WITH docs AS (
+  /** Shared contamination CTE chain (t9/t11 full query, p9 composition). */
+  private val contaminationCtes: String =
+    """docs AS (
       |  SELECT doc_id,
       |    list_distinct(CASE WHEN len(string_split(text,' ')) >= 3
       |      THEN list_transform(generate_series(1, len(string_split(text,' ')) - 2),
@@ -722,7 +750,10 @@ object TextAnalysis {
       |matched AS (
       |  SELECT doc_id, count(*) AS n_overlap
       |  FROM inv JOIN bench USING (shingle)
-      |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)
+      |  WHERE doc_id % 50 <> 0 GROUP BY doc_id)""".stripMargin
+
+  private val contaminationOracle: String =
+    s"""WITH $contaminationCtes
       |SELECT s.doc_id, s.n_sh,
       |  CAST(COALESCE(m.n_overlap, 0) AS BIGINT) AS n_overlap,
       |  round(CAST(COALESCE(m.n_overlap, 0) AS DOUBLE) / CAST(s.n_sh AS DOUBLE), 6) AS overlap_frac,
@@ -1060,6 +1091,25 @@ object TextAnalysis {
     // rows-only: the FFD greedy is iterative (not SQL-expressible);
     // budget/partition/density invariants are pinned in the spec
     QueryDef("p7_ffd_packing", (s, d) => ffdPacking(s, d), None),
+    QueryDef("p9_clean_corpus", (s, d) => cleanCorpusSummary(s, d), Some(
+      s"""WITH $contaminationCtes,
+        |corpus AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+        |    row_number() OVER (PARTITION BY d.text ORDER BY d.doc_id) AS rn
+        |  FROM documents d WHERE d.doc_id % 50 <> 0),
+        |flags AS (
+        |  SELECT c.source,
+        |    CASE WHEN c.rn > 1 THEN 'dup'
+        |         WHEN CAST(COALESCE(m.n_overlap, 0) AS DOUBLE)
+        |             / CAST(s.n_sh AS DOUBLE) >= 0.2::DOUBLE THEN 'contaminated'
+        |         ELSE 'kept' END AS status,
+        |    c.n_tok
+        |  FROM corpus c JOIN sized s ON c.doc_id = s.doc_id
+        |    LEFT JOIN matched m ON c.doc_id = m.doc_id)
+        |SELECT source, status, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
+        |FROM flags GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("t19_normalize_text", (s, d) => normalizeText(s, d), Some(
       """SELECT doc_id, CAST(t = text AS INT) AS restored, md5(t) AS clean_md5
         |FROM (
