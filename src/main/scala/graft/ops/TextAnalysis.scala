@@ -632,6 +632,33 @@ object TextAnalysis {
       .orderBy("lang", "bin", "doc_id")
   }
 
+  /** t21 — Zipf fit of the token frequency distribution: least-squares
+    * slope of log(count) against log(rank) over the vocabulary — the
+    * one-number sanity check that a corpus looks like natural language
+    * (slope ≈ −1) rather than boilerplate (flat head) or noise (steep
+    * cliff), run before spending GPU-hours on it. One token count agg is
+    * the only full-data pass; the rank window and the regression run on
+    * the vocabulary-sized rollup (the a15/ts3 discipline). regr_* are
+    * algebraic (map-side partials); results rounded to 6dp for the
+    * cross-engine hash.
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val counts = documents(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(desc("n"), asc("token"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("lr"),
+        log(col("n").cast("double")).as("lc"), col("n"))
+      .agg(
+        round(expr("regr_slope(lc, lr)"), 6).as("zipf_slope"),
+        round(expr("regr_intercept(lc, lr)"), 6).as("zipf_intercept"),
+        round(expr("regr_r2(lc, lr)"), 6).as("r2"),
+        count(lit(1)).as("n_types"),
+        sum("n").as("n_tokens"))
+  }
+
   /** t19 — text normalization (control-char scrub + whitespace
     * collapse + trim), the first stage of every corpus-cleaning recipe.
     * Like t6, the synthetic corpus is already clean, so the operator
@@ -1110,6 +1137,20 @@ object TextAnalysis {
         |SELECT source, status, count(*) AS n_docs,
         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens
         |FROM flags GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("t21_zipf_fit", (s, d) => zipfFit(s, d), Some(
+      """WITH c AS (
+        |  SELECT token, count(*) AS n
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY n DESC, token) AS DOUBLE)) AS lr,
+        |    ln(CAST(n AS DOUBLE)) AS lc, n
+        |  FROM c)
+        |SELECT round(regr_slope(lc, lr), 6) AS zipf_slope,
+        |  round(regr_intercept(lc, lr), 6) AS zipf_intercept,
+        |  round(regr_r2(lc, lr), 6) AS r2,
+        |  count(*) AS n_types, CAST(sum(n) AS BIGINT) AS n_tokens
+        |FROM r""".stripMargin)),
     QueryDef("t19_normalize_text", (s, d) => normalizeText(s, d), Some(
       """SELECT doc_id, CAST(t = text AS INT) AS restored, md5(t) AS clean_md5
         |FROM (
