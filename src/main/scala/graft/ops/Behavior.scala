@@ -186,6 +186,28 @@ object Behavior {
         sum(when(col("view_ok"), 1L).otherwise(0L)).as("n_full_chain")))
   }
 
+  /** e12 — new-vs-returning revenue split per month: each order is 'new'
+    * iff it falls in its customer's FIRST month — the health metric
+    * separating acquisition from retention revenue. Same first-appearance
+    * trick as a15: one per-customer min-month agg (broadcastable,
+    * dimension-sized) joins back to the fact table, so no per-order
+    * window and no second fact pass.
+    */
+  def newVsReturning(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+    val firstMonth = o.groupBy("o_custkey")
+      .agg(min("month").as("first_month"))
+    o.join(broadcast(firstMonth), "o_custkey")
+      .withColumn("segment",
+        when(col("month") === col("first_month"), "new").otherwise("returning"))
+      .groupBy(date_format(col("month"), "yyyy-MM").as("month"), col("segment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("month", "segment")
+  }
+
   /** e11 — revenue Pareto summary: how many customers it takes to reach
     * 50 / 80 / 90 % of total revenue — the concentration question behind
     * every "whale" analysis. The per-customer rollup is the only fact
@@ -212,6 +234,17 @@ object Behavior {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e12_new_vs_returning", (s, d) => newVsReturning(s, d), Some(
+      """WITH o AS (
+        |  SELECT o_custkey, o_totalprice,
+        |    date_trunc('month', o_orderdate) AS month
+        |  FROM orders),
+        |f AS (SELECT o_custkey, min(month) AS first_month FROM o GROUP BY 1)
+        |SELECT strftime(o.month, '%Y-%m') AS month,
+        |  CASE WHEN o.month = f.first_month THEN 'new' ELSE 'returning' END AS segment,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM o JOIN f USING (o_custkey)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("e11_revenue_pareto", (s, d) => revenuePareto(s, d), Some(
       """WITH per AS (
         |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
