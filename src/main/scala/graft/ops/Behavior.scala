@@ -186,6 +186,29 @@ object Behavior {
         sum(when(col("view_ok"), 1L).otherwise(0L)).as("n_full_chain")))
   }
 
+  /** e13 — order-to-ship latency by order month: per line item, days
+    * between the order date and its ship date, rolled up to monthly
+    * count / mean / exact median — the fulfillment SLA trend. One join
+    * (orders side is key+date only — column-pruned at the scan) and one
+    * agg; the exact percentile is per-month (bounded groups), using the
+    * a6 Spark-percentile ↔ DuckDB-quantile_cont pairing. Latencies are
+    * integer days, so the median interpolates halves exactly on both
+    * engines.
+    */
+  def shipLatency(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("double").as("lat"))
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_lines"),
+        round(avg("lat"), 4).as("mean_days"),
+        round(expr("percentile(lat, 0.5)"), 1).as("median_days"))
+      .orderBy("month")
+
   /** e12 — new-vs-returning revenue split per month: each order is 'new'
     * iff it falls in its customer's FIRST month — the health metric
     * separating acquisition from retention revenue. Same first-appearance
@@ -234,6 +257,15 @@ object Behavior {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e13_ship_latency", (s, d) => shipLatency(s, d), Some(
+      """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        |  count(*) AS n_lines,
+        |  round(avg(CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE)), 4)
+        |    AS mean_days,
+        |  round(quantile_cont(CAST(datediff('day', o_orderdate, l_shipdate) AS DOUBLE), 0.5), 1)
+        |    AS median_days
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("e12_new_vs_returning", (s, d) => newVsReturning(s, d), Some(
       """WITH o AS (
         |  SELECT o_custkey, o_totalprice,
