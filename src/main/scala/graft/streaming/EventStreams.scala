@@ -26,13 +26,24 @@ object EventStreams {
     * and shared by every streaming query — the replay input is identical,
     * so re-materializing it per query was pure waste.
     */
-  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+  /** Atomic once-per-key memoization. `TrieMap.getOrElseUpdate` evaluates
+    * the thunk OUTSIDE the map's synchronization, so two concurrent
+    * callers could both rmrf-and-restage the same directory (corrupting
+    * whichever streaming query lost the race); `computeIfAbsent` holds the
+    * bin lock for the duration of the computation, so exactly one caller
+    * stages and the rest block until it is done.
+    */
+  private def memo[V](m: java.util.concurrent.ConcurrentHashMap[String, V])(
+      k: String)(f: => V): V =
+    m.computeIfAbsent(k, _ => f)
+
+  private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]
   private def stageDir(s: SparkSession, d: String): String =
-    staged.getOrElseUpdate(d, {
+    memo(staged)(d) {
       val dir = Tables.scratchDir("graft_stream", d)
       Tables.events(s, d).write.mode("overwrite").parquet(dir)
       dir
-    })
+    }
 
   /** Tumbling 1-hour event-time windows per event_type with a 2-hour
     * watermark, complete output to a memory sink.
@@ -329,7 +340,34 @@ object EventStreams {
 
   private[graft] val backfillFiles = 8
 
-  private val backfillStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val backfillStaged = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private def backfillSrc(s: SparkSession, d: String): String =
+    memo(backfillStaged)(d) {
+      val dir = Tables.scratchDir("graft_backfill", d)
+      Tables.events(s, d).repartition(backfillFiles)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** Time-RANGE-staged replay input: each of the [[backfillFiles]] files
+    * covers a contiguous ts slice, so a 2-file micro-batch touches only
+    * the calendar days inside its slice — the arrival pattern of a real
+    * backlog drain (ingest directories fill in time order). st12 uses
+    * this so its per-batch merge genuinely leaves out-of-slice day
+    * partitions untouched; the hash staging above would make every batch
+    * touch every day and prove nothing about write locality.
+    */
+  private val rangeStaged = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def rangeSrc(s: SparkSession, d: String): String =
+    memo(rangeStaged)(d) {
+      val dir = Tables.scratchDir("graft_backfill_range", d)
+      Tables.events(s, d)
+        .repartitionByRange(backfillFiles, col("ts"), col("event_id"))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
 
   /** Implementation exposing the observed micro-batch count for the spec
     * (≥ backfillFiles batches proves maxFilesPerTrigger actually gated
@@ -338,12 +376,7 @@ object EventStreams {
     */
   private[graft] def backfillImpl(s: SparkSession, d: String): (DataFrame, Int) = {
     import org.apache.spark.sql.streaming.Trigger
-    val src = backfillStaged.getOrElseUpdate(d, {
-      val dir = Tables.scratchDir("graft_backfill", d)
-      Tables.events(s, d).repartition(backfillFiles)
-        .write.mode("overwrite").parquet(dir)
-      dir
-    })
+    val src = backfillSrc(s, d)
     val schema = Tables.events(s, d).schema
     // fresh checkpoint per run: the memory sink is a debug sink with no
     // recovery contract; recovery across restarts is pinned separately
@@ -400,9 +433,9 @@ object EventStreams {
     * [[fileSinkRunAgain]] to prove the second run is a no-op.
     */
   private val fileSinkDone =
-    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]
   private[graft] def fileSinkRun(s: SparkSession, d: String): (String, String) =
-    fileSinkDone.getOrElseUpdate(d, {
+    memo(fileSinkDone)(d) {
       val out = Tables.scratchDir("graft_st11_sink", d)
       val ckpt = Tables.scratchDir("graft_st11_ckpt", d)
       // a stale half-state (sink without its checkpoint, or vice versa)
@@ -418,7 +451,7 @@ object EventStreams {
       rmrf(out); rmrf(ckpt)
       fileSinkQuery(s, d, out, ckpt)
       (out, ckpt)
-    })
+    }
 
   private[graft] def fileSinkRunAgain(s: SparkSession, d: String): String = {
     val (out, ckpt) = fileSinkRun(s, d)
@@ -429,12 +462,7 @@ object EventStreams {
   private def fileSinkQuery(s: SparkSession, d: String,
       out: String, ckpt: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
-    val src = backfillStaged.getOrElseUpdate(d, {
-      val dir = Tables.scratchDir("graft_backfill", d)
-      Tables.events(s, d).repartition(backfillFiles)
-        .write.mode("overwrite").parquet(dir)
-      dir
-    })
+    val src = backfillSrc(s, d)
     val schema = Tables.events(s, d).schema
     val q = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
@@ -447,34 +475,56 @@ object EventStreams {
     try q.awaitTermination() finally q.stop()
   }
 
-  /** st12 — UPDATE-mode aggregation + keyed MERGE sink: each micro-batch
-    * emits only the (hour, event_type) rows whose aggregate CHANGED, and
-    * `foreachBatch` merges them into the durable keyed store — replace
-    * same-key rows, keep the rest, publish by atomic rename (src13's WAP
-    * swap). st7's complete-snapshot overwrite rewrites the whole result
-    * every batch, fine for tiny rollups and fatal for large keyspaces;
-    * update+merge writes ∝ CHANGED keys per batch. The watermark is
-    * sized far above the replay's disorder so no window state is
-    * evicted mid-replay and every key's last update is its complete
-    * aggregate (production sets it to the real late-data bound, trading
-    * state for completeness). Input is staged as [[backfillFiles]]
-    * files, two per trigger, so the merge path is exercised across ≥ 4
-    * micro-batches — totals must equal the batch aggregation (st1's
-    * oracle shape over hours).
+  /** st12 — UPDATE-mode aggregation + keyed MERGE sink onto a
+    * DAY-PARTITIONED store: each micro-batch emits only the
+    * (hour, event_type) rows whose aggregate CHANGED, and `foreachBatch`
+    * merges them via up6's primitive — read ONLY the day partitions the
+    * batch touches (partition-pruned scan), anti-join out the replaced
+    * keys, union the batch, and write back under
+    * `partitionOverwriteMode=dynamic` so Spark's commit protocol swaps
+    * exactly those partitions. Per-batch read AND write cost is ∝
+    * partitions containing changed keys, not store size — the property
+    * st7's complete-snapshot overwrite lacks — and day partitions outside
+    * the batch keep byte-identical files (pinned in EventStreamsSpec:
+    * same names, lengths, mtimes across the batch). Publication is the
+    * file-committer's per-partition swap, so no reader ever observes a
+    * missing store (the previous delete-then-rename had a crash window
+    * with NO published table). Input is the time-range staging
+    * ([[rangeSrc]]) so micro-batches arrive like a real backlog drain and
+    * the locality claim is exercised, not vacuous. The watermark is sized
+    * far above the replay's disorder so no window state is evicted
+    * mid-replay and every key's last update is its complete aggregate
+    * (production sets it to the real late-data bound). Totals must equal
+    * the batch aggregation — st1's oracle shape over hours.
     */
   def updateMergeRollup(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val src = backfillStaged.getOrElseUpdate(d, {
-      val dir = Tables.scratchDir("graft_backfill", d)
-      Tables.events(s, d).repartition(backfillFiles)
-        .write.mode("overwrite").parquet(dir)
-      dir
-    })
-    val schema = Tables.events(s, d).schema
     val target = Tables.scratchDir("graft_st12_target", d)
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(target).getFileSystem(conf)
+    runUpdateMerge(s, d, rangeSrc(s, d), target)
+    s.read.parquet(target)
+      .select("hour", "event_type", "n", "sum_value")
+      .orderBy("hour", "event_type")
+  }
+
+  /** The st12 engine, exposed for the spec: `onBatch` receives, after
+    * each micro-batch commits, the set of day partitions the batch
+    * touched and a snapshot of every partition's files (name, length,
+    * mtime) so write locality is assertable from outside.
+    */
+  private[graft] def runUpdateMerge(s: SparkSession, d: String, src: String,
+      target: String,
+      onBatch: (Set[String], Map[String, Seq[(String, Long, Long)]]) => Unit =
+        (_, _) => ()): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val schema = Tables.events(s, d).schema
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(target), true)
+    // keep the day partition column a plain string on read-back so the
+    // pruning filter below compares string-to-string (inference would
+    // read it as DATE and the merge union would type-clash)
+    val savedInfer =
+      s.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "2").parquet(src)
       .withWatermark("ts", "30 days")
@@ -482,27 +532,68 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
-        col("event_type"), col("n"), col("sum_value"))
+        col("event_type"), col("n"), col("sum_value"),
+        date_format(col("window.start"), "yyyy-MM-dd").as("day"))
     val q = agg.writeStream.outputMode("update")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val sp = batch.sparkSession
-        val tPath = new org.apache.hadoop.fs.Path(target)
-        val sPath = new org.apache.hadoop.fs.Path(target + "_stage")
-        val merged =
-          if (fs.exists(tPath))
-            sp.read.parquet(target)
-              .join(batch.select("hour", "event_type").distinct(),
-                Seq("hour", "event_type"), "left_anti")
-              .unionByName(batch)
-          else batch
-        merged.write.mode("overwrite").parquet(target + "_stage")
-        fs.delete(tPath, true)
-        require(fs.rename(sPath, tPath), "merge publish rename failed")
+        val b = batch.persist()
+        // calendar-sized (days touched by one batch), not key-sized
+        val days = b.select("day").distinct().collect()
+          .map(_.getString(0)).toSet
+        if (days.nonEmpty) {
+          val merged =
+            if (fs.exists(new org.apache.hadoop.fs.Path(target))) {
+              sp.read.parquet(target)
+                .filter(col("day").isin(days.toSeq: _*)) // partition-pruned
+                .join(b.select("hour", "event_type").distinct(),
+                  Seq("hour", "event_type"), "left_anti")
+                .unionByName(b)
+            } else b
+          // materialize before the write: breaks lineage from the target
+          // path (Spark refuses to overwrite a path it is reading) at the
+          // cost of caching only the AFFECTED partitions' rows
+          val mat = merged.localCheckpoint(true)
+          val saved =
+            sp.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+          sp.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+          try mat.write.partitionBy("day").mode("overwrite").parquet(target)
+          finally
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+        }
+        b.unpersist()
+        onBatch(days, partitionSnapshot(fs, target))
       }
       .trigger(Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
-    s.read.parquet(target).orderBy("hour", "event_type")
+    try q.awaitTermination()
+    finally {
+      q.stop()
+      s.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+    }
+  }
+
+  /** (partition dir name → sorted (file, length, mtime)) for every day
+    * partition under `target`. Dynamic partition overwrite writes fresh
+    * UUID-named files into every partition it restates, so identical
+    * names+lengths+mtimes across a batch prove the partition's files were
+    * not touched at all — stronger than a content hash, which could not
+    * distinguish "left alone" from "rewritten identically".
+    */
+  private[graft] def partitionSnapshot(fs: org.apache.hadoop.fs.FileSystem,
+      target: String): Map[String, Seq[(String, Long, Long)]] = {
+    val t = new org.apache.hadoop.fs.Path(target)
+    if (!fs.exists(t)) Map.empty
+    else fs.listStatus(t)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("day="))
+      .map { pd =>
+        val files = fs.listStatus(pd.getPath)
+          .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+          .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+          .sortBy(_._1).toSeq
+        pd.getPath.getName -> files
+      }.toMap
   }
 
   val defs: Seq[QueryDef] = Seq(
