@@ -212,9 +212,13 @@ object Behavior {
   /** e12 — new-vs-returning revenue split per month: each order is 'new'
     * iff it falls in its customer's FIRST month — the health metric
     * separating acquisition from retention revenue. Same first-appearance
-    * trick as a15: one per-customer min-month agg (broadcastable,
-    * dimension-sized) joins back to the fact table, so no per-order
-    * window and no second fact pass.
+    * trick as a15: one per-customer min-month agg joins back to the fact
+    * table, so no per-order window and no second fact pass. The join is
+    * deliberately UN-hinted: firstMonth has one row per customer —
+    * multi-GB at 100 TB, so force-broadcasting it would OOM the driver —
+    * and both sides hash on o_custkey, so AQE reuses the groupBy
+    * exchange for a co-partitioned join (or picks broadcast itself at
+    * small SF, where it genuinely fits).
     */
   def newVsReturning(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
@@ -222,7 +226,7 @@ object Behavior {
         date_trunc("month", col("o_orderdate")).as("month"))
     val firstMonth = o.groupBy("o_custkey")
       .agg(min("month").as("first_month"))
-    o.join(broadcast(firstMonth), "o_custkey")
+    o.join(firstMonth, "o_custkey")
       .withColumn("segment",
         when(col("month") === col("first_month"), "new").otherwise("returning"))
       .groupBy(date_format(col("month"), "yyyy-MM").as("month"), col("segment"))
@@ -234,26 +238,34 @@ object Behavior {
   /** e11 — revenue Pareto summary: how many customers it takes to reach
     * 50 / 80 / 90 % of total revenue — the concentration question behind
     * every "whale" analysis. The per-customer rollup is the only fact
-    * pass; the cumulative-share window is a global ORDER BY, safe here
-    * for the a15/ts3 reason (it runs on the dimension-sized rollup) and
-    * rounded to cents FIRST so both engines order and sum identical
-    * doubles — a 1-ulp grouped-sum wobble would otherwise swap adjacent
-    * ranks and flip a threshold count.
+    * pass; the cumulative share uses [[Cumulative.runningTotal]] — the
+    * two-pass range-partitioned running sum — because the rollup here is
+    * CUSTOMER-sized (hundreds of millions of rows at 100 TB), so the
+    * single-task `Window.orderBy` shortcut that calendar-sized rollups
+    * (a15/ts3) get away with would funnel the whole table through one
+    * task. Revenue is scaled to integer CENTS before accumulating:
+    * integer addition is associative, so the partition-split sum is
+    * exactly the sequential sum, and the threshold tests are exact
+    * integer inequalities (cum·2 < total, cum·10 < total·8/9) on both
+    * engines — no double-summation-order wobble can flip a count.
     */
   def revenuePareto(s: SparkSession, d: String): DataFrame = {
     val per = orders(s, d)
       .groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("rev"))
-    val tot = per.agg(sum("rev").as("total"))
-    val w = Window.orderBy(desc("rev"), asc("o_custkey"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    per.crossJoin(broadcast(tot))
-      .withColumn("cum_share", sum("rev").over(w) / col("total"))
+      .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
+    val ranked = Cumulative.runningTotal(per, "cents",
+      Seq(desc("rev"), asc("o_custkey")), "cum_cents")
+    val tot = ranked.agg(max("cum_cents").as("total_cents"))
+    ranked.crossJoin(broadcast(tot))
       .agg(
         count(lit(1)).as("n_customers"),
-        (sum(when(col("cum_share") < 0.5, 1L).otherwise(0L)) + 1).as("n_for_50"),
-        (sum(when(col("cum_share") < 0.8, 1L).otherwise(0L)) + 1).as("n_for_80"),
-        (sum(when(col("cum_share") < 0.9, 1L).otherwise(0L)) + 1).as("n_for_90"))
+        (sum(when(col("cum_cents") * 2 < col("total_cents"), 1L)
+          .otherwise(0L)) + 1).as("n_for_50"),
+        (sum(when(col("cum_cents") * 10 < col("total_cents") * 8, 1L)
+          .otherwise(0L)) + 1).as("n_for_80"),
+        (sum(when(col("cum_cents") * 10 < col("total_cents") * 9, 1L)
+          .otherwise(0L)) + 1).as("n_for_90"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -278,18 +290,22 @@ object Behavior {
         |FROM o JOIN f USING (o_custkey)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("e11_revenue_pareto", (s, d) => revenuePareto(s, d), Some(
+      // integer-cents cumulative and integer threshold inequalities —
+      // mirrors the Spark side exactly, so no double-summation-order
+      // difference between engines can flip a boundary count
       """WITH per AS (
-        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
-        |t AS (SELECT sum(rev) AS total FROM per),
+        |t AS (SELECT sum(cents) AS total_cents FROM per),
         |c AS (
-        |  SELECT sum(rev) OVER (ORDER BY rev DESC, o_custkey
-        |    ROWS UNBOUNDED PRECEDING) / total AS cum_share
+        |  SELECT sum(cents) OVER (ORDER BY rev DESC, o_custkey
+        |    ROWS UNBOUNDED PRECEDING) AS cum_cents, total_cents
         |  FROM per CROSS JOIN t)
         |SELECT count(*) AS n_customers,
-        |  CAST(sum(CASE WHEN cum_share < 0.5 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_50,
-        |  CAST(sum(CASE WHEN cum_share < 0.8 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_80,
-        |  CAST(sum(CASE WHEN cum_share < 0.9 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_90
+        |  CAST(sum(CASE WHEN cum_cents * 2 < total_cents THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_50,
+        |  CAST(sum(CASE WHEN cum_cents * 10 < total_cents * 8 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_80,
+        |  CAST(sum(CASE WHEN cum_cents * 10 < total_cents * 9 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_for_90
         |FROM c""".stripMargin)),
     QueryDef("e9_timebound_funnel", (s, d) => timeBoundFunnel(s, d), Some(
       """WITH p AS (

@@ -76,4 +76,25 @@ class PlanShapeSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*o_orderpriority".r.findFirstIn(p).isDefined,
       s"no partition filter on the pruned scan:\n$p")
   }
+
+  test("pareto cumulative: no single-task window or global sort in the plan") {
+    // the customer-sized rollup must never funnel through one task: the
+    // only Window is partitioned by the range-partition id, and no
+    // global Sort exists (the two-pass cumulative replaces both)
+    val df = graft.SparkEntry.queries("e11_revenue_pareto")(spark, sf0001)
+    val phys = df.queryExecution.sparkPlan
+    val wins = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the partition-local running-sum window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned (single-task) window reappeared:\n$w")
+    }
+    val globalSorts = phys.collect {
+      case s0: org.apache.spark.sql.execution.SortExec if s0.global => s0
+    }
+    assert(globalSorts.isEmpty,
+      s"global sort funnels the rollup through one ordering:\n${globalSorts.mkString}")
+  }
 }
