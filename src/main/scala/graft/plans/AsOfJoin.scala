@@ -145,6 +145,27 @@ case class AsOfJoinExec(
 
 /** Dataset-level entry point for the custom node. */
 object AsOf {
+
+  /** The exec reads keys and times as raw 64-bit longs
+    * (`UnsafeRow.getLong`), so only 64-bit-backed types are sound:
+    * LongType and TimestampType(_NTZ) (micros since epoch). DateType is
+    * int DAYS — `getLong` on it would silently compare garbage widths
+    * and units, so it is widened to a timestamp here; anything else is
+    * rejected at plan time rather than producing wrong matches at run
+    * time.
+    */
+  private def normalized(df: DataFrame, name: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    df.schema(name).dataType match {
+      case LongType | TimestampType | TimestampNTZType => df
+      case DateType => df.withColumn(name, col(name).cast(TimestampType))
+      case dt => throw new IllegalArgumentException(
+        s"as-of column '$name' has type ${dt.simpleString}: the merge exec " +
+          "compares 64-bit values, so only bigint / timestamp (or date, " +
+          "which is widened) keys and times are supported — cast explicitly")
+    }
+  }
+
   /** LEFT OUTER as-of join: every `left` row + the latest `right` row
     * with the same `key` whose `time` is ≤ the left `time` (nulls when
     * none). The right side is re-aliased column-by-column so its
@@ -152,9 +173,11 @@ object AsOf {
     * otherwise carry conflicting ids into the custom node, which has no
     * analyzer dedup rule of its own.
     */
-  def join(leftDf: DataFrame, rightDf: DataFrame,
+  def join(leftDf0: DataFrame, rightDf0: DataFrame,
       leftKey: String, rightKey: String,
       leftTime: String, rightTime: String): DataFrame = {
+    val leftDf = normalized(normalized(leftDf0, leftKey), leftTime)
+    val rightDf = normalized(normalized(rightDf0, rightKey), rightTime)
     val spark = leftDf.sparkSession
     val freshRight = rightDf.select(
       rightDf.columns.toIndexedSeq.map(c => col(c).as(c)): _*)

@@ -45,6 +45,38 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 100L, None)))        // only right row is later → null
   }
 
+  test("as-of input types: DATE widens to timestamp; int/string rejected") {
+    // the exec reads keys/times as raw 64-bit longs, so a DateType (int
+    // days) column fed straight in would compare garbage — the entry
+    // point must widen it; the boundary semantics must survive widening
+    val left = Seq((1L, "2024-03-10"), (1L, "2024-03-15"), (2L, "2024-03-10"))
+      .toDF("k", "d").withColumn("d", to_date(col("d")))
+    val right = Seq((1L, "2024-03-10", "at"), (1L, "2024-03-12", "mid"),
+        (2L, "2024-03-11", "late"))
+      .toDF("rk", "rd", "tag").withColumn("rd", to_date(col("rd")))
+    val got = AsOf.join(left, right, "k", "rk", "d", "rd")
+      .select(col("k"), date_format(col("d"), "yyyy-MM-dd").as("d"), col("tag"))
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.getString(2))))
+      .toSet
+    assert(got == Set(
+      (1L, "2024-03-10", Some("at")),  // same-day match included
+      (1L, "2024-03-15", Some("mid")), // latest at-or-before
+      (2L, "2024-03-10", None)))       // only right row is later → null
+    // 32-bit-backed and non-temporal types must be rejected at plan time,
+    // not silently mis-joined at run time
+    val intLeft = Seq((1, 100L)).toDF("k", "t")
+    val longRight = Seq((1L, 100L)).toDF("rk", "rt")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOf.join(intLeft, longRight, "k", "rk", "t", "rt")
+    }
+    assert(e1.getMessage.contains("'k'"))
+    val strTime = Seq((1L, "2024-01-01")).toDF("k", "t")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOf.join(strTime, longRight.withColumnRenamed("rk", "k2"), "k", "k2", "t", "rt")
+    }
+    assert(e2.getMessage.contains("'t'"))
+  }
+
   test("as-of plan: custom exec node, hash-clustered children, sorted inputs") {
     val ev = graft.Tables.events(spark, sf0001)
     val clicks = ev.filter(col("event_type") === "click")
