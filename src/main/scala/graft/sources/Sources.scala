@@ -343,6 +343,12 @@ object Sources {
     val b = li.agg(
       min("l_partkey"), max("l_partkey"),
       min("l_suppkey"), max("l_suppkey")).head()
+    if (b.isNullAt(0)) {
+      // empty table: min/max are null and there is nothing to cluster —
+      // degrade to a plain (empty) write instead of an NPE
+      li.write.mode("overwrite").parquet(out)
+      return out
+    }
     def coord(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       ((c - lit(lo)).cast("double") * 65535.0 /
         math.max(1L, hi - lo).toDouble).cast("long")
@@ -372,19 +378,25 @@ object Sources {
   /** src13 — write-audit-publish (WAP): the batch is written to a
     * STAGING path, audited there (row count, key nullability/uniqueness
     * — dq1's constraints in miniature), and only on a clean audit
-    * atomically renamed to the published path readers watch. A failed
-    * audit leaves the published data untouched and the staging dir
-    * behind for forensics — readers can never observe a partial or bad
-    * batch, which `write.mode(overwrite)` straight to the serving path
-    * cannot promise. Local/HDFS `FileSystem.rename` is the atomic
-    * commit; on object stores the same pattern swaps a metastore
-    * pointer (cat1's `saveAsTable` tables) instead of a directory. The
-    * declared query reads the PUBLISHED path; its aggregate must equal
-    * the oracle over the source table — publication is semantics-free.
+    * published. A failed audit leaves the published data untouched and
+    * the staging dir behind for forensics — readers can never observe a
+    * partial or bad batch, which `write.mode(overwrite)` straight to
+    * the serving path cannot promise. Publication is a VERSIONED-dir +
+    * pointer swap: the staging dir is renamed to a fresh version dir
+    * under the publish root (invisible — no reader resolves it yet),
+    * then the `_current` pointer file is atomically replaced
+    * (`FileContext.rename(OVERWRITE)`), so there is NO instant at which
+    * the published table is absent — the previous delete-then-rename
+    * had exactly that crash/read window. Superseded versions are
+    * cleaned AFTER the swap. On object stores the same pattern swaps a
+    * metastore pointer (cat1's `saveAsTable` tables) instead of a file.
+    * The declared query reads through the pointer; its aggregate must
+    * equal the oracle over the source table — publication is
+    * semantics-free.
     */
   def writeAuditPublish(s: SparkSession, d: String): DataFrame = {
     val staging = Tables.scratchDir("graft_src13_stage", d)
-    val publish = Tables.scratchDir("graft_src13_pub", d)
+    val root = Tables.scratchDir("graft_src13_pub", d)
     val batch = orders(s, d)
       .select("o_orderkey", "o_orderpriority", "o_totalprice")
     batch.write.mode("overwrite").parquet(staging)
@@ -395,16 +407,49 @@ object Sources {
       (count(lit(1)) - countDistinct("o_orderkey")).as("dup_keys")).head()
     require(a.getLong(0) > 0 && a.getLong(1) == 0 && a.getLong(2) == 0,
       s"audit failed: $a — batch NOT published")
-    val conf = s.sparkContext.hadoopConfiguration
-    val fs = new org.apache.hadoop.fs.Path(publish).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(publish), true)
-    require(fs.rename(
-      new org.apache.hadoop.fs.Path(staging),
-      new org.apache.hadoop.fs.Path(publish)), "atomic publish rename failed")
-    s.read.parquet(publish)
+    publishVersion(s, staging, root)
+    s.read.parquet(resolvePublished(s, root))
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
       .orderBy("o_orderpriority")
+  }
+
+  /** Atomic pointer-swap publication: rename `staging` to a fresh
+    * version dir under `root`, atomically replace the `_current` pointer
+    * file, then clean superseded versions. Readers go through
+    * [[resolvePublished]] and therefore always see a complete version —
+    * before, during, and after a publish (or a crash at ANY point here:
+    * the worst case is an orphaned unreferenced version dir).
+    */
+  private[graft] def publishVersion(s: SparkSession, staging: String,
+      root: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    fs.mkdirs(rootPath)
+    val version = new org.apache.hadoop.fs.Path(rootPath,
+      s"v-${java.util.UUID.randomUUID()}")
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), version),
+      "staging → version rename failed")
+    val tmp = new org.apache.hadoop.fs.Path(rootPath, "_current.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(version.getName.getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "_current"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.listStatus(rootPath)
+      .filter(st => st.isDirectory && st.getPath.getName != version.getName)
+      .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** The published view: the version dir the `_current` pointer names. */
+  private[graft] def resolvePublished(s: SparkSession, root: String): String = {
+    val p = new org.apache.hadoop.fs.Path(root, "_current")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+    s"$root/$name"
   }
 
   /** j13 — DYNAMIC partition pruning: the fact table is partitioned on

@@ -143,4 +143,32 @@ class SourcesSpec extends SparkSpec {
     val got = agg.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want)
   }
+
+  test("WAP publish: pointer swap keeps a resolvable table through republish and crash debris") {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    def versions(root: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("v-"))
+        .map(_.getPath.getName).toSet
+    Sources.writeAuditPublish(spark, sf0001)
+    val root = graft.Tables.scratchDir("graft_src13_pub", sf0001)
+    val v1 = Sources.resolvePublished(spark, root)
+    val n1 = spark.read.parquet(v1).count()
+    assert(n1 > 0)
+    // crash window simulation: a version dir landed but the pointer swap
+    // never happened — readers must keep resolving the OLD version
+    val orphan = new org.apache.hadoop.fs.Path(root, "v-orphan-from-crash")
+    fs.mkdirs(orphan)
+    assert(Sources.resolvePublished(spark, root) == v1,
+      "unreferenced version changed what readers see")
+    // republish: pointer moves atomically, superseded + orphan cleaned,
+    // exactly one live version remains and it is the referenced one
+    Sources.writeAuditPublish(spark, sf0001)
+    val v2 = Sources.resolvePublished(spark, root)
+    assert(v2 != v1, "republish did not produce a fresh version")
+    assert(spark.read.parquet(v2).count() == n1)
+    assert(versions(root) == Set(v2.split('/').last),
+      s"stale versions survived cleanup: ${versions(root)}")
+  }
 }
