@@ -100,4 +100,32 @@ class GraphSpec extends SparkSpec {
     val got = Graph.triangleStats(spark, sf0001).collect()(0).getLong(2)
     assert(got == idOrdered, s"degree-oriented $got vs id-ordered $idOrdered")
   }
+
+  test("basket cap bounds the pair explosion of a planted hub order") {
+    import spark.implicits._
+    // one pathological order with 5000 parts (12.5M uncapped pairs from a
+    // single task) + one normal order that must come through untouched
+    val hub = (1 to 5000).map(p => (999L, p.toLong))
+    val normal = Seq((1L, 10L), (1L, 20L), (1L, 30L))
+    val op = (hub ++ normal).toDF("ok", "pk")
+    val cap = 64
+    val pairs = Graph.cappedPairs(op, cap).collect().map(r => (r.getLong(0), r.getLong(1)))
+    // hub truncated to its cap lowest part ids → exactly C(cap,2) hub
+    // pairs; the normal order contributes its 3 (pre-distinct, so both
+    // contributions count)
+    assert(pairs.length == cap * (cap - 1) / 2 + 3,
+      s"expected ${cap * (cap - 1) / 2} hub pairs + 3 normal pairs, got ${pairs.length}")
+    // truncation is deterministic: lowest part ids survive
+    val hubMax = pairs.map(_._2).max
+    assert(hubMax <= cap, s"cap kept a part id beyond the lowest-$cap: $hubMax")
+    // normal basket untouched
+    assert(Set((10L, 20L), (10L, 30L), (20L, 30L)).subsetOf(pairs.toSet))
+    // and the production cap clears every TPC-H basket by a wide margin,
+    // so capping cannot change g2/g3/g4 results at any tested SF
+    val maxBasket = graft.Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey").agg(countDistinct("l_partkey").as("n"))
+      .agg(max("n")).head().getLong(0)
+    assert(maxBasket < Graph.maxBasket / 8,
+      s"fixture basket $maxBasket too close to cap ${Graph.maxBasket}")
+  }
 }
