@@ -160,6 +160,108 @@ case class CosineSim(left: Expression, right: Expression) extends FloatArrayBina
     copy(left = l, right = r)
 }
 
+/** Pack an ARRAY<FLOAT> into symmetric int8 codes: one SIGNED BYTE per
+  * dimension — the ¼-of-fp32 layout that makes a quantized scan
+  * memory-bound-cheap. code[i] = clamp(floor(v[i]/scale + 0.5), ±127),
+  * exactly the arithmetic of the composable `transform` form it
+  * replaces (v6's quantizer), so scores built on these codes are
+  * bit-identical to the ARRAY<DOUBLE> version they supersede. NULL on
+  * any null element (the composable form propagates the same way).
+  */
+case class Int8Pack(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_int8_pack"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, DOUBLE), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val scale = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i)) return null
+      val q = math.floor(x.getFloat(i).toDouble / scale + 0.5)
+      out(i) = math.max(-127.0, math.min(127.0, q)).toByte
+      i += 1
+    }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val q = ctx.freshName("q")
+      s"""
+      |int $n = $a.numElements();
+      |byte[] $out = new byte[$n];
+      |for (int $i = 0; $i < $n; $i++) {
+      |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+      |  double $q = java.lang.Math.floor((double) $a.getFloat($i) / $b + 0.5D);
+      |  $out[$i] = (byte) java.lang.Math.max(-127.0D, java.lang.Math.min(127.0D, $q));
+      |}
+      |if (!${ev.isNull}) { ${ev.value} = $out; }
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** ⟨a, b⟩ over int8 code blocks: a pure INTEGER multiply-add loop over
+  * two byte[] — no per-element null slots, no array headers, no double
+  * rounding — accumulated in long (max |term| = 127² = 16129, so 2⁴⁹
+  * dims before overflow). NULL when the code blocks disagree in length.
+  * This is the scan kernel of the quantize-then-rescore serving shape
+  * (v8): ¼ the bytes of the fp32 scan and cheaper arithmetic.
+  */
+case class Int8Dot(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "graft_int8_dot"
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (BinaryType, BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (BINARY, BINARY), got (${l.simpleString}, ${r.simpleString})")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]; val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) return null
+    var acc = 0L; var i = 0
+    while (i < x.length) { acc += (x(i) * y(i)).toLong; i += 1 }
+    acc
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val i = ctx.freshName("i")
+      s"""
+      |int $n = $a.length;
+      |if ($n != $b.length) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  long $acc = 0L;
+      |  for (int $i = 0; $i < $n; $i++) {
+      |    $acc += (long) ($a[$i] * $b[$i]);
+      |  }
+      |  ${ev.value} = $acc;
+      |}
+      |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 object ArraySim {
   /** Column API over the native expressions. */
   def dotNative(a: Column, b: Column): Column =
@@ -167,4 +269,10 @@ object ArraySim {
 
   def cosineNative(a: Column, b: Column): Column =
     GraftColumns.column(CosineSim(GraftColumns.expression(a), GraftColumns.expression(b)))
+
+  def int8Pack(v: Column, scale: Column): Column =
+    GraftColumns.column(Int8Pack(GraftColumns.expression(v), GraftColumns.expression(scale)))
+
+  def int8Dot(a: Column, b: Column): Column =
+    GraftColumns.column(Int8Dot(GraftColumns.expression(a), GraftColumns.expression(b)))
 }

@@ -343,14 +343,20 @@ object Similarity {
 
   /** v8 — quantized-then-rescored top-k: score the WHOLE corpus in the
     * int8 domain (v6's symmetric quantization: dot ≈ scaleq·scalec·
-    * ⟨codes⟩ — the scan streams ¼ the bytes of fp32 and the inner loop
-    * is integer multiply-adds), keep a pool-deep candidate set per
-    * query, then exact-rescore ONLY the pool in fp and return the
-    * true-metric top-k. The memory-bound serving shape: full-precision
-    * vectors are touched for pool·queries rows, never the corpus. Same
-    * bounded-TopK shuffle discipline as v2 in both phases. Rows-only
-    * (quantized scores have no SQL twin); recall@k against exact v2 is
-    * pinned in SimilaritySpec.
+    * ⟨codes⟩), keep a pool-deep candidate set per query, then
+    * exact-rescore ONLY the pool in fp and return the true-metric
+    * top-k. The int8 layout is REAL, not conceptual: codes are a
+    * BinaryType block — one signed byte per dimension, ¼ the bytes of
+    * fp32 — packed by the codegen'd [[graft.functions.Int8Pack]], and
+    * the scan kernel is [[graft.functions.Int8Dot]], a pure integer
+    * multiply-add loop over two byte[] accumulated in long. Integer
+    * dots up to 2⁵³ are exact in either domain, so scores are
+    * bit-identical to the superseded ARRAY<DOUBLE> formulation (pinned
+    * in ArraySimSpec). Full-precision vectors are touched for
+    * pool·queries rows, never the corpus. Same bounded-TopK shuffle
+    * discipline as v2 in both phases. Rows-only (quantized scores have
+    * no SQL twin); recall@k against exact v2 is pinned in
+    * SimilaritySpec.
     */
   def quantizedTopK(s: SparkSession, d: String, numQueries: Int = 5,
       k: Int = 10, pool: Int = 30): DataFrame = {
@@ -361,8 +367,7 @@ object Similarity {
         aggregate(x, lit(0.0), (a, u) => greatest(a, abs(u))) / 127.0,
         lit(1e-30))
       struct(scale.as("s"),
-        transform(x, u => greatest(lit(-127.0), least(lit(127.0),
-          floor(u / scale + 0.5)))).as("c"))
+        graft.functions.ArraySim.int8Pack(v, scale).as("c"))
     }
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), quant(col("embedding")).as("qq"))
@@ -370,8 +375,8 @@ object Similarity {
     val approx = c.join(broadcast(q), col("q_id") =!= col("n_id"))
       .withColumn("ascore",
         col("qq.s") * col("cq.s") *
-          aggregate(zip_with(col("qq.c"), col("cq.c"), (a, b) => a * b),
-            lit(0.0), (acc, v) => acc + v))
+          graft.functions.ArraySim.int8Dot(col("qq.c"), col("cq.c"))
+            .cast("double"))
     val cand = graft.functions.TopK.perGroup(approx, "q_id", "ascore", "n_id", pool)
     val full = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
     val qf = e.filter(col("vec_id") < numQueries)

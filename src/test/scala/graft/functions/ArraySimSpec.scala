@@ -80,6 +80,57 @@ class ArraySimSpec extends AnyFunSuite with SparkSpec {
     assert(dz.getDouble(0) == 0.0 && dz.getDouble(1) == 0.0)
   }
 
+  test("int8 pack+dot: byte codes score bit-identically to the double formulation") {
+    val s = spark
+    import s.implicits._
+    val df = graft.Tables.embeddings(s, sf0001)
+      .limit(50).select(col("vec_id"), col("embedding"))
+    val x = transform(col("embedding"), f => f.cast("double"))
+    val scale = greatest(
+      aggregate(x, lit(0.0), (a, u) => greatest(a, abs(u))) / 127.0, lit(1e-30))
+    val both = df
+      .withColumn("sc", scale)
+      .withColumn("codes", ArraySim.int8Pack(col("embedding"), col("sc")))
+      .withColumn("dcodes", transform(x, u => greatest(lit(-127.0),
+        least(lit(127.0), floor(u / col("sc") + 0.5)))))
+    // the packed bytes ARE the clamped-rounded codes (¼-byte layout real)
+    val rows = both.select("codes", "dcodes").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val bytes = r.getAs[Array[Byte]](0).map(_.toInt).toSeq
+      val dbls = r.getSeq[Double](1).map(_.toInt)
+      assert(bytes == dbls, "packed bytes differ from the double quantizer codes")
+    }
+    // self-dot through the integer kernel == the double zip_with fold,
+    // exactly (integer-valued sums are exact in both domains)
+    val dots = both.select(
+      ArraySim.int8Dot(col("codes"), col("codes")).as("bd"),
+      aggregate(zip_with(col("dcodes"), col("dcodes"), (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v).cast("long").as("dd"))
+      .filter(col("bd") =!= col("dd")).count()
+    assert(dots == 0, "integer kernel diverged from the double fold")
+    // null semantics: length mismatch → null dot
+    val lm = Seq((Array[Byte](1, 2), Array[Byte](1, 2, 3))).toDF("a", "b")
+      .select(ArraySim.int8Dot(col("a"), col("b"))).head()
+    assert(lm.isNullAt(0), "length mismatch must yield NULL")
+    // interpreted path agrees with codegen
+    val packed = Int8Pack(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array(1f, -2f, 127f),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        1.0, org.apache.spark.sql.types.DoubleType))
+      .eval(null).asInstanceOf[Array[Byte]]
+    assert(packed.toSeq == Seq[Byte](1, -2, 127))
+    val idot = Int8Dot(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[Byte](3, -4), org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Array[Byte](5, 6), org.apache.spark.sql.types.BinaryType))
+      .eval(null)
+    assert(idot == 15L - 24L)
+  }
+
   test("interpreted eval agrees with codegen path") {
     // force interpreted evaluation via the expression's eval
     val e = CosineSim(
