@@ -295,6 +295,66 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** st13 — stream-stream FULL OUTER interval join: matched
+    * (click, view) pairs plus null-padded rows for BOTH unmatched sides
+    * — view-less clicks AND click-less views — each emitted when the
+    * watermark proves no partner can still arrive. st9 covers the
+    * left-outer half; full-outer is the remaining production join mode
+    * (audit "which impressions never converted AND which conversions
+    * have no impression" in one pass). Both sides carry watermarks and
+    * the join condition time-bounds each against the other, so state for
+    * a row is dropped once the opposite watermark passes its interval —
+    * the same bounded-state discipline as st5/st9. The far-future
+    * sentinel pair advances BOTH watermarks deterministically so every
+    * pending row finalizes; sentinels themselves are excluded by the
+    * pre-join time cut (applied AFTER the watermark operator, so they
+    * still advance it). The cut is symmetric on both sides and mirrored
+    * in the oracle's source filters, so streaming full-outer must equal
+    * the batch FULL JOIN row-for-row.
+    */
+  def streamFullOuterIntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val schema = ev.schema
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_st13_replay").toString
+    ev.write.mode("overwrite").parquet(src)
+    val cut = lit("2024-01-28").cast("timestamp")
+    def side(kind: String, p: String) =
+      s.readStream.schema(schema).parquet(src)
+        .filter(col("event_type") === kind)
+        .select(col("user_id").as(s"${p}_user"), col("ts").as(s"${p}_ts"),
+          col("event_id").as(s"${p}_id"))
+        .withWatermark(s"${p}_ts", "1 hour")
+        .filter(col(s"${p}_ts") < cut) // post-watermark: sentinel advances, never joins
+    val joined = side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") <= col("c_ts") &&
+        col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"),
+      "full_outer")
+    val qname = "graft_stream_full_outer_join"
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable() // batch 1: all real data
+      import s.implicits._
+      Seq((-901L, "2024-03-01 00:00:00", -901L, "click", 0.0, ""),
+          (-902L, "2024-03-01 00:00:00", -902L, "view", 0.0, ""))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable() // batch 2: sentinels advance both watermarks
+    } finally q.stop()
+    s.table(qname)
+      .groupBy(coalesce(col("c_user"), col("v_user")).as("user_id"))
+      .agg(
+        countDistinct(col("c_id")).as("n_clicks"),
+        countDistinct(when(col("v_ts").isNull, col("c_id"))).as("n_unviewed"),
+        countDistinct(when(col("c_id").isNull, col("v_id"))).as("n_orphan_views"),
+        count(when(col("c_id").isNotNull, col("v_ts"))).as("n_pairs"))
+      .orderBy("user_id")
+  }
+
   /** foreachBatch sink — the production write path when the destination
     * is a TABLE, not an append log: each micro-batch runs arbitrary batch
     * code against the batch's DataFrame. Here the complete-mode aggregate
@@ -606,6 +666,21 @@ object EventStreams {
         |  round(sum(value), 4) AS sum_value
         |FROM events WHERE event_type = 'click'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("st13_full_outer_interval_join", streamFullOuterIntervalJoin, Some(
+      """WITH c AS (SELECT user_id AS cu, ts AS cts, event_id AS cid
+        |           FROM events WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-28'),
+        |v AS (SELECT user_id AS vu, ts AS vts, event_id AS vid
+        |      FROM events WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-28'),
+        |j AS (
+        |  SELECT coalesce(c.cu, v.vu) AS user_id, c.cid, v.vid, v.vts
+        |  FROM c FULL JOIN v ON c.cu = v.vu
+        |    AND v.vts <= c.cts AND v.vts >= c.cts - INTERVAL 10 MINUTE)
+        |SELECT user_id,
+        |  count(DISTINCT cid) AS n_clicks,
+        |  count(DISTINCT CASE WHEN cid IS NOT NULL AND vts IS NULL THEN cid END) AS n_unviewed,
+        |  count(DISTINCT CASE WHEN cid IS NULL THEN vid END) AS n_orphan_views,
+        |  count(CASE WHEN cid IS NOT NULL THEN vts END) AS n_pairs
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st9_outer_interval_join", streamOuterIntervalJoin, Some(
       """WITH c AS (SELECT user_id, ts, event_id FROM events
         |           WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-28'),

@@ -252,6 +252,33 @@ class EventStreamsSpec extends SparkSpec {
     assert(want.map(_._3).sum > 0, "fixture has no unmatched clicks — outer path untested")
   }
 
+  test("full-outer interval join: both unmatched sides emit; equals batch full join") {
+    val got = EventStreams.streamFullOuterIntervalJoin(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val cut = lit("2024-01-28").cast("timestamp")
+    val ev = graft.Tables.events(spark, sf0001)
+    val c = ev.filter(col("event_type") === "click" && col("ts") < cut)
+      .select(col("user_id").as("cu"), col("ts").as("cts"), col("event_id").as("cid"))
+    val v = ev.filter(col("event_type") === "view" && col("ts") < cut)
+      .select(col("user_id").as("vu"), col("ts").as("vts"), col("event_id").as("vid"))
+    val want = c.join(v, col("cu") === col("vu")
+        && col("vts") <= col("cts")
+        && col("vts") >= col("cts") - expr("INTERVAL 10 MINUTES"), "full_outer")
+      .groupBy(coalesce(col("cu"), col("vu")).as("user_id"))
+      .agg(countDistinct(col("cid")).as("n_clicks"),
+        countDistinct(when(col("vts").isNull, col("cid"))).as("n_unviewed"),
+        countDistinct(when(col("cid").isNull, col("vid"))).as("n_orphan_views"),
+        count(when(col("cid").isNotNull, col("vts"))).as("n_pairs"))
+      .orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want.toSeq)
+    // BOTH outer halves genuinely exercised: view-less clicks and
+    // click-less views must exist in the fixture, and they can only
+    // reach the sink via watermark-driven null emission
+    assert(want.map(_._3).sum > 0, "fixture has no unmatched clicks — left-outer path untested")
+    assert(want.map(_._4).sum > 0, "fixture has no orphan views — right-outer path untested")
+  }
+
   test("file sink: _spark_metadata ledger makes reruns exactly-once no-ops") {
     val (out, _) = EventStreams.fileSinkRun(spark, sf0001)
     assert(new java.io.File(s"$out/_spark_metadata").exists(),
