@@ -634,6 +634,61 @@ object EventStreams {
     }
   }
 
+  /** st14 — merge sink + OPTIMIZE: the st12 store accumulates one file
+    * per writing task per restating batch, so a long-running merge
+    * stream degrades into the small-files regime src10 compacts its way
+    * out of — this operator composes the two. After the replay, every
+    * day partition whose data-file count exceeds the target is rewritten
+    * as ONE file via the same dynamic-partition-overwrite primitive the
+    * merge itself uses; partitions already compact are NOT touched (the
+    * decision comes from a metadata listing, no data read — src10's
+    * discipline), pinned byte-identical in the spec. Compaction is
+    * layout-only: the declared rollup must still equal st1's oracle. In
+    * production this pass runs on a cadence (every N batches) against
+    * exactly this store layout; here it runs once after the replay so
+    * the before/after file counts are assertable.
+    */
+  def compactedMergeRollup(s: SparkSession, d: String): DataFrame = {
+    val target = Tables.scratchDir("graft_st14_target", d)
+    runUpdateMerge(s, d, rangeSrc(s, d), target)
+    compactStore(s, target, maxFiles = 1)
+    s.read.parquet(target)
+      .select("hour", "event_type", "n", "sum_value")
+      .orderBy("hour", "event_type")
+  }
+
+  /** Rewrite (as one file each) every day partition with more than
+    * `maxFiles` data files; leave the rest untouched. Returns the names
+    * of the partitions compacted. Cost ∝ the data under the compacted
+    * partitions — the listing decides, not a table scan.
+    */
+  private[graft] def compactStore(s: SparkSession, target: String,
+      maxFiles: Int): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(target)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val crowded = partitionSnapshot(fs, target)
+      .filter(_._2.length > maxFiles).keys.toSeq.sorted
+    if (crowded.nonEmpty) {
+      val days = crowded.map(_.stripPrefix("day="))
+      val savedInfer = s.conf
+        .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+      s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      try {
+        val packed = s.read.parquet(target)
+          .filter(col("day").isin(days: _*)) // partition-pruned read
+          .repartition(col("day")) // one task per day → one file per day
+          .localCheckpoint(true) // break lineage from the overwritten path
+        val saved =
+          s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+        s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+        try packed.write.partitionBy("day").mode("overwrite").parquet(target)
+        finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+      } finally s.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+    }
+    crowded
+  }
+
   /** (partition dir name → sorted (file, length, mtime)) for every day
     * partition under `target`. Dynamic partition overwrite writes fresh
     * UUID-named files into every partition it restates, so identical
@@ -657,6 +712,11 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st14_compacted_merge", compactedMergeRollup, Some(
+      // st1's oracle shape: compaction is layout-only
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+        |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("st12_update_merge", updateMergeRollup, Some(
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
         |  event_type, count(*) AS n, round(sum(value), 4) AS sum_value

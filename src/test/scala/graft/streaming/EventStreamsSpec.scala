@@ -332,4 +332,37 @@ class EventStreamsSpec extends SparkSpec {
       .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3)))).toMap
     assert(merged == batch)
   }
+
+  test("merge-store compaction: crowded partitions become one file, compact ones untouched") {
+    val target = graft.Tables.scratchDir("graft_st14_spec", sf0001)
+    EventStreams.runUpdateMerge(spark, sf0001,
+      EventStreams.rangeSrc(spark, sf0001), target)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val before = EventStreams.partitionSnapshot(fs, target)
+    val totalsBefore = spark.read.parquet(target)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), round(sum("sum_value"), 4).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // the multi-batch merge must actually produce the small-files regime
+    // somewhere, or the compaction assertion is vacuous
+    assert(before.exists(_._2.length > 1),
+      s"no partition accumulated multiple files: ${before.view.mapValues(_.length).toMap}")
+    val compacted = EventStreams.compactStore(spark, target, maxFiles = 1)
+    assert(compacted.nonEmpty)
+    val after = EventStreams.partitionSnapshot(fs, target)
+    // every partition is now at the target file count
+    after.foreach { case (part, files) =>
+      assert(files.length <= 1, s"$part still has ${files.length} files")
+    }
+    // partitions that were already compact were never rewritten
+    before.filter(_._2.length <= 1).foreach { case (part, files) =>
+      assert(after.get(part).contains(files),
+        s"already-compact $part was rewritten by the metadata-driven pass")
+    }
+    // compaction is layout-only: totals byte-identical
+    val totalsAfter = spark.read.parquet(target)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), round(sum("sum_value"), 4).as("sv"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(totalsAfter == totalsBefore)
+  }
 }
