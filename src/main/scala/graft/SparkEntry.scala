@@ -16,7 +16,8 @@ object SparkEntry {
       ops.TextAnalysis.defs ++ ops.Dedup.defs ++ ops.Similarity.defs ++
       ops.Quality.defs ++ ops.Graph.defs ++ ops.Behavior.defs ++
       ops.Mutations.defs ++ engine.GraftCatalog.defs ++
-      ops.Multimodal.defs ++ streaming.EventStreams.defs
+      ops.Multimodal.defs ++ streaming.EventStreams.defs ++
+      ops.Funnel.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -148,42 +148,27 @@ object Behavior {
 
   /** e9 — TIME-BOUNDED funnel (view → click within 1 h → purchase within
     * 24 h), the sequence-pattern semantics e3's unconstrained funnel
-    * can't express (MATCH_RECOGNIZE territory). Composed from TWO
-    * applications of the custom as-of exec (`graft.plans.AsOf`): latest
-    * click at-or-before each purchase, then latest view at-or-before
-    * that click, with the age bounds applied as post-join filters — each
-    * as-of is one merge pass per co-partition, so the whole funnel costs
-    * two key-clustered shuffles, never a per-purchase range explosion.
-    * Ties on equal timestamps are safe: only the matched TIME enters the
-    * aggregates, and ties share it. Oracle: DuckDB's native ASOF joins
-    * with the same bounds — a second engine-level validation of the
-    * custom operator, this time composed.
+    * can't express (MATCH_RECOGNIZE territory). Expressed as a 2-step
+    * instance of [[Funnel.boundedSequence]] — the general bounded-gap
+    * fold over the custom as-of exec — so each step is one merge pass
+    * per co-partition and the whole funnel costs two key-clustered
+    * shuffles, never a per-purchase range explosion. Ties on equal
+    * timestamps are safe: only the matched TIME enters the aggregates,
+    * and ties share it. Oracle: DuckDB's native ASOF joins with the same
+    * bounds — a second engine-level validation of the custom operator,
+    * this time composed (e14 validates the 3-step fold).
     */
   def timeBoundFunnel(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"))
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
-    val views = ev.filter(col("event_type") === "view")
-      .select(col("user_id").as("v_user"), col("ts").as("v_ts"))
-    val withClick = graft.plans.AsOf
-      .join(purchases, clicks, "user_id", "c_user", "ts", "c_ts")
-      .withColumn("click_ok",
-        col("c_ts").isNotNull &&
-          col("c_ts") >= col("ts") - expr("INTERVAL 24 HOURS"))
-    val withView = graft.plans.AsOf
-      .join(withClick.filter(col("click_ok"))
-          .select(col("event_id"), col("user_id"), col("c_ts")),
-        views, "user_id", "v_user", "c_ts", "v_ts")
-      .withColumn("view_ok",
-        col("v_ts").isNotNull &&
-          col("v_ts") >= col("c_ts") - expr("INTERVAL 1 HOUR"))
-    purchases.agg(count(lit(1)).as("n_purchases"))
-      .crossJoin(withClick.agg(
-        sum(when(col("click_ok"), 1L).otherwise(0L)).as("n_with_click")))
-      .crossJoin(withView.agg(
-        sum(when(col("view_ok"), 1L).otherwise(0L)).as("n_full_chain")))
+      .select(col("event_id").as("anchor_id"), col("user_id"), col("ts"))
+    // the two hard-coded as-of hops, re-expressed as a 2-step instance
+    // of the general bounded-gap sequence fold (e14 is the 3-step one)
+    Funnel.boundedSequence(ev, purchases,
+        Seq(("click", "24 HOURS"), ("view", "1 HOUR")))
+      .select(col("step_0").as("n_purchases"),
+        col("step_1").as("n_with_click"),
+        col("step_2").as("n_full_chain"))
   }
 
   /** e13 — order-to-ship latency by order month: per line item, days
