@@ -523,6 +523,33 @@ object Analytics {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q4 — correlated EXISTS / NOT EXISTS (the membership twins of q3's
+    * scalars): suppliers split by whether any of their lineitems was
+    * returned (l_returnflag = 'R'), counted per nation. Declared through
+    * the SQL front-end so Catalyst decorrelates BOTH predicates to one
+    * hash join pair (left semi for EXISTS, left anti for NOT EXISTS) on
+    * suppkey — never a per-supplier re-scan of lineitem; the plan shape
+    * is pinned in PlanShapeSpec. The anti side is the three-valued-safe
+    * one: NOT EXISTS has no NULL trap (unlike NOT IN, covered by j11).
+    */
+  def existsSplit(s: SparkSession, d: String): DataFrame = {
+    supplier(s, d).createOrReplaceTempView("graft_q4_supplier")
+    lineitem(s, d).createOrReplaceTempView("graft_q4_lineitem")
+    s.sql(
+      """SELECT s_nationkey,
+        |  count(*) AS n_suppliers,
+        |  CAST(sum(CASE WHEN EXISTS (
+        |    SELECT 1 FROM graft_q4_lineitem l
+        |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_returns,
+        |  CAST(sum(CASE WHEN NOT EXISTS (
+        |    SELECT 1 FROM graft_q4_lineitem l
+        |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM graft_q4_supplier s
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)
+  }
+
   /** f11 — bitwise aggregate surface: BIT_AND / BIT_OR / BIT_XOR over a
     * masked key per group — the flag-accumulation idiom (permission
     * masks, feature-presence bitmaps) that turns "which flags appear in
@@ -840,6 +867,19 @@ object Analytics {
         |SELECT l_returnflag, round(max(l_quantity), 4) AS top_qty,
         |  count(*) AS n_tied
         |FROM r WHERE rk = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("q4_exists_split", existsSplit, Some(
+      """SELECT s_nationkey,
+        |  count(*) AS n_suppliers,
+        |  CAST(sum(CASE WHEN EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_returns,
+        |  CAST(sum(CASE WHEN NOT EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_suppkey = s.s_suppkey AND l.l_returnflag = 'R')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_clean
+        |FROM supplier s
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
     QueryDef("q3_scalar_subqueries", scalarSubqueries, Some(
       """SELECT c_custkey,
         |  (SELECT count(*) FROM orders o

@@ -253,7 +253,76 @@ object Behavior {
           .otherwise(0L)) + 1).as("n_for_90"))
   }
 
+  /** e16 — behavioral transition matrix: counts of (previous event type
+    * → event type) steps per user in time order — the Markov-chain input
+    * every journey analysis starts from (where do users go after a
+    * view?). One lag window partitioned by user_id (hash exchange on the
+    * key, per-user groups are session-sized), then a |types|²-row
+    * rollup. The sequence is total-ordered by (ts, event_id) so both
+    * engines agree on every predecessor under timestamp ties.
+    */
+  def transitionMatrix(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag("event_type", 1).over(w))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
+
+  /** e15 — revenue-mass deciles: customers bucketed by CUMULATIVE share
+    * of total revenue (decile 0 = the whales that make up the first 10 %
+    * of revenue), reported as per-decile customer counts and revenue —
+    * the distribution table behind e11's three thresholds. NOT ntile():
+    * ntile buckets by row count (and its empty-over window single-tasks
+    * the table); revenue-mass deciles need the running total, which is
+    * [[Cumulative.runningTotal]] again — the operator's second consumer,
+    * proving the primitive composes. Decile = cum·10 / total in integer
+    * cents (exact on both engines); the LAST customer's cum equals the
+    * total, so it is clamped to decile 9.
+    */
+  def revenueDeciles(s: SparkSession, d: String): DataFrame = {
+    val per = orders(s, d)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("rev"))
+      .withColumn("cents", round(col("rev") * 100, 0).cast("long"))
+    val ranked = Cumulative.runningTotal(per, "cents",
+      Seq(desc("rev"), asc("o_custkey")), "cum_cents")
+    val tot = ranked.agg(max("cum_cents").as("total_cents"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("decile",
+        least(lit(9L), expr("(cum_cents * 10) div total_cents")))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum("rev"), 2).as("revenue"))
+      .orderBy("decile")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e16_transition_matrix", (s, d) => transitionMatrix(s, d), Some(
+      """WITH g AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type AS next_type, count(*) AS n
+        |FROM g WHERE prev_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("e15_revenue_deciles", (s, d) => revenueDeciles(s, d), Some(
+      """WITH per AS (
+        |  SELECT o_custkey, round(sum(o_totalprice), 2) AS rev,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT sum(cents) AS total_cents FROM per),
+        |c AS (
+        |  SELECT rev, sum(cents) OVER (ORDER BY rev DESC, o_custkey
+        |    ROWS UNBOUNDED PRECEDING) AS cum_cents, total_cents
+        |  FROM per CROSS JOIN t)
+        |SELECT CAST(least(9, cum_cents * 10 // total_cents) AS BIGINT) AS decile,
+        |  count(*) AS n_customers, round(sum(rev), 2) AS revenue
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("e13_ship_latency", (s, d) => shipLatency(s, d), Some(
       """SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
         |  count(*) AS n_lines,

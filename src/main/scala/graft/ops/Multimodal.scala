@@ -143,7 +143,51 @@ object Multimodal {
         max("n_bytes").as("n_bytes"))
       .orderBy("keeper_id")
 
+  /** Fixed-size byte chunks per blob — the shard-and-stream layout for
+    * feeding oversized payloads (video segments, long audio) through
+    * per-batch decoders without materializing whole blobs in one task's
+    * memory. A pure NARROW generator: sequence+explode fans each row into
+    * ceil(n/chunkSize) chunk rows, `substring` slices the payload
+    * column-side (codegen'd, no UDF), nothing shuffles. Chunk rows carry
+    * (idx, offset, len, md5) so a downstream consumer can both address
+    * and verify any range independently.
+    */
+  private[graft] val chunkSize = 4096
+
+  private[graft] def chunkTable(s: SparkSession, d: String): DataFrame =
+    blobTable(s, d).toDF()
+      .filter(col("n_bytes") > 0)
+      .withColumn("chunk_idx", explode(sequence(lit(0L),
+        ceil(col("n_bytes").cast("double") / chunkSize).cast("long") - 1)))
+      .withColumn("offset", col("chunk_idx") * chunkSize)
+      .withColumn("chunk",
+        expr(s"substring(payload, chunk_idx * $chunkSize + 1, $chunkSize)"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+      .withColumn("chunk_md5", md5(col("chunk")))
+
+  /** m5 — the declared chunk accounting: every chunk's index, byte
+    * offset, and length. The oracle recomputes the fan-out from
+    * octet_length arithmetic; the BYTE-level identity (chunks reassemble
+    * to the exact payload, digests equal) is pinned in MultimodalSpec —
+    * DuckDB 1.0 has no BLOB substring/md5, so that half lives in the
+    * spec rather than the SQL twin.
+    */
+  def blobChunks(s: SparkSession, d: String): DataFrame =
+    chunkTable(s, d)
+      .select(col("doc_id"), col("chunk_idx"), col("offset"), col("chunk_len"))
+      .orderBy("doc_id", "chunk_idx")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m5_blob_chunks", blobChunks, Some(
+      s"""WITH d AS (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),
+        |x AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(CAST(ceil(n / $chunkSize.0) AS BIGINT))) AS chunk_idx
+        |  FROM d WHERE n > 0)
+        |SELECT doc_id, chunk_idx, chunk_idx * $chunkSize AS offset,
+        |  CAST(least($chunkSize, n - chunk_idx * $chunkSize) AS BIGINT) AS chunk_len
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin)),
     QueryDef("m4_blob_dedup", blobDedup, Some(
       """SELECT md5(text) AS content_md5, min(doc_id) AS keeper_id,
         |  count(*) AS n_copies,

@@ -31,4 +31,35 @@ class MultimodalSpec extends SparkSpec {
     assert(viaFiles.size == 50)
     assert(viaFiles == viaTable)
   }
+
+  test("blob chunks reassemble byte-for-byte; every chunk digest verifies") {
+    import org.apache.spark.sql.functions._
+    // 50-doc bounded sample: reassembly is a driver-side identity check,
+    // the distributed fan-out itself is oracled (m5)
+    val chunks = Multimodal.chunkTable(spark, sf0001)
+      .filter(col("doc_id") < 50)
+      .select("doc_id", "chunk_idx", "chunk", "chunk_md5", "chunk_len")
+      .collect()
+      .groupBy(_.getLong(0))
+    val originals = Multimodal.blobTable(spark, sf0001)
+      .filter(col("doc_id") < 50 && col("n_bytes") > 0).collect()
+      .map(b => b.doc_id -> b.payload).toMap
+    assert(chunks.keySet == originals.keySet, "chunk fan-out lost or invented docs")
+    chunks.foreach { case (id, rows) =>
+      val ordered = rows.sortBy(_.getLong(1))
+      // contiguity: every chunk except the last is full-size
+      ordered.dropRight(1).foreach(r =>
+        assert(r.getLong(4) == Multimodal.chunkSize, s"doc $id has a short interior chunk"))
+      val reassembled = ordered.flatMap(_.getAs[Array[Byte]]("chunk"))
+      assert(java.util.Arrays.equals(reassembled, originals(id)),
+        s"doc $id does not reassemble byte-for-byte")
+      // per-chunk digests verify independently
+      val mdig = java.security.MessageDigest.getInstance("MD5")
+      ordered.foreach { r =>
+        val hex = mdig.digest(r.getAs[Array[Byte]]("chunk"))
+          .map("%02x".format(_)).mkString
+        assert(hex == r.getString(3), s"doc $id chunk ${r.getLong(1)} digest mismatch")
+      }
+    }
+  }
 }

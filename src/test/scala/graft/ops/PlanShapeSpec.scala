@@ -77,6 +77,16 @@ class PlanShapeSpec extends SparkSpec {
       s"no partition filter on the pruned scan:\n$p")
   }
 
+  test("EXISTS/NOT EXISTS decorrelate to hash joins, not per-row re-scans") {
+    val p = plan("q4_exists_split")
+    // Catalyst rewrites both correlated predicates into existence/semi
+    // join machinery on the correlation key — one hash join pair, no
+    // nested-loop re-scan of lineitem per supplier
+    assert(p.contains("ExistenceJoin") || p.contains("LeftSemi") || p.contains("LeftAnti"),
+      s"EXISTS did not decorrelate to a join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"EXISTS fell back to a cartesian:\n$p")
+  }
+
   test("pareto cumulative: no single-task window or global sort in the plan") {
     // the customer-sized rollup must never funnel through one task: the
     // only Window is partitioned by the range-partition id, and no
