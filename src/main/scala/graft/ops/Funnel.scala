@@ -44,7 +44,8 @@ object Funnel {
           col("s_ts").isNotNull &&
             col("s_ts") >= col("t") - expr(s"INTERVAL $gap"))
       out = out.crossJoin(joined.agg(
-        sum(when(col("ok"), 1L).otherwise(0L)).as(s"step_${i + 1}")))
+        coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L))
+          .as(s"step_${i + 1}")))
       frontier = joined.filter(col("ok"))
         .select(col("anchor_id"), col("user_id"), col("s_ts").as("t"))
     }

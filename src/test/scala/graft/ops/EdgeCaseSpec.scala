@@ -97,4 +97,32 @@ class EdgeCaseSpec extends SparkSpec {
     }
     assert(TextAnalysis.trigramCounts(spark, shortDir, minCount = 1).count() == 0)
   }
+
+  test("round-6 ops degrade cleanly on empty and singleton inputs") {
+    // z-order layout: empty lineitem must degrade to a plain empty
+    // write (null min/max guard), not NPE
+    val liDir = Files.createTempDirectory("graft_empty_li").toString
+    Seq.empty[(Long, Long, Long, Double, String)]
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_returnflag")
+      .write.mode("overwrite").parquet(s"$liDir/lineitem.parquet")
+    val zout = graft.sources.Sources.zorderLayoutDir(spark, liDir)
+    assert(spark.read.parquet(zout).count() == 0)
+    // blob chunking: empty corpus → no chunks; a sub-chunk-size doc → 1
+    assert(Multimodal.chunkTable(spark, emptyDir).count() == 0)
+    assert(Multimodal.blobChunks(spark, singletonDir).count() == 1)
+    // two-pass cumulative on an empty frame: empty out, no crash (the
+    // prefix-offset map is empty)
+    val emptyRt = Cumulative.runningTotal(
+      Seq.empty[(Long, Long)].toDF("k", "cents"), "cents",
+      Seq(desc("cents")), "cum")
+    assert(emptyRt.count() == 0)
+    // funnel fold with zero anchors: every step count is zero, not null
+    val noEvents = Seq.empty[(Long, java.sql.Timestamp, Long, String)]
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val noAnchors = noEvents.select(col("event_id").as("anchor_id"),
+      col("user_id"), col("ts"))
+    val f = Funnel.boundedSequence(noEvents, noAnchors,
+      Seq(("click", "1 HOUR"))).head()
+    assert(f.getLong(0) == 0 && f.getLong(1) == 0)
+  }
 }
