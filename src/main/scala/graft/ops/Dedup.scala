@@ -291,6 +291,23 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** d10 — dedup survivorship report: the cluster-SIZE histogram of d6's
+    * connected components (how many singletons, pairs, 3-clusters, ...
+    * and how many docs each size class holds) plus the doc reduction it
+    * implies. The sign-off summary every dedup run reports before the
+    * drop list ships: duplication concentrated in a few big clusters vs
+    * spread over many pairs drives completely different cleanup
+    * decisions. Cost: d6's CC output (doc-sized) rolled up twice —
+    * cluster sizes, then the |distinct sizes|-row histogram.
+    */
+  def clusterSizeHistogram(s: SparkSession, d: String): DataFrame =
+    dedupClusters(s, d)
+      .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size")
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"))
+      .orderBy("cluster_size")
+
   /** The iterative min-label/pointer-jumping core of [[dedupClusters]],
     * over an explicit undirected edge list (a, b) and node set (doc_id).
     *
@@ -573,6 +590,26 @@ object Dedup {
         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
         |SELECT src AS doc_id, min(dst) AS cluster_id
         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+    QueryDef("d10_cluster_histogram", (s, d) => clusterSizeHistogram(s, d), Some(
+      // d6's transitive closure, rolled up to the size histogram
+      s"""WITH RECURSIVE $jaccardCtes,
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM common
+        |  WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS src, doc_id AS dst FROM documents
+        |  UNION
+        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+        |, cc AS (
+        |  SELECT src AS doc_id, min(dst) AS cluster_id FROM reach GROUP BY src),
+        |sizes AS (
+        |  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters,
+        |  CAST(count(*) * cluster_size AS BIGINT) AS n_docs
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin)),
     // the full dedup DECISION, not just the evidence: d5's exact pair
     // graph → connected components → keep one representative per cluster
     QueryDef("d9_neardup_keep_list", (s, d) => embeddingKeepList(s, d), Some(
