@@ -819,6 +819,49 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** p8 — TEMPERATURE-weighted source mixing (τ = 0.5): per-source token
+    * budgets proportional to √(source tokens) instead of p3's equal
+    * split — the standard up-sampling of small high-value sources in a
+    * training mix (multilingual sampling à la XLM-R). Determinism
+    * discipline: the weight normalizer is an ORDERED running sum over
+    * the |sources|-row rollup (sequential fp addition in source order —
+    * both engines add in the same order, so the doubles are identical
+    * and the floor'd budgets cannot straddle an ulp), and doc
+    * membership inside a source is the same md5-order greedy fill as
+    * p3 — a pure function of the key, rerun- and engine-stable. The
+    * |sources|-row window is the calendar-sized exception, never the
+    * fact table.
+    */
+  def temperatureMix(s: SparkSession, d: String, frac: Double = 0.3): DataFrame = {
+    val docs = documents(s, d).select(
+      col("doc_id"), col("source"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string")).as("hk"))
+    val bySrc = docs.groupBy("source").agg(sum("n_tok").as("s_tok"))
+    val ordered = org.apache.spark.sql.expressions.Window
+      .orderBy("source")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val weighted = bySrc
+      .withColumn("w", sqrt(col("s_tok").cast("double")))
+      .withColumn("cw", sum("w").over(ordered))
+    val norm = weighted.agg(max("cw").as("wnorm"))
+    val totalBudget = docs.agg(
+      floor(sum("n_tok").cast("double") * frac).as("tb"))
+    val budgets = weighted.crossJoin(broadcast(norm))
+      .crossJoin(broadcast(totalBudget))
+      .withColumn("budget",
+        floor(col("tb") * col("w") / col("wnorm")).cast("long"))
+      .select("source", "budget")
+    val fill = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("hk", "doc_id")
+    docs.withColumn("cum", sum("n_tok").over(fill))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget"))
+      .select("doc_id", "source", "n_tok", "cum")
+      .orderBy("doc_id")
+  }
+
   /** t15 — exact duplicated-span detection (ExactSubstr-style dedup
     * signal, Lee et al. 2022 scaled to a join): every 16-token sliding
     * window is fingerprinted; a span is duplicated iff its fingerprint
@@ -962,6 +1005,31 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(lp), 6) AS avg_logprob
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("p8_temperature_mix", (s, d) => temperatureMix(s, d), Some(
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |bysrc AS (SELECT source, sum(n_tok) AS s_tok FROM docs GROUP BY 1),
+        |wts AS (
+        |  SELECT source, sqrt(CAST(s_tok AS DOUBLE)) AS w,
+        |    sum(sqrt(CAST(s_tok AS DOUBLE))) OVER (ORDER BY source
+        |      ROWS UNBOUNDED PRECEDING) AS cw
+        |  FROM bysrc),
+        |norm AS (SELECT max(cw) AS wnorm FROM wts),
+        |tb AS (SELECT floor(CAST(sum(n_tok) AS DOUBLE) * 0.3) AS tbv FROM docs),
+        |bud AS (
+        |  SELECT source, CAST(floor(tbv * w / wnorm) AS BIGINT) AS budget
+        |  FROM wts CROSS JOIN norm CROSS JOIN tb),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM docs)
+        |SELECT doc_id, c.source, n_tok, CAST(cum AS BIGINT) AS cum
+        |FROM c JOIN bud USING (source) WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin)),
     QueryDef("p3_source_mix", (s, d) => sourceMix(s, d), Some(
       """WITH docs AS (
         |  SELECT doc_id, source,

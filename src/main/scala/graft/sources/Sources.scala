@@ -414,15 +414,19 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
-  /** Atomic pointer-swap publication: rename `staging` to a fresh
-    * version dir under `root`, atomically replace the `_current` pointer
-    * file, then clean superseded versions. Readers go through
-    * [[resolvePublished]] and therefore always see a complete version —
+  /** Atomic pointer-swap publication with RETENTION: rename `staging` to
+    * a fresh version dir under `root`, atomically replace the `_current`
+    * pointer file — which holds the retained version HISTORY, one name
+    * per line, last = live — then delete version dirs that fell off the
+    * retention window. One file is the single source of truth for both
+    * "what is current" and "what can be time-traveled to", so the swap
+    * updates both atomically. Readers go through [[resolvePublished]] /
+    * [[resolveVersion]] and therefore always see a complete version —
     * before, during, and after a publish (or a crash at ANY point here:
     * the worst case is an orphaned unreferenced version dir).
     */
   private[graft] def publishVersion(s: SparkSession, staging: String,
-      root: String): Unit = {
+      root: String, retain: Int = 2): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
@@ -431,25 +435,80 @@ object Sources {
       s"v-${java.util.UUID.randomUUID()}")
     require(fs.rename(new org.apache.hadoop.fs.Path(staging), version),
       "staging → version rename failed")
+    val keep = (versionLog(s, root) :+ version.getName).takeRight(retain)
     val tmp = new org.apache.hadoop.fs.Path(rootPath, "_current.tmp")
     val out = fs.create(tmp, true)
-    try out.write(version.getName.getBytes("UTF-8")) finally out.close()
+    try out.write(keep.mkString("\n").getBytes("UTF-8")) finally out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
       .rename(tmp, new org.apache.hadoop.fs.Path(rootPath, "_current"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     fs.listStatus(rootPath)
-      .filter(st => st.isDirectory && st.getPath.getName != version.getName)
+      .filter(st => st.isDirectory && !keep.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true))
   }
 
-  /** The published view: the version dir the `_current` pointer names. */
-  private[graft] def resolvePublished(s: SparkSession, root: String): String = {
+  /** The retained version names, oldest first; empty before any publish. */
+  private[graft] def versionLog(s: SparkSession, root: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(root, "_current")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val name = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    s"$root/$name"
+    if (!fs.exists(p)) Seq.empty
+    else {
+      val in = fs.open(p)
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      text.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    }
+  }
+
+  /** The published view: the last version in the pointer history. */
+  private[graft] def resolvePublished(s: SparkSession, root: String): String =
+    s"$root/${versionLog(s, root).last}"
+
+  /** Time travel: the version `back` publishes before the current one
+    * (0 = current). Throws if the version fell off the retention window
+    * — a deleted snapshot must be an error, not silently-current data.
+    */
+  private[graft] def resolveVersion(s: SparkSession, root: String,
+      back: Int): String = {
+    val log = versionLog(s, root)
+    require(back < log.size,
+      s"version $back publishes back not retained (${log.size} in window)")
+    s"$root/${log(log.size - 1 - back)}"
+  }
+
+  /** src14 — TIME TRAVEL over the versioned publish store: two
+    * publishes land in src13's pointer-history layout (retain = 2), and
+    * the query reads BOTH the live version and the previous one —
+    * "what did this table say before the last restatement", the audit /
+    * reproducibility primitive every lakehouse table format exposes
+    * (Delta VERSION AS OF, Iceberg snapshot ids) rebuilt from the same
+    * pointer-swap machinery. History and currency share ONE atomically
+    * swapped file, so a reader can never see a current/history
+    * disagreement; snapshots past the retention window throw instead of
+    * silently serving current data. Staged: v1 = even-keyed orders,
+    * v2 = all orders; the oracle recomputes both aggregates from the
+    * raw table.
+    */
+  def timeTravelRead(s: SparkSession, d: String): DataFrame = {
+    val root = Tables.scratchDir("graft_src14_pub", d)
+    val staging = Tables.scratchDir("graft_src14_stage", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true) // deterministic 2-publish history
+    val base = orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    def publish(df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(staging)
+      publishVersion(s, staging, root)
+    }
+    publish(base.filter(pmod(col("o_orderkey"), lit(2)) === 0))
+    publish(base)
+    def agg(path: String, tag: String) =
+      s.read.parquet(path).agg(
+        count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+        .select(lit(tag).as("version"), col("n"), col("revenue"))
+    agg(resolvePublished(s, root), "current")
+      .unionByName(agg(resolveVersion(s, root, back = 1), "previous"))
+      .orderBy("version")
   }
 
   /** j13 — DYNAMIC partition pruning: the fact table is partitioned on
@@ -497,6 +556,14 @@ object Sources {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src14_time_travel", timeTravelRead, Some(
+      """SELECT 'current' AS version, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |UNION ALL
+        |SELECT 'previous', count(*), round(sum(o_totalprice), 2)
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |ORDER BY version""".stripMargin)),
     QueryDef("src13_write_audit_publish", writeAuditPublish, Some(
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue

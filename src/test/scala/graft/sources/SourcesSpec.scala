@@ -162,13 +162,24 @@ class SourcesSpec extends SparkSpec {
     fs.mkdirs(orphan)
     assert(Sources.resolvePublished(spark, root) == v1,
       "unreferenced version changed what readers see")
-    // republish: pointer moves atomically, superseded + orphan cleaned,
-    // exactly one live version remains and it is the referenced one
+    // republish: pointer moves atomically, the orphan is cleaned, and
+    // the retention window (2) keeps exactly {previous, current}
     Sources.writeAuditPublish(spark, sf0001)
     val v2 = Sources.resolvePublished(spark, root)
     assert(v2 != v1, "republish did not produce a fresh version")
     assert(spark.read.parquet(v2).count() == n1)
-    assert(versions(root) == Set(v2.split('/').last),
-      s"stale versions survived cleanup: ${versions(root)}")
+    assert(versions(root) == Set(v1.split('/').last, v2.split('/').last),
+      s"retention window wrong: ${versions(root)}")
+    // time travel: one publish back is v1; the third publish evicts it
+    assert(Sources.resolveVersion(spark, root, back = 1) == v1)
+    Sources.writeAuditPublish(spark, sf0001)
+    val v3 = Sources.resolvePublished(spark, root)
+    assert(Sources.resolveVersion(spark, root, back = 1) == v2)
+    assert(versions(root) == Set(v2.split('/').last, v3.split('/').last),
+      s"third publish did not evict v1: ${versions(root)}")
+    // beyond the window: hard error, never silently-current data
+    intercept[IllegalArgumentException] {
+      Sources.resolveVersion(spark, root, back = 2)
+    }
   }
 }
