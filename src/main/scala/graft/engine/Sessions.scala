@@ -21,6 +21,16 @@ object Sessions {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.filterPushdown", "true")
+      // the engine's bucketed writer (Sources.writeBucketed) repartitions
+      // on the bucket key before writing, so every bucket holds exactly
+      // ONE sorted file — the condition under which a bucketed scan's
+      // reported sort order is actually true. With that invariant held,
+      // reporting the order lets sort-demanding operators (sort-merge
+      // join, the as-of exec) run over bucketed tables with no Sort node
+      // at all (pinned in SourcesSpec). Never enable this without the
+      // one-file-per-bucket discipline: a multi-file bucket would claim
+      // an order it does not have and corrupt merge-join results.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests / CLIs. */

@@ -235,13 +235,63 @@ object Sources {
   }
 
   private[graft] def writeBucketed(s: SparkSession, df: DataFrame,
-      key: String, path: String, table: String, buckets: Int = 8): Unit = {
+      key: String, path: String, table: String, buckets: Int = 8,
+      sortCols: Seq[String] = Nil): Unit = {
     s.sql(s"DROP TABLE IF EXISTS $table")
-    df.write.mode("overwrite")
+    val sorted = if (sortCols.isEmpty) Seq(key) else sortCols
+    // one file per bucket, ALWAYS: repartition on the key uses the same
+    // murmur3 hash bucketBy does, so each task emits exactly its bucket.
+    // This is the invariant that makes the session-level
+    // bucketedTableScan.outputOrdering flag safe (see Sessions.configure)
+    // — scans then report the sortBy order and downstream sort-demanding
+    // operators skip their Sort entirely.
+    df.repartition(buckets, col(key)).write.mode("overwrite")
       .option("path", path)
-      .bucketBy(buckets, key).sortBy(key)
+      .bucketBy(buckets, key).sortBy(sorted.head, sorted.tail: _*)
       .saveAsTable(table)
   }
+
+  /** j14 — the custom as-of operator over CO-BUCKETED, bucket-sorted
+    * tables: both sides bucketed 8-ways on the join key and sorted by
+    * (key, time), written one file per bucket (repartition on the key
+    * uses the same murmur3 hash bucketBy does, so each task emits
+    * exactly its bucket — the single-file condition under which the
+    * scan reports its sort order). AsOfJoinExec declares
+    * ClusteredDistribution + (key, time) ordering, and EnsureRequirements
+    * finds BOTH already satisfied by the scans — the join runs with ZERO
+    * exchanges and ZERO sorts (spec-pinned), the layout-amortization
+    * story every repeated as-of workload wants at 100 TB: pay the
+    * layout once, join forever free. Shares j6/j12's oracle verbatim —
+    * bucketing must not change a single row.
+    */
+  def bucketedAsOf(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.scratchDir("graft_bucket_asof", d)
+    val tag = Tables.scratchTag(d)
+    val (eTbl, oTbl) = (s"graft_ev_asof_$tag", s"graft_ord_asof_$tag")
+    val buckets = 8
+    val ev = Tables.events(s, d).select("event_id", "user_id", "ts")
+    writeBucketed(s, ev, "user_id", s"$base/ev", eTbl, buckets,
+      Seq("user_id", "ts"))
+    val o = orders(s, d)
+      .groupBy(col("o_custkey").as("o_user"), col("o_orderdate").as("ots"))
+      .agg(max("o_orderkey").as("ok"),
+        expr("max_by(o_totalprice, o_orderkey)").as("price"))
+    writeBucketed(s, o, "o_user", s"$base/o", oTbl, buckets,
+      Seq("o_user", "ots"))
+    bucketedAsOfPlan(s, eTbl, oTbl)
+      .select(col("event_id"), col("user_id"),
+        col("ok").as("last_orderkey"),
+        round(col("price"), 2).as("last_price"))
+      .orderBy("event_id")
+  }
+
+  /** The bare bucketed as-of join — the plan SourcesSpec pins as
+    * exchange-free AND sort-free.
+    */
+  private[graft] def bucketedAsOfPlan(s: SparkSession, eTbl: String,
+      oTbl: String): DataFrame =
+    graft.plans.AsOf.join(s.table(eTbl), s.table(oTbl),
+      "user_id", "o_user", "ts", "ots")
 
   /** The bare co-located join (no agg) — the plan SourcesSpec asserts is
     * Exchange-free. merge hint: a broadcastable small side would otherwise
@@ -556,6 +606,8 @@ object Sources {
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events WHERE event_type IN ('click', 'purchase')
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("j14_bucketed_asof", bucketedAsOf,
+      Some(graft.ops.Analytics.asofOracle)),
     QueryDef("src14_time_travel", timeTravelRead, Some(
       """SELECT 'current' AS version, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue

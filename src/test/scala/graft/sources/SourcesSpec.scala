@@ -144,6 +144,23 @@ class SourcesSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("bucketed as-of: co-bucketed sorted tables join with zero exchanges and zero sorts") {
+    // force the tables to exist, then pin the bare join's plan
+    Sources.bucketedAsOf(spark, sf0001).collect()
+    val (eTbl, oTbl) = {
+      val tag = graft.Tables.scratchTag(sf0001)
+      (s"graft_ev_asof_$tag", s"graft_ord_asof_$tag")
+    }
+    val df = Sources.bucketedAsOfPlan(spark, eTbl, oTbl)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"custom exec missing:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed as-of still shuffles — layout not exploited:\n$plan")
+    assert(!plan.contains("Sort "),
+      s"bucketed as-of still sorts — bucket sort order not exploited:\n$plan")
+  }
+
   test("WAP publish: pointer swap keeps a resolvable table through republish and crash debris") {
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(
       spark.sparkContext.hadoopConfiguration)
