@@ -573,9 +573,12 @@ object EventStreams {
   private[graft] def runUpdateMerge(s: SparkSession, d: String, src: String,
       target: String,
       onBatch: (Set[String], Map[String, Seq[(String, Long, Long)]]) => Unit =
-        (_, _) => ()): Unit = {
+        (_, _) => (),
+      filesPerTrigger: Int = 2,
+      compactEvery: Int = 0): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val schema = Tables.events(s, d).schema
+    var batchNo = 0
     val fs = new org.apache.hadoop.fs.Path(target)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(target), true)
@@ -586,7 +589,7 @@ object EventStreams {
       s.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     val agg = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "2").parquet(src)
+      .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(src)
       .withWatermark("ts", "30 days")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
@@ -622,6 +625,12 @@ object EventStreams {
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
         }
         b.unpersist()
+        batchNo += 1
+        // OPTIMIZE cadence: every compactEvery-th batch, fold the small
+        // files the merges have accumulated back to one per partition —
+        // the in-stream half of the st14 composition
+        if (compactEvery > 0 && batchNo % compactEvery == 0)
+          compactStore(sp, target, maxFiles = 1)
         onBatch(days, partitionSnapshot(fs, target))
       }
       .trigger(Trigger.AvailableNow())
@@ -634,23 +643,27 @@ object EventStreams {
     }
   }
 
-  /** st14 — merge sink + OPTIMIZE: the st12 store accumulates one file
-    * per writing task per restating batch, so a long-running merge
-    * stream degrades into the small-files regime src10 compacts its way
-    * out of — this operator composes the two. After the replay, every
-    * day partition whose data-file count exceeds the target is rewritten
-    * as ONE file via the same dynamic-partition-overwrite primitive the
-    * merge itself uses; partitions already compact are NOT touched (the
-    * decision comes from a metadata listing, no data read — src10's
-    * discipline), pinned byte-identical in the spec. Compaction is
-    * layout-only: the declared rollup must still equal st1's oracle. In
-    * production this pass runs on a cadence (every N batches) against
-    * exactly this store layout; here it runs once after the replay so
-    * the before/after file counts are assertable.
+  /** st14 — merge sink + OPTIMIZE on a CADENCE: the st12 store
+    * accumulates one file per writing task per restating batch, so a
+    * long-running merge stream degrades into the small-files regime
+    * src10 compacts its way out of — this operator composes the two
+    * INSIDE the stream. The replay runs ≥8 micro-batches (one file per
+    * trigger) and every 3rd batch folds crowded day partitions back to
+    * one file via the same dynamic-partition-overwrite primitive the
+    * merge uses, so the per-partition file count stays BOUNDED for the
+    * stream's whole life (spec-pinned across every batch snapshot), not
+    * just at the end; a final pass leaves each partition at one file.
+    * Partitions already compact are never touched (the decision is a
+    * metadata listing, no data read — src10's discipline). Compaction
+    * is layout-only: the declared rollup must still equal st1's oracle.
     */
   def compactedMergeRollup(s: SparkSession, d: String): DataFrame = {
     val target = Tables.scratchDir("graft_st14_target", d)
-    runUpdateMerge(s, d, rangeSrc(s, d), target)
+    // one file per trigger → ≥8 micro-batches; compaction every 3rd
+    // batch keeps the file count bounded WHILE the stream runs, and the
+    // final pass leaves every partition at one file
+    runUpdateMerge(s, d, rangeSrc(s, d), target,
+      filesPerTrigger = 1, compactEvery = 3)
     compactStore(s, target, maxFiles = 1)
     s.read.parquet(target)
       .select("hour", "event_type", "n", "sum_value")

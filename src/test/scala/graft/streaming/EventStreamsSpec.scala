@@ -333,28 +333,48 @@ class EventStreamsSpec extends SparkSpec {
     assert(merged == batch)
   }
 
-  test("merge-store compaction: crowded partitions become one file, compact ones untouched") {
+  test("merge-store compaction cadence: file counts bounded across >=8 batches") {
     val target = graft.Tables.scratchDir("graft_st14_spec", sf0001)
+    val snaps = scala.collection.mutable.Buffer
+      .empty[Map[String, Seq[(String, Long, Long)]]]
     EventStreams.runUpdateMerge(spark, sf0001,
-      EventStreams.rangeSrc(spark, sf0001), target)
-    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
-      spark.sparkContext.hadoopConfiguration)
-    val before = EventStreams.partitionSnapshot(fs, target)
+      EventStreams.rangeSrc(spark, sf0001), target,
+      (_, snap) => snaps += snap,
+      filesPerTrigger = 1, compactEvery = 3)
+    assert(snaps.count(_.nonEmpty) >= 8,
+      s"cadence under-exercised: ${snaps.size} batches")
+    // the uncadenced regime must be reachable (some batch accumulates
+    // multiple files) or the boundedness claim is vacuous...
+    assert(snaps.exists(_.values.exists(_.length > 1)),
+      "no partition ever accumulated multiple files")
+    // ...and the file count stays bounded at EVERY point in the
+    // stream's life by the per-restatement writer ceiling (the merge's
+    // anti-join ∪ batch can spread one day over both union branches'
+    // shuffle partitions), NEVER by stream length — dynamic partition
+    // overwrite replaces a partition's files on restatement and the
+    // cadence folds them back to one between merges
+    val bound =
+      2 * spark.conf.get("spark.sql.shuffle.partitions").toInt + 1
+    snaps.foreach { snap =>
+      snap.foreach { case (part, files) =>
+        assert(files.length <= bound,
+          s"$part grew to ${files.length} files — compaction cadence failed")
+      }
+    }
     val totalsBefore = spark.read.parquet(target)
       .groupBy("event_type").agg(count(lit(1)).as("n"), round(sum("sum_value"), 4).as("sv"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
-    // the multi-batch merge must actually produce the small-files regime
-    // somewhere, or the compaction assertion is vacuous
-    assert(before.exists(_._2.length > 1),
-      s"no partition accumulated multiple files: ${before.view.mapValues(_.length).toMap}")
-    val compacted = EventStreams.compactStore(spark, target, maxFiles = 1)
-    assert(compacted.nonEmpty)
+    // final pass: every partition at one file; compact ones untouched
+    val before = EventStreams.partitionSnapshot(
+      org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration),
+      target)
+    EventStreams.compactStore(spark, target, maxFiles = 1)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
     val after = EventStreams.partitionSnapshot(fs, target)
-    // every partition is now at the target file count
     after.foreach { case (part, files) =>
       assert(files.length <= 1, s"$part still has ${files.length} files")
     }
-    // partitions that were already compact were never rewritten
     before.filter(_._2.length <= 1).foreach { case (part, files) =>
       assert(after.get(part).contains(files),
         s"already-compact $part was rewritten by the metadata-driven pass")
