@@ -288,7 +288,54 @@ object Quality {
       .orderBy("day")
   }
 
+  /** ts4 — CUSUM change-point detection on the daily revenue series:
+    * the day where the cumulative deviation from the global mean peaks —
+    * the standard "when did the level shift" screen before alerting or
+    * retraining on drifted data. Exactness discipline: the textbook
+    * statistic cum_t − t·mean is fractional, so both sides compute its
+    * integer multiple N·cum_t − t·total in CENTS — every operand exact,
+    * no fp summation anywhere, the argmax cannot wobble between engines
+    * (ties broken by later day, pinned in the ORDER BY). The only
+    * windows run over the calendar-sized daily rollup (the a15/ts3
+    * exception), never the fact table; magnitudes stay inside long
+    * (cents·days ≈ 5·10¹⁸ at 100 TB — at larger scales switch the
+    * statistic to DECIMAL(38)).
+    */
+  def cusumChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("cents"))
+    val tot = daily.agg(count(lit(1)).as("n_days"), sum("cents").as("total_cents"))
+    val ord = Window.orderBy("day")
+    val cum = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("cents").over(cum))
+      .crossJoin(broadcast(tot))
+      .withColumn("abs_dev",
+        abs(col("n_days") * col("cum") - col("t") * col("total_cents")))
+      .orderBy(desc("abs_dev"), desc("day"))
+      .limit(1)
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n_days"), col("abs_dev"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ts4_cusum_changepoint", (s, d) => cusumChangepoint(s, d), Some(
+      """WITH daily AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT count(*) AS n_days, sum(cents) AS total_cents FROM daily),
+        |c AS (
+        |  SELECT day, row_number() OVER (ORDER BY day) AS t,
+        |    sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM daily)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, n_days,
+        |  CAST(abs(n_days * cum - t * total_cents) AS BIGINT) AS abs_dev
+        |FROM c CROSS JOIN tot
+        |ORDER BY abs_dev DESC, day DESC LIMIT 1""".stripMargin)),
     QueryDef("ts3_stl_decompose", (s, d) => stlDecompose(s, d), Some(
       """WITH daily AS (
         |  SELECT date_trunc('day', o_orderdate) AS day,
