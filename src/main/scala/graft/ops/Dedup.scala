@@ -284,12 +284,23 @@ object Dedup {
     * Every document appears in the output; docs with no near-dup edge are
     * their own cluster (cluster_id = doc_id = min id of the family).
     */
-  def dedupClusters(s: SparkSession, d: String, maxRounds: Int = 20): DataFrame = {
-    val p = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
-    val nodes = documents(s, d).select(col("doc_id"))
-    connectedComponents(nodes, p.toDF("a", "b"), maxRounds)
-      .orderBy("doc_id")
-  }
+  /** One CC closure per dataset, shared by its three consumers (d6 the
+    * clusters themselves, d10 the size histogram, d11 the quality
+    * keeper): the iterative min-label fit is the expensive part and its
+    * output is a localCheckpoint'd flat leaf, so reuse is free and
+    * re-running it per consumer was pure waste — the AlsPipeline
+    * memoized-fit discipline. `computeIfAbsent` holds the bin lock for
+    * the computation, so concurrent suites fit exactly once.
+    */
+  private val ccMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]
+
+  def dedupClusters(s: SparkSession, d: String, maxRounds: Int = 20): DataFrame =
+    ccMemo.computeIfAbsent(d, _ => {
+      val p = ngramJaccardPairs(s, d).select(col("doc_a"), col("doc_b"))
+      val nodes = documents(s, d).select(col("doc_id"))
+      connectedComponents(nodes, p.toDF("a", "b"), maxRounds)
+    }).orderBy("doc_id")
 
   /** d10 — dedup survivorship report: the cluster-SIZE histogram of d6's
     * connected components (how many singletons, pairs, 3-clusters, ...
