@@ -362,6 +362,33 @@ object Relational {
         .as("has_double"))
       .orderBy("p_partkey")
 
+  /** f12 — URL decomposition for web-corpus pipelines (the C4/RefinedWeb
+    * first step: crawl rows keyed by URL → host / registered domain /
+    * TLD / path for per-domain quality and dedup decisions). The
+    * documents table has no URL column, so one is DERIVED
+    * deterministically from (source, doc_id) — the parsing surface is
+    * what's under test, and the per-host rollup is exactly the shape a
+    * real crawl's domain-frequency table has. All patterns stay inside
+    * the RE2 subset (f8's discipline) so Java, RE2, and hyperscan
+    * engines agree; no parse_url (DuckDB lacks it) — the regex IS the
+    * cross-engine contract.
+    */
+  def urlParse(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        concat(lit("https://www."), col("source"), lit(".example.org/doc/"),
+          col("doc_id"), lit("?ref=crawl")).as("url"))
+      .select(col("doc_id"),
+        regexp_extract(col("url"), "^https?://([^/?#]+)", 1).as("host"),
+        regexp_extract(col("url"), "^https?://[^/?#]+(/[^?#]*)", 1).as("path"))
+      .select(col("doc_id"), col("host"), col("path"),
+        regexp_extract(col("host"), "([^.]+[.][^.]+)$", 1).as("domain"),
+        regexp_extract(col("host"), "[.]([^.]+)$", 1).as("tld"))
+      .groupBy("host", "domain", "tld")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct("path").as("n_paths"))
+      .orderBy("host")
+
   // ---- scalar functions ----
 
   /** String function surface. */
@@ -691,6 +718,22 @@ object Relational {
         |  SELECT o_custkey FROM o EXCEPT ALL SELECT o_custkey FROM u)
         |GROUP BY 1
         |ORDER BY op, o_custkey""".stripMargin)),
+    QueryDef("f12_url_parse", urlParse, Some(
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://www.' || source || '.example.org/doc/'
+        |      || CAST(doc_id AS VARCHAR) || '?ref=crawl' AS url
+        |  FROM documents),
+        |parts AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+        |    regexp_extract(url, '^https?://[^/?#]+(/[^?#]*)', 1) AS path
+        |  FROM u)
+        |SELECT host,
+        |  regexp_extract(host, '([^.]+[.][^.]+)$', 1) AS domain,
+        |  regexp_extract(host, '[.]([^.]+)$', 1) AS tld,
+        |  count(*) AS n_docs, count(DISTINCT path) AS n_paths
+        |FROM parts GROUP BY 1, 2, 3 ORDER BY host""".stripMargin)),
     QueryDef("f8_regex_funcs", regexFuncs, Some(
       """SELECT p_partkey,
         |  coalesce(regexp_extract(p_name, '^[a-z]+'), '') AS first_word,

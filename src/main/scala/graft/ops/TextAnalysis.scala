@@ -937,6 +937,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t20 — perplexity-TIER corpus partition (CCNet's head/middle/tail
+    * move): docs bucketed by their t16 language-model score at the
+    * exact 1/3 and 2/3 percentiles — the quality split a web corpus is
+    * sharded into before deciding which tiers reach training.
+    * Composition, not recomputation: the per-doc score IS t16's
+    * (rounded to 6dp first, so the cut comparisons see identical
+    * doubles on both engines), the cuts come from ONE exact-percentile
+    * agg broadcast back (e8's discipline — never ntile's single-task
+    * window), and the output is the |tiers|-row accounting table.
+    */
+  def perplexityTiers(s: SparkSession, d: String): DataFrame = {
+    val scored = bigramScore(s, d)
+      .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+    val cuts = scored.agg(
+      expr("percentile(avg_logprob, 0.3333333333333333)").as("c1"),
+      expr("percentile(avg_logprob, 0.6666666666666666)").as("c2"))
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("avg_logprob") > col("c2"), "head")
+          .when(col("avg_logprob") > col("c1"), "middle")
+          .otherwise("tail"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_docs"), sum("n_bigrams").as("n_bigrams"),
+        round(avg("avg_logprob"), 4).as("avg_lp"))
+      .orderBy("tier")
+  }
+
   /** p4 — quality-weighted subsampling (the DCLM/FineWeb move: keep
     * high-quality documents with higher probability instead of a hard
     * threshold). Keep-probability p = 0.2 + 0.6·quality — every doc
@@ -982,6 +1009,42 @@ object TextAnalysis {
         |SELECT doc_id, source, round(q, 6) AS quality, round(u, 6) AS u
         |FROM q WHERE u < 0.2::DOUBLE + 0.6::DOUBLE * q
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("t20_perplexity_tiers", (s, d) => perplexityTiers(s, d), Some(
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 1),
+        |      i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |bigc AS (SELECT bg, count(*) AS cb FROM big GROUP BY 1),
+        |unic AS (
+        |  SELECT string_split(bg, ' ')[1] AS w1, count(*) AS cu
+        |  FROM big GROUP BY 1),
+        |v AS (
+        |  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS vocab
+        |  FROM (SELECT unnest(t) AS tok FROM toks)),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |    ln(CAST(bc.cb + 1 AS DOUBLE) / (u.cu + v.vocab)) AS lp
+        |  FROM big b JOIN bigc bc USING (bg)
+        |  JOIN unic u ON string_split(b.bg, ' ')[1] = u.w1, v),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    round(avg(lp), 6) AS avg_logprob
+        |  FROM scored GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_cont(avg_logprob, 0.3333333333333333) AS c1,
+        |    quantile_cont(avg_logprob, 0.6666666666666666) AS c2
+        |  FROM perdoc),
+        |tiered AS (
+        |  SELECT CASE WHEN avg_logprob > c2 THEN 'head'
+        |    WHEN avg_logprob > c1 THEN 'middle' ELSE 'tail' END AS tier,
+        |    n_bigrams, avg_logprob
+        |  FROM perdoc CROSS JOIN cuts)
+        |SELECT tier, count(*) AS n_docs, sum(n_bigrams) AS n_bigrams,
+        |  round(avg(avg_logprob), 4) AS avg_lp
+        |FROM tiered GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("t16_bigram_score", bigramScore, Some(
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
