@@ -389,7 +389,156 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** v9 — product quantization + ADC top-k (the IVF-PQ compression
+    * half): the NORMALIZED corpus is split into `m` subvectors, each
+    * subvector quantized against its own `codebook`-entry codebook
+    * (seeded KMeans on the v3-style hash-de-biased sample, one fit per
+    * subvector — driver cost m·codebook·dim/m, corpus never converted
+    * to VectorUDT), and every vector stored as m SMALL CODES —
+    * m·log₂(codebook)/8 bytes instead of 4·dim, a 5-byte sketch of a
+    * 256-byte vector here (m=8, 32-entry codebooks → 8 five-bit
+    * codes). Scoring is asymmetric distance computation:
+    * each query precomputes its m×codebook table of subvector dots
+    * (driver-sized), and a corpus row's approximate cosine is m lookups
+    * summed in a codegen'd array fold — no float vector is touched in
+    * the scan. Candidates pool-deep per query are exact-rescored in fp
+    * (v8's discipline: the true metric orders the final k). Encode
+    * argmin is greatest-of-structs over native dot kernels — no UDF on
+    * the corpus path. Rows-only (three stacked approximations have no
+    * SQL twin); recall@10 vs exact v2 and the code-size claim are
+    * pinned in SimilaritySpec.
+    */
+  // unit-normalize so ADC approximates COSINE directly (subvector dots
+  // of normalized vectors sum to the full cosine)
+  private def pqNormalize(emb: Column): Column = {
+    val nrm = sqrt(aggregate(emb,
+      lit(0.0), (a, v) => a + v.cast("double") * v.cast("double")))
+    transform(emb, v => v.cast("double") / greatest(nrm, lit(1e-12)))
+  }
+
+  /** Fits `m` per-subvector codebooks on a hash-de-biased sample (v3's
+    * discipline — membership is a pure function of the row, never
+    * partition order). None ⇔ the sample is empty.
+    */
+  private def pqFit(e: DataFrame, n: Long, sub: Int, m: Int, codebook: Int,
+      seed: Long): Option[Array[Array[Array[Double]]]] = {
+    val hashMod = math.max(1L, n / 50000)
+    val sampled = e
+      .filter(pmod(xxhash64(col("embedding")), lit(hashMod)) === 0)
+      .limit(50000)
+      .select(pqNormalize(col("embedding")).as("nv")).cache()
+    try {
+      val nFit = sampled.count()
+      if (nFit == 0) None
+      else Some((0 until m).map { j =>
+        if (nFit == 1) {
+          Array(sampled.head().getSeq[Double](0)
+            .slice(j * sub, (j + 1) * sub).toArray)
+        } else {
+          val toVec = udf((a: Seq[Double]) =>
+            Vectors.dense(a.slice(j * sub, (j + 1) * sub).toArray))
+          val kEff = math.max(2, math.min(codebook.toLong, nFit).toInt)
+          new KMeans().setK(kEff).setSeed(seed + j).setMaxIter(8)
+            .setFeaturesCol("fv").setPredictionCol("c")
+            .fit(sampled.select(toVec(col("nv")).as("fv")))
+            .clusterCenters.map(_.toArray)
+        }
+      }.toArray)
+    } finally sampled.unpersist(blocking = false)
+  }
+
+  // encode: per subvector, argmax of 2⟨x,c⟩ − ‖c‖² (≡ argmin ‖x−c‖²)
+  private def pqEncode(codebooks: Array[Array[Array[Double]]], m: Int,
+      sub: Int)(emb: Column): Column = {
+    val nv = pqNormalize(emb)
+    array((0 until m).map { j =>
+      val xs = slice(nv, j * sub + 1, sub)
+      val structs = codebooks(j).zipWithIndex.map { case (c, i) =>
+        val dotc = aggregate(zip_with(xs, typedlit(c.toSeq),
+          (a, b) => a * b), lit(0.0), (a, v) => a + v)
+        struct((dotc * 2 - lit(c.map(x => x * x).sum)).as("score"),
+          lit(-i).as("negcode"))
+      }
+      val best =
+        if (structs.length == 1) structs.head else greatest(structs: _*)
+      (-best.getField("negcode")).cast("int")
+    }: _*)
+  }
+
+  /** Per-vector PQ code arrays (`n_id`, `codes: array<int>`) — the
+    * compressed representation v9 scans; exposed so the spec can pin
+    * every code into [0, codebook).
+    */
+  def pqCodes(s: SparkSession, d: String, m: Int = 8, codebook: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    val e = embeddings(s, d)
+    val n = e.count()
+    val empty = e.select(col("vec_id").as("n_id"),
+      array(lit(0)).as("codes")).limit(0)
+    if (n == 0) return empty
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
+    val sub = dim / m
+    pqFit(e, n, sub, m, codebook, seed) match {
+      case None => empty
+      case Some(cbs) => e.select(col("vec_id").as("n_id"),
+        pqEncode(cbs, m, sub)(col("embedding")).as("codes"))
+    }
+  }
+
+  def pqTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
+      pool: Int = 100, m: Int = 8, codebook: Int = 32,
+      seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val n = e.count()
+    val empty = e.select(col("vec_id").as("q_id"), lit(1).as("rank"),
+      col("vec_id").as("n_id"), lit(0.0).as("cos")).limit(0)
+    if (n == 0) return empty
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
+    val sub = dim / m
+    val codebooks: Array[Array[Array[Double]]] =
+      pqFit(e, n, sub, m, codebook, seed) match {
+        case None      => return empty
+        case Some(cbs) => cbs
+      }
+    val coded = e.select(col("vec_id").as("n_id"),
+      pqEncode(codebooks, m, sub)(col("embedding")).as("codes"))
+    // per-query ADC tables: m×codebook subvector dots, driver-sized
+    val qRows = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), pqNormalize(col("embedding")).as("nv"))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1)
+        val lut = (0 until m).map { j =>
+          val qs = qv.slice(j * sub, (j + 1) * sub)
+          codebooks(j).map(c => c.zip(qs).map { case (a, b) => a * b }.sum).toSeq
+        }
+        (r.getLong(0), lut)
+      }.toSeq
+    if (qRows.isEmpty) return empty
+    val q = qRows.toDF("q_id", "lut")
+    val approx = coded.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("ascore",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), (a, v) => a + v))
+    val cand = graft.functions.TopK.perGroup(approx, "q_id", "ascore", "n_id", pool)
+    val full = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val qf = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val rescored = cand.join(full, "n_id").join(broadcast(qf), "q_id")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    graft.functions.TopK.perGroup(rescored, "q_id", "cos", "n_id", k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // rows-only: PQ/ADC approximations have no SQL twin; recall@k vs
+    // exact v2 pinned in the spec
+    QueryDef("v9_pq_topk", (s, d) => pqTopK(s, d), None),
     // rows-only: quantized scores have no SQL twin; recall@k vs exact v2
     // pinned in the spec
     QueryDef("v8_quantized_topk", (s, d) => quantizedTopK(s, d), None),

@@ -192,6 +192,39 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("PQ top-k: recall@10 vs exact >= 0.8, true-cosine ranks, 5-bit codes") {
+    val exact = Similarity.bruteForceTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val pq = Similarity.pqTopK(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, rs) => q -> rs.map(_._2).toSet }
+    assert(pq.keySet == exact.keySet)
+    // three stacked approximations (normalize → per-subvector codebooks →
+    // ADC lookups) with exact rescoring over a pool-deep candidate set
+    val recall = exact.map { case (q, ids) =>
+      (ids intersect pq(q)).size.toDouble / ids.size }.sum / exact.size
+    assert(recall >= 0.8, s"PQ recall@10 = $recall")
+    // the rescore phase ranks by TRUE cosine
+    val exactCos = Similarity.bruteForceTopK(spark, sf0001, k = 60)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    Similarity.pqTopK(spark, sf0001).collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      exactCos.get(key).foreach(c => assert(math.abs(c - r.getDouble(3)) < 1e-9))
+    }
+    // the compression claim: 8 codes from 32-entry codebooks = 5 bits
+    // each (5 bytes packed) vs 256 bytes of fp32 — every emitted code
+    // must land in [0, 32) for the claim to hold
+    val e = graft.Tables.embeddings(spark, sf0001)
+    assert(e.select(org.apache.spark.sql.functions.size(
+      org.apache.spark.sql.functions.col("embedding"))).head().getInt(0) == 64)
+    import org.apache.spark.sql.functions.{col, explode}
+    val badCodes = Similarity.pqCodes(spark, sf0001)
+      .select(explode(col("codes")).as("c"))
+      .filter(col("c") < 0 || col("c") >= 32).count()
+    assert(badCodes == 0, s"$badCodes codes outside [0, 32)")
+  }
+
   test("MMR: lambda=1 degenerates to exact top-k; lambda=0.5 never more redundant") {
     import org.apache.spark.sql.Row
     val k = 5
