@@ -486,6 +486,25 @@ object Similarity {
     }
   }
 
+  /** Per-query ADC tables: each query's m×codebook matrix of subvector
+    * dots against every codebook entry — (queries · m · codebook)
+    * doubles, driver-sized regardless of corpus size.
+    */
+  private def pqQueryLuts(e: DataFrame, numQueries: Int,
+      codebooks: Array[Array[Array[Double]]], m: Int,
+      sub: Int): Seq[(Long, Seq[Seq[Double]])] =
+    e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), pqNormalize(col("embedding")).as("nv"))
+      .collect()
+      .map { r =>
+        val qv = r.getSeq[Double](1)
+        val lut = (0 until m).map { j =>
+          val qs = qv.slice(j * sub, (j + 1) * sub)
+          codebooks(j).map(c => c.zip(qs).map { case (a, b) => a * b }.sum).toSeq
+        }
+        (r.getLong(0), lut)
+      }.toSeq
+
   def pqTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
       pool: Int = 100, m: Int = 8, codebook: Int = 32,
       seed: Long = 42L): DataFrame = {
@@ -505,18 +524,7 @@ object Similarity {
       }
     val coded = e.select(col("vec_id").as("n_id"),
       pqEncode(codebooks, m, sub)(col("embedding")).as("codes"))
-    // per-query ADC tables: m×codebook subvector dots, driver-sized
-    val qRows = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("q_id"), pqNormalize(col("embedding")).as("nv"))
-      .collect()
-      .map { r =>
-        val qv = r.getSeq[Double](1)
-        val lut = (0 until m).map { j =>
-          val qs = qv.slice(j * sub, (j + 1) * sub)
-          codebooks(j).map(c => c.zip(qs).map { case (a, b) => a * b }.sum).toSeq
-        }
-        (r.getLong(0), lut)
-      }.toSeq
+    val qRows = pqQueryLuts(e, numQueries, codebooks, m, sub)
     if (qRows.isEmpty) return empty
     val q = qRows.toDF("q_id", "lut")
     val approx = coded.join(broadcast(q), col("q_id") =!= col("n_id"))
@@ -535,7 +543,92 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** v10 — the full IVF-PQ index (v3 × v9): the corpus is bucketed by
+    * v3's coarse quantizer cell AND stored as v9's PQ codes — the
+    * persisted index row is (vec_id, codes, cell), 5 bytes of payload
+    * per vector, with NO float column anywhere in the index. A query
+    * therefore pays BOTH reductions multiplicatively: partition pruning
+    * reads only its nprobe/nlist cell directories (pinned via
+    * `PartitionFilters`, like v3), and inside a probed cell the scan is
+    * ADC lookups over 5-byte codes instead of 256-byte fp32 dots
+    * (pinned: the index schema HAS no embedding column). At 100 TB of
+    * fp32 vectors the index is ~2 TB, and a probe touches
+    * nprobe/nlist of THAT — the FAISS IVFPQ layout re-expressed as
+    * partitioned parquet + codegen'd column expressions. Exact fp
+    * rescoring of the pool-deep candidates joins back to the float
+    * table by vec_id — pool·queries rows, never the corpus. Rows-only
+    * (three stacked approximations); clustered-data recall, isotropic
+    * floor, index-has-no-floats, and partition pruning are spec-pinned.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
+      nlist: Int = 0, nprobe: Int = 8, pool: Int = 100, m: Int = 8,
+      codebook: Int = 32, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val n = e.count()
+    val empty = e.select(col("vec_id").as("q_id"), lit(1).as("rank"),
+      col("vec_id").as("n_id"), lit(0.0).as("cos")).limit(0)
+    if (n == 0) return empty
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
+    val sub = dim / m
+    val nl = if (nlist > 0) nlist else adaptiveNlist(n)
+    val cents = fitQuantizer(e, "embedding", nl, corpusCount = n)
+    if (cents.isEmpty) return empty
+    val codebooks = pqFit(e, n, sub, m, codebook, seed) match {
+      case None      => return empty
+      case Some(cbs) => cbs
+    }
+    // the persisted index: codes + cell only — the float vector never
+    // enters the index, so probe scans move 5-byte rows
+    val best = assignCell(col("embedding"), cents)
+    val indexDir = graft.Tables.scratchDir("graft_ivfpq", d)
+    e.select(col("vec_id"),
+        pqEncode(codebooks, m, sub)(col("embedding")).as("codes"),
+        (lit(0) - best.getField("negcell")).as("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
+    val index = s.read.parquet(indexDir)
+
+    // nprobe nearest cells per query (tiny: queries × nlist)
+    val centDf = cents.toSeq.toDF("cell", "centroid")
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy("q_id").orderBy(desc("ccos"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "cell")
+      .cache()
+    // probed cells → a LITERAL partition filter on the index scan
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    if (probedCells.isEmpty) return empty
+    val pruned = index.filter(col("cell").isin(probedCells: _*))
+
+    val qLuts = pqQueryLuts(e, numQueries, codebooks, m, sub)
+    val lut = qLuts.toDF("q_id", "lut")
+    val scored = probes.join(pruned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .join(broadcast(lut), "q_id")
+      .withColumn("ascore",
+        aggregate(zip_with(col("codes"), col("lut"),
+          (c, row) => element_at(row, c + 1)), lit(0.0), (a, v) => a + v))
+    val cand = graft.functions.TopK.perGroup(scored, "q_id", "ascore", "vec_id", pool)
+    // exact rescore: pool·queries candidate rows rejoin the FLOAT table
+    val full = e.select(col("vec_id"), col("embedding").as("nv"))
+    val rescored = cand.join(full, "vec_id").join(broadcast(q), "q_id")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    graft.functions.TopK.perGroup(rescored, "q_id", "cos", "vec_id", k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // rows-only: the stacked IVF/PQ approximations have no SQL twin;
+    // recall + index-layout claims pinned in the spec
+    QueryDef("v10_ivfpq_topk", (s, d) => ivfPqTopK(s, d), None),
     // rows-only: PQ/ADC approximations have no SQL twin; recall@k vs
     // exact v2 pinned in the spec
     QueryDef("v9_pq_topk", (s, d) => pqTopK(s, d), None),

@@ -225,6 +225,56 @@ class SimilaritySpec extends SparkSpec {
     assert(badCodes == 0, s"$badCodes codes outside [0, 32)")
   }
 
+  test("IVF-PQ: clustered recall >= 0.85, index holds no floats, partitions pruned") {
+    import spark.implicits._
+    // the v3 planted-cluster fixture (dim 32 = 8 subvectors of 4)
+    val rnd = new scala.util.Random(7)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_fix").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val got = Similarity.ivfPqTopK(spark, dir)
+    val plan = got.queryExecution.executedPlan.toString
+    val ivfpq = got.collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    assert(ivfpq.keySet == brute.keySet)
+    val recall = brute.map { case (q, truth) =>
+      (truth intersect ivfpq(q)).size.toDouble / truth.size }.sum / brute.size
+    assert(recall >= 0.85, s"IVF-PQ recall@10 = $recall on clustered data")
+    // the persisted index carries codes + cell only — no float column
+    val indexSchema = spark.read
+      .parquet(graft.Tables.scratchDir("graft_ivfpq", dir)).schema
+    assert(indexSchema.fieldNames.sorted.toSeq == Seq("cell", "codes", "vec_id"),
+      s"index schema not codes-only: ${indexSchema.treeString}")
+    assert(!indexSchema.exists(_.dataType.simpleString.contains("float")),
+      s"float column leaked into the index: ${indexSchema.treeString}")
+    // probe scan prunes cell partitions (v3's pin, on the PQ index)
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(pf.exists(f => f.nonEmpty && f.contains("cell")),
+      s"no non-empty cell PartitionFilters on the index scan:\n$plan")
+  }
+
+  test("IVF-PQ: beats the probed-fraction baseline on isotropic data") {
+    // sf0.001 is isotropic — recall bounded by coverage (nprobe/nlist =
+    // 0.5) stacked with PQ distortion; must still beat random probing
+    val brute = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ivfpq = Similarity.ivfPqTopK(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val recall = brute.map { case (q, truth) =>
+      ivfpq.get(q).map(f => (truth intersect f).size.toDouble / truth.size)
+        .getOrElse(0.0) }.sum / brute.size
+    assert(recall >= 0.3, s"IVF-PQ recall@10 = $recall not better than random probing")
+  }
+
   test("MMR: lambda=1 degenerates to exact top-k; lambda=0.5 never more redundant") {
     import org.apache.spark.sql.Row
     val k = 5
