@@ -620,6 +620,67 @@ object Analytics {
       .orderBy("week")
   }
 
+  /** a18 — re-aggregatable QUANTILE rollup via a deterministic
+    * HDR-style histogram sketch: one pass bins each event's value (in
+    * exact integer CENTS) into (octave, 16 linear sub-buckets) — octave
+    * = bit length of the cents, both computed in pure integer
+    * arithmetic (`length(bin(c))`, shifts, `div`), so the sketch is a
+    * deterministic function of the data and, unlike a17's HLL, has an
+    * EXACT DuckDB twin. Per-(week, day) bucket counts are the sketch
+    * cube; the weekly p50/p95/p99 come from MERGING daily counts (sum —
+    * commutative, associative, partitioning-independent) and walking
+    * the ≤ |buckets| cumulative histogram, never from a second pass
+    * over raw events. Log-linear buckets bound relative error by the
+    * sub-bucket width: upper/lower ≤ 1 + 1/16 ≈ 6.25% (pinned vs exact
+    * percentiles in AnalyticsSpec, along with merge ≡ direct-weekly).
+    * This is the percentile latency-dashboard pattern at 100 TB:
+    * materialize day×bucket counts once, answer any coarser quantile
+    * rollup from the cube.
+    */
+  def quantileSketchRollup(s: SparkSession, d: String): DataFrame = {
+    val daily = quantileSketchDaily(s, d)
+    // the MERGE: weekly buckets = sum of daily buckets
+    val weekly = daily.groupBy("week", "bin_id").agg(sum("cnt").as("cnt"))
+    quantilesFromBuckets(weekly)
+  }
+
+  /** The sketch cube: per-(week, day, bucket) counts. */
+  private[ops] def quantileSketchDaily(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("e", (length(bin(col("c"))) - 1).cast("int"))
+      .withColumn("p2", expr("shiftleft(cast(1 as bigint), e)"))
+      .withColumn("bin_id",
+        col("e") * 16 + expr("cast(((c - p2) * 16) div p2 as int)"))
+      .groupBy("week", "day", "bin_id").agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from merged (week, bin_id, cnt) buckets: the
+    * q-quantile is the upper edge of the first bucket whose cumulative
+    * count reaches ceil(q·total). Calendar×bucket-sized windows only.
+    */
+  private[ops] def quantilesFromBuckets(weekly: DataFrame): DataFrame = {
+    val wk = Window.partitionBy("week").orderBy("bin_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy("week")
+    val cum = weekly
+      .withColumn("p2", expr("shiftleft(cast(1 as bigint), bin_id div 16)"))
+      .withColumn("est",
+        (col("p2") + (col("bin_id") % 16 + 1) * col("p2") / lit(16.0))
+          / lit(100.0))
+      .withColumn("cum", sum("cnt").over(wk))
+      .withColumn("total", sum("cnt").over(tot))
+    def qEst(q: Double, name: String) =
+      round(min(when(col("cum") >= ceil(lit(q) * col("total")),
+        col("est"))), 6).as(name)
+    cum.groupBy("week").agg(
+        max("total").as("n"),
+        qEst(0.5, "p50_est"), qEst(0.95, "p95_est"), qEst(0.99, "p99_est"))
+      .orderBy("week")
+  }
+
   /** a16 — share-of-total (ratio_to_report): each priority class's
     * revenue as a fraction of the global total. The naive spelling is
     * `sum() OVER ()` — an empty-partition window that drags every fact
@@ -855,6 +916,33 @@ object Analytics {
     // rows-only: estimates have no DuckDB twin; merge-identity and error
     // bounds pinned in AnalyticsSpec
     QueryDef("a17_hll_rollup", hllRollup, None),
+    QueryDef("a18_quantile_sketch", quantileSketchRollup, Some(
+      """WITH ev AS (
+        |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |b AS (
+        |  SELECT week, c, length(bin(c)) - 1 AS e FROM ev WHERE c > 0),
+        |b2 AS (
+        |  SELECT week,
+        |    e * 16 + ((c - (CAST(1 AS BIGINT) << e)) * 16)
+        |      // (CAST(1 AS BIGINT) << e) AS bin_id
+        |  FROM b),
+        |bins AS (
+        |  SELECT week, bin_id, count(*) AS cnt FROM b2 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT week, bin_id, cnt,
+        |    ((CAST(1 AS BIGINT) << (bin_id // 16))
+        |      + (bin_id % 16 + 1) * (CAST(1 AS BIGINT) << (bin_id // 16))
+        |        / 16.0) / 100.0 AS est,
+        |    sum(cnt) OVER (PARTITION BY week ORDER BY bin_id) AS cum,
+        |    sum(cnt) OVER (PARTITION BY week) AS total
+        |  FROM bins)
+        |SELECT week, max(total) AS n,
+        |  round(min(CASE WHEN cum >= ceil(0.5 * total) THEN est END), 6) AS p50_est,
+        |  round(min(CASE WHEN cum >= ceil(0.95 * total) THEN est END), 6) AS p95_est,
+        |  round(min(CASE WHEN cum >= ceil(0.99 * total) THEN est END), 6) AS p99_est
+        |FROM w GROUP BY week ORDER BY week""".stripMargin)),
     QueryDef("f10_map_roundtrip", mapRoundtrip, Some(
       """SELECT o_custkey, o_orderpriority, count(*) AS n
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),

@@ -294,4 +294,49 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
     assert(merged == direct, "sketch merge is not lossless vs direct sketch")
   }
+
+  test("quantile sketch: estimates within the log-linear error bound; merge = direct") {
+    // exact weekly ORDER STATISTICS (the sketch's target is the
+    // ceil(q·n)-th smallest value — `percentile()` interpolates between
+    // order stats and can exceed the containing bucket's upper edge)
+    val byWeek = graft.Tables.events(spark, sf0001)
+      .filter(expr("cast(round(value * 100) as bigint)") > 0)
+      .select(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        col("value"))
+      .collect().groupBy(_.getString(0))
+      .map { case (w, rs) => w -> rs.map(_.getDouble(1)).sorted }
+    def orderStat(vs: Array[Double], q: Double): Double =
+      vs(math.ceil(q * vs.length).toInt - 1)
+    val exact = byWeek.map { case (w, vs) =>
+      w -> (orderStat(vs, 0.5), orderStat(vs, 0.95), orderStat(vs, 0.99)) }
+    val est = Analytics.quantileSketchRollup(spark, sf0001).collect()
+      .map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(est.keySet == exact.keySet)
+    // upper-edge estimate of a log-linear bucket: est >= true and
+    // est/true <= (1 + 1/16) + cents slack
+    for ((w, (e50, e95, e99)) <- est; (t50, t95, t99) = exact(w)) {
+      for ((e, t, nm) <- Seq((e50, t50, "p50"), (e95, t95, "p95"), (e99, t99, "p99"))) {
+        assert(e >= t - 1e-9, s"$w $nm: estimate $e below exact $t")
+        assert(e / t <= 1.0 + 1.0 / 16 + 0.01,
+          s"$w $nm: estimate $e breaches the error bound vs exact $t")
+      }
+    }
+    // merging daily sketches loses nothing vs sketching the week directly
+    val daily = Analytics.quantileSketchDaily(spark, sf0001)
+    val merged = daily.groupBy("week", "bin_id")
+      .agg(sum("cnt").as("cnt")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val direct = graft.Tables.events(spark, sf0001).select(
+        date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .filter(col("c") > 0)
+      .withColumn("e", (length(bin(col("c"))) - 1).cast("int"))
+      .withColumn("p2", expr("shiftleft(cast(1 as bigint), e)"))
+      .withColumn("bin_id",
+        col("e") * 16 + expr("cast(((c - p2) * 16) div p2 as int)"))
+      .groupBy("week", "bin_id").agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(merged == direct, "summed daily buckets != direct weekly buckets")
+  }
 }
