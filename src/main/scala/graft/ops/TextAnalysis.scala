@@ -987,7 +987,143 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t22 — BPE merge-pair learning (the tokenizer-training loop,
+    * Sennrich et al. 2016): ONE corpus pass folds documents into the
+    * (word, count) vocabulary; every one of the k merge rounds then
+    * runs on that VOCAB-sized table — an adjacent-pair count (narrow
+    * zip_with generator + map-side-combined sum), a 1-row argmax
+    * collect, and a narrow left-to-right fold that applies the merge
+    * to each word's symbol array. The per-round single-row collect is
+    * inherent to sequential BPE (round i+1's counts depend on round
+    * i's rewrite — the same justification as BFS's per-level
+    * termination check); what matters at 100 TB is that the corpus is
+    * read once and the iteration state is the vocabulary (~10⁶ rows
+    * for web-scale text), so k rounds are k vocab-sized shuffles.
+    * Ties argmax-broken by (count DESC, left, right) so the learned
+    * merge table is a deterministic function of the corpus.
+    * localCheckpoint every 3 rounds truncates the growing fold
+    * lineage (the CC/PageRank discipline). Rows-only: the sequential
+    * loop has no SQL twin; parity with an independent in-memory BPE
+    * on the classic corpus and rerun-determinism on documents are
+    * spec-pinned.
+    */
+  def bpeMerges(s: SparkSession, d: String, k: Int = 20,
+      minCount: Long = 2L): DataFrame = {
+    val words = documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    bpeMergesFromWords(s, words, k, minCount)
+  }
+
+  /** The merge loop over an explicit (w, cnt) vocabulary — exposed so
+    * the spec can drive the classic 4-word corpus through it.
+    */
+  private[ops] def bpeMergesFromWords(s: SparkSession, words: DataFrame,
+      k: Int, minCount: Long): DataFrame = {
+    import s.implicits._
+    // initial symbols: characters plus an end-of-word marker, so merges
+    // distinguish word-final units from word-internal ones
+    var syms = words.select(col("cnt").cast("long").as("cnt"),
+      concat(filter(split(col("w"), ""), x => length(x) > 0),
+        array(lit("</w>"))).as("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val top = syms
+        .select(col("cnt"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .orderBy(desc("pc"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minCount) done = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        val pc = top(0).getLong(2)
+        merges += ((step, l, r, pc))
+        // left-to-right greedy application: acc ends with `l` and the
+        // next symbol is `r` → pop, push the merged atom. The merged
+        // atom is a DIFFERENT string from `l` (r is never empty), so
+        // overlapping runs merge non-overlapping pairs exactly like
+        // the sequential algorithm ("aaaa" + (a,a) → [aa, aa])
+        val (lw, rw) = (lit(l), lit(r))
+        val next = syms.select(col("cnt"),
+          aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lw && x === rw,
+              concat(slice(acc, lit(1), size(acc) - 1), array(concat(lw, rw))))
+              .otherwise(concat(acc, array(x)))).as("sym"))
+        syms = if (step % 3 == 0) next.localCheckpoint() else next
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right", "pair_count")
+  }
+
+  /** p10 — semantic-cluster-balanced corpus mix: every document is
+    * assigned to one of k embedding clusters (the v3 quantizer
+    * machinery — seeded KMeans on the hash-de-biased SAMPLE, then a
+    * codegen'd nearest-centroid argmax over the corpus; fit cost ∝
+    * sample, assignment one narrow pass), and each cluster's token
+    * budget is capped at an equal share of the global budget, filled
+    * in md5(doc_id) order — p3's discipline, so mix membership is a
+    * pure function of (doc_id, centroids), rerun-stable. This is the
+    * topic-balance resample (SemDeDup/DoReMi-adjacent): a dominant
+    * semantic cluster cannot swamp the training mix, and
+    * under-represented clusters keep everything under their cap. The
+    * doc↔embedding join hashes both fact tables on the SAME id — one
+    * exchange each; the per-cluster fill window partitions k ways on
+    * cluster-sized slices. Output is the |k|-row accounting report.
+    * Rows-only (KMeans centroids have no SQL twin); cap, purity,
+    * nearest-centroid membership, and rerun determinism are
+    * spec-pinned.
+    */
+  def clusterBalancedMix(s: SparkSession, d: String, k: Int = 8,
+      frac: Double = 0.5, seed: Long = 42L): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val cents = Similarity.fitQuantizer(e, "embedding", k, seed = seed)
+    val docs = documents(s, d).select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tok"),
+      md5(col("doc_id").cast("string")).as("hk"))
+    if (cents.isEmpty)
+      return s.range(0).select(lit(0).as("cell"), lit(0L).as("n_docs"),
+        lit(0L).as("docs_kept"), lit(0L).as("tokens_kept"),
+        lit(0L).as("budget"))
+    val best = Similarity.assignCell(col("embedding"), cents)
+    val assigned = e.select(col("vec_id").as("doc_id"),
+      (lit(0) - best.getField("negcell")).as("cell"))
+    val joined = docs.join(assigned, "doc_id")
+    // equal share of the global token budget per cluster — broadcast,
+    // 1-row aggregate
+    val budget = joined.agg(
+      floor(sum("n_tok").cast("double") * frac / k).cast("long").as("budget"))
+    val fill = Window.partitionBy("cell").orderBy("hk", "doc_id")
+    joined.withColumn("cum", sum("n_tok").over(fill))
+      .crossJoin(broadcast(budget))
+      .withColumn("kept", (col("cum") <= col("budget")).cast("int"))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("n_docs"), sum("kept").as("docs_kept"),
+        sum(when(col("kept") === 1, col("n_tok")).otherwise(0L))
+          .as("tokens_kept"),
+        max("budget").as("budget"))
+      .orderBy("cell")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // rows-only: cluster membership comes from sample-fit KMeans
+    // centroids (no SQL twin); cap/purity/determinism spec-pinned
+    QueryDef("p10_cluster_balanced_mix",
+      (s, d) => clusterBalancedMix(s, d), None),
+    // rows-only: the sequential merge loop has no SQL twin; in-memory
+    // reference parity + determinism pinned in the spec
+    QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), None),
     QueryDef("p4_weighted_sample", qualityWeightedSample, Some(
       """WITH q AS (
         |  SELECT doc_id, source,

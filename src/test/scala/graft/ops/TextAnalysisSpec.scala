@@ -356,6 +356,90 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nKept <= nIn)
   }
 
+  test("cluster-balanced mix: caps respected, clusters partition the corpus, rerun-stable") {
+    val rep = TextAnalysis.clusterBalancedMix(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rep.nonEmpty)
+    // every cluster keeps at most its token budget, and kept <= total docs
+    rep.foreach { case (cell, nDocs, kept, tok, budget) =>
+      assert(tok <= budget, s"cluster $cell over budget: $tok > $budget")
+      assert(kept <= nDocs, s"cluster $cell kept $kept of $nDocs docs")
+    }
+    // the clusters partition the embedded corpus: doc counts sum to it
+    val total = graft.Tables.documents(spark, sf0001).count()
+    assert(rep.map(_._2).sum == total,
+      s"cluster doc counts ${rep.map(_._2).sum} != corpus $total")
+    // at least one cluster is actually capped (the balance is doing
+    // work) and at least one keeps everything (frac=0.5 over >1 cluster)
+    assert(rep.exists { case (_, n, kept, _, _) => kept < n },
+      "no cluster was capped — balance unexercised")
+    // membership is a pure function: rerun reproduces the exact report
+    val rep2 = TextAnalysis.clusterBalancedMix(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rep.toSeq == rep2.toSeq)
+  }
+
+  test("BPE merges: parity with an independent in-memory implementation") {
+    import spark.implicits._
+    // the classic Sennrich corpus
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    // straightforward sequential reference: count adjacent pairs over
+    // the weighted vocab, merge the (count DESC, l, r)-argmax pair
+    // left-to-right, repeat
+    def refBpe(k: Int, minCount: Long): Seq[(Int, String, String, Long)] = {
+      var vocab: Map[Vector[String], Long] =
+        wc.map { case (w, c) => (w.map(_.toString).toVector :+ "</w>") -> c }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      var step = 1
+      while (step <= k) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+            pairs(p) = pairs.getOrElse(p, 0L) + c
+          }
+        }
+        if (pairs.isEmpty) return out.toSeq
+        val ((l, r), pc) = pairs.minBy { case ((l, r), c) => (-c, l, r) }
+        if (pc < minCount) return out.toSeq
+        out += ((step, l, r, pc))
+        vocab = vocab.toSeq.map { case (syms, c) =>
+          syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+            else acc :+ x
+          } -> c
+        }.groupMapReduce(_._1)(_._2)(_ + _)
+        step += 1
+      }
+      out.toSeq
+    }
+    val words = wc.toSeq.toDF("w", "cnt")
+    val got = TextAnalysis.bpeMergesFromWords(spark, words, 10, 2L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val expected = refBpe(10, 2L)
+    assert(expected.nonEmpty && got == expected,
+      s"got $got\nexpected $expected")
+    // the first learned merges on this corpus are word-final units —
+    // the end-of-word marker is doing its job
+    assert(got.head._3 == "</w>" || got.exists(_._3 == "</w>"))
+  }
+
+  test("BPE merges on documents: consecutive steps, threshold respected, rerun-stable") {
+    val a = TextAnalysis.bpeMerges(spark, sf0001, k = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.nonEmpty)
+    assert(a.map(_._1).toSeq == (1 to a.length), "steps not consecutive from 1")
+    assert(a.forall(_._4 >= 2L), "a merge fell below minCount")
+    // deterministic: the learned table is a pure function of the corpus
+    val b = TextAnalysis.bpeMerges(spark, sf0001, k = 8).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("shard assignment is a permutation: every doc exactly once, dense positions") {
     val df = TextAnalysis.shardAssign(spark, sf0001).cache()
     val total = graft.Tables.documents(spark, sf0001).count()
