@@ -294,6 +294,28 @@ class EventStreamsSpec extends SparkSpec {
     assert(twice == once, s"rerun duplicated rows: $twice vs $once")
   }
 
+  test("ingest ledger: full re-delivery under a fresh checkpoint is a byte-level no-op") {
+    val (ledger, appended, snap1, snap2) =
+      EventStreams.ingestLedgerRun(spark, sf0001)
+    // first delivery ingests exactly the distinct key set, in pieces
+    val distinctKeys = graft.Tables.events(spark, sf0001)
+      .select("event_id").distinct().count()
+    val half = appended.size / 2
+    assert(half >= 2, s"re-delivery under-exercised: ${appended.size} batches")
+    assert(appended.take(half).sum == distinctKeys,
+      s"first delivery appended ${appended.take(half).sum} != $distinctKeys keys")
+    // the second, fully-duplicate delivery appends nothing...
+    assert(appended.drop(half).forall(_ == 0L),
+      s"re-delivered batches appended rows: ${appended.drop(half)}")
+    // ...and never rewrites a file: names, lengths AND mtimes identical
+    assert(snap1.nonEmpty && snap1 == snap2,
+      "ledger files changed across a fully-duplicate re-delivery")
+    // ledger content equals the batch distinct-key table
+    val inLedger = spark.read.parquet(ledger).select("event_id").distinct().count()
+    assert(inLedger == distinctKeys)
+    assert(spark.read.parquet(ledger).count() == distinctKeys)
+  }
+
   test("update-merge sink: untouched day partitions keep byte-identical files") {
     // the st12 scaling claim made checkable: per-batch writes restate only
     // the day partitions containing changed keys, so a partition outside a
