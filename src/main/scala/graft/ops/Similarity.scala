@@ -416,41 +416,93 @@ object Similarity {
     transform(emb, v => v.cast("double") / greatest(nrm, lit(1e-12)))
   }
 
-  /** Fits `m` per-subvector codebooks on a hash-de-biased sample (v3's
-    * discipline — membership is a pure function of the row, never
-    * partition order). None ⇔ the sample is empty.
+  /** Plain Lloyd's iterations on a driver-resident sample. The PQ
+    * codebooks are per-SUBVECTOR models over a ≤50k-row sample — tiny
+    * (50k × sub doubles) — so fitting them as 8 distributed MLlib jobs
+    * pays ~8 × job-scheduling + kmeans|| init overhead to move
+    * kilobytes; measured at sf0.1 that overhead was ~45% of the whole
+    * 200-query bench (v9+v10 ≈ 170 s each). One driver loop is
+    * milliseconds, exactly seeded, and its cost is INDEPENDENT of
+    * corpus size because the sample is hash-bounded. (v3's coarse
+    * quantizer keeps MLlib: full-dim vectors, nlist up to 4096.)
     */
-  private def pqFit(e: DataFrame, n: Long, sub: Int, m: Int, codebook: Int,
-      seed: Long): Option[Array[Array[Array[Double]]]] = {
-    val hashMod = math.max(1L, n / 50000)
-    val sampled = e
-      .filter(pmod(xxhash64(col("embedding")), lit(hashMod)) === 0)
-      .limit(50000)
-      .select(pqNormalize(col("embedding")).as("nv")).cache()
-    try {
-      val nFit = sampled.count()
-      if (nFit == 0) None
-      else Some((0 until m).map { j =>
-        if (nFit == 1) {
-          Array(sampled.head().getSeq[Double](0)
-            .slice(j * sub, (j + 1) * sub).toArray)
-        } else {
-          val toVec = udf((a: Seq[Double]) =>
-            Vectors.dense(a.slice(j * sub, (j + 1) * sub).toArray))
-          val kEff = math.max(2, math.min(codebook.toLong, nFit).toInt)
-          new KMeans().setK(kEff).setSeed(seed + j).setMaxIter(8)
-            .setFeaturesCol("fv").setPredictionCol("c")
-            .fit(sampled.select(toVec(col("nv")).as("fv")))
-            .clusterCenters.map(_.toArray)
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    val n = points.length
+    val dim = points(0).length
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(points.indices.toVector).take(k)
+      .map(i => points(i).clone).toArray
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cents.length, dim)(0.0)
+      val cnts = new Array[Long](cents.length)
+      points.foreach { p =>
+        var best = 0; var bd = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var d2 = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - cents(c)(i); d2 += t * t; i += 1 }
+          if (d2 < bd) { bd = d2; best = c }
+          c += 1
         }
-      }.toArray)
-    } finally sampled.unpersist(blocking = false)
+        cnts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length)(c =>
+        if (cnts(c) > 0) sums(c).map(_ / cnts(c)) else cents(c))
+    }
+    cents
   }
 
-  // encode: per subvector, argmax of 2⟨x,c⟩ − ‖c‖² (≡ argmin ‖x−c‖²)
+  /** Fits `m` per-subvector codebooks on a hash-de-biased sample (v3's
+    * discipline — membership is a pure function of the row, never
+    * partition order; the collected sample is sorted so the seeded fit
+    * is deterministic across runs and layouts). Memoized per
+    * (dataset, geometry): v9, v10 and the code dump share ONE fit.
+    * None ⇔ the sample is empty.
+    */
+  private val pqFitMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[Array[Array[Array[Double]]]]]
+  private def pqFit(e: DataFrame, d: String, n: Long, sub: Int, m: Int,
+      codebook: Int, seed: Long): Option[Array[Array[Array[Double]]]] =
+    pqFitMemo.computeIfAbsent(
+      s"${graft.Tables.scratchTag(d)}|$sub|$m|$codebook|$seed", _ => {
+        val hashMod = math.max(1L, n / 50000)
+        val hashed = e
+          .filter(pmod(xxhash64(col("embedding")), lit(hashMod)) === 0)
+          .limit(50000)
+          .select(pqNormalize(col("embedding")).as("nv"))
+        var rows = hashed.collect()
+        // degenerate corpora can hash entirely into a nonzero residue
+        // class — fall back to the prefix rather than fitting on nothing
+        if (rows.isEmpty && n > 0)
+          rows = e.limit(50000)
+            .select(pqNormalize(col("embedding")).as("nv")).collect()
+        if (rows.isEmpty) None
+        else {
+          val sample = rows.map(_.getSeq[Double](0).toArray)
+          // deterministic fit input: order by content, not arrival
+          java.util.Arrays.sort(sample, (a: Array[Double], b: Array[Double]) => {
+            var i = 0
+            while (i < a.length && a(i) == b(i)) i += 1
+            if (i == a.length) 0 else java.lang.Double.compare(a(i), b(i))
+          })
+          Some((0 until m).map { j =>
+            val pts = sample.map(_.slice(j * sub, (j + 1) * sub))
+            if (pts.length == 1) Array(pts(0))
+            else lloyd(pts, math.min(codebook, pts.length), iters = 8,
+              seed = seed + j)
+          }.toArray)
+        }
+      })
+
+  // encode: per subvector, argmax of 2⟨x̂,c⟩ − ‖c‖² (≡ argmin ‖x̂−c‖²).
+  // `nv` MUST be a materialized (cached/attribute) normalized column,
+  // not an expression: the argmax references it codebook×m times, and
+  // an inlined normalize fold would recompute per reference — the
+  // CollapseProject trap minhashLshPairs documents.
   private def pqEncode(codebooks: Array[Array[Array[Double]]], m: Int,
-      sub: Int)(emb: Column): Column = {
-    val nv = pqNormalize(emb)
+      sub: Int)(nv: Column): Column = {
     array((0 until m).map { j =>
       val xs = slice(nv, j * sub + 1, sub)
       val structs = codebooks(j).zipWithIndex.map { case (c, i) =>
@@ -479,10 +531,12 @@ object Similarity {
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
     val sub = dim / m
-    pqFit(e, n, sub, m, codebook, seed) match {
+    pqFit(e, d, n, sub, m, codebook, seed) match {
       case None => empty
-      case Some(cbs) => e.select(col("vec_id").as("n_id"),
-        pqEncode(cbs, m, sub)(col("embedding")).as("codes"))
+      case Some(cbs) =>
+        val nv = e.select(col("vec_id").as("n_id"),
+          pqNormalize(col("embedding")).as("nv")).cache()
+        nv.select(col("n_id"), pqEncode(cbs, m, sub)(col("nv")).as("codes"))
     }
   }
 
@@ -518,12 +572,14 @@ object Similarity {
     require(dim % m == 0, s"dim $dim not divisible into $m subvectors")
     val sub = dim / m
     val codebooks: Array[Array[Array[Double]]] =
-      pqFit(e, n, sub, m, codebook, seed) match {
+      pqFit(e, d, n, sub, m, codebook, seed) match {
         case None      => return empty
         case Some(cbs) => cbs
       }
-    val coded = e.select(col("vec_id").as("n_id"),
-      pqEncode(codebooks, m, sub)(col("embedding")).as("codes"))
+    val nvDf = e.select(col("vec_id").as("n_id"),
+      pqNormalize(col("embedding")).as("nv")).cache()
+    val coded = nvDf.select(col("n_id"),
+      pqEncode(codebooks, m, sub)(col("nv")).as("codes"))
     val qRows = pqQueryLuts(e, numQueries, codebooks, m, sub)
     if (qRows.isEmpty) return empty
     val q = qRows.toDF("q_id", "lut")
@@ -575,17 +631,19 @@ object Similarity {
     val nl = if (nlist > 0) nlist else adaptiveNlist(n)
     val cents = fitQuantizer(e, "embedding", nl, corpusCount = n)
     if (cents.isEmpty) return empty
-    val codebooks = pqFit(e, n, sub, m, codebook, seed) match {
+    val codebooks = pqFit(e, d, n, sub, m, codebook, seed) match {
       case None      => return empty
       case Some(cbs) => cbs
     }
     // the persisted index: codes + cell only — the float vector never
     // enters the index, so probe scans move 5-byte rows
-    val best = assignCell(col("embedding"), cents)
     val indexDir = graft.Tables.scratchDir("graft_ivfpq", d)
-    e.select(col("vec_id"),
-        pqEncode(codebooks, m, sub)(col("embedding")).as("codes"),
-        (lit(0) - best.getField("negcell")).as("cell"))
+    e.select(col("vec_id"), col("embedding"),
+        pqNormalize(col("embedding")).as("nv")).cache()
+      .select(col("vec_id"),
+        pqEncode(codebooks, m, sub)(col("nv")).as("codes"),
+        (lit(0) - assignCell(col("embedding"), cents)
+          .getField("negcell")).as("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(indexDir)
     val index = s.read.parquet(indexDir)
 
