@@ -421,6 +421,31 @@ object Dedup {
       .orderBy("vec_id")
   }
 
+  /** d12 — the text-dedup DECISION at LSH cost (the RefinedWeb /
+    * SlimPajama pipeline step): d2's banded-MinHash candidate pairs —
+    * already exact-verified at the Jaccard threshold inside
+    * [[minhashLshPairs]] — closed into clusters with the shared CC
+    * core, min-id representative kept, `kept = 0` rows are the drop
+    * list. Identical decision shape to d9, but the pair graph costs
+    * banded LSH instead of an all-pairs grid — at 100 TB that is the
+    * difference between feasible and not. The only approximation is
+    * LSH recall (a missed candidate pair can SPLIT a cluster — d8
+    * measures the rate); every surviving pair is exact, so each d12
+    * cluster is always CONTAINED in one cluster of the exhaustive
+    * d4-pipeline closure (spec-pinned, with kept-set agreement ≥ 0.9
+    * on sf0.001). Rows-only: the minhash family has no SQL twin.
+    */
+  def lshKeepList(s: SparkSession, d: String,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashLshPairs(s, d, threshold = threshold)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = documents(s, d).select(col("doc_id"))
+    connectedComponents(nodes, pairs)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("cluster_id") === col("doc_id")).cast("int").as("kept"))
+      .orderBy("doc_id")
+  }
+
   /** d11 — QUALITY-AWARE keeper selection: per near-dup cluster (d6's
     * n-gram-Jaccard components), keep the LONGEST document (max n_chars,
     * min doc_id on ties) instead of d9's min-id convention — the policy
@@ -564,6 +589,9 @@ object Dedup {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
     QueryDef("d2_minhash_lsh", (s, d) => minhashLshPairs(s, d), None),
+    // rows-only: minhash pair graph; containment in the exact-pipeline
+    // closure + kept-set agreement spec-pinned
+    QueryDef("d12_lsh_keep_list", (s, d) => lshKeepList(s, d), None),
     // rows-only (minhash is engine-specific), but the recall COLUMN is
     // the judged number: LSH candidates vs d4's exact pairs, per round
     QueryDef("d8_lsh_recall", (s, d) => lshRecall(s, d), None),

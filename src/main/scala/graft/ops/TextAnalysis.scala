@@ -1067,6 +1067,44 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "pair_count")
   }
 
+  /** t23 — Gopher-style rule-filter REPORT: the four classic
+    * rep-quality gates (word count in range, mean word length in
+    * range, ≥80% alphabetic words, ≥2% stopwords) evaluated per doc
+    * and rolled up per source with per-rule violation counts — the
+    * sign-off accounting a corpus filter ships with, and the
+    * composition t2/t7 score but never DECIDE. Every rule compares
+    * INTEGER multiples (3·n ≤ chars, 5·alpha ≥ 4·n, 50·stop ≥ n)
+    * instead of floating ratios, so the decision — and therefore the
+    * oracle — is bit-exact across engines. One narrow pass over the
+    * corpus, |sources|-row output, map-side-combinable sums.
+    */
+  def gopherFilterReport(s: SparkSession, d: String): DataFrame = {
+    val stopWords = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+    val t = tokens(col("text"))
+    val n = size(t).cast("long")
+    val chars = aggregate(transform(t, w => length(w).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val nAlpha = size(filter(t, w => w.rlike("^[A-Za-z]+$"))).cast("long")
+    val nStop = size(filter(t,
+      w => lower(w).isin(stopWords: _*))).cast("long")
+    val rLen = n.between(10L, 100000L)
+    val rWordlen = (chars >= n * 2) && (chars <= n * 10)
+    val rAlpha = nAlpha * 5 >= n * 4
+    val rStop = nStop * 50 >= n
+    documents(s, d)
+      .select(col("source"), rLen.as("r_len"), rWordlen.as("r_wordlen"),
+        rAlpha.as("r_alpha"), rStop.as("r_stop"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("r_len"), 1L).otherwise(0L)).as("viol_len"),
+        sum(when(!col("r_wordlen"), 1L).otherwise(0L)).as("viol_wordlen"),
+        sum(when(!col("r_alpha"), 1L).otherwise(0L)).as("viol_alpha"),
+        sum(when(!col("r_stop"), 1L).otherwise(0L)).as("viol_stop"),
+        sum(when(col("r_len") && col("r_wordlen") && col("r_alpha") &&
+          col("r_stop"), 1L).otherwise(0L)).as("kept"))
+      .orderBy("source")
+  }
+
   /** p10 — semantic-cluster-balanced corpus mix: every document is
     * assigned to one of k embedding clusters (the v3 quantizer
     * machinery — seeded KMeans on the hash-de-biased SAMPLE, then a
@@ -1117,6 +1155,35 @@ object TextAnalysis {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t23_gopher_filter", gopherFilterReport, Some(
+      """WITH t AS (
+        |  SELECT source, string_split(text, ' ') AS w FROM documents),
+        |m AS (
+        |  SELECT source,
+        |    CAST(len(w) AS BIGINT) AS n,
+        |    CAST(list_aggregate(list_transform(w, x -> length(x)), 'sum')
+        |      AS BIGINT) AS chars,
+        |    CAST(len(list_filter(w,
+        |      x -> regexp_full_match(x, '[A-Za-z]+'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(w, x -> lower(x) IN
+        |      ('the','and','of','to','a','in','is','that')))
+        |      AS BIGINT) AS n_stop
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    (n BETWEEN 10 AND 100000) AS r_len,
+        |    (chars >= n * 2 AND chars <= n * 10) AS r_wordlen,
+        |    (n_alpha * 5 >= n * 4) AS r_alpha,
+        |    (n_stop * 50 >= n) AS r_stop
+        |  FROM m)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN NOT r_len THEN 1 ELSE 0 END) AS BIGINT) AS viol_len,
+        |  CAST(sum(CASE WHEN NOT r_wordlen THEN 1 ELSE 0 END) AS BIGINT) AS viol_wordlen,
+        |  CAST(sum(CASE WHEN NOT r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS viol_alpha,
+        |  CAST(sum(CASE WHEN NOT r_stop THEN 1 ELSE 0 END) AS BIGINT) AS viol_stop,
+        |  CAST(sum(CASE WHEN r_len AND r_wordlen AND r_alpha AND r_stop
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
     // rows-only: cluster membership comes from sample-fit KMeans
     // centroids (no SQL twin); cap/purity/determinism spec-pinned
     QueryDef("p10_cluster_balanced_mix",

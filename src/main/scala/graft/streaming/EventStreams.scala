@@ -828,7 +828,129 @@ object EventStreams {
         "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
     }
 
+  final case class TjIn(user_id: Long, ts: java.sql.Timestamp,
+      kind: String, value: Double, event_id: Long)
+  final case class TjState(views: Seq[(Long, Double)],
+      clicks: Seq[(Long, Long)])
+  final case class TjOut(user_id: Long, event_id: Long, ts_ms: Long,
+      view_value: Double, matched: Boolean)
+
+  /** st16 — streaming TEMPORAL (as-of) join: every click enriched with
+    * the same user's LATEST view at-or-before the click's event time —
+    * the Flink temporal-join / feature-store lookup Spark's
+    * stream-stream joins cannot express (an interval join bounds the
+    * gap; as-of wants exactly one row, the newest). Built on
+    * `flatMapGroupsWithState` keyed by user: both sides buffer in
+    * per-key state, and a click only FINALIZES once the watermark
+    * proves no older view can still arrive — matched against the
+    * version history in event-time order, not arrival order, so
+    * out-of-order delivery across micro-batches cannot produce a
+    * version that postdates the click. State is bounded by the
+    * watermark horizon: of the views at-or-below the watermark only
+    * the LATEST survives (the floor version every future click needs),
+    * pending clicks drain as the watermark passes them, and groups
+    * with nothing buffered remove their state; `EventTimeTimeout`
+    * (re-armed at watermark+1) guarantees every group flushes on watermark
+    * progress even with no new data for its key. Views sharing a
+    * timestamp collapse to max(value) — mirrored in the oracle's
+    * pre-aggregation, so ties are deterministic. The declared rollup is
+    * oracled against DuckDB's native ASOF LEFT JOIN under the same
+    * cutoff (engine-level cross-validation, like e9); boundary
+    * semantics (view AT the click instant matches, the next view does
+    * not, no-prior-view clicks emit unmatched) are spec-pinned on
+    * planted out-of-order data.
+    */
+  def streamTemporalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_st16_replay").toString
+    ev.write.mode("overwrite").parquet(src)
+    temporalJoinOnSrc(s, ev.schema, src,
+      java.time.Instant.parse("2024-01-28T00:00:00Z").toEpochMilli)
+  }
+
+  private[graft] def temporalJoinOnSrc(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, src: String,
+      cutoffMs: Long): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val stream = s.readStream.schema(schema).parquet(src)
+      .filter(col("event_type").isin("click", "view"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("event_type").as("kind"),
+        col("value"), col("event_id")).as[TjIn]
+    val joined = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[TjIn], state: GroupState[TjState]) =>
+          val prev = state.getOption.getOrElse(TjState(Nil, Nil))
+          var views = prev.views.toVector
+          var clicks = prev.clicks.toVector
+          it.foreach { r =>
+            if (r.kind == "view") views :+= (r.ts.getTime -> r.value)
+            else clicks :+= (r.ts.getTime -> r.event_id)
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // version history in EVENT-TIME order; simultaneous views
+          // collapse to max(value) (the oracle pre-aggregates the same)
+          val hist = views.groupBy(_._1)
+            .map { case (t, vs) => (t, vs.map(_._2).max) }
+            .toVector.sortBy(_._1)
+          val (ready, pending) = clicks.partition(_._1 <= wm)
+          val out = ready.sortBy(identity).map { case (cts, eid) =>
+            val m = hist.takeWhile(_._1 <= cts).lastOption
+            TjOut(uid, eid, cts, m.map(_._2).getOrElse(0.0), m.nonEmpty)
+          }
+          // eviction: below the watermark only the newest version can
+          // ever be matched again — keep it as the floor, drop the rest
+          val floor = hist.filter(_._1 <= wm).lastOption
+          val keep = floor.toVector ++ hist.filter(_._1 > wm)
+          if (pending.isEmpty && keep.isEmpty) state.remove()
+          else {
+            state.update(TjState(keep, pending))
+            state.setTimeoutTimestamp(wm + 1) // flush on watermark progress
+          }
+          out.iterator
+      }
+    val qname = "graft_stream_temporal_join"
+    val q = joined.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable() // batch 1: all real data, watermark 0
+      Seq((-903L, "2024-03-01 00:00:00", -903L, "view", 0.0, ""))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable() // batch 2: sentinel advances the watermark,
+      // every stateful group times out and flushes its ready clicks
+    } finally q.stop()
+    s.table(qname)
+      .filter(col("user_id") >= 0 && col("ts_ms") < cutoffMs)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(col("matched"), 1L).otherwise(0L)).as("n_matched"),
+        round(sum(when(col("matched"), col("view_value"))), 4)
+          .as("sum_view_value"))
+      .orderBy("user_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st16_temporal_join", streamTemporalJoin, Some(
+      """WITH c AS (
+        |  SELECT user_id, ts, event_id FROM events
+        |  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-28'),
+        |v AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2),
+        |j AS (
+        |  SELECT c.user_id, c.event_id, v.value AS vv, v.ts AS vts
+        |  FROM c ASOF LEFT JOIN v
+        |    ON c.user_id = v.user_id AND v.ts <= c.ts)
+        |SELECT user_id, count(*) AS n_clicks,
+        |  count(vts) AS n_matched,
+        |  round(sum(CASE WHEN vts IS NOT NULL THEN vv END), 4) AS sum_view_value
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st15_ingest_ledger", ingestLedgerRollup, Some(
       """SELECT event_type, count(*) AS n, count(DISTINCT event_id) AS n_ids,
         |  round(sum(value), 4) AS sum_value

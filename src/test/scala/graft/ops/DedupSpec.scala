@@ -226,4 +226,33 @@ class DedupSpec extends SparkSpec {
     // output only loses pairs LSH never surfaced, so recall must be high
     assert(recall >= 0.8, s"LSH recall $recall ($nMatched/$nExact) below floor")
   }
+
+  test("LSH keep list: clusters contained in the exact closure, kept sets agree") {
+    import org.apache.spark.sql.functions.col
+    val lsh = Dedup.lshKeepList(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // the exhaustive pipeline at the SAME threshold: d4's exact pairs,
+    // same CC closure, same min-id keeper
+    val exactPairs = Dedup.ngramJaccardPairs(spark, sf0001, threshold = 0.7)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val nodes = graft.Tables.documents(spark, sf0001).select("doc_id")
+    val exact = Dedup.connectedComponents(nodes, exactPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every LSH pair is exact-verified, so an LSH cluster can never
+    // straddle two exact clusters: same lsh cluster → same exact cluster
+    val byLshCluster = lsh.groupBy(_._2)
+    for ((cl, members) <- byLshCluster) {
+      val exactClusters = members.map(m => exact(m._1)).distinct
+      assert(exactClusters.length == 1,
+        s"LSH cluster $cl straddles exact clusters $exactClusters")
+    }
+    // missed candidates only SPLIT clusters, so LSH keeps at least as
+    // many docs; agreement floor ties the decision to the exact one
+    val keptLsh = lsh.filter(_._3 == 1).map(_._1).toSet
+    val keptExact = exact.groupBy(_._2).map(_._2.keys.min).toSet
+    assert(keptExact.subsetOf(keptLsh),
+      "a doc kept by the exact pipeline was dropped by LSH")
+    val agree = keptExact.size.toDouble / keptLsh.size
+    assert(agree >= 0.9, s"kept-set agreement $agree below 0.9")
+  }
 }

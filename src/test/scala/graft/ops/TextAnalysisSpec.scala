@@ -356,6 +356,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(nKept <= nIn)
   }
 
+  test("gopher filter: each planted violation fires exactly its rule") {
+    import spark.implicits._
+    val docs = Seq(
+      // passes every rule
+      (1L, ("the cat and the dog went to the park in a fine day " * 2).trim,
+        "en", "ok", 0L),
+      // 4 words < 10 → r_len only
+      (2L, "the cat and dog", "en", "len", 0L),
+      // 12×15-char words + one stopword: mean len > 10 → r_wordlen only
+      (3L, (Seq.fill(12)("extraordinarily") :+ "the").mkString(" "),
+        "en", "wordlen", 0L),
+      // mostly digits → r_alpha only
+      (4L, "the " + Seq.fill(11)("99").mkString(" "), "en", "alpha", 0L),
+      // no stopwords at all → r_stop only
+      (5L, Seq.fill(15)("zebra").mkString(" "), "en", "stop", 0L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_gopher").toString
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = TextAnalysis.gopherFilterReport(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(rep("ok") == ((0L, 0L, 0L, 0L, 1L)), s"ok: ${rep("ok")}")
+    assert(rep("len") == ((1L, 0L, 0L, 0L, 0L)), s"len: ${rep("len")}")
+    assert(rep("wordlen") == ((0L, 1L, 0L, 0L, 0L)), s"wordlen: ${rep("wordlen")}")
+    assert(rep("alpha") == ((0L, 0L, 1L, 0L, 0L)), s"alpha: ${rep("alpha")}")
+    assert(rep("stop") == ((0L, 0L, 0L, 1L, 0L)), s"stop: ${rep("stop")}")
+  }
+
   test("cluster-balanced mix: caps respected, clusters partition the corpus, rerun-stable") {
     val rep = TextAnalysis.clusterBalancedMix(spark, sf0001).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -294,6 +294,41 @@ class EventStreamsSpec extends SparkSpec {
     assert(twice == once, s"rerun duplicated rows: $twice vs $once")
   }
 
+  test("temporal join: as-of semantics on planted out-of-order data") {
+    import spark.implicits._
+    // user 1: views at 10:00 (v=1.0) and 11:00 (v=2.0); clicks at
+    //   10:30 (→ 1.0), 11:00 (AT the view instant → 2.0), 10:00
+    //   (AT the first view → 1.0)
+    // user 2: click at 10:15 with NO prior view (view arrives 10:30,
+    //   later than the click → unmatched)
+    // rows deliberately written in non-event-time order: the operator
+    // must match against event-time history, not arrival order
+    val rows = Seq(
+      (100L, "2024-01-10 11:00:00", 1L, "view", 2.0, ""),
+      (101L, "2024-01-10 10:30:00", 1L, "click", 0.0, ""),
+      (102L, "2024-01-10 10:00:00", 1L, "view", 1.0, ""),
+      (103L, "2024-01-10 11:00:00", 1L, "click", 0.0, ""),
+      (104L, "2024-01-10 10:00:00", 1L, "click", 0.0, ""),
+      (105L, "2024-01-10 10:15:00", 2L, "click", 0.0, ""),
+      (106L, "2024-01-10 10:30:00", 2L, "view", 9.0, ""))
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_st16_fix").toString
+    val df = rows
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    df.write.mode("overwrite").parquet(src)
+    val got = EventStreams.temporalJoinOnSrc(spark, df.schema, src,
+      java.time.Instant.parse("2024-02-01T00:00:00Z").toEpochMilli)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.toString.toDouble)))
+      .toMap
+    // user 1: 3 clicks, all matched; 1.0 + 2.0 + 1.0 = 4.0
+    assert(got(1L) == ((3L, 3L, Some(4.0))), s"user 1 got ${got(1L)}")
+    // user 2: 1 click, unmatched, null sum
+    assert(got(2L) == ((1L, 0L, None)), s"user 2 got ${got(2L)}")
+  }
+
   test("ingest ledger: full re-delivery under a fresh checkpoint is a byte-level no-op") {
     val (ledger, appended, snap1, snap2) =
       EventStreams.ingestLedgerRun(spark, sf0001)
