@@ -107,4 +107,13 @@ class PlanShapeSpec extends SparkSpec {
     assert(globalSorts.isEmpty,
       s"global sort funnels the rollup through one ordering:\n${globalSorts.mkString}")
   }
+
+  test("quantile sketch: one events scan — the weekly merge reuses the daily cube") {
+    // the sketch-cube contract: raw events are binned ONCE; every
+    // coarser rollup merges bucket counts, it never re-reads the facts
+    val df = graft.SparkEntry.queries("a18_quantile_sketch")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    val scans = "events\\.parquet".r.findAllMatchIn(plan).size
+    assert(scans == 1, s"expected exactly 1 events scan, found $scans:\n$plan")
+  }
 }
