@@ -620,6 +620,40 @@ object Analytics {
       .orderBy("week")
   }
 
+  /** a20 — EXACT re-aggregatable distinct-count cube via roaring-style
+    * bitmaps: one pass builds per-(week, day, bucket) user bitmaps
+    * (`bitmap_bucket_number` shards the id space into 32768-bit pages so
+    * no single bitmap outgrows a row); the weekly distinct count is a
+    * MERGE — `bitmap_or_agg` per bucket, then `bitmap_count` summed over
+    * buckets — never a second pass over raw events. Same cube pattern as
+    * a17's HLL but EXACT: bitmap OR is idempotent/commutative/
+    * associative, so the merged count equals COUNT(DISTINCT) no matter
+    * how the merge tree is shaped, which is why it has a DuckDB twin
+    * while a17 is rows-only. At 100 TB this is the dashboard-grade
+    * distinct cube for dense int keys: storage ∝ distinct ids / 8 bytes
+    * per day, and any coarser rollup (week, month, all-time) ORs
+    * day-level pages instead of re-scanning facts. HLL (a17) remains the
+    * choice when keys are sparse 64-bit hashes; this is the exact
+    * complement for dictionary-encoded ids (o15's output domain).
+    */
+  def bitmapDistinctRollup(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+      date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
+      col("user_id"))
+    val daily = ev
+      .groupBy(col("week"), col("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+        .as("bm"))
+    // the MERGE: weekly page = OR of daily pages, count = sum over pages
+    val weekly = daily.groupBy("week", "bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+    weekly.groupBy("week")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy("week")
+  }
+
   /** a18 — re-aggregatable QUANTILE rollup via a deterministic
     * HDR-style histogram sketch: one pass bins each event's value (in
     * exact integer CENTS) into (octave, 16 linear sub-buckets) — octave
@@ -916,6 +950,10 @@ object Analytics {
     // rows-only: estimates have no DuckDB twin; merge-identity and error
     // bounds pinned in AnalyticsSpec
     QueryDef("a17_hll_rollup", hllRollup, None),
+    QueryDef("a20_bitmap_distinct", bitmapDistinctRollup, Some(
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("a18_quantile_sketch", quantileSketchRollup, Some(
       """WITH ev AS (
         |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,

@@ -562,6 +562,97 @@ object Dedup {
       .orderBy("id_a", "id_b")
   }
 
+  /** d13 — INCREMENTAL near-dup: score one incoming BATCH against the
+    * existing CORPUS instead of re-running the corpus×corpus grid — the
+    * shape every continuously-ingesting pipeline needs, because at 100 TB
+    * you cannot afford to re-dedup the whole corpus per delivery. The
+    * batch is `vec_id % 10 = 0` (a deterministic 10% stand-in for "today's
+    * delivery"); the quantizer is fitted on the CORPUS ONLY — exactly what
+    * a persisted index gives you — and batch vectors are assigned to the
+    * same cells. Eligibility uses the asymmetric triangle bound
+    * θ(c_i,c_j) − r_i^corpus − r_j^batch ≤ θ_T with PER-SIDE radii, so the
+    * scan is exact (recall 1) like d5 but the grid is |corpus|×|batch|,
+    * i.e. work ∝ batch size, not corpus². Output is the ingest decision
+    * per batch doc: how many corpus near-dups, the best match (highest
+    * rounded cos, min id on ties — deterministic), and an `is_new` flag
+    * the admission step consumes. Oracled against the exact DuckDB
+    * batch×corpus pair scan.
+    */
+  def incrementalNearDup(s: SparkSession, d: String,
+      threshold: Double = 0.35): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val corpus = e.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+    val batch = e.filter(pmod(col("vec_id"), lit(10)) === 0)
+    val nCorpus = corpus.count()
+    val nl = Similarity.adaptiveNlist(nCorpus)
+    val cents = Similarity.fitQuantizer(corpus, "embedding", nl,
+      corpusCount = nCorpus)
+    val emptyMatches = Seq.empty[(Long, Long, Double)]
+      .toDF("bid", "best_id", "cos")
+    val matches = if (cents.isEmpty) emptyMatches else {
+      def assigned(df: DataFrame): DataFrame = {
+        val best = Similarity.assignCell(col("embedding"), cents)
+        df.select(col("vec_id"), col("embedding"),
+          (lit(0) - best.getField("negcell")).as("cell"),
+          best.getField("cos").as("ccos"))
+      }
+      val ac = assigned(corpus).cache()
+      val ab = assigned(batch).cache()
+      // per-(side, cell) max angle to the cell centroid — nlist-sized
+      def radii(df: DataFrame): Map[Int, Double] = df.groupBy("cell")
+        .agg(max(acos(least(greatest(col("ccos"), lit(-1.0)), lit(1.0))))
+          .as("r"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val rc = radii(ac)
+      val rb = radii(ab)
+      def cosLocal(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val thetaT = math.acos(threshold)
+      val byCell = cents.toMap
+      // asymmetric grid: corpus cell i × batch cell j, no i<=j folding
+      val eligible = for {
+        (i, _) <- cents.toSeq if rc.contains(i)
+        (j, _) <- cents.toSeq if rb.contains(j)
+        thij = math.acos(math.max(-1.0,
+          math.min(1.0, cosLocal(byCell(i), byCell(j)))))
+        if thij - rc(i) - rb(j) <= thetaT + 1e-6
+      } yield (i.toLong * nl + j, i, j)
+      val grid = eligible.toDF("pair_id", "cell_c", "cell_b")
+      val cSide = ac.join(broadcast(grid.select("pair_id", "cell_c")),
+          col("cell") === col("cell_c"))
+        .select(col("pair_id"), col("vec_id").as("cid"),
+          col("embedding").as("vc"))
+      val bSide = ab.join(broadcast(grid.select("pair_id", "cell_b")),
+          col("cell") === col("cell_b"))
+        .select(col("pair_id"), col("vec_id").as("bid"),
+          col("embedding").as("vb"))
+      cSide.join(bSide, "pair_id")
+        .withColumn("cos", Similarity.cosine(col("vc"), col("vb")))
+        .filter(col("cos") >= threshold)
+        .select(col("bid"), col("cid"), round(col("cos"), 6).as("cos"))
+    }
+    val agg = matches.groupBy("bid").agg(
+      count(lit(1)).as("n"),
+      expr("max_by(cid, struct(cos, -cid))").as("best"),
+      max(col("cos")).as("bcos"))
+    batch.select(col("vec_id"))
+      .join(agg, col("vec_id") === col("bid"), "left")
+      .select(col("vec_id"),
+        coalesce(col("n"), lit(0L)).as("n_dups"),
+        col("best").as("best_id"),
+        col("bcos").as("best_cos"),
+        when(col("bid").isNull, 1).otherwise(0).cast("int").as("is_new"))
+      .orderBy("vec_id")
+  }
+
   /** Shared DuckDB CTE chain mirroring [[ngramJaccardPairs]] (shingle →
     * df-cut → inverted-index pair counts); d4 and d6 build on it.
     */
@@ -692,6 +783,30 @@ object Dedup {
         |  FROM clu JOIN documents USING (doc_id))
         |SELECT cluster_id, keeper_id, n_members
         |FROM k WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
+    QueryDef("d13_incremental_neardup", (s, d) => incrementalNearDup(s, d), Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |c AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        |b AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        |m AS (
+        |  SELECT b.vec_id AS bid, c.vec_id AS cid,
+        |    round(list_inner_product(c.emb, b.emb)
+        |      / (sqrt(list_inner_product(c.emb, c.emb))
+        |         * sqrt(list_inner_product(b.emb, b.emb))), 6) AS cos
+        |  FROM b, c
+        |  WHERE list_inner_product(c.emb, b.emb)
+        |    / (sqrt(list_inner_product(c.emb, c.emb))
+        |       * sqrt(list_inner_product(b.emb, b.emb))) >= 0.35::DOUBLE),
+        |r AS (
+        |  SELECT bid, cid, cos,
+        |    row_number() OVER (PARTITION BY bid ORDER BY cos DESC, cid) AS rn,
+        |    count(*) OVER (PARTITION BY bid) AS n
+        |  FROM m)
+        |SELECT b.vec_id,
+        |  CAST(COALESCE(r.n, 0) AS BIGINT) AS n_dups,
+        |  r.cid AS best_id, r.cos AS best_cos,
+        |  CAST(CASE WHEN r.bid IS NULL THEN 1 ELSE 0 END AS INT) AS is_new
+        |FROM b LEFT JOIN (SELECT * FROM r WHERE rn = 1) r ON b.vec_id = r.bid
+        |ORDER BY vec_id""".stripMargin)),
     QueryDef("d5_embedding_neardup", (s, d) => embeddingNearDupPairs(s, d), Some(
       // CAST ... AS DOUBLE[]: DuckDB's list_inner_product on FLOAT[]
       // accumulates in float32; Spark accumulates in double — without the

@@ -339,4 +339,15 @@ class AnalyticsSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(merged == direct, "summed daily buckets != direct weekly buckets")
   }
+
+  test("bitmap distinct cube: merged daily pages give the EXACT weekly distinct") {
+    import org.apache.spark.sql.functions._
+    val got = Analytics.bitmapDistinctRollup(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.Tables.events(spark, sf0001)
+      .groupBy(date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"))
+      .agg(countDistinct("user_id").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, "bitmap OR-merge lost or invented distinct ids")
+  }
 }

@@ -255,4 +255,35 @@ class DedupSpec extends SparkSpec {
     val agree = keptExact.size.toDouble / keptLsh.size
     assert(agree >= 0.9, s"kept-set agreement $agree below 0.9")
   }
+
+  test("incremental near-dup agrees with the full d5 pair grid restricted to batch×corpus") {
+    import org.apache.spark.sql.functions._
+    // independent path: d5 scores ALL pairs with a corpus-wide quantizer;
+    // d13 fits on the corpus only and scans asymmetrically — same exact
+    // pair set must fall out for pairs straddling the batch boundary
+    val full = Dedup.embeddingNearDupPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full
+      .flatMap { case (a, b, cos) =>
+        Seq((a, b, cos), (b, a, cos)) // either end may be the batch one
+      }
+      .filter { case (bid, cid, _) => bid % 10 == 0 && cid % 10 != 0 }
+      .groupBy(_._1)
+      .map { case (bid, ms) =>
+        val bestCos = ms.map(_._3).max
+        val bestId = ms.filter(_._3 == bestCos).map(_._2).min
+        bid -> (ms.length.toLong, bestId, bestCos)
+      }
+    val got = Dedup.incrementalNearDup(spark, sf0001).collect()
+      .filter(_.getInt(4) == 0)
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    assert(got == expected,
+      s"incremental scan diverged from the full grid restriction")
+    // and every batch doc appears exactly once, matched or not
+    val n = Dedup.incrementalNearDup(spark, sf0001).count()
+    val nBatch = graft.Tables.embeddings(spark, sf0001)
+      .filter(pmod(col("vec_id"), lit(10)) === 0).count()
+    assert(n == nBatch)
+  }
 }
