@@ -227,6 +227,93 @@ object Graph {
     bfsDistances(sym, seeds).orderBy("node")
   }
 
+  /** g5 — k-CORE membership on the part co-occurrence graph: peel nodes
+    * with degree < k until fixpoint; survivors form the k-core. This is
+    * the graph-quality filter real corpus pipelines run on web/link
+    * graphs (spam and boilerplate live in the low-core shell), and it is
+    * a genuinely different iterative shape from CC/PageRank/BFS: the
+    * fixpoint is over a SHRINKING edge set, so per-round cost decreases
+    * monotonically — one degree aggregation plus two semi-joins, each
+    * keyed on the node id the degree agg already shuffled on.
+    *
+    * Scale design: state is the surviving edge list (never grows),
+    * localCheckpoint per round cuts lineage, and the only driver values
+    * are the per-round edge counts (the termination test). Peeling is
+    * monotone, so count equality ⇔ set equality — no expensive
+    * anti-join diff. Convergence within [[maxRounds]] is a CONTRACT
+    * (CC's discipline): silent truncation would return shell nodes
+    * labeled as core, so exhaustion throws instead. The oracle unrolls
+    * the same number of peels; extra rounds past the fixpoint are
+    * no-ops, so the two always agree when the contract holds.
+    */
+  def kCoreMembership(s: SparkSession, d: String, k: Int = 3,
+      maxRounds: Int = 12): DataFrame = {
+    val e0 = partCoEdges(s, d).localCheckpoint()
+    val nodes = e0.select(col("u").as("part"))
+      .union(e0.select(col("v").as("part"))).distinct()
+    var edges = e0
+    var nEdges = edges.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      round += 1
+      val keep = edges.select(col("u").as("node"))
+        .union(edges.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("dg"))
+        .filter(col("dg") >= k).select("node")
+      val pruned = edges
+        .join(keep.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
+        .join(keep.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
+        .select("u", "v")
+        .localCheckpoint()
+      val n = pruned.count()
+      if (n == nEdges) converged = true
+      else { edges = pruned; nEdges = n }
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"$k-core peeling did not converge in $maxRounds rounds")
+    val core = edges.select(col("u").as("part"))
+      .union(edges.select(col("v").as("part"))).distinct()
+    nodes.join(core.select(col("part"), lit(1).as("c")), Seq("part"), "left")
+      .select(col("part"),
+        coalesce(col("c"), lit(0)).cast("int").as("in_core"))
+      .orderBy("part")
+  }
+
+  /** Unrolled k-core peel oracle: `rounds` chained MATERIALIZED CTEs
+    * (deg filter + edge restriction per round). Mirrors [[kCoreMembership]]
+    * exactly because peeling past the fixpoint is a no-op.
+    */
+  private def kCoreOracle(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, count(*) AS dg FROM (
+         |      SELECT u AS node FROM e${r - 1}
+         |      UNION ALL SELECT v FROM e${r - 1}) GROUP BY node)
+         |  WHERE dg >= $k),
+         |e$r AS MATERIALIZED (
+         |  SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT node FROM d$r)
+         |    AND v IN (SELECT node FROM d$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT a.pk AS u, b.pk AS v
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+       |$steps,
+       |nodes AS (
+       |  SELECT u AS part FROM e0 UNION SELECT v FROM e0),
+       |core AS (
+       |  SELECT u AS part FROM e$rounds UNION SELECT v FROM e$rounds)
+       |SELECT n.part,
+       |  CAST(CASE WHEN c.part IS NULL THEN 0 ELSE 1 END AS INT) AS in_core
+       |FROM nodes n LEFT JOIN core c ON n.part = c.part
+       |ORDER BY n.part""".stripMargin
+  }
+
   /** Unrolled 10-step PageRank oracle (recursive CTEs can reference the
     * previous state only once; the dangling-mass term needs it twice, so
     * the iteration is generated as chained CTEs instead). Every CTE is
@@ -368,6 +455,8 @@ object Graph {
         |  FROM walk w JOIN sym s ON s.src = w.node WHERE w.dist < 20)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("g5_kcore", (s, d) => kCoreMembership(s, d),
+      Some(kCoreOracle(3, 12))),
     QueryDef("g2_triangle_count", triangleStats, Some(
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

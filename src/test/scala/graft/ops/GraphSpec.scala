@@ -62,6 +62,25 @@ class GraphSpec extends SparkSpec {
     assert(r.getDouble(3) == 1.0, "transitivity")
   }
 
+  test("kCore: planted clique survives, star shell peels in a CASCADE") {
+    // two-part orders = explicit edges. K4 on {1,2,3,4} (deg 3 each);
+    // star center 5 -> {6,7,8}: 5 starts at deg 3 but its leaves are
+    // deg 1, so round 1 peels 6,7,8 and round 2 peels 5 — the cascade
+    // a single degree filter would miss
+    val li = Seq(
+      (101L, 1L), (101L, 2L), (102L, 1L), (102L, 3L), (103L, 1L), (103L, 4L),
+      (104L, 2L), (104L, 3L), (105L, 2L), (105L, 4L), (106L, 3L), (106L, 4L),
+      (107L, 5L), (107L, 6L), (108L, 5L), (108L, 7L), (109L, 5L), (109L, 8L))
+      .toDF("l_orderkey", "l_partkey")
+    val dir = java.nio.file.Files.createTempDirectory("graft_g5").toString
+    li.write.parquet(s"$dir/lineitem.parquet")
+
+    val got = Graph.kCoreMembership(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 1, 2L -> 1, 3L -> 1, 4L -> 1,
+      5L -> 0, 6L -> 0, 7L -> 0, 8L -> 0))
+  }
+
   test("bfsDistances: planted path graph gets exact hop counts; disconnected nodes unreached") {
     // path 1-2-3-4 (undirected), island 8-9; seed = {1}
     val undirected = Seq((1L, 2L), (2L, 3L), (3L, 4L), (8L, 9L))
