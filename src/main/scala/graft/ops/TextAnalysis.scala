@@ -555,6 +555,31 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** p11 — deterministic EPOCH SHUFFLE: the training-order permutation
+    * for each epoch as a pure function of (doc_id, epoch) — no RNG
+    * state, no global sort. Epoch e orders documents by
+    * md5(doc_id ":" e): a fresh pseudorandom permutation per epoch
+    * (what shuffle-each-epoch training wants), reproducible from the
+    * key alone, so a preempted job resumes mid-epoch at (shard, pos)
+    * and a re-run feeds batches in the identical order. Reader shard =
+    * first hex nibble (16 readers); `pos` is the within-shard cursor.
+    * The only sort is within (epoch, shard) — 1/16 of an epoch per
+    * task, the p5 discipline — never a corpus-wide ORDER BY. At 100 TB
+    * each shard is written as its own file sequence and `pos` becomes
+    * the record offset the data loader seeks to.
+    */
+  def epochShuffle(s: SparkSession, d: String, epochs: Int = 3): DataFrame = {
+    val w = Window.partitionBy("epoch", "shard").orderBy("hk", "doc_id")
+    documents(s, d).select(col("doc_id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("hk", md5(concat(col("doc_id").cast("string"),
+        lit(":"), col("epoch").cast("string"))))
+      .withColumn("shard", substring(col("hk"), 1, 1))
+      .withColumn("pos", row_number().over(w))
+      .select("epoch", "shard", "pos", "doc_id")
+      .orderBy("epoch", "shard", "pos")
+  }
+
   /** p9 — the assembled clean training corpus, summarized per source:
     * exact dedup (keep the min-id copy per identical text) and benchmark
     * decontamination (t9's shingle-overlap flag) composed into one
@@ -1512,6 +1537,19 @@ object TextAnalysis {
         |  CAST(row_number() OVER (PARTITION BY substr(hk, 1, 2)
         |    ORDER BY hk, doc_id) AS INT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin)),
+    QueryDef("p11_epoch_shuffle", (s, d) => epochShuffle(s, d), Some(
+      """WITH e AS (
+        |  SELECT doc_id, epoch
+        |  FROM documents, (SELECT unnest([0, 1, 2]) AS epoch)),
+        |h AS (
+        |  SELECT doc_id, epoch,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)) AS hk
+        |  FROM e)
+        |SELECT epoch, substr(hk, 1, 1) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY epoch, substr(hk, 1, 1)
+        |    ORDER BY hk, doc_id) AS INT) AS pos,
+        |  doc_id
+        |FROM h ORDER BY epoch, shard, pos""".stripMargin)),
     QueryDef("p6_hash_split", (s, d) => hashSplit(s, d), Some(
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'

@@ -481,4 +481,27 @@ class TextAnalysisSpec extends SparkSpec {
       .count()
     assert(bad == 0)
   }
+
+  test("epoch shuffle: each epoch is a full permutation, epochs disagree, rerun-stable") {
+    val rows = TextAnalysis.epochShuffle(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    // every epoch contains every doc exactly once
+    val byEpoch = rows.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0, 1, 2))
+    byEpoch.foreach { case (e, rs) =>
+      assert(rs.map(_._4).distinct.length.toLong == nDocs, s"epoch $e misses docs")
+    }
+    // dense per-shard cursors
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"holes in $k")
+    }
+    // the point of the operator: epochs are DIFFERENT permutations...
+    def order(e: Int) = byEpoch(e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(0) != order(1) && order(1) != order(2))
+    // ...and a rerun reproduces the identical order (no hidden RNG)
+    val again = TextAnalysis.epochShuffle(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
+    assert(again.toSeq == rows.toSeq)
+  }
 }
