@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -76,6 +76,62 @@ object Quality {
         col("o_custkey") === col("c_custkey"), "left_anti")
       .agg(count(lit(1)).as("orphan_custkeys"))
     base.crossJoin(dup).crossJoin(liOrphans).crossJoin(custOrphans)
+  }
+
+  /** dq6 — declarative EXPECTATION SUITE (the dbt-test / Great-
+    * Expectations shape): the contract is a LIST of named rules —
+    * row predicates, value domains, key uniqueness — and the output is
+    * one row per rule with its violation count and pass flag, the
+    * artifact a CI gate diffs. Scale shape: ALL rules for a table fold
+    * into ONE aggregation pass (conditional counts + count-distincts
+    * side by side), then `stack` unpivots the single agg row into the
+    * per-rule report — 3 table scans total for an 11-rule suite, no
+    * per-rule jobs, nothing data-sized past the agg. Checks whose
+    * violations are row-identified (dq2's outliers, dq1's orphan keys)
+    * stay their own operators; this is the summary gate in front of
+    * them.
+    */
+  def expectationSuite(s: SparkSession, d: String): DataFrame =
+    expectationReport(orders(s, d), lineitem(s, d), customer(s, d))
+
+  private[ops] def expectationReport(o: DataFrame, li: DataFrame,
+      c: DataFrame): DataFrame = {
+    def viol(cond: Column) = count(when(cond, true))
+    def table(tbl: String, df: DataFrame,
+        rules: Seq[(String, Column)]): DataFrame = {
+      val aggs = count(lit(1)).as("n_rows") +:
+        rules.map { case (id, v) => v.as(id) }
+      val stackArgs = rules.map { case (id, _) => s"'$id', $id" }.mkString(", ")
+      df.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"'$tbl' AS tbl", "n_rows",
+          s"stack(${rules.length}, $stackArgs) AS (rule_id, n_viol)")
+    }
+    val rep = table("orders", o, Seq(
+        "totalprice_positive" ->
+          viol(col("o_totalprice").isNull || col("o_totalprice") <= 0),
+        "orderdate_window" ->
+          viol(to_date(col("o_orderdate")) < "1992-01-01" ||
+            to_date(col("o_orderdate")) > "2002-12-31"),
+        "status_domain" -> viol(!col("o_orderstatus").isin("O", "F", "P")),
+        "orderkey_unique" ->
+          (count(lit(1)) - countDistinct(col("o_orderkey")))))
+      .unionAll(table("lineitem", li, Seq(
+        "quantity_range" -> viol(col("l_quantity").isNull ||
+          col("l_quantity") <= 0 || col("l_quantity") > 1000),
+        "discount_range" ->
+          viol(col("l_discount") < 0 || col("l_discount") > 0.1),
+        "tax_range" -> viol(col("l_tax") < 0 || col("l_tax") > 0.08),
+        "pk_unique" -> (count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber"))))))
+      .unionAll(table("customer", c, Seq(
+        "custkey_unique" -> (count(lit(1)) - countDistinct(col("c_custkey"))),
+        "acctbal_not_null" -> viol(col("c_acctbal").isNull),
+        "mktsegment_domain" -> viol(!col("c_mktsegment").isin(
+          "AUTOMOBILE", "BUILDING", "FURNITURE", "MACHINERY", "HOUSEHOLD")))))
+    rep.select(col("tbl"), col("rule_id"), col("n_rows"),
+        col("n_viol").cast("bigint").as("n_viol"),
+        (col("n_viol") === 0).cast("int").as("pass"))
+      .orderBy("tbl", "rule_id")
   }
 
   /** ts1 — per-user exponentially-weighted moving average of the daily
@@ -458,6 +514,46 @@ object Quality {
         |  m.mode_date, m.mode_n
         |FROM med JOIN m USING (o_orderpriority)
         |WHERE m.rn = 1 ORDER BY 1""".stripMargin)),
+    QueryDef("dq6_expectation_suite", expectationSuite, Some(
+      """WITH o AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (o_totalprice IS NULL OR o_totalprice <= 0) AS r1,
+        |    count(*) FILTER (CAST(o_orderdate AS DATE) < DATE '1992-01-01'
+        |      OR CAST(o_orderdate AS DATE) > DATE '2002-12-31') AS r2,
+        |    count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) AS r3,
+        |    count(*) - count(DISTINCT o_orderkey) AS r4
+        |  FROM orders),
+        |l AS (
+        |  SELECT count(*) AS n,
+        |    count(*) FILTER (l_quantity IS NULL OR l_quantity <= 0
+        |      OR l_quantity > 1000) AS r1,
+        |    count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS r2,
+        |    count(*) FILTER (l_tax < 0 OR l_tax > 0.08) AS r3,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS r4
+        |  FROM lineitem),
+        |c AS (
+        |  SELECT count(*) AS n,
+        |    count(*) - count(DISTINCT c_custkey) AS r1,
+        |    count(*) FILTER (c_acctbal IS NULL) AS r2,
+        |    count(*) FILTER (c_mktsegment NOT IN ('AUTOMOBILE', 'BUILDING',
+        |      'FURNITURE', 'MACHINERY', 'HOUSEHOLD')) AS r3
+        |  FROM customer),
+        |rep AS (
+        |  SELECT 'orders' AS tbl, 'totalprice_positive' AS rule_id,
+        |    n AS n_rows, r1 AS n_viol FROM o
+        |  UNION ALL SELECT 'orders', 'orderdate_window', n, r2 FROM o
+        |  UNION ALL SELECT 'orders', 'status_domain', n, r3 FROM o
+        |  UNION ALL SELECT 'orders', 'orderkey_unique', n, r4 FROM o
+        |  UNION ALL SELECT 'lineitem', 'quantity_range', n, r1 FROM l
+        |  UNION ALL SELECT 'lineitem', 'discount_range', n, r2 FROM l
+        |  UNION ALL SELECT 'lineitem', 'tax_range', n, r3 FROM l
+        |  UNION ALL SELECT 'lineitem', 'pk_unique', n, r4 FROM l
+        |  UNION ALL SELECT 'customer', 'custkey_unique', n, r1 FROM c
+        |  UNION ALL SELECT 'customer', 'acctbal_not_null', n, r2 FROM c
+        |  UNION ALL SELECT 'customer', 'mktsegment_domain', n, r3 FROM c)
+        |SELECT tbl, rule_id, n_rows, CAST(n_viol AS BIGINT) AS n_viol,
+        |  CAST(CASE WHEN n_viol = 0 THEN 1 ELSE 0 END AS INT) AS pass
+        |FROM rep ORDER BY tbl, rule_id""".stripMargin)),
     QueryDef("dq1_quality_profile", qualityProfile, Some(
       """WITH base AS (
         |  SELECT count(*) AS n_rows,

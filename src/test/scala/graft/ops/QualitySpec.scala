@@ -98,4 +98,45 @@ class QualitySpec extends SparkSpec {
       assert(math.abs(got(uid)._2 - e) < 1e-3, s"ewma user $uid: ${got(uid)._2} vs $e")
     }
   }
+
+  test("expectation suite: every planted violation fires exactly its rule") {
+    import java.sql.Timestamp
+    val ok = Timestamp.valueOf("1996-06-01 00:00:00")
+    val o = Seq(
+      (1L, 1L, "O", 100.0, ok, "1-URGENT"),
+      (2L, 1L, "X", -5.0, Timestamp.valueOf("2010-01-01 00:00:00"), "2-HIGH"),
+      (2L, 2L, "F", 50.0, ok, "3-MEDIUM")) // dup orderkey 2
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+    val li = Seq(
+      (1L, 1L, 1L, 1, 5.0, 100.0, 0.05, 0.04),
+      (1L, 2L, 1L, 1, -3.0, 100.0, 0.5, 0.99)) // dup pk + qty/disc/tax viol
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val c = Seq(
+      (1L, "a", 1, Some(10.0), "BUILDING"),
+      (1L, "b", 1, None: Option[Double], "PLASTICS")) // dup key, null bal, bad seg
+      .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+    val got = Quality.expectationReport(o, li, c).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getInt(4)))
+      .toMap
+    val expected = Map(
+      ("orders", "totalprice_positive") -> (1L, 0),
+      ("orders", "orderdate_window") -> (1L, 0),
+      ("orders", "status_domain") -> (1L, 0),
+      ("orders", "orderkey_unique") -> (1L, 0),
+      ("lineitem", "quantity_range") -> (1L, 0),
+      ("lineitem", "discount_range") -> (1L, 0),
+      ("lineitem", "tax_range") -> (1L, 0),
+      ("lineitem", "pk_unique") -> (1L, 0),
+      ("customer", "custkey_unique") -> (1L, 0),
+      ("customer", "acctbal_not_null") -> (1L, 0),
+      ("customer", "mktsegment_domain") -> (1L, 0))
+    assert(got == expected)
+    // and the clean fixture passes everything except nothing is hidden:
+    // rule count is the full declared suite
+    val clean = Quality.expectationSuite(spark, sf0001).collect()
+    assert(clean.length == 11)
+    assert(clean.forall(_.getLong(2) > 0))
+  }
 }
