@@ -214,7 +214,58 @@ object Mutations {
       .orderBy("o_orderkey")
   }
 
+  /** up8 — ERASURE propagation (the right-to-be-forgotten primitive):
+    * given a delete set of customer keys, cascade the deletion down the
+    * foreign-key chain — customer → their orders → those orders'
+    * lineitems — and emit the per-table audit (before / deleted / after)
+    * a compliance log requires. The delete set here is deterministic
+    * (`c_custkey % 37 = 0`) so the audit is exactly oracled; in
+    * production it arrives as a table of request keys. Scale shape: each
+    * hop is ONE left-semi join on the key the child table would be
+    * bucketed by (custkey, then orderkey) — the deleted-orders key set
+    * flows as a dataflow edge, never through the driver — and the
+    * cleansed tables are the same joins as anti; at 100 TB this pairs
+    * with up6's dynamic partition overwrite to rewrite only partitions
+    * containing matched rows.
+    */
+  def erasurePropagation(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    val li = lineitem(s, d)
+    val del = c.filter(pmod(col("c_custkey"), lit(37)) === 0)
+      .select(col("c_custkey").as("k"))
+    val delOrders = o.join(del, col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("ok"))
+    def audit(tbl: String, df: DataFrame, deleted: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_before"))
+        .crossJoin(deleted.agg(count(lit(1)).as("n_deleted")))
+        .select(lit(tbl).as("tbl"), col("n_before"), col("n_deleted"),
+          (col("n_before") - col("n_deleted")).as("n_after"))
+    audit("customer", c,
+        c.join(del, col("c_custkey") === col("k"), "left_semi"))
+      .unionAll(audit("orders", o, delOrders))
+      .unionAll(audit("lineitem", li,
+        li.join(delOrders, col("l_orderkey") === col("ok"), "left_semi")))
+      .orderBy("tbl")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up8_erasure_cascade", erasurePropagation, Some(
+      """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
+        |dord AS (SELECT o_orderkey FROM orders
+        |         WHERE o_custkey IN (SELECT c_custkey FROM del)),
+        |rep AS (
+        |  SELECT 'customer' AS tbl,
+        |    (SELECT count(*) FROM customer) AS n_before,
+        |    (SELECT count(*) FROM del) AS n_deleted
+        |  UNION ALL SELECT 'orders',
+        |    (SELECT count(*) FROM orders), (SELECT count(*) FROM dord)
+        |  UNION ALL SELECT 'lineitem',
+        |    (SELECT count(*) FROM lineitem),
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM dord)))
+        |SELECT tbl, n_before, n_deleted, n_before - n_deleted AS n_after
+        |FROM rep ORDER BY tbl""".stripMargin)),
     // oracle = the NEW snapshot rebuilt from source: diff-apply must be
     // indistinguishable from a rebuild
     QueryDef("up7_cdc_apply", cdcApply, Some(

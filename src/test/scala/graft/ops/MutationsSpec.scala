@@ -80,4 +80,31 @@ class MutationsSpec extends SparkSpec {
       .select((col("new_price") - col("old_price")).as("d")).collect()
     assert(upd.nonEmpty && upd.forall(_.getDouble(0) == 10.0))
   }
+
+  test("erasure cascade: audit counts consistent and the cascade is referentially closed") {
+    val rows = Mutations.erasurePropagation(spark, sf0001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(rows.keySet == Set("customer", "orders", "lineitem"))
+    rows.values.foreach { case (before, deleted, after) =>
+      assert(after == before - deleted && deleted > 0)
+    }
+    // the semantics, independently: no surviving order references a
+    // deleted customer, no surviving lineitem references a deleted order
+    val c = graft.Tables.customer(spark, sf0001)
+    val o = graft.Tables.orders(spark, sf0001)
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val del = c.filter(pmod(col("c_custkey"), lit(37)) === 0)
+      .select(col("c_custkey").as("k"))
+    val survO = o.join(del, col("o_custkey") === col("k"), "left_anti")
+    assert(survO.join(del, col("o_custkey") === col("k"), "left_semi").count() == 0)
+    val delOrders = o.join(del, col("o_custkey") === col("k"), "left_semi")
+      .select(col("o_orderkey").as("ok"))
+    val survLi = li.join(delOrders, col("l_orderkey") === col("ok"), "left_anti")
+    assert(survLi.join(delOrders, col("l_orderkey") === col("ok"), "left_semi")
+      .count() == 0)
+    // and the audit's deleted counts equal the survivors' complement
+    assert(rows("orders")._3 == survO.count())
+    assert(rows("lineitem")._3 == survLi.count())
+  }
 }
