@@ -561,6 +561,58 @@ object Sources {
       .orderBy("version")
   }
 
+  /** src15 — INCREMENTAL read between table snapshots via MANIFESTS
+    * (Iceberg's incremental-scan primitive rebuilt on plain parquet):
+    * each ingest batch appends data files and records the table's file
+    * list as a versioned manifest; a consumer that is current as of v1
+    * reads ONLY the files manifest(v2) adds over manifest(v1) — planning
+    * is a metadata diff, and the scan touches the delta, never the
+    * accumulated table. This is how a downstream job tails a 100 TB
+    * append table without re-reading history: file lists are
+    * metadata-sized (names, not data), the set diff happens driver-side
+    * on those names, and the data read is batch-2-sized. The aggregate
+    * over the incremental slice is exactly oracled (= the second
+    * batch's rows); SourcesSpec pins the SCAN property — the
+    * incremental read's input files are precisely the added files.
+    */
+  def incrementalManifestScan(s: SparkSession, d: String): DataFrame = {
+    val root = Tables.scratchDir("graft_src15_inc", d)
+    val hp = new org.apache.hadoop.fs.Path(root)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(hp, true) // deterministic two-batch history per run
+    val dataDir = s"$root/data"
+    def dataFiles(): Seq[String] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(dataDir))
+        .map(_.getPath.toString).filter(_.contains("/part-")).sorted.toSeq
+    def writeManifest(v: Int, files: Seq[String]): Unit = {
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.list"), true)
+      try out.write(files.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+    def readManifest(v: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(s"$root/manifests/v$v.list"))
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    val ev = events(s, d).select(
+      col("event_id"), col("ts"), col("user_id"), col("value"))
+    val cut = lit("2024-01-25").cast("timestamp")
+    ev.filter(col("ts") < cut).write.mode("append").parquet(dataDir)
+    writeManifest(1, dataFiles())
+    ev.filter(col("ts") >= cut).write.mode("append").parquet(dataDir)
+    writeManifest(2, dataFiles())
+    // the consumer: current as of v1, catching up to v2 — metadata diff,
+    // then a scan of ONLY the added files
+    val have = readManifest(1).toSet
+    val added = readManifest(2).filterNot(have)
+    s.read.parquet(added: _*)
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum("value"), 4).as("sum_value"))
+  }
+
   /** j13 — DYNAMIC partition pruning: the fact table is partitioned on
     * the join key, the dim side's filter is only known at runtime, and
     * Spark turns the broadcast dim into a partition filter on the fact
@@ -608,6 +660,10 @@ object Sources {
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("j14_bucketed_asof", bucketedAsOf,
       Some(graft.ops.Analytics.asofOracle)),
+    QueryDef("src15_incremental_manifest", incrementalManifestScan, Some(
+      """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events WHERE ts >= TIMESTAMP '2024-01-25'""".stripMargin)),
     QueryDef("src14_time_travel", timeTravelRead, Some(
       """SELECT 'current' AS version, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue
