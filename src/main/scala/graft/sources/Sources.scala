@@ -613,6 +613,70 @@ object Sources {
         round(sum("value"), 4).as("sum_value"))
   }
 
+  /** src16 — MERGE-ON-READ with POSITION DELETES (Iceberg v2 delete
+    * files / Delta deletion vectors rebuilt on plain parquet): a delete
+    * commit writes a metadata-sized DELETE FILE of (data file, row
+    * ordinal) pairs instead of rewriting data files; the reader subtracts
+    * deleted positions with a broadcast anti-join at scan time. At 100 TB
+    * this is the difference between a delete whose write cost is
+    * proportional to every touched data file (copy-on-write) and one
+    * whose write cost is proportional to the DELETED ROWS — the rewrite
+    * is deferred to the next compaction pass (src10), which is when
+    * accumulated delete files get folded in and the broadcast stays
+    * small. Positions come from the parquet scan's `_metadata.row_index`
+    * (stable row ordinal within a file), so the delete file pins exact
+    * physical rows and stays valid even if the predicate columns are
+    * later updated — the property equality deletes cannot give.
+    * SourcesSpec pins the MOR contract: the delete commit leaves every
+    * data file byte-identical, and the masked read equals a plain filter.
+    *
+    * The reference has no deletes at all — its rating matrix is written
+    * once per MR job (ALS-Hadoop/ALS/ALS.java:228-237); this is the
+    * extension surface a mutable 100 TB corpus needs.
+    */
+  private[graft] def morWriteData(s: SparkSession, d: String): String = {
+    val root = Tables.scratchDir("graft_src16_mor", d)
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    orders(s, d)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice")
+      .repartition(4) // several data files: deletes must address (file, pos)
+      .write.parquet(s"$root/data")
+    root
+  }
+
+  /** The delete commit: positions of matching rows, nothing else written. */
+  private[graft] def morCommitDelete(s: SparkSession, root: String): Unit =
+    s.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"),
+        col("o_orderpriority"))
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("file_path", "pos")
+      .write.mode("overwrite").parquet(s"$root/deletes")
+
+  /** The MOR reader: data minus delete-file positions. The delete side is
+    * deleted-rows-sized (and per-file in a real format), so broadcast is
+    * the right shape; when deletes accumulate past that, compaction — not
+    * a bigger join — is the remedy.
+    */
+  private[graft] def morRead(s: SparkSession, root: String): DataFrame =
+    s.read.parquet(s"$root/data")
+      .withColumn("file_path", col("_metadata.file_path"))
+      .withColumn("pos", col("_metadata.row_index"))
+      .join(broadcast(s.read.parquet(s"$root/deletes")),
+        Seq("file_path", "pos"), "left_anti")
+      .drop("file_path", "pos")
+
+  def mergeOnReadDeletes(s: SparkSession, d: String): DataFrame = {
+    val root = morWriteData(s, d)
+    morCommitDelete(s, root)
+    morRead(s, root)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   /** j13 — DYNAMIC partition pruning: the fact table is partitioned on
     * the join key, the dim side's filter is only known at runtime, and
     * Spark turns the broadcast dim into a partition filter on the fact
@@ -660,6 +724,11 @@ object Sources {
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("j14_bucketed_asof", bucketedAsOf,
       Some(graft.ops.Analytics.asofOracle)),
+    QueryDef("src16_mor_deletes", mergeOnReadDeletes, Some(
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src15_incremental_manifest", incrementalManifestScan, Some(
       """SELECT count(*) AS n, count(DISTINCT user_id) AS n_users,
         |  round(sum(value), 4) AS sum_value

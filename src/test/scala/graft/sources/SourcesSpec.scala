@@ -228,4 +228,37 @@ class SourcesSpec extends SparkSpec {
       .filter(col("ts") >= lit("2024-01-25").cast("timestamp")).count()
     assert(n == expected)
   }
+
+  test("merge-on-read: delete commit leaves data files byte-identical, read applies deletes") {
+    import org.apache.spark.sql.functions._
+    val root = Sources.morWriteData(spark, sf0001)
+    def norm(p: String): String = p.stripPrefix("file:")
+    def dataFileHashes(): Map[String, String] = {
+      val dir = new java.io.File(norm(s"$root/data"))
+      dir.listFiles().filter(_.getName.startsWith("part-")).map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        f.getName -> java.util.Base64.getEncoder.encodeToString(
+          java.security.MessageDigest.getInstance("MD5").digest(bytes))
+      }.toMap
+    }
+    val before = dataFileHashes()
+    assert(before.size >= 2, "need several data files for (file, pos) deletes")
+    Sources.morCommitDelete(spark, root)
+    // the MOR contract: deleting rewrote NOTHING in the data dir
+    assert(dataFileHashes() == before,
+      "delete commit must not touch data files")
+    // the delete file is deleted-rows-sized, far smaller than the data
+    def dirBytes(sub: String): Long =
+      new java.io.File(norm(s"$root/$sub")).listFiles()
+        .filter(_.getName.startsWith("part-")).map(_.length).sum
+    assert(dirBytes("deletes") < dirBytes("data") / 2,
+      s"delete file should be metadata-sized: ${dirBytes("deletes")} vs ${dirBytes("data")}")
+    // masked read == plain filter, row for row
+    val masked = Sources.morRead(spark, root)
+      .agg(count(lit(1)), coalesce(sum("o_orderkey"), lit(0L))).head()
+    val direct = graft.Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .agg(count(lit(1)), coalesce(sum("o_orderkey"), lit(0L))).head()
+    assert(masked == direct)
+  }
 }
