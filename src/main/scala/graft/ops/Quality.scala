@@ -377,7 +377,67 @@ object Quality {
         col("n_days"), col("abs_dev"))
   }
 
+  /** ts5 — Holt linear (double-exponential) smoothing of the daily
+    * revenue series: level_t = α·x_t + (1−α)(level+trend),
+    * trend_t = β·(level_t − level_{t−1}) + (1−β)·trend — the forecast
+    * behind every "where is this metric heading" panel, one step beyond
+    * ts1's trendless EWMA. The recurrence is inherently sequential, so it
+    * runs as ONE pass over the calendar-sized daily rollup on a single
+    * partition (the ts3/ts4 exception: the only fact-table-sized work is
+    * the first groupBy; |days| rows thereafter regardless of scale).
+    * Exactness discipline: α=1/5 and β=1/10 as exact rationals over
+    * micro-cent longs with truncating integer division — Scala `/` and
+    * DuckDB `//` both truncate toward zero — so every state value is an
+    * exact integer and the hash cannot wobble; quantization error is
+    * ≤ 1 micro-cent per step. Emitted values stay integer (micro-cents)
+    * for the same reason ts4 emits cents: no float leaves the operator.
+    */
+  def holtSmoothing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg((round(round(sum("o_totalprice"), 2) * 100, 0).cast("long") * 10000L)
+        .as("xs"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("xs"))
+    val smoothed = daily.as[(String, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        var lvl = 0L; var trd = 0L; var first = true
+        it.map { case (day, xs) =>
+          if (first) { lvl = xs; trd = 0L; first = false }
+          else {
+            val l1 = (xs + 4L * (lvl + trd)) / 5L
+            trd = (l1 - lvl + 9L * trd) / 10L
+            lvl = l1
+          }
+          (day, xs, lvl, trd)
+        }
+      }.toDF("day", "xs", "lvl", "trd")
+    smoothed.select(col("day"),
+      expr("xs div 10000").as("rev_cents"),
+      col("lvl").as("level_u"), col("trd").as("trend_u"),
+      (col("lvl") + col("trd")).as("forecast_u"))
+      .orderBy("day")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ts5_holt_smoothing", (s, d) => holtSmoothing(s, d), Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) * 10000 AS xs
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT day, xs, row_number() OVER (ORDER BY day) AS t FROM daily),
+        |rec AS (
+        |  SELECT t, day, xs, xs AS lvl, CAST(0 AS BIGINT) AS trd
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.xs,
+        |    (i.xs + 4 * (r.lvl + r.trd)) // 5,
+        |    (((i.xs + 4 * (r.lvl + r.trd)) // 5) - r.lvl + 9 * r.trd) // 10
+        |  FROM idx i JOIN rec r ON i.t = r.t + 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, xs // 10000 AS rev_cents,
+        |  lvl AS level_u, trd AS trend_u, lvl + trd AS forecast_u
+        |FROM rec ORDER BY day""".stripMargin)),
     QueryDef("ts4_cusum_changepoint", (s, d) => cusumChangepoint(s, d), Some(
       """WITH daily AS (
         |  SELECT o_orderdate AS day,

