@@ -580,6 +580,34 @@ object TextAnalysis {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** p12 — CURRICULUM ordering: the easy-first feed order curriculum
+    * training wants, as a pure function of content — documents fall into
+    * quality tiers by FIXED thresholds on the rounded t2 quality score
+    * (tier 1 ≥ 0.8 first, then [0.5, 0.8), then the tail), and within a
+    * tier the order is p11's deterministic shuffle (shard = first hex
+    * nibble of md5(doc_id), pos = within-shard rank) so batches inside a
+    * tier stay decorrelated. Fixed thresholds — not ntile — on purpose:
+    * a global ntile is a corpus-wide single-task sort (the e11 trap),
+    * while threshold tiers need no coordination at all; if data-relative
+    * cuts are wanted, compute the two quality cut points as a broadcast
+    * aggregate (e15's decile discipline) and keep this shape. The only
+    * sort is within (tier, shard) — 1/48th of the corpus per task.
+    */
+  def curriculumOrder(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("tier", "shard").orderBy("hk", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"), round(qualityCol(col("text")), 6).as("quality"))
+      .withColumn("tier",
+        when(col("quality") >= 0.8, 1)
+          .when(col("quality") >= 0.5, 2)
+          .otherwise(3))
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .withColumn("shard", substring(col("hk"), 1, 1))
+      .withColumn("pos", row_number().over(w))
+      .select("tier", "shard", "pos", "doc_id", "quality")
+      .orderBy("tier", "shard", "pos")
+  }
+
   /** p9 — the assembled clean training corpus, summarized per source:
     * exact dedup (keep the min-id copy per identical text) and benchmark
     * decontamination (t9's shingle-overlap flag) composed into one
@@ -1537,6 +1565,34 @@ object TextAnalysis {
         |  CAST(row_number() OVER (PARTITION BY substr(hk, 1, 2)
         |    ORDER BY hk, doc_id) AS INT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin)),
+    QueryDef("p12_curriculum_order", (s, d) => curriculumOrder(s, d), Some(
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(length(text) AS DOUBLE) AS n_chr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS sw,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS dg
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, round(
+        |    (CASE WHEN (n_chr - (n_tok - 1)) / n_tok BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE
+        |          THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        |    + least(sw / n_tok * 3.0::DOUBLE, 0.4::DOUBLE)
+        |    + (CASE WHEN dg / n_chr < 0.2::DOUBLE THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END),
+        |    6) AS quality
+        |  FROM q),
+        |t AS (
+        |  SELECT doc_id, quality,
+        |    CASE WHEN quality >= 0.8::DOUBLE THEN 1
+        |         WHEN quality >= 0.5::DOUBLE THEN 2 ELSE 3 END AS tier,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM sc)
+        |SELECT tier, substr(hk, 1, 1) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY tier, substr(hk, 1, 1)
+        |    ORDER BY hk, doc_id) AS INT) AS pos,
+        |  doc_id, quality
+        |FROM t ORDER BY tier, shard, pos""".stripMargin)),
     QueryDef("p11_epoch_shuffle", (s, d) => epochShuffle(s, d), Some(
       """WITH e AS (
         |  SELECT doc_id, epoch

@@ -504,4 +504,22 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3)))
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("curriculum: tiers partition the corpus by threshold, within-tier order is p11's shuffle") {
+    val rows = TextAnalysis.curriculumOrder(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    // every doc appears exactly once across tiers
+    assert(rows.map(_._4).distinct.length.toLong == nDocs)
+    // thresholds respected
+    rows.foreach { case (tier, _, _, id, q) =>
+      val expect = if (q >= 0.8) 1 else if (q >= 0.5) 2 else 3
+      assert(tier == expect, s"doc $id quality $q in tier $tier")
+    }
+    assert(rows.map(_._1).distinct.length >= 2, "fixture should span tiers")
+    // dense per-(tier, shard) cursors
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"holes in $k")
+    }
+  }
 }
