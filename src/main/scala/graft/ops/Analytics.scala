@@ -847,7 +847,66 @@ object Analytics {
       .limit(k)
   }
 
+  /** a21 — association rules (support / confidence / lift) over order
+    * baskets: for every part pair co-occurring in ≥ minPair orders, both
+    * directed rules with confidence = P(cons|ante) and
+    * lift = P(ante,cons) / (P(ante)·P(cons)) — the market-basket screen
+    * behind "frequently bought together". Scale shape: the pair build
+    * reuses g2's basket-capped self-join ([[Graph.cappedPairs]] — pair
+    * count is quadratic in basket size, so the deterministic per-order
+    * cap is what stops one pathological basket emitting 10¹⁰ rows);
+    * supports are map-side-combinable counts; the two item-support joins
+    * hash on the item key with no forced broadcast (the e12 lesson —
+    * item counts scale with |items|, so AQE picks the strategy); the
+    * min-support filter runs BEFORE the joins, so rule assembly touches
+    * only surviving pairs. Products go through double before dividing —
+    * |items|² counts overflow long at the 100 TB design point.
+    */
+  def assocRules(s: SparkSession, d: String, minPair: Long = 3): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val nB = op.agg(countDistinct("ok").as("n_baskets"))
+    val itemN = op.groupBy("pk").agg(count(lit(1)).as("item_n"))
+    val pairN = Graph.cappedPairs(op, Graph.maxBasket)
+      .groupBy("u", "v").agg(count(lit(1)).as("pair_n"))
+      .filter(col("pair_n") >= minPair)
+    val both = pairN
+      .select(col("u").as("ante"), col("v").as("cons"), col("pair_n"))
+      .unionByName(pairN
+        .select(col("v").as("ante"), col("u").as("cons"), col("pair_n")))
+    both
+      .join(itemN.select(col("pk").as("ante"), col("item_n").as("ante_n")), "ante")
+      .join(itemN.select(col("pk").as("cons"), col("item_n").as("cons_n")), "cons")
+      .crossJoin(broadcast(nB))
+      .select(col("ante"), col("cons"), col("pair_n"), col("ante_n"), col("cons_n"),
+        round(col("pair_n").cast("double") / col("ante_n"), 6).as("confidence"),
+        round(col("pair_n").cast("double") * col("n_baskets") /
+          (col("ante_n").cast("double") * col("cons_n")), 6).as("lift"))
+      .orderBy("ante", "cons")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a21_assoc_rules", (s, d) => assocRules(s, d), Some(
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |nb AS (SELECT count(DISTINCT ok) AS n_baskets FROM op),
+        |item AS (SELECT pk, count(*) AS item_n FROM op GROUP BY 1),
+        |pc AS (
+        |  SELECT a.pk AS u, b.pk AS v, count(*) AS pair_n
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+        |  GROUP BY 1, 2 HAVING count(*) >= 3),
+        |pairs AS (
+        |  SELECT u AS ante, v AS cons, pair_n FROM pc
+        |  UNION ALL SELECT v, u, pair_n FROM pc)
+        |SELECT ante, cons, pair_n,
+        |  ia.item_n AS ante_n, ic.item_n AS cons_n,
+        |  round(CAST(pair_n AS DOUBLE) / ia.item_n, 6) AS confidence,
+        |  round(CAST(pair_n AS DOUBLE) * n_baskets
+        |    / (CAST(ia.item_n AS DOUBLE) * ic.item_n), 6) AS lift
+        |FROM pairs JOIN item ia ON pairs.ante = ia.pk
+        |JOIN item ic ON pairs.cons = ic.pk
+        |CROSS JOIN nb
+        |ORDER BY ante, cons""".stripMargin)),
     QueryDef("w6_longest_streak", longestStreak, Some(
       """WITH days AS (
         |  SELECT DISTINCT o_custkey,

@@ -350,4 +350,30 @@ class AnalyticsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(got == exact, "bitmap OR-merge lost or invented distinct ids")
   }
+
+  test("association rules: identities hold and supports are exact") {
+    import org.apache.spark.sql.functions._
+    val rules = Analytics.assocRules(spark, sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5), r.getDouble(6))))
+    assert(rules.nonEmpty, "fixture should produce rules at minPair=3")
+    val byPair = rules.toMap
+    rules.foreach { case ((a, c), (pn, an, cn, conf, lift)) =>
+      assert(pn >= 3)
+      // confidence is exactly pair/ante (same rounding)
+      assert(conf == BigDecimal(pn.toDouble / an)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      // the mirrored rule exists with identical pair support and lift
+      val (pn2, an2, cn2, _, lift2) = byPair((c, a))
+      assert(pn2 == pn && an2 == cn && cn2 == an && lift2 == lift)
+    }
+    // spot-check one pair's supports against direct counts
+    val ((a, c), (pn, an, _, _, _)) = rules.head
+    val op = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")).distinct()
+    val exactPair = op.filter(col("pk") === a).select("ok")
+      .intersect(op.filter(col("pk") === c).select("ok")).count()
+    val exactAnte = op.filter(col("pk") === a).count()
+    assert(pn == exactPair && an == exactAnte)
+  }
 }
