@@ -420,7 +420,43 @@ object Quality {
       .orderBy("day")
   }
 
+  /** dq7 — FRESHNESS / staleness SLA audit per event source: how far
+    * each source's newest event lags the corpus watermark, whether it
+    * breaches the SLA, and whether it is still flowing (events inside
+    * the trailing 24 h window). The ingestion-health page every
+    * multi-source pipeline needs — a source that silently stops is
+    * invisible to row-count checks (dq1) because its historical rows
+    * are all still there. One fact pass: the watermark is a broadcast
+    * 1-row aggregate (the dq5 shape), lag is exact integer micros
+    * (`div`, no fp), and the per-source agg is map-side combinable.
+    */
+  def freshnessAudit(s: SparkSession, d: String, slaHours: Long = 4): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), col("ts"), unix_micros(col("ts")).as("us"))
+    val glob = ev.agg(max("us").as("glob_us"))
+    ev.crossJoin(broadcast(glob))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_events"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_ts"),
+        expr("(max(glob_us) - max(us)) div 3600000000").as("lag_hours"),
+        count(when(col("us") > col("glob_us") - lit(86400000000L), true))
+          .as("n_last_24h"))
+      .withColumn("stale", (col("lag_hours") >= slaHours).cast("int"))
+      .orderBy("event_type")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq7_freshness_sla", (s, d) => freshnessAudit(s, d), Some(
+      """WITH ev AS (SELECT event_type, ts, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT max(us) AS glob_us FROM ev)
+        |SELECT event_type, count(*) AS n_events,
+        |  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts,
+        |  (max(glob_us) - max(us)) // 3600000000 AS lag_hours,
+        |  count(CASE WHEN us > glob_us - 86400000000 THEN 1 END) AS n_last_24h,
+        |  CAST((max(glob_us) - max(us)) // 3600000000 >= 4 AS INT) AS stale
+        |FROM ev CROSS JOIN g
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("ts5_holt_smoothing", (s, d) => holtSmoothing(s, d), Some(
       """WITH RECURSIVE daily AS (
         |  SELECT o_orderdate AS day,
