@@ -177,7 +177,75 @@ object Multimodal {
       .select(col("doc_id"), col("chunk_idx"), col("offset"), col("chunk_len"))
       .orderBy("doc_id", "chunk_idx")
 
+  /** m6 — contrastive TEXT↔BLOB pair assembly: for every document, its
+    * aligned blob (the positive) plus `negs` deterministic in-batch
+    * negatives — the training-pair plumbing behind every CLIP-style
+    * multimodal run. Negative choice is a PURE FUNCTION of
+    * (doc_id, pair index): blob of the doc at a fixed modular offset in
+    * the dense id space (o15's dictionary encode is what guarantees
+    * density at scale), so resampling is rerun-stable, needs no RNG
+    * state, and — unlike hash-ring or shuffled-window sampling — no
+    * global sort. Each negative carries an `aligned` flag recomputed
+    * from metadata (language match): contrastive batches tolerate the
+    * occasional false negative and the flag makes that rate measurable.
+    * Shape at scale: one explode (×(negs+1), narrow), one hash join of
+    * pairs to the blob side on blob_id, a broadcast 1-row extent
+    * aggregate; no shuffle beyond the join.
+    */
+  def pairAlignment(s: SparkSession, d: String, negs: Int = 2): DataFrame = {
+    val blobs = blobTable(s, d).toDF()
+      .select(col("doc_id").as("blob_id"), col("mime"),
+        col("n_bytes"), sha2(col("payload"), 256).as("sha256"))
+    val docs = documents(s, d).select(col("doc_id"), col("lang"))
+    val extent = docs.agg(count(lit(1)).as("n_docs"), min("doc_id").as("min_id"))
+    docs.crossJoin(broadcast(extent))
+      .withColumn("k", explode(sequence(lit(0), lit(negs))))
+      .withColumn("off",
+        when(col("k") === 0, 0L)
+          .otherwise(
+            when(pmod(col("k") * 7919L, col("n_docs")) === 0, 1L)
+              .otherwise(pmod(col("k") * 7919L, col("n_docs")))))
+      .withColumn("blob_id",
+        col("min_id") + pmod(col("doc_id") - col("min_id") + col("off"),
+          col("n_docs")))
+      .join(blobs, "blob_id")
+      .select(
+        col("doc_id").as("anchor_id"),
+        when(col("k") === 0, "pos")
+          .otherwise(concat(lit("neg"), col("k"))).as("pair_type"),
+        col("blob_id"), col("sha256"), col("n_bytes"),
+        (col("mime") === concat(lit("text/plain;lang="), col("lang")))
+          .cast("int").as("aligned"))
+      .orderBy("anchor_id", "pair_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m6_pair_alignment", (s, d) => pairAlignment(s, d), Some(
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents),
+        |ext AS (SELECT count(*) AS n_docs, min(doc_id) AS min_id FROM docs),
+        |blobs AS (
+        |  SELECT doc_id AS blob_id, 'text/plain;lang=' || lang AS mime,
+        |    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        |    sha256(text) AS sha256
+        |  FROM docs),
+        |pairs AS (
+        |  SELECT d.doc_id, d.lang, k.k,
+        |    CASE WHEN k.k = 0 THEN 0
+        |         WHEN (k.k * 7919) % n_docs = 0 THEN 1
+        |         ELSE (k.k * 7919) % n_docs END AS off,
+        |    min_id + ((d.doc_id - min_id
+        |      + CASE WHEN k.k = 0 THEN 0
+        |             WHEN (k.k * 7919) % n_docs = 0 THEN 1
+        |             ELSE (k.k * 7919) % n_docs END) % n_docs) AS blob_id
+        |  FROM docs d CROSS JOIN ext
+        |  CROSS JOIN (SELECT unnest([0, 1, 2]) AS k) k)
+        |SELECT p.doc_id AS anchor_id,
+        |  CASE WHEN p.k = 0 THEN 'pos' ELSE 'neg' || CAST(p.k AS VARCHAR) END
+        |    AS pair_type,
+        |  b.blob_id, b.sha256, b.n_bytes,
+        |  CAST(b.mime = 'text/plain;lang=' || p.lang AS INT) AS aligned
+        |FROM pairs p JOIN blobs b USING (blob_id)
+        |ORDER BY anchor_id, pair_type""".stripMargin)),
     QueryDef("m5_blob_chunks", blobChunks, Some(
       s"""WITH d AS (
         |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n FROM documents),

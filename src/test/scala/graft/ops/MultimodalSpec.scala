@@ -62,4 +62,22 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("pair alignment: positives are the anchor's own blob, negatives never are") {
+    val rows = Multimodal.pairAlignment(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(5)))
+    val n = graft.Tables.documents(spark, sf0001).count()
+    assert(rows.length.toLong == 3 * n)
+    val (pos, neg) = rows.partition(_._2 == "pos")
+    // every positive pairs the anchor with its own blob and is aligned
+    assert(pos.length.toLong == n)
+    pos.foreach { case (a, _, b, al) => assert(a == b && al == 1) }
+    // negatives never self-pair, and each anchor gets 2 distinct ones
+    neg.foreach { case (a, _, b, _) => assert(a != b) }
+    neg.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.map(_._3).distinct.length == 2, s"anchor $a negatives collide")
+    }
+    // the false-negative rate is measurable and below 1 (langs vary)
+    assert(neg.exists(_._4 == 0))
+  }
 }
