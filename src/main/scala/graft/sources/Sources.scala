@@ -677,6 +677,73 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** src17 — FILE-LEVEL BLOOM INDEX for point lookups (the Parquet
+    * bloom-filter / Iceberg puffin sidecar pattern, built explicitly so
+    * the pruning is observable): the table is hash-clustered on the
+    * lookup key at write time, a metadata pass builds one small bloom
+    * per data file (distributed: per-(file, word) bit_or of per-key bit
+    * contributions — never a per-file collect), and a point lookup
+    * consults the index first, scanning ONLY files whose bloom contains
+    * the key. At 100 TB the index is file-count-sized (KBs per file,
+    * read in one metadata-sized scan), and a needle query touches one
+    * file instead of the table — the layout+index combination src11/
+    * src12 provide for ranges, specialized to equality. Hash functions
+    * are the re-hash family xxhash64(seed, key) (the ANSI-safe
+    * discipline — no affine remixing); build and probe share the exact
+    * expression so the bits line up by construction.
+    */
+  private[graft] val bloomBits = 4096
+
+  private[graft] def bloomIndexStage(s: SparkSession, d: String): String = {
+    val root = Tables.scratchDir("graft_src17_bloom", d)
+    val hp = new org.apache.hadoop.fs.Path(root)
+    hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+    events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .repartition(16, col("user_id")) // hash-clustered: a key lives in ONE file
+      .write.parquet(s"$root/data")
+    // metadata pass → per-file bloom, fully distributed
+    s.read.parquet(s"$root/data")
+      .select(col("_metadata.file_path").as("f"), col("user_id")).distinct()
+      .withColumn("seed", explode(sequence(lit(0), lit(2))))
+      .withColumn("pos",
+        pmod(xxhash64(col("seed"), col("user_id")), lit(bloomBits)))
+      .select(col("f"), expr("pos div 64").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+      .groupBy("f", "w").agg(bit_or(col("mask")).as("word"))
+      .write.parquet(s"$root/index")
+    root
+  }
+
+  /** Files whose bloom reports the key present — the only files a point
+    * lookup scans. The collect is index-sized (≤ #files rows).
+    */
+  private[graft] def bloomCandidates(s: SparkSession, root: String,
+      key: Long): Seq[String] = {
+    val probe = s.range(1)
+      .withColumn("seed", explode(sequence(lit(0), lit(2))))
+      .withColumn("pos",
+        pmod(xxhash64(col("seed"), lit(key)), lit(bloomBits)))
+      .select(expr("pos div 64").as("w"),
+        expr("shiftleft(1L, cast(pos % 64 as int))").as("mask"))
+    s.read.parquet(s"$root/index").join(probe, Seq("w"))
+      .filter((col("word").bitwiseAND(col("mask"))) === col("mask"))
+      .groupBy("f").agg(count(lit(1)).as("nhits"))
+      .filter(col("nhits") >= 3)
+      .select("f").collect().map(_.getString(0)).toSeq
+  }
+
+  def bloomPointLookup(s: SparkSession, d: String, key: Long = 42L): DataFrame = {
+    val root = bloomIndexStage(s, d)
+    val cand = bloomCandidates(s, root, key)
+    val scanned =
+      if (cand.isEmpty) s.read.parquet(s"$root/data").limit(0)
+      else s.read.parquet(cand: _*)
+    scanned.filter(col("user_id") === key)
+      .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("sum_value"))
+      .select(lit(key).as("user_id"), col("n_events"), col("sum_value"))
+  }
+
   /** j13 — DYNAMIC partition pruning: the fact table is partitioned on
     * the join key, the dim side's filter is only known at runtime, and
     * Spark turns the broadcast dim into a partition filter on the fact
@@ -724,6 +791,10 @@ object Sources {
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("j14_bucketed_asof", bucketedAsOf,
       Some(graft.ops.Analytics.asofOracle)),
+    QueryDef("src17_bloom_index", (s, d) => bloomPointLookup(s, d), Some(
+      """SELECT CAST(42 AS BIGINT) AS user_id, count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events WHERE user_id = 42""".stripMargin)),
     QueryDef("src16_mor_deletes", mergeOnReadDeletes, Some(
       """SELECT o_orderpriority, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS revenue

@@ -229,6 +229,32 @@ class SourcesSpec extends SparkSpec {
     assert(n == expected)
   }
 
+  test("bloom index: point lookup scans a strict subset of data files, result exact") {
+    import org.apache.spark.sql.functions._
+    val root = Sources.bloomIndexStage(spark, sf0001)
+    def norm(p: String): String = p.replaceFirst("^file:/*", "/")
+    val allFiles = spark.read.parquet(s"$root/data").inputFiles.map(norm).toSet
+    assert(allFiles.size >= 8, "need a multi-file layout for pruning to mean anything")
+    // pick a real key and ask the index
+    val key = graft.Tables.events(spark, sf0001)
+      .select("user_id").head().getLong(0)
+    val cand = Sources.bloomCandidates(spark, root, key).map(norm).toSet
+    assert(cand.nonEmpty && cand.subsetOf(allFiles))
+    // hash-clustered layout: the key lives in ONE file; blooms may add
+    // a few false positives but never approach the full file set
+    assert(cand.size < allFiles.size / 2,
+      s"bloom pruned nothing: ${cand.size} of ${allFiles.size}")
+    // no false negatives: every row for the key is in a candidate file
+    val rowsAll = graft.Tables.events(spark, sf0001)
+      .filter(col("user_id") === key).count()
+    val rowsCand = spark.read.parquet(cand.toSeq: _*)
+      .filter(col("user_id") === key).count()
+    assert(rowsCand == rowsAll)
+    // a key absent from the table yields no candidates or fp-only ones
+    val ghost = Sources.bloomCandidates(spark, root, -987654321L)
+    assert(ghost.size < allFiles.size / 2)
+  }
+
   test("merge-on-read: delete commit leaves data files byte-identical, read applies deletes") {
     import org.apache.spark.sql.functions._
     val root = Sources.morWriteData(spark, sf0001)
