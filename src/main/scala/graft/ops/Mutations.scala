@@ -249,7 +249,61 @@ object Mutations {
       .orderBy("tbl")
   }
 
+  /** up9 — MULTI-TABLE atomic snapshot: orders and their lineitems are
+    * published as ONE transaction — both tables staged under a single
+    * staging dir, swapped live by src13's pointer-swap primitive
+    * ([[graft.sources.Sources.publishVersion]]) operating on the PARENT
+    * dir, so a reader can never observe v2-orders joined to v1-lineitems
+    * (the torn-snapshot read every multi-table pipeline without a
+    * transaction log eventually serves). This is the Delta/Iceberg
+    * multi-table-commit gap closed with machinery the repo already
+    * owns: one pointer file governs N tables, so atomicity is inherited
+    * from the single-file swap, and time travel (src14) automatically
+    * covers the PAIR. The declared query reads both tables through the
+    * pointer, joins them, and reports per-priority revenue plus the
+    * cross-table orphan count — 0 by construction, and any torn read
+    * would break the hash. Two publishes run (v1 = pre-cutoff slice of
+    * BOTH tables, v2 = full), so the atomicity actually gets exercised.
+    */
+  def multiTableSnapshot(s: SparkSession, d: String): DataFrame = {
+    import graft.sources.Sources.{publishVersion, resolvePublished}
+    val root = Tables.scratchDir("graft_up9_txn", d)
+    val staging = Tables.scratchDir("graft_up9_stage", d)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val o = orders(s, d).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    val l = lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    def publishBoth(of: DataFrame, lf: DataFrame): Unit = {
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      of.write.parquet(s"$staging/orders")
+      lf.write.parquet(s"$staging/lineitem")
+      publishVersion(s, staging, root) // ONE swap covers both tables
+    }
+    // v1: a consistent pre-cutoff slice of the pair; v2: everything
+    val oldOrders = o.filter(col("o_orderkey") % 2 === 0)
+    publishBoth(oldOrders, l.join(oldOrders.select(col("o_orderkey")),
+      col("l_orderkey") === col("o_orderkey")).drop("o_orderkey"))
+    publishBoth(o, l)
+    val live = resolvePublished(s, root)
+    val po = s.read.parquet(s"$live/orders")
+    val pl = s.read.parquet(s"$live/lineitem")
+    val joined = pl.join(po, col("l_orderkey") === col("o_orderkey"), "left")
+    joined.groupBy(coalesce(col("o_orderpriority"), lit("(orphan)")).as("prio"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(when(col("o_orderkey").isNull, true)).as("n_orphans"))
+      .orderBy("prio")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up9_multitable_snapshot", multiTableSnapshot, Some(
+      """SELECT o_orderpriority AS prio, count(*) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  CAST(0 AS BIGINT) AS n_orphans
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("up8_erasure_cascade", erasurePropagation, Some(
       """WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 37 = 0),
         |dord AS (SELECT o_orderkey FROM orders

@@ -107,4 +107,23 @@ class MutationsSpec extends SparkSpec {
     assert(rows("orders")._3 == survO.count())
     assert(rows("lineitem")._3 == survLi.count())
   }
+
+  test("multi-table snapshot: every retained version of the PAIR is internally consistent") {
+    import org.apache.spark.sql.functions._
+    Mutations.multiTableSnapshot(spark, sf0001).collect()
+    val root = graft.Tables.scratchDir("graft_up9_txn", sf0001)
+    val counts = (0 to 1).map { back =>
+      val v = graft.sources.Sources.resolveVersion(spark, root, back)
+      val po = spark.read.parquet(s"$v/orders")
+      val pl = spark.read.parquet(s"$v/lineitem")
+      // no lineitem without its order in the SAME version — a torn
+      // (cross-version) read would fail exactly this
+      val orphans = pl.join(po, col("l_orderkey") === col("o_orderkey"),
+        "left_anti").count()
+      assert(orphans == 0, s"version back=$back is a torn pair")
+      (po.count(), pl.count())
+    }
+    // the two retained versions really are different table states
+    assert(counts(0)._1 > counts(1)._1 && counts(0)._2 > counts(1)._2)
+  }
 }
