@@ -300,7 +300,87 @@ object Behavior {
       .orderBy("decile")
   }
 
+  /** e17 — Kaplan-Meier SURVIVAL curve over customer lifetimes: per
+    * lifetime month, the at-risk count, deaths (customers whose last
+    * order fell there), right-censored exits (still active near the
+    * dataset watermark — treating them as churn is the classic
+    * retention-curve bias), and the KM estimate
+    * S(t) = Π (1 − d_i/n_i). Scale shape: the only fact-sized pass is
+    * the per-customer min/max agg; everything after runs on the
+    * MONTH-BUCKET rollup (≤ lifetime-months rows — ts3's calendar-size
+    * exception), where the sequential product uses ts5's exact-integer
+    * discipline (survival in millionths, truncating division on both
+    * engines) so the curve is hash-exact — no exp/ln round-trip whose
+    * libm noise could flip a rounded digit. Month indices are exact
+    * integer year·12+month arithmetic, never months_between fp.
+    */
+  def survivalRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def mi(c: Column): Column = (year(c) * 12 + month(c)).cast("long")
+    val cust = orders(s, d).groupBy(col("o_custkey"))
+      .agg(min("o_orderdate").as("first_d"), max("o_orderdate").as("last_d"))
+      .select(col("o_custkey"),
+        (mi(col("last_d")) - mi(col("first_d"))).as("lifetime_m"),
+        mi(col("last_d")).as("last_m"))
+    val glob = orders(s, d).agg(max(mi(col("o_orderdate"))).as("gmax"))
+    val labeled = cust.crossJoin(broadcast(glob))
+      .withColumn("censored", (col("last_m") >= col("gmax") - 2).cast("int"))
+    val rollup = labeled.groupBy("lifetime_m")
+      .agg(count(when(col("censored") === 0, true)).as("deaths"),
+        count(when(col("censored") === 1, true)).as("censored_n"))
+    val total = labeled.agg(count(lit(1)).as("total"))
+    rollup.crossJoin(broadcast(total))
+      .select(col("lifetime_m"), col("deaths"), col("censored_n"), col("total"))
+      .as[(Long, Long, Long, Long)]
+      .repartition(1).sortWithinPartitions("lifetime_m")
+      .mapPartitions { it =>
+        var atRisk = -1L; var surv = 1000000L
+        it.map { case (lm, dth, cen, tot) =>
+          if (atRisk < 0) atRisk = tot
+          surv = surv * (atRisk - dth) / atRisk
+          val out = (lm, atRisk, dth, cen, surv)
+          atRisk -= (dth + cen)
+          out
+        }
+      }.toDF("lifetime_m", "at_risk", "deaths", "censored_n", "survival_u")
+      .orderBy("lifetime_m")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e17_survival_km", survivalRetention, Some(
+      """WITH RECURSIVE cust AS (
+        |  SELECT o_custkey,
+        |    (year(max(o_orderdate)) * 12 + month(max(o_orderdate)))
+        |      - (year(min(o_orderdate)) * 12 + month(min(o_orderdate))) AS lifetime_m,
+        |    year(max(o_orderdate)) * 12 + month(max(o_orderdate)) AS last_m
+        |  FROM orders GROUP BY 1),
+        |g AS (SELECT max(year(o_orderdate) * 12 + month(o_orderdate)) AS gmax
+        |  FROM orders),
+        |lab AS (SELECT lifetime_m, CAST(last_m >= gmax - 2 AS INT) AS censored
+        |  FROM cust CROSS JOIN g),
+        |roll AS (
+        |  SELECT lifetime_m,
+        |    CAST(count(CASE WHEN censored = 0 THEN 1 END) AS BIGINT) AS deaths,
+        |    CAST(count(CASE WHEN censored = 1 THEN 1 END) AS BIGINT) AS censored_n
+        |  FROM lab GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lab),
+        |idx AS (SELECT lifetime_m, deaths, censored_n, total,
+        |    row_number() OVER (ORDER BY lifetime_m) AS t,
+        |    CAST(coalesce(sum(deaths + censored_n) OVER (ORDER BY lifetime_m
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS exited
+        |  FROM roll CROSS JOIN tot),
+        |rec AS (
+        |  SELECT t, lifetime_m, total - exited AS at_risk, deaths, censored_n,
+        |    (1000000 * (total - exited - deaths)) // (total - exited) AS survival_u
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.lifetime_m, i.total - i.exited, i.deaths, i.censored_n,
+        |    (r.survival_u * (i.total - i.exited - i.deaths))
+        |      // (i.total - i.exited)
+        |  FROM idx i JOIN rec r ON i.t = r.t + 1)
+        |SELECT lifetime_m, at_risk, deaths, censored_n, survival_u
+        |FROM rec ORDER BY lifetime_m""".stripMargin)),
     QueryDef("e16_transition_matrix", (s, d) => transitionMatrix(s, d), Some(
       """WITH g AS (
         |  SELECT user_id, event_type,

@@ -48,4 +48,28 @@ class BehaviorSpec extends SparkSpec {
       }
     }
   }
+
+  test("KM survival: at-risk accounting closes, curve is monotone in [0, 1]") {
+    val rows = Behavior.survivalRetention(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val total = graft.Tables.orders(spark, sf0001)
+      .select("o_custkey").distinct().count()
+    // first bucket starts with every customer at risk
+    assert(rows.head._2 == total)
+    // n_{k+1} = n_k - d_k - c_k, every exit accounted
+    rows.sliding(2).foreach {
+      case Array((_, n1, d1, c1, _), (_, n2, _, _, _)) =>
+        assert(n2 == n1 - d1 - c1, "at-risk accounting leaks")
+      case _ =>
+    }
+    val (_, nL, dL, cL, _) = rows.last
+    assert(nL - dL - cL == 0, "customers left unaccounted after last bucket")
+    // survival is a monotone nonincreasing curve in [0, 1e6]
+    assert(rows.head._5 <= 1000000L && rows.last._5 >= 0L)
+    rows.map(_._5).sliding(2).foreach {
+      case Array(a, b) => assert(b <= a, "survival increased")
+      case _ =>
+    }
+  }
 }
