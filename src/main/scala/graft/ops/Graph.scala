@@ -320,6 +320,79 @@ object Graph {
     * MATERIALIZED: DuckDB otherwise inlines the whole chain — ~30 copies
     * of the 4-table edge build — and runs out of file handles.
     */
+  /** g6 — synchronous LABEL PROPAGATION communities on the weighted part
+    * co-occurrence graph: every node starts as its own label; each round
+    * it adopts the label with the highest total incident edge weight
+    * (ties → smallest label, so the fixpoint is deterministic), for a
+    * FIXED round count — bounding rounds is what makes an iterative
+    * heuristic exactly oracle-able (g4's discipline). Scale shape: the
+    * pair build reuses the basket-capped self-join; each round is one
+    * hash join (labels ⋈ edges on dst), one (src, label) map-side-
+    * combinable weight agg, and one per-src argmax window — the window
+    * shuffles on src, the SAME key the agg hashed on, so the exchange is
+    * reused; labels are localCheckpointed per round (d6/g3 cadence).
+    * Weights are integer co-occurrence counts — no fp in the argmax.
+    */
+  def labelPropagation(s: SparkSession, d: String, rounds: Int = 4): DataFrame = {
+    val op = lineitem(s, d).select(col("l_orderkey").as("ok"),
+      col("l_partkey").as("pk")).distinct()
+    val pairs = cappedPairs(op, maxBasket)
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+    val und = pairs
+      .select(col("u").as("src"), col("v").as("dst"), col("w"))
+      .unionByName(pairs.select(col("v").as("src"), col("u").as("dst"), col("w")))
+      .cache()
+    val nodes = und.select(col("src").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(desc("ws"), asc("label"))
+    for (_ <- 1 to rounds) {
+      val best = und
+        .join(labels.select(col("node").as("dst"), col("label")), "dst")
+        .groupBy("src", "label").agg(sum("w").as("ws"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("node"), col("label").as("newl"))
+      labels = labels.join(best, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("newl"), col("label")).as("label"))
+        .localCheckpoint()
+    }
+    labels.orderBy("node")
+  }
+
+  /** Unrolled label-propagation oracle: same bounded rounds, same
+    * (weight desc, label asc) argmax tie-break, replayed as chained
+    * MATERIALIZED CTEs (the pageRankOracle pattern).
+    */
+  private def labelPropOracle(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT p.node, coalesce(b.label, p.label) AS label
+         |  FROM l${r - 1} p LEFT JOIN (
+         |    SELECT src AS node, label FROM (
+         |      SELECT e.src, p2.label, sum(e.w) AS ws,
+         |        row_number() OVER (PARTITION BY e.src
+         |          ORDER BY sum(e.w) DESC, p2.label) AS rn
+         |      FROM und e JOIN l${r - 1} p2 ON p2.node = e.dst
+         |      GROUP BY e.src, p2.label)
+         |    WHERE rn = 1) b ON b.node = p.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH op AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.pk AS u, b.pk AS v, CAST(count(*) AS BIGINT) AS w
+       |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+       |  GROUP BY 1, 2),
+       |und AS MATERIALIZED (
+       |  SELECT u AS src, v AS dst, w FROM pairs
+       |  UNION ALL SELECT v, u, w FROM pairs),
+       |l0 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS node, src AS label FROM und),
+       |$steps
+       |SELECT node, label FROM l$rounds ORDER BY node""".stripMargin
+  }
+
   private def pageRankOracle: String = {
     val steps = (1 to 10).map { i =>
       s"""pr$i AS MATERIALIZED (
@@ -457,6 +530,8 @@ object Graph {
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("g5_kcore", (s, d) => kCoreMembership(s, d),
       Some(kCoreOracle(3, 12))),
+    QueryDef("g6_label_propagation", (s, d) => labelPropagation(s, d),
+      Some(labelPropOracle(4))),
     QueryDef("g2_triangle_count", triangleStats, Some(
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

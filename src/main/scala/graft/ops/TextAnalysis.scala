@@ -580,6 +580,33 @@ object TextAnalysis {
       .orderBy("epoch", "shard", "pos")
   }
 
+  /** f13 — Unicode NFC normalization via the native
+    * [[graft.functions.NfcNormalize]] expression: composed vs decomposed
+    * sequences (U+00E9 vs U+0065 U+0301) are byte-different renderings of
+    * the same text, so every byte-keyed op upstream — d1's exact-dedup
+    * window, t4's fingerprint, d2's shingles — silently misses
+    * cross-normalization duplicates unless keys are normalized first.
+    * The fixture plants BOTH forms deterministically (even doc_ids get
+    * composed, odd get decomposed), and the query reports code-point
+    * lengths before/after plus an md5 over the normalized bytes — so a
+    * normalizer that was identity, or that normalized to NFD instead,
+    * hash-mismatches DuckDB's `nfc_normalize`. Narrow map inside
+    * whole-stage codegen (the Expression tier's point — no UDF SerDe).
+    */
+  def unicodeNorm(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc
+    val marker = when(pmod(col("doc_id"), lit(2)) === 0,
+      lit(" caf\u00e9"))             // composed: U+00E9
+      .otherwise(lit(" cafe\u0301")) // decomposed: e + U+0301
+    val dirty = concat(col("text"), marker)
+    documents(s, d).select(
+      col("doc_id"),
+      length(dirty).as("n_raw"),
+      length(nfc(dirty)).as("n_nfc"),
+      md5(nfc(dirty)).as("nfc_md5"))
+      .orderBy("doc_id")
+  }
+
   /** p12 — CURRICULUM ordering: the easy-first feed order curriculum
     * training wants, as a pure function of content — documents fall into
     * quality tiers by FIXED thresholds on the rounded t2 quality score
@@ -1565,6 +1592,16 @@ object TextAnalysis {
         |  CAST(row_number() OVER (PARTITION BY substr(hk, 1, 2)
         |    ORDER BY hk, doc_id) AS INT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin)),
+    QueryDef("f13_unicode_norm", (s, d) => unicodeNorm(s, d), Some(
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 2 = 0 THEN ' caf' || chr(233)
+        |                 ELSE ' cafe' || chr(769) END AS t
+        |  FROM documents)
+        |SELECT doc_id, length(t) AS n_raw,
+        |  length(nfc_normalize(t)) AS n_nfc,
+        |  md5(nfc_normalize(t)) AS nfc_md5
+        |FROM dirty ORDER BY doc_id""".stripMargin)),
     QueryDef("p12_curriculum_order", (s, d) => curriculumOrder(s, d), Some(
       """WITH q AS (
         |  SELECT doc_id,
