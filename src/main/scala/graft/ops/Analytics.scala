@@ -1035,7 +1035,7 @@ object Analytics {
         |    sum(cnt) OVER (PARTITION BY week ORDER BY bin_id) AS cum,
         |    sum(cnt) OVER (PARTITION BY week) AS total
         |  FROM bins)
-        |SELECT week, max(total) AS n,
+        |SELECT week, CAST(max(total) AS BIGINT) AS n,
         |  round(min(CASE WHEN cum >= ceil(0.5 * total) THEN est END), 6) AS p50_est,
         |  round(min(CASE WHEN cum >= ceil(0.95 * total) THEN est END), 6) AS p95_est,
         |  round(min(CASE WHEN cum >= ceil(0.99 * total) THEN est END), 6) AS p99_est

@@ -1325,7 +1325,8 @@ object TextAnalysis {
         |    WHEN avg_logprob > c1 THEN 'middle' ELSE 'tail' END AS tier,
         |    n_bigrams, avg_logprob
         |  FROM perdoc CROSS JOIN cuts)
-        |SELECT tier, count(*) AS n_docs, sum(n_bigrams) AS n_bigrams,
+        |SELECT tier, count(*) AS n_docs,
+        |  CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
         |  round(avg(avg_logprob), 4) AS avg_lp
         |FROM tiered GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("t16_bigram_score", bigramScore, Some(
