@@ -18,7 +18,37 @@ object Bench {
     // 0.33s) with no code change; compare trends across rounds, not
     // single-round per-query deltas.
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Warm-up (untimed): absorb JVM cold-start — first parquet footer reads,
+    // codegen compiler warm-up, shuffle service init — on a FIXED trio that
+    // touches the three big tables (lineitem, events, documents), so timed
+    // queries never pay it. Rounds 5 and 6 both burned >2x per-query deltas
+    // on unchanged code because cold-start landed on whichever queries an
+    // unordered Map put first.
+    Seq("a8_histogram", "e1_hourly_agg", "f1_string_funcs")
+      .flatMap(n => SparkEntry.queries.get(n).map(n -> _))
+      .foreach { case (_, fn) =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+      }
+    // ALS fit as its own named line: the reference-config fit is memoized
+    // per dataset, so without this it amortizes invisibly into whichever
+    // als_* query the (previously unordered) iteration hit first. Timing it
+    // explicitly makes the one genuinely iterative ML workload trackable
+    // round-over-round; the als_* queries below then time post-fit work.
+    val alsFitSec = {
+      val t0 = System.nanoTime()
+      try graft.als.AlsPipeline.artifacts(spark, sfDir)
+      catch { case e: Throwable =>
+        failed ::= "als_fit"
+        System.err.println(s"[bench] als_fit failed: ${e.getMessage}")
+      }
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Deterministic name order: cross-round per-query deltas are only
+    // attributable when every round times the same query at the same point
+    // in the JVM's life.
+    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink (not count()): count() lets Catalyst prune unreferenced
       // projections, so narrow queries would time little more than
@@ -36,8 +66,9 @@ object Bench {
       // expensive tail (ALS) of executor memory
       spark.catalog.clearCache()
       name -> dt
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    } :+ ("als_fit" -> alsFitSec)).toMap
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errs = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0

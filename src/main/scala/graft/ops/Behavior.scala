@@ -111,14 +111,18 @@ object Behavior {
   /** e8 — RFM (recency/frequency/monetary) quartile segmentation, the
     * classic customer-base cut. Scale shape: the per-customer rollup is
     * the only fact-table pass (dimension-sized output); the three
-    * quartile boundaries are ONE exact-percentile agg over that rollup,
-    * broadcast back as a 1-row literal, and scores are pure comparisons
-    * against the cuts — deliberately NOT `ntile()`, whose empty-over
-    * window would drag every customer onto a single task. Exact
-    * `percentile` interpolates midpoints of integer/2dp-rounded values,
-    * so both engines compute bit-identical cuts (the a6 pairing:
-    * Spark `percentile` ↔ DuckDB `quantile_cont`). Output is the
-    * 4×4×4 segment grid with counts and revenue, not per-customer rows.
+    * quartile boundaries are ONE [[Stats.quantileCuts]] agg over that
+    * rollup, broadcast back as a 1-row literal, and scores are pure
+    * comparisons against the cuts — deliberately NOT `ntile()`, whose
+    * empty-over window would drag every customer onto a single task.
+    * Exact `percentile` interpolates midpoints of integer/2dp-rounded
+    * values, so both engines compute bit-identical cuts (the a6 pairing:
+    * Spark `percentile` ↔ DuckDB `quantile_cont`); `money`'s cents
+    * domain grows with the customer count, so above
+    * [[Stats.DefaultExactDomainCap]] its cut alone degrades to the
+    * mergeable sketch while the bounded-domain columns stay exact.
+    * Output is the 4×4×4 segment grid with counts and revenue, not
+    * per-customer rows.
     */
   def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val cust = orders(s, d)
@@ -128,10 +132,11 @@ object Behavior {
           .cast("double").as("last_day"),
         count(lit(1)).cast("double").as("freq"),
         round(sum("o_totalprice"), 2).as("money"))
-    val cuts = cust.agg(
-      expr("percentile(last_day, array(0.25, 0.5, 0.75))").as("rc"),
-      expr("percentile(freq, array(0.25, 0.5, 0.75))").as("fc"),
-      expr("percentile(money, array(0.25, 0.5, 0.75))").as("mc"))
+    val qs = Seq(0.25, 0.5, 0.75)
+    val cuts = Stats.quantileCuts(cust, Seq(
+      Stats.CutSpec("rc", "last_day", qs),
+      Stats.CutSpec("fc", "freq", qs),
+      Stats.CutSpec("mc", "money", qs)))._1
     def score(v: Column, c: Column): Column =
       lit(1) + (v > element_at(c, 1)).cast("int") +
         (v > element_at(c, 2)).cast("int") + (v > element_at(c, 3)).cast("int")

@@ -1023,16 +1023,22 @@ object TextAnalysis {
     * sharded into before deciding which tiers reach training.
     * Composition, not recomputation: the per-doc score IS t16's
     * (rounded to 6dp first, so the cut comparisons see identical
-    * doubles on both engines), the cuts come from ONE exact-percentile
-    * agg broadcast back (e8's discipline — never ntile's single-task
-    * window), and the output is the |tiers|-row accounting table.
+    * doubles on both engines), the cuts come from ONE
+    * [[Stats.quantileCuts]] agg broadcast back (e8's discipline — never
+    * ntile's single-task window), and the output is the |tiers|-row
+    * accounting table. `avg_logprob` has ~one distinct double per
+    * document, so exact `percentile`'s per-distinct-value final-task
+    * state would be corpus-sized at 100 TB — the gate flips this exact
+    * caller to the mergeable sketch above [[Stats.DefaultExactDomainCap]]
+    * (below it, where the oracle runs, the path is exact).
     */
   def perplexityTiers(s: SparkSession, d: String): DataFrame = {
     val scored = bigramScore(s, d)
       .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
-    val cuts = scored.agg(
-      expr("percentile(avg_logprob, 0.3333333333333333)").as("c1"),
-      expr("percentile(avg_logprob, 0.6666666666666666)").as("c2"))
+    val cuts = Stats.quantileCuts(scored, Seq(Stats.CutSpec("c",
+        "avg_logprob", Seq(0.3333333333333333, 0.6666666666666666))))._1
+      .select(element_at(col("c"), 1).as("c1"),
+        element_at(col("c"), 2).as("c2"))
     scored.crossJoin(broadcast(cuts))
       .withColumn("tier",
         when(col("avg_logprob") > col("c2"), "head")
