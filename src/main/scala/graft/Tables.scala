@@ -21,14 +21,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    * rejects. Read nanos as long and convert with exact integer division
-    * (`div`, not `/` — double division of epoch-nanos loses precision).
+  /** events.parquet's `ts` physical type has changed across driver data
+    * generations: TIMESTAMP(NANOS) originally (Spark's vectorized reader
+    * rejects it — read nanos as long, convert with exact integer `div`),
+    * plain TIMESTAMP(MICROS) since the round-7 regen (reads as
+    * TIMESTAMP_NTZ under inferTimestampNTZ). Normalize BOTH to session-TZ
+    * TIMESTAMP so every downstream operator and oracle sees one type; the
+    * session runs UTC (Sessions.configure), so the NTZ→LTZ cast is
+    * wall-clock-identity.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
