@@ -58,4 +58,16 @@ object Cumulative {
           coalesce(element_at(typedLit(offsets), col("__pid")), lit(0L)))
       .drop("__pid")
   }
+
+  /** Adds `out` = 1-based global row number in the total order given by
+    * `order` — `row_number().over(Window.orderBy(...))` without the
+    * single-task stage. A rank is just the running count of rows, so
+    * this is [[runningTotal]] of a constant 1: same two-pass shape, same
+    * partition-count-sized driver data, exact by integer associativity.
+    * The caller's `order` must be a total order (add a tiebreaker
+    * column) or ties land in range-partitioner-dependent positions.
+    */
+  def globalRowNumber(df: DataFrame, order: Seq[Column], out: String): DataFrame =
+    runningTotal(df.withColumn("__one", lit(1L)), "__one", order, out)
+      .drop("__one")
 }

@@ -717,18 +717,20 @@ object TextAnalysis {
     * one-number sanity check that a corpus looks like natural language
     * (slope ≈ −1) rather than boilerplate (flat head) or noise (steep
     * cliff), run before spending GPU-hours on it. One token count agg is
-    * the only full-data pass; the rank window and the regression run on
-    * the vocabulary-sized rollup (the a15/ts3 discipline). regr_* are
-    * algebraic (map-side partials); results rounded to 6dp for the
-    * cross-engine hash.
+    * the only full-data pass; the rank and the regression run on the
+    * vocabulary-sized rollup (the a15/ts3 discipline). The rank itself
+    * is [[Cumulative.globalRowNumber]] — a web-scale vocabulary is
+    * 10⁶–10⁷ rows, enough that a bare `row_number() OVER (ORDER BY ...)`
+    * (one task holds the whole vocab) is the wrong shape even on a
+    * rollup; the two-pass rank keeps every stage partition-parallel
+    * (pinned in PlanShapeSpec). regr_* are algebraic (map-side
+    * partials); results rounded to 6dp for the cross-engine hash.
     */
   def zipfFit(s: SparkSession, d: String): DataFrame = {
     val counts = documents(s, d)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(desc("n"), asc("token"))
-    counts
-      .withColumn("rank", row_number().over(w))
+    Cumulative.globalRowNumber(counts, Seq(desc("n"), asc("token")), "rank")
       .select(log(col("rank").cast("double")).as("lr"),
         log(col("n").cast("double")).as("lc"), col("n"))
       .agg(
@@ -1153,6 +1155,76 @@ object TextAnalysis {
     merges.toSeq.toDF("step", "left", "right", "pair_count")
   }
 
+  /** Sequential application of an ordered merge list to one word — the
+    * EXACT in-memory mirror of [[bpeMergesFromWords]]' distributed fold
+    * (same left-to-right greedy rule, same `</w>` marker), so encoding
+    * with learned merges reproduces precisely the symbols training ended
+    * with. Bounded: |word| symbols, |merges| passes.
+    */
+  private[ops] def applyBpeMerges(word: String,
+      merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Vector[String] =
+      word.split("").filter(_.nonEmpty).toVector :+ "</w>"
+    merges.foreach { case (l, r) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      syms.foreach { x =>
+        if (out.nonEmpty && out.last == l && x == r)
+          out(out.length - 1) = l + r
+        else out += x
+      }
+      syms = out.toVector
+    }
+    syms
+  }
+
+  /** The learned merge list, collected once per (dataset, k): k rows —
+    * bounded by the merge budget, never the corpus — and every encoder
+    * run over the same dataset reuses it (the PQ-codebook memoization
+    * discipline).
+    */
+  private val bpeMergeMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
+  private def learnedMerges(s: SparkSession, d: String,
+      k: Int): Seq[(String, String)] =
+    bpeMergeMemo.computeIfAbsent(s"$d#$k", _ =>
+      bpeMerges(s, d, k).orderBy("step").collect().toSeq
+        .map(r => (r.getString(1), r.getString(2))))
+
+  /** t25 — BPE ENCODE: apply t22's learned merges to tokenize the
+    * corpus — the other half of the tokenizer lifecycle (t22 trains it,
+    * this runs it over every document, the single most-executed step of
+    * an LLM data pipeline). Scale shape: the merge table (k rows)
+    * broadcasts; encoding runs ONCE PER DISTINCT WORD on the vocab-sized
+    * rollup — Zipf means the corpus re-uses a small vocabulary, so the
+    * imperative merge loop never touches the fact table — and per-doc
+    * token counts come from joining unit counts back to the (doc, word)
+    * count table (hash-partitioned on the word, the only data-sized
+    * exchanges). Per-doc output: whitespace words, BPE units, and the
+    * chars-per-unit compression proxy. Rows-only: the sequential merge
+    * loop has no SQL twin; parity of the encoder with training's fold
+    * and the unit-count bounds are spec-pinned.
+    */
+  def bpeEncode(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    import s.implicits._
+    val bc = s.sparkContext.broadcast(learnedMerges(s, d, k))
+    val docWords = documents(s, d)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val perDocWord = docWords.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val vocabUnits = perDocWord.select("w").distinct().as[String]
+      .mapPartitions { it =>
+        val m = bc.value
+        it.map(w => (w, applyBpeMerges(w, m).length.toLong, w.length.toLong))
+      }.toDF("w", "n_units", "n_chars")
+    perDocWord.join(vocabUnits, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_units")).as("n_bpe_tokens"),
+        round(sum(col("c") * col("n_chars")).cast("double") /
+          sum(col("c") * col("n_units")), 4).as("chars_per_unit"))
+      .orderBy("doc_id")
+  }
+
   /** t23 — Gopher-style rule-filter REPORT: the four classic
     * rep-quality gates (word count in range, mean word length in
     * range, ≥80% alphabetic words, ≥2% stopwords) evaluated per doc
@@ -1277,6 +1349,7 @@ object TextAnalysis {
     // rows-only: the sequential merge loop has no SQL twin; in-memory
     // reference parity + determinism pinned in the spec
     QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), None),
+    QueryDef("t25_bpe_encode", (s, d) => bpeEncode(s, d), None),
     QueryDef("p4_weighted_sample", qualityWeightedSample, Some(
       """WITH q AS (
         |  SELECT doc_id, source,

@@ -108,6 +108,27 @@ class PlanShapeSpec extends SparkSpec {
       s"global sort funnels the rollup through one ordering:\n${globalSorts.mkString}")
   }
 
+  test("zipf rank: no single-task window or global sort over the vocabulary") {
+    // t21's rank runs through Cumulative.globalRowNumber: a web-scale
+    // vocabulary is 10^6-10^7 rows, so even the rollup must never funnel
+    // through one ordering task
+    val df = graft.SparkEntry.queries("t21_zipf_fit")(spark, sf0001)
+    val phys = df.queryExecution.sparkPlan
+    val wins = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the partition-local running-count window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned (single-task) window reappeared:\n$w")
+    }
+    val globalSorts = phys.collect {
+      case s0: org.apache.spark.sql.execution.SortExec if s0.global => s0
+    }
+    assert(globalSorts.isEmpty,
+      s"global sort funnels the vocabulary through one ordering:\n${globalSorts.mkString}")
+  }
+
   test("quantile sketch: one events scan — the weekly merge reuses the daily cube") {
     // the sketch-cube contract: raw events are binned ONCE; every
     // coarser rollup merges bucket counts, it never re-reads the facts
