@@ -198,6 +198,32 @@ object Analytics {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** q5 — recursive CTE hierarchy walk (Spark 4's WITH RECURSIVE →
+    * UnionLoop): every part climbs the deterministic binary tree
+    * parent(k) = k DIV 2, rolling up path depth, ancestor count, and the
+    * ancestor-chain retail cost in exact integer cents. The BOM-explosion
+    * / org-chart shape SQL engines express only through recursion —
+    * declared through the front-end so the recursion is Catalyst's to
+    * execute (each level is one distributed join, recursion depth =
+    * log₂(max key) ≈ 20 at any realistic key space, never data-sized).
+    * DuckDB runs the identical recursion — an engine-level
+    * cross-validation of the new UnionLoop operator.
+    */
+  def recursiveHierarchy(s: SparkSession, d: String): DataFrame = {
+    val vn = s"graft_part_rec_${Tables.scratchTag(d)}"
+    part(s, d).createOrReplaceTempView(vn)
+    s.sql(
+      s"""WITH RECURSIVE walk(part, node, depth) AS (
+         |  SELECT p_partkey, p_partkey, 0 FROM $vn
+         |  UNION ALL
+         |  SELECT part, node DIV 2, depth + 1 FROM walk WHERE node > 1)
+         |SELECT w.part AS p_partkey, max(w.depth) AS depth,
+         |  count(*) AS n_ancestors,
+         |  CAST(sum(CAST(round(round(p.p_retailprice, 2) * 100, 0) AS BIGINT)) AS BIGINT) AS path_cost_cents
+         |FROM walk w JOIN $vn p ON w.node = p.p_partkey
+         |GROUP BY w.part ORDER BY p_partkey""".stripMargin)
+  }
+
   /** Array-function surface over tokenized part names: size, distinct,
     * sort, slice, reverse — all codegen'd collection expressions.
     */
@@ -678,24 +704,32 @@ object Analytics {
     quantilesFromBuckets(weekly)
   }
 
+  /** a18's binning, shared with st17's streaming cube so batch and
+    * stream sketch IDENTICALLY: adds `bin_id` from a positive BIGINT
+    * cents column `c` (octave = bit length, 16 linear sub-buckets —
+    * pure integer arithmetic, narrow and streaming-safe).
+    */
+  private[graft] def withHdrBin(df: DataFrame): DataFrame = df
+    .withColumn("e", (length(bin(col("c"))) - 1).cast("int"))
+    .withColumn("p2", expr("shiftleft(cast(1 as bigint), e)"))
+    .withColumn("bin_id",
+      col("e") * 16 + expr("cast(((c - p2) * 16) div p2 as int)"))
+    .drop("e", "p2")
+
   /** The sketch cube: per-(week, day, bucket) counts. */
   private[ops] def quantileSketchDaily(s: SparkSession, d: String): DataFrame =
-    events(s, d).select(
+    withHdrBin(events(s, d).select(
         date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
         date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"),
         expr("cast(round(value * 100) as bigint)").as("c"))
-      .filter(col("c") > 0)
-      .withColumn("e", (length(bin(col("c"))) - 1).cast("int"))
-      .withColumn("p2", expr("shiftleft(cast(1 as bigint), e)"))
-      .withColumn("bin_id",
-        col("e") * 16 + expr("cast(((c - p2) * 16) div p2 as int)"))
+      .filter(col("c") > 0))
       .groupBy("week", "day", "bin_id").agg(count(lit(1)).as("cnt"))
 
   /** Quantile estimates from merged (week, bin_id, cnt) buckets: the
     * q-quantile is the upper edge of the first bucket whose cumulative
     * count reaches ceil(q·total). Calendar×bucket-sized windows only.
     */
-  private[ops] def quantilesFromBuckets(weekly: DataFrame): DataFrame = {
+  private[graft] def quantilesFromBuckets(weekly: DataFrame): DataFrame = {
     val wk = Window.partitionBy("week").orderBy("bin_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy("week")
@@ -981,6 +1015,16 @@ object Analytics {
         |         FROM customer WHERE c_nationkey = n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 3)
         |ORDER BY n_name, bal DESC, c_custkey""".stripMargin)),
+    QueryDef("q5_recursive_hierarchy", recursiveHierarchy, Some(
+      """WITH RECURSIVE walk(part, node, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part
+        |  UNION ALL
+        |  SELECT part, node // 2, depth + 1 FROM walk WHERE node > 1)
+        |SELECT w.part AS p_partkey, max(w.depth) AS depth,
+        |  count(*) AS n_ancestors,
+        |  CAST(sum(CAST(round(round(p.p_retailprice, 2) * 100, 0) AS BIGINT)) AS BIGINT) AS path_cost_cents
+        |FROM walk w JOIN part p ON w.node = p.p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("q1_correlated_subquery", aboveNationAvg, Some(
       """SELECT c_custkey, round(c_acctbal, 2) AS bal
         |FROM customer o

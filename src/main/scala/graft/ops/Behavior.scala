@@ -351,7 +351,63 @@ object Behavior {
       .orderBy("lifetime_m")
   }
 
+  /** e18 — top session paths: the k most common event-type sequences
+    * (first `pathLen` events of each session, joined with `>`), the
+    * navigation-flow query behind every "where do users go" product
+    * dashboard. Sessionization is e2's ≥30-min-gap rule; every window is
+    * partitioned by user_id (one logical exchange — the module's scale
+    * thread), the path string is assembled from AT MOST `pathLen` events
+    * per session (bounded state per group), and only the |distinct
+    * paths|-sized rollup reshuffles for the final count. Ties at the
+    * top-k boundary break on path text, so the LIMIT is deterministic.
+    */
+  def sessionPaths(s: SparkSession, d: String, pathLen: Int = 5,
+      top: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val sess = events(s, d)
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev_ms", lag("ms", 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull || col("ms") - col("prev_ms") >= 1800000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id",
+        sum("new_session").over(byUser.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    val bySess = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    sess
+      .withColumn("rn", row_number().over(bySess))
+      .filter(col("rn") <= pathLen)
+      .groupBy("user_id", "session_id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        x => x("event_type")), ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(top)
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e18_session_paths", (s, d) => sessionPaths(s, d), Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |r AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
     QueryDef("e17_survival_km", survivalRetention, Some(
       """WITH RECURSIVE cust AS (
         |  SELECT o_custkey,

@@ -446,7 +446,100 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** dq8 — Benford first-digit audit over order amounts: the classic
+    * fabricated-data screen (Benford 1938; standard in fraud/forensic
+    * accounting). First significant digit extracted from exact integer
+    * CENTS (first digit of the cents integer = first significant digit
+    * of the 2dp amount, since every amount ≥ 0.01) — string-of-integer,
+    * no float log in the binning, so the 9-row histogram is bit-exact
+    * cross-engine. Expected shares log10(1+1/d) and the chi-squared
+    * terms are double arithmetic on that exact histogram, rounded 6dp.
+    * Scale shape: one narrow pass + a 9-row agg; the 1-row total rejoins
+    * as a broadcast (a16's partials discipline).
+    */
+  def benfordAudit(s: SparkSession, d: String): DataFrame = {
+    val cents = round(round(col("o_totalprice"), 2) * 100, 0).cast("long")
+    val byDigit = orders(s, d)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .filter(col("digit").between(1, 9))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = byDigit.agg(sum("n").as("total"))
+    val p = log10(lit(1.0) + lit(1.0) / col("digit"))
+    byDigit.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("observed_share"),
+        round(p, 6).as("expected_share"),
+        round(pow(col("n") - col("total") * p, 2) / (col("total") * p), 6)
+          .as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** ts6 — Theil–Sen robust trend of daily revenue: median of all
+    * pairwise slopes, the estimator a single outlier day cannot drag
+    * (unlike a14's least squares — this is its robust twin). Slopes are
+    * built from the CALENDAR-sized daily rollup only, so the pair set is
+    * |days|² — bounded by the calendar, never by the fact table (j10's
+    * rollup-quadratic discipline); the exact median over that bounded
+    * pair set is the a6 Spark-percentile ↔ DuckDB-quantile_cont pairing.
+    * Slope values are BIGINT-cents differences over integer day gaps, so
+    * both engines divide identical integers and sort identical doubles.
+    * Intercept = median residual at the first day (the standard Theil–Sen
+    * intercept), computed on the |days|-row rollup with the 1-row median
+    * slope broadcast back.
+    */
+  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").cast("date").as("day"))
+      .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("cents"))
+    val a = daily.select(col("day").as("d1"), col("cents").as("c1"))
+    val b = daily.select(col("day").as("d2"), col("cents").as("c2"))
+    val slopes = a.join(b, datediff(col("d2"), col("d1")) > 0)
+      .select(((col("c2") - col("c1")).cast("double") /
+        datediff(col("d2"), col("d1"))).as("slope"))
+    val m = slopes.agg(expr("percentile(slope, 0.5)").as("m"),
+      count(lit(1)).as("n_pairs"))
+    val first = daily.agg(min("day").as("day0"), count(lit(1)).as("n_days"))
+    daily.crossJoin(broadcast(m)).crossJoin(broadcast(first))
+      .select(col("n_days"), col("n_pairs"), col("m"),
+        (col("cents").cast("double") -
+          col("m") * datediff(col("day"), col("day0"))).as("r"))
+      .groupBy()
+      .agg(max("n_days").as("n_days"), max("n_pairs").as("n_pairs"),
+        round(max("m"), 6).as("slope_cents_per_day"),
+        round(expr("percentile(r, 0.5)"), 4).as("intercept_cents"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq8_benford_audit", (s, d) => benfordAudit(s, d), Some(
+      """WITH d AS (
+        |  SELECT CAST(substr(CAST(CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        |  FROM orders),
+        |g AS (SELECT digit, count(*) AS n FROM d WHERE digit BETWEEN 1 AND 9 GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM g)
+        |SELECT digit, n,
+        |  round(n / CAST(total AS DOUBLE), 6) AS observed_share,
+        |  round(log10(1 + 1.0 / digit), 6) AS expected_share,
+        |  round(pow(n - total * log10(1 + 1.0 / digit), 2)
+        |    / (total * log10(1 + 1.0 / digit)), 6) AS chi2_term
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin)),
+    QueryDef("ts6_theil_sen", (s, d) => theilSenTrend(s, d), Some(
+      """WITH daily AS (
+        |  SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (
+        |  SELECT (b.cents - a.cents) / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
+        |  FROM daily a JOIN daily b ON b.day > a.day),
+        |m AS (SELECT quantile_cont(slope, 0.5) AS m, CAST(count(*) AS BIGINT) AS n_pairs FROM p),
+        |f AS (SELECT min(day) AS day0, count(*) AS n_days FROM daily),
+        |r AS (
+        |  SELECT cents - m.m * date_diff('day', f.day0, daily.day) AS r,
+        |    m.m AS m, f.n_days AS n_days, m.n_pairs AS n_pairs
+        |  FROM daily CROSS JOIN m CROSS JOIN f)
+        |SELECT max(n_days) AS n_days, max(n_pairs) AS n_pairs,
+        |  round(max(m), 6) AS slope_cents_per_day,
+        |  round(quantile_cont(r, 0.5), 4) AS intercept_cents
+        |FROM r""".stripMargin)),
     QueryDef("dq7_freshness_sla", (s, d) => freshnessAudit(s, d), Some(
       """WITH ev AS (SELECT event_type, ts, epoch_us(ts) AS us FROM events),
         |g AS (SELECT max(us) AS glob_us FROM ev)

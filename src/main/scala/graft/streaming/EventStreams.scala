@@ -66,6 +66,34 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** st17 — streaming QUANTILE sketch: the stream maintains a18's
+    * mergeable HDR histogram cube — per-(week, bucket) counts via the
+    * SAME integer binning ([[graft.ops.Analytics.withHdrBin]]) — and the
+    * weekly p50/p95/p99 are read off the merged buckets at ask time.
+    * This is the latency-dashboard percentile at 100 TB as a STREAM: the
+    * aggregation state is weeks × ≤1024 buckets — bounded by the sketch,
+    * not the data, the whole point of sketching — and because bucket
+    * counts are algebraic the streamed cube is EXACTLY the batch cube,
+    * so the query shares a18's oracle verbatim (stream ≡ batch ≡ DuckDB,
+    * three-way cross-validation).
+    */
+  def streamingQuantileSketch(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    val stream = graft.ops.Analytics.withHdrBin(
+      s.readStream.schema(schema).parquet(src)
+        .select(
+          date_format(date_trunc("week", col("ts")), "yyyy-MM-dd").as("week"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .filter(col("c") > 0))
+      .groupBy("week", "bin_id").agg(count(lit(1)).as("cnt"))
+    val qname = "graft_stream_qsketch"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    graft.ops.Analytics.quantilesFromBuckets(s.table(qname))
+  }
+
   /** Sliding 2-hour windows advancing every hour — each event lands in
     * exactly TWO overlapping windows, the semantics tumbling (st1) can't
     * express (trend smoothing, rolling rate alerts). Spark expands the
@@ -936,6 +964,34 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st17_streaming_quantile_sketch", streamingQuantileSketch, Some(
+      // a18's oracle verbatim: the streamed cube IS the batch cube
+      """WITH ev AS (
+        |  SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events),
+        |b AS (
+        |  SELECT week, c, length(bin(c)) - 1 AS e FROM ev WHERE c > 0),
+        |b2 AS (
+        |  SELECT week,
+        |    e * 16 + ((c - (CAST(1 AS BIGINT) << e)) * 16)
+        |      // (CAST(1 AS BIGINT) << e) AS bin_id
+        |  FROM b),
+        |bins AS (
+        |  SELECT week, bin_id, count(*) AS cnt FROM b2 GROUP BY 1, 2),
+        |w AS (
+        |  SELECT week, bin_id, cnt,
+        |    ((CAST(1 AS BIGINT) << (bin_id // 16))
+        |      + (bin_id % 16 + 1) * (CAST(1 AS BIGINT) << (bin_id // 16))
+        |        / 16.0) / 100.0 AS est,
+        |    sum(cnt) OVER (PARTITION BY week ORDER BY bin_id) AS cum,
+        |    sum(cnt) OVER (PARTITION BY week) AS total
+        |  FROM bins)
+        |SELECT week, CAST(max(total) AS BIGINT) AS n,
+        |  round(min(CASE WHEN cum >= ceil(0.5 * total) THEN est END), 6) AS p50_est,
+        |  round(min(CASE WHEN cum >= ceil(0.95 * total) THEN est END), 6) AS p95_est,
+        |  round(min(CASE WHEN cum >= ceil(0.99 * total) THEN est END), 6) AS p99_est
+        |FROM w GROUP BY week ORDER BY week""".stripMargin)),
     QueryDef("st16_temporal_join", streamTemporalJoin, Some(
       """WITH c AS (
         |  SELECT user_id, ts, event_id FROM events
