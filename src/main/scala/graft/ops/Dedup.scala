@@ -211,8 +211,13 @@ object Dedup {
     * shingles in > maxDf docs can't discriminate and would dominate the
     * join). Fully deterministic integer counting → oracle-able.
     */
-  def ngramJaccardPairs(s: SparkSession, d: String,
-      threshold: Double = 0.5, maxDf: Int = 200): DataFrame = {
+  /** The shared inverted-index pair grid behind d4 (Jaccard) and d14
+    * (containment): (doc_a < doc_b, |A|, |B|, |A∩B|) over df-cut
+    * 3-gram shingles. One exploded pass builds the index; the pair join
+    * is bounded by the df-cut, never all-pairs.
+    */
+  private def sharedShinglePairs(s: SparkSession, d: String,
+      maxDf: Int): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), array_distinct(shingles(col("text"), 3)).as("sh"))
       .withColumn("n_sh", size(col("sh")).cast("long"))
@@ -226,16 +231,46 @@ object Dedup {
       .cache() // reused: df-cut groupBy + both sides of the pair join
     val keep = inv.groupBy("shingle").count().filter(col("count") <= maxDf).drop("count")
     val pruned = inv.join(keep, "shingle")
-    val common = pruned.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
+    pruned.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))
       .join(pruned.select(col("shingle"), col("doc_id").as("doc_b"), col("n_sh").as("nb")), "shingle")
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b", "na", "nb").agg(count(lit(1)).as("common"))
-    common
+  }
+
+  def ngramJaccardPairs(s: SparkSession, d: String,
+      threshold: Double = 0.5, maxDf: Int = 200): DataFrame = {
+    sharedShinglePairs(s, d, maxDf)
       .withColumn("jaccard", col("common").cast("double") /
         (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy("doc_a", "doc_b")
+  }
+
+  /** d14 — shingle CONTAINMENT pairs: C(A,B) = |A∩B|/|A| ≥ threshold,
+    * the ASYMMETRIC near-dup relation d4's Jaccard misses — a short doc
+    * quoted whole inside a long one has tiny Jaccard (the union is
+    * large) but containment ≈ 1, which is exactly the
+    * boilerplate-wrapping / quote-extraction duplication a web corpus is
+    * full of. Same inverted-index pair grid as d4 (shared builder, one
+    * extra narrow projection per direction — the grid is computed once),
+    * emitted DIRECTED: (contained, container, containment) both ways per
+    * undirected pair, integer-count ratio rounded 6dp, fully oracled.
+    */
+  def containmentPairs(s: SparkSession, d: String,
+      threshold: Double = 0.8, maxDf: Int = 200): DataFrame = {
+    val common = sharedShinglePairs(s, d, maxDf)
+    val ab = common.select(col("doc_a").as("contained"),
+      col("doc_b").as("container"),
+      (col("common").cast("double") / col("na")).as("containment"))
+    val ba = common.select(col("doc_b").as("contained"),
+      col("doc_a").as("container"),
+      (col("common").cast("double") / col("nb")).as("containment"))
+    ab.unionAll(ba)
+      .filter(col("containment") >= threshold)
+      .select(col("contained"), col("container"),
+        round(col("containment"), 6).as("containment"))
+      .orderBy("contained", "container")
   }
 
   /** Fuzzy string matching via blocked levenshtein — the entity-resolution
@@ -694,6 +729,16 @@ object Dedup {
         |FROM common
         |WHERE CAST(common AS DOUBLE) / CAST(na + nb - common AS DOUBLE) >= 0.5::DOUBLE
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    QueryDef("d14_containment", (s, d) => containmentPairs(s, d), Some(
+      s"""WITH $jaccardCtes,
+        |dir AS (
+        |  SELECT doc_a AS contained, doc_b AS container,
+        |    CAST(common AS DOUBLE) / na AS containment FROM common
+        |  UNION ALL
+        |  SELECT doc_b, doc_a, CAST(common AS DOUBLE) / nb FROM common)
+        |SELECT contained, container, round(containment, 6) AS containment
+        |FROM dir WHERE containment >= 0.8::DOUBLE
+        |ORDER BY contained, container""".stripMargin)),
     QueryDef("d7_fuzzy_match", (s, d) => fuzzyNameMatch(s, d), Some(
       """WITH names AS (
         |  SELECT DISTINCT p_name, string_split(p_name, ' ')[-1] AS blk FROM part),

