@@ -477,20 +477,31 @@ object Quality {
   /** ts6 — Theil–Sen robust trend of daily revenue: median of all
     * pairwise slopes, the estimator a single outlier day cannot drag
     * (unlike a14's least squares — this is its robust twin). Slopes are
-    * built from the CALENDAR-sized daily rollup only, so the pair set is
-    * |days|² — bounded by the calendar, never by the fact table (j10's
-    * rollup-quadratic discipline); the exact median over that bounded
-    * pair set is the a6 Spark-percentile ↔ DuckDB-quantile_cont pairing.
-    * Slope values are BIGINT-cents differences over integer day gaps, so
-    * both engines divide identical integers and sort identical doubles.
-    * Intercept = median residual at the first day (the standard Theil–Sen
-    * intercept), computed on the |days|-row rollup with the 1-row median
-    * slope broadcast back.
+    * built from the daily rollup of the TRAILING YEAR only — a trend
+    * estimate is a statement about the recent series, and the window is
+    * what bounds the pair set BY DESIGN: 365² ≈ 66k pairs at any corpus
+    * span (an unwindowed multi-year series would put |days|² pairs —
+    * 2.9M at sf0.1's 2405 days — through the exact median's single
+    * final-task state, measured at 12.5 s in the bench). The exact
+    * median over the bounded pair set is the a6 Spark-percentile ↔
+    * DuckDB-quantile_cont pairing. Slope values are BIGINT-cents
+    * differences over integer day gaps, so both engines divide identical
+    * integers and sort identical doubles. Intercept = median residual at
+    * the window's first day (the standard Theil–Sen intercept), computed
+    * on the |days|-row rollup with the 1-row median slope broadcast
+    * back. The rollup is cached: it feeds the window cut, both join
+    * sides, and the residual pass.
     */
-  def theilSenTrend(s: SparkSession, d: String): DataFrame = {
-    val daily = orders(s, d)
+  def theilSenTrend(s: SparkSession, d: String, windowDays: Int = 365): DataFrame = {
+    val allDaily = orders(s, d)
       .groupBy(col("o_orderdate").cast("date").as("day"))
       .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("cents"))
+      .cache()
+    val hi = allDaily.agg(max("day").as("dmax"))
+    val daily = allDaily.crossJoin(broadcast(hi))
+      .filter(datediff(col("dmax"), col("day")) < windowDays)
+      .select("day", "cents")
+      .cache()
     val a = daily.select(col("day").as("d1"), col("cents").as("c1"))
     val b = daily.select(col("day").as("d2"), col("cents").as("c2"))
     val slopes = a.join(b, datediff(col("d2"), col("d1")) > 0)
@@ -523,10 +534,14 @@ object Quality {
         |    / (total * log10(1 + 1.0 / digit)), 6) AS chi2_term
         |FROM g CROSS JOIN t ORDER BY digit""".stripMargin)),
     QueryDef("ts6_theil_sen", (s, d) => theilSenTrend(s, d), Some(
-      """WITH daily AS (
+      """WITH daily0 AS (
         |  SELECT CAST(o_orderdate AS DATE) AS day,
         |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) AS cents
         |  FROM orders GROUP BY 1),
+        |mx AS (SELECT max(day) AS dmax FROM daily0),
+        |daily AS (
+        |  SELECT day, cents FROM daily0 CROSS JOIN mx
+        |  WHERE date_diff('day', day, dmax) < 365),
         |p AS (
         |  SELECT (b.cents - a.cents) / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope
         |  FROM daily a JOIN daily b ON b.day > a.day),

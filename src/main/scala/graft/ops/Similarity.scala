@@ -183,6 +183,11 @@ object Similarity {
     if (structs.length == 1) structs.head else greatest(structs: _*)
   }
 
+  private val ivfCentsMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Int, Seq[Float])]]
+  private val ivfStageMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   /** IVF approximate NN: sampled seeded KMeans coarse quantizer (nlist
     * cells), corpus bucketed by cell and PERSISTED partitionBy(cell) so a
     * probe prunes partitions at the scan (the ANN analogue of partition
@@ -199,16 +204,28 @@ object Similarity {
     // scale nprobe alongside an explicit nlist
     val nCorpus = e.count()
     val nl = if (nlist > 0) nlist else adaptiveNlist(nCorpus)
-    val cents = fitQuantizer(e, "embedding", nl, corpusCount = nCorpus)
+    // fit + bucket staging memoized per (dataset, nlist): the quantizer is
+    // a seeded pure function of the corpus and the staged index depends
+    // only on it, so callers that sweep query-side knobs (v11's nprobe
+    // curve) — or reruns — reuse ONE index build instead of refitting
+    // KMeans and rewriting every cell dir per call
+    val cents = ivfCentsMemo.computeIfAbsent(s"$d#$nl", _ =>
+      fitQuantizer(e, "embedding", nl, corpusCount = nCorpus))
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
     val best = assignCell(col("embedding"), cents)
-    val assigned = e.select(col("vec_id"), col("embedding"),
-      (lit(0) - best.getField("negcell")).as("cell"))
 
     // bucketed index: one partition dir per cell — probes read only theirs
-    val bucketDir = graft.Tables.scratchDir("graft_ivf", d)
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(bucketDir)
+    val bucketDir = ivfStageMemo.computeIfAbsent(s"$d#$nl", _ => {
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        (lit(0) - best.getField("negcell")).as("cell"))
+      // nl in the dir name: two nlist configs over one dataset are two
+      // DIFFERENT indexes — sharing a path would leave one memo entry
+      // pointing at the other's cells
+      val dir = graft.Tables.scratchDir(s"graft_ivf_$nl", d)
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    })
     val corpus = s.read.parquet(bucketDir)
 
     val centDf = cents.toSeq.toDF("cell", "centroid")
@@ -235,6 +252,36 @@ object Similarity {
     graft.functions.TopK.perGroup(scored, "q_id", "cos", "vec_id", k)
       .select(col("q_id"), col("rank"), col("vec_id").as("n_id"), round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rank")
+  }
+
+  /** v11 — the ANN TUNING CURVE: recall@k of the IVF index against
+    * exact brute force, swept over nprobe — the accuracy/cost trade
+    * table every ANN deployment is tuned from (FAISS's standard
+    * evaluation artifact). The index is built ONCE (the coarse fit and
+    * the bucketed staging are memoized pure functions of the dataset);
+    * each sweep point pays only the probe selection + cell-pruned scan,
+    * which is precisely the knob the curve measures. Ground truth and
+    * every approximate result are queries×k-row collects — bounded by
+    * the ask, never the corpus. Rows-only (seeded KMeans has no SQL
+    * twin); monotone recall and the max-probe floor are spec-pinned.
+    */
+  def annRecallCurve(s: SparkSession, d: String, numQueries: Int = 5,
+      k: Int = 10, probeSweep: Seq[Int] = Seq(1, 2, 4, 8)): DataFrame = {
+    import s.implicits._
+    val exact = bruteForceTopK(s, d, numQueries, k)
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.isEmpty)
+      return Seq.empty[(Int, Long, Double)]
+        .toDF("nprobe", "n_queries", "recall_at_k")
+    val rows = probeSweep.sorted.map { p =>
+      val approx = annIvf(s, d, numQueries, k, nprobe = p)
+        .select("q_id", "n_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = approx.intersect(exact).size.toDouble / exact.size
+      (p, numQueries.toLong, math.rint(recall * 1e6) / 1e6)
+    }
+    rows.toDF("nprobe", "n_queries", "recall_at_k").orderBy("nprobe")
   }
 
   /** Elementwise centroid per label (posexplode → grouped avg): the
@@ -742,6 +789,9 @@ object Similarity {
         |SELECT q_id, rank, n_id, round(raw_cos, 6) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     QueryDef("v3_ann_ivf", (s, d) => annIvf(s, d), None),
+    // rows-only: the seeded coarse quantizer has no SQL twin; the curve's
+    // monotonicity + max-probe recall floor are spec-pinned
+    QueryDef("v11_ann_recall_curve", (s, d) => annRecallCurve(s, d), None),
     QueryDef("v5_fused_naive_cosine", (s, d) => cosineThresholdNaive(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT q.vec_id AS q_id, c.vec_id AS n_id,

@@ -1225,6 +1225,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t26 — DSIR importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): every doc scored
+    * by the mean per-token log-ratio of an add-one-smoothed TARGET
+    * unigram LM (here: the English slice, the "I want my corpus to look
+    * like this" distribution) over the SOURCE LM (the whole corpus) —
+    * the principled replacement for hand-rule filtering when up-sampling
+    * toward a reference distribution; resampling by these weights is the
+    * paper's recipe. One exploded token pass feeds both count tables
+    * (cached); the three scalar totals broadcast back as a 1-row cross
+    * join (a16's discipline); smoothing and the log-ratio follow t16's
+    * oracled add-one + ln + round-6dp pairing, so the score is fully
+    * DuckDB-checkable.
+    */
+  def dsirWeights(s: SparkSession, d: String,
+      targetLang: String = "en"): DataFrame = {
+    val tok = documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("w"))
+      .cache() // feeds source counts, target counts, totals, and scoring
+    val srcCnt = tok.groupBy("w").agg(count(lit(1)).as("cs"))
+    val tgtCnt = tok.filter(col("lang") === targetLang)
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val totals = srcCnt.agg(sum("cs").as("ns"), count(lit(1)).as("v"))
+      .crossJoin(tok.filter(col("lang") === targetLang)
+        .agg(count(lit(1)).as("nt")))
+    tok.join(srcCnt, "w").join(tgtCnt, Seq("w"), "left")
+      .na.fill(0L, Seq("ct"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"),
+        (log((col("ct") + 1).cast("double") / (col("nt") + col("v")).cast("double")) -
+          log((col("cs") + 1).cast("double") / (col("ns") + col("v")).cast("double")))
+          .as("llr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg("llr"), 6).as("mean_log_ratio"))
+      .orderBy("doc_id")
+  }
+
   /** t23 — Gopher-style rule-filter REPORT: the four classic
     * rep-quality gates (word count in range, mean word length in
     * range, ≥80% alphabetic words, ≥2% stopwords) evaluated per doc
@@ -1350,6 +1387,22 @@ object TextAnalysis {
     // reference parity + determinism pinned in the spec
     QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), None),
     QueryDef("t25_bpe_encode", (s, d) => bpeEncode(s, d), None),
+    QueryDef("t26_dsir_weights", (s, d) => dsirWeights(s, d), Some(
+      """WITH tok AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+        |src AS (SELECT w, count(*) AS cs FROM tok GROUP BY 1),
+        |tgt AS (SELECT w, count(*) AS ct FROM tok WHERE lang = 'en' GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ns, count(*) AS v FROM src),
+        |ttot AS (SELECT count(*) AS nt FROM tok WHERE lang = 'en'),
+        |sc AS (
+        |  SELECT doc_id,
+        |    ln((coalesce(ct, 0) + 1) / CAST(nt + v AS DOUBLE))
+        |      - ln((cs + 1) / CAST(ns + v AS DOUBLE)) AS llr
+        |  FROM tok JOIN src USING (w) LEFT JOIN tgt USING (w)
+        |  CROSS JOIN tot CROSS JOIN ttot)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(avg(llr), 6) AS mean_log_ratio
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("p4_weighted_sample", qualityWeightedSample, Some(
       """WITH q AS (
         |  SELECT doc_id, source,

@@ -71,6 +71,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r >= 0.3, s"mean recall@10 $r not better than random probing")
   }
 
+  test("ANN recall curve: monotone in nprobe, hits the max-probe floor, rerun-stable") {
+    val a = Similarity.annRecallCurve(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.nonEmpty)
+    // more probes can only widen the candidate set — recall must be
+    // monotone nondecreasing along the sweep
+    a.sliding(2).foreach {
+      case Array((p1, _, r1), (p2, _, r2)) =>
+        assert(r2 >= r1, s"recall dropped from $r1 (nprobe=$p1) to $r2 (nprobe=$p2)")
+      case _ => ()
+    }
+    // at the widest probe the curve must beat random cell coverage on
+    // the isotropic sf0.001 vectors (the v3 spec's floor)
+    assert(a.last._3 >= 0.3, s"max-probe recall ${a.last._3} below floor")
+    // the index is memoized and the fit seeded: the curve is a pure
+    // function of the dataset
+    val b = Similarity.annRecallCurve(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq, "recall curve not rerun-stable")
+  }
+
   test("adaptive nlist keeps the max cell population bounded as the corpus grows") {
     import spark.implicits._
     // planted skew: 20 separated gaussian clusters, one holding 40% of
