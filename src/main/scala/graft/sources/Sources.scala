@@ -60,8 +60,92 @@ object Sources {
     * The no-Exchange property is pinned in SourcesSpec; here the join
     * feeds an aggregate so the result is small and oracle-able.
     */
+  /** src18 — AVRO sink + scan round-trip. The `spark-avro` DataSource is
+    * not on this classpath, but Avro's own `avro-mapred` IS (it ships
+    * with Spark for its shuffle internals), so the format is driven
+    * through the Hadoop InputFormat/OutputFormat bridge instead: rows →
+    * GenericRecord inside each write task (`AvroKeyOutputFormat`, one
+    * container file per task — the sink is as parallel as the RDD), and
+    * the scan is `AvroKeyInputFormat`, which SPLITS on Avro block
+    * boundaries — so a 100 TB Avro ingest fans out exactly like parquet.
+    * The Avro `Schema` is parsed from JSON inside each task (the class
+    * predates serializable schemas); records never cross a shuffle, so
+    * no Avro type touches a serializer. Field values are copied out of
+    * the reader's reused record immediately (datum reuse is the classic
+    * Hadoop-bridge trap). Readback feeds src4's aggregate shape, oracled
+    * against the parquet original — bytes through Avro and back must
+    * change nothing.
+    */
+  def avroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    import org.apache.avro.mapred.AvroKey
+    import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+    import org.apache.hadoop.io.NullWritable
+    import org.apache.hadoop.mapreduce.Job
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val schemaJson =
+      """{"type":"record","name":"lineitem_slice","fields":[
+        |{"name":"l_orderkey","type":"long"},
+        |{"name":"l_suppkey","type":"long"},
+        |{"name":"l_quantity","type":"double"},
+        |{"name":"l_returnflag","type":"string"}]}""".stripMargin
+    val tmp = Tables.scratchDir("graft_avro", d)
+    val conf = s.sparkContext.hadoopConfiguration
+    val outPath = new org.apache.hadoop.fs.Path(tmp)
+    outPath.getFileSystem(conf).delete(outPath, true)
+
+    val writeJob = Job.getInstance(conf)
+    AvroJob.setOutputKeySchema(writeJob, new Schema.Parser().parse(schemaJson))
+    lineitem(s, d)
+      .select("l_orderkey", "l_suppkey", "l_quantity", "l_returnflag")
+      .rdd.mapPartitions { it =>
+        val sch = new Schema.Parser().parse(schemaJson)
+        it.map { r =>
+          val rec = new GenericData.Record(sch)
+          rec.put("l_orderkey", r.getLong(0))
+          rec.put("l_suppkey", r.getLong(1))
+          rec.put("l_quantity", r.getDouble(2))
+          rec.put("l_returnflag", r.getString(3))
+          (new AvroKey[GenericRecord](rec), NullWritable.get())
+        }
+      }
+      .saveAsNewAPIHadoopFile(tmp, classOf[AvroKey[GenericRecord]],
+        classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+        writeJob.getConfiguration)
+
+    val readJob = Job.getInstance(conf)
+    AvroJob.setInputKeySchema(readJob, new Schema.Parser().parse(schemaJson))
+    val rows = s.sparkContext.newAPIHadoopFile(tmp,
+        classOf[AvroKeyInputFormat[GenericRecord]],
+        classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+        readJob.getConfiguration)
+      .mapPartitions(_.map { case (k, _) =>
+        val rec = k.datum()
+        Row(rec.get("l_orderkey").asInstanceOf[Long],
+          rec.get("l_suppkey").asInstanceOf[Long],
+          rec.get("l_quantity").asInstanceOf[Double],
+          rec.get("l_returnflag").toString)
+      })
+    val back = s.createDataFrame(rows, StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_suppkey", LongType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType))))
+    back
+      .filter(col("l_returnflag") =!= "N")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        countDistinct("l_suppkey").as("n_supp"))
+      .orderBy("l_returnflag")
+  }
+
   /** ORC sink + scan round-trip (the second columnar format Spark ships;
-    * spark-avro is not on this classpath). Predicate pushdown and column
+    * the Avro DataSource is absent too — src18 drives that format through
+    * the Hadoop bridge instead). Predicate pushdown and column
     * pruning work on ORC exactly as on parquet — the filter below reaches
     * the ORC reader.
     */
@@ -851,6 +935,11 @@ object Sources {
         |  CAST(length(n_name || ', "x"' || chr(10) || 'line\2') AS INT) AS n_len,
         |  md5(n_name || ', "x"' || chr(10) || 'line\2') AS tricky_md5
         |FROM nation ORDER BY n_nationkey""".stripMargin)),
+    QueryDef("src18_avro_roundtrip", avroRoundtrip, Some(
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem WHERE l_returnflag <> 'N'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src4_orc_roundtrip", orcRoundtrip, Some(
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 4) AS sum_qty,
         |  count(DISTINCT l_suppkey) AS n_supp
