@@ -94,6 +94,44 @@ object EventStreams {
     graft.ops.Analytics.quantilesFromBuckets(s.table(qname))
   }
 
+  /** st18 — streaming DISTINCT-USER sketch cube: the stream maintains
+    * a17's per-(week, day) HLL sketches (`hll_sketch_agg` as streaming
+    * aggregation state — a fixed-size register array per group, so state
+    * is calendar × sketch-bytes, bounded like st17's histogram), and the
+    * weekly distinct estimates come from MERGING daily sketches at ask
+    * time. HLL union is register-wise max — commutative, associative,
+    * insertion-order-independent — so the streamed cube is EXACTLY the
+    * batch cube: equality with a17's batch output is spec-pinned
+    * (rows-only for the driver; DuckDB has no HLL-sketch twin). The
+    * exact count rides along from the batch side purely to report the
+    * estimator's relative error, a17's contract.
+    */
+  def streamingHllRollup(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(src)
+      .select(date_trunc("week", col("ts")).as("week"),
+        date_trunc("day", col("ts")).as("day"), col("user_id"))
+      .groupBy("week", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+    val qname = "graft_stream_hll"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val weeklyEst = s.table(qname).groupBy("week")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+    val weeklyExact = Tables.events(s, d)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(countDistinct("user_id").as("exact_users"))
+    weeklyExact.join(weeklyEst, "week")
+      .select(
+        date_format(col("week"), "yyyy-MM-dd").as("week"),
+        col("exact_users"), col("est_users"),
+        round(abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double"), 6).as("rel_err"))
+      .orderBy("week")
+  }
+
   /** Sliding 2-hour windows advancing every hour — each event lands in
     * exactly TWO overlapping windows, the semantics tumbling (st1) can't
     * express (trend smoothing, rolling rate alerts). Spark expands the
@@ -992,6 +1030,9 @@ object EventStreams {
         |  round(min(CASE WHEN cum >= ceil(0.95 * total) THEN est END), 6) AS p95_est,
         |  round(min(CASE WHEN cum >= ceil(0.99 * total) THEN est END), 6) AS p99_est
         |FROM w GROUP BY week ORDER BY week""".stripMargin)),
+    // rows-only: DuckDB has no HLL-sketch twin; stream ≡ batch-a17
+    // equality is spec-pinned (register-max merge is order-independent)
+    QueryDef("st18_streaming_hll", streamingHllRollup, None),
     QueryDef("st16_temporal_join", streamTemporalJoin, Some(
       """WITH c AS (
         |  SELECT user_id, ts, event_id FROM events

@@ -18,6 +18,20 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming HLL cube equals batch a17 exactly — merge is order-independent") {
+    // HLL union is register-wise max: commutative and associative, so
+    // the micro-batch insertion order cannot change the merged sketch —
+    // the streamed cube must reproduce the batch rollup bit-for-bit
+    val streamed = EventStreams.streamingHllRollup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val batch = graft.SparkEntry.queries("a17_hll_rollup")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"stream/batch sketch drift:\n$streamed\nvs\n$batch")
+  }
+
   test("checkpoint recovery: stop mid-stream, restart, exactly-once totals equal batch") {
     // the durability contract a production pipeline relies on: aggregation
     // state and source offsets live in the checkpoint, so a stopped query
