@@ -219,7 +219,61 @@ object Multimodal {
       .orderBy("anchor_id", "pair_type")
   }
 
+  /** m7 — INTERLEAVED multimodal sequence assembly (the MMC4/OBELICS
+    * document shape): each doc's text segments and its blob's byte
+    * patches zipped into one deterministic training-sequence manifest —
+    * alternate T/B while both modalities have items, then append the
+    * longer tail. The manifest is pure item-label arithmetic (counts
+    * from n_chars / octet_length, no payload bytes move), built by a
+    * narrow `transform(sequence(...))` generator and fingerprinted with
+    * md5 so any consumer can verify the interleave order it was handed —
+    * and so the WHOLE sequence, order included, is hash-oracled against
+    * DuckDB's identical list_transform. Segment sizes are
+    * model-specific knobs (128 chars ≈ a 32-token text turn, 256-byte
+    * patches); nothing in the shape depends on them.
+    */
+  def interleavedSequences(s: SparkSession, d: String, textChunk: Int = 128,
+      byteChunk: Int = 256): DataFrame = {
+    val base = blobTable(s, d).toDF().select(col("doc_id"), col("n_bytes"))
+      .join(documents(s, d).select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("nt", ceil(col("n_chars") / lit(textChunk.toDouble)).cast("long"))
+      .withColumn("nb", ceil(col("n_bytes") / lit(byteChunk.toDouble)).cast("long"))
+      .withColumn("m", least(col("nt"), col("nb")))
+    val items = transform(sequence(lit(0L), col("nt") + col("nb") - 1), p =>
+      when(p < col("m") * 2,
+        when(p % 2 === 0, concat(lit("T"), floor(p / 2).cast("string")))
+          .otherwise(concat(lit("B"), floor(p / 2).cast("string"))))
+        .otherwise(
+          when(col("nt") > col("nb"),
+            concat(lit("T"), (p - col("nb")).cast("string")))
+            .otherwise(concat(lit("B"), (p - col("nt")).cast("string")))))
+    base
+      .select(col("doc_id"), col("nt").as("n_text"), col("nb").as("n_blob"),
+        (col("nt") + col("nb")).as("n_items"),
+        md5(concat_ws("|", items)).as("seq_md5"))
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m7_interleaved_seq", (s, d) => interleavedSequences(s, d), Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(ceil(n_chars / 128.0) AS BIGINT) AS nt,
+        |    CAST(ceil(CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) / 256.0) AS BIGINT) AS nb
+        |  FROM documents),
+        |seq AS (
+        |  SELECT doc_id, nt, nb,
+        |    list_transform(range(0, nt + nb), p ->
+        |      CASE WHEN p < 2 * least(nt, nb)
+        |        THEN CASE WHEN p % 2 = 0 THEN 'T' || CAST(p // 2 AS VARCHAR)
+        |                  ELSE 'B' || CAST(p // 2 AS VARCHAR) END
+        |        ELSE CASE WHEN nt > nb THEN 'T' || CAST(p - nb AS VARCHAR)
+        |                  ELSE 'B' || CAST(p - nt AS VARCHAR) END
+        |      END) AS items
+        |  FROM base)
+        |SELECT doc_id, nt AS n_text, nb AS n_blob, nt + nb AS n_items,
+        |  md5(array_to_string(items, '|')) AS seq_md5
+        |FROM seq ORDER BY doc_id""".stripMargin)),
     QueryDef("m6_pair_alignment", (s, d) => pairAlignment(s, d), Some(
       """WITH docs AS (SELECT doc_id, lang, text FROM documents),
         |ext AS (SELECT count(*) AS n_docs, min(doc_id) AS min_id FROM docs),

@@ -446,6 +446,54 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** ts7 — Holt–Winters ADDITIVE seasonal smoothing (α=1/5, β=1/10,
+    * γ=1/5, weekly period 7) of daily revenue — ts5's Holt plus the
+    * seasonal component, the classic triple-exponential forecaster for
+    * series with a weekly rhythm. All three recurrences run in exact
+    * integer sub-units (cents × 10⁴) with TRUNCATING division — Scala
+    * `Long./` truncates toward zero and DuckDB `//` does the same
+    * (measured: -7//2 = -3), so both engines walk bit-identical state,
+    * including the 7-slot seasonal ring buffer (a LIST carried through
+    * the oracle's recursive CTE). Like ts5, the sequential fold runs in
+    * ONE task over the CALENDAR-sized rollup — the only full-data pass
+    * is the daily aggregation; a fold whose every step needs last week's
+    * state has no parallel form, and |days| rows is driver-trivial at
+    * any corpus scale.
+    */
+  def holtWintersSmoothing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val daily = orders(s, d)
+      .groupBy(col("o_orderdate").as("day"))
+      .agg((round(round(sum("o_totalprice"), 2) * 100, 0).cast("long") * 10000L)
+        .as("xs"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("xs"))
+    val smoothed = daily.as[(String, Long)]
+      .repartition(1).sortWithinPartitions("day")
+      .mapPartitions { it =>
+        var lvl = 0L; var trd = 0L
+        val seas = Array.fill(7)(0L) // ring: seas(0) = s_{t-7}, oldest first
+        var first = true
+        it.map { case (day, xs) =>
+          if (first) { lvl = xs; trd = 0L; first = false }
+          else {
+            val so = seas(0)
+            val l1 = (xs - so + 4L * (lvl + trd)) / 5L
+            trd = (l1 - lvl + 9L * trd) / 10L
+            val s1 = ((xs - l1) + 4L * so) / 5L
+            lvl = l1
+            System.arraycopy(seas, 1, seas, 0, 6)
+            seas(6) = s1
+          }
+          (day, xs, lvl, trd, seas(6), lvl + trd + seas(0))
+        }
+      }.toDF("day", "xs", "lvl", "trd", "season_u", "forecast_u")
+    smoothed.select(col("day"),
+      expr("xs div 10000").as("rev_cents"),
+      col("lvl").as("level_u"), col("trd").as("trend_u"),
+      col("season_u"), col("forecast_u"))
+      .orderBy("day")
+  }
+
   /** dq8 — Benford first-digit audit over order amounts: the classic
     * fabricated-data screen (Benford 1938; standard in fraud/forensic
     * accounting). First significant digit extracted from exact integer
@@ -521,6 +569,27 @@ object Quality {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("ts7_holt_winters", (s, d) => holtWintersSmoothing(s, d), Some(
+      """WITH RECURSIVE daily AS (
+        |  SELECT o_orderdate AS day,
+        |    CAST(round(round(sum(o_totalprice), 2) * 100, 0) AS BIGINT) * 10000 AS xs
+        |  FROM orders GROUP BY 1),
+        |idx AS (SELECT day, xs, row_number() OVER (ORDER BY day) AS t FROM daily),
+        |rec AS (
+        |  SELECT t, day, xs, xs AS lvl, CAST(0 AS BIGINT) AS trd,
+        |    [CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] AS seas
+        |  FROM idx WHERE t = 1
+        |  UNION ALL
+        |  SELECT i.t, i.day, i.xs,
+        |    (i.xs - r.seas[1] + 4 * (r.lvl + r.trd)) // 5,
+        |    (((i.xs - r.seas[1] + 4 * (r.lvl + r.trd)) // 5) - r.lvl + 9 * r.trd) // 10,
+        |    list_append(r.seas[2:7],
+        |      ((i.xs - ((i.xs - r.seas[1] + 4 * (r.lvl + r.trd)) // 5)) + 4 * r.seas[1]) // 5)
+        |  FROM idx i JOIN rec r ON i.t = r.t + 1)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, xs // 10000 AS rev_cents,
+        |  lvl AS level_u, trd AS trend_u, seas[7] AS season_u,
+        |  lvl + trd + seas[1] AS forecast_u
+        |FROM rec ORDER BY day""".stripMargin)),
     QueryDef("dq8_benford_audit", (s, d) => benfordAudit(s, d), Some(
       """WITH d AS (
         |  SELECT CAST(substr(CAST(CAST(round(round(o_totalprice, 2) * 100, 0) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
