@@ -95,7 +95,29 @@ object Bench {
         s""""codecache_mb":${poolMb("CodeHeap") max poolMb("Code Cache")},""" +
         s""""gc_sec":$gcSec,"heap_mb":$heapMb}"""
     }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"jvm":$jvm,"sf":"$sfDir"}""")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"jvm":$jvm,"sf":"$sfDir"}"""
+    println(fullLine)
+    // The driver keeps only the last 2000 bytes of stdout, and the full
+    // per-query line is ~7 KB — round 7's artifact silently lost als_fit and
+    // every query alphabetically before t13 to tail truncation. Two fixes:
+    // (1) persist the full line to a file so every round's complete timings
+    // are diffable, (2) print a compact HEADLINE line LAST — total, als_fit,
+    // errors, jvm, and the slowest 20 queries — sized well under 2000 bytes
+    // so the tail always captures the numbers that matter.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (fullLine + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
+    }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"headline","total":${r3(total)},"n_queries":${results.size},""" +
+      s""""als_fit":${r3(alsFitSec)},"errors":$errs,"jvm":$jvm,"slowest":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,7 +27,10 @@ import org.apache.spark.storage.StorageLevel
   * The ranged input is persisted (MEMORY_AND_DISK) because the offsets
   * job and the main pass are separate actions; the cache is
   * rollup-sized — the operator's input is expected to be an aggregate,
-  * not a fact table — and spills rather than OOMs.
+  * not a fact table — and spills rather than OOMs. It must outlive the
+  * RETURNED lazy plan, so it is not unpersisted here: the harness clears
+  * the session cache after each query's sink (Verify/Bench both do), and
+  * embedding callers own the same contract.
   */
 object Cumulative {
 

@@ -228,7 +228,12 @@ object Dedup {
     val inv = docs
       .select(col("doc_id"), col("n_sh"),
         explode(transform(col("sh"), x => xxhash64(x))).as("shingle"))
-      .cache() // reused: df-cut groupBy + both sides of the pair join
+      // reused: df-cut groupBy + both sides of the pair join. Lifecycle:
+      // the cache must outlive the RETURNED lazy plan, so it cannot be
+      // unpersisted here — the harness clears the session cache after
+      // each query's sink (Verify/Bench both do); embedding callers own
+      // the same contract (clearCache or unpersist when done).
+      .cache()
     val keep = inv.groupBy("shingle").count().filter(col("count") <= maxDf).drop("count")
     val pruned = inv.join(keep, "shingle")
     pruned.select(col("shingle"), col("doc_id").as("doc_a"), col("n_sh").as("na"))

@@ -239,7 +239,12 @@ object Multimodal {
       .withColumn("nt", ceil(col("n_chars") / lit(textChunk.toDouble)).cast("long"))
       .withColumn("nb", ceil(col("n_bytes") / lit(byteChunk.toDouble)).cast("long"))
       .withColumn("m", least(col("nt"), col("nb")))
-    val items = transform(sequence(lit(0L), col("nt") + col("nb") - 1), p =>
+    // Guard the empty doc: Spark's sequence(0, -1) yields a DESCENDING
+    // [0,-1] while DuckDB's range(0, 0) is empty — for nt+nb = 0 the two
+    // engines would fingerprint different manifests. Unreachable in the
+    // current fixtures, but the operator contract is "empty doc → empty
+    // sequence", so say it in the plan.
+    val itemsRaw = transform(sequence(lit(0L), col("nt") + col("nb") - 1), p =>
       when(p < col("m") * 2,
         when(p % 2 === 0, concat(lit("T"), floor(p / 2).cast("string")))
           .otherwise(concat(lit("B"), floor(p / 2).cast("string"))))
@@ -247,6 +252,8 @@ object Multimodal {
           when(col("nt") > col("nb"),
             concat(lit("T"), (p - col("nb")).cast("string")))
             .otherwise(concat(lit("B"), (p - col("nt")).cast("string")))))
+    val items = when(col("nt") + col("nb") > 0, itemsRaw)
+      .otherwise(array().cast("array<string>"))
     base
       .select(col("doc_id"), col("nt").as("n_text"), col("nb").as("n_blob"),
         (col("nt") + col("nb")).as("n_items"),

@@ -558,7 +558,7 @@ object Quality {
     val m = slopes.agg(expr("percentile(slope, 0.5)").as("m"),
       count(lit(1)).as("n_pairs"))
     val first = daily.agg(min("day").as("day0"), count(lit(1)).as("n_days"))
-    daily.crossJoin(broadcast(m)).crossJoin(broadcast(first))
+    val result = daily.crossJoin(broadcast(m)).crossJoin(broadcast(first))
       .select(col("n_days"), col("n_pairs"), col("m"),
         (col("cents").cast("double") -
           col("m") * datediff(col("day"), col("day0"))).as("r"))
@@ -566,6 +566,13 @@ object Quality {
       .agg(max("n_days").as("n_days"), max("n_pairs").as("n_pairs"),
         round(max("m"), 6).as("slope_cents_per_day"),
         round(expr("percentile(r, 0.5)"), 4).as("intercept_cents"))
+    // the result is ONE row: compute it eagerly while the caches are
+    // live, then unpersist both — a caller that never clears its session
+    // cache must not inherit this query's intermediates
+    val rows = result.collect()
+    allDaily.unpersist(blocking = false)
+    daily.unpersist(blocking = false)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   def defs: Seq[QueryDef] = Seq(

@@ -1186,7 +1186,10 @@ object TextAnalysis {
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(String, String)]]
   private def learnedMerges(s: SparkSession, d: String,
       k: Int): Seq[(String, String)] =
-    bpeMergeMemo.computeIfAbsent(s"$d#$k", _ =>
+    // fingerprint in the key: a dataset regenerated in place must not be
+    // encoded with the previous generation's merge table
+    bpeMergeMemo.computeIfAbsent(
+      s"$d#${graft.Tables.datasetFingerprint(d)}#$k", _ =>
       bpeMerges(s, d, k).orderBy("step").collect().toSeq
         .map(r => (r.getString(1), r.getString(2))))
 
@@ -1349,7 +1352,206 @@ object TextAnalysis {
       .orderBy("cell")
   }
 
+  // ------------------------------------------------------------------
+  // t27 — LINE-LEVEL boilerplate dedup (the C4/RefinedWeb cleaning
+  // step): hash every line, drop lines appearing in more than minDocs
+  // DISTINCT documents (nav bars, cookie banners, footers — content
+  // that repeats across pages), re-emit the cleaned document plus
+  // removed-line/char accounting.
+  // ------------------------------------------------------------------
+
+  /** Shared rewrite core over a (doc_id, source, line_idx, line) table.
+    * Scale shape (t15's inverted-index discipline): lines join on
+    * xxhash64 — 8-byte shuffle keys, and the boilerplate cut happens on
+    * the line-hash aggregate BEFORE anything joins back, so the mark
+    * join's build side is only the duplicated tail, never the corpus.
+    * Reassembly is one per-doc aggregation: kept (line_idx, line) pairs
+    * collect, sort by index, and join back into the cleaned text —
+    * order restored by data, not by task order. A 64-bit hash collision
+    * could only FALSELY mark a unique line as boilerplate if it collided
+    * with a line in >minDocs other docs (~n²/2⁶⁵ — immaterial, t15's
+    * analysis).
+    */
+  private[graft] def lineDedupCore(lines: DataFrame, minDocs: Int,
+      joinSep: String): DataFrame = {
+    val hashed = lines.withColumn("lh", xxhash64(col("line")))
+    val bp = hashed.groupBy("lh")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > minDocs)
+      .select(col("lh"), lit(true).as("bp"))
+    hashed.join(bp, Seq("lh"), "left")
+      .withColumn("bp", coalesce(col("bp"), lit(false)))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("bp"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("bp"), length(col("line")).cast("long")).otherwise(0L))
+          .as("removed_chars"),
+        // collect_list drops the nulls `when` leaves for boilerplate
+        // lines; array_sort on (line_idx, line) structs restores
+        // document order deterministically (line_idx is unique per doc)
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("bp"), struct(col("line_idx"), col("line"))))),
+            x => x.getField("line")),
+          joinSep)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
+  /** The literal C4 shape — text split on newline. The synthetic corpus
+    * has no newlines (each doc would be one unique line), so this
+    * front-end is exercised by the planted-boilerplate spec; the
+    * DECLARED query uses [[segmentLineDedup]], the same rewrite over
+    * this corpus's natural line analogue.
+    */
+  def lineDedup(docs: DataFrame, minDocs: Int = 2): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), col("source"),
+        posexplode(split(col("text"), "\n")).as(Seq("line_idx", "line")))
+    lineDedupCore(lines, minDocs, "\n")
+  }
+
+  /** t27 — the declared boilerplate rewrite: "lines" are consecutive
+    * `segWords`-word segments (NON-overlapping, unlike t15's sliding
+    * spans — a line partitions the document, so removal is a rewrite,
+    * not just a flag). Pure narrow generator feeding [[lineDedupCore]];
+    * the only shuffles are the line-hash df-cut and the per-doc
+    * regroup. Fully oracled: DuckDB recomputes the identical partition,
+    * cut, and cleaned-text md5.
+    */
+  def segmentLineDedup(s: SparkSession, d: String, segWords: Int = 5,
+      minDocs: Int = 2): DataFrame = {
+    val lines = documents(s, d)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
+      .filter(size(col("w")) > 0)
+      .select(col("doc_id"), col("source"),
+        explode(transform(
+          sequence(lit(0L),
+            ceil(size(col("w")) / lit(segWords.toDouble)).cast("long") - 1),
+          i => struct(i.as("line_idx"),
+            array_join(slice(col("w"), (i * segWords + 1).cast("int"),
+              lit(segWords)), " ").as("line")))).as("p"))
+      .select(col("doc_id"), col("source"), col("p.line_idx"), col("p.line"))
+    lineDedupCore(lines, minDocs, " ")
+  }
+
+  // ------------------------------------------------------------------
+  // t28 — model-based quality filter (the DCLM/FineWeb-Edu archetype):
+  // a fastText-shaped LINEAR classifier over hashed token-bigram
+  // features. The weight vector is fixed and seeded — the point is the
+  // SCORING ENGINE (hash features, look up weights, fold, threshold),
+  // which with fixed weights is a deterministic integer dot product and
+  // therefore fully DuckDB-oracle-able, unlike a trained model.
+  // ------------------------------------------------------------------
+
+  private[graft] val t28Dim = 256
+  /** Integer micro-unit weights in [-1e6, 1e6]: integer sums are exact
+    * and order-independent, so the fold's result is bit-identical
+    * across engines regardless of evaluation order — the ts7 discipline
+    * applied to a dot product.
+    */
+  private[graft] val t28WeightsU: Seq[Long] = {
+    val r = new scala.util.Random(8113L)
+    Seq.fill(t28Dim)((r.nextInt(2000001) - 1000000).toLong)
+  }
+
+  /** Feature index of a bigram: first two hex chars of md5 → 0..255.
+    * md5 is the one hash both engines share (the p6 discipline); Spark
+    * parses the hex pair with conv(), DuckDB with strpos arithmetic —
+    * same integer either way.
+    */
+  private def t28Idx(g: Column): Column =
+    conv(substring(md5(g), 1, 2), 16, 10).cast("int")
+
+  /** Per-doc scores: n_grams, integer score_u = Σ w[h(bigram)], the
+    * sigmoid probability, and the keep flag (score_u >= 0 ⇔ prob >= ½ —
+    * the threshold compares EXACT integers, never floats). The whole
+    * scorer is one narrow codegen'd fold per row — no explode, no
+    * shuffle; at 100 TB it runs at scan speed.
+    */
+  private[graft] def modelDocScores(s: SparkSession, d: String): DataFrame = {
+    val wLit = typedlit(t28WeightsU)
+    val t = tokens(col("text"))
+    val grams = transform(sequence(lit(1), size(t) - 1),
+      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
+    val scoreU = aggregate(grams, lit(0L),
+      (acc, g) => acc + element_at(wLit, t28Idx(g) + 1))
+    documents(s, d)
+      .filter(size(t) >= 2)
+      .select(col("doc_id"), col("source"),
+        (size(t) - 1).cast("long").as("n_grams"), scoreU.as("score_u"))
+      .withColumn("prob",
+        round(lit(1.0) / (lit(1.0) +
+          exp(-col("score_u").cast("double") /
+            (col("n_grams").cast("double") * 1e6))), 6))
+      .withColumn("keep", (col("score_u") >= 0).cast("int"))
+  }
+
+  /** t28 — the per-source keep-rate report over [[modelDocScores]]:
+    * docs, kept docs, keep rate, and the exact integer score mass.
+    * Everything except the one keep-rate division is exact integer
+    * aggregation, so the oracle hash-matches structurally.
+    */
+  def modelQualityReport(s: SparkSession, d: String): DataFrame =
+    modelDocScores(s, d)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("keep").as("n_keep"),
+        round(sum("keep") / count(lit(1)), 6).as("keep_rate"),
+        sum("score_u").as("score_u_sum"))
+      .orderBy("source")
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t27_line_dedup", (s, d) => segmentLineDedup(s, d), Some(
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |lines AS (
+        |  SELECT doc_id, source, i AS line_idx,
+        |    array_to_string(w[1 + i*5 : 5 + i*5], ' ') AS line
+        |  FROM t, unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) r(i)),
+        |df AS (
+        |  SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+        |marked AS (
+        |  SELECT l.doc_id, l.source, l.line_idx, l.line, (df.nd > 2) AS bp
+        |  FROM lines l JOIN df USING (line)),
+        |kept AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(line, ' ' ORDER BY line_idx), '') AS clean
+        |  FROM marked WHERE NOT bp GROUP BY doc_id)
+        |SELECT m.doc_id, m.source,
+        |  count(*) AS n_lines,
+        |  CAST(sum(CASE WHEN bp THEN 0 ELSE 1 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN bp THEN length(line) ELSE 0 END) AS BIGINT)
+        |    AS removed_chars,
+        |  md5(coalesce(max(k.clean), '')) AS clean_md5
+        |FROM marked m LEFT JOIN kept k ON m.doc_id = k.doc_id
+        |GROUP BY m.doc_id, m.source ORDER BY m.doc_id""".stripMargin)),
+    QueryDef("t28_model_quality", (s, d) => modelQualityReport(s, d), Some {
+      val wlist = t28WeightsU.mkString("[", ",", "]")
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, source, len(w) - 1 AS n_grams,
+        |    CAST(list_sum(list_transform(range(1, len(w)), i ->
+        |      (${wlist}::BIGINT[])[
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(w[i] || ' ' || w[i+1]), 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef',
+        |           substr(md5(w[i] || ' ' || w[i+1]), 2, 1))]))
+        |      AS BIGINT) AS score_u
+        |  FROM t WHERE len(w) >= 2)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN score_u >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  round(sum(CASE WHEN score_u >= 0 THEN 1 ELSE 0 END) * 1.0
+        |    / count(*), 6) AS keep_rate,
+        |  CAST(sum(score_u) AS BIGINT) AS score_u_sum
+        |FROM g GROUP BY source ORDER BY source""".stripMargin
+    }),
     QueryDef("t23_gopher_filter", gopherFilterReport, Some(
       """WITH t AS (
         |  SELECT source, string_split(text, ' ') AS w FROM documents),

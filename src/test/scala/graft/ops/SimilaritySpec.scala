@@ -269,9 +269,14 @@ class SimilaritySpec extends SparkSpec {
     val recall = brute.map { case (q, truth) =>
       (truth intersect ivfpq(q)).size.toDouble / truth.size }.sum / brute.size
     assert(recall >= 0.85, s"IVF-PQ recall@10 = $recall on clustered data")
-    // the persisted index carries codes + cell only — no float column
-    val indexSchema = spark.read
-      .parquet(graft.Tables.scratchDir("graft_ivfpq", dir)).schema
+    // the persisted index carries codes + cell only — no float column.
+    // The index dir name embeds (nlist, m, codebook, content fingerprint),
+    // so locate it by its scratch tag rather than reproducing the knobs.
+    val tag = graft.Tables.scratchTag(dir)
+    val idxDirs = new java.io.File("/tmp").listFiles()
+      .filter(f => f.getName.startsWith("graft_ivfpq_") && f.getName.endsWith(tag))
+    assert(idxDirs.nonEmpty, s"no staged IVF-PQ index dir found for tag $tag")
+    val indexSchema = spark.read.parquet(idxDirs.head.toString).schema
     assert(indexSchema.fieldNames.sorted.toSeq == Seq("cell", "codes", "vec_id"),
       s"index schema not codes-only: ${indexSchema.treeString}")
     assert(!indexSchema.exists(_.dataType.simpleString.contains("float")),

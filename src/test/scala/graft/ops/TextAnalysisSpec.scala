@@ -568,4 +568,96 @@ class TextAnalysisSpec extends SparkSpec {
       assert(rs.map(_._3).sorted.toSeq == (1 to rs.length), s"holes in $k")
     }
   }
+
+  test("line dedup: planted boilerplate lines removed, unique lines restored verbatim") {
+    // the C4 shape: newline-separated docs sharing a nav-bar + footer
+    val nav = "home about contact"
+    val foot = "copyright example corp"
+    val docs = Seq(
+      (0L, s"$nav\nalpha beta gamma\n$foot", "a"),
+      (1L, s"$nav\ndelta epsilon\n$foot", "a"),
+      (2L, s"$nav\nzeta eta theta iota\n$foot", "b"),
+      (3L, "entirely unique document body", "b")
+    ).toDF("doc_id", "text", "source")
+    // minDocs=2: nav/footer appear in 3 docs → dropped; bodies unique → kept
+    val out = TextAnalysis.lineDedup(docs, minDocs = 2).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getString(6)))
+      .toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(out(0L) == ((3L, 1L, 2L, (nav.length + foot.length).toLong,
+      md5hex("alpha beta gamma"))))
+    assert(out(1L)._3 == 2L && out(1L)._5 == md5hex("delta epsilon"))
+    assert(out(2L)._5 == md5hex("zeta eta theta iota"))
+    // untouched doc restores EXACTLY (n_removed 0, md5 of original text)
+    assert(out(3L) == ((1L, 1L, 0L, 0L, md5hex("entirely unique document body"))))
+  }
+
+  test("segment line dedup: n_kept+n_removed=n_lines, clean restores when nothing removed") {
+    val rows = TextAnalysis.segmentLineDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, nl, nk, nr, rc, _) =>
+      assert(nk + nr == nl, s"doc $id: $nk kept + $nr removed != $nl lines")
+      assert((nr == 0) == (rc == 0), s"doc $id: removed chars vs count disagree")
+    }
+    // corpus-level: SOME boilerplate must exist at sf0.001 (dup segments
+    // are planted by the generator's shared phrasing) and most docs keep
+    // most lines
+    val removedDocs = rows.count(_._4 > 0)
+    assert(removedDocs > 0, "no boilerplate found — cut degenerate")
+    assert(rows.map(_._3).sum.toDouble / rows.map(_._2).sum > 0.8,
+      "over 20% of the corpus removed — cut too aggressive")
+    // docs with nothing removed restore their exact text md5
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.filter(_._4 == 0L).foreach { case (id, _, _, _, _, m) =>
+      assert(m == md5hex(texts(id)), s"doc $id: untouched but md5 differs")
+    }
+  }
+
+  test("model quality filter: score matches an independent JVM dot product, keep = sign") {
+    val per = TextAnalysis.modelDocScores(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    assert(per.length == 500)
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val w = TextAnalysis.t28WeightsU
+    // independent scorer: same weights, feature index recomputed from
+    // raw MD5 bytes (first byte = first two hex chars)
+    def jvmScore(t: String): (Long, Long) = {
+      val ws = t.split(" ")
+      val s = ws.sliding(2).map(_.mkString(" ")).map { g =>
+        val h = java.security.MessageDigest.getInstance("MD5")
+          .digest(g.getBytes("UTF-8"))
+        w(h(0) & 0xff)
+      }.sum
+      (ws.length - 1L, s)
+    }
+    per.take(50).foreach { case (id, _, nGrams, scoreU, prob, keep) =>
+      val (n, sc) = jvmScore(texts(id))
+      assert(nGrams == n && scoreU == sc,
+        s"doc $id: spark ($nGrams,$scoreU) vs jvm ($n,$sc)")
+      assert((keep == 1) == (scoreU >= 0), s"doc $id keep flag vs sign")
+      val p = 1.0 / (1.0 + math.exp(-scoreU.toDouble / (n * 1e6)))
+      assert(math.abs(prob - p) < 1e-6, s"doc $id prob $prob vs $p")
+    }
+    // the report is exactly the per-doc rows rolled up by source
+    val rep = TextAnalysis.modelQualityReport(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(4)))
+      .toMap
+    val mine = per.groupBy(_._2).map { case (src, rs) =>
+      src -> (rs.length.toLong, rs.count(_._6 == 1).toLong, rs.map(_._4).sum)
+    }
+    assert(rep == mine, s"report $rep != per-doc rollup $mine")
+  }
 }

@@ -30,6 +30,7 @@ class SourcesSpec extends SparkSpec {
     // run the roundtrip (it writes the avro dir as a side effect)
     graft.sources.Sources.avroRoundtrip(spark, sf0001).collect()
     val dir = new java.io.File(graft.Tables.scratchDir("graft_avro", sf0001))
+    assert(dir.exists(), s"avro scratch dir $dir missing after roundtrip")
     val avroFiles = dir.listFiles().filter(_.getName.endsWith(".avro"))
     assert(avroFiles.nonEmpty, s"no .avro container files in $dir")
     // the sink is as parallel as the source RDD: one container file per
@@ -42,9 +43,10 @@ class SourcesSpec extends SparkSpec {
       s"${avroFiles.length} container files for $nTasks write tasks")
     // every container leads with the Avro magic 'Obj\x01'
     avroFiles.foreach { f =>
-      val in = new java.io.FileInputStream(f)
+      // readFully, not read: a short read would compare garbage bytes
+      val in = new java.io.DataInputStream(new java.io.FileInputStream(f))
       val magic = new Array[Byte](4)
-      try in.read(magic) finally in.close()
+      try in.readFully(magic) finally in.close()
       assert(magic.sameElements(Array[Byte]('O', 'b', 'j', 1)),
         s"${f.getName} does not start with the Avro container magic")
     }
