@@ -715,7 +715,90 @@ object Dedup {
       |  WHERE a.doc_id < b.doc_id
       |  GROUP BY 1, 2, 3, 4)""".stripMargin
 
+  /** d15 — SemDeDup (Abbas et al. 2023, arXiv:2303.09540): within each
+    * embedding cluster, greedily keep documents in a deterministic order
+    * and DROP any doc whose cosine to an already-kept doc is ≥ τ — the
+    * semantic-duplicate policy that removes paraphrases and templated
+    * rewrites exact/fuzzy dedup (d1–d14) cannot see. Composition of
+    * existing pieces: p10's cluster machinery (seeded sample-fit KMeans
+    * + codegen'd nearest-centroid argmax) buckets the corpus, and the
+    * greedy runs PER CLUSTER via `flatMapSortedGroups` in md5(doc_id)
+    * order (p3's pure-membership discipline — rerun- and
+    * engine-stable, no RNG state). Never all-pairs: each doc scores
+    * only against its cluster's kept pool, exactly the published
+    * recipe's cost; `adaptiveNlist` scales the cluster count with the
+    * corpus so expected cluster size — and with it per-task greedy
+    * state (kept unit vectors of ONE cluster) — stays bounded as the
+    * corpus grows. Output: every doc with its cluster, keep flag, and
+    * keeper witness (itself if kept; the ≥ τ kept doc that evicted it
+    * otherwise). Rows-only (KMeans + iterative greedy have no SQL
+    * twin); the spec pins the construction's theorems instead: the kept
+    * set is τ-SEPARATED within every cluster, every dropped doc's
+    * witness is kept, in-cluster, and ≥ τ similar, and reruns are
+    * identical.
+    */
+  // τ is embedding-model-specific (SemDeDup's paper sweeps it per
+  // model); the default matches d5's near-dup threshold because the
+  // synthetic embeddings are near-isotropic — real sentence embeddings
+  // would run at 0.7–0.95.
+  def semDedupKeepList(s: SparkSession, d: String, nlist: Int = 0,
+      tau: Double = 0.35, seed: Long = 42L): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val n = e.count()
+    val nl = if (nlist > 0) nlist else Similarity.adaptiveNlist(n)
+    val cents = Similarity.fitQuantizer(e, "embedding", nl, seed = seed,
+      corpusCount = n)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Int, Int, Long, Double)]
+        .toDF("doc_id", "cell", "kept", "keeper_id", "cos_keeper")
+    val best = Similarity.assignCell(col("embedding"), cents)
+    val assigned = e.select(
+      col("vec_id").as("doc_id"),
+      md5(col("vec_id").cast("string")).as("hk"),
+      (lit(0) - best.getField("negcell")).as("cell"),
+      col("embedding"))
+      .as[(Long, String, Int, Seq[Float])]
+    assigned.groupByKey(_._3)
+      .flatMapSortedGroups(col("hk"), col("doc_id")) { (cell, it) =>
+        // kept pool: unit-normalized vectors kept so far in THIS cluster —
+        // the group streams through the iterator, state is pool-sized
+        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.map { case (docId, _, _, emb) =>
+          val v = new Array[Double](emb.length)
+          var nrm = 0.0
+          var i = 0
+          while (i < emb.length) {
+            val x = emb(i).toDouble; v(i) = x; nrm += x * x; i += 1
+          }
+          nrm = math.sqrt(nrm)
+          if (nrm > 0) { i = 0; while (i < v.length) { v(i) /= nrm; i += 1 } }
+          var bestCos = -2.0; var bestId = -1L
+          var j = 0
+          while (j < kept.length) {
+            val kv = kept(j)._2
+            var dot = 0.0; var p = 0
+            val len = math.min(kv.length, v.length)
+            while (p < len) { dot += kv(p) * v(p); p += 1 }
+            if (dot > bestCos) { bestCos = dot; bestId = kept(j)._1 }
+            j += 1
+          }
+          if (kept.nonEmpty && bestCos >= tau)
+            (docId, cell, 0, bestId, math.rint(bestCos * 1e6) / 1e6)
+          else {
+            kept += ((docId, v))
+            (docId, cell, 1, docId, 1.0)
+          }
+        }
+      }
+      .toDF("doc_id", "cell", "kept", "keeper_id", "cos_keeper")
+      .orderBy("doc_id")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    // rows-only: KMeans clusters + iterative greedy have no SQL twin;
+    // τ-separation / witness validity / determinism spec-pinned
+    QueryDef("d15_semdedup", (s, d) => semDedupKeepList(s, d), None),
     QueryDef("d1_exact_dedup", exactDedup, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),

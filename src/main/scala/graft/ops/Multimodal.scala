@@ -11,10 +11,12 @@ import graft.{QueryDef, Tables}
   * metadata struct, and run decode/feature-extract as partition-batched
   * functions (in PySpark: Pandas UDFs over mapInPandas; the Scala
   * equivalent is a typed mapPartitions over an iterator, which gives the
-  * same batch-amortized shape). The decode step itself is STUBBED — the
-  * container ships no image/audio codecs — with a deterministic fake
-  * (byte histogram); the Spark-side plumbing (schema, batching,
-  * partitioning, feature shape) is real and tested.
+  * same batch-amortized shape). The decode step is REAL: a 24-bit
+  * uncompressed BMP codec ([[bmpEncode]]/[[bmpDecode]] — header parse,
+  * bottom-up row order, 4-byte row padding) needing no external
+  * libraries; the fixtures are valid BMP files whose pixels derive
+  * deterministically from document text, so the decoded per-channel
+  * statistics are fully DuckDB-oracle-able.
   */
 object Multimodal {
   import Tables._
@@ -36,32 +38,114 @@ object Multimodal {
       .as[Blob]
   }
 
-  /** STUB decoder — deterministic fake standing in for a real image/audio
-    * decode (no codec libraries in this container). Produces a 16-bin byte
-    * histogram normalized to 1; a real deployment swaps only this function
-    * (same `Array[Byte] => Array[Float]` signature, same batched call
-    * site).
+  // ---- real BMP codec (Windows BITMAPINFOHEADER, 24bpp, BI_RGB) ----
+
+  /** Encode raw BGR pixel bytes (row-major, top-down, 3 bytes/pixel) as
+    * a valid 24-bit uncompressed BMP: 54-byte header, rows written
+    * BOTTOM-UP, each row zero-padded to a 4-byte boundary — the public
+    * format spec, not a container-specific fake.
     */
-  def decodeStub(payload: Array[Byte]): Array[Float] = {
-    val bins = new Array[Float](16)
-    var i = 0
-    while (i < payload.length) { bins((payload(i) & 0xFF) / 16) += 1f; i += 1 }
-    val n = math.max(1, payload.length).toFloat
-    var j = 0
-    while (j < 16) { bins(j) /= n; j += 1 }
-    bins
+  def bmpEncode(bgr: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(bgr.length == w * h * 3, s"need ${w * h * 3} bytes, got ${bgr.length}")
+    val stride = (w * 3 + 3) / 4 * 4
+    val size = 54 + stride * h
+    val out = java.nio.ByteBuffer.allocate(size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(size).putInt(0).putInt(54)
+    out.putInt(40).putInt(w).putInt(h) // positive height = bottom-up rows
+      .putShort(1).putShort(24).putInt(0).putInt(stride * h)
+      .putInt(0).putInt(0).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) { // file order: last image row first
+      out.put(bgr, y * w * 3, w * 3)
+      var p = w * 3
+      while (p < stride) { out.put(0.toByte); p += 1 }
+      y -= 1
+    }
+    out.array()
   }
 
-  /** Partition-batched feature extraction: one decoder instantiation per
-    * partition (the mapInPandas batch shape), rows streamed through it.
-    * At scale this is a narrow map — no shuffle, decoder setup cost
-    * amortized over the partition.
+  /** Decode a 24-bit uncompressed BMP to per-channel statistics:
+    * [width, height, meanB, meanG, meanR, stdB, stdG, stdR]
+    * (population std). Validates magic/bpp/compression and walks the
+    * padded bottom-up rows — a header lie about dimensions throws
+    * rather than reading garbage. Sums are exact integers in double
+    * (pixel counts ≪ 2⁵³), so the statistics are bit-identical to any
+    * engine computing the same definition — what makes m2 oracle-able.
     */
-  def extractFeatures(blobs: Dataset[Blob]): Dataset[BlobFeatures] = {
+  def bmpDecode(payload: Array[Byte]): Array[Double] = {
+    require(payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      "not a BMP container")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    val bpp = buf.getShort(28)
+    val compression = buf.getInt(30)
+    require(bpp == 24 && compression == 0, s"unsupported BMP: $bpp bpp, compression $compression")
+    val stride = (w * 3 + 3) / 4 * 4
+    require(w > 0 && h > 0 && offset.toLong + stride.toLong * h <= payload.length,
+      s"BMP header dimensions ${w}x$h exceed payload")
+    val sum = new Array[Double](3)
+    val sumSq = new Array[Double](3)
+    var y = 0
+    while (y < h) {
+      val rowOff = offset + (h - 1 - y) * stride // bottom-up file rows
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          val v = (payload(rowOff + x * 3 + c) & 0xFF).toDouble
+          sum(c) += v; sumSq(c) += v * v
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val n = (w * h).toDouble
+    Array(w.toDouble, h.toDouble,
+      sum(0) / n, sum(1) / n, sum(2) / n,
+      math.sqrt(sumSq(0) / n - (sum(0) / n) * (sum(0) / n)),
+      math.sqrt(sumSq(1) / n - (sum(1) / n) * (sum(1) / n)),
+      math.sqrt(sumSq(2) / n - (sum(2) / n) * (sum(2) / n)))
+  }
+
+  private[graft] val imgW = 10 // stride 30 → padded to 32: every row
+  private[graft] val imgH = 6  // exercises the 4-byte padding path
+
+  /** Deterministic image fixture: each document renders to a valid
+    * 10×6 24-bit BMP whose BGR byte i (logical row-major order) is the
+    * text's byte at i mod len — a pure function of the text, so an
+    * oracle recomputes the decoded statistics without parsing BMP.
+    */
+  def imageBlobTable(s: SparkSession, d: String): Dataset[Blob] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val bgr = new Array[Byte](imgW * imgH * 3)
+        var i = 0
+        while (i < bgr.length) { bgr(i) = t(i % t.length); i += 1 }
+        val bmp = bmpEncode(bgr, imgW, imgH)
+        Blob(id, bmp, "image/bmp", bmp.length.toLong)
+      }
+  }
+
+  final case class BlobStats(doc_id: Long, mime: String, n_bytes: Long,
+      features: Array[Double])
+
+  /** Partition-batched feature extraction: rows stream through the
+    * decoder per partition (the mapInPandas batch shape) — a narrow
+    * map, no shuffle, setup cost amortized over the partition.
+    */
+  def extractFeatures(blobs: Dataset[Blob]): Dataset[BlobStats] = {
     import blobs.sparkSession.implicits._
     blobs.mapPartitions { it =>
-      // per-partition setup would construct the real decoder here
-      it.map(b => BlobFeatures(b.doc_id, b.mime, b.n_bytes, decodeStub(b.payload)))
+      it.map(b => BlobStats(b.doc_id, b.mime, b.n_bytes, bmpDecode(b.payload)))
     }
   }
 
@@ -77,18 +161,26 @@ object Multimodal {
         sha2(col("payload"), 256).as("sha256"))
       .orderBy("doc_id")
 
-  /** Feature-extract query: stub-decoded features, first bins surfaced as
-    * columns (rows-only — xxhash/histogram have no DuckDB twin; pinned by
-    * spec against a reference implementation).
+  /** m2 — feature-extract query: every doc's fixture BMP decoded by the
+    * REAL codec, per-channel mean/std surfaced as columns. Fully
+    * oracled: Spark's numbers come from encode→parse-header→walk padded
+    * bottom-up rows; DuckDB's from the pixel-generation formula applied
+    * to the text directly — agreement proves the whole encode/decode
+    * round-trip, not just the arithmetic.
     */
   def blobFeatures(s: SparkSession, d: String): DataFrame =
-    extractFeatures(blobTable(s, d)).toDF()
+    extractFeatures(imageBlobTable(s, d)).toDF()
       .select(
         col("doc_id"),
         col("n_bytes"),
-        round(element_at(col("features"), 1), 5).as("bin0"),
-        round(element_at(col("features"), 2), 5).as("bin1"),
-        round(aggregate(col("features"), lit(0.0d), (a, x) => a + x), 4).as("bin_sum"))
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3), 4).as("mean_b"),
+        round(element_at(col("features"), 4), 4).as("mean_g"),
+        round(element_at(col("features"), 5), 4).as("mean_r"),
+        round(element_at(col("features"), 6), 4).as("std_b"),
+        round(element_at(col("features"), 7), 4).as("std_g"),
+        round(element_at(col("features"), 8), 4).as("std_r"))
       .orderBy("doc_id")
 
   /** Real binary-asset ingest: spark.read.format("binaryFile") over a
@@ -327,7 +419,31 @@ object Multimodal {
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS sha256
         |FROM documents ORDER BY doc_id""".stripMargin)),
-    QueryDef("m2_blob_features", blobFeatures, None),
+    QueryDef("m2_blob_features", blobFeatures, Some(
+      """WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+        |b AS (
+        |  SELECT doc_id, i % 3 AS ch,
+        |    ascii(substr(text, (i % L) + 1, 1)) AS v
+        |  FROM t, unnest(range(0, 180)) r(i)),
+        |g AS (
+        |  SELECT doc_id, ch, CAST(sum(v) AS DOUBLE) AS sv,
+        |    CAST(sum(v * v) AS DOUBLE) AS sv2
+        |  FROM b GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(246 AS BIGINT) AS n_bytes,
+        |  10 AS width, 6 AS height,
+        |  round(max(CASE WHEN ch = 0 THEN sv END) / 60.0, 4) AS mean_b,
+        |  round(max(CASE WHEN ch = 1 THEN sv END) / 60.0, 4) AS mean_g,
+        |  round(max(CASE WHEN ch = 2 THEN sv END) / 60.0, 4) AS mean_r,
+        |  round(sqrt(max(CASE WHEN ch = 0 THEN sv2 END) / 60.0
+        |    - (max(CASE WHEN ch = 0 THEN sv END) / 60.0)
+        |      * (max(CASE WHEN ch = 0 THEN sv END) / 60.0)), 4) AS std_b,
+        |  round(sqrt(max(CASE WHEN ch = 1 THEN sv2 END) / 60.0
+        |    - (max(CASE WHEN ch = 1 THEN sv END) / 60.0)
+        |      * (max(CASE WHEN ch = 1 THEN sv END) / 60.0)), 4) AS std_g,
+        |  round(sqrt(max(CASE WHEN ch = 2 THEN sv2 END) / 60.0
+        |    - (max(CASE WHEN ch = 2 THEN sv END) / 60.0)
+        |      * (max(CASE WHEN ch = 2 THEN sv END) / 60.0)), 4) AS std_r
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     QueryDef("m3_binaryfile_ingest", (s, d) => binaryFileIngest(s, d), Some(
       """SELECT doc_id,
         |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,

@@ -132,6 +132,43 @@ object EventStreams {
       .orderBy("week")
   }
 
+  /** st19 — streaming SESSIONIZATION: e18's top session paths as a
+    * stream — the one e-family analytic with no streaming twin until
+    * now, and the first declared consumer of `session_window` carrying
+    * a NON-algebraic aggregate (the ordered event list), not just
+    * counts (st2). Each user's events collect into gap-merged session
+    * state; the path assembly (sort, truncate to pathLen, join with
+    * '>') and the |distinct paths| rollup run batch-side on the
+    * finished sessions. State per (user, open session) is that
+    * session's events — bounded by the watermark horizon; at 100 TB
+    * the unbounded-path guard would cap the collect at pathLen+1 via a
+    * slice in the agg, noted rather than needed at these session
+    * sizes. Session semantics (≥ gap starts a new session) match e2's
+    * batch rule exactly, so the query shares e18's oracle verbatim —
+    * stream ≡ batch ≡ DuckDB, st17's three-way discipline.
+    */
+  def streamingSessionPaths(s: SparkSession, d: String, pathLen: Int = 5,
+      top: Int = 20): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+    val qname = "graft_stream_session_paths"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(qname)
+      .select(array_join(
+        transform(slice(col("evs"), 1, pathLen), x => x("event_type")),
+        ">").as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(desc("n_sessions"), asc("path"))
+      .limit(top)
+  }
+
   /** Sliding 2-hour windows advancing every hour — each event lands in
     * exactly TWO overlapping windows, the semantics tumbling (st1) can't
     * express (trend smoothing, rolling rate alerts). Spark expands the
@@ -1002,6 +1039,27 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st19_streaming_session_paths", (s, d) => streamingSessionPaths(s, d), Some(
+      // e18's oracle verbatim: gap-rule sessions ≡ session_window merges
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id, event_type, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g),
+        |r AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id ORDER BY ts, event_id) AS rn
+        |  FROM s),
+        |p AS (
+        |  SELECT user_id, session_id,
+        |    string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions
+        |FROM p GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)),
     QueryDef("st17_streaming_quantile_sketch", streamingQuantileSketch, Some(
       // a18's oracle verbatim: the streamed cube IS the batch cube
       """WITH ev AS (

@@ -256,6 +256,52 @@ class DedupSpec extends SparkSpec {
     assert(agree >= 0.9, s"kept-set agreement $agree below 0.9")
   }
 
+  test("SemDeDup: kept set τ-separated per cluster, witnesses valid, rerun-stable") {
+    val tau = 0.35 // the operator default: d5's near-dup threshold
+    val rows = Dedup.semDedupKeepList(spark, sf0001, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val n = graft.Tables.embeddings(spark, sf0001).count()
+    // partition: every doc appears exactly once
+    assert(rows.length.toLong == n && rows.map(_._1).distinct.length.toLong == n)
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val keptSet = rows.filter(_._3 == 1).map(_._1).toSet
+    // theorem of the greedy: within a cluster every kept pair is < τ apart
+    rows.filter(_._3 == 1).groupBy(_._2).foreach { case (cell, ks) =>
+      val ids = ks.map(_._1)
+      for (i <- ids.indices; j <- (i + 1) until ids.length) {
+        val c = cos(embs(ids(i)), embs(ids(j)))
+        assert(c < tau + 1e-9, s"kept pair ${ids(i)},${ids(j)} in cell $cell at cos $c >= $tau")
+      }
+    }
+    // every dropped doc names a kept, same-cluster witness at >= τ
+    val cellOf = rows.map(r => r._1 -> r._2).toMap
+    rows.filter(_._3 == 0).foreach { case (id, cell, _, keeper, ck) =>
+      assert(keptSet.contains(keeper), s"doc $id witness $keeper not kept")
+      assert(cellOf(keeper) == cell, s"doc $id witness $keeper crosses clusters")
+      val c = cos(embs(id), embs(keeper))
+      assert(c >= tau - 1e-9, s"doc $id dropped on witness cos $c < $tau")
+      assert(math.abs(c - ck) < 1e-5, s"doc $id reported cos $ck vs recomputed $c")
+    }
+    // some drops must happen on this corpus at τ=0.7, but never all docs
+    assert(keptSet.nonEmpty && keptSet.size.toLong < n,
+      s"degenerate kept set: ${keptSet.size} of $n")
+    // τ above max cosine keeps everything
+    val all = Dedup.semDedupKeepList(spark, sf0001, tau = 1.01).collect()
+    assert(all.forall(_.getInt(2) == 1), "tau > 1 must keep every doc")
+    // rerun determinism
+    val again = Dedup.semDedupKeepList(spark, sf0001, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(again.toSeq == rows.toSeq, "rerun diverged")
+  }
+
   test("incremental near-dup agrees with the full d5 pair grid restricted to batch×corpus") {
     import org.apache.spark.sql.functions._
     // independent path: d5 scores ALL pairs with a corpus-wide quantizer;

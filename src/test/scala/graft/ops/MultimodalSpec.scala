@@ -4,22 +4,45 @@ import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
 
-  test("blob pipeline: schema, batch map, deterministic stub features") {
-    val blobs = Multimodal.blobTable(spark, sf0001)
+  test("blob pipeline: real BMP decode over the image fixture, deterministic") {
+    val blobs = Multimodal.imageBlobTable(spark, sf0001)
     val feats = Multimodal.extractFeatures(blobs).collect()
     assert(feats.nonEmpty)
-    assert(feats.forall(_.features.length == 16))
-    // histogram is normalized: bins sum to ~1 for non-empty payloads
-    assert(feats.filter(_.n_bytes > 0).forall(f => math.abs(f.features.sum - 1f) < 1e-3))
+    assert(feats.forall(_.features.length == 8))
+    assert(feats.forall(f => f.features(0) == 10.0 && f.features(1) == 6.0))
+    // every fixture is a valid BMP container of the expected size
+    assert(feats.forall(_.n_bytes == 246L))
     // deterministic: same input → same features
     val again = Multimodal.extractFeatures(blobs).collect()
     assert(feats.sortBy(_.doc_id).zip(again.sortBy(_.doc_id))
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
-  test("decode stub: known byte histogram") {
-    val f = Multimodal.decodeStub("AAAA".getBytes("UTF-8")) // 'A'=65 → bin 4
-    assert(f(4) == 1f && f.sum == 1f)
+  test("BMP codec: byte-exact round-trip incl. row padding, corrupt headers rejected") {
+    // 3x2 image: width*3 = 9 bytes/row → stride 12, 3 pad bytes per row.
+    // Known pixels, BGR: row0 = (1,2,3),(4,5,6),(7,8,9); row1 = 10..18
+    val bgr = (1 to 18).map(_.toByte).toArray
+    val bmp = Multimodal.bmpEncode(bgr, 3, 2)
+    assert(bmp.length == 54 + 12 * 2)
+    assert(bmp(0) == 'B'.toByte && bmp(1) == 'M'.toByte)
+    // bottom-up: first file row is the SECOND image row
+    assert(bmp.slice(54, 63).toSeq == (10 to 18).map(_.toByte).toSeq)
+    assert(bmp.slice(63, 66).toSeq == Seq[Byte](0, 0, 0)) // padding
+    assert(bmp.slice(66, 75).toSeq == (1 to 9).map(_.toByte).toSeq)
+    val f = Multimodal.bmpDecode(bmp)
+    assert(f(0) == 3.0 && f(1) == 2.0)
+    // channel B = bytes {1,4,7,10,13,16} → mean 8.5
+    assert(math.abs(f(2) - 8.5) < 1e-12)
+    assert(math.abs(f(3) - 9.5) < 1e-12) // G = {2,5,8,11,14,17}
+    assert(math.abs(f(4) - 10.5) < 1e-12) // R = {3,6,9,12,15,18}
+    // population std of {1,4,7,10,13,16}: mean 8.5, var 26.25
+    assert(math.abs(f(5) - math.sqrt(26.25)) < 1e-12)
+    // corrupt magic and lying dimensions both throw instead of misreading
+    val bad = bmp.clone(); bad(0) = 'X'.toByte
+    intercept[IllegalArgumentException](Multimodal.bmpDecode(bad))
+    val lie = bmp.clone()
+    lie(18) = 100.toByte // header claims width 100 with a 78-byte payload
+    intercept[IllegalArgumentException](Multimodal.bmpDecode(lie))
   }
 
   test("binaryFile ingest round-trips file bytes (sha256 parity with blob table)") {

@@ -456,4 +456,16 @@ class EventStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(totalsAfter == totalsBefore)
   }
+
+  test("streaming session paths equal batch e18 row for row") {
+    // stream ≡ batch (st17's discipline): session_window's gap merges
+    // must reproduce e2/e18's >=30-min-gap rule exactly, path order
+    // and top-k tie-breaks included
+    val streamed = EventStreams.streamingSessionPaths(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.ops.Behavior.sessionPaths(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed == batch,
+      s"stream/batch session paths diverge:\n$streamed\nvs\n$batch")
+  }
 }
