@@ -1423,16 +1423,23 @@ object TextAnalysis {
     */
   def segmentLineDedup(s: SparkSession, d: String, segWords: Int = 5,
       minDocs: Int = 2): DataFrame = {
+    // tokens bound via a one-element outer transform (the shingles
+    // discipline): a bare `w` column survives as an attribute only until
+    // CollapseProject inlines it into the lambda — then the doc would
+    // re-tokenize once per segment
+    val segs = element_at(
+      transform(array(tokens(col("text"))), w =>
+        when(size(w) > 0,
+          transform(
+            sequence(lit(0L),
+              ceil(size(w) / lit(segWords.toDouble)).cast("long") - 1),
+            i => struct(i.as("line_idx"),
+              array_join(slice(w, (i * segWords + 1).cast("int"),
+                lit(segWords)), " ").as("line"))))
+          .otherwise(array())),
+      1)
     val lines = documents(s, d)
-      .select(col("doc_id"), col("source"), tokens(col("text")).as("w"))
-      .filter(size(col("w")) > 0)
-      .select(col("doc_id"), col("source"),
-        explode(transform(
-          sequence(lit(0L),
-            ceil(size(col("w")) / lit(segWords.toDouble)).cast("long") - 1),
-          i => struct(i.as("line_idx"),
-            array_join(slice(col("w"), (i * segWords + 1).cast("int"),
-              lit(segWords)), " ").as("line")))).as("p"))
+      .select(col("doc_id"), col("source"), explode(segs).as("p"))
       .select(col("doc_id"), col("source"), col("p.line_idx"), col("p.line"))
     lineDedupCore(lines, minDocs, " ")
   }
@@ -1474,10 +1481,18 @@ object TextAnalysis {
   private[graft] def modelDocScores(s: SparkSession, d: String): DataFrame = {
     val wLit = typedlit(t28WeightsU)
     val t = tokens(col("text"))
-    val grams = transform(sequence(lit(1), size(t) - 1),
-      i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))
-    val scoreU = aggregate(grams, lit(0L),
-      (acc, g) => acc + element_at(wLit, t28Idx(g) + 1))
+    // the tokens array is BOUND to a lambda variable via a one-element
+    // outer transform (the shingles discipline): referencing split(text)
+    // inside the fold would re-tokenize the document twice per bigram —
+    // O(tokens²) per row
+    val scoreU = element_at(
+      transform(array(t), w =>
+        aggregate(
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))),
+          lit(0L),
+          (acc, g) => acc + element_at(wLit, t28Idx(g) + 1))),
+      1)
     documents(s, d)
       .filter(size(t) >= 2)
       .select(col("doc_id"), col("source"),
