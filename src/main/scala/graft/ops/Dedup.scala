@@ -550,7 +550,11 @@ object Dedup {
     // holds for ANY nlist (the triangle-inequality bound is per-pair)
     val nCorpus = e.count()
     val nl = if (nlist > 0) nlist else Similarity.adaptiveNlist(nCorpus)
-    val cents = Similarity.fitQuantizer(e, "embedding", nl, corpusCount = nCorpus)
+    // same full-corpus quantizer v3/v10 memoize (exactness holds for ANY
+    // centroids, so sharing the fit only saves the KMeans, never changes
+    // the pair set); d13 keeps its own corpus-subset fit — different
+    // input, different semantics
+    val cents = Similarity.memoCents(e, d, nl, nCorpus)
     if (cents.isEmpty)
       return Seq.empty[(Long, Long, Double)].toDF("id_a", "id_b", "cos")
     val best = Similarity.assignCell(col("embedding"), cents)
@@ -747,8 +751,9 @@ object Dedup {
     val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
     val n = e.count()
     val nl = if (nlist > 0) nlist else Similarity.adaptiveNlist(n)
-    val cents = Similarity.fitQuantizer(e, "embedding", nl, seed = seed,
-      corpusCount = n)
+    // shared memoized full-corpus quantizer (v3/v5/d5's fit; keyed on
+    // seed so a custom-seeded clustering never serves another's cells)
+    val cents = Similarity.memoCents(e, d, nl, n, seed)
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Int, Long, Double)]
         .toDF("doc_id", "cell", "kept", "keeper_id", "cos_keeper")

@@ -197,11 +197,11 @@ object Similarity {
     * shared by v3/v11 (annIvf) and v10 (ivfPqTopK) so the IVF family
     * fits KMeans once per corpus geometry.
     */
-  private def memoCents(e: DataFrame, d: String, nl: Int,
-      n: Long): Array[(Int, Seq[Float])] =
+  private[ops] def memoCents(e: DataFrame, d: String, nl: Int,
+      n: Long, seed: Long = 42L): Array[(Int, Seq[Float])] =
     ivfCentsMemo.computeIfAbsent(
-      s"${graft.Tables.scratchTag(d)}#${graft.Tables.datasetFingerprint(d)}#$nl",
-      _ => fitQuantizer(e, "embedding", nl, corpusCount = n))
+      s"${graft.Tables.scratchTag(d)}#${graft.Tables.datasetFingerprint(d)}#$nl#$seed",
+      _ => fitQuantizer(e, "embedding", nl, seed = seed, corpusCount = n))
 
   /** IVF approximate NN: sampled seeded KMeans coarse quantizer (nlist
     * cells), corpus bucketed by cell and PERSISTED partitionBy(cell) so a

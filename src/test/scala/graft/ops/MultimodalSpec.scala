@@ -103,4 +103,28 @@ class MultimodalSpec extends SparkSpec {
     // the false-negative rate is measurable and below 1 (langs vary)
     assert(neg.exists(_._4 == 0))
   }
+
+  test("interleaved sequences: empty doc yields an EMPTY manifest, not [0,-1]") {
+    import spark.implicits._
+    // Spark's sequence(0, -1) is a descending [0, -1]; the operator must
+    // guard nt+nb = 0 so both engines fingerprint the empty sequence
+    val dir = java.nio.file.Files.createTempDirectory("graft_m7_empty").toString
+    Seq((0L, "", "en", "a"), (1L, "alpha beta gamma delta", "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars",
+        org.apache.spark.sql.functions.length(
+          org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Multimodal.interleavedSequences(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // empty doc: zero items and the md5 of the EMPTY join — what
+    // DuckDB's range(0, 0) path computes
+    assert(out(0L) == ((0L, 0L, 0L, md5hex(""))))
+    // non-empty doc unaffected: 1 text chunk + 1 byte chunk → T0|B0
+    assert(out(1L) == ((1L, 1L, 2L, md5hex("T0|B0"))))
+  }
 }
