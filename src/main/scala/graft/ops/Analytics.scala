@@ -919,7 +919,51 @@ object Analytics {
       .orderBy("ante", "cons")
   }
 
+  /** a22 — EXACT weighted percentiles of line price weighted by
+    * quantity (the "median dollar", not the median line: which price
+    * level splits the purchased-units mass in half / at p25/p75/p90 —
+    * the inventory/pricing cut `percentile()` cannot answer because it
+    * weights every row equally). Built WITHOUT percentile's
+    * single-final-task state over the value domain: prices roll up to
+    * exact cents, [[Cumulative.runningTotal]] ranks the rollup with the
+    * two-pass range-partitioned cumulative weight (every stage
+    * partition-parallel — the t21/w2 discipline on a genuinely
+    * data-sized ordering), the 1-row total broadcasts back, and each
+    * requested percentile is the least value whose cumulative weight
+    * crosses it. All comparisons are exact integers (cw·100 ≥ q·W), so
+    * the crossing row cannot wobble between engines — fully oracled
+    * against DuckDB's window cumsum.
+    */
+  def weightedPercentiles(s: SparkSession, d: String,
+      qpcts: Seq[Int] = Seq(25, 50, 75, 90)): DataFrame = {
+    val c = lineitem(s, d).select(
+      round(round(col("l_extendedprice"), 2) * 100, 0).cast("long").as("cents"),
+      col("l_quantity").cast("long").as("w"))
+    val rollup = c.groupBy("cents").agg(sum("w").as("w"))
+    val ranked = graft.ops.Cumulative.runningTotal(
+      rollup, "w", Seq(col("cents")), "cw")
+    val tot = c.agg(sum("w").as("wtot"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("qpct", explode(typedlit(qpcts)))
+      .filter(col("cw") * 100 >= col("qpct") * col("wtot"))
+      .groupBy("qpct")
+      .agg(min("cents").as("value_cents"))
+      .orderBy("qpct")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a22_weighted_percentiles", (s, d) => weightedPercentiles(s, d), Some(
+      """WITH c AS (
+        |  SELECT CAST(round(round(l_extendedprice, 2) * 100, 0) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |r AS (SELECT cents, sum(w) AS w FROM c GROUP BY cents),
+        |cum AS (SELECT cents, CAST(sum(w) OVER (ORDER BY cents) AS BIGINT) AS cw FROM r),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS wtot FROM c),
+        |q(qpct) AS (SELECT unnest([25, 50, 75, 90]))
+        |SELECT qpct, min(cents) AS value_cents
+        |FROM cum, tot, q WHERE cw * 100 >= qpct * wtot
+        |GROUP BY qpct ORDER BY qpct""".stripMargin)),
     QueryDef("a21_assoc_rules", (s, d) => assocRules(s, d), Some(
       """WITH op AS (
         |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),

@@ -387,7 +387,54 @@ object Behavior {
       .limit(top)
   }
 
+  /** e19 — per-session metrics via BATCH `session_window`: event count,
+    * value sum, and duration for every ≥30-min-gap session — the
+    * sessionized-metrics table product analytics joins everything else
+    * onto. Declares the BATCH side of the session operator (st19
+    * streams it; e2/e18 derive sessions manually with lag/cumsum
+    * windows): one hash aggregation keyed by (user, merged session
+    * window), no window-function pass at all — at 100 TB that is one
+    * shuffle on user_id with in-memory window merging, vs the manual
+    * form's sort-heavy lag+cumsum+groupBy chain. Duration is
+    * last−first event in SECONDS (exact longs; session_window.end
+    * includes the +gap tail, so the oracle uses max(ts) instead).
+    * Oracled against e2's gap-rule CTE — the manual and native
+    * sessionizations must agree row for row.
+    */
+  def sessionStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 4).as("sum_value"),
+        // subtract exact MILLIS then integer-divide: per-timestamp
+        // second-truncation differs between engines when the endpoints'
+        // sub-second fractions straddle a boundary
+        expr("(unix_millis(max(ts)) - unix_millis(min(ts))) div 1000")
+          .as("duration_s"))
+      .select(col("user_id"),
+        date_format(col("sw.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("sum_value"), col("duration_s"))
+      .orderBy("user_id", "session_start")
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e19_session_stats", (s, d) => sessionStats(s, d), Some(
+      """WITH g AS (
+        |  SELECT user_id, ts, value, epoch_ms(ts) AS ms,
+        |    lag(epoch_ms(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms,
+        |    event_id
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM g)
+        |SELECT user_id,
+        |  strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_events,
+        |  round(sum(value), 4) AS sum_value,
+        |  CAST((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000 AS BIGINT) AS duration_s
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin)),
     QueryDef("e18_session_paths", (s, d) => sessionPaths(s, d), Some(
       """WITH g AS (
         |  SELECT user_id, ts, event_id, event_type, epoch_ms(ts) AS ms,

@@ -376,4 +376,24 @@ class AnalyticsSpec extends SparkSpec {
     val exactAnte = op.filter(col("pk") === a).count()
     assert(pn == exactPair && an == exactAnte)
   }
+
+  test("weighted percentiles: each value is the exact cumulative-weight crossing") {
+    val got = Analytics.weightedPercentiles(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(25, 50, 75, 90))
+    // independent replay: exact integer weights and cents
+    val rows = graft.Tables.lineitem(spark, sf0001)
+      .select(round(round(col("l_extendedprice"), 2) * 100, 0).cast("long").as("c"),
+        col("l_quantity").cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val wTot = rows.map(_._2).sum
+    got.foreach { case (q, v) =>
+      val below = rows.filter(_._1 < v).map(_._2).sum
+      val upto = rows.filter(_._1 <= v).map(_._2).sum
+      assert(upto * 100 >= q * wTot, s"p$q=$v does not reach the crossing")
+      assert(below * 100 < q * wTot, s"p$q=$v overshoots the crossing")
+    }
+    // monotone in q
+    assert(got(25) <= got(50) && got(50) <= got(75) && got(75) <= got(90))
+  }
 }

@@ -72,4 +72,15 @@ class BehaviorSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("session stats: native session_window sessions match e2's manual gap rule") {
+    val stats = Behavior.sessionStats(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // per-user session count and event totals equal the lag/cumsum form
+    val mine = stats.groupBy(_._1)
+      .map { case (u, rs) => u -> (rs.length.toLong, rs.map(_._2).sum) }
+    val manual = graft.ops.Relational.eventsSessionize(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(mine == manual, "native session_window diverges from the gap rule")
+  }
 }
