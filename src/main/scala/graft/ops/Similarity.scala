@@ -63,6 +63,35 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** v12 — FILTERED vector search: exact top-k restricted to corpus
+    * vectors whose DOCUMENT passes a metadata predicate (language
+    * here) — the predicate+similarity combination every retrieval
+    * stack needs (RAG with source/lang/date constraints) and the one
+    * the plain top-k family lacks. The predicate applies as a
+    * LEFT-SEMI join BEFORE any dot product — prune-then-score, so the
+    * scan scores only the qualifying slice (at 100 TB the same
+    * predicate pushes into v3/v10's bucketed index scan as a plain
+    * filter column). Post-filtering a k-deep unfiltered result would
+    * instead UNDERFILL k whenever fewer than k of the global top hits
+    * qualify — the classic filtered-ANN correctness trap this operator
+    * exists to avoid. Same total order and oracle discipline as v2.
+    */
+  def filteredTopK(s: SparkSession, d: String, lang: String = "en",
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = embeddings(s, d)
+    val allowed = documents(s, d).filter(col("lang") === lang)
+      .select(col("doc_id").as("n_id"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+      .join(allowed, Seq("n_id"), "left_semi")
+    val scored = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    graft.functions.TopK.perGroup(scored, "q_id", "cos", "n_id", k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Threshold variant (oracle-safe: no rank boundary) — all neighbors
     * with cosine ≥ threshold for the first numQueries vectors.
     */
@@ -823,6 +852,24 @@ object Similarity {
         |    / (sqrt(list_inner_product(q.emb, q.emb))
         |       * sqrt(list_inner_product(c.emb, c.emb))) >= 0.25::DOUBLE
         |ORDER BY q_id, n_id""".stripMargin)),
+    QueryDef("v12_filtered_topk", (s, d) => filteredTopK(s, d), Some(
+      // v2's oracle with the metadata predicate as a pre-score join —
+      // rank over the unrounded cosine, CAST rank to INT, round output
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |allowed AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_inner_product(q.emb, c.emb)
+        |      / (sqrt(list_inner_product(q.emb, q.emb))
+        |         * sqrt(list_inner_product(c.emb, c.emb))) AS raw_cos
+        |  FROM e q, e c, allowed a
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id AND c.vec_id = a.doc_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, raw_cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, n_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id, round(raw_cos, 6) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     QueryDef("v2_bruteforce_topk", (s, d) => bruteForceTopK(s, d), Some(
       // rank over the UNROUNDED cosine (as the Spark side does), CAST to
       // INT to match Spark's row_number type; round only in the output.

@@ -301,6 +301,34 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF-PQ recall@10 = $recall not better than random probing")
   }
 
+  test("filtered top-k: every hit passes the predicate, k filled from the filtered pool") {
+    val allowed = graft.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = Similarity.filteredTopK(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // predicate holds on every returned neighbor — the post-filter trap
+    // (underfilled k / leaked non-matching hits) must be impossible
+    got.foreach { case (q, _, n, _) =>
+      assert(allowed.contains(n), s"query $q returned non-en doc $n")
+    }
+    // k fully filled when the filtered pool is deep enough
+    val perQ = got.groupBy(_._1)
+    assert(perQ.nonEmpty && perQ.values.forall(_.length == 10))
+    // ranks are dense and cosine-descending within each query
+    perQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to rs.length), s"query $q ranks not dense")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-(_: Double)).toSeq,
+        s"query $q not cosine-descending")
+    }
+    // the filter actually bites: some unfiltered top-10 hit is non-en
+    val unfiltered = Similarity.bruteForceTopK(spark, sf0001).collect()
+      .map(r => r.getLong(2))
+    assert(unfiltered.exists(!allowed.contains(_)),
+      "fixture degenerate: unfiltered top-k already all-en")
+  }
+
   test("MMR: lambda=1 degenerates to exact top-k; lambda=0.5 never more redundant") {
     import org.apache.spark.sql.Row
     val k = 5
