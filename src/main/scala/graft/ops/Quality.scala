@@ -246,6 +246,29 @@ object Quality {
       .orderBy("nation", "segment")
   }
 
+  /** dq9 — l-DIVERSITY audit, dq4's complement (Machanavajjhala et al.
+    * 2007): k-anonymity bounds GROUP SIZE but a group of 50 records
+    * that all share one sensitive value still discloses it — each
+    * quasi-identifier group must also contain ≥ l DISTINCT sensitive
+    * values. Same QI groups as dq4 (nation × segment); the sensitive
+    * attribute is the account-balance BAND (floor(bal_cents / 200000)
+    * — exact integer banding, the categorical generalization the
+    * l-test needs). One hash aggregation with count + count(DISTINCT
+    * band) per group — group-count-sized work at any corpus scale —
+    * and the verdict compares exact integers. Fully oracled.
+    */
+  def lDiversity(s: SparkSession, d: String, l: Long = 3): DataFrame =
+    customer(s, d)
+      .select(col("c_nationkey").cast("string").as("nation"),
+        col("c_mktsegment").as("segment"),
+        expr("cast(round(round(c_acctbal, 2) * 100, 0) as bigint) div 200000")
+          .as("band"))
+      .groupBy("nation", "segment")
+      .agg(count(lit(1)).as("n"),
+        countDistinct("band").as("n_bands"))
+      .withColumn("diverse", (col("n_bands") >= l).cast("int"))
+      .orderBy("nation", "segment")
+
   /** ts2 — seasonal-naive forecast backtest: forecast each of the last 7
     * days' revenue by the historical mean of its day-of-week, report
     * per-day absolute percentage error — the standard sanity baseline
@@ -729,6 +752,17 @@ object Quality {
         |  round(abs(rev - forecast) / rev, 6) AS ape
         |FROM lab JOIN f USING (dow)
         |WHERE is_test ORDER BY day""".stripMargin)),
+    QueryDef("dq9_l_diversity", (s, d) => lDiversity(s, d), Some(
+      """SELECT CAST(c_nationkey AS VARCHAR) AS nation,
+        |  c_mktsegment AS segment,
+        |  count(*) AS n,
+        |  CAST(count(DISTINCT
+        |    CAST(round(round(c_acctbal, 2) * 100, 0) AS BIGINT) // 200000)
+        |    AS BIGINT) AS n_bands,
+        |  CAST(count(DISTINCT
+        |    CAST(round(round(c_acctbal, 2) * 100, 0) AS BIGINT) // 200000)
+        |    >= 3 AS INT) AS diverse
+        |FROM customer GROUP BY 1, 2 ORDER BY nation, segment""".stripMargin)),
     QueryDef("dq4_k_anonymity", (s, d) => kAnonymity(s, d), Some(
       """WITH g AS (
         |  SELECT CAST(c_nationkey AS VARCHAR) AS nation,

@@ -98,6 +98,30 @@ object TextAnalysis {
       predLangCol(col("text")).as("pred_lang"))
       .orderBy("doc_id")
 
+  /** t31 — language-ID CONFUSION MATRIX: t3's detector judged against
+    * the declared `lang` label, rolled up to (labeled, predicted)
+    * counts with per-label shares and a correctness flag — the audit
+    * artifact a corpus run publishes before trusting either column
+    * (mislabeled ingests and detector drift both show up as off-
+    * diagonal mass). Composition, not recomputation: the per-doc
+    * prediction IS t3's (same codegen'd projection), the matrix is one
+    * |langs|²-row aggregate, and per-label totals rejoin as a broadcast
+    * (a16's partials discipline — never a window over the fact table).
+    * The share division is one double op on exact integer counts, so
+    * the matrix is fully oracled via t3's SQL twin.
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    val cm = langId(s, d)
+      .groupBy("labeled_lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+    val tot = cm.groupBy("labeled_lang").agg(sum("n_docs").as("n_label"))
+    cm.join(broadcast(tot), "labeled_lang")
+      .select(col("labeled_lang"), col("pred_lang"), col("n_docs"),
+        round(col("n_docs") / col("n_label"), 6).as("share"),
+        (col("labeled_lang") === col("pred_lang")).cast("int").as("correct"))
+      .orderBy("labeled_lang", "pred_lang")
+  }
+
   /** Document fingerprinting: 64-bit content hash of normalized text plus a
     * rolling-shingle min-hash — the cheap building block for exact and
     * fuzzy identity (xxhash64 has no DuckDB twin → rows-only, pinned by
@@ -1806,6 +1830,32 @@ object TextAnalysis {
         |       THEN 'es'
         |       ELSE 'de' END AS pred_lang
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    QueryDef("t31_lang_confusion", (s, d) => langConfusion(s, d), Some(
+      // t3's detector verbatim, rolled up to the confusion matrix
+      """WITH pred AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 'zh'
+        |         WHEN len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is')))
+        |           >= len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','que','en','un')))
+        |          AND len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is')))
+        |           >= len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu','ist','ein')))
+        |         THEN 'en'
+        |         WHEN len(list_filter(string_split(text,' '), t -> t IN ('el','la','de','y','que','en','un')))
+        |           >= len(list_filter(string_split(text,' '), t -> t IN ('der','die','das','und','zu','ist','ein')))
+        |         THEN 'es'
+        |         ELSE 'de' END AS pred_lang
+        |  FROM documents),
+        |cm AS (
+        |  SELECT labeled_lang, pred_lang, count(*) AS n_docs
+        |  FROM pred GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT labeled_lang, CAST(sum(n_docs) AS BIGINT) AS n_label
+        |  FROM cm GROUP BY 1)
+        |SELECT cm.labeled_lang, cm.pred_lang, cm.n_docs,
+        |  round(cm.n_docs * 1.0 / t.n_label, 6) AS share,
+        |  CAST(cm.labeled_lang = cm.pred_lang AS INT) AS correct
+        |FROM cm JOIN tot t USING (labeled_lang)
+        |ORDER BY labeled_lang, pred_lang""".stripMargin)),
     QueryDef("t4_fingerprint", fingerprint, None),
     QueryDef("t5_stratified_sample", stratifiedSample, None),
     QueryDef("t6_pii_redaction", piiRedaction, Some(

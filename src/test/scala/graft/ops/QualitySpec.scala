@@ -167,4 +167,26 @@ class QualitySpec extends SparkSpec {
     val (_, lastRev, lastLvl, _, _) = got.last
     assert(lastLvl / 10000L > 0 || lastRev == 0)
   }
+
+  test("l-diversity: bands recomputed independently, partition complete, flag exact") {
+    val got = Quality.lDiversity(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4))).toMap
+    val rows = graft.Tables.customer(spark, sf0001)
+      .select("c_nationkey", "c_mktsegment", "c_acctbal").collect()
+      .map(r => (r.get(0).toString, r.getString(1), r.getDouble(2)))
+    assert(got.values.map(_._1).sum == rows.length.toLong)
+    // independent replay of the banding + distinct count per group
+    val mine = rows.groupBy(r => (r._1, r._2)).map { case (k, rs) =>
+      val bands = rs.map { r =>
+        val cents = math.round(math.rint(r._3 * 100))
+        cents / 200000L // JVM Long division truncates like Spark div
+      }.distinct.length.toLong
+      k -> (rs.length.toLong, bands)
+    }
+    mine.foreach { case (k, (n, b)) =>
+      assert(got(k)._1 == n && got(k)._2 == b, s"group $k: ${got(k)} vs ($n,$b)")
+      assert((got(k)._3 == 1) == (b >= 3), s"group $k flag wrong")
+    }
+  }
 }

@@ -569,6 +569,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion matrix is exactly t3's predictions rolled up; shares sum to 1") {
+    val cm = TextAnalysis.langConfusion(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3), r.getInt(4)))
+    val perDoc = TextAnalysis.langId(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(cm.map(_._3).sum == perDoc.length.toLong)
+    val direct = perDoc.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    assert(cm.map(r => (r._1, r._2) -> r._3).toMap == direct)
+    cm.groupBy(_._1).foreach { case (lab, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4, s"$lab shares sum != 1")
+    }
+    cm.foreach { case (lab, pred, _, _, c) => assert((c == 1) == (lab == pred)) }
+  }
+
   test("line dedup: planted boilerplate lines removed, unique lines restored verbatim") {
     // the C4 shape: newline-separated docs sharing a nav-bar + footer
     val nav = "home about contact"
