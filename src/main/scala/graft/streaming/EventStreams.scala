@@ -1038,7 +1038,131 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  final case class FnIn(user_id: Long, ts: java.sql.Timestamp,
+      kind: String, event_id: Long)
+  final case class FnState(purchases: Seq[(Long, Long)],
+      clicks: Seq[Long], views: Seq[Long])
+  final case class FnOut(user_id: Long, event_id: Long, pts: Long,
+      click_ok: Boolean, full_ok: Boolean)
+
+  /** st20 — STREAMING multi-step funnel: e9's time-bound
+    * purchase←click←view attribution chain evaluated as events arrive —
+    * real-time conversion monitoring, the e-funnel family's streaming
+    * twin. st16's event-time state machine generalized to TWO as-of
+    * levels: per user the state buffers pending purchases plus the
+    * click/view timestamp sets, a purchase FINALIZES only once the
+    * watermark proves every click at-or-before it has arrived (and
+    * transitively every view at-or-before that click), and the
+    * attribution recomputes e9's exact rule — latest click ≤ purchase
+    * within 24h, then latest view ≤ that click within 1h; "latest
+    * within window" ≡ "any within window" since the latest dominates.
+    * State is bounded by the attribution horizon, NOT the stream:
+    * clicks older than wm−24h and views older than wm−25h can never
+    * participate in any unfinalized purchase's windows and are
+    * evicted; EventTimeTimeout re-armed at wm+1 flushes groups on
+    * watermark progress without new data (st16's discipline,
+    * far-future sentinel included). Shares e9's oracle VERBATIM —
+    * stream ≡ batch ≡ DuckDB's ASOF-join funnel.
+    */
+  def streamingFunnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    // fresh replay dir per call: the flush sentinel appended below must
+    // never pollute the shared staged source
+    val src = java.nio.file.Files
+      .createTempDirectory("graft_st20_replay").toString
+    ev.write.mode("overwrite").parquet(src)
+    val stream = s.readStream.schema(ev.schema).parquet(src)
+      .filter(col("event_type").isin("purchase", "click", "view"))
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("event_type").as("kind"),
+        col("event_id")).as[FnIn]
+    val dayMs = 24L * 3600 * 1000
+    val hourMs = 3600L * 1000
+    val funnel = stream.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, it: Iterator[FnIn], state: GroupState[FnState]) =>
+          val prev = state.getOption.getOrElse(FnState(Nil, Nil, Nil))
+          var ps = prev.purchases.toVector
+          var cs = prev.clicks.toVector
+          var vs = prev.views.toVector
+          it.foreach { r =>
+            val t = r.ts.getTime
+            r.kind match {
+              case "purchase" => ps :+= (t -> r.event_id)
+              case "click"    => cs :+= t
+              case _          => vs :+= t
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          // a purchase at pts <= wm can finalize: the watermark proves
+          // every click <= pts (and every view <= any such click) arrived
+          val (ready, pending) = ps.partition(_._1 <= wm)
+          val csSorted = cs.sorted
+          val vsSorted = vs.sorted
+          val out = ready.sortBy(identity).map { case (pts, eid) =>
+            val latestClick = csSorted.takeWhile(_ <= pts).lastOption
+            val clickOk = latestClick.exists(_ >= pts - dayMs)
+            val fullOk = clickOk && {
+              val cts = latestClick.get
+              vsSorted.takeWhile(_ <= cts).lastOption.exists(_ >= cts - hourMs)
+            }
+            FnOut(uid, eid, pts, clickOk, fullOk)
+          }
+          // horizon eviction: see scaladoc — these can never matter again
+          val keepC = cs.filter(_ > wm - dayMs)
+          val keepV = vs.filter(_ > wm - dayMs - hourMs)
+          if (pending.isEmpty && keepC.isEmpty && keepV.isEmpty) state.remove()
+          else {
+            state.update(FnState(pending, keepC, keepV))
+            state.setTimeoutTimestamp(wm + 1) // flush on watermark progress
+          }
+          out.iterator
+      }
+    val qname = "graft_stream_funnel"
+    val q = funnel.toDF().writeStream.outputMode("append")
+      .format("memory").queryName(qname).start()
+    try {
+      q.processAllAvailable() // batch 1: all real data, watermark 0
+      Seq((-907L, "2024-03-01 00:00:00", -907L, "view", 0.0, ""))
+        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+          col("user_id"), col("event_type"), col("value"), col("props"))
+        .write.mode("append").parquet(src)
+      q.processAllAvailable() // batch 2: sentinel advances the watermark
+    } finally q.stop()
+    s.table(qname).filter(col("user_id") >= 0)
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("click_ok"), 1L).otherwise(0L)).as("n_with_click"),
+        sum(when(col("full_ok"), 1L).otherwise(0L)).as("n_full_chain"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st20_streaming_funnel", (s, d) => streamingFunnel(s, d), Some(
+      // e9's oracle verbatim: the streamed attribution IS the batch one
+      """WITH p AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id AS cu, ts AS cts FROM events WHERE event_type = 'click'),
+        |v AS (SELECT user_id AS vu, ts AS vts FROM events WHERE event_type = 'view'),
+        |pc0 AS MATERIALIZED (
+        |  SELECT p.event_id, p.user_id, p.ts, c.cts
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.cu AND p.ts >= c.cts),
+        |pc AS MATERIALIZED (
+        |  SELECT *, cts IS NOT NULL AND cts >= ts - INTERVAL 24 HOUR AS click_ok
+        |  FROM pc0),
+        |pv AS MATERIALIZED (
+        |  SELECT x.event_id, x.cts, v.vts
+        |  FROM (SELECT * FROM pc WHERE click_ok) x
+        |  ASOF LEFT JOIN v ON x.user_id = v.vu AND x.cts >= v.vts)
+        |SELECT
+        |  (SELECT count(*) FROM p) AS n_purchases,
+        |  (SELECT CAST(sum(CASE WHEN click_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM pc) AS n_with_click,
+        |  (SELECT CAST(sum(CASE WHEN vts IS NOT NULL
+        |     AND vts >= cts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS BIGINT)
+        |   FROM pv) AS n_full_chain""".stripMargin)),
     QueryDef("st19_streaming_session_paths", (s, d) => streamingSessionPaths(s, d), Some(
       // e18's oracle verbatim: gap-rule sessions ≡ session_window merges
       """WITH g AS (

@@ -457,6 +457,16 @@ class EventStreamsSpec extends SparkSpec {
     assert(totalsAfter == totalsBefore)
   }
 
+  test("streaming funnel equals batch e9 attribution exactly") {
+    // stream ≡ batch: the watermark-finalized two-level as-of chain must
+    // reproduce e9's counts bit for bit
+    val streamed = EventStreams.streamingFunnel(spark, sf0001).collect().head
+    val batch = graft.ops.Behavior.timeBoundFunnel(spark, sf0001).collect().head
+    assert((streamed.getLong(0), streamed.getLong(1), streamed.getLong(2)) ==
+      ((batch.getLong(0), batch.getLong(1), batch.getLong(2))),
+      s"stream $streamed vs batch $batch")
+  }
+
   test("streaming session paths equal batch e18 row for row") {
     // stream ≡ batch (st17's discipline): session_window's gap merges
     // must reproduce e2/e18's >=30-min-gap rule exactly, path order
