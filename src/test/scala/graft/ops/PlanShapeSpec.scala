@@ -129,6 +129,32 @@ class PlanShapeSpec extends SparkSpec {
       s"global sort funnels the vocabulary through one ordering:\n${globalSorts.mkString}")
   }
 
+  test("weighted percentiles: no single-task window or global sort over the price domain") {
+    // a22's cumulative weight runs through Cumulative.runningTotal: the
+    // distinct-cents rollup is data-sized (one row per distinct price),
+    // so the ordering must stay partition-parallel
+    val df = graft.SparkEntry.queries("a22_weighted_percentiles")(spark, sf0001)
+    val phys = df.queryExecution.sparkPlan
+    val wins = phys.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the partition-local running-sum window")
+    wins.foreach { w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned (single-task) window reappeared:\n$w")
+    }
+    // the only permissible global sort is the |qpcts|-row presentation
+    // ORDER BY — never one over the cents domain
+    val globalSorts = phys.collect {
+      case s0: org.apache.spark.sql.execution.SortExec if s0.global => s0
+    }
+    globalSorts.foreach { s0 =>
+      val keys = s0.sortOrder.map(_.child.toString).mkString(",")
+      assert(keys.contains("qpct") && !keys.contains("cents"),
+        s"global sort funnels the price domain through one ordering:\n$s0")
+    }
+  }
+
   test("recursive hierarchy: the plan recurses via UnionLoop, not an unrolled union") {
     // q5 must exercise Spark 4's native recursive-CTE operator — a
     // manually unrolled union would silently cap the depth
