@@ -74,8 +74,13 @@ object Tables {
     def files(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(files)
       else Seq(f)
-    val sig = files(new java.io.File(d))
-      .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+    val root = new java.io.File(d).getAbsoluteFile.toPath
+    // path RELATIVE to the dataset root, not basename: same-named files
+    // in different subdirectories must not collapse to one signature.
+    // Caveat: a swap-in copy that preserves sizes AND mtimes still
+    // fingerprints identically — mtime is the staleness signal here.
+    val sig = files(root.toFile)
+      .map(f => s"${root.relativize(f.getAbsoluteFile.toPath)}:${f.length}:${f.lastModified}")
       .sorted.mkString("|")
     f"${scala.util.hashing.MurmurHash3.stringHash(sig) & 0xffffffffL}%08x"
   }

@@ -120,13 +120,21 @@ object Multimodal {
     * 10×6 24-bit BMP whose BGR byte i (logical row-major order) is the
     * text's byte at i mod len — a pure function of the text, so an
     * oracle recomputes the decoded statistics without parsing BMP.
+    *
+    * Fixture contract: the oracle indexes CHARACTERS via
+    * `ascii(substr(text, (i % L)+1, 1))`, so text is assumed ASCII
+    * (one byte per char — true of the generated corpus at every SF,
+    * verified 0 non-ASCII docs). An EMPTY text maps to a single zero
+    * byte (`coalesce(nullif(text,''), chr(0))` on the oracle side)
+    * instead of dividing by zero.
     */
   def imageBlobTable(s: SparkSession, d: String): Dataset[Blob] = {
     import s.implicits._
     documents(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
-        val t = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val t = if (raw.isEmpty) Array[Byte](0) else raw
         val bgr = new Array[Byte](imgW * imgH * 3)
         var i = 0
         while (i < bgr.length) { bgr(i) = t(i % t.length); i += 1 }

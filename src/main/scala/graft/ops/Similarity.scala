@@ -627,7 +627,8 @@ object Similarity {
     val fp = graft.Tables.datasetFingerprint(d)
     graft.Tables.stagedDir(pqCodesMemo,
       s"${graft.Tables.scratchTag(d)}#$fp#$m#$codebook#$seed") { () =>
-      val dir = graft.Tables.scratchDir(s"graft_pqcodes_${m}_${codebook}_$fp", d)
+      val dir = graft.Tables.scratchDir(
+        s"graft_pqcodes_${m}_${codebook}_${seed}_$fp", d)
       e.select(col("vec_id"), pqNormalize(col("embedding")).as("nv"))
         .select(col("vec_id"), pqEncode(cbs, m, sub)(col("nv")).as("codes"))
         .write.mode("overwrite").parquet(dir)
@@ -763,7 +764,7 @@ object Similarity {
     val indexDir = graft.Tables.stagedDir(ivfStageMemo,
       s"ivfpq#${graft.Tables.scratchTag(d)}#$fpIdx#$nl#$m#$codebook#$seed") { () =>
       val dir = graft.Tables.scratchDir(
-        s"graft_ivfpq_${nl}_${m}_${codebook}_$fpIdx", d)
+        s"graft_ivfpq_${nl}_${m}_${codebook}_${seed}_$fpIdx", d)
       val codes = s.read
         .parquet(pqCodesStage(s, e, d, codebooks, m, sub, codebook, seed))
       e.select(col("vec_id"),

@@ -1126,12 +1126,22 @@ object EventStreams {
       .format("memory").queryName(qname).start()
     try {
       q.processAllAvailable() // batch 1: all real data, watermark 0
-      Seq((-907L, "2024-03-01 00:00:00", -907L, "view", 0.0, ""))
-        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
-        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .write.mode("append").parquet(src)
-      q.processAllAvailable() // batch 2: sentinel advances the watermark
+      // Two sentinel rounds: the first advances the watermark past every
+      // real purchase; finalization happens in the watermark-advance
+      // micro-batch AFTER the batch that read the sentinel, and
+      // processAllAvailable only guarantees input-drain, not that the
+      // no-data batch committed. A SECOND, later sentinel forces another
+      // real input batch whose processing necessarily follows the first
+      // round's no-data flush — deterministic, no timing dependence.
+      Seq("2024-03-01 00:00:00", "2024-03-02 00:00:00").zipWithIndex
+        .foreach { case (tsS, i) =>
+          Seq((-907L - i, tsS, -907L, "view", 0.0, ""))
+            .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+            .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+              col("user_id"), col("event_type"), col("value"), col("props"))
+            .write.mode("append").parquet(src)
+          q.processAllAvailable() // sentinel advances the watermark
+        }
     } finally q.stop()
     s.table(qname).filter(col("user_id") >= 0)
       .agg(count(lit(1)).as("n_purchases"),
