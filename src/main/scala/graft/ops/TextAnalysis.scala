@@ -246,8 +246,10 @@ object TextAnalysis {
     * plus a projection-only duplicate-trigram fraction. One narrow join on
     * doc_id stitches them (both sides already hash-partitioned by doc_id).
     */
-  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
-    val docs = documents(s, d).select(col("doc_id"), col("text"))
+  def repetitionSignals(s: SparkSession, d: String): DataFrame =
+    repetitionSignalsCore(documents(s, d).select(col("doc_id"), col("text")))
+
+  private[graft] def repetitionSignalsCore(docs: DataFrame): DataFrame = {
     val tri = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("tris"))
       .select(col("doc_id"),
         (lit(1.0) - size(array_distinct(col("tris"))).cast("double")
@@ -1469,6 +1471,140 @@ object TextAnalysis {
   }
 
   // ------------------------------------------------------------------
+  // t29 — ExactSubstr duplicated-span REMOVAL (Lee et al. 2022 — the
+  // rewrite half of t15's detection): every token covered by a w-token
+  // sliding window whose fingerprint occurs in MORE THAN ONE document
+  // is cut out, and the stitched document re-emitted with removed
+  // span/token/char accounting plus the cleaned-text md5.
+  // ------------------------------------------------------------------
+
+  /** Scale shape: detection is t15's inverted index verbatim (span
+    * fingerprints → groupBy → `count(DISTINCT doc)>1` cut BEFORE the
+    * join-back, so the semi-join's build side is the duplicated tail
+    * only). The covered-token set explodes each duplicated start into
+    * its w token indexes — rows ∝ duplicated content × w, never the
+    * corpus — and is DISTINCT'd so overlapping spans mark each token
+    * once. Reassembly is t27's discipline: one per-doc aggregation
+    * collecting kept (index, token) pairs, sorted by index — order
+    * restored by data, not task order. The only corpus-sized shuffles
+    * are the span-index groupBy and the per-doc regroup; at 100 TB the
+    * md5 fingerprints become xxhash64 (kept md5 here for cross-engine
+    * oracle parity, t15's analysis of the collision odds).
+    */
+  private[graft] def dupSpanRemovalCore(docs: DataFrame, w: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokens(col("text")).as("t"))
+    val tok = toks
+      .select(col("doc_id"), col("source"),
+        posexplode(col("t")).as(Seq("i0", "tok")))
+      .select(col("doc_id"), col("source"),
+        (col("i0") + 1).cast("long").as("ti"), col("tok"))
+    val spans = toks.filter(size(col("t")) >= w)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")) - (w - 1)),
+          i => md5(array_join(slice(col("t"), i, lit(w)), " "))))
+          .as(Seq("s0", "h")))
+      .select(col("doc_id"), (col("s0") + 1).cast("long").as("si"), col("h"))
+    val dupHashes = spans.groupBy("h")
+      .agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 1).select("h")
+    val dupStarts = spans.join(dupHashes, Seq("h"), "left_semi")
+    val covered = dupStarts
+      .select(col("doc_id"),
+        explode(sequence(col("si"), col("si") + (w - 1))).as("ti"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    val nsp = dupStarts.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_spans"))
+    tok.join(covered, Seq("doc_id", "ti"), "left")
+      .withColumn("rm", coalesce(col("rm"), lit(false)))
+      .groupBy("doc_id", "source")
+      .agg(
+        count(lit(1)).as("n_tok"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed_tok"),
+        sum(when(col("rm"), length(col("tok")).cast("long")).otherwise(0L))
+          .as("removed_chars"),
+        md5(array_join(transform(array_sort(collect_list(
+          when(!col("rm"), struct(col("ti"), col("tok"))))),
+          x => x.getField("tok")), " ")).as("clean_md5"))
+      .join(nsp, Seq("doc_id"), "left")
+      .withColumn("n_dup_spans", coalesce(col("n_dup_spans"), lit(0L)))
+      .select("doc_id", "source", "n_tok", "n_dup_spans", "n_removed_tok",
+        "removed_chars", "clean_md5")
+      .orderBy("doc_id")
+  }
+
+  /** t29 — the declared rewrite at t15's window (16 tokens): the corpus
+    * genuinely contains cross-doc duplicated runs at this width (45 docs
+    * at sf0.01), so the cut has real bite on the declared data; fully
+    * oracled including the stitched-text md5.
+    */
+  def dupSpanRemoval(s: SparkSession, d: String, w: Int = 16): DataFrame =
+    dupSpanRemovalCore(
+      documents(s, d).select("doc_id", "source", "text"), w)
+
+  // ------------------------------------------------------------------
+  // t30 — INTRA-document repetition removal (the rewrite half of the
+  // Gopher repetition rules t7 only scores): within ONE document, drop
+  // every repeated non-overlapping segment after its first occurrence.
+  // ------------------------------------------------------------------
+
+  /** Array of consecutive non-overlapping `segWords`-word segment texts
+    * (t27's partition of the document) as one narrow expression; the
+    * token array is bound via the one-element outer transform so
+    * CollapseProject cannot inline a re-tokenize per segment.
+    */
+  private def segmentTexts(segWords: Int): Column =
+    element_at(
+      transform(array(tokens(col("text"))), w =>
+        when(size(w) > 0,
+          transform(
+            sequence(lit(0L),
+              ceil(size(w) / lit(segWords.toDouble)).cast("long") - 1),
+            i => array_join(slice(w, (i * segWords + 1).cast("int"),
+              lit(segWords)), " ")))
+          .otherwise(array())),
+      1)
+
+  /** Core rewrite, exposing the cleaned TEXT so the spec can feed it
+    * back through t7's scorer. keep(i) ⇔ `array_position` — the FIRST
+    * index of that segment text — equals i: exact within-doc segment
+    * dedup as a single codegen'd per-row expression. No shuffle at all:
+    * the whole operator is a narrow projection, so at 100 TB it runs at
+    * scan speed (the per-row cost is O(segments²) in the worst
+    * all-distinct case — bounded by document length, not data volume).
+    */
+  private[graft] def intraDocClean(docs: DataFrame, segWords: Int): DataFrame = {
+    val r = element_at(transform(array(segmentTexts(segWords)), sg =>
+      element_at(transform(array(filter(sequence(lit(1), size(sg)),
+          i => array_position(sg, element_at(sg, i)) === i.cast("long"))), ki =>
+        struct(
+          size(sg).cast("long").as("n_segs"),
+          size(ki).cast("long").as("n_kept"),
+          (size(sg) - size(ki)).cast("long").as("n_removed"),
+          (aggregate(sg, lit(0L), (a, x) => a + length(x).cast("long")) -
+            aggregate(transform(ki, i => element_at(sg, i)), lit(0L),
+              (a, x) => a + length(x).cast("long"))).as("removed_chars"),
+          array_join(transform(ki, i => element_at(sg, i)), " ")
+            .as("clean"))), 1)), 1)
+    docs.select(col("doc_id"), col("source"), r.as("r"))
+      .select(col("doc_id"), col("source"), col("r.n_segs"), col("r.n_kept"),
+        col("r.n_removed"), col("r.removed_chars"), col("r.clean"))
+  }
+
+  /** t30 — the declared query at segWords=2, the width this corpus
+    * genuinely repeats at (181 docs with intra-doc repeated 2-word
+    * segments at sf0.01; wider paragraphs are exercised by the planted
+    * spec). Fully oracled — exact segment dedup is deterministic, so
+    * DuckDB recomputes the identical keep set and stitched md5.
+    */
+  def intraDocDedup(s: SparkSession, d: String, segWords: Int = 2): DataFrame =
+    intraDocClean(documents(s, d).select("doc_id", "source", "text"), segWords)
+      .select(col("doc_id"), col("source"), col("n_segs"), col("n_kept"),
+        col("n_removed"), col("removed_chars"), md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------------------------
   // t28 — model-based quality filter (the DCLM/FineWeb-Edu archetype):
   // a fastText-shaped LINEAR classifier over hashed token-bigram
   // features. The weight vector is fixed and seeded — the point is the
@@ -1569,6 +1705,61 @@ object TextAnalysis {
         |  md5(coalesce(max(k.clean), '')) AS clean_md5
         |FROM marked m LEFT JOIN kept k ON m.doc_id = k.doc_id
         |GROUP BY m.doc_id, m.source ORDER BY m.doc_id""".stripMargin)),
+    QueryDef("t29_span_removal", (s, d) => dupSpanRemoval(s, d), Some(
+      """WITH toks AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+        |tok AS (
+        |  SELECT doc_id, source, i AS ti, t[i] AS tok
+        |  FROM toks, unnest(generate_series(1, len(t))) r(i)),
+        |sp AS (
+        |  SELECT doc_id, i AS si, md5(array_to_string(t[i:i+15], ' ')) AS h
+        |  FROM toks, unnest(generate_series(1, len(t) - 15)) r(i)),
+        |dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) > 1),
+        |ds AS (SELECT doc_id, si FROM sp WHERE h IN (SELECT h FROM dup)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, si + k AS ti
+        |  FROM ds, unnest(generate_series(0, 15)) r(k)),
+        |m AS (
+        |  SELECT tok.doc_id, tok.source, tok.ti, tok.tok,
+        |    (cov.ti IS NOT NULL) AS rm
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.ti = cov.ti),
+        |nsp AS (SELECT doc_id, count(*) AS n_dup_spans FROM ds GROUP BY 1),
+        |kept AS (
+        |  SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY ti), '') AS clean
+        |  FROM m WHERE NOT rm GROUP BY doc_id)
+        |SELECT m.doc_id, m.source,
+        |  count(*) AS n_tok,
+        |  CAST(coalesce(max(nsp.n_dup_spans), 0) AS BIGINT) AS n_dup_spans,
+        |  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_tok,
+        |  CAST(sum(CASE WHEN rm THEN length(tok) ELSE 0 END) AS BIGINT)
+        |    AS removed_chars,
+        |  md5(coalesce(max(kept.clean), '')) AS clean_md5
+        |FROM m LEFT JOIN nsp ON m.doc_id = nsp.doc_id
+        |  LEFT JOIN kept ON m.doc_id = kept.doc_id
+        |GROUP BY m.doc_id, m.source ORDER BY m.doc_id""".stripMargin)),
+    QueryDef("t30_intradoc_dedup", (s, d) => intraDocDedup(s, d), Some(
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |s AS (
+        |  SELECT doc_id, source,
+        |    list_transform(range(0, CAST(ceil(len(w) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(w[1 + i*2 : 2 + i*2], ' ')) AS sg
+        |  FROM t),
+        |k AS (
+        |  SELECT doc_id, source, sg,
+        |    list_filter(range(1, len(sg) + 1),
+        |      i -> list_position(sg, sg[i]) = i) AS ki
+        |  FROM s)
+        |SELECT doc_id, source,
+        |  CAST(len(sg) AS BIGINT) AS n_segs,
+        |  CAST(len(ki) AS BIGINT) AS n_kept,
+        |  CAST(len(sg) - len(ki) AS BIGINT) AS n_removed,
+        |  CAST(coalesce(list_sum(list_transform(sg, x -> length(x))), 0)
+        |    - coalesce(list_sum(list_transform(ki, i -> length(sg[i]))), 0)
+        |    AS BIGINT) AS removed_chars,
+        |  md5(array_to_string(list_transform(ki, i -> sg[i]), ' '))
+        |    AS clean_md5
+        |FROM k ORDER BY doc_id""".stripMargin)),
     QueryDef("t28_model_quality", (s, d) => modelQualityReport(s, d), Some {
       val wlist = t28WeightsU.mkString("[", ",", "]")
       s"""WITH t AS (

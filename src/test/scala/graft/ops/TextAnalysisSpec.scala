@@ -637,6 +637,97 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("span removal: planted shared 18-token run cut from both docs, unique doc untouched") {
+    val run = (1 to 18).map(i => f"s$i%02d").mkString(" ") // 18 tokens, 3 chars each
+    val docs = Seq(
+      (0L, "a", s"x1 x2 $run y1 y2"),
+      (1L, "a", s"z1 z2 z3 $run q1"),
+      (2L, "b", "entirely unique short document")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.dupSpanRemovalCore(docs, w = 16).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))
+      .toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // an 18-token shared run holds exactly 3 identical 16-token windows
+    // in each doc; coverage is the union = the 18 run tokens
+    assert(out(0L) == ((22L, 3L, 18L, 54L, md5hex("x1 x2 y1 y2"))))
+    assert(out(1L) == ((22L, 3L, 18L, 54L, md5hex("z1 z2 z3 q1"))))
+    // under 16 tokens → no spans at all → doc restores verbatim
+    assert(out(2L) == ((4L, 0L, 0L, 0L, md5hex("entirely unique short document"))))
+  }
+
+  test("span removal: per-doc dup-span counts equal t15's detection; no-dup docs restore md5") {
+    val rem = TextAnalysis.dupSpanRemoval(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(6)))
+    assert(rem.length == 500)
+    val det = TextAnalysis.dupSpans(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rem.foreach { case (id, nTok, nSpans, nRm, _) =>
+      assert(nSpans == det(id), s"doc $id: removal saw $nSpans dup spans, t15 saw ${det(id)}")
+      assert(nRm <= nTok && (nSpans == 0) == (nRm == 0), s"doc $id inconsistent")
+    }
+    assert(rem.count(_._4 > 0) > 0, "no duplicated spans found — cut degenerate")
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rem.filter(_._4 == 0L).foreach { case (id, _, _, _, m) =>
+      assert(m == md5hex(texts(id)), s"doc $id: untouched but md5 differs")
+    }
+  }
+
+  test("intra-doc dedup: repeated paragraph dropped, first kept, t7 repetition score improves") {
+    val para = (1 to 10).map(i => f"p$i%02d").mkString(" ") // two 5-word segments
+    val docs = Seq(
+      (0L, "a", s"$para q1 q2 q3 q4 q5 $para"),
+      (1L, "b", "all segments here are fully distinct words")
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.intraDocClean(docs, segWords = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))
+      .toMap
+    // [P1, P2, Q, P1, P2] → kept [P1, P2, Q]; the repeat (2 segs of 19
+    // chars of segment text each) is gone, first occurrences survive
+    assert(out(0L) == ((5L, 3L, 2L, 38L, s"$para q1 q2 q3 q4 q5")))
+    assert(out(1L)._3 == 0L && out(1L)._5 == "all segments here are fully distinct words")
+    // the rewrite improves exactly the signal t7 scores: dup-trigram frac
+    val before = TextAnalysis.repetitionSignalsCore(
+      docs.select(col("doc_id"), col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val after = TextAnalysis.repetitionSignalsCore(
+      TextAnalysis.intraDocClean(docs, segWords = 5)
+        .select(col("doc_id"), col("clean").as("text"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(after(0L) < before(0L), s"t7 dup-trigram ${before(0L)} -> ${after(0L)} did not improve")
+    assert(after(1L) == before(1L), "distinct doc's score moved")
+  }
+
+  test("intra-doc dedup: corpus invariants at sf0.001 (accounting adds up, untouched restore)") {
+    val rows = TextAnalysis.intraDocDedup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getString(6)))
+    assert(rows.length == 500)
+    rows.foreach { case (id, ns, nk, nr, rc, _) =>
+      assert(nk + nr == ns, s"doc $id: $nk + $nr != $ns")
+      assert((nr == 0) == (rc == 0), s"doc $id: removed chars vs count disagree")
+    }
+    assert(rows.count(_._4 > 0) > 0, "no intra-doc repeats found — rewrite degenerate")
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def md5hex(t: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    rows.filter(_._4 == 0L).foreach { case (id, _, _, _, _, m) =>
+      assert(m == md5hex(texts(id)), s"doc $id: untouched but md5 differs")
+    }
+  }
+
   test("model quality filter: score matches an independent JVM dot product, keep = sign") {
     val per = TextAnalysis.modelDocScores(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
