@@ -970,6 +970,182 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------------
+  // p13 — the composed END-TO-END corpus-build pipeline: t27 boilerplate
+  // clean → d1 exact dedup (on the CLEANED text) → t28 quality gate →
+  // p8 temperature mix → p2 packing, as ONE declared query whose output
+  // is the per-stage, per-source kept/dropped doc+token accounting
+  // table — the artifact a real corpus run signs off on. Stage ORDER is
+  // the drop precedence: a doc dropped at exact-dedup is never counted
+  // again at quality, a quality-reject never competes for mix budget.
+  // p14 inserts the approximate dedup stages (d12 LSH, d15 SemDeDup)
+  // between exact and quality via `extraKeeps`.
+  // ------------------------------------------------------------------
+
+  /** Per-document decision table shared by p13/p14: one row per doc
+    * with cleaned token counts and every stage's survival flag, plus
+    * the mix/pack assignment. Scale shape: the clean stage is t27's
+    * (line-hash df-cut + one per-doc regroup); exact dedup is one
+    * window keyed by the cleaned text (at 100 TB: key on xxhash64 of
+    * it — same plan); the t28 gate is a narrow fold; the mix stage
+    * aggregates to a |sources|-row rollup (its ordered-sum window is
+    * the calendar-sized exception, p8's discipline) and the fill
+    * cumsum is per-source partitioned. Because `cum` is monotone along
+    * each source's fill order, the mix-kept set is a PREFIX — so the
+    * pack stage reuses the same cumulative sum (no second window) and
+    * p2's offset rule `floor((cum − n_tok)/budget)` bins it directly.
+    *
+    * `extraKeeps`: (stageName, keep-list) pairs applied between exact
+    * dedup and the quality gate, in order. A doc absent from a keep
+    * list passes through (a keep LIST's absence is "no duplicate
+    * verdict", e.g. a doc with no embedding cannot be a semantic dup).
+    */
+  private[graft] def corpusBuildPerDoc(s: SparkSession, d: String,
+      segWords: Int, minDocs: Int, frac: Double, packBudget: Double,
+      extraKeeps: Seq[(String, DataFrame)]): (DataFrame, Seq[String]) = {
+    import org.apache.spark.sql.expressions.Window
+    val cleaned = lineDedupText(segLines(s, d, segWords), minDocs, " ")
+      .select(col("doc_id"), col("source"), col("orig_toks"),
+        col("clean_toks"), col("clean"))
+    val dedW = Window.partitionBy("clean").orderBy("doc_id")
+    var pd = cleaned
+      .withColumn("exact_keep", row_number().over(dedW) === 1)
+      .withColumn("q_keep", t28ScoreU(col("clean")) >= 0)
+      .withColumn("hk", md5(col("doc_id").cast("string")))
+      .drop("clean")
+    val extraNames = extraKeeps.map(_._1)
+    extraKeeps.foreach { case (nm, kdf) =>
+      pd = pd
+        .join(kdf.select(col("doc_id"), col("keep").as(s"keep_$nm")),
+          Seq("doc_id"), "left")
+        .withColumn(s"keep_$nm", coalesce(col(s"keep_$nm"), lit(true)))
+    }
+    pd = pd.withColumn("surv_exact", col("exact_keep"))
+    var prev = "surv_exact"
+    extraNames.foreach { nm =>
+      pd = pd.withColumn(s"surv_$nm", col(prev) && col(s"keep_$nm"))
+      prev = s"surv_$nm"
+    }
+    pd = pd.withColumn("surv_q", col(prev) && col("q_keep"))
+    // p8 temperature mix (τ=0.5) over the surviving docs' CLEANED tokens
+    val surv = pd.filter(col("surv_q"))
+    val bySrc = surv.groupBy("source").agg(sum("clean_toks").as("s_tok"))
+    val ordered = Window.orderBy("source")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val weighted = bySrc
+      .withColumn("w", sqrt(col("s_tok").cast("double")))
+      .withColumn("cw", sum("w").over(ordered))
+    val norm = weighted.agg(max("cw").as("wnorm"))
+    val tb = surv.agg(
+      floor(sum("clean_toks").cast("double") * frac).as("tb"))
+    val budgets = weighted.crossJoin(broadcast(norm)).crossJoin(broadcast(tb))
+      .withColumn("budget",
+        floor(col("tb") * col("w") / col("wnorm")).cast("long"))
+      .select("source", "budget")
+    val fill = Window.partitionBy("source").orderBy("hk", "doc_id")
+    val packed = surv.withColumn("cum", sum("clean_toks").over(fill))
+      .join(broadcast(budgets), "source")
+      .filter(col("cum") <= col("budget"))
+      .select(col("doc_id"), lit(true).as("mix_keep"),
+        floor((col("cum") - col("clean_toks")) / lit(packBudget))
+          .cast("long").as("seq_id"))
+    (pd.join(packed, Seq("doc_id"), "left")
+       .withColumn("mix_keep", coalesce(col("mix_keep"), lit(false))),
+     extraNames)
+  }
+
+  /** p13/p14 — the per-stage, per-source accounting table:
+    * (stage, source, docs in/kept/dropped, tokens in/kept/dropped,
+    * bins). Every stage's kept line is the next stage's in line by
+    * construction; the clean stage keeps all docs and drops only
+    * tokens; the pack stage drops nothing and reports its bin count.
+    * All counts are exact integers from ONE per-source rollup over the
+    * per-doc decision table.
+    */
+  def corpusBuild(s: SparkSession, d: String, segWords: Int = 5,
+      minDocs: Int = 2, frac: Double = 0.3, packBudget: Double = 8192.0,
+      extraKeeps: Seq[(String, DataFrame)] = Nil): DataFrame = {
+    val (pd, extraNames) = corpusBuildPerDoc(
+      s, d, segWords, minDocs, frac, packBudget, extraKeeps)
+    def cnt(c: Column, nm: String) =
+      sum(when(c, 1L).otherwise(0L)).as(nm)
+    def tok(c: Column, nm: String) =
+      sum(when(c, col("clean_toks")).otherwise(0L)).as(nm)
+    val aggs: Seq[Column] = Seq(
+      count(lit(1)).as("n_all"),
+      sum("orig_toks").as("tok_orig"),
+      sum("clean_toks").as("tok_clean"),
+      cnt(col("surv_exact"), "n_exact"), tok(col("surv_exact"), "tok_exact")) ++
+      extraNames.flatMap(nm =>
+        Seq(cnt(col(s"surv_$nm"), s"n_$nm"), tok(col(s"surv_$nm"), s"tok_$nm"))) ++
+      Seq(
+        cnt(col("surv_q"), "n_q"), tok(col("surv_q"), "tok_q"),
+        cnt(col("mix_keep"), "n_mix"), tok(col("mix_keep"), "tok_mix"),
+        countDistinct(when(col("mix_keep"), col("seq_id"))).as("n_bins"))
+    val roll = pd.groupBy("source").agg(aggs.head, aggs.tail: _*).cache()
+    case class St(name: String, inD: String, inT: String,
+        kD: String, kT: String, bins: Boolean = false)
+    val mid = extraNames
+      .foldLeft((Vector.empty[St], ("n_exact", "tok_exact"))) {
+        case ((acc, (pD, pT)), nm) =>
+          (acc :+ St(nm, pD, pT, s"n_$nm", s"tok_$nm"), (s"n_$nm", s"tok_$nm"))
+      }
+    val (lastD, lastT) = mid._2
+    val stages = Vector(
+      St("clean", "n_all", "tok_orig", "n_all", "tok_clean"),
+      St("exact", "n_all", "tok_clean", "n_exact", "tok_exact")) ++
+      mid._1 ++ Vector(
+      St("quality", lastD, lastT, "n_q", "tok_q"),
+      St("mix", "n_q", "tok_q", "n_mix", "tok_mix"),
+      St("pack", "n_mix", "tok_mix", "n_mix", "tok_mix", bins = true))
+    stages.zipWithIndex.map { case (st, i) =>
+      roll.select(
+        lit(s"${i + 1}_${st.name}").as("stage"), col("source"),
+        col(st.inD).cast("long").as("n_docs_in"),
+        col(st.kD).cast("long").as("n_docs_kept"),
+        (col(st.inD) - col(st.kD)).cast("long").as("n_docs_dropped"),
+        col(st.inT).cast("long").as("n_toks_in"),
+        col(st.kT).cast("long").as("n_toks_kept"),
+        (col(st.inT) - col(st.kT)).cast("long").as("n_toks_dropped"),
+        (if (st.bins) col("n_bins") else lit(0L)).cast("long").as("n_bins"))
+    }.reduce(_.unionAll(_)).orderBy("stage", "source")
+  }
+
+  /** p14 — the same pipeline with the APPROXIMATE dedup stages wired in
+    * between exact dedup and the quality gate: d12's banded-MinHash LSH
+    * keep list, then d15's SemDeDup keep list (each applied to docs
+    * still alive; their verdicts come from the declared operators
+    * unchanged). Rows-only — LSH minhash and the KMeans clustering have
+    * no SQL twin; the spec pins containment against the oracled p13
+    * (extra stages only ever DROP, so every later-stage count is ≤
+    * p11's) and stage-chain consistency.
+    */
+  def corpusBuildSemantic(s: SparkSession, d: String): DataFrame =
+    corpusBuild(s, d, extraKeeps = Seq(
+      "lsh" -> Dedup.lshKeepList(s, d)
+        .select(col("doc_id"), (col("kept") === 1).as("keep")),
+      "sem" -> Dedup.semDedupKeepList(s, d)
+        .select(col("doc_id"), (col("kept") === 1).as("keep"))))
+
+  /** [[corpusBuild]] with p1's `observe()` discipline: the whole-corpus
+    * stage counters are collected DURING the per-doc pass — zero extra
+    * scans; the spec pins them against the declared accounting table.
+    */
+  def corpusBuildAudited(s: SparkSession, d: String):
+      (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("graft_p13")
+    val (pd, _) = corpusBuildPerDoc(s, d, 5, 2, 0.3, 8192.0, Nil)
+    val out = pd.observe(obs,
+      count(lit(1)).as("n_in"),
+      sum("orig_toks").as("tok_in"),
+      sum("clean_toks").as("tok_clean"),
+      sum(when(col("surv_exact"), 1L).otherwise(0L)).as("n_exact"),
+      sum(when(col("surv_q"), 1L).otherwise(0L)).as("n_quality"),
+      sum(when(col("mix_keep"), 1L).otherwise(0L)).as("n_mix"),
+      sum(when(col("mix_keep"), col("clean_toks")).otherwise(0L)).as("tok_mix"))
+    (out, obs)
+  }
+
   /** t15 — exact duplicated-span detection (ExactSubstr-style dedup
     * signal, Lee et al. 2022 scaled to a join): every 16-token sliding
     * window is fingerprinted; a span is duplicated iff its fingerprint
@@ -1399,6 +1575,18 @@ object TextAnalysis {
     * analysis).
     */
   private[graft] def lineDedupCore(lines: DataFrame, minDocs: Int,
+      joinSep: String): DataFrame =
+    lineDedupText(lines, minDocs, joinSep)
+      .select(col("doc_id"), col("source"), col("n_lines"), col("n_kept"),
+        col("n_removed"), col("removed_chars"),
+        md5(col("clean")).as("clean_md5"))
+      .orderBy("doc_id")
+
+  /** [[lineDedupCore]]'s underlying rewrite with the cleaned TEXT (and
+    * original/cleaned token counts) exposed — p13 chains the cleaned
+    * document into downstream stages, t27 only needs its md5.
+    */
+  private[graft] def lineDedupText(lines: DataFrame, minDocs: Int,
       joinSep: String): DataFrame = {
     val hashed = lines.withColumn("lh", xxhash64(col("line")))
     val bp = hashed.groupBy("lh")
@@ -1414,16 +1602,19 @@ object TextAnalysis {
         sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed"),
         sum(when(col("bp"), length(col("line")).cast("long")).otherwise(0L))
           .as("removed_chars"),
+        sum(size(split(col("line"), " ")).cast("long")).as("orig_toks"),
+        sum(when(col("bp"), 0L)
+          .otherwise(size(split(col("line"), " ")).cast("long")))
+          .as("clean_toks"),
         // collect_list drops the nulls `when` leaves for boilerplate
         // lines; array_sort on (line_idx, line) structs restores
         // document order deterministically (line_idx is unique per doc)
-        md5(array_join(
+        array_join(
           transform(
             array_sort(collect_list(
               when(!col("bp"), struct(col("line_idx"), col("line"))))),
             x => x.getField("line")),
-          joinSep)).as("clean_md5"))
-      .orderBy("doc_id")
+          joinSep).as("clean"))
   }
 
   /** The literal C4 shape — text split on newline. The synthetic corpus
@@ -1448,11 +1639,19 @@ object TextAnalysis {
     * cut, and cleaned-text md5.
     */
   def segmentLineDedup(s: SparkSession, d: String, segWords: Int = 5,
-      minDocs: Int = 2): DataFrame = {
-    // tokens bound via a one-element outer transform (the shingles
-    // discipline): a bare `w` column survives as an attribute only until
-    // CollapseProject inlines it into the lambda — then the doc would
-    // re-tokenize once per segment
+      minDocs: Int = 2): DataFrame =
+    lineDedupCore(segLines(s, d, segWords), minDocs, " ")
+
+  /** One (doc_id, source, line_idx, line) row per consecutive
+    * non-overlapping `segWords`-word segment — t27's line analogue for
+    * the newline-free corpus, shared with p13's clean stage. Tokens are
+    * bound via a one-element outer transform (the shingles discipline):
+    * a bare `w` column survives as an attribute only until
+    * CollapseProject inlines it into the lambda — then the doc would
+    * re-tokenize once per segment.
+    */
+  private[graft] def segLines(s: SparkSession, d: String,
+      segWords: Int): DataFrame = {
     val segs = element_at(
       transform(array(tokens(col("text"))), w =>
         when(size(w) > 0,
@@ -1464,10 +1663,9 @@ object TextAnalysis {
                 lit(segWords)), " ").as("line"))))
           .otherwise(array())),
       1)
-    val lines = documents(s, d)
+    documents(s, d)
       .select(col("doc_id"), col("source"), explode(segs).as("p"))
       .select(col("doc_id"), col("source"), col("p.line_idx"), col("p.line"))
-    lineDedupCore(lines, minDocs, " ")
   }
 
   // ------------------------------------------------------------------
@@ -1638,25 +1836,35 @@ object TextAnalysis {
     * scorer is one narrow codegen'd fold per row — no explode, no
     * shuffle; at 100 TB it runs at scan speed.
     */
-  private[graft] def modelDocScores(s: SparkSession, d: String): DataFrame = {
+  /** The t28 integer score as a reusable expression over any text
+    * column: Σ w[h(bigram)] in exact micro-units, one narrow codegen'd
+    * fold per row. Docs with fewer than two tokens score 0 (the guard
+    * also dodges Spark's descending `sequence(1, 0)`). The tokens array
+    * is BOUND to a lambda variable via a one-element outer transform
+    * (the shingles discipline): referencing split(text) inside the fold
+    * would re-tokenize the document twice per bigram — O(tokens²)/row.
+    */
+  private[graft] def t28ScoreU(textCol: Column): Column = {
     val wLit = typedlit(t28WeightsU)
-    val t = tokens(col("text"))
-    // the tokens array is BOUND to a lambda variable via a one-element
-    // outer transform (the shingles discipline): referencing split(text)
-    // inside the fold would re-tokenize the document twice per bigram —
-    // O(tokens²) per row
-    val scoreU = element_at(
-      transform(array(t), w =>
-        aggregate(
-          transform(sequence(lit(1), size(w) - 1),
-            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))),
-          lit(0L),
-          (acc, g) => acc + element_at(wLit, t28Idx(g) + 1))),
+    element_at(
+      transform(array(tokens(textCol)), w =>
+        when(size(w) >= 2,
+          aggregate(
+            transform(sequence(lit(1), size(w) - 1),
+              i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))),
+            lit(0L),
+            (acc, g) => acc + element_at(wLit, t28Idx(g) + 1)))
+          .otherwise(lit(0L))),
       1)
+  }
+
+  private[graft] def modelDocScores(s: SparkSession, d: String): DataFrame = {
+    val t = tokens(col("text"))
     documents(s, d)
       .filter(size(t) >= 2)
       .select(col("doc_id"), col("source"),
-        (size(t) - 1).cast("long").as("n_grams"), scoreU.as("score_u"))
+        (size(t) - 1).cast("long").as("n_grams"),
+        t28ScoreU(col("text")).as("score_u"))
       .withColumn("prob",
         round(lit(1.0) / (lit(1.0) +
           exp(-col("score_u").cast("double") /
@@ -1916,6 +2124,116 @@ object TextAnalysis {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(avg(lp), 6) AS avg_logprob
         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("p13_corpus_build", (s, d) => corpusBuild(s, d), Some {
+      val wlist = t28WeightsU.mkString("[", ",", "]")
+      s"""WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |lines AS (
+        |  SELECT doc_id, source, i AS line_idx,
+        |    array_to_string(w[1 + i*5 : 5 + i*5], ' ') AS line
+        |  FROM t, unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) r(i)),
+        |df AS (
+        |  SELECT line, count(DISTINCT doc_id) AS nd FROM lines GROUP BY line),
+        |marked AS (
+        |  SELECT l.doc_id, l.source, l.line_idx, l.line, (df.nd > 2) AS bp
+        |  FROM lines l JOIN df USING (line)),
+        |cleaned AS (
+        |  SELECT doc_id, source,
+        |    CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS orig_toks,
+        |    CAST(sum(CASE WHEN bp THEN 0 ELSE len(string_split(line, ' ')) END)
+        |      AS BIGINT) AS clean_toks,
+        |    coalesce(string_agg(CASE WHEN bp THEN NULL ELSE line END,
+        |      ' ' ORDER BY line_idx), '') AS clean
+        |  FROM marked GROUP BY doc_id, source),
+        |fl0 AS (SELECT *, string_split(clean, ' ') AS cw FROM cleaned),
+        |flags AS (
+        |  SELECT doc_id, source, orig_toks, clean_toks,
+        |    (row_number() OVER (PARTITION BY clean ORDER BY doc_id) = 1)
+        |      AS exact_keep,
+        |    (CAST(coalesce(list_sum(list_transform(range(1, len(cw)), i ->
+        |      (${wlist}::BIGINT[])[
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(cw[i] || ' ' || cw[i+1]), 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef',
+        |           substr(md5(cw[i] || ' ' || cw[i+1]), 2, 1))])), 0)
+        |      AS BIGINT) >= 0) AS q_keep,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM fl0),
+        |surv AS (SELECT * FROM flags WHERE exact_keep AND q_keep),
+        |bysrc AS (SELECT source, sum(clean_toks) AS s_tok FROM surv GROUP BY 1),
+        |wts AS (
+        |  SELECT source, sqrt(CAST(s_tok AS DOUBLE)) AS wg,
+        |    sum(sqrt(CAST(s_tok AS DOUBLE))) OVER (ORDER BY source
+        |      ROWS UNBOUNDED PRECEDING) AS cwt
+        |  FROM bysrc),
+        |norm AS (SELECT max(cwt) AS wnorm FROM wts),
+        |tb AS (SELECT floor(CAST(sum(clean_toks) AS DOUBLE) * 0.3) AS tbv
+        |  FROM surv),
+        |bud AS (
+        |  SELECT source, CAST(floor(tbv * wg / wnorm) AS BIGINT) AS budget
+        |  FROM wts CROSS JOIN norm CROSS JOIN tb),
+        |fill AS (
+        |  SELECT s.*, sum(clean_toks) OVER (PARTITION BY s.source
+        |    ORDER BY hk, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM surv s),
+        |mixed AS (
+        |  SELECT doc_id, f.source, clean_toks, cum
+        |  FROM fill f JOIN bud USING (source) WHERE cum <= budget),
+        |pk AS (
+        |  SELECT source, count(DISTINCT CAST(floor((cum - clean_toks)
+        |    / 8192.0) AS BIGINT)) AS n_bins
+        |  FROM mixed GROUP BY source),
+        |roll AS (
+        |  SELECT fl.source,
+        |    count(*) AS n_all,
+        |    CAST(sum(orig_toks) AS BIGINT) AS tok_orig,
+        |    CAST(sum(fl.clean_toks) AS BIGINT) AS tok_clean,
+        |    CAST(sum(CASE WHEN exact_keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_exact,
+        |    CAST(sum(CASE WHEN exact_keep THEN fl.clean_toks ELSE 0 END)
+        |      AS BIGINT) AS tok_exact,
+        |    CAST(sum(CASE WHEN exact_keep AND q_keep THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_q,
+        |    CAST(sum(CASE WHEN exact_keep AND q_keep THEN fl.clean_toks
+        |      ELSE 0 END) AS BIGINT) AS tok_q,
+        |    CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_mix,
+        |    CAST(sum(CASE WHEN m.doc_id IS NOT NULL THEN fl.clean_toks
+        |      ELSE 0 END) AS BIGINT) AS tok_mix
+        |  FROM flags fl LEFT JOIN mixed m USING (doc_id)
+        |  GROUP BY fl.source),
+        |acct AS (
+        |  SELECT '1_clean' AS stage, source, n_all AS n_docs_in,
+        |    n_all AS n_docs_kept, 0 AS n_docs_dropped, tok_orig AS n_toks_in,
+        |    tok_clean AS n_toks_kept, tok_orig - tok_clean AS n_toks_dropped,
+        |    0 AS n_bins FROM roll
+        |  UNION ALL
+        |  SELECT '2_exact', source, n_all, n_exact, n_all - n_exact,
+        |    tok_clean, tok_exact, tok_clean - tok_exact, 0 FROM roll
+        |  UNION ALL
+        |  SELECT '3_quality', source, n_exact, n_q, n_exact - n_q,
+        |    tok_exact, tok_q, tok_exact - tok_q, 0 FROM roll
+        |  UNION ALL
+        |  SELECT '4_mix', source, n_q, n_mix, n_q - n_mix,
+        |    tok_q, tok_mix, tok_q - tok_mix, 0 FROM roll
+        |  UNION ALL
+        |  SELECT '5_pack', roll.source, n_mix, n_mix, 0,
+        |    tok_mix, tok_mix, 0, coalesce(pk.n_bins, 0)
+        |  FROM roll LEFT JOIN pk ON roll.source = pk.source)
+        |SELECT stage, source,
+        |  CAST(n_docs_in AS BIGINT) AS n_docs_in,
+        |  CAST(n_docs_kept AS BIGINT) AS n_docs_kept,
+        |  CAST(n_docs_dropped AS BIGINT) AS n_docs_dropped,
+        |  CAST(n_toks_in AS BIGINT) AS n_toks_in,
+        |  CAST(n_toks_kept AS BIGINT) AS n_toks_kept,
+        |  CAST(n_toks_dropped AS BIGINT) AS n_toks_dropped,
+        |  CAST(n_bins AS BIGINT) AS n_bins
+        |FROM acct ORDER BY stage, source""".stripMargin
+    }),
+    // rows-only: the LSH and SemDeDup stages have no SQL twin; the spec
+    // pins containment vs the oracled p13 and stage-chain consistency
+    QueryDef("p14_corpus_build_sem", (s, d) => corpusBuildSemantic(s, d), None),
     QueryDef("p8_temperature_mix", (s, d) => temperatureMix(s, d), Some(
       """WITH docs AS (
         |  SELECT doc_id, source,

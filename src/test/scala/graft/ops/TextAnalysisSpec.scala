@@ -728,6 +728,76 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("corpus build: stage chain is consistent and conserves docs/tokens per source") {
+    val rows = TextAnalysis.corpusBuild(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8)))
+    val stages = rows.map(_._1).distinct.sorted
+    assert(stages.toSeq == Seq("1_clean", "2_exact", "3_quality", "4_mix", "5_pack"))
+    rows.foreach { case (st, src, di, dk, dd, ti, tk, td, _) =>
+      assert(dk + dd == di, s"$st/$src: docs don't add up")
+      assert(tk + td == ti, s"$st/$src: tokens don't add up")
+    }
+    // each stage's kept line IS the next stage's in line
+    val bySrc = rows.groupBy(_._2)
+    bySrc.foreach { case (src, rs) =>
+      val m = rs.map(r => r._1 -> r).toMap
+      stages.sliding(2).foreach { case Array(a, b) =>
+        assert(m(a)._4 == m(b)._3, s"$src: $a kept != $b in (docs)")
+        assert(m(a)._7 == m(b)._6, s"$src: $a kept != $b in (toks)")
+      }
+      // pack bins exist exactly when the mix kept anything
+      assert((m("5_pack")._9 > 0) == (m("5_pack")._4 > 0), s"$src: bins vs docs")
+    }
+    // the pipeline genuinely bites somewhere: some stage drops something
+    assert(rows.exists(_._5 > 0), "no stage dropped any doc — pipeline degenerate")
+  }
+
+  test("corpus build: observe() counters match the declared accounting in one pass") {
+    val (pd, obs) = TextAnalysis.corpusBuildAudited(spark, sf0001)
+    pd.write.mode("overwrite").format("noop").save()
+    val m = obs.get
+    val acct = TextAnalysis.corpusBuild(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(5), r.getLong(6)))
+    def stage(n: String) = acct.filter(_._1 == n)
+    assert(m("n_in") == stage("1_clean").map(_._2).sum)
+    assert(m("tok_in") == stage("1_clean").map(_._4).sum)
+    assert(m("tok_clean") == stage("1_clean").map(_._5).sum)
+    assert(m("n_exact") == stage("2_exact").map(_._3).sum)
+    assert(m("n_quality") == stage("3_quality").map(_._3).sum)
+    assert(m("n_mix") == stage("4_mix").map(_._3).sum)
+    assert(m("tok_mix") == stage("4_mix").map(_._5).sum)
+  }
+
+  test("semantic corpus build: early stages equal p13, extra dedup only ever drops") {
+    val base = TextAnalysis.corpusBuild(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val sem = TextAnalysis.corpusBuildSemantic(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(sem.map(_._1).distinct.sorted.toSeq ==
+      Seq("1_clean", "2_exact", "3_lsh", "4_sem", "5_quality", "6_mix", "7_pack"))
+    // clean + exact see the identical world in both pipelines
+    for (st <- Seq("1_clean", "2_exact")) {
+      val b = base.filter(_._1 == st).map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq
+      val x = sem.filter(_._1 == st).map(r => (r._2, r._3, r._4)).sortBy(_._1).toSeq
+      assert(b == x, s"$st differs between p13 and p14")
+    }
+    // chain consistency with the inserted stages
+    sem.groupBy(_._2).foreach { case (src, rs) =>
+      val m = rs.map(r => r._1 -> r).toMap
+      Seq("1_clean", "2_exact", "3_lsh", "4_sem", "5_quality", "6_mix")
+        .sliding(2).foreach { case Seq(a, b) =>
+          assert(m(a)._4 == m(b)._3, s"$src: $a kept != $b in")
+        }
+    }
+    // the extra dedup stages can only shrink the quality stage's world
+    val bq = base.filter(_._1 == "3_quality").map(r => r._2 -> r._4).toMap
+    sem.filter(_._1 == "5_quality").foreach { case (_, src, _, kept, _, _, _, _) =>
+      assert(kept <= bq(src), s"$src: semantic pipeline kept MORE than p13")
+    }
+  }
+
   test("model quality filter: score matches an independent JVM dot product, keep = sign") {
     val per = TextAnalysis.modelDocScores(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
