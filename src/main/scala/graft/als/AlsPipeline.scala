@@ -247,6 +247,166 @@ object AlsPipeline {
       .orderBy("user", "rank")
   }
 
+  // ---- Implicit-feedback ALS (pure extension: the reference is
+  // explicit-only; `implicitPrefs=true` is the variant most production
+  // recommenders run — Hu, Koren & Volinsky 2008) ----
+
+  /** Deterministic implicit-feedback interactions derived from
+    * lineitem: strength = the (user, item) interaction COUNT — the
+    * currency of implicit ALS, which treats it as confidence that the
+    * preference is 1, never as a rating. The fixture plants a
+    * USER-DEPENDENT preference structure (block affinity u%4 ≡ i%4:
+    * in-block events survive a hash-noise gate at 80%, out-of-block at
+    * 15%) so within-user ranking genuinely differs per user — signal a
+    * global popularity rank cannot express but a low-rank model can.
+    * The additive syntheticRatings structure is deliberately NOT used:
+    * its user term is constant within a user, so it contains no
+    * within-user ranking signal beyond item popularity (measured: MPR
+    * at chance).
+    */
+  def implicitInteractions(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_suppkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"),
+        pmod(col("l_orderkey") * 31 + col("l_partkey") * 17
+          + col("l_suppkey") * 7, lit(100)).cast("int").as("noise"))
+      .filter(
+        (pmod(col("user"), lit(4)) === pmod(col("item"), lit(4))
+          && col("noise") < 80) ||
+        (pmod(col("user"), lit(4)) =!= pmod(col("item"), lit(4))
+          && col("noise") < 15))
+      .groupBy("user", "item")
+      .agg(count(lit(1)).cast("float").as("strength"))
+
+  final case class ImplicitArtifacts(
+      nTrain: Long, nHold: Long, nUsersEval: Long,
+      mprAls: Double, mprPop: Double,
+      hitAls: Double, hitPop: Double,
+      uRows: Long, mRows: Long, factorsOk: Boolean)
+
+  private val implicitFitted =
+    scala.collection.concurrent.TrieMap.empty[String, ImplicitArtifacts]
+
+  /** One implicit fit + ranking evaluation per dataset. Holdout is
+    * p6's leakage-proof md5-bucket split (pure function of the key —
+    * rerun-stable, unlike seeded randomSplit). Headline metric:
+    * strength-weighted MEAN PERCENTILE RANK over the holdout
+    * (Hu–Koren–Volinsky's rank-bar; 0 = every held-out interaction
+    * ranked first, 0.5 = random) on a bounded deterministic eval-user
+    * slice — per user, every item not in train is ranked (the
+    * alsRecommend broadcast × scan shape; the rank window partitions
+    * by user, so no single-task ordering), and each held-out item
+    * contributes its percentile weighted by interaction strength.
+    * hit-rate@k rides along. The POPULARITY baseline ranks by global
+    * training strength with the same per-user exclusion — the bar any
+    * personalized ranker must clear. At full scale the eval slice is
+    * the request batch; the plan is unchanged.
+    *
+    * Config (rank=8, λ=0.1, α=10): deliberately NOT the reference's
+    * explicit config — the block fixture is rank-≈4 and the small-SF
+    * user set is tiny, so rank 20 at λ=0.065 memorizes train and
+    * ranks holdout at chance (measured); the smaller, more regularized
+    * model generalizes (sf0.001: MPR 0.44 vs 0.59 popularity; sf0.01:
+    * 0.35 vs 0.49).
+    */
+  private[als] def computeImplicit(s: SparkSession, d: String,
+      k: Int = 10, evalUsers: Int = 200): ImplicitArtifacts = {
+    import org.apache.spark.sql.expressions.Window
+    val inter = implicitInteractions(s, d)
+      .withColumn("b",
+        conv(substring(md5(concat_ws(":", col("user"), col("item"))), 1, 2),
+          16, 10).cast("int"))
+      .cache()
+    val train = inter.filter(col("b") >= 51).drop("b").cache()
+    val hold = inter.filter(col("b") < 51).drop("b")
+    val before = s.sparkContext.getPersistentRDDs.keySet
+    val rank = 8
+    val model = new ALS()
+      .setRank(rank).setMaxIter(10).setRegParam(0.1)
+      .setImplicitPrefs(true).setAlpha(10.0)
+      .setSeed(1L).setNumBlocks(adaptiveBlocks(train.count()))
+      .setUserCol("user").setItemCol("item").setRatingCol("strength")
+      .setColdStartStrategy("drop")
+      .fit(train)
+    val evalU = hold.select("user").distinct()
+      .withColumn("hk", md5(col("user").cast("string")))
+      .orderBy("hk", "user").limit(evalUsers).select("user").cache()
+    val holdEval = hold.join(broadcast(evalU), "user")
+      .select("user", "item", "strength").cache()
+    val nHoldEval = holdEval.count()
+    val trainPairs = train.select("user", "item")
+    // strength-weighted mean percentile rank + hit-rate@k of a scored
+    // (user, item, <scoreCol>) candidate grid against the holdout
+    def rankMetrics(scored: DataFrame, scoreCol: String): (Double, Double) = {
+      val w = Window.partitionBy("user").orderBy(desc(scoreCol), asc("item"))
+      val ranked = scored
+        .withColumn("rnk", row_number().over(w))
+        .withColumn("ncand", count(lit(1)).over(Window.partitionBy("user")))
+        .join(holdEval, Seq("user", "item"))
+      val r = ranked.agg(
+        sum(col("strength") *
+          when(col("ncand") > 1,
+            (col("rnk") - 1).cast("double") / (col("ncand") - 1))
+            .otherwise(0.0)).as("wpr"),
+        sum(col("strength").cast("double")).as("ws"),
+        sum(when(col("rnk") <= k, 1L).otherwise(0L)).as("hits")).head()
+      if (nHoldEval == 0 || r.isNullAt(1)) (0.0, 0.0)
+      else (r.getDouble(0) / r.getDouble(1), r.getLong(2).toDouble / nHoldEval)
+    }
+    val uf = model.userFactors
+      .select(col("id").as("user"), col("features").as("ufeat"))
+      .join(broadcast(evalU), "user")
+    val alsScored = model.itemFactors
+      .select(col("id").as("item"), col("features").as("mfeat"))
+      .crossJoin(broadcast(uf))
+      .withColumn("score",
+        graft.functions.ArraySim.dotNative(col("ufeat"), col("mfeat")))
+      .join(trainPairs, Seq("user", "item"), "left_anti")
+      .select("user", "item", "score")
+    val (mprA, hitA) = rankMetrics(alsScored, "score")
+    val popScored = train.groupBy("item")
+      .agg(sum("strength").cast("double").as("pscore"))
+      .crossJoin(broadcast(evalU))
+      .join(trainPairs, Seq("user", "item"), "left_anti")
+      .select("user", "item", "pscore")
+    val (mprP, hitP) = rankMetrics(popScored, "pscore")
+    def wellFormed(f: DataFrame): Boolean =
+      f.filter(size(col("features")) =!= rank ||
+        exists(col("features"), x => isnan(x) || abs(x) > lit(1e10f))).count() == 0
+    val (uRows, mRows) = (model.userFactors.count(), model.itemFactors.count())
+    val ok = wellFormed(model.userFactors) && wellFormed(model.itemFactors)
+    val (nt, nh, nEval) = (train.count(), hold.count(), evalU.count())
+    s.sparkContext.getPersistentRDDs
+      .filterNot { case (id, _) => before(id) }
+      .values.foreach(_.unpersist(blocking = false))
+    inter.unpersist(); train.unpersist(); evalU.unpersist(); holdEval.unpersist()
+    ImplicitArtifacts(nt, nh, nEval, mprA, mprP, hitA, hitP, uRows, mRows, ok)
+  }
+
+  def implicitArtifacts(s: SparkSession, d: String): ImplicitArtifacts =
+    implicitFitted.getOrElseUpdate(d, computeImplicit(s, d))
+
+  /** als_implicit — the declared 1-row report: split sizes, the
+    * strength-weighted mean percentile rank (lower = better, 0.5 =
+    * random) and hit-rate@10 of the implicit model vs the popularity
+    * baseline on the deterministic eval slice, and the factor-health
+    * flag. Rows-only (seeded MLlib fit has no SQL twin); the spec pins
+    * MPR(ALS) < MPR(popularity) < 0.5, factor shape/finiteness, and
+    * rerun determinism under the fixed seed.
+    */
+  def alsImplicit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = implicitArtifacts(s, d)
+    Seq((a.nTrain, a.nHold, a.nUsersEval,
+      math.rint(a.mprAls * 1e4) / 1e4, math.rint(a.mprPop * 1e4) / 1e4,
+      math.rint(a.hitAls * 1e4) / 1e4, math.rint(a.hitPop * 1e4) / 1e4,
+      a.uRows, a.mRows, if (a.factorsOk) 1 else 0))
+      .toDF("n_train", "n_holdout", "n_users_eval", "mpr_als", "mpr_pop",
+        "hitrate_als", "hitrate_pop", "n_user_factors", "n_item_factors",
+        "factors_ok")
+  }
+
   /** O17: seeded split fractions (rows-only — RNG streams differ from the
     * reference by design; distribution pinned by spec binomial CI).
     */
@@ -280,6 +440,7 @@ object AlsPipeline {
     QueryDef("als_factors", alsFactors, None),
     QueryDef("als_predict_parity", alsPredictParity, None),
     QueryDef("als_recommend", (s, d) => alsRecommend(s, d), None),
+    QueryDef("als_implicit", (s, d) => alsImplicit(s, d), None),
     QueryDef("o17_split_fractions", splitFractions, None),
     QueryDef("o16_movielens_roundtrip", movielensRoundtrip, Some(
       """WITH ratings AS (

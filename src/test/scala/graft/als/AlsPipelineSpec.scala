@@ -118,6 +118,21 @@ class AlsPipelineSpec extends SparkSpec {
     assert(r11 == 3f)
   }
 
+  test("implicit ALS: ranks the holdout better than popularity, factors well-formed, rerun-deterministic") {
+    val a = AlsPipeline.computeImplicit(spark, sf0001)
+    // the personalized model must clear the popularity bar on the
+    // strength-weighted mean percentile rank (lower = better)
+    assert(a.mprAls < a.mprPop,
+      s"ALS MPR ${a.mprAls} does not beat popularity ${a.mprPop}")
+    assert(a.mprAls < 0.5, s"ALS MPR ${a.mprAls} is not better than random")
+    assert(a.factorsOk, "factor matrices malformed (shape or non-finite)")
+    assert(a.uRows > 0 && a.mRows > 0)
+    assert(a.nTrain > 0 && a.nHold > 0 && a.nUsersEval > 0)
+    // fixed seed + md5-bucket split ⇒ a fresh fit reproduces everything
+    val b = AlsPipeline.computeImplicit(spark, sf0001)
+    assert(a == b, "implicit fit not rerun-deterministic under fixed seed")
+  }
+
   test("adaptive blocks clamp: ~50k ratings/block, never below 10 or above 256") {
     assert(AlsPipeline.adaptiveBlocks(0L) == 10)          // tiny SF: floor
     assert(AlsPipeline.adaptiveBlocks(500000L) == 10)     // bench scale: the measured optimum
