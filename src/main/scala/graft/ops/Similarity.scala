@@ -330,6 +330,84 @@ object Similarity {
     rows.toDF("nprobe", "n_queries", "recall_at_k").orderBy("nprobe")
   }
 
+  /** v13's intermediate surfaces, exposed so the spec can count the
+    * probe scan before and after the metadata filter bites.
+    */
+  private[ops] final case class FilteredAnn(
+      result: DataFrame, pruned: DataFrame, filtered: DataFrame)
+
+  /** v13 — FILTERED ANN at INDEX level: v12's metadata predicate
+    * composed WITH v3's IVF partition pruning instead of requiring the
+    * exact scan. The staged index carries the document's metadata
+    * column next to (vec_id, cell, embedding) — pay the layout once —
+    * so a filtered query prunes TWICE: partition pruning reads only
+    * its nprobe cell dirs (same `PartitionFilters` as v3, spec-pinned)
+    * and the predicate applies as a plain column filter INSIDE the
+    * pruned scan, before any dot product (prune-then-filter-then-
+    * score; parquet row-group stats can skip qualifying-free groups
+    * for free). k underfills only when the probed cells genuinely hold
+    * fewer than k qualifying vectors — that coverage trade is exactly
+    * what the spec measures against v12's exact filtered ground truth.
+    * Rows-only (seeded KMeans has no SQL twin); recall vs v12 and the
+    * filter's scored-row reduction vs the unfiltered probe scan are
+    * spec-pinned.
+    */
+  private[ops] def filteredAnnCore(s: SparkSession, d: String, lang: String,
+      numQueries: Int, k: Int, nlist: Int, nprobe: Int): FilteredAnn = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val nCorpus = e.count()
+    val nl = if (nlist > 0) nlist else adaptiveNlist(nCorpus)
+    val cents = memoCents(e, d, nl, nCorpus)
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("q_id", "rank", "n_id", "cos")
+    if (cents.isEmpty) return FilteredAnn(empty, empty, empty)
+    val best = assignCell(col("embedding"), cents)
+    val fp = graft.Tables.datasetFingerprint(d)
+    // a DIFFERENT staged dir than v3's: the filtered index row carries
+    // the metadata column, and sharing v3's path would serve one
+    // schema to the other memo entry
+    val bucketDir = graft.Tables.stagedDir(ivfStageMemo,
+      s"ivff#${graft.Tables.scratchTag(d)}#$fp#$nl") { () =>
+      val meta = documents(s, d).select(col("doc_id").as("vec_id"), col("lang"))
+      val dir = graft.Tables.scratchDir(s"graft_ivff_${nl}_$fp", d)
+      e.select(col("vec_id"), col("embedding"),
+          (lit(0) - best.getField("negcell")).as("cell"))
+        .join(meta, Seq("vec_id"), "left")
+        .write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+    val corpus = s.read.parquet(bucketDir)
+    val centDf = cents.toSeq.toDF("cell", "centroid")
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy("q_id").orderBy(desc("ccos"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "qv", "cell")
+      .cache()
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    if (probedCells.isEmpty) return FilteredAnn(empty, empty, empty)
+    val pruned = corpus.filter(col("cell").isin(probedCells: _*))
+    val filtered = pruned.filter(col("lang") === lang)
+    val scored = probes.join(filtered, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val topk = graft.functions.TopK.perGroup(scored, "q_id", "cos", "vec_id", k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+    FilteredAnn(topk, pruned, filtered)
+  }
+
+  def filteredAnnIvf(s: SparkSession, d: String, lang: String = "en",
+      numQueries: Int = 5, k: Int = 10, nlist: Int = 0,
+      nprobe: Int = 4): DataFrame =
+    filteredAnnCore(s, d, lang, numQueries, k, nlist, nprobe).result
+
   /** Elementwise centroid per label (posexplode → grouped avg): the
     * "average embedding" building block for clustering/analysis.
     */
@@ -853,6 +931,9 @@ object Similarity {
         |    / (sqrt(list_inner_product(q.emb, q.emb))
         |       * sqrt(list_inner_product(c.emb, c.emb))) >= 0.25::DOUBLE
         |ORDER BY q_id, n_id""".stripMargin)),
+    // rows-only: seeded KMeans quantizer has no SQL twin; recall vs the
+    // exact filtered v12 + scan-reduction + pruning spec-pinned
+    QueryDef("v13_filtered_ann", (s, d) => filteredAnnIvf(s, d), None),
     QueryDef("v12_filtered_topk", (s, d) => filteredTopK(s, d), Some(
       // v2's oracle with the metadata predicate as a pre-score join —
       // rank over the unrounded cosine, CAST rank to INT, round output

@@ -329,6 +329,62 @@ class SimilaritySpec extends SparkSpec {
       "fixture degenerate: unfiltered top-k already all-en")
   }
 
+  test("filtered ANN: predicate holds, high recall vs exact filtered on clustered data") {
+    import spark.implicits._
+    // planted clusters + alternating lang labels: the regime where both
+    // the IVF pruning and the metadata filter genuinely bite
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivff").toString
+    rows.toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    (0 until 500).map(id => (id.toLong, if (id % 2 == 0) "en" else "de", "x"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val exact = Similarity.filteredTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ann = Similarity.filteredAnnIvf(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    // every hit satisfies the predicate (index-level filter, no leak)
+    ann.foreach { case (q, n) =>
+      assert(n % 2 == 0, s"query $q returned non-en doc $n")
+    }
+    val recall = exact.map { case (q, truth) =>
+      val found = ann.filter(_._1 == q).map(_._2).toSet
+      (found intersect truth).size.toDouble / truth.size
+    }.sum / exact.size
+    assert(recall >= 0.85, s"filtered-ANN recall $recall below 0.85 on clustered data")
+  }
+
+  test("filtered ANN: metadata filter shrinks the probe scan, partitions pruned") {
+    val core = Similarity.filteredAnnCore(spark, sf0001, "en", 5, 10, 0, 4)
+    val (nPruned, nFiltered) = (core.pruned.count(), core.filtered.count())
+    // the predicate bites INSIDE the pruned cells: strictly fewer rows
+    // reach the dot product than the unfiltered v3 probe scan scores
+    assert(nFiltered < nPruned,
+      s"filter did not shrink the probe scan ($nFiltered vs $nPruned)")
+    assert(nFiltered > 0, "filter emptied the probe scan — fixture degenerate")
+    // the same cell PartitionFilters as v3: only probed dirs are read
+    val plan = core.result.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1).trim).toSeq
+    assert(pf.exists(f => f.nonEmpty && f.contains("cell")),
+      s"no non-empty cell PartitionFilters on the filtered index scan:\n$plan")
+    // isotropic-floor recall vs the exact filtered ground truth (v12)
+    val exact = Similarity.filteredTopK(spark, sf0001).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val ann = core.result.collect().map(r => (r.getLong(0), r.getLong(2)))
+    val recall = exact.map { case (q, truth) =>
+      (ann.filter(_._1 == q).map(_._2).toSet intersect truth).size.toDouble / truth.size
+    }.sum / exact.size
+    assert(recall >= 0.3, s"filtered-ANN recall $recall not better than random probing")
+  }
+
   test("MMR: lambda=1 degenerates to exact top-k; lambda=0.5 never more redundant") {
     import org.apache.spark.sql.Row
     val k = 5
