@@ -733,7 +733,10 @@ object Dedup {
     * recipe's cost; `adaptiveNlist` scales the cluster count with the
     * corpus so expected cluster size — and with it per-task greedy
     * state (kept unit vectors of ONE cluster) — stays bounded as the
-    * corpus grows. Output: every doc with its cluster, keep flag, and
+    * corpus grows — and `maxPool` hard-caps the WORST case (see
+    * [[semGreedy]]: a degenerate all-in-one-cluster distribution can
+    * no longer grow task state past the cap; overflow errs toward
+    * keeping). Output: every doc with its cluster, keep flag, and
     * keeper witness (itself if kept; the ≥ τ kept doc that evicted it
     * otherwise). Rows-only (KMeans + iterative greedy have no SQL
     * twin); the spec pins the construction's theorems instead: the kept
@@ -745,8 +748,52 @@ object Dedup {
   // model); the default matches d5's near-dup threshold because the
   // synthetic embeddings are near-isotropic — real sentence embeddings
   // would run at 0.7–0.95.
+  /** d15's per-cluster greedy as a pure streaming function (iterator
+    * order IS the greedy order): keep a doc unless a POOLED kept doc is
+    * ≥ τ similar. The kept pool is hard-capped at `maxPool` entries —
+    * the worst-case per-task state bound adaptiveNlist's EXPECTED
+    * cluster size cannot give (a degenerate embedding distribution can
+    * collapse mass into one cluster of mutually-dissimilar docs).
+    * Overflow semantics are ONE-SIDED: once the pool is full, a doc
+    * with no pooled ≥ τ witness is still KEPT, just not pooled — the
+    * cap can only under-dedup a pathological cluster (later dups of an
+    * unpooled keeper survive), never false-drop a unique doc. State ≤
+    * maxPool × dim doubles (4096 × 64-dim ≈ 2 MB). Spec-pinned on a
+    * hand-ordered fixture.
+    */
+  private[ops] def semGreedy(tau: Double, maxPool: Int)(
+      it: Iterator[(Long, String, Int, Seq[Float])]): Iterator[(Long, Int, Int, Long, Double)] = {
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    it.map { case (docId, _, cell, emb) =>
+      val v = new Array[Double](emb.length)
+      var nrm = 0.0
+      var i = 0
+      while (i < emb.length) {
+        val x = emb(i).toDouble; v(i) = x; nrm += x * x; i += 1
+      }
+      nrm = math.sqrt(nrm)
+      if (nrm > 0) { i = 0; while (i < v.length) { v(i) /= nrm; i += 1 } }
+      var bestCos = -2.0; var bestId = -1L
+      var j = 0
+      while (j < kept.length) {
+        val kv = kept(j)._2
+        var dot = 0.0; var p = 0
+        val len = math.min(kv.length, v.length)
+        while (p < len) { dot += kv(p) * v(p); p += 1 }
+        if (dot > bestCos) { bestCos = dot; bestId = kept(j)._1 }
+        j += 1
+      }
+      if (kept.nonEmpty && bestCos >= tau)
+        (docId, cell, 0, bestId, math.rint(bestCos * 1e6) / 1e6)
+      else {
+        if (kept.length < maxPool) kept += ((docId, v))
+        (docId, cell, 1, docId, 1.0)
+      }
+    }
+  }
+
   def semDedupKeepList(s: SparkSession, d: String, nlist: Int = 0,
-      tau: Double = 0.35, seed: Long = 42L): DataFrame = {
+      tau: Double = 0.35, seed: Long = 42L, maxPool: Int = 4096): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
     val n = e.count()
@@ -765,36 +812,10 @@ object Dedup {
       col("embedding"))
       .as[(Long, String, Int, Seq[Float])]
     assigned.groupByKey(_._3)
-      .flatMapSortedGroups(col("hk"), col("doc_id")) { (cell, it) =>
-        // kept pool: unit-normalized vectors kept so far in THIS cluster —
-        // the group streams through the iterator, state is pool-sized
-        val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
-        it.map { case (docId, _, _, emb) =>
-          val v = new Array[Double](emb.length)
-          var nrm = 0.0
-          var i = 0
-          while (i < emb.length) {
-            val x = emb(i).toDouble; v(i) = x; nrm += x * x; i += 1
-          }
-          nrm = math.sqrt(nrm)
-          if (nrm > 0) { i = 0; while (i < v.length) { v(i) /= nrm; i += 1 } }
-          var bestCos = -2.0; var bestId = -1L
-          var j = 0
-          while (j < kept.length) {
-            val kv = kept(j)._2
-            var dot = 0.0; var p = 0
-            val len = math.min(kv.length, v.length)
-            while (p < len) { dot += kv(p) * v(p); p += 1 }
-            if (dot > bestCos) { bestCos = dot; bestId = kept(j)._1 }
-            j += 1
-          }
-          if (kept.nonEmpty && bestCos >= tau)
-            (docId, cell, 0, bestId, math.rint(bestCos * 1e6) / 1e6)
-          else {
-            kept += ((docId, v))
-            (docId, cell, 1, docId, 1.0)
-          }
-        }
+      // kept pool: unit-normalized vectors kept so far in THIS cluster —
+      // the group streams through the iterator, state capped at maxPool
+      .flatMapSortedGroups(col("hk"), col("doc_id")) { (_, it) =>
+        semGreedy(tau, maxPool)(it)
       }
       .toDF("doc_id", "cell", "kept", "keeper_id", "cos_keeper")
       .orderBy("doc_id")

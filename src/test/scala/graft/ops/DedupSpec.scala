@@ -256,6 +256,38 @@ class DedupSpec extends SparkSpec {
     assert(agree >= 0.9, s"kept-set agreement $agree below 0.9")
   }
 
+  test("SemDeDup pool cap: state bounded, overflow keeps instead of false-dropping, deterministic") {
+    def oneHot(i: Int, dim: Int = 8): Seq[Float] =
+      Seq.tabulate(dim)(j => if (j == i) 1.0f else 0.0f)
+    // hand-ordered degenerate cluster (iterator order IS greedy order):
+    // 3 mutually-orthogonal fillers saturate a cap-3 pool, then the
+    // overflow regime is exercised in both directions
+    val stream = Seq(
+      (0L, "", 7, oneHot(0)), // pooled
+      (1L, "", 7, oneHot(1)), // pooled
+      (2L, "", 7, oneHot(2)), // pooled — pool now full
+      (3L, "", 7, oneHot(3)), // no pooled witness → KEPT, not pooled
+      (4L, "", 7, oneHot(3)), // dup of the UNPOOLED keeper → still kept (one-sided error)
+      (5L, "", 7, oneHot(0))  // dup of a POOLED keeper → dropped, witness 0
+    )
+    val out = Dedup.semGreedy(0.5, maxPool = 3)(stream.iterator).toList
+    assert(out.map(r => (r._1, r._3, r._4)) == List(
+      (0L, 1, 0L), (1L, 1, 1L), (2L, 1, 2L),
+      (3L, 1, 3L), // overflow keep
+      (4L, 1, 4L), // under-dedup is the documented overflow cost...
+      (5L, 0, 0L)  // ...but pooled dedup still fires past the cap
+    ), s"cap-3 greedy decisions wrong: $out")
+    assert(out.forall(_._2 == 7), "cluster id not carried through")
+    // an uncapped pool WOULD drop doc 4 against keeper 3 — the contrast
+    // that proves the cap (not τ) made the difference above
+    val unc = Dedup.semGreedy(0.5, maxPool = 100)(stream.iterator).toList
+    assert(unc.map(r => (r._1, r._3, r._4)) == List(
+      (0L, 1, 0L), (1L, 1, 1L), (2L, 1, 2L),
+      (3L, 1, 3L), (4L, 0, 3L), (5L, 0, 0L)))
+    // deterministic: same stream, same decisions
+    assert(Dedup.semGreedy(0.5, maxPool = 3)(stream.iterator).toList == out)
+  }
+
   test("SemDeDup: kept set τ-separated per cluster, witnesses valid, rerun-stable") {
     val tau = 0.35 // the operator default: d5's near-dup threshold
     val rows = Dedup.semDedupKeepList(spark, sf0001, tau = tau).collect()
