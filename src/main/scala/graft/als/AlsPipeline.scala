@@ -247,6 +247,36 @@ object AlsPipeline {
       .orderBy("user", "rank")
   }
 
+  /** als_item_sims — ITEM-ITEM similarity serving from the learned item
+    * factors: the "related items / because you bought X" query every
+    * production recommender serves beside user top-k, and the natural
+    * composition of the ALS and similarity families — cosine in factor
+    * space IS the model's notion of substitutability (Hu et al. 2008
+    * §6 use exactly this for explanation). Same bounded-TopK discipline
+    * as v2/als_recommend: query slice broadcasts, corpus side is one
+    * narrow scan of the persisted M parquet, shuffle is
+    * O(items·k·partitions). Rows-only (factors are RNG-seeded — no SQL
+    * twin); the construction's invariants are pinned in AlsPipelineSpec:
+    * per-group size/ordering/self-exclusion, cosine range, and exact
+    * agreement with an independent driver-side recompute on the same
+    * persisted factors.
+    */
+  def alsItemSims(s: SparkSession, d: String, numItems: Int = 20, k: Int = 10): DataFrame = {
+    val a = artifacts(s, d)
+    val mf = s.read.parquet(s"${a.dir}/M")
+    val q = mf.orderBy("id").limit(numItems)
+      .select(col("id").as("q_item"), col("features").as("qf"))
+    val c = mf.select(col("id").as("n_item"), col("features").as("nf"))
+    val scored = c.join(broadcast(q), col("q_item") =!= col("n_item"))
+      .withColumn("score",
+        graft.functions.ArraySim.cosineNative(col("qf"), col("nf")))
+    graft.functions.TopK.perGroup(scored, "q_item", "score", "n_item", k)
+      .select(col("q_item").cast("int").as("q_item"), col("rank"),
+        col("n_item").cast("int").as("n_item"),
+        round(col("score"), 6).as("cos"))
+      .orderBy("q_item", "rank")
+  }
+
   // ---- Implicit-feedback ALS (pure extension: the reference is
   // explicit-only; `implicitPrefs=true` is the variant most production
   // recommenders run — Hu, Koren & Volinsky 2008) ----
@@ -441,6 +471,7 @@ object AlsPipeline {
     QueryDef("als_predict_parity", alsPredictParity, None),
     QueryDef("als_recommend", (s, d) => alsRecommend(s, d), None),
     QueryDef("als_implicit", (s, d) => alsImplicit(s, d), None),
+    QueryDef("als_item_sims", (s, d) => alsItemSims(s, d), None),
     QueryDef("o17_split_fractions", splitFractions, None),
     QueryDef("o16_movielens_roundtrip", movielensRoundtrip, Some(
       """WITH ratings AS (

@@ -143,6 +143,58 @@ object Multimodal {
       }
   }
 
+  /** Decode a 24-bit uncompressed BMP to raw top-down row-major BGR
+    * bytes (the codec's inverse of [[bmpEncode]]): header
+    * validate, un-pad, flip the bottom-up file rows back to image
+    * order. Returns (width, height, bgr).
+    */
+  def bmpDecodeRaw(payload: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(payload.length >= 54 &&
+      payload(0) == 'B'.toByte && payload(1) == 'M'.toByte,
+      "not a BMP container")
+    val buf = java.nio.ByteBuffer.wrap(payload)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val offset = buf.getInt(10)
+    val w = buf.getInt(18)
+    val h = buf.getInt(22)
+    require(buf.getShort(28) == 24 && buf.getInt(30) == 0, "unsupported BMP")
+    val stride = (w * 3 + 3) / 4 * 4
+    require(w > 0 && h > 0 && offset.toLong + stride.toLong * h <= payload.length,
+      s"BMP header dimensions ${w}x$h exceed payload")
+    val bgr = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      System.arraycopy(payload, offset + (h - 1 - y) * stride, bgr, y * w * 3, w * 3)
+      y += 1
+    }
+    (w, h, bgr)
+  }
+
+  /** Nearest-neighbor integer-factor downsample of raw BGR pixels:
+    * output pixel (x, y) = input pixel (fx·x, fy·y) — the standard
+    * nearest resize with scale 1/f and top-left anchoring, pure integer
+    * indexing so the resampled image is a deterministic function of the
+    * source (what makes m8 oracle-able).
+    */
+  def resizeNearest(bgr: Array[Byte], w: Int, h: Int, fx: Int, fy: Int): (Int, Int, Array[Byte]) = {
+    require(fx > 0 && fy > 0 && w >= fx && h >= fy, s"bad resize factor ${fx}x$fy for ${w}x$h")
+    val ow = w / fx
+    val oh = h / fy
+    val out = new Array[Byte](ow * oh * 3)
+    var y = 0
+    while (y < oh) {
+      var x = 0
+      while (x < ow) {
+        val src = ((y * fy) * w + x * fx) * 3
+        val dst = (y * ow + x) * 3
+        out(dst) = bgr(src); out(dst + 1) = bgr(src + 1); out(dst + 2) = bgr(src + 2)
+        x += 1
+      }
+      y += 1
+    }
+    (ow, oh, out)
+  }
+
   final case class BlobStats(doc_id: Long, mime: String, n_bytes: Long,
       features: Array[Double])
 
@@ -190,6 +242,108 @@ object Multimodal {
         round(element_at(col("features"), 7), 4).as("std_g"),
         round(element_at(col("features"), 8), 4).as("std_r"))
       .orderBy("doc_id")
+
+  /** m8 — IMAGE RESIZE through the full codec chain: every fixture BMP
+    * is decoded to raw pixels ([[bmpDecodeRaw]]), downsampled 2× by
+    * nearest-neighbor ([[resizeNearest]] — 10×6 → 5×3), re-ENCODED as a
+    * valid BMP (stride 15 pads to 16, so the resized file exercises the
+    * 4-byte padding path too), then decoded AGAIN for per-channel
+    * statistics. The whole decode→resize→encode→decode chain runs as
+    * one narrow `mapPartitions` batch (the mapInPandas shape) — no
+    * shuffle, setup amortized per partition, scan-speed at 100 TB.
+    * Fully oracled: DuckDB recomputes the statistics over the SOURCE
+    * pixels at even coordinates straight from the pixel-generation
+    * formula — agreement proves decode, the resample geometry, and the
+    * re-encode round-trip in one artifact.
+    */
+  def resizedBlobFeatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    imageBlobTable(s, d)
+      .mapPartitions { it =>
+        it.map { b =>
+          val (w, h, raw) = bmpDecodeRaw(b.payload)
+          val (ow, oh, small) = resizeNearest(raw, w, h, 2, 2)
+          val resized = bmpEncode(small, ow, oh)
+          BlobStats(b.doc_id, b.mime, resized.length.toLong, bmpDecode(resized))
+        }
+      }
+      .toDF()
+      .select(
+        col("doc_id"),
+        col("n_bytes"),
+        element_at(col("features"), 1).cast("int").as("width"),
+        element_at(col("features"), 2).cast("int").as("height"),
+        round(element_at(col("features"), 3), 4).as("mean_b"),
+        round(element_at(col("features"), 4), 4).as("mean_g"),
+        round(element_at(col("features"), 5), 4).as("mean_r"),
+        round(element_at(col("features"), 6), 4).as("std_b"),
+        round(element_at(col("features"), 7), 4).as("std_g"),
+        round(element_at(col("features"), 8), 4).as("std_r"))
+      .orderBy("doc_id")
+  }
+
+  // ---- m9: frame sampling over a video-shaped payload ----
+
+  private[graft] val frameBytes = 180 // one raw 10×6 BGR frame
+  private[graft] val nFrames = 8
+  private[graft] val frameStride = 3 // sample frames 0, 3, 6
+
+  /** Deterministic video fixture: each document renders to an 8-frame
+    * "video" of raw 180-byte BGR frames concatenated back-to-back
+    * (byte j of the stream = text byte j mod len — the m2 formula over
+    * a longer stream). No container header: raw concatenated frames,
+    * the layout video decode pipelines see after demux.
+    */
+  def videoBlobTable(s: SparkSession, d: String): Dataset[Blob] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val t = if (raw.isEmpty) Array[Byte](0) else raw
+        val video = new Array[Byte](frameBytes * nFrames)
+        var i = 0
+        while (i < video.length) { video(i) = t(i % t.length); i += 1 }
+        Blob(id, video, "video/raw-bgr", video.length.toLong)
+      }
+  }
+
+  final case class FrameStats(doc_id: Long, frame_idx: Int, offset: Long,
+      mean: Double, std: Double)
+
+  /** m9 — FRAME SAMPLING: from each video payload take every 3rd frame
+    * (0, 3, 6 of 8) and compute per-frame byte statistics — the
+    * keyframe-extraction shape of a video training pipeline (decode
+    * only the sampled frames, never the whole stream). A pure narrow
+    * flatMap: one input row → |sampled frames| rows, frame bytes
+    * sliced by offset from the payload, no shuffle anywhere. Sums are
+    * exact integers in double, so fully oracled — DuckDB recomputes
+    * each sampled frame's statistics from the byte-generation formula.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    videoBlobTable(s, d)
+      .flatMap { b =>
+        (0 until nFrames by frameStride).iterator.map { f =>
+          val off = f * frameBytes
+          var sum = 0.0
+          var sumSq = 0.0
+          var i = 0
+          while (i < frameBytes) {
+            val v = (b.payload(off + i) & 0xFF).toDouble
+            sum += v; sumSq += v * v
+            i += 1
+          }
+          val n = frameBytes.toDouble
+          FrameStats(b.doc_id, f, off.toLong, sum / n,
+            math.sqrt(sumSq / n - (sum / n) * (sum / n)))
+        }
+      }
+      .toDF()
+      .select(col("doc_id"), col("frame_idx"), col("offset"),
+        round(col("mean"), 4).as("mean"), round(col("std"), 4).as("std"))
+      .orderBy("doc_id", "frame_idx")
+  }
 
   /** Real binary-asset ingest: spark.read.format("binaryFile") over a
     * generated fixture dir (one file per document, bytes = the UTF-8 text
@@ -362,6 +516,56 @@ object Multimodal {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("m8_resize", resizedBlobFeatures, Some(
+      // source pixel of resized (px, py, ch) is ((2·py)·10 + 2·px)·3 + ch
+      // of the generation formula — decode + resample geometry + re-encode
+      // all proven by agreement with Spark's codec chain
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(nullif(text, ''), chr(0)) AS tx FROM documents),
+        |b AS (
+        |  SELECT doc_id, j % 3 AS ch,
+        |    ascii(substr(tx,
+        |      ((((2 * (j // 15)) * 10 + 2 * ((j // 3) % 5)) * 3 + j % 3)
+        |        % length(tx)) + 1, 1)) AS v
+        |  FROM t, unnest(range(0, 45)) r(j)),
+        |g AS (
+        |  SELECT doc_id, ch, CAST(sum(v) AS DOUBLE) AS sv,
+        |    CAST(sum(v * v) AS DOUBLE) AS sv2
+        |  FROM b GROUP BY doc_id, ch)
+        |SELECT doc_id, CAST(102 AS BIGINT) AS n_bytes,
+        |  5 AS width, 3 AS height,
+        |  round(max(CASE WHEN ch = 0 THEN sv END) / 15.0, 4) AS mean_b,
+        |  round(max(CASE WHEN ch = 1 THEN sv END) / 15.0, 4) AS mean_g,
+        |  round(max(CASE WHEN ch = 2 THEN sv END) / 15.0, 4) AS mean_r,
+        |  round(sqrt(max(CASE WHEN ch = 0 THEN sv2 END) / 15.0
+        |    - (max(CASE WHEN ch = 0 THEN sv END) / 15.0)
+        |      * (max(CASE WHEN ch = 0 THEN sv END) / 15.0)), 4) AS std_b,
+        |  round(sqrt(max(CASE WHEN ch = 1 THEN sv2 END) / 15.0
+        |    - (max(CASE WHEN ch = 1 THEN sv END) / 15.0)
+        |      * (max(CASE WHEN ch = 1 THEN sv END) / 15.0)), 4) AS std_g,
+        |  round(sqrt(max(CASE WHEN ch = 2 THEN sv2 END) / 15.0
+        |    - (max(CASE WHEN ch = 2 THEN sv END) / 15.0)
+        |      * (max(CASE WHEN ch = 2 THEN sv END) / 15.0)), 4) AS std_r
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("m9_frame_sample", frameSample, Some(
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(nullif(text, ''), chr(0)) AS tx FROM documents),
+        |f AS (
+        |  SELECT doc_id, tx, length(tx) AS L, unnest([0, 3, 6]) AS frame_idx
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, frame_idx,
+        |    ascii(substr(tx, ((frame_idx * 180 + i) % L) + 1, 1)) AS v
+        |  FROM f, unnest(range(0, 180)) r(i)),
+        |g AS (
+        |  SELECT doc_id, frame_idx, CAST(sum(v) AS DOUBLE) AS sv,
+        |    CAST(sum(v * v) AS DOUBLE) AS sv2
+        |  FROM b GROUP BY doc_id, frame_idx)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  CAST(frame_idx * 180 AS BIGINT) AS offset,
+        |  round(sv / 180.0, 4) AS mean,
+        |  round(sqrt(sv2 / 180.0 - (sv / 180.0) * (sv / 180.0)), 4) AS std
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin)),
     QueryDef("m7_interleaved_seq", (s, d) => interleavedSequences(s, d), Some(
       """WITH base AS (
         |  SELECT doc_id,

@@ -337,6 +337,56 @@ object Quality {
       .orderBy("event_type")
   }
 
+  /** dq10 — Population Stability Index over the event-value
+    * distribution: the standard model-monitoring drift gate (the
+    * credit-scorecard PSI) and dq5's NUMERIC complement — dq5 chi-squares
+    * categorical shares, PSI measures how far a continuous
+    * distribution's decile histogram moved:
+    * Σ (share_b − share_a)·ln(share_b / share_a), read against the
+    * conventional bands (< 0.1 stable, 0.1–0.25 moderate, > 0.25
+    * shifted). Bins are the FIRST half's deciles (the reference
+    * window), so the expected share per bin is 0.1 by construction and
+    * the statistic isolates genuine movement in the comparison half.
+    *
+    * Shape at scale: one fact pass for the cuts (ONE exact-percentile
+    * agg whose 9-double result broadcasts back — e8's discipline, never
+    * ntile's single-task window), one fact pass for bin+count (the bin
+    * is a 9-element array probe, codegen'd, map-side combinable), then
+    * |bins|-row math with the totals broadcast (a16). Values roll up to
+    * exact integer cents; shares are exact-int divisions, so both
+    * engines ln/round identical doubles. The 1e-6 share floor keeps an
+    * empty bin's contribution finite and deterministic.
+    */
+  def psiDrift(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(
+      expr("cast(round(value * 100) as bigint)").as("c"),
+      unix_millis(col("ts")).as("ms"))
+    val b = ev.agg(min("ms").as("lo"), max("ms").as("hi"))
+    val halves = ev.crossJoin(broadcast(b))
+      .withColumn("late", (col("ms") * 2 > col("lo") + col("hi")).cast("int"))
+    val cuts = halves.filter(col("late") === 0)
+      .agg(percentile(col("c"),
+        typedlit((1 to 9).map(_ / 10.0))).as("cuts"))
+    val binned = halves.crossJoin(broadcast(cuts))
+      .withColumn("bin", expr("size(filter(cuts, x -> c > x))"))
+      .groupBy("bin").agg(
+        sum(when(col("late") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("late") === 1, 1L).otherwise(0L)).as("n_b"))
+    val tot = binned.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
+    binned.crossJoin(broadcast(tot))
+      .withColumn("share_a",
+        greatest(col("n_a").cast("double") / col("ta").cast("double"), lit(1e-6)))
+      .withColumn("share_b",
+        greatest(col("n_b").cast("double") / col("tb").cast("double"), lit(1e-6)))
+      .withColumn("psi",
+        (col("share_b") - col("share_a")) * log(col("share_b") / col("share_a")))
+      .select(col("bin"), col("n_a"), col("n_b"),
+        round(col("share_a"), 6).as("share_a"),
+        round(col("share_b"), 6).as("share_b"),
+        round(col("psi"), 6).as("psi_contrib"))
+      .orderBy("bin")
+  }
+
   /** ts3 — STL-lite decomposition of the daily revenue series:
     * trend = centered 7-day rolling mean, seasonal = day-of-week mean of
     * the detrended series, residual = what neither explains — the
@@ -712,6 +762,34 @@ object Quality {
         |  round(detr - seasonal, 4) AS residual
         |FROM d2 JOIN se USING (dow)
         |ORDER BY day""".stripMargin)),
+    QueryDef("dq10_psi_drift", (s, d) => psiDrift(s, d), Some(
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c, epoch_ms(ts) AS ms
+        |  FROM events),
+        |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM ev),
+        |h AS (
+        |  SELECT c, CAST(ms * 2 > lo + hi AS INT) AS late
+        |  FROM ev CROSS JOIN b),
+        |cuts AS (
+        |  SELECT quantile_cont(c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM h WHERE late = 0),
+        |binned AS (
+        |  SELECT CAST(len(list_filter(cuts, x -> c > x)) AS INT) AS bin,
+        |    CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM h CROSS JOIN cuts GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        |  FROM binned),
+        |x AS (
+        |  SELECT bin, n_a, n_b,
+        |    greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) AS share_a,
+        |    greatest(CAST(n_b AS DOUBLE) / tb, 1e-6) AS share_b
+        |  FROM binned CROSS JOIN tot)
+        |SELECT bin, n_a, n_b,
+        |  round(share_a, 6) AS share_a, round(share_b, 6) AS share_b,
+        |  round((share_b - share_a) * ln(share_b / share_a), 6) AS psi_contrib
+        |FROM x ORDER BY bin""".stripMargin)),
     QueryDef("dq5_category_drift", (s, d) => categoryDrift(s, d), Some(
       """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ms FROM events),
         |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM ev),

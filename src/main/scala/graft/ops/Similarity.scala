@@ -890,7 +890,76 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** v14 — MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim,
+    * Khattab & Zaharia 2020): an item is represented by m token-level
+    * vectors, and score(q, c) = Σ over query vectors of max over item
+    * vectors of cosine — the fine-grained relevance single-vector
+    * retrieval flattens away. The fixture derives the multi-vector view
+    * deterministically by slicing each 64-dim embedding into m=4
+    * 16-dim subvectors (the PQ subvector geometry — no new data).
+    *
+    * Shape at scale: the corpus is NEVER exploded to one-row-per-token —
+    * both sides stay one row per item and the m×m cosine grid is a
+    * codegen'd column expression per candidate pair (16 fused kernel
+    * calls), so the scan cost is m² × the single-vector scan with zero
+    * extra rows, and the shuffle stays TopK-bounded
+    * (O(queries·k·partitions)). The per-query-vector maxes are combined
+    * in FIXED qi order (left-assoc +), so both engines add the same
+    * doubles in the same order — what keeps a sum-of-maxes oracle-able.
+    * At 100 TB the pooled-vector IVF prune (v3) gates which candidates
+    * pay the grid, exactly how production late-interaction stacks
+    * (PLAID) stage it.
+    */
+  def maxSimTopK(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
+      m: Int = 4, sub: Int = 16): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("nv"))
+    val pairs = c.join(broadcast(q), col("q_id") =!= col("n_id"))
+    val perQuerySub = (0 until m).map { qi =>
+      val qs = slice(col("qv"), qi * sub + 1, sub)
+      (0 until m)
+        .map(ci => cosine(qs, slice(col("nv"), ci * sub + 1, sub)))
+        .reduce(greatest(_, _))
+    }
+    val scored = pairs.withColumn("score", perQuerySub.reduce(_ + _))
+    graft.functions.TopK.perGroup(scored, "q_id", "score", "n_id", k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("v14_maxsim_topk", (s, d) => maxSimTopK(s, d), Some(
+      // same total order as v2 (score desc, n_id asc); per-qi maxes
+      // summed in fixed qi order on both sides
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, si, list_slice(emb, si * 16 + 1, si * 16 + 16) AS sv
+        |  FROM e, unnest(range(0, 4)) r(si)),
+        |grid AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id, q.si AS qi,
+        |    list_inner_product(q.sv, c.sv)
+        |      / (sqrt(list_inner_product(q.sv, q.sv))
+        |         * sqrt(list_inner_product(c.sv, c.sv))) AS cos
+        |  FROM sub q JOIN sub c ON q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 5),
+        |bym AS (
+        |  SELECT q_id, n_id, qi, max(cos) AS best FROM grid GROUP BY 1, 2, 3),
+        |scored AS (
+        |  SELECT q_id, n_id,
+        |    max(CASE WHEN qi = 0 THEN best END)
+        |      + max(CASE WHEN qi = 1 THEN best END)
+        |      + max(CASE WHEN qi = 2 THEN best END)
+        |      + max(CASE WHEN qi = 3 THEN best END) AS score
+        |  FROM bym GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT q_id, n_id, score,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, n_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id, round(score, 6) AS score
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     // rows-only: the stacked IVF/PQ approximations have no SQL twin;
     // recall + index-layout claims pinned in the spec
     QueryDef("v10_ivfpq_topk", (s, d) => ivfPqTopK(s, d), None),

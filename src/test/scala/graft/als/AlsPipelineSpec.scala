@@ -133,6 +133,39 @@ class AlsPipelineSpec extends SparkSpec {
     assert(a == b, "implicit fit not rerun-deterministic under fixed seed")
   }
 
+  test("item-item sims: ranking well-formed and equals an exact local rescore of M") {
+    val out = AlsPipeline.alsItemSims(spark, sf0001, numItems = 5, k = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val byQ = out.groupBy(_._1)
+    assert(byQ.size == 5)
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 3), s"item $q ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.forall(t => t._3 != q && math.abs(t._4) <= 1.0 + 1e-9))
+    }
+    // independent local rescore on the same persisted factors
+    val m = spark.read.parquet(s"${AlsPipeline.artifacts(spark, sf0001).dir}/M")
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x).sum) *
+        math.sqrt(b.map(x => x.toDouble * x).sum))
+    }
+    val qIds = m.keySet.toSeq.sorted.take(5)
+    qIds.foreach { q =>
+      val expect = m.keySet.toSeq.filter(_ != q)
+        .map(n => (n, cos(m(q), m(n))))
+        .sortBy { case (n, c) => (-c, n) }.take(3)
+      val got = byQ(q).sortBy(_._2)
+      expect.zip(got).foreach { case ((en, ec), (_, _, gn, gc)) =>
+        assert(en == gn, s"item $q neighbor order")
+        assert(math.abs(ec - gc) < 1e-6, s"item $q score")
+      }
+    }
+  }
+
   test("adaptive blocks clamp: ~50k ratings/block, never below 10 or above 256") {
     assert(AlsPipeline.adaptiveBlocks(0L) == 10)          // tiny SF: floor
     assert(AlsPipeline.adaptiveBlocks(500000L) == 10)     // bench scale: the measured optimum

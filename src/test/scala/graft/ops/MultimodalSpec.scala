@@ -127,4 +127,69 @@ class MultimodalSpec extends SparkSpec {
     // non-empty doc unaffected: 1 text chunk + 1 byte chunk → T0|B0
     assert(out(1L) == ((1L, 1L, 2L, md5hex("T0|B0"))))
   }
+
+  test("m8: nearest resize picks source pixels at (2x,2y); raw decode + padded re-encode round-trip") {
+    // planted 4x4 image, 48 distinct bytes → every picked pixel provable
+    val bgr = (0 until 48).map(_.toByte).toArray
+    val (w, h, raw) = Multimodal.bmpDecodeRaw(Multimodal.bmpEncode(bgr, 4, 4))
+    assert(w == 4 && h == 4 && raw.sameElements(bgr))
+    val (ow, oh, small) = Multimodal.resizeNearest(raw, 4, 4, 2, 2)
+    assert(ow == 2 && oh == 2)
+    // out (x,y) = in (2x,2y): pixels (0,0),(2,0),(0,2),(2,2) = byte
+    // triples at 0, 6, 24, 30
+    val expect = Array(0, 1, 2, 6, 7, 8, 24, 25, 26, 30, 31, 32).map(_.toByte)
+    assert(small.sameElements(expect))
+    // odd-width re-encode (2*3=6 → stride 8) round-trips byte-exactly
+    val (w2, h2, raw2) = Multimodal.bmpDecodeRaw(Multimodal.bmpEncode(small, 2, 2))
+    assert(w2 == 2 && h2 == 2 && raw2.sameElements(small))
+  }
+
+  test("m8 query: 5x3 geometry and stats equal an independent source-pixel recompute") {
+    val out = Multimodal.resizedBlobFeatures(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getLong(1) == 102L && r.getInt(2) == 5 && r.getInt(3) == 3))
+    // independent recompute for the first doc straight from the text
+    // formula: resized channel means over source pixels at (2x, 2y)
+    val doc = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").orderBy("doc_id").head()
+    val t = doc.getString(1).getBytes("UTF-8")
+    val sums = new Array[Double](3)
+    for (py <- 0 until 3; px <- 0 until 5; ch <- 0 until 3) {
+      val i = ((2 * py) * 10 + 2 * px) * 3 + ch
+      sums(ch) += (t(i % t.length) & 0xFF).toDouble
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = out.find(_.getLong(0) == doc.getLong(0)).get
+    for (ch <- 0 until 3)
+      assert(math.abs(row.getDouble(4 + ch) - r4(sums(ch) / 15.0)) < 1e-9)
+  }
+
+  test("m9: sampled frames slice at f*180 and stats equal the direct byte formula") {
+    val out = Multimodal.frameSample(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    // exactly frames 0, 3, 6 per doc, offsets = 180·f
+    val perDoc = out.groupBy(_.getLong(0))
+    assert(perDoc.values.forall(rs =>
+      rs.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq ==
+        Seq((0, 0L), (3, 540L), (6, 1080L))))
+    // independent recompute for the first doc
+    val doc = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").orderBy("doc_id").head()
+    val t = doc.getString(1).getBytes("UTF-8")
+    for (f <- Seq(0, 3, 6)) {
+      var sum = 0.0; var sumSq = 0.0
+      for (i <- 0 until 180) {
+        val v = (t((f * 180 + i) % t.length) & 0xFF).toDouble
+        sum += v; sumSq += v * v
+      }
+      val mean = sum / 180.0
+      val std = math.sqrt(sumSq / 180.0 - mean * mean)
+      def r4(x: Double): Double =
+        BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val row = out.find(r => r.getLong(0) == doc.getLong(0) && r.getInt(1) == f).get
+      assert(math.abs(row.getDouble(3) - r4(mean)) < 1e-9)
+      assert(math.abs(row.getDouble(4) - r4(std)) < 1e-9)
+    }
+  }
 }

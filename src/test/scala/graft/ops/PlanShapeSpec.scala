@@ -171,4 +171,17 @@ class PlanShapeSpec extends SparkSpec {
     val scans = "events\\.parquet".r.findAllMatchIn(plan).size
     assert(scans == 1, s"expected exactly 1 events scan, found $scans:\n$plan")
   }
+
+  test("multimodal decode chains: scan-speed narrow — no aggregation shuffle anywhere") {
+    // m8 (decode→resize→encode→decode) and m9 (frame sampling) are pure
+    // per-row transforms; the only exchange either may carry is the
+    // output orderBy's range partitioning
+    for (q <- Seq("m8_resize", "m9_frame_sample")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q grew an aggregation/join shuffle:\n$p")
+      val exchanges = "Exchange".r.findAllIn(p).size
+      assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$p")
+    }
+  }
 }

@@ -189,4 +189,35 @@ class QualitySpec extends SparkSpec {
       assert((got(k)._3 == 1) == (b >= 3), s"group $k flag wrong")
     }
   }
+
+  test("dq10 PSI: decile bins carry ~uniform reference mass; contributions match the formula") {
+    val out = Quality.psiDrift(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .sortBy(_._1)
+    // all 10 decile bins present (0 = below the p10 cut, 9 = above p90)
+    assert(out.map(_._1).toSeq == (0 to 9))
+    val ta = out.map(_._2).sum
+    val tb = out.map(_._3).sum
+    // the bins are the FIRST half's deciles: reference mass per bin is
+    // ~10% by construction (ties can nudge a boundary)
+    out.foreach { case (bin, na, _, _, _, _) =>
+      val share = na.toDouble / ta
+      assert(share > 0.05 && share < 0.15, s"bin $bin ref share $share")
+    }
+    // psi_contrib recomputes from the row's own counts
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { case (bin, na, nb, sa, sb, psi) =>
+      val mySa = math.max(na.toDouble / ta, 1e-6)
+      val mySb = math.max(nb.toDouble / tb, 1e-6)
+      assert(math.abs(sa - r6(mySa)) < 1e-9, s"bin $bin share_a")
+      assert(math.abs(sb - r6(mySb)) < 1e-9, s"bin $bin share_b")
+      assert(math.abs(psi - r6((mySb - mySa) * math.log(mySb / mySa))) < 1e-9,
+        s"bin $bin psi")
+    }
+    // both halves fully accounted: bin counts partition each half
+    assert(ta > 0 && tb > 0 && ta + tb ==
+      graft.Tables.events(spark, sf0001).count())
+  }
 }

@@ -424,4 +424,42 @@ class SimilaritySpec extends SparkSpec {
     assert(meanPairSim(mmrSel) <= meanPairSim(topkSel) + 1e-9,
       "MMR selection is more redundant than plain top-k")
   }
+
+  test("maxsim: m=1 degenerates to exact cosine top-k; m=4 well-formed and bounded") {
+    // with one 64-dim "token" the MaxSim sum IS the cosine — the ranking
+    // must equal v2's exactly, scores included (both round at 6dp)
+    val v2 = Similarity.bruteForceTopK(spark, sf0001, 3, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val m1 = Similarity.maxSimTopK(spark, sf0001, 3, 5, m = 1, sub = 64).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(v2.sortBy(t => (t._1, t._2)).toSeq == m1.sortBy(t => (t._1, t._2)).toSeq)
+
+    val m4 = Similarity.maxSimTopK(spark, sf0001, 3, 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val byQ = m4.groupBy(_._1)
+    assert(byQ.keySet == Set(0L, 1L, 2L))
+    byQ.foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to 5).toSeq, s"q=$q ranks")
+      // scores descend with rank and every |per-token cos| <= 1 → |sum| <= 4
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.forall(t => math.abs(t._4) <= 4.0 + 1e-9))
+      assert(sorted.forall(_._3 != q), "self in neighbor list")
+    }
+    // a vector scores its exact duplicate at the m=4 maximum: every
+    // subvector cosine is 1, so MaxSim = 4
+    import org.apache.spark.sql.functions._
+    val e = graft.Tables.embeddings(spark, sf0001)
+    val subScores = (0 until 4).map { qi =>
+      val qs = slice(col("qv"), qi * 16 + 1, 16)
+      (0 until 4).map(ci =>
+          graft.functions.ArraySim.cosineNative(qs, slice(col("nv"), ci * 16 + 1, 16)))
+        .reduce(greatest(_, _))
+    }
+    val self = e.select(col("embedding").as("qv"), col("embedding").as("nv"))
+      .withColumn("score", subScores.reduce(_ + _))
+      .agg(min("score"), max("score")).head()
+    assert(math.abs(self.getDouble(0) - 4.0) < 1e-9 &&
+      math.abs(self.getDouble(1) - 4.0) < 1e-9)
+  }
 }
