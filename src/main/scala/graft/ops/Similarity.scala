@@ -232,6 +232,27 @@ object Similarity {
       s"${graft.Tables.scratchTag(d)}#${graft.Tables.datasetFingerprint(d)}#$nl#$seed",
       _ => fitQuantizer(e, "embedding", nl, seed = seed, corpusCount = n))
 
+  /** Bucketed IVF index staging, memoized per (dataset content, nlist):
+    * one partition dir per cell — probes read only theirs. nl and the
+    * content fingerprint go in the dir name: two nlist configs (or two
+    * generations of one dataset) are DIFFERENT indexes — sharing a path
+    * would leave one memo entry pointing at the other's cells. Shared by
+    * v3/v11 (annIvf) and v15 (knnGraph).
+    */
+  private[ops] def stagedIvfIndex(s: SparkSession, e: DataFrame, d: String,
+      nl: Int, cents: Array[(Int, Seq[Float])]): String = {
+    val fp = graft.Tables.datasetFingerprint(d)
+    graft.Tables.stagedDir(ivfStageMemo,
+      s"${graft.Tables.scratchTag(d)}#$fp#$nl") { () =>
+      val best = assignCell(col("embedding"), cents)
+      val assigned = e.select(col("vec_id"), col("embedding"),
+        (lit(0) - best.getField("negcell")).as("cell"))
+      val dir = graft.Tables.scratchDir(s"graft_ivf_${nl}_$fp", d)
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
+      dir
+    }
+  }
+
   /** IVF approximate NN: sampled seeded KMeans coarse quantizer (nlist
     * cells), corpus bucketed by cell and PERSISTED partitionBy(cell) so a
     * probe prunes partitions at the scan (the ANN analogue of partition
@@ -256,23 +277,7 @@ object Similarity {
     val cents = memoCents(e, d, nl, nCorpus)
     if (cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
-    val best = assignCell(col("embedding"), cents)
-
-    // bucketed index: one partition dir per cell — probes read only theirs
-    val fp = graft.Tables.datasetFingerprint(d)
-    val bucketDir = graft.Tables.stagedDir(ivfStageMemo,
-      s"${graft.Tables.scratchTag(d)}#$fp#$nl") { () =>
-      val assigned = e.select(col("vec_id"), col("embedding"),
-        (lit(0) - best.getField("negcell")).as("cell"))
-      // nl and the content fingerprint in the dir name: two nlist configs
-      // (or two generations of one dataset) are DIFFERENT indexes —
-      // sharing a path would leave one memo entry pointing at the other's
-      // cells
-      val dir = graft.Tables.scratchDir(s"graft_ivf_${nl}_$fp", d)
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(dir)
-      dir
-    }
-    val corpus = s.read.parquet(bucketDir)
+    val corpus = s.read.parquet(stagedIvfIndex(s, e, d, nl, cents))
 
     val centDf = cents.toSeq.toDF("cell", "centroid")
     val q = e.filter(col("vec_id") < numQueries)
@@ -890,6 +895,52 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** v15 — corpus-wide kNN GRAPH from the IVF index: EVERY vector, not
+    * a bounded query slice, gets its approximate k nearest neighbors —
+    * the neighbor-graph artifact that seeds graph clustering,
+    * NN-Descent refinement, HNSW construction, and graph-based dedup
+    * (d9's pair graph is its threshold cousin; SemDeDup's clusters are
+    * its coarse view). The exact graph is inherently quadratic; this is
+    * the linear-cost standard approximation: each vector scores only
+    * the members of its own nprobe nearest cells.
+    *
+    * Shape at scale: probe-cell selection is the bounded TopK
+    * aggregator over the n×nlist centroid grid (the same cost class as
+    * the index assignment itself; the shuffle after it is O(n·nprobe),
+    * never O(n·nlist)); candidate generation is ONE hash join of the
+    * probe list with the bucketed index on cell — skew bounded by
+    * adaptiveNlist's cell sizing; per-node top-k is again the bounded
+    * aggregator, so the rank shuffle carries O(n·k) pairs. The staged
+    * index is the memoized one v3/v11 already built — the graph costs
+    * no new index. Rows-only (seeded KMeans has no SQL twin); the spec
+    * pins ≥0.9 edge recall vs the exact graph on planted clusters,
+    * well-formedness, and rerun determinism.
+    */
+  def knnGraph(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 2): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val nCorpus = e.count()
+    val nl = adaptiveNlist(nCorpus)
+    val cents = memoCents(e, d, nl, nCorpus)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("src", "rank", "dst", "cos")
+    val corpus = s.read.parquet(stagedIvfIndex(s, e, d, nl, cents))
+    val centDf = cents.toSeq.toDF("cell", "centroid")
+    val cellScores = e.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("embedding"), col("centroid")))
+    val probes = graft.functions.TopK
+      .perGroup(cellScores, "vec_id", "ccos", "cell", nprobe)
+      .select(col("vec_id").as("src"), col("cell").cast("int").as("cell"))
+      .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")), "src")
+    val scored = probes.join(corpus, "cell")
+      .filter(col("src") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("sv"), col("embedding")))
+    graft.functions.TopK.perGroup(scored, "src", "cos", "vec_id", k)
+      .select(col("src"), col("rank"), col("vec_id").as("dst"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("src", "rank")
+  }
+
   /** v14 — MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim,
     * Khattab & Zaharia 2020): an item is represented by m token-level
     * vectors, and score(q, c) = Σ over query vectors of max over item
@@ -931,6 +982,9 @@ object Similarity {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    // rows-only: the IVF-approximate graph has no SQL twin; edge recall
+    // vs the exact graph + determinism pinned in the spec
+    QueryDef("v15_knn_graph", (s, d) => knnGraph(s, d), None),
     QueryDef("v14_maxsim_topk", (s, d) => maxSimTopK(s, d), Some(
       // same total order as v2 (score desc, n_id asc); per-qi maxes
       // summed in fixed qi order on both sides

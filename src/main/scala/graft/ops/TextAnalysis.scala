@@ -1277,6 +1277,43 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** p15 — deterministic CURRICULUM schedule: the epoch-0 training
+    * order that presents the cleanest documents first WITHIN every
+    * shard — the curriculum/anneal data-ordering step (clean-first
+    * warmup, or reverse it for quality-annealed late phases) that
+    * p5's digest order deliberately randomizes away. Composition of
+    * green pieces: tier = quality QUARTILE of t2's score (1 =
+    * cleanest; cuts from ONE exact-percentile agg broadcast back —
+    * t20's discipline, never ntile's single-task window; the score is
+    * rounded to 6dp BEFORE the cuts so both engines rank identical
+    * doubles), shard + within-shard determinism are p5's (md5-prefix
+    * shard; the position window partitions by shard — the same key
+    * the downstream shard writers hash on, so there is no global sort
+    * anywhere and the schedule is a pure function of (doc_id, text)).
+    * Fully oracled end-to-end including the per-shard positions.
+    */
+  def curriculumSchedule(s: SparkSession, d: String): DataFrame = {
+    val scored = documents(s, d).select(col("doc_id"),
+      round(qualityCol(col("text")), 6).as("q"),
+      md5(col("doc_id").cast("string")).as("hk"))
+    val cuts = Stats.quantileCuts(scored,
+      Seq(Stats.CutSpec("c", "q", Seq(0.25, 0.5, 0.75))))._1
+      .select(element_at(col("c"), 1).as("c1"),
+        element_at(col("c"), 2).as("c2"),
+        element_at(col("c"), 3).as("c3"))
+    val w = Window.partitionBy("shard").orderBy("tier", "hk", "doc_id")
+    scored.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("q") > col("c3"), 1)
+          .when(col("q") > col("c2"), 2)
+          .when(col("q") > col("c1"), 3)
+          .otherwise(4))
+      .withColumn("shard", substring(col("hk"), 1, 2))
+      .withColumn("cur_pos", row_number().over(w))
+      .select("doc_id", "shard", "tier", "cur_pos")
+      .orderBy("shard", "cur_pos")
+  }
+
   /** t22 — BPE merge-pair learning (the tokenizer-training loop,
     * Sennrich et al. 2016): ONE corpus pass folds documents into the
     * (word, count) vocabulary; every one of the k merge rounds then
@@ -2064,6 +2101,36 @@ object TextAnalysis {
         |SELECT doc_id, source, round(q, 6) AS quality, round(u, 6) AS u
         |FROM q WHERE u < 0.2::DOUBLE + 0.6::DOUBLE * q
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("p15_curriculum", curriculumSchedule, Some(
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(length(text) AS DOUBLE) AS n_chr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS sw,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS dg,
+        |    md5(CAST(doc_id AS VARCHAR)) AS hk
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, hk,
+        |    round(
+        |      (CASE WHEN (n_chr - (n_tok - 1)) / n_tok BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE
+        |            THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + least(sw / n_tok * 3.0::DOUBLE, 0.4::DOUBLE)
+        |      + (CASE WHEN dg / n_chr < 0.2::DOUBLE THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END), 6) AS q
+        |  FROM base),
+        |cuts AS (
+        |  SELECT quantile_cont(q, 0.25) AS c1, quantile_cont(q, 0.5) AS c2,
+        |    quantile_cont(q, 0.75) AS c3
+        |  FROM q),
+        |t AS (
+        |  SELECT doc_id, hk, substr(hk, 1, 2) AS shard,
+        |    CASE WHEN q > c3 THEN 1 WHEN q > c2 THEN 2
+        |         WHEN q > c1 THEN 3 ELSE 4 END AS tier
+        |  FROM q, cuts)
+        |SELECT doc_id, shard, tier,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY tier, hk, doc_id) AS INT) AS cur_pos
+        |FROM t ORDER BY shard, cur_pos""".stripMargin)),
     QueryDef("t20_perplexity_tiers", (s, d) => perplexityTiers(s, d), Some(
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

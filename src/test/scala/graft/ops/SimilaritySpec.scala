@@ -425,6 +425,54 @@ class SimilaritySpec extends SparkSpec {
       "MMR selection is more redundant than plain top-k")
   }
 
+  test("knn graph: >= 0.9 edge recall vs the exact graph on planted clusters, well-formed, rerun-stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_knng").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k = 5
+    val got = Similarity.knnGraph(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val bySrc = got.groupBy(_._1)
+    // every vector got a neighborhood; ranks contiguous, scores desc, no self
+    assert(bySrc.size == 500)
+    bySrc.foreach { case (src, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"src $src ranks")
+      assert(sorted.length <= k)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.forall(_._3 != src))
+    }
+    // exact graph recall: brute-force kNN per node in-JVM
+    val emb = rows.map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val recalls = rows.map { case (id, _, _) =>
+      val exact = emb.keysIterator.filter(_ != id)
+        .map(n => (n, cos(emb(id), emb(n))))
+        .toSeq.sortBy { case (n, c) => (-c, n) }.take(k).map(_._1).toSet
+      val approx = bySrc(id).map(_._3).toSet
+      (exact & approx).size.toDouble / k
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.9, s"mean edge recall $mean below 0.9 on clustered data")
+    // memoized index + seeded fit: the graph is a pure function of the dataset
+    val again = Similarity.knnGraph(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("maxsim: m=1 degenerates to exact cosine top-k; m=4 well-formed and bounded") {
     // with one 64-dim "token" the MaxSim sum IS the cosine — the ranking
     // must equal v2's exactly, scores included (both round at 6dp)

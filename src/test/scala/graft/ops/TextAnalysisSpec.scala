@@ -835,4 +835,28 @@ class TextAnalysisSpec extends SparkSpec {
     }
     assert(rep == mine, s"report $rep != per-doc rollup $mine")
   }
+
+  test("p15 curriculum: quartile tiers, per-shard contiguous positions, clean-first order") {
+    val out = TextAnalysis.curriculumSchedule(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    assert(out.length.toLong == nDocs)
+    // quartile tiers: each holds ~25% (cut ties can nudge a boundary)
+    val byTier = out.groupBy(_._3).view.mapValues(_.length).toMap
+    assert(byTier.keySet == Set(1, 2, 3, 4))
+    byTier.values.foreach(n =>
+      assert(n > nDocs * 0.1 && n < nDocs * 0.4, s"tier sizes skewed: $byTier"))
+    out.groupBy(_._2).foreach { case (shard, rs) =>
+      val sorted = rs.sortBy(_._4)
+      // positions are 1..n within the shard
+      assert(sorted.map(_._4).toSeq == (1 to rs.length), s"shard $shard positions")
+      // clean-first: tier never decreases along the schedule
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq,
+        s"shard $shard violates tier order")
+    }
+    // pure function of the data: rerun identical
+    val again = TextAnalysis.curriculumSchedule(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
+    assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
 }
