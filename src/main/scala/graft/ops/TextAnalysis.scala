@@ -1314,6 +1314,75 @@ object TextAnalysis {
       .orderBy("shard", "cur_pos")
   }
 
+  /** p16 — INCREMENTAL corpus ingest: a new document batch (the daily
+    * crawl increment — here the deterministic doc_id % 5 == 4 slice)
+    * cleaned and deduplicated AGAINST THE EXISTING CORPUS, not by a
+    * full recompute — the production shape where ingest cost must be
+    * ∝ batch, never ∝ corpus. Three stages, all t27/d1 semantics made
+    * incremental:
+    *   1. boilerplate cleaning judges batch lines against the
+    *      EXISTING corpus's line-frequency index (new lines can't
+    *      vote themselves common);
+    *   2. cross-corpus exact dedup anti-joins the batch's cleaned-text
+    *      md5 against the corpus's cleaned-md5 set;
+    *   3. within-batch exact dedup keeps the min-id copy.
+    * Output = the per-source accounting the increment signs off on.
+    *
+    * Scale: every stage's per-batch cost is batch-sized. The two
+    * corpus-derived inputs — the line-frequency index and the
+    * clean-md5 set — are 8/16-byte hash tables, in production
+    * MAINTAINED across ingests (each batch's kept hashes append);
+    * the query materializes them from the table only because the
+    * declared surface is stateless across calls. Shuffles carry
+    * hashes, never text; the within-batch keeper window partitions by
+    * clean_md5 (batch-sized groups). Fully oracled via chained CTEs.
+    */
+  def incrementalIngest(s: SparkSession, d: String, segWords: Int = 5,
+      minDocs: Int = 2, mod: Int = 5): DataFrame = {
+    val lines = segLines(s, d, segWords)
+    val isBatch = pmod(col("doc_id"), lit(mod)) === (mod - 1)
+    val corpusLines = lines.filter(!isBatch)
+    val bp = corpusLines.withColumn("lh", xxhash64(col("line")))
+      .groupBy("lh").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > minDocs)
+      .select(col("lh"), lit(true).as("bp"))
+    def cleanSide(ls: DataFrame): DataFrame =
+      ls.withColumn("lh", xxhash64(col("line")))
+        .join(bp, Seq("lh"), "left")
+        .withColumn("bp", coalesce(col("bp"), lit(false)))
+        .groupBy("doc_id", "source")
+        .agg(
+          sum(when(col("bp"), 1L).otherwise(0L)).as("n_removed_lines"),
+          sum(when(col("bp"), 0L)
+            .otherwise(size(split(col("line"), " ")).cast("long")))
+            .as("clean_toks"),
+          md5(array_join(
+            transform(
+              array_sort(collect_list(
+                when(!col("bp"), struct(col("line_idx"), col("line"))))),
+              x => x.getField("line")),
+            " ")).as("clean_md5"))
+    val corpusMd5 = cleanSide(corpusLines)
+      .select("clean_md5").distinct()
+      .withColumn("dup_corpus", lit(true))
+    val flagged = cleanSide(lines.filter(isBatch))
+      .join(corpusMd5, Seq("clean_md5"), "left")
+      .withColumn("dup_corpus", coalesce(col("dup_corpus"), lit(false)))
+      .withColumn("keeper",
+        min("doc_id").over(Window.partitionBy("clean_md5")))
+    flagged.groupBy("source").agg(
+      count(lit(1)).as("n_batch"),
+      sum(when(col("dup_corpus"), 1L).otherwise(0L)).as("n_dup_corpus"),
+      sum(when(!col("dup_corpus") && col("doc_id") =!= col("keeper"), 1L)
+        .otherwise(0L)).as("n_dup_batch"),
+      sum(when(!col("dup_corpus") && col("doc_id") === col("keeper"), 1L)
+        .otherwise(0L)).as("n_kept"),
+      sum(when(!col("dup_corpus") && col("doc_id") === col("keeper"),
+        col("clean_toks")).otherwise(0L)).as("toks_kept"),
+      sum("n_removed_lines").as("lines_removed"))
+      .orderBy("source")
+  }
+
   /** t22 — BPE merge-pair learning (the tokenizer-training loop,
     * Sennrich et al. 2016): ONE corpus pass folds documents into the
     * (word, count) vocabulary; every one of the k merge rounds then
@@ -2101,6 +2170,48 @@ object TextAnalysis {
         |SELECT doc_id, source, round(q, 6) AS quality, round(u, 6) AS u
         |FROM q WHERE u < 0.2::DOUBLE + 0.6::DOUBLE * q
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("p16_incremental_ingest", (s, d) => incrementalIngest(s, d), Some(
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |lines AS (
+        |  SELECT doc_id, source, doc_id % 5 = 4 AS is_batch, i AS line_idx,
+        |    array_to_string(w[1 + i*5 : 5 + i*5], ' ') AS line
+        |  FROM t, unnest(range(0, CAST(ceil(len(w) / 5.0) AS BIGINT))) r(i)),
+        |bp AS (
+        |  SELECT line FROM lines WHERE NOT is_batch
+        |  GROUP BY line HAVING count(DISTINCT doc_id) > 2),
+        |marked AS (
+        |  SELECT l.doc_id, l.source, l.is_batch, l.line_idx, l.line,
+        |    l.line IN (SELECT line FROM bp) AS bp
+        |  FROM lines l),
+        |keptxt AS (
+        |  SELECT doc_id,
+        |    coalesce(string_agg(line, ' ' ORDER BY line_idx), '') AS clean
+        |  FROM marked WHERE NOT bp GROUP BY doc_id),
+        |clean AS (
+        |  SELECT m.doc_id, m.source, m.is_batch,
+        |    md5(coalesce(max(k.clean), '')) AS clean_md5,
+        |    CAST(sum(CASE WHEN bp THEN 1 ELSE 0 END) AS BIGINT) AS n_removed_lines,
+        |    CAST(sum(CASE WHEN bp THEN 0
+        |      ELSE len(string_split(line, ' ')) END) AS BIGINT) AS clean_toks
+        |  FROM marked m LEFT JOIN keptxt k ON m.doc_id = k.doc_id
+        |  GROUP BY m.doc_id, m.source, m.is_batch),
+        |corpus_md5 AS (
+        |  SELECT DISTINCT clean_md5 FROM clean WHERE NOT is_batch),
+        |bstat AS (
+        |  SELECT doc_id, source, clean_toks, n_removed_lines,
+        |    clean_md5 IN (SELECT clean_md5 FROM corpus_md5) AS dup_corpus,
+        |    min(doc_id) OVER (PARTITION BY clean_md5) AS keeper
+        |  FROM clean WHERE is_batch)
+        |SELECT source,
+        |  count(*) AS n_batch,
+        |  CAST(sum(CASE WHEN dup_corpus THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_corpus,
+        |  CAST(sum(CASE WHEN NOT dup_corpus AND doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_batch,
+        |  CAST(sum(CASE WHEN NOT dup_corpus AND doc_id = keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN NOT dup_corpus AND doc_id = keeper THEN clean_toks ELSE 0 END) AS BIGINT) AS toks_kept,
+        |  CAST(sum(n_removed_lines) AS BIGINT) AS lines_removed
+        |FROM bstat GROUP BY source ORDER BY source""".stripMargin)),
     QueryDef("p15_curriculum", curriculumSchedule, Some(
       """WITH base AS (
         |  SELECT doc_id,

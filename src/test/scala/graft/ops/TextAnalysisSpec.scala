@@ -836,6 +836,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rep == mine, s"report $rep != per-doc rollup $mine")
   }
 
+  test("p16 incremental ingest: corpus-index cleaning, cross-corpus + in-batch dedup on planted docs") {
+    import spark.implicits._
+    val boiler = "ad ad ad ad ad" // one 5-word segment shared by 3 corpus docs
+    val docs = Seq(
+      // corpus (doc_id % 5 != 4)
+      (0L, s"u0a u0b u0c u0d u0e $boiler"),
+      (1L, s"u1a u1b u1c u1d u1e $boiler"),
+      (2L, s"u2a u2b u2c u2d u2e $boiler"),
+      (3L, "c3a c3b c3c c3d c3e"),
+      // batch (doc_id % 5 == 4)
+      (4L, s"c3a c3b c3c c3d c3e $boiler"), // cleaned == doc 3 → dup_corpus
+      (9L, "b9a b9b b9c b9d b9e"),          // kept
+      (14L, "b9a b9b b9c b9d b9e"),         // dup of 9 within batch
+      (19L, "z1 z2 z3 z4 z5"))              // kept
+    val dir = java.nio.file.Files.createTempDirectory("graft_p16").toString
+    docs.toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'a' AS source",
+        "cast(length(text) as long) AS n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.incrementalIngest(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getString(0) == "a")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) == ((4L, 1L, 1L, 2L, 10L, 1L)),
+      s"accounting ${r.toSeq}")
+    // real corpus: classification partitions the batch, rerun-stable
+    val full = TextAnalysis.incrementalIngest(spark, sf0001).collect()
+    assert(full.nonEmpty)
+    full.foreach { row =>
+      assert(row.getLong(1) == row.getLong(2) + row.getLong(3) + row.getLong(4),
+        s"batch not partitioned: ${row.toSeq}")
+    }
+    val batchDocs = graft.Tables.documents(spark, sf0001)
+      .filter("doc_id % 5 = 4 and length(text) > 0").count()
+    assert(full.map(_.getLong(1)).sum == batchDocs)
+  }
+
   test("p15 curriculum: quartile tiers, per-shard contiguous positions, clean-first order") {
     val out = TextAnalysis.curriculumSchedule(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
