@@ -33,6 +33,50 @@ object Sources {
       .orderBy("o_orderpriority")
   }
 
+  /** src19 — COMPRESSED TEXT ingest and the gzip trap: a `.csv.gz` is
+    * NOT splittable, so no matter how many executors the cluster has
+    * the scan is ONE task — a 100 GB gzip crawl dump serializes its
+    * entire read through a single core (spec-pinned: under a tiny
+    * `files.maxPartitionBytes` the gz scan still plans exactly 1
+    * partition while the recompressed copy fans out). The operator does
+    * what a real ingest must: read the gzip once, immediately
+    * re-materialize as splittable columnar parquet, and run everything
+    * downstream against the parallel copy. Declared output audits
+    * content identity — the rollup over the recompressed copy must
+    * equal the same rollup straight off the source table (the oracle),
+    * so the gz text round-trip provably lost nothing.
+    */
+  def gzipIngest(s: SparkSession, d: String): DataFrame = {
+    val pqDir = gzipStaged(s, d)._2
+    s.read.parquet(pqDir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum("l_quantity"), 4).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Stages the one-file gz dump and its parquet recompression; returns
+    * (gzDir, parquetDir). Exposed for the spec's splittability pin.
+    */
+  private[graft] def gzipIngestSchema =
+    "l_orderkey BIGINT, l_partkey BIGINT, l_quantity DOUBLE, " +
+      "l_extendedprice DOUBLE, l_returnflag STRING"
+
+  private[graft] def gzipStaged(s: SparkSession, d: String): (String, String) = {
+    val gzDir = Tables.scratchDir("graft_gz", d)
+    val pqDir = Tables.scratchDir("graft_gz_pq", d)
+    // one .csv.gz part — the shape third-party dumps arrive in
+    lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_returnflag")
+      .coalesce(1)
+      .write.mode("overwrite").option("compression", "gzip").csv(gzDir)
+    s.read.schema(gzipIngestSchema).csv(gzDir)
+      .write.mode("overwrite").parquet(pqDir)
+    (gzDir, pqDir)
+  }
+
   /** Hive-style partitioned parquet write + partition-pruned read: the
     * filter on the partition column must prune at planning time (the scan
     * shows `PartitionFilters`, reading 1/5 of the files) — the layout
@@ -917,6 +961,11 @@ object Sources {
         |  count(DISTINCT event_id) AS n_ids,
         |  round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src19_gzip_ingest", gzipIngest, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src1_json_roundtrip", jsonRoundtrip, Some(
       """SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS revenue
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),

@@ -154,6 +154,32 @@ class SourcesSpec extends SparkSpec {
     assert(z.count() == total)
   }
 
+  test("gzip ingest: gz scan is ONE task regardless of split size; recompressed copy fans out") {
+    val (gzDir, pqDir) = Sources.gzipStaged(spark, sf0001)
+    // exactly one compressed part on disk
+    val gzFiles = new java.io.File(gzDir).listFiles()
+      .filter(_.getName.endsWith(".csv.gz"))
+    assert(gzFiles.length == 1, s"expected 1 gz part, got ${gzFiles.toSeq}")
+    // force tiny splits: a splittable source would fan out into many
+    // partitions; gzip CANNOT split, so the scan still plans 1 task —
+    // the serialization trap the operator exists to escape
+    val old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      val gzParts = spark.read.schema(Sources.gzipIngestSchema)
+        .csv(gzDir).rdd.getNumPartitions
+      val pqParts = spark.read.parquet(pqDir).rdd.getNumPartitions
+      assert(gzParts == 1, s"gz scan planned $gzParts partitions")
+      assert(pqParts > 1, s"recompressed scan did not fan out: $pqParts")
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    // the text round-trip lost nothing: per-row content identical
+    val src = graft.Tables.lineitem(spark, sf0001)
+      .selectExpr("l_orderkey", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+    assert(spark.read.parquet(pqDir).exceptAll(src).isEmpty
+      && src.exceptAll(spark.read.parquet(pqDir)).isEmpty)
+  }
+
   test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
     val df = Sources.dynamicPartitionPruning(spark, sf0001)
     val rows = scanRows(df) // collects + sums FileSourceScan outputs
