@@ -372,6 +372,14 @@ object Quality {
       .groupBy("bin").agg(
         sum(when(col("late") === 0, 1L).otherwise(0L)).as("n_a"),
         sum(when(col("late") === 1, 1L).otherwise(0L)).as("n_b"))
+    psiFromBinned(binned)
+  }
+
+  /** dq10's PSI arithmetic over a (bin, n_a, n_b) count cube — shared
+    * with st21, whose STREAMED cube must feed the identical math to
+    * share dq10's oracle verbatim.
+    */
+  private[graft] def psiFromBinned(binned: DataFrame): DataFrame = {
     val tot = binned.agg(sum("n_a").as("ta"), sum("n_b").as("tb"))
     binned.crossJoin(broadcast(tot))
       .withColumn("share_a",

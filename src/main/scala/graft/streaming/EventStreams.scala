@@ -132,6 +132,51 @@ object EventStreams {
       .orderBy("week")
   }
 
+  /** st21 — streaming PSI drift monitor: dq10's population-stability
+    * gate as a STREAM — the shape a live model-monitoring deployment
+    * actually runs: the reference geometry (time midpoint + the
+    * reference half's decile cuts, in production the model's
+    * training-time reference distribution) is STATIC and broadcast
+    * into the stream as literals; the stream maintains only the
+    * (half, bin) count cube — ≤ 2×10 rows of aggregation state, bins
+    * not data, st17's bounded-sketch discipline — and the PSI
+    * arithmetic reads off the cube at ask time
+    * ([[graft.ops.Quality.psiFromBinned]], the same code path dq10
+    * runs). Bucket counts are algebraic, so the streamed cube EQUALS
+    * the batch cube and the query shares dq10's oracle VERBATIM:
+    * stream ≡ batch ≡ DuckDB three-way cross-validation, with
+    * stream-equals-batch additionally spec-pinned row-for-row.
+    */
+  def streamingPsiDrift(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    // static reference geometry from the batch table (bounded: 2 longs
+    // + 9 doubles cross the driver, never data)
+    val ev = Tables.events(s, d).select(
+      expr("cast(round(value * 100) as bigint)").as("c"),
+      unix_millis(col("ts")).as("ms"))
+    val b = ev.agg(min("ms").as("lo"), max("ms").as("hi")).head()
+    val (lo, hi) = (b.getLong(0), b.getLong(1))
+    val cuts = ev.filter(col("ms") * 2 <= lo + hi)
+      .agg(percentile(col("c"),
+        typedlit((1 to 9).map(_ / 10.0))).as("cuts"))
+      .head().getSeq[Double](0)
+    val stream = s.readStream.schema(schema).parquet(src)
+      .select(expr("cast(round(value * 100) as bigint)").as("c"),
+        unix_millis(col("ts")).as("ms"))
+      .withColumn("late", (col("ms") * 2 > lit(lo) + lit(hi)).cast("int"))
+      .withColumn("bin", size(filter(typedlit(cuts), x => col("c") > x)))
+      .groupBy("late", "bin").agg(count(lit(1)).as("n"))
+    val qname = "graft_stream_psi"
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val binned = s.table(qname).groupBy("bin").agg(
+      sum(when(col("late") === 0, col("n")).otherwise(0L)).as("n_a"),
+      sum(when(col("late") === 1, col("n")).otherwise(0L)).as("n_b"))
+    graft.ops.Quality.psiFromBinned(binned)
+  }
+
   /** st19 — streaming SESSIONIZATION: e18's top session paths as a
     * stream — the one e-family analytic with no streaming twin until
     * now, and the first declared consumer of `session_window` carrying
@@ -1173,6 +1218,36 @@ object EventStreams {
         |  (SELECT CAST(sum(CASE WHEN vts IS NOT NULL
         |     AND vts >= cts - INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS BIGINT)
         |   FROM pv) AS n_full_chain""".stripMargin)),
+    QueryDef("st21_streaming_psi", streamingPsiDrift, Some(
+      // dq10's oracle verbatim: the streamed (half, bin) cube is
+      // algebraic, so it equals the batch cube bit-for-bit
+      """WITH ev AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS c, epoch_ms(ts) AS ms
+        |  FROM events),
+        |b AS (SELECT min(ms) AS lo, max(ms) AS hi FROM ev),
+        |h AS (
+        |  SELECT c, CAST(ms * 2 > lo + hi AS INT) AS late
+        |  FROM ev CROSS JOIN b),
+        |cuts AS (
+        |  SELECT quantile_cont(c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS cuts
+        |  FROM h WHERE late = 0),
+        |binned AS (
+        |  SELECT CAST(len(list_filter(cuts, x -> c > x)) AS INT) AS bin,
+        |    CAST(sum(CASE WHEN late = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN late = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM h CROSS JOIN cuts GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(sum(n_a) AS BIGINT) AS ta, CAST(sum(n_b) AS BIGINT) AS tb
+        |  FROM binned),
+        |x AS (
+        |  SELECT bin, n_a, n_b,
+        |    greatest(CAST(n_a AS DOUBLE) / ta, 1e-6) AS share_a,
+        |    greatest(CAST(n_b AS DOUBLE) / tb, 1e-6) AS share_b
+        |  FROM binned CROSS JOIN tot)
+        |SELECT bin, n_a, n_b,
+        |  round(share_a, 6) AS share_a, round(share_b, 6) AS share_b,
+        |  round((share_b - share_a) * ln(share_b / share_a), 6) AS psi_contrib
+        |FROM x ORDER BY bin""".stripMargin)),
     QueryDef("st19_streaming_session_paths", (s, d) => streamingSessionPaths(s, d), Some(
       // e18's oracle verbatim: gap-rule sessions ≡ session_window merges
       """WITH g AS (

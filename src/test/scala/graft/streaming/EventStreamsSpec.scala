@@ -478,4 +478,17 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream/batch session paths diverge:\n$streamed\nvs\n$batch")
   }
+
+  test("streaming PSI drift equals batch dq10 row for row; state is the 20-row cube") {
+    val streamed = EventStreams.streamingPsiDrift(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val batch = graft.ops.Quality.psiDrift(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(streamed == batch,
+      s"stream/batch PSI diverge:\n$streamed\nvs\n$batch")
+    // bins-not-data state: the whole cube is <= 2 halves x 10 bins
+    assert(streamed.length == 10)
+  }
 }
