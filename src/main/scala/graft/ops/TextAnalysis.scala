@@ -1314,6 +1314,40 @@ object TextAnalysis {
       .orderBy("shard", "cur_pos")
   }
 
+  /** p17 — content-addressed SHARD MANIFEST: per training shard (p5's
+    * md5-prefix buckets), the doc count, token count, and a single
+    * manifest digest — md5 of the per-doc content md5s joined in shard
+    * position order — the reproducibility artifact a training run
+    * verifies before reading: if any document in the shard changed,
+    * moved, or reordered, the manifest digest changes; if the digest
+    * matches, the run provably reads byte-identical data in the
+    * identical order (the data-card / WAP-audit companion to p5's
+    * pure-function layout). One pass: the position window and the
+    * shard rollup both hash on `shard`, so the exchange is reused —
+    * no join, no global sort; shard count (256) bounds the output.
+    * Fully oracled — DuckDB's ordered string_agg computes the
+    * identical digest chain.
+    */
+  def shardManifest(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("hk", "doc_id")
+    documents(s, d)
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string")).as("hk"),
+        md5(col("text")).as("cmd5"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard", substring(col("hk"), 1, 2))
+      .withColumn("pos", row_number().over(w))
+      .groupBy("shard")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(array_sort(collect_list(struct(col("pos"), col("cmd5")))),
+            x => x.getField("cmd5")),
+          "|")).as("manifest_md5"))
+      .orderBy("shard")
+  }
+
   /** p16 — INCREMENTAL corpus ingest: a new document batch (the daily
     * crawl increment — here the deterministic doc_id % 5 == 4 slice)
     * cleaned and deduplicated AGAINST THE EXISTING CORPUS, not by a
@@ -2170,6 +2204,20 @@ object TextAnalysis {
         |SELECT doc_id, source, round(q, 6) AS quality, round(u, 6) AS u
         |FROM q WHERE u < 0.2::DOUBLE + 0.6::DOUBLE * q
         |ORDER BY doc_id""".stripMargin)),
+    QueryDef("p17_shard_manifest", shardManifest, Some(
+      """WITH t AS (
+        |  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hk, md5(text) AS cmd5,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, hk, cmd5, n_tokens, substr(hk, 1, 2) AS shard,
+        |    row_number() OVER (PARTITION BY substr(hk, 1, 2)
+        |      ORDER BY hk, doc_id) AS pos
+        |  FROM t)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  md5(string_agg(cmd5, '|' ORDER BY pos)) AS manifest_md5
+        |FROM p GROUP BY shard ORDER BY shard""".stripMargin)),
     QueryDef("p16_incremental_ingest", (s, d) => incrementalIngest(s, d), Some(
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w

@@ -874,6 +874,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(full.map(_.getLong(1)).sum == batchDocs)
   }
 
+  test("p17 manifest: rerun-stable, covers the corpus, and detects a one-doc mutation") {
+    import spark.implicits._
+    val a = TextAnalysis.shardManifest(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(a.values.map(_._1).sum ==
+      graft.Tables.documents(spark, sf0001).count())
+    val b = TextAnalysis.shardManifest(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    assert(a == b, "manifest not rerun-stable")
+    // mutate exactly one document's text in a copied fixture: ONLY its
+    // shard's digest may change, every other shard stays byte-identical
+    val dir = java.nio.file.Files.createTempDirectory("graft_p17").toString
+    val docs = graft.Tables.documents(spark, sf0001)
+    docs.withColumn("text",
+        when(col("doc_id") === 7L, concat(col("text"), lit(" MUTATED")))
+          .otherwise(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val m = TextAnalysis.shardManifest(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+      .toMap
+    val mutShard = java.security.MessageDigest.getInstance("MD5")
+      .digest("7".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+    assert(m(mutShard)._3 != a(mutShard)._3, "mutation not detected")
+    (a.keySet - mutShard).foreach { sh =>
+      assert(m(sh) == a(sh), s"untouched shard $sh changed")
+    }
+  }
+
   test("p15 curriculum: quartile tiers, per-shard contiguous positions, clean-first order") {
     val out = TextAnalysis.curriculumSchedule(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
