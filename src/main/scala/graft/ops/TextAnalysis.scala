@@ -970,6 +970,51 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** p18 — UniMax EPOCH-CAPPED budget allocation (Chung et al. 2023,
+    * "UniMax: Fairer and More Effective Language Sampling for
+    * Large-Scale Multilingual Pretraining"): spend a global token
+    * budget over sources by walking them SMALLEST-FIRST, giving each
+    * source min(cap · its tokens, remaining budget ÷ sources left) —
+    * small sources get up to `epochCap` epochs (never more, the
+    * overfitting guard temperature sampling lacks), and whatever a
+    * capped source cannot absorb is re-spread over the larger sources
+    * still in line. p8's temperature mix is heuristic up-sampling;
+    * this is the principled allocation that explicitly bounds
+    * repetition per source.
+    *
+    * Exactness discipline: everything is INTEGER token arithmetic —
+    * budget = total·2 ÷ 5, fair share = remaining ÷ sources-left with
+    * truncating division (Scala `Long./` ≡ DuckDB `//` on
+    * non-negatives) — so both engines walk bit-identical state and
+    * the only doubles (`epochs`) divide identical integers. The walk
+    * itself is inherently sequential but runs over the |sources|-row
+    * ROLLUP (corpus-level constants — t22's k-row-LUT discipline, the
+    * one full-data pass is the token-count aggregate); the oracle
+    * replays it as a recursive CTE, q5's engine-level recursion
+    * cross-check.
+    */
+  def unimaxMix(s: SparkSession, d: String, epochCap: Long = 4L): DataFrame = {
+    import s.implicits._
+    val bySrc = documents(s, d)
+      .groupBy("source")
+      .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tok"))
+      .as[(String, Long)]
+      .collect()                       // |sources|-row rollup, bounded
+      .sortBy { case (src, n) => (n, src) } // smallest-first, total order
+    val total = bySrc.map(_._2).sum
+    var b = total * 2L / 5L            // global budget: 40% of the corpus
+    var r = bySrc.length.toLong
+    val rows = bySrc.map { case (src, n) =>
+      val alloc = math.min(epochCap * n, b / r)
+      b -= alloc; r -= 1
+      val epochs = if (n > 0) alloc.toDouble / n.toDouble else 0.0
+      (src, n, alloc, epochs, if (alloc == epochCap * n) 1 else 0)
+    }
+    rows.toSeq.toDF("source", "n_tok", "alloc_tok", "epochs", "capped")
+      .withColumn("epochs", round(col("epochs"), 6)) // Spark round ≡ DuckDB round
+      .orderBy("source")
+  }
+
   // ------------------------------------------------------------------
   // p13 — the composed END-TO-END corpus-build pipeline: t27 boilerplate
   // clean → d1 exact dedup (on the CLEANED text) → t28 quality gate →
@@ -2460,6 +2505,37 @@ object TextAnalysis {
     // rows-only: the LSH and SemDeDup stages have no SQL twin; the spec
     // pins containment vs the oracled p13 and stage-chain consistency
     QueryDef("p14_corpus_build_sem", (s, d) => corpusBuildSemantic(s, d), None),
+    QueryDef("p18_unimax_mix", (s, d) => unimaxMix(s, d), Some(
+      // the sequential smallest-first walk replayed as a recursive CTE
+      // (q5's engine-level recursion cross-check); every state update is
+      // integer arithmetic with truncating //, so both engines agree
+      // bit-for-bit and only `epochs` divides identical integers
+      """WITH RECURSIVE s AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tok
+        |  FROM documents GROUP BY source),
+        |r AS (
+        |  SELECT source, n_tok,
+        |    row_number() OVER (ORDER BY n_tok, source) AS rn
+        |  FROM s),
+        |tot AS (
+        |  -- CAST: DuckDB sum(BIGINT) is HUGEINT; keep the whole walk BIGINT
+        |  SELECT CAST((sum(n_tok) * 2) // 5 AS BIGINT) AS b0, count(*) AS k
+        |  FROM s),
+        |walk AS (
+        |  SELECT CAST(0 AS BIGINT) AS rn, b0 AS b,
+        |    CAST(NULL AS VARCHAR) AS source, CAST(0 AS BIGINT) AS n_tok,
+        |    CAST(0 AS BIGINT) AS alloc
+        |  FROM tot
+        |  UNION ALL
+        |  SELECT r.rn, w.b - least(4 * r.n_tok, w.b // (t.k - w.rn)),
+        |    r.source, r.n_tok, least(4 * r.n_tok, w.b // (t.k - w.rn))
+        |  FROM walk w JOIN r ON r.rn = w.rn + 1 CROSS JOIN tot t)
+        |SELECT source, n_tok, alloc AS alloc_tok,
+        |  round(CASE WHEN n_tok > 0
+        |    THEN CAST(alloc AS DOUBLE) / CAST(n_tok AS DOUBLE)
+        |    ELSE 0.0 END, 6) AS epochs,
+        |  CASE WHEN alloc = 4 * n_tok THEN 1 ELSE 0 END AS capped
+        |FROM walk WHERE rn >= 1 ORDER BY source""".stripMargin)),
     QueryDef("p8_temperature_mix", (s, d) => temperatureMix(s, d), Some(
       """WITH docs AS (
         |  SELECT doc_id, source,

@@ -904,6 +904,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("p18 unimax: cap respected, budget conserved, smallest-first walk replayed, rerun-stable") {
+    val out = TextAnalysis.unimaxMix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getInt(4)))
+    val totalTok = out.map(_._2).sum
+    val budget = totalTok * 2L / 5L
+    // every source within the 4-epoch cap; capped flag ⇔ exact equality
+    out.foreach { case (src, n, alloc, epochs, capped) =>
+      assert(alloc <= 4L * n, s"$src over cap")
+      assert((capped == 1) == (alloc == 4L * n), s"$src capped flag")
+      assert(epochs <= 4.0 + 1e-9, s"$src epochs $epochs")
+    }
+    assert(out.map(_._3).sum <= budget, "allocation exceeds the budget")
+    // independent replay of the sequential smallest-first walk
+    var b = budget
+    var r = out.length.toLong
+    val expect = out.sortBy { case (src, n, _, _, _) => (n, src) }.map {
+      case (src, n, _, _, _) =>
+        val alloc = math.min(4L * n, b / r); b -= alloc; r -= 1
+        src -> alloc
+    }.toMap
+    out.foreach { case (src, _, alloc, _, _) =>
+      assert(alloc == expect(src), s"$src alloc $alloc != ${expect(src)}")
+    }
+    // the LAST source in walk order is never capped here (largest source
+    // absorbs the fair-share remainder), so the budget is spent to within
+    // the truncating-division remainders of the earlier steps
+    assert(out.map(_._3).sum > budget - out.length,
+      "unspent budget beyond division remainders")
+    val again = TextAnalysis.unimaxMix(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(again.toSeq == out.map(t => (t._1, t._3)).toSeq, "rerun differs")
+  }
+
   test("p15 curriculum: quartile tiers, per-shard contiguous positions, clean-first order") {
     val out = TextAnalysis.curriculumSchedule(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
