@@ -345,6 +345,107 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // ---- m10: audio frame energy + VAD-style silence trim ----
+
+  private[graft] val audioFrameSamples = 256 // samples per analysis frame
+  private[graft] val nAudioFrames = 8        // frames per payload
+  private[graft] val vadThreshold = 1000L    // Σ|sample| below ⇒ silence
+
+  /** Deterministic audio fixture: each document renders to a 16-bit
+    * little-endian PCM mono payload of 8 × 256-sample frames. Frames 0
+    * and 7 are planted digital silence (all-zero samples — the lead-in /
+    * lead-out a recording pipeline trims); body frames 1–6 carry samples
+    * v_j = (textByte(j mod len) − 77) · 23 over body sample index j —
+    * the m2/m9 formula discipline, centered so speech-band frames have
+    * large energy. Real int16 LE encode: the operator must parse it back.
+    */
+  def audioBlobTable(s: SparkSession, d: String): Dataset[Blob] = {
+    import s.implicits._
+    documents(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val t = if (raw.isEmpty) Array[Byte](0) else raw
+        val nBody = audioFrameSamples * (nAudioFrames - 2)
+        val pcm = new Array[Byte](2 * audioFrameSamples * nAudioFrames)
+        var j = 0
+        while (j < nBody) {
+          val v = ((t(j % t.length) & 0xFF) - 77) * 23
+          val off = 2 * (audioFrameSamples + j) // frame 0 stays zero
+          pcm(off) = (v & 0xFF).toByte          // little-endian int16
+          pcm(off + 1) = ((v >> 8) & 0xFF).toByte
+          j += 1
+        }
+        Blob(id, pcm, "audio/pcm-s16le", pcm.length.toLong)
+      }
+  }
+
+  final case class AudioVad(doc_id: Long, n_samples: Int, head_trimmed: Int,
+      tail_trimmed: Int, kept_frames: Int, mean_energy: Double, peak: Int)
+
+  /** m10 — AUDIO frame energy + silence trim (VAD-lite): parse the 16-bit
+    * PCM payload, frame it into 8 × 256-sample windows, compute per-frame
+    * energy Σ|sample| as an exact integer, and trim leading/trailing
+    * frames below the energy threshold — the lead-in/lead-out silence cut
+    * every speech/audio training pipeline runs before feature extraction
+    * (interior quiet frames are KEPT: trimming is edge-only, the VAD
+    * convention). Output per doc: trim accounting, mean |amplitude| per
+    * kept sample, and the peak |sample|.
+    *
+    * Shape at scale: one narrow map over the payload column — decode,
+    * frame, trim all inside the row, no shuffle anywhere; at 100 TB this
+    * is scan-speed like m2/m9. Exact-integer energies make it FULLY
+    * oracled: DuckDB recomputes every frame's energy from the
+    * byte-generation formula while Spark round-trips encode → int16
+    * parse → frame walk — agreement proves the PCM codec and the trim
+    * rule end-to-end (the only doubles divide identical integers).
+    */
+  def audioVadTrim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioBlobTable(s, d)
+      .map { b =>
+        val n = b.payload.length / 2
+        val samples = new Array[Int](n)
+        var i = 0
+        while (i < n) { // int16 LE parse
+          samples(i) =
+            ((b.payload(2 * i) & 0xFF) | (b.payload(2 * i + 1) << 8)).toShort.toInt
+          i += 1
+        }
+        val nf = n / audioFrameSamples
+        val energy = new Array[Long](nf)
+        i = 0
+        while (i < n) {
+          energy(i / audioFrameSamples) += math.abs(samples(i)).toLong
+          i += 1
+        }
+        val voiced = (0 until nf).filter(energy(_) >= vadThreshold)
+        if (voiced.isEmpty) AudioVad(b.doc_id, n, nf, 0, 0, 0.0, 0)
+        else {
+          val f0 = voiced.head
+          val f1 = voiced.last
+          val kept = f1 - f0 + 1
+          var e = 0L
+          var peak = 0
+          var f = f0
+          while (f <= f1) {
+            e += energy(f)
+            var k = f * audioFrameSamples
+            val end = (f + 1) * audioFrameSamples
+            while (k < end) {
+              val a = math.abs(samples(k)); if (a > peak) peak = a; k += 1
+            }
+            f += 1
+          }
+          AudioVad(b.doc_id, n, f0, nf - 1 - f1, kept,
+            e.toDouble / (kept.toLong * audioFrameSamples).toDouble, peak)
+        }
+      }
+      .toDF()
+      .withColumn("mean_energy", round(col("mean_energy"), 4))
+      .orderBy("doc_id")
+  }
+
   /** Real binary-asset ingest: spark.read.format("binaryFile") over a
     * generated fixture dir (one file per document, bytes = the UTF-8 text
     * — the deterministic stand-in for real image/audio files), doc_id
@@ -547,6 +648,47 @@ object Multimodal {
         |    - (max(CASE WHEN ch = 2 THEN sv END) / 15.0)
         |      * (max(CASE WHEN ch = 2 THEN sv END) / 15.0)), 4) AS std_r
         |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    QueryDef("m10_audio_vad", audioVadTrim, Some(
+      // DuckDB recomputes every frame's energy from the byte-generation
+      // formula (never touching the payload); agreement proves the int16
+      // LE encode→parse round-trip, the framing, and the trim rule.
+      // Frames 0 and 7 are planted silence; body sample j (frames 1–6)
+      // is (ascii(text[j mod L]) − 77)·23, energies exact integers.
+      """WITH t AS (
+        |  SELECT doc_id, coalesce(nullif(text, ''), chr(0)) AS tx FROM documents),
+        |b AS (
+        |  SELECT doc_id, 1 + j // 256 AS frame,
+        |    (ascii(substr(tx, (j % length(tx)) + 1, 1)) - 77) * 23 AS v
+        |  FROM t, unnest(range(0, 1536)) r(j)),
+        |fe AS (
+        |  SELECT t.doc_id, f.frame, coalesce(e.energy, 0) AS energy
+        |  FROM t CROSS JOIN (SELECT unnest(range(0, 8)) AS frame) f
+        |  LEFT JOIN (
+        |    SELECT doc_id, frame, sum(abs(v)) AS energy FROM b GROUP BY 1, 2) e
+        |    ON e.doc_id = t.doc_id AND e.frame = f.frame),
+        |span AS (
+        |  SELECT doc_id, min(frame) AS f0, max(frame) AS f1
+        |  FROM fe WHERE energy >= 1000 GROUP BY doc_id),
+        |kept AS (
+        |  SELECT fe.doc_id, sum(fe.energy) AS e, s.f1 - s.f0 + 1 AS kf
+        |  FROM fe JOIN span s ON fe.doc_id = s.doc_id
+        |  WHERE fe.frame BETWEEN s.f0 AND s.f1
+        |  GROUP BY fe.doc_id, s.f0, s.f1),
+        |pk AS (
+        |  SELECT b.doc_id, max(abs(v)) AS peak
+        |  FROM b JOIN span s ON b.doc_id = s.doc_id
+        |  WHERE b.frame BETWEEN s.f0 AND s.f1 GROUP BY b.doc_id)
+        |SELECT t.doc_id, 2048 AS n_samples,
+        |  CAST(coalesce(s.f0, 8) AS INT) AS head_trimmed,
+        |  CAST(CASE WHEN s.f0 IS NULL THEN 0 ELSE 7 - s.f1 END AS INT)
+        |    AS tail_trimmed,
+        |  CAST(coalesce(k.kf, 0) AS INT) AS kept_frames,
+        |  round(coalesce(CAST(k.e AS DOUBLE) / (k.kf * 256), 0.0), 4)
+        |    AS mean_energy,
+        |  CAST(coalesce(p.peak, 0) AS INT) AS peak
+        |FROM t LEFT JOIN span s USING (doc_id) LEFT JOIN kept k USING (doc_id)
+        |  LEFT JOIN pk p USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin)),
     QueryDef("m9_frame_sample", frameSample, Some(
       """WITH t AS (
         |  SELECT doc_id, coalesce(nullif(text, ''), chr(0)) AS tx FROM documents),

@@ -941,6 +941,60 @@ object Similarity {
       .orderBy("src", "rank")
   }
 
+  /** v16 — NN-DESCENT refinement of the kNN graph (Dong, Moses &
+    * Li 2011, "Efficient k-nearest neighbor graph construction for
+    * generic similarity measures"): improve v15's IVF-approximate graph
+    * by the neighbor-of-my-neighbor principle — each round, every
+    * node's candidate set is its current neighbors' neighbors (over the
+    * UNDIRECTED view, both link directions carry information), scored
+    * exactly, and merged with the current edges; per-node top-k keeps
+    * the best. Because the old edges are always in the candidate set,
+    * each node's rank-r similarity is MONOTONE non-decreasing per round
+    * — the descent guarantee the spec pins — and cross-cluster recall
+    * lost to IVF probe misses is recovered through mutual neighbors.
+    *
+    * Shape at scale: the candidate build is two hash joins of the
+    * O(n·k) edge list with itself on the shared node key — candidates
+    * are O(n·(2k)²) rows, graph-sized not corpus-squared — then one
+    * distinct, one exact-rescore join against the vector table, and the
+    * bounded TopK aggregator (shuffle O(n·k)). No window, no driver
+    * materialization; every stage keys on a node id. Rows-only (seeded
+    * KMeans upstream has no SQL twin); the spec pins per-rank
+    * monotonicity vs v15, recall-not-worse on planted clusters,
+    * well-formedness, and rerun determinism.
+    */
+  def nnDescentRefine(s: SparkSession, d: String, k: Int = 5, nprobe: Int = 2,
+      rounds: Int = 1): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val sv = e.select(col("vec_id").as("src"), col("embedding").as("sv"))
+    val dv = e.select(col("vec_id").as("dst"), col("embedding").as("dv"))
+    var graph = knnGraph(s, d, k, nprobe).select("src", "dst").cache()
+    for (_ <- 1 to rounds) {
+      val und = graph
+        .union(graph.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+      val cand = und.as("a")
+        .join(und.as("b"), col("a.dst") === col("b.src"))
+        .select(col("a.src").as("src"), col("b.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .union(graph) // old edges always compete: per-rank monotonicity
+        .distinct()
+      val scored = cand.join(sv, "src").join(dv, "dst")
+        .withColumn("cos", cosine(col("sv"), col("dv")))
+      val next = graft.functions.TopK.perGroup(scored, "src", "cos", "dst", k)
+        .select("src", "dst").cache()
+      next.count() // materialize before unpersisting the previous round
+      graph.unpersist()
+      graph = next
+    }
+    val rescored = graph.join(sv, "src").join(dv, "dst")
+      .withColumn("cos", cosine(col("sv"), col("dv")))
+    graft.functions.TopK.perGroup(rescored, "src", "cos", "dst", k)
+      .select(col("src"), col("rank"), col("dst"), round(col("cos"), 6).as("cos"))
+      .orderBy("src", "rank")
+  }
+
   /** v14 — MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim,
     * Khattab & Zaharia 2020): an item is represented by m token-level
     * vectors, and score(q, c) = Σ over query vectors of max over item
@@ -985,6 +1039,10 @@ object Similarity {
     // rows-only: the IVF-approximate graph has no SQL twin; edge recall
     // vs the exact graph + determinism pinned in the spec
     QueryDef("v15_knn_graph", (s, d) => knnGraph(s, d), None),
+    // rows-only: NN-Descent inherits v15's seeded-KMeans upstream; the
+    // spec pins per-rank monotonicity vs v15, recall-not-worse on planted
+    // clusters, well-formedness, and rerun determinism
+    QueryDef("v16_nndescent", (s, d) => nnDescentRefine(s, d), None),
     QueryDef("v14_maxsim_topk", (s, d) => maxSimTopK(s, d), Some(
       // same total order as v2 (score desc, n_id asc); per-qi maxes
       // summed in fixed qi order on both sides

@@ -214,6 +214,114 @@ object EventStreams {
       .limit(top)
   }
 
+  final case class MgState(counters: Map[String, Long], processed: Long)
+  final case class MgEmit(bucket: Int, processed: Long, candidates: Seq[String])
+
+  /** Staged documents replay dir for text-shaped streams (st22): the
+    * (doc_id, text) projection written as SEVERAL files so
+    * maxFilesPerTrigger yields a genuine multi-batch replay with state
+    * carried across micro-batches.
+    */
+  private val stagedDocs = new java.util.concurrent.ConcurrentHashMap[String, String]
+  private def docsDir(s: SparkSession, d: String): String =
+    memo(stagedDocs)(d) {
+      val dir = Tables.scratchDir("graft_stream_docs", d)
+      Tables.documents(s, d).select("doc_id", "text")
+        .repartition(8)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  /** st22 — streaming HEAVY HITTERS with bounded sketch state
+    * (Misra–Gries 1982 summaries, the deterministic counter-based
+    * sibling of t17's count-min): the token stream partitions into
+    * `buckets` hash groups, each group's state is ONE Misra–Gries
+    * summary of `capacity` counters — so total state is buckets ×
+    * capacity counters for the stream's whole life, bounded by the
+    * sketch, never the vocabulary (the regime where st1-style
+    * word-count state grows with distinct tokens). A token hashes
+    * entirely into one bucket, so its bucket-local count IS its global
+    * count, and the classic MG guarantee — any item with count >
+    * N_bucket/(capacity+1) survives the summary — becomes a per-bucket
+    * CONTRACT the operator checks at ask time (throws if the configured
+    * capacity cannot guarantee the bar, g5's convergence discipline).
+    * Ask-time finalization is t12's two-phase shape: the surviving
+    * candidates (a near-heavy set, orders of magnitude smaller than the
+    * vocabulary) are exactly recounted batch-side over the accumulated
+    * input via a broadcast semi-join, so sketch error decides only what
+    * ships, never what's true — the output EQUALS exact t12 and the
+    * query shares its oracle VERBATIM (stream ≡ batch ≡ DuckDB).
+    */
+  def streamingHeavyHitters(s: SparkSession, d: String, minCount: Long = 500,
+      buckets: Int = 8, capacity: Int = 512): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import s.implicits._
+    val src = docsDir(s, d)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "2").parquet(src)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .select(pmod(xxhash64(col("token")), lit(buckets)).cast("int").as("bucket"),
+        col("token"))
+      .as[(Int, String)]
+    val updated = stream.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bucket: Int, it: Iterator[(Int, String)], state: GroupState[MgState]) =>
+          val st = state.getOption.getOrElse(MgState(Map.empty, 0L))
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          st.counters.foreach { case (k, v) => m.update(k, v) }
+          var n = st.processed
+          it.foreach { case (_, tok) =>
+            n += 1
+            m.get(tok) match {
+              case Some(c) => m.update(tok, c + 1)
+              case None if m.size < capacity => m.update(tok, 1L)
+              case None => // MG decrement: every counter down one
+                val dead = List.newBuilder[String]
+                m.keysIterator.foreach { k0 =>
+                  val c = m(k0) - 1
+                  if (c == 0) dead += k0 else m.update(k0, c)
+                }
+                dead.result().foreach(m.remove)
+            }
+          }
+          state.update(MgState(m.toMap, n))
+          MgEmit(bucket, n, m.keys.toSeq.sorted)
+      }
+    val qname = "graft_stream_mg"
+    val q = updated.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    // final state per bucket = the emission with the largest processed
+    // count (processed strictly grows whenever a bucket sees data); the
+    // window runs over buckets × batches rows, never data
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy(desc("processed"))
+    val fin = s.table(qname)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .cache()
+    // MG guarantee contract: minCount must clear every bucket's
+    // N_b/(capacity+1) undercount bound, else the summary may have
+    // evicted a true heavy hitter — refuse to answer rather than
+    // silently under-report (bounded: `buckets` rows cross the driver)
+    fin.select("bucket", "processed").collect().foreach { r =>
+      require(minCount > r.getLong(1) / (capacity + 1L),
+        s"MG capacity $capacity cannot guarantee minCount=$minCount " +
+          s"at bucket load ${r.getLong(1)}")
+    }
+    val candidates = fin.select(explode(col("candidates")).as("token")).distinct()
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .join(broadcast(candidates), Seq("token"), "left_semi")
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(desc("n"), asc("token"))
+  }
+
   /** Sliding 2-hour windows advancing every hour — each event lands in
     * exactly TWO overlapping windows, the semantics tumbling (st1) can't
     * express (trend smoothing, rolling rate alerts). Spark expands the
@@ -1195,6 +1303,11 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st22_streaming_heavy_hitters",
+      (s, d) => streamingHeavyHitters(s, d),
+      // t12's oracle verbatim: the MG sketch decides only what ships to
+      // the exact recount, never what's true — stream ≡ batch ≡ DuckDB
+      Some(graft.ops.TextAnalysis.heavyHittersOracle)),
     QueryDef("st20_streaming_funnel", (s, d) => streamingFunnel(s, d), Some(
       // e9's oracle verbatim: the streamed attribution IS the batch one
       """WITH p AS (

@@ -192,4 +192,52 @@ class MultimodalSpec extends SparkSpec {
       assert(math.abs(row.getDouble(4) - r4(std)) < 1e-9)
     }
   }
+
+  test("m10: PCM parse round-trips the formula; edge-only trim keeps interior silence") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, length}
+    // corpus docs: planted head/tail silence trimmed, all 6 body frames
+    // voiced (every corpus char gives |v| ≥ 460 per sample)
+    val out = Multimodal.audioVadTrim(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) == 2048)
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 6,
+        s"doc ${r.getLong(0)}: expected exactly the planted silence trimmed")
+    }
+    // int16 LE codec: parsed samples of one payload equal the formula
+    val blob = Multimodal.audioBlobTable(spark, sf0001)
+      .filter(_.doc_id == 0L).head()
+    val txt = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") === 0L).select("text").head().getString(0)
+      .getBytes("UTF-8")
+    for (j <- 0 until 256 * 6) {
+      val off = 2 * (256 + j)
+      val got = ((blob.payload(off) & 0xFF) | (blob.payload(off + 1) << 8))
+        .toShort.toInt
+      val want = ((txt(j % txt.length) & 0xFF) - 77) * 23
+      assert(got == want, s"sample $j: $got != $want")
+    }
+    for (j <- 0 until 256; side <- Seq(0, 7 * 256)) {
+      val off = 2 * (side + j)
+      assert(blob.payload(off) == 0 && blob.payload(off + 1) == 0)
+    }
+    // planted fixture: all-'M' text ⇒ v = 0 everywhere ⇒ fully silent;
+    // interior silent frame (chars 256..511 'M') is KEPT — trim is
+    // edge-only, the VAD convention
+    val dir = java.nio.file.Files.createTempDirectory("graft_m10").toString
+    val silent = "M" * 1536
+    val interior = "a" * 256 + "M" * 256 + "a" * 1024
+    Seq((0L, silent, "en", "a"), (1L, interior, "en", "a"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fx = Multimodal.audioVadTrim(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(6))).toMap
+    assert(fx(0L) == ((8, 0, 0, 0)), s"all-silent doc: ${fx(0L)}")
+    // head = frame 0 only, tail = frame 7 only, kept = 6 frames
+    // INCLUDING the silent interior frame 2; peak = |('a'−77)·23| = 460
+    assert(fx(1L) == ((1, 1, 6, 460)), s"interior-silence doc: ${fx(1L)}")
+  }
 }

@@ -473,6 +473,70 @@ class SimilaritySpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("nn-descent: per-rank monotone vs v15, recall not worse, well-formed, rerun-stable") {
+    import spark.implicits._
+    // planted clusters (v15's fixture shape, different seed)
+    val rnd = new scala.util.Random(23)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_nnd").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val k = 5
+    val base = Similarity.knnGraph(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val ref = Similarity.nnDescentRefine(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val refBySrc = ref.groupBy(_._1)
+    val baseBySrc = base.groupBy(_._1)
+    // well-formed: every node, contiguous ranks, desc scores, no self-loop
+    assert(refBySrc.size == 500)
+    refBySrc.foreach { case (src, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.forall(_._3 != src))
+    }
+    // descent guarantee: old edges always compete, so each node's rank-r
+    // similarity never decreases (1e-6: v15's output rounds at 6dp)
+    refBySrc.foreach { case (src, es) =>
+      val newCos = es.sortBy(_._2).map(_._4)
+      val oldCos = baseBySrc(src).sortBy(_._2).map(_._4)
+      oldCos.zip(newCos).zipWithIndex.foreach { case ((o, n), i) =>
+        assert(n >= o - 1e-6, s"src $src rank ${i + 1}: $n < $o")
+      }
+    }
+    // exact-graph recall: refined never worse than the IVF graph
+    val emb = rows.map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d0 = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d0 += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d0 / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def meanRecall(g: Map[Long, Array[(Long, Int, Long, Double)]]): Double = {
+      val rs = rows.map { case (id, _, _) =>
+        val exact = emb.keysIterator.filter(_ != id)
+          .map(n => (n, cos(emb(id), emb(n))))
+          .toSeq.sortBy { case (n, c) => (-c, n) }.take(k).map(_._1).toSet
+        (exact & g(id).map(_._3).toSet).size.toDouble / k
+      }
+      rs.sum / rs.length
+    }
+    val rBase = meanRecall(baseBySrc)
+    val rRef = meanRecall(refBySrc)
+    assert(rRef >= rBase - 1e-9, s"refined recall $rRef below base $rBase")
+    assert(rRef >= 0.9, s"refined recall $rRef below 0.9")
+    // pure function of the dataset: rerun identical
+    val again = Similarity.nnDescentRefine(spark, dir, k = k).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(ref.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("maxsim: m=1 degenerates to exact cosine top-k; m=4 well-formed and bounded") {
     // with one 64-dim "token" the MaxSim sum IS the cosine — the ranking
     // must equal v2's exactly, scores included (both round at 6dp)

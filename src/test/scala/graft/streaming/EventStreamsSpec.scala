@@ -491,4 +491,33 @@ class EventStreamsSpec extends SparkSpec {
     // bins-not-data state: the whole cube is <= 2 halves x 10 bins
     assert(streamed.length == 10)
   }
+
+  test("streaming heavy hitters equal batch t12; MG state bounded; capacity contract throws") {
+    import org.apache.spark.sql.functions._
+    val minCount = 50L
+    val streamed = EventStreams
+      .streamingHeavyHitters(spark, sf0001, minCount = minCount).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.ops.TextAnalysis
+      .heavyHitters(spark, sf0001, minCount = minCount).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(streamed.nonEmpty, "fixture yields no heavy hitters at this bar")
+    assert(streamed == batch,
+      s"stream/batch heavy hitters diverge:\n$streamed\nvs\n$batch")
+    // the memory sink still holds the last run's emissions: state stayed
+    // within capacity in EVERY batch, and the replay was genuinely
+    // multi-batch (processed strictly grows per bucket emission)
+    val emits = spark.table("graft_stream_mg")
+      .select(col("bucket"), col("processed"), size(col("candidates")).as("nc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getInt(2)))
+    assert(emits.forall(_._3 <= 512), "MG summary exceeded its capacity")
+    assert(emits.groupBy(_._1).values.exists(_.length >= 2),
+      "replay collapsed to a single micro-batch — state carry untested")
+    // guarantee contract: a capacity too small for the bar must refuse
+    // to answer, never silently under-report
+    intercept[IllegalArgumentException] {
+      EventStreams.streamingHeavyHitters(spark, sf0001,
+        minCount = minCount, capacity = 2)
+    }
+  }
 }
