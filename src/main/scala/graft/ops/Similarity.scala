@@ -995,6 +995,73 @@ object Similarity {
       .orderBy("src", "rank")
   }
 
+  /** v17 — TWO-STAGE late-interaction retrieval (the PLAID serving
+    * shape, Santhanam et al. 2022: "PLAID: An Efficient Engine for
+    * Late Interaction Retrieval"): stage 1 generates a bounded
+    * candidate pool per query with the CHEAP single-(pooled-)vector
+    * scan over v3's partition-pruned IVF index; stage 2 pays v14's
+    * m×m MaxSim grid ONLY for the pool. This is how production
+    * ColBERT-family stacks actually serve: the expensive late
+    * interaction never touches the corpus, just queries × pool rows.
+    *
+    * Shape at scale: the IVF fit, bucketed staging, and probe
+    * machinery are v3's memoized ones (no new index); stage-1
+    * candidates ride the bounded TopK aggregator (shuffle
+    * O(queries·pool)); stage 2 is one join of the (queries·pool)-row
+    * pool against the vector table + a codegen'd column-expression
+    * grid — no explode — and a final TopK. Rows-only (seeded KMeans
+    * upstream); the spec pins exact degeneration (all cells probed +
+    * pool ≥ corpus ⇒ result ≡ v14 bit-for-bit), MaxSim-recall vs the
+    * exhaustive v14 on planted clusters, well-formedness, and rerun
+    * determinism.
+    */
+  def plaidRerank(s: SparkSession, d: String, numQueries: Int = 5, k: Int = 10,
+      nprobe: Int = 4, pool: Int = 50, m: Int = 4, sub: Int = 16): DataFrame = {
+    import s.implicits._
+    val empty = Seq.empty[(Long, Int, Long, Double)]
+      .toDF("q_id", "rank", "n_id", "score")
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val nCorpus = e.count()
+    val nl = adaptiveNlist(nCorpus)
+    val cents = memoCents(e, d, nl, nCorpus)
+    if (cents.isEmpty) return empty
+    val corpus = s.read.parquet(stagedIvfIndex(s, e, d, nl, cents))
+    val centDf = cents.toSeq.toDF("cell", "centroid")
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val probeW = Window.partitionBy("q_id").orderBy(desc("ccos"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "qv", "cell")
+      .cache()
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    if (probedCells.isEmpty) return empty
+    val pruned = corpus.filter(col("cell").isin(probedCells: _*))
+    // stage 1: pooled-vector cosine over the pruned cells only
+    val scored = probes.join(pruned, "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+    val cand = graft.functions.TopK.perGroup(scored, "q_id", "cos", "vec_id", pool)
+      .select("q_id", "vec_id")
+    // stage 2: the m×m MaxSim grid, paid only for the bounded pool
+    val cv = e.select(col("vec_id"), col("embedding").as("nv"))
+    val pairs = cand.join(cv, "vec_id").join(broadcast(q), "q_id")
+    val perQuerySub = (0 until m).map { qi =>
+      val qs = slice(col("qv"), qi * sub + 1, sub)
+      (0 until m)
+        .map(ci => cosine(qs, slice(col("nv"), ci * sub + 1, sub)))
+        .reduce(greatest(_, _))
+    }
+    val rescored = pairs.withColumn("score", perQuerySub.reduce(_ + _))
+    graft.functions.TopK.perGroup(rescored, "q_id", "score", "vec_id", k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("score"), 6).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
   /** v14 — MULTI-VECTOR late-interaction retrieval (ColBERT's MaxSim,
     * Khattab & Zaharia 2020): an item is represented by m token-level
     * vectors, and score(q, c) = Σ over query vectors of max over item
@@ -1043,6 +1110,9 @@ object Similarity {
     // spec pins per-rank monotonicity vs v15, recall-not-worse on planted
     // clusters, well-formedness, and rerun determinism
     QueryDef("v16_nndescent", (s, d) => nnDescentRefine(s, d), None),
+    // rows-only: PLAID staging inherits v3's seeded KMeans; exact
+    // degeneration to v14, recall, and determinism pinned in the spec
+    QueryDef("v17_plaid_rerank", (s, d) => plaidRerank(s, d), None),
     QueryDef("v14_maxsim_topk", (s, d) => maxSimTopK(s, d), Some(
       // same total order as v2 (score desc, n_id asc); per-qi maxes
       // summed in fixed qi order on both sides

@@ -366,6 +366,45 @@ object TextAnalysis {
       .orderBy("lang", "doc_id")
   }
 
+  /** p19 — packed-sequence ATTENTION-BOUNDARY manifest: for every
+    * training sequence p2 packs, the dataloader artifact that makes
+    * cross-document attention masking possible — per (lang, seq_id)
+    * bin: document count, token count, the FILL (tokens landing in the
+    * bin including the offset-chunk overflow tail), and one
+    * content-addressed digest of the ordered (doc_id:start_offset)
+    * boundary list (p17's discipline: any changed, reordered, or
+    * re-packed document changes the digest, a match proves an
+    * identical block-diagonal mask layout). Within-bin start offsets
+    * fall out of the SAME cumulative sum p2 already computes — no
+    * second window — and the per-bin digest is one sorted collect_list
+    * over bin-sized groups (t27's reassembly discipline). Fully
+    * oracled: DuckDB replays the window and digests the identical
+    * ordered string_agg.
+    */
+  def packedManifest(s: SparkSession, d: String, budget: Long = 8192L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = documents(s, d)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("seq_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("bigint"))
+      .withColumn("off",
+        col("cum") - col("n_tokens") - col("seq_id") * lit(budget))
+    packed.groupBy("lang", "seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tok"),
+        max("cum").as("max_cum"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("doc_id"), col("off")))),
+          x => concat_ws(":", x("doc_id"), x("off"))), "|")).as("boundaries_md5"))
+      .withColumn("fill", col("max_cum") - col("seq_id") * lit(budget))
+      .select("lang", "seq_id", "n_docs", "n_tok", "fill", "boundaries_md5")
+      .orderBy("lang", "seq_id")
+  }
+
   /** Consistent (hash-ordered) sampling: per language, the k documents
     * with the smallest md5(doc_id) — a DETERMINISTIC sample that any
     * engine reproduces bit-for-bit (unlike RNG-stream sampling, which is
@@ -1615,6 +1654,31 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t32 — tokenizer FERTILITY report: per language, BPE units per
+    * whitespace word under t25's learned tokenizer — the
+    * tokenizer-efficiency audit every multilingual tokenizer paper
+    * tables (a language with high fertility pays more sequence length
+    * per word, the signal vocab-size and merge-budget decisions are
+    * made from). Pure composition, not recomputation: t25's per-doc
+    * encode (memoized merge table, vocab-sized encode rollup) joined
+    * to the doc's language, rolled up to a |langs|-row report. Rows-
+    * only (the BPE upstream has no SQL twin); the spec pins fertility
+    * ≥ 1, rollup ≡ per-doc t25 aggregated independently, and merge-
+    * budget monotonicity (more merges never increase any language's
+    * fertility).
+    */
+  def tokenizerFertility(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    bpeEncode(s, d, k)
+      .join(documents(s, d).select("doc_id", "lang"), "doc_id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_units"),
+        round(sum("n_bpe_tokens").cast("double") /
+          sum("n_words").cast("double"), 4).as("fertility"))
+      .orderBy("lang")
+  }
+
   /** t26 — DSIR importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): every doc scored
     * by the mean per-token log-ratio of an add-one-smoothed TARGET
@@ -2212,6 +2276,34 @@ object TextAnalysis {
     // reference parity + determinism pinned in the spec
     QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), None),
     QueryDef("t25_bpe_encode", (s, d) => bpeEncode(s, d), None),
+    // rows-only: composition over the BPE encode; fertility >= 1,
+    // rollup consistency, and merge-budget monotonicity spec-pinned
+    QueryDef("t32_tokenizer_fertility", (s, d) => tokenizerFertility(s, d), None),
+    QueryDef("p19_pack_manifest", (s, d) => packedManifest(s, d), Some(
+      // DuckDB replays p2's window and digests the identical ordered
+      // boundary list; a digest match proves the mask layout
+      """WITH docs AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM docs),
+        |p AS (
+        |  SELECT lang, doc_id, n_tokens, cum,
+        |    CAST(floor((cum - n_tokens) / 8192.0) AS BIGINT) AS seq_id,
+        |    CAST(cum - n_tokens
+        |      - CAST(floor((cum - n_tokens) / 8192.0) AS BIGINT) * 8192
+        |      AS BIGINT) AS off
+        |  FROM c)
+        |SELECT lang, seq_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tok,
+        |  CAST(max(cum) - seq_id * 8192 AS BIGINT) AS fill,
+        |  md5(string_agg(doc_id || ':' || off, '|' ORDER BY doc_id))
+        |    AS boundaries_md5
+        |FROM p GROUP BY lang, seq_id ORDER BY lang, seq_id""".stripMargin)),
     QueryDef("t26_dsir_weights", (s, d) => dsirWeights(s, d), Some(
       """WITH tok AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),

@@ -537,6 +537,52 @@ class SimilaritySpec extends SparkSpec {
     assert(ref.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("plaid: exact degeneration to v14 when nothing prunes; high recall on clusters") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(37)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_plaid").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // 32-dim fixture → m=2 subvectors of 16
+    val exact = Similarity.maxSimTopK(spark, dir, 5, 10, m = 2, sub = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // all cells probed + pool >= corpus ⇒ stage 1 passes every candidate
+    // through and stage 2 IS v14 — bit-for-bit
+    val degen = Similarity.plaidRerank(spark, dir, 5, 10,
+      nprobe = 100000, pool = 600, m = 2, sub = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(degen.toSeq == exact.toSeq, "unpruned PLAID diverges from v14")
+    // production shape: pruned probes + bounded pool still find the
+    // MaxSim top-k on clustered data
+    val plaid = Similarity.plaidRerank(spark, dir, 5, 10,
+      nprobe = 4, pool = 50, m = 2, sub = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val plaidBy = plaid.groupBy(_._1)
+    assert(plaidBy.size == 5)
+    val recall = plaidBy.map { case (q, es) =>
+      (es.map(_._3).toSet & exactSets(q)).size.toDouble / exactSets(q).size
+    }.sum / 5
+    assert(recall >= 0.8, s"PLAID recall $recall below 0.8 on clustered data")
+    plaidBy.foreach { case (q, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length), s"q $q ranks")
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.forall(_._3 != q))
+    }
+    val again = Similarity.plaidRerank(spark, dir, 5, 10,
+      nprobe = 4, pool = 50, m = 2, sub = 16).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(plaid.sortBy(t => (t._1, t._2)).toSeq ==
+      again.sortBy(t => (t._1, t._2)).toSeq, "rerun differs")
+  }
+
   test("maxsim: m=1 degenerates to exact cosine top-k; m=4 well-formed and bounded") {
     // with one 64-dim "token" the MaxSim sum IS the cosine — the ranking
     // must equal v2's exactly, scores included (both round at 6dp)

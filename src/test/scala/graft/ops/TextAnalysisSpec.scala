@@ -938,6 +938,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again.toSeq == out.map(t => (t._1, t._3)).toSeq, "rerun differs")
   }
 
+  test("t32 fertility: >= 1 per lang, rollup equals per-doc t25, merges only reduce it") {
+    val rep = TextAnalysis.tokenizerFertility(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rep.nonEmpty)
+    rep.foreach { case (lang, _, words, units, fert) =>
+      assert(units >= words, s"$lang: fewer units than words")
+      assert(fert >= 1.0, s"$lang fertility $fert")
+    }
+    // rollup ≡ per-doc t25 aggregated independently
+    val perDoc = TextAnalysis.bpeEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(rep.map(_._3).sum == perDoc.map(_._1).sum)
+    assert(rep.map(_._4).sum == perDoc.map(_._2).sum)
+    assert(rep.map(_._2).sum ==
+      graft.Tables.documents(spark, sf0001).count())
+    // a longer merge budget can only merge more: fertility per lang is
+    // monotone non-increasing in k
+    val small = TextAnalysis.tokenizerFertility(spark, sf0001, k = 5).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    rep.foreach { case (lang, _, _, _, fert) =>
+      assert(fert <= small(lang) + 1e-9,
+        s"$lang: fertility rose with more merges ($fert > ${small(lang)})")
+    }
+  }
+
+  test("p19 manifest: covers the corpus, contiguous bins per lang, rerun-stable") {
+    val out = TextAnalysis.packedManifest(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5)))
+    assert(out.map(_._3).sum == graft.Tables.documents(spark, sf0001).count())
+    out.groupBy(_._1).foreach { case (lang, bins) =>
+      val ids = bins.map(_._2).sorted
+      assert(ids.toSeq == (0L until ids.length.toLong), s"$lang bins not contiguous")
+      // fill = first doc's in-bin offset + bin tokens, so never less
+      bins.foreach { case (_, sq, _, nTok, fill, _) =>
+        assert(fill >= nTok, s"$lang/$sq fill $fill < tokens $nTok")
+      }
+    }
+    val again = TextAnalysis.packedManifest(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(5)))
+    assert(again.toSeq == out.map(t => (t._1, t._2, t._6)).toSeq)
+  }
+
   test("p15 curriculum: quartile tiers, per-shard contiguous positions, clean-first order") {
     val out = TextAnalysis.curriculumSchedule(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
