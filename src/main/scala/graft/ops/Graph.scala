@@ -179,6 +179,50 @@ object Graph {
           .as("transitivity"))
   }
 
+  /** g7 — graph FEATURE PROPAGATION (the message-passing aggregation
+    * layer of GraphSAGE/GCN, Hamilton et al. 2017 / Kipf & Welling
+    * 2017, run as a dataflow): each round every node's feature becomes
+    * the mean of its own and its neighbors' features — the smoothing
+    * primitive GNN inference reduces to when the weights are identity
+    * (simplified-GCN, Wu et al. 2019), and the label/feature-imputation
+    * pass feature stores run over entity graphs. Features are part
+    * prices in EXACT integer cents and each round's mean uses
+    * TRUNCATING integer division (ts7's cross-engine discipline:
+    * Scala `div` ≡ DuckDB `//` on non-negatives), so every round's
+    * state is bit-identical across engines and the whole unrolled
+    * computation is fully oracled — no fp drift ever accumulates.
+    *
+    * Shape at scale: per round ONE join of the undirected edge list
+    * with the current feature table + one hash agg, both partitioned
+    * on the node key (g4's relaxation shape); the feature table is
+    * node-sized, edges never duplicate beyond the 2|E| undirected
+    * view, and `rounds` is a small constant. No windows, no driver
+    * materialization.
+    */
+  def featurePropagation(s: SparkSession, d: String, rounds: Int = 2): DataFrame = {
+    val e = partCoEdges(s, d).cache()
+    val und = e.union(e.select(col("v").as("u"), col("u").as("v"))).cache()
+    val feat = part(s, d).select(col("p_partkey").as("node"),
+      expr("cast(round(p_retailprice * 100) as bigint)").as("h"))
+    val nodes = und.select(col("u").as("node")).distinct()
+    var h = nodes.join(feat, "node").localCheckpoint()
+    val states = scala.collection.mutable.ArrayBuffer(h)
+    for (_ <- 1 to rounds) {
+      val nb = und.select(col("u").as("node"), col("v").as("nbr"))
+      val hn = h.select(col("node").as("nbr"), col("h").as("nh"))
+      h = nb.join(hn, "nbr")
+        .groupBy("node").agg(sum("nh").as("sn"), count(lit(1)).as("cn"))
+        .join(h, "node")
+        .select(col("node"), expr("(h + sn) div (1 + cn)").as("h"))
+        .localCheckpoint()
+      states += h
+    }
+    states.zipWithIndex
+      .map { case (df, i) => df.select(col("node"), col("h").as(s"h$i")) }
+      .reduce((a, b) => a.join(b, "node"))
+      .orderBy("node")
+  }
+
   /** Multi-source BFS hop distances over a DIRECTED edge list
     * `(src, dst)` from a seed set `(node)`. Level-synchronous
     * frontier expansion: each hop joins only the NEW frontier against
@@ -504,6 +548,37 @@ object Graph {
         |  SELECT s.dst, d.cost + s.w FROM d3 d JOIN sym s ON d.node = s.src)
         |  GROUP BY 1)
         |SELECT node, cost FROM d4 ORDER BY node""".stripMargin)),
+    QueryDef("g7_feature_prop", (s, d) => featurePropagation(s, d), Some(
+      // two unrolled mean-with-self rounds in exact integer cents with
+      // truncating //, so both engines walk bit-identical state; the
+      // basket cap is a no-op at test SFs (g2/g3's oracle precedent)
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |sym AS MATERIALIZED (
+        |  SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+        |feat AS (
+        |  SELECT p_partkey AS node,
+        |    CAST(round(p_retailprice * 100) AS BIGINT) AS h
+        |  FROM part),
+        |s0 AS (
+        |  SELECT f.node, f.h FROM feat f
+        |  WHERE f.node IN (SELECT u FROM sym)),
+        |s1 AS (
+        |  SELECT s.u AS node,
+        |    CAST((hs.h + sum(hn.h)) // (1 + count(*)) AS BIGINT) AS h
+        |  FROM sym s JOIN s0 hs ON hs.node = s.u JOIN s0 hn ON hn.node = s.v
+        |  GROUP BY s.u, hs.h),
+        |s2 AS (
+        |  SELECT s.u AS node,
+        |    CAST((hs.h + sum(hn.h)) // (1 + count(*)) AS BIGINT) AS h
+        |  FROM sym s JOIN s1 hs ON hs.node = s.u JOIN s1 hn ON hn.node = s.v
+        |  GROUP BY s.u, hs.h)
+        |SELECT s0.node, s0.h AS h0, s1.h AS h1, s2.h AS h2
+        |FROM s0 JOIN s1 USING (node) JOIN s2 USING (node)
+        |ORDER BY s0.node""".stripMargin)),
     QueryDef("g1_pagerank", nationPageRank, Some(pageRankOracle)),
     // UNION (not UNION ALL) recursion: DuckDB's semi-naive evaluation
     // dedups (node, dist) states, so the walk is |nodes|·maxHops bounded

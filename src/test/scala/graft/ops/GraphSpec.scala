@@ -147,4 +147,35 @@ class GraphSpec extends SparkSpec {
     assert(maxBasket < Graph.maxBasket / 8,
       s"fixture basket $maxBasket too close to cap ${Graph.maxBasket}")
   }
+
+  test("g7 feature prop: hand-replayed planted graph incl. truncation; range contraction") {
+    // triangle {1,2,3} (one order) + pair {4,5}; prices picked so the
+    // truncating division is exercised (4001 // 2 = 2000)
+    val dir = java.nio.file.Files.createTempDirectory("graft_g7").toString
+    Seq((100L, 1L), (100L, 2L), (100L, 3L), (200L, 4L), (200L, 5L))
+      .toDF("l_orderkey", "l_partkey")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    Seq((1L, 10.00), (2L, 20.00), (3L, 40.00), (4L, 10.00), (5L, 30.01))
+      .toDF("p_partkey", "p_retailprice")
+      .write.mode("overwrite").parquet(s"$dir/part.parquet")
+    val got = Graph.featurePropagation(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // triangle: every node sees all three values → (7000)//3 = 2333,
+    // then fixpoint; pair: (1000+3001)//2 = 2000, then fixpoint
+    assert(got(1L) == ((1000L, 2333L, 2333L)))
+    assert(got(2L) == ((2000L, 2333L, 2333L)))
+    assert(got(3L) == ((4000L, 2333L, 2333L)))
+    assert(got(4L) == ((1000L, 2000L, 2000L)))
+    assert(got(5L) == ((3001L, 2000L, 2000L)))
+    // smoothing on the real fixture: every round stays inside the
+    // original feature range (a mean of integers never escapes it)
+    val real = Graph.featurePropagation(spark, sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(real.nonEmpty)
+    val (lo, hi) = (real.map(_._1).min, real.map(_._1).max)
+    real.foreach { case (_, h1, h2) =>
+      assert(h1 >= lo && h1 <= hi && h2 >= lo && h2 <= hi)
+    }
+  }
 }
