@@ -416,7 +416,79 @@ object Behavior {
         col("n_events"), col("sum_value"), col("duration_s"))
       .orderBy("user_id", "session_start")
 
+  /** e20 — A/B experiment READOUT (the two-proportion z-test every
+    * product experiment ships with): users assign to arms by md5
+    * parity — p6's leakage-proof pure-function bucketing, the
+    * deterministic replacement for the RNG assignment an experiment
+    * platform does once and persists — exposure = saw a view,
+    * conversion = made a purchase, and the readout is per-arm
+    * counts/rates plus lift and the pooled two-proportion z statistic.
+    * One hash agg per user (the only full-data pass), a 2-row arm
+    * rollup, then scalar arithmetic; counts are exact integers so both
+    * engines divide identical values and the z is bit-identical.
+    */
+  def abTestReadout(s: SparkSession, d: String): DataFrame = {
+    // unit = exposed USER-DAY (a day the user saw a view), conversion =
+    // a same-day purchase; per-user lifetime conversion saturates at 1
+    // on any active fixture (z degenerates when p_pool → 1)
+    val perUser = events(s, d)
+      .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("saw"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+    val armed = perUser.filter(col("saw") === 1)
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .between("0", "7"), "A").otherwise("B"))
+    armed.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("conv").cast("long")).otherwise(0L)).as("x_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("conv").cast("long")).otherwise(0L)).as("x_b"))
+      .withColumn("rate_a", round(col("x_a").cast("double") / col("n_a"), 6))
+      .withColumn("rate_b", round(col("x_b").cast("double") / col("n_b"), 6))
+      .withColumn("lift", round(
+        col("x_a").cast("double") / col("n_a")
+          - col("x_b").cast("double") / col("n_b"), 6))
+      .withColumn("p_pool",
+        (col("x_a") + col("x_b")).cast("double") / (col("n_a") + col("n_b")))
+      .withColumn("z", round(
+        (col("x_a").cast("double") / col("n_a")
+          - col("x_b").cast("double") / col("n_b"))
+          / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+      .select("n_a", "x_a", "rate_a", "n_b", "x_b", "rate_b", "lift", "z")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e20_ab_test", (s, d) => abTestReadout(s, d), Some(
+      // exact integer counts → both engines divide identical values;
+      // md5-parity arm assignment is p6's cross-engine hash discipline
+      """WITH u AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id, day),
+        |armed AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm, conv
+        |  FROM u WHERE saw = 1),
+        |r AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+        |  FROM armed)
+        |SELECT n_a, x_a,
+        |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+        |  n_b, x_b,
+        |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+        |  round(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b, 6) AS lift,
+        |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+        |FROM r""".stripMargin)),
     QueryDef("e19_session_stats", (s, d) => sessionStats(s, d), Some(
       """WITH g AS (
         |  SELECT user_id, ts, value, epoch_ms(ts) AS ms,

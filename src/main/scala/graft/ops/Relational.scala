@@ -389,6 +389,50 @@ object Relational {
         countDistinct("path").as("n_paths"))
       .orderBy("host")
 
+  /** f14 — IP parsing + CIDR-block classification (the web-log / crawl
+    * enrichment primitive f12's URL surface doesn't cover: bot-range
+    * and datacenter-ASN filtering keys on address-block membership).
+    * The fixture derives each user's dotted-quad deterministically
+    * from user_id (f12's discipline — the operator under test is the
+    * PARSE + membership, not the synthesis): the string is split and
+    * folded into the 32-bit integer form with codegen'd arithmetic,
+    * then classified by a broadcast CIDR table via the prefix rule
+    * `ip >> (32−len) = base >> (32−len)` — a bit-shift equi-join, no
+    * range explode — and events roll up per block. At 100 TB the
+    * block table is O(ASN table) and broadcasts; the only data-sized
+    * work is one narrow parse + one hash agg.
+    */
+  def ipCidrRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withIp = events(s, d).select(col("event_id"), col("user_id"),
+      // ×37 spreads the second octet across the whole 10/8 so every
+      // block sees traffic at any SF (user ids are dense small ints)
+      concat(lit("10."),
+        expr("cast((user_id * 37) % 256 as string)"), lit("."),
+        expr("cast((user_id div 256) % 256 as string)"), lit("."),
+        expr("cast(user_id % 256 as string)")).as("ip"))
+    // the genuine parse: dotted-quad string → u32, pure codegen'd
+    // split/cast/shift — no UDF
+    val parsed = withIp.withColumn("octets", split(col("ip"), "\\."))
+      .withColumn("ipnum",
+        element_at(col("octets"), 1).cast("long") * 16777216L +
+          element_at(col("octets"), 2).cast("long") * 65536L +
+          element_at(col("octets"), 3).cast("long") * 256L +
+          element_at(col("octets"), 4).cast("long"))
+    val blocks = Seq(
+      ("10.0.0.0/10", 10L * 16777216L, 10),
+      ("10.64.0.0/10", 10L * 16777216L + 64L * 65536L, 10),
+      ("10.128.0.0/9", 10L * 16777216L + 128L * 65536L, 9))
+      .toDF("cidr", "base", "plen")
+    parsed.join(broadcast(blocks),
+        expr("shiftright(ipnum, 32 - plen) = shiftright(base, 32 - plen)"))
+      .groupBy("cidr")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        min("ipnum").as("min_ip"), max("ipnum").as("max_ip"))
+      .orderBy("cidr")
+  }
+
   // ---- scalar functions ----
 
   /** String function surface. */
@@ -718,6 +762,32 @@ object Relational {
         |  SELECT o_custkey FROM o EXCEPT ALL SELECT o_custkey FROM u)
         |GROUP BY 1
         |ORDER BY op, o_custkey""".stripMargin)),
+    QueryDef("f14_ip_cidr", ipCidrRollup, Some(
+      // DuckDB re-parses the dotted quad and applies the same prefix
+      // rule with its native >> — integer arithmetic end to end
+      """WITH ips AS (
+        |  SELECT event_id, user_id,
+        |    '10.' || ((user_id * 37) % 256) || '.'
+        |      || ((user_id // 256) % 256) || '.' || (user_id % 256) AS ip
+        |  FROM events),
+        |parsed AS (
+        |  SELECT event_id, user_id,
+        |    CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+        |      + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+        |      + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+        |      + CAST(string_split(ip, '.')[4] AS BIGINT) AS ipnum
+        |  FROM ips),
+        |blocks(cidr, base, plen) AS (VALUES
+        |  ('10.0.0.0/10', CAST(167772160 AS BIGINT), 10),
+        |  ('10.64.0.0/10', CAST(171966464 AS BIGINT), 10),
+        |  ('10.128.0.0/9', CAST(176160768 AS BIGINT), 9))
+        |SELECT cidr, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(min(ipnum) AS BIGINT) AS min_ip,
+        |  CAST(max(ipnum) AS BIGINT) AS max_ip
+        |FROM parsed JOIN blocks
+        |  ON (ipnum >> (32 - plen)) = (base >> (32 - plen))
+        |GROUP BY cidr ORDER BY cidr""".stripMargin)),
     QueryDef("f12_url_parse", urlParse, Some(
       """WITH u AS (
         |  SELECT doc_id,

@@ -83,4 +83,39 @@ class BehaviorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(mine == manual, "native session_window diverges from the gap rule")
   }
+
+  test("e20 A/B readout: both arms populated, z recomputes from the exact counts") {
+    val r = graft.ops.Behavior.abTestReadout(spark, sf0001).collect().head
+    val (nA, xA, nB, xB) = (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4))
+    assert(nA > 0 && nB > 0, "an md5-parity split left an arm empty")
+    assert(xA <= nA && xB <= nB)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    // conversion must not be degenerate or the z is meaningless
+    assert(xA + xB > 0 && xA + xB < nA + nB, "degenerate conversion fixture")
+    val pA = xA.toDouble / nA
+    val pB = xB.toDouble / nB
+    val pp = (xA + xB).toDouble / (nA + nB)
+    val z = (pA - pB) / math.sqrt(pp * (1 - pp) * (1.0 / nA + 1.0 / nB))
+    assert(math.abs(r.getDouble(7) - math.rint(z * 1e4) / 1e4) < 1e-9,
+      s"z ${r.getDouble(7)} != recomputed $z")
+  }
+
+  test("f14 CIDR rollup: blocks partition the traffic, min/max stay inside each prefix") {
+    val rows = graft.ops.Relational.ipCidrRollup(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    val total = graft.Tables.events(spark, sf0001).count()
+    // the three blocks tile 10/8 and every fixture ip is inside it, so
+    // classification must conserve events exactly (no drop, no double)
+    assert(rows.map(_._2).sum == total,
+      s"block rollup lost or duplicated events: ${rows.map(_._2).sum} vs $total")
+    rows.foreach { case (cidr, _, lo, hi) =>
+      val Array(baseStr, plenStr) = cidr.split("/")
+      val base = baseStr.split("\\.").map(_.toLong)
+        .reduce((a, b) => a * 256 + b)
+      val plen = plenStr.toInt
+      assert((lo >> (32 - plen)) == (base >> (32 - plen)), s"$cidr min $lo outside")
+      assert((hi >> (32 - plen)) == (base >> (32 - plen)), s"$cidr max $hi outside")
+    }
+  }
 }
