@@ -435,6 +435,14 @@ object Behavior {
       .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(
         max(when(col("event_type") === "view", 1).otherwise(0)).as("saw"),
         max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+    abReadoutFromUnits(perUser)
+  }
+
+  /** e20's readout over a prepared (user_id, saw, conv) unit table —
+    * shared with the streaming twin (st23), whose unit cube is
+    * algebraic and therefore identical to the batch one.
+    */
+  private[graft] def abReadoutFromUnits(perUser: DataFrame): DataFrame = {
     val armed = perUser.filter(col("saw") === 1)
       .withColumn("arm",
         when(substring(md5(col("user_id").cast("string")), 1, 1)
@@ -459,36 +467,156 @@ object Behavior {
       .select("n_a", "x_a", "rate_a", "n_b", "x_b", "rate_b", "lift", "z")
   }
 
+  /** e21 — CUPED variance-reduced A/B readout (Deng, Xu, Kohavi &
+    * Walker 2013, "Improving the Sensitivity of Online Controlled
+    * Experiments by Utilizing Pre-Experiment Data"): e20's user-day
+    * conversion adjusted by a pre-defined covariate — the user's
+    * lifetime click count, a pure activity measure independent of the
+    * arm assignment — via y′ = y − θ·(x − x̄) with the pooled
+    * θ = cov(x,y)/var(x). The adjusted lift has the SAME expectation
+    * (covariate independent of assignment) at a fraction of the
+    * variance, which is why every mature experiment platform runs it.
+    *
+    * Exactness: all five moments (Σx, Σy, Σxy, Σx², n) are exact
+    * integer sums — the covariate is a count, conversion is 0/1 — so
+    * both engines compute identical doubles for θ, the adjusted rates,
+    * and the variance-reduction ratio ρ² = cov²/(var·var_y). One
+    * (user, day) hash agg + one user-level click rollup joined back
+    * (both keyed on user), then a 2-row arm rollup. Fully oracled.
+    */
+  def cupedReadout(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("x"))
+    val units = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("saw"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      .filter(col("saw") === 1)
+      .join(clicks, Seq("user_id"), "left")
+      .na.fill(0L, Seq("x"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .between("0", "7"), "A").otherwise("B"))
+    val m = units.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("arm") === "A", col("x")).otherwise(0L)).as("sx_a"),
+      sum(when(col("arm") === "A", col("y")).otherwise(0L)).as("sy_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).as("n_b"),
+      sum(when(col("arm") === "B", col("x")).otherwise(0L)).as("sx_b"),
+      sum(when(col("arm") === "B", col("y")).otherwise(0L)).as("sy_b"))
+    m.withColumn("xbar", col("sx").cast("double") / col("n"))
+      .withColumn("covxy", col("sxy").cast("double") / col("n")
+        - (col("sx").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))
+      .withColumn("varx", col("sxx").cast("double") / col("n")
+        - (col("sx").cast("double") / col("n")) * (col("sx").cast("double") / col("n")))
+      .withColumn("vary", col("syy").cast("double") / col("n")
+        - (col("sy").cast("double") / col("n")) * (col("sy").cast("double") / col("n")))
+      .withColumn("theta", col("covxy") / col("varx"))
+      .withColumn("rate_a_adj",
+        col("sy_a").cast("double") / col("n_a")
+          - col("theta") * (col("sx_a").cast("double") / col("n_a") - col("xbar")))
+      .withColumn("rate_b_adj",
+        col("sy_b").cast("double") / col("n_b")
+          - col("theta") * (col("sx_b").cast("double") / col("n_b") - col("xbar")))
+      .select(col("n_a"), col("n_b"), round(col("theta"), 6).as("theta"),
+        round(col("rate_a_adj"), 6).as("rate_a_adj"),
+        round(col("rate_b_adj"), 6).as("rate_b_adj"),
+        round(col("rate_a_adj") - col("rate_b_adj"), 6).as("lift_adj"),
+        round(col("covxy") * col("covxy") / (col("varx") * col("vary")), 6)
+          .as("var_reduction"))
+  }
+
+  /** One oracle for the A/B readout in both engines' forms (batch e20,
+    * streaming st23): the unit cube is algebraic, so the streamed
+    * readout must equal the batch one bit-for-bit.
+    */
+  val abTestOracle: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+      |  FROM events GROUP BY user_id, day),
+      |armed AS (
+      |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+      |      BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm, conv
+      |  FROM u WHERE saw = 1),
+      |r AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
+      |  FROM armed)
+      |SELECT n_a, x_a,
+      |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
+      |  n_b, x_b,
+      |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
+      |  round(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b, 6) AS lift,
+      |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+      |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+      |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+      |FROM r""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
-    QueryDef("e20_ab_test", (s, d) => abTestReadout(s, d), Some(
-      // exact integer counts → both engines divide identical values;
-      // md5-parity arm assignment is p6's cross-engine hash discipline
-      """WITH u AS (
+    QueryDef("e21_cuped", (s, d) => cupedReadout(s, d), Some(
+      // the same five exact-integer moments in DuckDB; every double
+      // divides identical integers, so θ and the adjusted rates match
+      """WITH clicks AS (
+        |  SELECT user_id, count(*) AS x FROM events
+        |  WHERE event_type = 'click' GROUP BY user_id),
+        |u AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
-        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
         |  FROM events GROUP BY user_id, day),
-        |armed AS (
-        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
-        |      BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm, conv
-        |  FROM u WHERE saw = 1),
-        |r AS (
-        |  SELECT
+        |units AS (
+        |  SELECT u.user_id, coalesce(c.x, 0) AS x, u.y,
+        |    CASE WHEN substr(md5(CAST(u.user_id AS VARCHAR)), 1, 1)
+        |      BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm
+        |  FROM u LEFT JOIN clicks c USING (user_id) WHERE u.saw = 1),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy,
         |    CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(sum(CASE WHEN arm = 'A' THEN conv ELSE 0 END) AS BIGINT) AS x_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+        |    CAST(sum(CASE WHEN arm = 'A' THEN y ELSE 0 END) AS BIGINT) AS sy_a,
         |    CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-        |    CAST(sum(CASE WHEN arm = 'B' THEN conv ELSE 0 END) AS BIGINT) AS x_b
-        |  FROM armed)
-        |SELECT n_a, x_a,
-        |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS rate_a,
-        |  n_b, x_b,
-        |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS rate_b,
-        |  round(CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b, 6) AS lift,
-        |  round((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
-        |    / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-        |      * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
-        |      * (1.0 / n_a + 1.0 / n_b)), 4) AS z
-        |FROM r""".stripMargin)),
+        |    CAST(sum(CASE WHEN arm = 'B' THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+        |    CAST(sum(CASE WHEN arm = 'B' THEN y ELSE 0 END) AS BIGINT) AS sy_b
+        |  FROM units),
+        |g AS (
+        |  SELECT *,
+        |    CAST(sx AS DOUBLE) / n AS xbar,
+        |    CAST(sxy AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS covxy,
+        |    CAST(sxx AS DOUBLE) / n
+        |      - (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n) AS varx,
+        |    CAST(syy AS DOUBLE) / n
+        |      - (CAST(sy AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n) AS vary
+        |  FROM m),
+        |t AS (
+        |  SELECT *, covxy / varx AS theta,
+        |    CAST(sy_a AS DOUBLE) / n_a
+        |      - (covxy / varx) * (CAST(sx_a AS DOUBLE) / n_a - xbar) AS ra,
+        |    CAST(sy_b AS DOUBLE) / n_b
+        |      - (covxy / varx) * (CAST(sx_b AS DOUBLE) / n_b - xbar) AS rb
+        |  FROM g)
+        |SELECT n_a, n_b, round(theta, 6) AS theta,
+        |  round(ra, 6) AS rate_a_adj, round(rb, 6) AS rate_b_adj,
+        |  round(ra - rb, 6) AS lift_adj,
+        |  round(covxy * covxy / (varx * vary), 6) AS var_reduction
+        |FROM t""".stripMargin)),
+    // exact integer counts → both engines divide identical values;
+    // md5-parity arm assignment is p6's cross-engine hash discipline
+    QueryDef("e20_ab_test", (s, d) => abTestReadout(s, d), Some(abTestOracle)),
     QueryDef("e19_session_stats", (s, d) => sessionStats(s, d), Some(
       """WITH g AS (
         |  SELECT user_id, ts, value, epoch_ms(ts) AS ms,

@@ -214,6 +214,37 @@ object EventStreams {
       .limit(top)
   }
 
+  /** st23 — STREAMING A/B readout: e20's experiment monitor as events
+    * arrive — the live dashboard every experiment platform runs between
+    * launch and decision. The stream maintains only the per-(user, day)
+    * exposure/conversion unit cube (two 0/1 maxes — algebraic and
+    * MONOTONE, so update-mode re-emissions collapse batch-side under
+    * the same max; state is user-days inside the watermark horizon,
+    * evictable once the day closes). Arm assignment, rates, lift, and
+    * the z statistic are read off the cube at ask time through the
+    * SAME code path e20 runs ([[graft.ops.Behavior.abReadoutFromUnits]])
+    * — so the streamed readout EQUALS batch e20 and shares its oracle
+    * VERBATIM: stream ≡ batch ≡ DuckDB, st17's three-way discipline.
+    */
+  def streamingAbTest(s: SparkSession, d: String): DataFrame = {
+    val src = stageDir(s, d)
+    val schema = Tables.events(s, d).schema
+    val stream = s.readStream.schema(schema).parquet(src)
+      .withWatermark("ts", "2 hours")
+      .groupBy(col("user_id"), window(col("ts"), "1 day").as("w"))
+      .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("saw"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+    val qname = "graft_stream_ab"
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    // update-mode re-emissions of a (user, day) group collapse under
+    // max — sound because the streamed aggregates are monotone
+    val units = s.table(qname).groupBy("user_id", "w")
+      .agg(max("saw").as("saw"), max("conv").as("conv"))
+    graft.ops.Behavior.abReadoutFromUnits(units)
+  }
+
   final case class MgState(counters: Map[String, Long], processed: Long)
   final case class MgEmit(bucket: Int, processed: Long, candidates: Seq[String])
 
@@ -1303,6 +1334,10 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st23_streaming_ab_test", (s, d) => streamingAbTest(s, d),
+      // e20's oracle verbatim: the unit cube is algebraic, so the
+      // streamed readout IS the batch one — stream ≡ batch ≡ DuckDB
+      Some(graft.ops.Behavior.abTestOracle)),
     QueryDef("st22_streaming_heavy_hitters",
       (s, d) => streamingHeavyHitters(s, d),
       // t12's oracle verbatim: the MG sketch decides only what ships to

@@ -101,6 +101,23 @@ class BehaviorSpec extends SparkSpec {
       s"z ${r.getDouble(7)} != recomputed $z")
   }
 
+  test("e21 CUPED: adjustment conserves total conversions, reduces variance, theta finite") {
+    val r = graft.ops.Behavior.cupedReadout(spark, sf0001).collect().head
+    val (nA, nB) = (r.getLong(0), r.getLong(1))
+    val (theta, ra, rb, vr) = (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+      r.getDouble(6))
+    assert(nA > 0 && nB > 0)
+    assert(!theta.isNaN && !theta.isInfinite)
+    // ρ² = corr(x,y)² — a genuine variance-reduction fraction
+    assert(vr > 0.0 && vr <= 1.0, s"var_reduction $vr outside (0,1]")
+    // Σ(y − θ(x − x̄)) = Σy exactly: the arm-weighted adjusted rates
+    // must reproduce the raw total conversion count
+    val e20 = graft.ops.Behavior.abTestReadout(spark, sf0001).collect().head
+    val totalConv = e20.getLong(1) + e20.getLong(4)
+    assert(math.abs(nA * ra + nB * rb - totalConv) < 1e-2,
+      s"CUPED broke mean conservation: ${nA * ra + nB * rb} vs $totalConv")
+  }
+
   test("f14 CIDR rollup: blocks partition the traffic, min/max stay inside each prefix") {
     val rows = graft.ops.Relational.ipCidrRollup(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))

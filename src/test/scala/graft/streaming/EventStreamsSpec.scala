@@ -492,6 +492,13 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed.length == 10)
   }
 
+  test("streaming A/B readout equals batch e20 bit for bit") {
+    val streamed = EventStreams.streamingAbTest(spark, sf0001).collect().head
+    val batch = graft.ops.Behavior.abTestReadout(spark, sf0001).collect().head
+    assert(streamed.toSeq == batch.toSeq,
+      s"stream/batch A/B readouts diverge:\n$streamed\nvs\n$batch")
+  }
+
   test("streaming heavy hitters equal batch t12; MG state bounded; capacity contract throws") {
     import org.apache.spark.sql.functions._
     val minCount = 50L
