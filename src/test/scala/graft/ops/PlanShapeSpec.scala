@@ -184,4 +184,29 @@ class PlanShapeSpec extends SparkSpec {
       assert(exchanges <= 1, s"$q has $exchanges exchanges:\n$p")
     }
   }
+
+  test("audio VAD: scan-speed narrow — decode/frame/trim all inside the row") {
+    val p = plan("m10_audio_vad")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"m10 grew an aggregation/join shuffle:\n$p")
+    assert("Exchange".r.findAllIn(p).size <= 1, s"m10 extra exchanges:\n$p")
+  }
+
+  test("CIDR rollup: the block table broadcasts — the event stream never sorts for the join") {
+    val p = plan("f14_ip_cidr")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"f14 lost the broadcast block join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"f14 block join degraded to a data-sized shuffle:\n$p")
+  }
+
+  test("A/B readout: one (user, day) aggregation pass is the only data-sized shuffle") {
+    val p = plan("e20_ab_test")
+    // the unit agg shuffles on (user_id, day); everything after is a
+    // 1-row rollup (SinglePartition) — no joins, no windows
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"e20 grew a join or window:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx <= 1, s"e20 has $hashEx hash exchanges:\n$p")
+  }
 }
