@@ -941,6 +941,68 @@ object Similarity {
       .orderBy("src", "rank")
   }
 
+  /** v18 — BINARY sign-bit embedding codes + Hamming retrieval (the
+    * deterministic mean-threshold variant of Charikar 2002's hyperplane
+    * LSH — the third member of the engine's compression triptych after
+    * int8 (v8, 4×) and PQ (v9, 51×): ONE BIT per dimension, a 64-dim
+    * fp32 vector becomes a single 8-byte long, 32× smaller, and the
+    * scan kernel is XOR + popcount — the cheapest similarity any
+    * hardware can score). Bit i is (v_i > corpus mean_i): the per-dim
+    * means are a 64-row rollup broadcast back as the splitting
+    * hyperplane, so the code is a pure deterministic function of the
+    * corpus — no RNG, rerun- and engine-stable. Search: Hamming top
+    * `pool` via the bounded TopK aggregator, then exact fp rescore of
+    * the pool orders the final k (v8/v9's two-stage discipline).
+    *
+    * Shape at scale: the coded corpus is 8 bytes/vector — a billion
+    * vectors fit in 8 GB, broadcastable shards — the scan is one
+    * codegen'd XOR+bit_count per row, and the only shuffles are
+    * TopK-bounded. Rows-only (the sign threshold has no SQL twin worth
+    * hand-rolling); the spec pins pool≥corpus degeneration to exact v2
+    * BIT-FOR-BIT, clustered recall, 64-bit boundedness, and rerun
+    * determinism.
+    */
+  def binaryHammingTopK(s: SparkSession, d: String, numQueries: Int = 5,
+      k: Int = 10, pool: Int = 50): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val means = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("dim").agg(avg(col("v").cast("double")).as("m"))
+      .orderBy("dim").collect().map(_.getDouble(1))
+    if (means.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
+    require(means.length <= 64,
+      s"sign codes pack one bit per dimension into a long: dim ${means.length} > 64")
+    val mlit = typedlit(means.toSeq)
+    val coded = e
+      .withColumn("bits", zip_with(col("embedding"), mlit,
+        (a, b) => when(a.cast("double") > b, 1L).otherwise(0L)))
+      .withColumn("code", expr(
+        "aggregate(zip_with(bits, sequence(0L, cast(size(bits) - 1 as long))," +
+          " (b, i) -> shiftleft(b, cast(i as int))), 0L, (acc, x) -> acc | x)"))
+      .select(col("vec_id"), col("embedding"), col("code"))
+      .cache()
+    val q = coded.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("code").as("qc"))
+    // stage 1: XOR+popcount over the 8-byte codes only
+    val scored = coded.select(col("vec_id"), col("code"))
+      .join(broadcast(q.select("q_id", "qc")), col("q_id") =!= col("vec_id"))
+      .withColumn("hsim",
+        (lit(64) - bit_count(col("qc").bitwiseXOR(col("code")))).cast("double"))
+    val cand = graft.functions.TopK.perGroup(scored, "q_id", "hsim", "vec_id", pool)
+      .select("q_id", "vec_id")
+    // stage 2: exact fp rescore of the bounded pool
+    val rescored = cand
+      .join(coded.select(col("vec_id"), col("embedding").as("nv")), "vec_id")
+      .join(broadcast(q.select("q_id", "qv")), "q_id")
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    graft.functions.TopK.perGroup(rescored, "q_id", "cos", "vec_id", k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** v16 — NN-DESCENT refinement of the kNN graph (Dong, Moses &
     * Li 2011, "Efficient k-nearest neighbor graph construction for
     * generic similarity measures"): improve v15's IVF-approximate graph
@@ -1113,6 +1175,9 @@ object Similarity {
     // rows-only: PLAID staging inherits v3's seeded KMeans; exact
     // degeneration to v14, recall, and determinism pinned in the spec
     QueryDef("v17_plaid_rerank", (s, d) => plaidRerank(s, d), None),
+    // rows-only: pool>=corpus ≡ exact v2, clustered recall, 64-bit
+    // boundedness, and rerun determinism pinned in the spec
+    QueryDef("v18_binary_hamming", (s, d) => binaryHammingTopK(s, d), None),
     QueryDef("v14_maxsim_topk", (s, d) => maxSimTopK(s, d), Some(
       // same total order as v2 (score desc, n_id asc); per-qi maxes
       // summed in fixed qi order on both sides

@@ -1679,6 +1679,36 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** t33 — BLOCKLIST (badword) filter report: the C4-style explicit
+    * term filter (Raffel et al. 2020 §2.2 — the "List of Dirty,
+    * Naughty ... Words" stage) — the third standard filter family
+    * beside t23's hand rules and t28's learned classifier: a doc is
+    * flagged iff ANY whitespace token is on the broadcast blocklist,
+    * and the report is per-source docs/flagged/keep-rate plus total
+    * blocked-token occurrences (the accounting a filter change is
+    * reviewed with). One narrow codegen'd `filter` over the token
+    * array per row — no explode, no shuffle before the |sources|-row
+    * rollup; at 100 TB the list is O(thousands) and broadcasts as a
+    * literal. Fully oracled (DuckDB's list_filter + list_contains
+    * recompute the identical per-doc counts).
+    */
+  def blocklistFilter(s: SparkSession, d: String,
+      blocklist: Seq[String] = Seq("slow", "error", "crash")): DataFrame = {
+    val listCol = typedlit(blocklist)
+    documents(s, d)
+      .withColumn("n_blocked",
+        size(filter(tokens(col("text")), t => array_contains(listCol, t)))
+          .cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_blocked") > 0, 1L).otherwise(0L)).as("n_flagged"),
+        sum("n_blocked").as("n_blocked_tokens"),
+        round(lit(1.0)
+          - sum(when(col("n_blocked") > 0, 1L).otherwise(0L)).cast("double")
+          / count(lit(1)), 6).as("keep_rate"))
+      .orderBy("source")
+  }
+
   /** t26 — DSIR importance weights (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): every doc scored
     * by the mean per-token log-ratio of an add-one-smoothed TARGET
@@ -2279,6 +2309,20 @@ object TextAnalysis {
     // rows-only: composition over the BPE encode; fertility >= 1,
     // rollup consistency, and merge-budget monotonicity spec-pinned
     QueryDef("t32_tokenizer_fertility", (s, d) => tokenizerFertility(s, d), None),
+    QueryDef("t33_blocklist_filter", (s, d) => blocklistFilter(s, d), Some(
+      """WITH f AS (
+        |  SELECT source,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['slow', 'error', 'crash'], t))) AS BIGINT)
+        |      AS n_blocked
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  CAST(sum(n_blocked) AS BIGINT) AS n_blocked_tokens,
+        |  round(1.0 - CAST(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / count(*), 6) AS keep_rate
+        |FROM f GROUP BY source ORDER BY source""".stripMargin)),
     QueryDef("p19_pack_manifest", (s, d) => packedManifest(s, d), Some(
       // DuckDB replays p2's window and digests the identical ordered
       // boundary list; a digest match proves the mask layout

@@ -537,6 +537,49 @@ class SimilaritySpec extends SparkSpec {
     assert(ref.sortBy(t => (t._1, t._2)).toSeq == again.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("binary hamming: pool>=corpus equals exact v2; clustered recall; codes bounded") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_bh").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // rescoring the WHOLE corpus in fp is exact search: must equal v2
+    val exact = Similarity.bruteForceTopK(spark, dir, 5, 10).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val degen = Similarity.binaryHammingTopK(spark, dir, 5, 10, pool = 600)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(degen.toSeq == exact.toSeq, "full-pool binary search diverges from v2")
+    // production shape: 50-deep Hamming pool still finds the cosine top-k
+    val got = Similarity.binaryHammingTopK(spark, dir, 5, 10, pool = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exactSets = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val gotBy = got.groupBy(_._1)
+    assert(gotBy.size == 5)
+    val recall = gotBy.map { case (qId, es) =>
+      (es.map(_._3).toSet & exactSets(qId)).size.toDouble / exactSets(qId).size
+    }.sum / 5
+    assert(recall >= 0.6, s"binary-code recall $recall below 0.6 on clusters")
+    gotBy.foreach { case (qId, es) =>
+      val sorted = es.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sortBy(-_).toSeq)
+      assert(sorted.forall(_._3 != qId))
+    }
+    val again = Similarity.binaryHammingTopK(spark, dir, 5, 10, pool = 50)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq ==
+      again.sortBy(t => (t._1, t._2)).toSeq, "rerun differs")
+  }
+
   test("plaid: exact degeneration to v14 when nothing prunes; high recall on clusters") {
     import spark.implicits._
     val rnd = new scala.util.Random(37)

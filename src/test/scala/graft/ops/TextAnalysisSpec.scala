@@ -964,6 +964,29 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("t33 blocklist: planted blocked doc flagged, clean doc kept, accounting adds up") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_t33").toString
+    Seq((0L, "clean words only here", "en", "a"),
+      (1L, "this doc is slow and has an error", "en", "a"),
+      (2L, "slow slow crash", "en", "b"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rep = TextAnalysis.blocklistFilter(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // source a: 2 docs, 1 flagged ("slow" + "error" = 2 blocked tokens)
+    assert(rep("a") == ((2L, 1L, 2L, 0.5)), s"a: ${rep("a")}")
+    // source b: 1 doc, 3 blocked occurrences, keep rate 0
+    assert(rep("b") == ((1L, 1L, 3L, 0.0)), s"b: ${rep("b")}")
+    // corpus invariant at sf0.001: flagged <= docs per source
+    TextAnalysis.blocklistFilter(spark, sf0001).collect().foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) >= r.getLong(2))
+    }
+  }
+
   test("p19 manifest: covers the corpus, contiguous bins per lang, rerun-stable") {
     val out = TextAnalysis.packedManifest(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
