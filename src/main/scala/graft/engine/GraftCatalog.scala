@@ -113,7 +113,27 @@ object GraftCatalog {
     }
   }
 
+  /** cat3 — materialized-view rewrite: stage + register the daily events
+    * rollup, then run the NAIVE aggregation over raw events — the
+    * optimizer substitutes the calendar-sized view for the fact scan
+    * (exact plan matching, `graft.plans.MatViewRewriteRule`). The
+    * declared result is fully oracled against DuckDB over the RAW
+    * events table, proving the substitution answers with the truth.
+    */
+  def mvRewriteRollup(s: SparkSession, d: String): DataFrame = {
+    graft.plans.MatViews.stageDailyRollup(s, d)
+    graft.plans.MatViews.naiveDailyRollup(s, d)
+      .orderBy("day", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat3_mv_rewrite", mvRewriteRollup, Some(
+      // the ORACLE reads raw events — agreement proves the view-backed
+      // plan returns exactly the raw-data answer
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin)),
     QueryDef("cat2_analyze_cbo", analyzedCboJoin, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  round(sum(o_totalprice), 2) AS top_revenue

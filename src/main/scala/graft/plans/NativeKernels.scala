@@ -107,6 +107,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeKernelRule)
+    ext.injectOptimizerRule(_ => MatViewRewriteRule)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(binary("graft_dot", DotProduct))
     ext.injectFunction(binary("graft_cosine", CosineSim))
