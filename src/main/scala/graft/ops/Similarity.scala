@@ -966,9 +966,14 @@ object Similarity {
       k: Int = 10, pool: Int = 50): DataFrame = {
     import s.implicits._
     val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    // means rounded to 6dp before thresholding: a distributed fp sum can
+    // drift in the last ulp with aggregation order, and an unrounded
+    // threshold would let a component sitting on it flip its bit between
+    // runs — the rounded hyperplane is bit-stable
     val means = e.select(posexplode(col("embedding")).as(Seq("dim", "v")))
       .groupBy("dim").agg(avg(col("v").cast("double")).as("m"))
-      .orderBy("dim").collect().map(_.getDouble(1))
+      .orderBy("dim").collect()
+      .map(r => math.rint(r.getDouble(1) * 1e6) / 1e6)
     if (means.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
     require(means.length <= 64,
