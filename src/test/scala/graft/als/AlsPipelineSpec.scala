@@ -166,6 +166,32 @@ class AlsPipelineSpec extends SparkSpec {
     }
   }
 
+  test("als_eval: ideal ranker scores exactly 1, rankers near-ideal and in range, rerun-stable") {
+    import org.apache.spark.sql.functions._
+    // metric certification: ranking by the TRUE rating is the ideal
+    // permutation — NDCG must be exactly 1 for every user
+    val scored = AlsPipeline.evalScored(spark, sf0001).cache()
+    val idealRows = AlsPipeline.meanNdcg(scored, "rating", 10).collect()
+    assert(idealRows.nonEmpty)
+    idealRows.foreach(r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12,
+        s"ideal ranker NDCG ${r.getDouble(1)} != 1 for user ${r.get(0)}"))
+    val r = AlsPipeline.alsEvalRanking(spark, sf0001).collect().head
+    val (n, nm, np, lift) = (r.getLong(0), r.getDouble(1), r.getDouble(2),
+      r.getDouble(3))
+    assert(n > 0, "no evaluable users")
+    assert(nm > 0.0 && nm <= 1.0, s"ndcg_model $nm out of range")
+    assert(np > 0.0 && np <= 1.0, s"ndcg_pop $np out of range")
+    // additive-fixture honesty: both rankers near-ideal and within a
+    // tight band of each other (no true user×item structure to exploit)
+    assert(nm > 0.8 && np > 0.8, s"rankers far from ideal: $nm / $np")
+    assert(math.abs(nm - np) < 0.05, s"model/popularity gap implausible: $nm vs $np")
+    assert(math.abs(lift - math.rint((nm - np) * 1e6) / 1e6) < 2e-6)
+    val again = AlsPipeline.alsEvalRanking(spark, sf0001).collect().head
+    assert(again.getDouble(1) == nm && again.getDouble(2) == np,
+      "eval not rerun-stable")
+  }
+
   test("adaptive blocks clamp: ~50k ratings/block, never below 10 or above 256") {
     assert(AlsPipeline.adaptiveBlocks(0L) == 10)          // tiny SF: floor
     assert(AlsPipeline.adaptiveBlocks(500000L) == 10)     // bench scale: the measured optimum
