@@ -620,6 +620,82 @@ object TextAnalysis {
       .orderBy("split")
   }
 
+  /** p20 — DPO-STYLE PREFERENCE-PAIR CONSTRUCTION: per source stratum,
+    * pair the K best documents with the K worst by quality score —
+    * the best-vs-worst recipe used to bootstrap preference data for
+    * DPO/RLHF reward modeling when no human labels exist yet. Rank i's
+    * chosen doc (i-th highest quality) is paired with rank i's rejected
+    * doc (i-th lowest), so margins are maximal at rank 1 and non-
+    * increasing in rank; `margin = chosen_q - rejected_q >= 0` always,
+    * because K <= floor(n/2) keeps the two rank windows disjoint (the
+    * bottom order is the exact reverse permutation of the top order:
+    * (q DESC, id ASC) vs (q ASC, id DESC)).
+    *
+    * Scale: the `row_number <= K` filter right above each window lets
+    * Spark's InferWindowGroupLimit insert a WindowGroupLimitExec — a
+    * map-side per-partition top-K BEFORE the shuffle — so each
+    * stratum ships K rows per input partition, never a full sort of
+    * the corpus. The per-source count is a separate tiny aggregate
+    * broadcast back for the floor(n/2) refinement. Quality is rounded
+    * to 6dp BEFORE ranking so the order (and hence the oracle
+    * comparison) is identical across engines; ties break on doc_id.
+    */
+  def preferencePairs(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val q = documents(s, d).select(col("doc_id"), col("source"),
+      round(qualityCol(col("text")), 6).as("q"))
+    val wTop = Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id").asc)
+    val wBot = Window.partitionBy("source")
+      .orderBy(col("q").asc, col("doc_id").desc)
+    val chosen = q.withColumn("pair_rank", row_number().over(wTop))
+      .filter(col("pair_rank") <= k)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("chosen_id"), col("q").as("cq"))
+    val rejected = q.withColumn("pair_rank", row_number().over(wBot))
+      .filter(col("pair_rank") <= k)
+      .select(col("source"), col("pair_rank"),
+        col("doc_id").as("rejected_id"), col("q").as("rq"))
+    val counts = q.groupBy("source").agg(count(lit(1)).as("n"))
+    chosen.join(rejected, Seq("source", "pair_rank"))
+      .join(broadcast(counts), "source")
+      .filter(col("pair_rank") <= least(lit(k.toLong), floor(col("n") / 2)))
+      .select(col("source"), col("pair_rank"), col("chosen_id"),
+        col("rejected_id"), round(col("cq") - col("rq"), 6).as("margin"))
+      .orderBy("source", "pair_rank")
+  }
+
+  /** p21 — LEAKAGE-SAFE TRAIN/VALID/TEST SPLIT: split assignment is a
+    * hash of the duplicate-GROUP representative, not of the document,
+    * so exact duplicates can never straddle train and test — the
+    * contamination channel a naive per-doc hash split (p6) leaves open
+    * (a duplicated document landing on both sides silently leaks test
+    * data into training). Group = identical text (d1's exact-dedup
+    * notion); representative = min doc_id; every member inherits the
+    * representative's p6 bucket thresholds, so on a dedup-clean corpus
+    * p21 degenerates to exactly p6.
+    *
+    * Scale: the shuffle key is md5(text) — a fixed 16-byte digest,
+    * never the document body — and the whole op is two hash
+    * aggregations (text-group rollup, then split rollup over
+    * group-count-sized data); no window, no join. The no-straddle
+    * theorem is pinned in the spec by recomputing groups-with->1-split
+    * (must be 0).
+    */
+  def leakageSplit(s: SparkSession, d: String): DataFrame = {
+    val groups = documents(s, d)
+      .groupBy(md5(col("text")).as("th"))
+      .agg(min("doc_id").as("rep"), count(lit(1)).as("n_docs_g"),
+        sum("n_chars").as("n_chars_g"))
+    val b = substring(md5(col("rep").cast("string")), 1, 2)
+    groups
+      .withColumn("split",
+        when(b < "cc", "train").when(b < "e6", "valid").otherwise("test"))
+      .groupBy("split")
+      .agg(sum("n_docs_g").as("n_docs"), count(lit(1)).as("n_groups"),
+        sum("n_chars_g").as("n_chars"))
+      .orderBy("split")
+  }
+
   /** p11 — deterministic EPOCH SHUFFLE: the training-order permutation
     * for each epoch as a pure function of (doc_id, epoch) — no RNG
     * state, no global sort. Epoch e orders documents by
@@ -2990,6 +3066,51 @@ object TextAnalysis {
         |    ORDER BY hk, doc_id) AS INT) AS pos,
         |  doc_id
         |FROM h ORDER BY epoch, shard, pos""".stripMargin)),
+    QueryDef("p20_preference_pairs", (s, d) => preferencePairs(s, d), Some(
+      """WITH q0 AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tok,
+        |    CAST(length(text) AS DOUBLE) AS n_chr,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is'))) AS DOUBLE) AS sw,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS dg
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source,
+        |    round(
+        |      (CASE WHEN (n_chr - (n_tok - 1)) / n_tok BETWEEN 2.0::DOUBLE AND 12.0::DOUBLE
+        |            THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        |      + least(sw / n_tok * 3.0::DOUBLE, 0.4::DOUBLE)
+        |      + (CASE WHEN dg / n_chr < 0.2::DOUBLE THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END), 6) AS q
+        |  FROM q0),
+        |r AS (
+        |  SELECT doc_id, source, q,
+        |    row_number() OVER (PARTITION BY source ORDER BY q DESC, doc_id ASC) AS rtop,
+        |    row_number() OVER (PARTITION BY source ORDER BY q ASC, doc_id DESC) AS rbot,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM q),
+        |c AS (SELECT source, rtop AS pair_rank, doc_id AS chosen_id, q AS cq
+        |      FROM r WHERE rtop <= least(5, n // 2)),
+        |j AS (SELECT source, rbot AS pair_rank, doc_id AS rejected_id, q AS rq
+        |      FROM r WHERE rbot <= least(5, n // 2))
+        |SELECT c.source, c.pair_rank, chosen_id, rejected_id,
+        |  round(cq - rq, 6) AS margin
+        |FROM c JOIN j ON c.source = j.source AND c.pair_rank = j.pair_rank
+        |ORDER BY c.source, c.pair_rank""".stripMargin)),
+    QueryDef("p21_leakage_split", (s, d) => leakageSplit(s, d), Some(
+      """WITH g AS (
+        |  SELECT min(doc_id) AS rep, count(*) AS n_docs_g,
+        |    sum(n_chars) AS n_chars_g
+        |  FROM documents GROUP BY text),
+        |a AS (
+        |  SELECT CASE WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+        |              WHEN substr(md5(CAST(rep AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+        |              ELSE 'test' END AS split,
+        |    n_docs_g, n_chars_g
+        |  FROM g)
+        |SELECT split, CAST(sum(n_docs_g) AS BIGINT) AS n_docs,
+        |  count(*) AS n_groups, CAST(sum(n_chars_g) AS BIGINT) AS n_chars
+        |FROM a GROUP BY 1 ORDER BY split""".stripMargin)),
     QueryDef("p6_hash_split", (s, d) => hashSplit(s, d), Some(
       """SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
         |            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'

@@ -209,4 +209,27 @@ class PlanShapeSpec extends SparkSpec {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
     assert(hashEx <= 1, s"e20 has $hashEx hash exchanges:\n$p")
   }
+
+  test("preference pairs: both rank windows run map-side group limits before the shuffle") {
+    val p = plan("p20_preference_pairs")
+    // the row_number <= K filters must materialize as WindowGroupLimit
+    // (partial mode ships K rows per input partition per stratum —
+    // never a full per-source sort of the corpus); the count join
+    // stays broadcast
+    val limits = "WindowGroupLimit".r.findAllIn(p).size
+    assert(limits >= 2, s"p20 lost its window group limits ($limits):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"p20 count-refinement join lost its broadcast:\n$p")
+  }
+
+  test("leakage split: shuffle keys are digests, two aggs, no window or join") {
+    val p = plan("p21_leakage_split")
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"p21 grew a window or join:\n$p")
+    // the digest is projected below the partial agg, so the group
+    // shuffle keys on _groupingexpression (the md5), never raw text
+    assert(p.contains("md5(cast(text") &&
+      "Exchange hashpartitioning\\(_groupingexpression".r.findAllIn(p).nonEmpty,
+      s"p21's group shuffle should key on the md5 digest, not text:\n$p")
+  }
 }

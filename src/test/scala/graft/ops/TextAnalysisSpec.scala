@@ -28,6 +28,72 @@ class TextAnalysisSpec extends SparkSpec {
     dir
   }
 
+  /** 60 two-doc exact-dup groups whose member ids hash to different p6
+    * buckets often enough that a per-doc split provably straddles.
+    */
+  lazy val dupSplitDir: String = {
+    val dir = Files.createTempDirectory("graft_leak").toString
+    val rows = (0 until 60).flatMap { g =>
+      val t = s"group $g shared text body with enough words to be a document"
+      Seq((g * 100L, t, "en", "a"), (g * 100L + 37L, t, "en", "a"))
+    }
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("p20 preference pairs: disjoint sides, non-negative non-increasing margins, rank-1 is stratum max") {
+    val pairs = TextAnalysis.preferencePairs(spark, sf0001).collect()
+    assert(pairs.nonEmpty)
+    val chosen = pairs.map(_.getLong(2)).toSet
+    val rejected = pairs.map(_.getLong(3)).toSet
+    assert(chosen.intersect(rejected).isEmpty, "chosen/rejected overlap")
+    pairs.groupBy(_.getString(0)).values.foreach { ps =>
+      val ms = ps.sortBy(_.getInt(1)).map(_.getDouble(4))
+      assert(ms.forall(_ >= 0.0), s"negative margin in $ms")
+      assert(ms.zip(ms.tail).forall { case (a, b) => a >= b - 1e-9 },
+        s"margins not non-increasing: ${ms.toSeq}")
+    }
+    val q = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"),
+        round(TextAnalysis.qualityCol(col("text")), 6).as("q"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val maxQ = q.groupBy(_._2).map { case (src, rs) => src -> rs.map(_._3).max }
+    pairs.filter(_.getInt(1) == 1).foreach { r =>
+      val cq = q.find(_._1 == r.getLong(2)).get._3
+      assert(math.abs(cq - maxQ(r.getString(0))) < 1e-9,
+        s"rank-1 chosen ${r.getLong(2)} not stratum max")
+    }
+  }
+
+  test("p21 leakage split: dup groups never straddle; naive per-doc split does; rollup exact") {
+    val docs = graft.Tables.documents(spark, dupSplitDir)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+    def bucket(id: Long): String = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(2)
+      if (h < "cc") "train" else if (h < "e6") "valid" else "test"
+    }
+    val byText = docs.groupBy(_.getString(1))
+    // the fixture is only meaningful if a per-doc hash split WOULD leak
+    val naiveStraddle = byText.count { case (_, rs) =>
+      rs.map(r => bucket(r.getLong(0))).toSet.size > 1 }
+    assert(naiveStraddle > 0, "fixture should demonstrate per-doc leakage")
+    // p21's rollup must equal an independent rep-hash recompute, under
+    // which a group contributes to exactly one split (no straddle)
+    val got = TextAnalysis.leakageSplit(spark, dupSplitDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val want = byText.values.groupBy(rs => bucket(rs.map(_.getLong(0)).min))
+      .map { case (s, gs) =>
+        s -> ((gs.map(_.size.toLong).sum, gs.size.toLong,
+          gs.flatMap(_.map(_.getLong(2))).sum))
+      }
+    assert(got == want, s"rollup mismatch: got=$got want=$want")
+  }
+
   test("corpus pipeline: quality gate, token bounds, exact dedup compose") {
     val out = TextAnalysis.corpusPipeline(spark, fixtureDir).collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
