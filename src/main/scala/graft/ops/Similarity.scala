@@ -63,6 +63,43 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** v19 — HARD-NEGATIVE MINING for contrastive training: for each
+    * anchor vector, the k most-similar corpus vectors with a DIFFERENT
+    * label — the negatives an embedding trainer pairs with each anchor
+    * (easy random negatives carry no gradient; the hardest
+    * other-label neighbors are the ones that move the model). The
+    * different-label constraint applies IN the join, not as a
+    * post-filter, for two reasons: it is the false-negative guard
+    * (the nearest same-label hit is a positive, and training on it as
+    * a negative actively damages the model), and post-filtering a
+    * k-deep unfiltered list would underfill k whenever same-label
+    * vectors dominate the neighborhood — v12's filtered-ANN trap in
+    * label form. Self-pairs are excluded for free (same label).
+    *
+    * Scale: v2's discipline — the bounded anchor set broadcasts, the
+    * corpus streams through one narrow scan+score pass, and
+    * `TopK.perGroup` keeps per-anchor state at k so the shuffle
+    * carries O(anchors·k) rows, never the scored grid. A full mining
+    * round over ALL anchors shards the anchor set into
+    * broadcast-sized batches of this same plan (or routes through
+    * v15's kNN-graph machinery when anchors = corpus).
+    */
+  def hardNegatives(s: SparkSession, d: String, numQueries: Int = 8,
+      k: Int = 10): DataFrame = {
+    val e = embeddings(s, d)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("n_id"), col("label").as("n_label"),
+      col("embedding").as("nv"))
+    val scored = c.join(broadcast(q), col("q_label") =!= col("n_label"))
+      .withColumn("cos", cosine(col("qv"), col("nv")))
+    graft.functions.TopK.perGroup(scored, "q_id", "cos", "n_id", k)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** v12 — FILTERED vector search: exact top-k restricted to corpus
     * vectors whose DOCUMENT passes a metadata predicate (language
     * here) — the predicate+similarity combination every retrieval
@@ -1284,6 +1321,24 @@ object Similarity {
         |         * sqrt(list_inner_product(c.emb, c.emb))) AS raw_cos
         |  FROM e q, e c
         |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT q_id, n_id, raw_cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, n_id) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, n_id, round(raw_cos, 6) AS cos
+        |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+    QueryDef("v19_hard_negatives", (s, d) => hardNegatives(s, d), Some(
+      // v2's oracle discipline: rank the UNROUNDED cosine, INT rank,
+      // round only in the output; the different-label predicate sits
+      // in the pair source exactly as the Spark join does.
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    list_inner_product(q.emb, c.emb)
+        |      / (sqrt(list_inner_product(q.emb, q.emb))
+        |         * sqrt(list_inner_product(c.emb, c.emb))) AS raw_cos
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 8 AND q.label <> c.label),
         |ranked AS (
         |  SELECT q_id, n_id, raw_cos,
         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY raw_cos DESC, n_id) AS INT) AS rank

@@ -35,6 +35,31 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("hard negatives: label-pure, matches an independent other-label ranking") {
+    val e = graft.Tables.embeddings(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val byId = e.map(t => t._1 -> t).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 8L).map { q =>
+      val (_, qv, ql) = byId(q)
+      q -> e.filter(_._3 != ql).map { case (id, v, _) => (id, cos(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSeq
+    }.toMap
+    val rows = Similarity.hardNegatives(spark, sf0001).collect()
+    // every mined negative carries a label different from its anchor's
+    rows.foreach { r =>
+      assert(byId(r.getLong(2))._3 != byId(r.getLong(0))._3,
+        s"same-label pair mined: anchor ${r.getLong(0)} neg ${r.getLong(2)}")
+    }
+    val got = rows.groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq }
+    assert(got == expected)
+  }
+
   def recallVsBrute(dir: String): Double = {
     val brute = Similarity.bruteForceTopK(spark, dir).collect()
       .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
