@@ -62,7 +62,14 @@ object Bench {
     // Deterministic name order: cross-round per-query deltas are only
     // attributable when every round times the same query at the same point
     // in the JVM's life.
-    val results = (SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional name filter (args): time only the named queries — for
+    // attributing a flagged delta in a fresh JVM without a 10-minute
+    // full sweep. A filtered run still writes bench_full.json, so point
+    // SPARK_GRAFT_BENCH_FULL elsewhere when probing.
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val results = (selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
       def runOnce(): Double = {
         val t0 = System.nanoTime()
