@@ -656,7 +656,75 @@ object Quality {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** dq11 — REFERENTIAL-INTEGRITY AUDIT: orphan counts and rates for
+    * every foreign-key edge of the star schema (orders→customer,
+    * lineitem→orders/part/supplier, customer→nation) — the audit a
+    * warehouse runs before trusting any join-based metric, since an
+    * orphaned FK silently DROPS rows from every inner join downstream
+    * (a revenue rollup that loses 2% of lineitems to a bad partkey
+    * under-reports with no error anywhere). Each edge is one
+    * LEFT-ANTI join on the key projection plus a 1-row count; the
+    * five 1-row results union into the report.
+    *
+    * Scale: the anti join ships only the key column, Spark broadcasts
+    * the parent side when it fits and AQE falls back to a shuffled
+    * anti join when it doesn't (customer at 100 TB) — both plans scan
+    * the child exactly once; the crossJoins are 1-row×1-row.
+    */
+  def refIntegrityAudit(s: SparkSession, d: String): DataFrame = {
+    def edge(rel: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val tot = child.agg(count(lit(1)).as("n_rows"))
+      val orph = child.select(col(fk))
+        .join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+        .agg(count(lit(1)).as("n_orphans"))
+      tot.crossJoin(orph).select(
+        lit(rel).as("relation"), col("n_rows"), col("n_orphans"),
+        round(col("n_orphans").cast("double") / col("n_rows"), 6)
+          .as("orphan_rate"))
+    }
+    Seq(
+      edge("customer->nation", Tables.customer(s, d), "c_nationkey",
+        Tables.nation(s, d), "n_nationkey"),
+      edge("lineitem->orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      edge("lineitem->part", Tables.lineitem(s, d), "l_partkey",
+        Tables.part(s, d), "p_partkey"),
+      edge("lineitem->supplier", Tables.lineitem(s, d), "l_suppkey",
+        Tables.supplier(s, d), "s_suppkey"),
+      edge("orders->customer", Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("relation")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq11_ref_integrity", (s, d) => refIntegrityAudit(s, d), Some(
+      """WITH e1 AS (
+        |  SELECT 'customer->nation' AS relation, count(*) AS n_rows,
+        |    count(*) FILTER (WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+        |  FROM customer),
+        |e2 AS (
+        |  SELECT 'lineitem->orders' AS relation, count(*) AS n_rows,
+        |    count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |  FROM lineitem),
+        |e3 AS (
+        |  SELECT 'lineitem->part' AS relation, count(*) AS n_rows,
+        |    count(*) FILTER (WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS n_orphans
+        |  FROM lineitem),
+        |e4 AS (
+        |  SELECT 'lineitem->supplier' AS relation, count(*) AS n_rows,
+        |    count(*) FILTER (WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS n_orphans
+        |  FROM lineitem),
+        |e5 AS (
+        |  SELECT 'orders->customer' AS relation, count(*) AS n_rows,
+        |    count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+        |  FROM orders),
+        |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
+        |      UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5)
+        |SELECT relation, n_rows, n_orphans,
+        |  round(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_rate
+        |FROM u ORDER BY relation""".stripMargin)),
     QueryDef("ts7_holt_winters", (s, d) => holtWintersSmoothing(s, d), Some(
       """WITH RECURSIVE daily AS (
         |  SELECT o_orderdate AS day,

@@ -9,6 +9,32 @@ import graft.SparkSpec
 class QualitySpec extends SparkSpec {
   import spark.implicits._
 
+  test("dq11 ref-integrity: planted orphans detected per edge, clean edges report zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_refint").toString
+    def write(name: String, df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$dir/$name.parquet")
+    write("nation", Seq((0L, "A"), (1L, "B")).toDF("n_nationkey", "n_name"))
+    // customer 30 points at a missing nation; customer 99 is referenced by no one
+    write("customer", Seq((10L, 0L), (20L, 1L), (30L, 7L), (99L, 0L))
+      .toDF("c_custkey", "c_nationkey"))
+    write("supplier", Seq((5L, "s")).toDF("s_suppkey", "s_name"))
+    write("part", Seq((100L, "p")).toDF("p_partkey", "p_name"))
+    // order 2 points at a missing customer
+    write("orders", Seq((1L, 10L), (2L, 777L), (3L, 20L))
+      .toDF("o_orderkey", "o_custkey"))
+    // one lineitem with a bad orderkey, one with a bad partkey AND suppkey
+    write("lineitem", Seq((1L, 100L, 5L), (888L, 100L, 5L), (3L, 999L, 6L))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey"))
+    val got = Quality.refIntegrityAudit(spark, dir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "customer->nation" -> ((4L, 1L)),
+      "lineitem->orders" -> ((3L, 1L)),
+      "lineitem->part" -> ((3L, 1L)),
+      "lineitem->supplier" -> ((3L, 1L)),
+      "orders->customer" -> ((3L, 1L))), s"got $got")
+  }
+
   test("medianMode: deterministic mode tie-break picks the earliest date") {
     // priority P has dates 2024-01-05 x2 and 2024-01-02 x2 (tie) — the
     // earlier date must win; median of (10, 20, 30, 40) = 25
