@@ -64,8 +64,14 @@ object Bench {
     // in the JVM's life.
     // Optional name filter (args): time only the named queries — for
     // attributing a flagged delta in a fresh JVM without a 10-minute
-    // full sweep. A filtered run still writes bench_full.json, so point
-    // SPARK_GRAFT_BENCH_FULL elsewhere when probing.
+    // full sweep. Unknown names abort immediately (a typo silently
+    // filtering to the empty set once looked like an instant full run),
+    // and a filtered probe never overwrites the full-sweep registry:
+    // its line goes to bench_probe.json unless SPARK_GRAFT_BENCH_FULL
+    // explicitly redirects it.
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — check SparkEntry.queries")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(args.toSet).toMap
@@ -142,7 +148,8 @@ object Bench {
     // errors, jvm, and the slowest 20 queries — sized well under 2000 bytes
     // so the tail always captures the numbers that matter.
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+        if (args.isEmpty) "bench_full.json" else "bench_probe.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>

@@ -470,12 +470,15 @@ object Behavior {
   /** e21 — CUPED variance-reduced A/B readout (Deng, Xu, Kohavi &
     * Walker 2013, "Improving the Sensitivity of Online Controlled
     * Experiments by Utilizing Pre-Experiment Data"): e20's user-day
-    * conversion adjusted by a pre-defined covariate — the user's
-    * lifetime click count, a pure activity measure independent of the
-    * arm assignment — via y′ = y − θ·(x − x̄) with the pooled
-    * θ = cov(x,y)/var(x). The adjusted lift has the SAME expectation
-    * (covariate independent of assignment) at a fraction of the
-    * variance, which is why every mature experiment platform runs it.
+    * conversion adjusted by a pre-defined covariate — the user's click
+    * count on days STRICTLY BEFORE their first exposed day, i.e.
+    * genuinely pre-experiment data as the method requires (an
+    * in-experiment covariate would absorb part of any real treatment
+    * effect on clicking and bias the adjusted lift) — via
+    * y′ = y − θ·(x − x̄) with the pooled θ = cov(x,y)/var(x). The
+    * adjusted lift has the SAME expectation (a pre-exposure covariate
+    * cannot depend on the assignment) at a fraction of the variance,
+    * which is why every mature experiment platform runs it.
     *
     * Exactness: all five moments (Σx, Σy, Σxy, Σx², n) are exact
     * integer sums — the covariate is a count, conversion is 0/1 — so
@@ -486,7 +489,13 @@ object Behavior {
     */
   def cupedReadout(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
+    // first exposed day per user: exposure = saw a view (e20's rule);
+    // the covariate counts only clicks dated strictly before it
+    val firstExposed = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(to_date(col("ts"))).as("d0"))
     val clicks = ev.filter(col("event_type") === "click")
+      .join(firstExposed, Seq("user_id"))
+      .filter(to_date(col("ts")) < col("d0"))
       .groupBy("user_id").agg(count(lit(1)).as("x"))
     val units = ev
       .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(
@@ -566,9 +575,14 @@ object Behavior {
     QueryDef("e21_cuped", (s, d) => cupedReadout(s, d), Some(
       // the same five exact-integer moments in DuckDB; every double
       // divides identical integers, so θ and the adjusted rates match
-      """WITH clicks AS (
-        |  SELECT user_id, count(*) AS x FROM events
-        |  WHERE event_type = 'click' GROUP BY user_id),
+      """WITH d0 AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS d0 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |clicks AS (
+        |  SELECT e.user_id, count(*) AS x FROM events e
+        |  JOIN d0 USING (user_id)
+        |  WHERE e.event_type = 'click' AND CAST(e.ts AS DATE) < d0.d0
+        |  GROUP BY e.user_id),
         |u AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,
         |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,

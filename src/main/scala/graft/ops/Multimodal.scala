@@ -293,6 +293,11 @@ object Multimodal {
     * (byte j of the stream = text byte j mod len — the m2 formula over
     * a longer stream). No container header: raw concatenated frames,
     * the layout video decode pipelines see after demux.
+    *
+    * Fixture contract (m2's, shared): the oracle indexes CHARACTERS, so
+    * text is assumed ASCII (true of the generated corpus at every SF);
+    * empty text maps to a single zero byte — never a mod-by-zero. Both
+    * pinned in EdgeCaseSpec on planted empty/non-ASCII docs.
     */
   def videoBlobTable(s: SparkSession, d: String): Dataset[Blob] = {
     import s.implicits._
@@ -358,6 +363,10 @@ object Multimodal {
     * v_j = (textByte(j mod len) − 77) · 23 over body sample index j —
     * the m2/m9 formula discipline, centered so speech-band frames have
     * large energy. Real int16 LE encode: the operator must parse it back.
+    *
+    * Fixture contract (m2's, shared): oracle indexes CHARACTERS ⇒ text
+    * assumed ASCII (true of the generated corpus at every SF); empty
+    * text → single zero byte, never mod-by-zero. EdgeCaseSpec-pinned.
     */
   def audioBlobTable(s: SparkSession, d: String): Dataset[Blob] = {
     import s.implicits._

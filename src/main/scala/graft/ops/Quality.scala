@@ -702,23 +702,23 @@ object Quality {
     QueryDef("dq11_ref_integrity", (s, d) => refIntegrityAudit(s, d), Some(
       """WITH e1 AS (
         |  SELECT 'customer->nation' AS relation, count(*) AS n_rows,
-        |    count(*) FILTER (WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation)) AS n_orphans
+        |    count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)) AS n_orphans
         |  FROM customer),
         |e2 AS (
         |  SELECT 'lineitem->orders' AS relation, count(*) AS n_rows,
-        |    count(*) FILTER (WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)) AS n_orphans
+        |    count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS n_orphans
         |  FROM lineitem),
         |e3 AS (
         |  SELECT 'lineitem->part' AS relation, count(*) AS n_rows,
-        |    count(*) FILTER (WHERE l_partkey NOT IN (SELECT p_partkey FROM part)) AS n_orphans
+        |    count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey)) AS n_orphans
         |  FROM lineitem),
         |e4 AS (
         |  SELECT 'lineitem->supplier' AS relation, count(*) AS n_rows,
-        |    count(*) FILTER (WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier)) AS n_orphans
+        |    count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM supplier WHERE s_suppkey = l_suppkey)) AS n_orphans
         |  FROM lineitem),
         |e5 AS (
         |  SELECT 'orders->customer' AS relation, count(*) AS n_rows,
-        |    count(*) FILTER (WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+        |    count(*) FILTER (WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS n_orphans
         |  FROM orders),
         |u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL SELECT * FROM e3
         |      UNION ALL SELECT * FROM e4 UNION ALL SELECT * FROM e5)

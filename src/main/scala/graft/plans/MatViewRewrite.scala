@@ -26,25 +26,40 @@ import org.apache.spark.sql.functions._
   *
   * Staleness: the staged view is keyed on `datasetFingerprint`, the same
   * memo-invalidations discipline as the IVF/BPE artifacts — a dataset
-  * regenerated in place re-stages the view instead of serving stale rows.
+  * regenerated in place re-stages the view instead of serving stale rows —
+  * AND the fingerprint captured at stage time is re-checked at rewrite
+  * time, so a registered view whose dataset changed underneath it
+  * deregisters itself instead of substituting.
   */
 object MatViews {
 
   /** Rewrite guard: view staging and expected-result computations run
     * with the rule off (also breaks the template-construction recursion).
+    * A JVM-global depth counter, not a ThreadLocal: Spark may optimize a
+    * plan on a thread other than the caller's (streaming query threads,
+    * async actions, AQE re-optimization), and a thread-scoped guard would
+    * silently fail there. Globally suppressing the rewrite while any
+    * staging/expected-result computation is in flight is always safe —
+    * the rule is an optimization, never a semantic requirement.
     */
-  private[plans] val bypass = new ThreadLocal[java.lang.Boolean] {
-    override def initialValue: java.lang.Boolean = java.lang.Boolean.FALSE
-  }
+  private[plans] val bypassDepth = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[plans] def bypassed: Boolean = bypassDepth.get() > 0
   def withoutRewrite[T](f: => T): T = {
-    val prev = bypass.get()
-    bypass.set(java.lang.Boolean.TRUE)
-    try f finally bypass.set(prev)
+    bypassDepth.incrementAndGet()
+    try f finally bypassDepth.decrementAndGet()
   }
 
-  /** canonical events.parquet path -> (mv dir, canonicalized defining plan) */
+  /** One registered view: its parquet dir, the canonicalized defining
+    * plan, the source dataset dir, and the dataset fingerprint captured
+    * at stage time — re-checked at rewrite time so an in-place dataset
+    * regeneration can never be answered from the stale view.
+    */
+  private[plans] final case class MvEntry(
+      mv: String, template: LogicalPlan, datasetDir: String, fingerprint: String)
+
+  /** canonical events.parquet path -> registered view entry */
   private[plans] val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, LogicalPlan)]
+    new java.util.concurrent.ConcurrentHashMap[String, MvEntry]
   private val staged = new java.util.concurrent.ConcurrentHashMap[String, String]
 
   def canonicalSrc(d: String): String =
@@ -63,7 +78,8 @@ object MatViews {
     * for rewrite. Returns the view directory.
     */
   def stageDailyRollup(s: SparkSession, d: String): String = {
-    val key = s"$d#${graft.Tables.datasetFingerprint(d)}"
+    val fp = graft.Tables.datasetFingerprint(d)
+    val key = s"$d#$fp"
     val mv = graft.Tables.stagedDir(staged, key) { () =>
       val dir = graft.Tables.scratchDir("graft_mv_daily", d)
       withoutRewrite {
@@ -74,7 +90,7 @@ object MatViews {
     val template = withoutRewrite {
       naiveDailyRollup(s, d).queryExecution.optimizedPlan.canonicalized
     }
-    registry.put(canonicalSrc(d), (mv, template))
+    registry.put(canonicalSrc(d), MvEntry(mv, template, d, fp))
     mv
   }
 }
@@ -102,14 +118,24 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MatViews.bypass.get() || MatViews.registry.isEmpty) return plan
+    if (MatViews.bypassed || MatViews.registry.isEmpty) return plan
     plan.transform {
       case agg: Aggregate =>
         val swapped = for {
           src <- srcPathOf(agg)
           entry <- Option(MatViews.registry.get(src))
-          (mv, template) = entry
-          if agg.canonicalized == template
+          if agg.canonicalized == entry.template
+          // Staleness gate: the dataset may have been regenerated in
+          // place since staging. The fingerprint is an O(file-stat) walk,
+          // paid only after the src + canonical-template match, so it's a
+          // rare cost; on mismatch deregister so the stale view can
+          // never answer (the next stageDailyRollup re-registers fresh).
+          if {
+            val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) == entry.fingerprint
+            if (!fresh) MatViews.registry.remove(src, entry)
+            fresh
+          }
+          mv = entry.mv
         } yield {
           val s = SparkSession.active
           // one row per (day, event_type) by construction: a plain

@@ -125,4 +125,51 @@ class EdgeCaseSpec extends SparkSpec {
       Seq(("click", "1 HOUR"))).head()
     assert(f.getLong(0) == 0 && f.getLong(1) == 0)
   }
+
+  test("multimodal fixtures on empty and non-ASCII text: guarded, byte-indexed") {
+    // The m2/m9/m10 byte-generation fixtures index UTF-8 BYTES of the
+    // text; the DuckDB oracles index CHARACTERS. The contract: empty
+    // text maps to one zero byte (never mod-by-zero), and the two views
+    // agree exactly on ASCII corpora (MultimodalSpec pins the generated
+    // corpus IS ASCII). Here: both degenerate inputs run
+    // clean, and the non-ASCII divergence is exactly byte-indexing.
+    val nonAscii = "héllo wörld — naïve café"
+    val dir = Files.createTempDirectory("graft_mm_edge").toString
+    Seq((0L, "", "en", "a", 0L), (1L, nonAscii, "fr", "a", nonAscii.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    // m2: empty doc decodes to an all-zero image (mean 0, std 0);
+    // non-ASCII doc's channel means match an independent BYTE recompute
+    val feats = Multimodal.blobFeatures(spark, dir).collect()
+    assert(feats.length == 2)
+    val f0 = feats.find(_.getLong(0) == 0L).get
+    assert(f0.getDouble(4) == 0.0 && f0.getDouble(7) == 0.0,
+      s"empty text should render an all-zero image: $f0")
+    val bytes = nonAscii.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val bgr = Array.tabulate(Multimodal.imgW * Multimodal.imgH * 3)(
+      i => bytes(i % bytes.length) & 0xFF)
+    val n = (Multimodal.imgW * Multimodal.imgH).toDouble
+    val meanB = bgr.zipWithIndex.collect { case (v, i) if i % 3 == 0 => v }
+      .sum / n
+    val f1 = feats.find(_.getLong(0) == 1L).get
+    assert(math.abs(f1.getDouble(4) - math.rint(meanB * 1e4) / 1e4) < 1e-9,
+      s"non-ASCII image features must be byte-indexed: ${f1.getDouble(4)} vs $meanB")
+
+    // m9: 3 sampled frames per doc either way; empty doc's frames are silent
+    val frames = Multimodal.frameSample(spark, dir).collect()
+    assert(frames.length == 6)
+    assert(frames.filter(_.getLong(0) == 0L).forall(r =>
+      r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+
+    // m10: empty doc's body bytes are all zero → sample (0−77)·23, every
+    // body frame voiced → edge frames (the planted silence) trimmed
+    val vad = Multimodal.audioVadTrim(spark, dir).collect()
+    assert(vad.length == 2)
+    vad.foreach { r =>
+      assert(r.getInt(2) == 1 && r.getInt(3) == 1 && r.getInt(4) == 6,
+        s"VAD trim should cut exactly the planted edge silence: $r")
+    }
+    assert(vad.find(_.getLong(0) == 0L).get.getInt(6) == 77 * 23)
+  }
 }

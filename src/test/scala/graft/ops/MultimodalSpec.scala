@@ -240,4 +240,15 @@ class MultimodalSpec extends SparkSpec {
     // INCLUDING the silent interior frame 2; peak = |('a'−77)·23| = 460
     assert(fx(1L) == ((1, 1, 6, 460)), s"interior-silence doc: ${fx(1L)}")
   }
+
+  test("fixture contract: the generated corpus is pure ASCII at sf0.001") {
+    // The m2/m9/m10 fixtures index UTF-8 BYTES while their DuckDB
+    // oracles index CHARACTERS — identical iff the corpus is ASCII.
+    // Pin it on the generated data (the EdgeCaseSpec planted docs cover
+    // the divergent non-ASCII behavior).
+    val nonAscii = graft.Tables.documents(spark, sf0001)
+      .filter(org.apache.spark.sql.functions.expr("length(text) != octet_length(text)"))
+      .count()
+    assert(nonAscii == 0, s"$nonAscii non-ASCII docs break the byte=char contract")
+  }
 }
