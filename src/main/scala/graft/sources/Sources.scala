@@ -77,6 +77,231 @@ object Sources {
     (gzDir, pqDir)
   }
 
+  // ---- src20: WARC/WET web-archive ingest ----
+
+  private[graft] val wetFiles = 8          // fixture shards (one gz per task)
+  private[graft] val wetCorruptMod = 97    // doc_id % 97 == 13 → garbled record
+  private[graft] val wetCorruptRem = 13
+
+  /** One parsed WET record (or a quarantine marker). `status` is `ok`,
+    * `bad_record` (unparseable framing — identity untrusted, so no url),
+    * or `truncated` (Content-Length overruns the remaining bytes).
+    */
+  final case class WetRec(status: String, url: String,
+      fetch_ts: java.sql.Timestamp, mime: String, text: String)
+
+  /** Serialize one WET conversion record (WARC/1.0 framing: version
+    * line, headers, Content-Length-delimited payload, blank-line
+    * terminator). `version` is overridable so the fixture can plant a
+    * garbled record the parser must quarantine.
+    */
+  private def wetRecordBytes(docId: Long, source: String, text: String,
+      version: String = "WARC/1.0"): Array[Byte] = {
+    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val date = java.time.Instant.parse("2024-01-01T00:00:00Z")
+      .plusSeconds(docId % 86400L)
+    (s"$version\r\n" +
+      "WARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: http://crawl.test/$source/$docId\r\n" +
+      s"WARC-Date: $date\r\n" +
+      "Content-Type: text/plain\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
+      payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  private val wetMemo = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Stage the WET fixture: `wetFiles` gzip shards, each a concatenation
+    * of PER-RECORD gzip members (Common Crawl's exact framing — the
+    * member boundary is what lets record-level tooling seek, and the
+    * whole-file gzip codec trap src19 pins is why the reader treats each
+    * FILE, not the record, as the parallelism unit). Every shard leads
+    * with a warcinfo record and ends with a planted TRUNCATED record
+    * (Content-Length past EOF); docs with doc_id % 97 == 13 get a
+    * garbled version line — the two corruption modes a real crawl dump
+    * actually shows (mid-dump damage, cut-off transfer).
+    */
+  private[graft] def wetStaged(s: SparkSession, d: String): String =
+    Tables.stagedDir(wetMemo, s"$d#${Tables.datasetFingerprint(d)}") { () =>
+      val dir = Tables.scratchDir("graft_wet", d)
+      val root = new java.io.File(dir)
+      if (root.exists()) {
+        Option(root.listFiles()).toSeq.flatten.foreach(_.delete())
+      }
+      root.mkdirs()
+      val (cMod, cRem) = (wetCorruptMod, wetCorruptRem)
+      documents(s, d).select("doc_id", "source", "text")
+        .repartition(wetFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz")
+          try {
+            def member(bytes: Array[Byte]): Unit = {
+              val gz = new java.util.zip.GZIPOutputStream(out)
+              gz.write(bytes); gz.finish()
+            }
+            val info = "software: graft-wet-writer\r\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            member(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+              s"Content-Length: ${info.length}\r\n\r\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ info ++
+              "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val v = if (id % cMod == cRem) "WARC/0.9" else "WARC/1.0"
+              member(wetRecordBytes(id, r.getString(1), r.getString(2), v))
+            }
+            member(("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+              "WARC-Target-URI: http://crawl.test/_tail/0\r\n" +
+              "Content-Length: 999999\r\n\r\nshort")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } finally out.close()
+        }
+      dir
+    }
+
+  /** Parse one decompressed WET byte stream into records, quarantining
+    * what can't be trusted instead of aborting the scan (src8's
+    * discipline — at 100 TB a single damaged record must cost one row,
+    * not the job): a non-`WARC/1.0` version line emits `bad_record` and
+    * RESYNCS by scanning to the next `WARC/1.0\r\n` marker (the
+    * standard recovery — payloads are length-delimited, so the marker
+    * scan is heuristic but collision-free on text corpora); a
+    * Content-Length past EOF emits `truncated` and stops. warcinfo and
+    * other non-conversion records are skipped per the WET contract.
+    */
+  private[graft] def parseWet(content: Array[Byte]): Seq[WetRec] = {
+    val marker = "WARC/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = content.length
+    def indexOfMarker(from: Int): Int = {
+      var i = from
+      while (i <= n - marker.length) {
+        var j = 0
+        while (j < marker.length && content(i + j) == marker(j)) j += 1
+        if (j == marker.length) return i
+        i += 1
+      }
+      -1
+    }
+    val out = scala.collection.mutable.ListBuffer.empty[WetRec]
+    var pos = 0
+    def readLine(): String = {
+      val start = pos
+      while (pos < n && content(pos) != '\r'.toByte) pos += 1
+      val line = new String(content, start, pos - start,
+        java.nio.charset.StandardCharsets.UTF_8)
+      pos = math.min(n, pos + 2) // consume \r\n
+      line
+    }
+    while (pos < n) {
+      // skip inter-record blank separators
+      while (pos + 1 < n && content(pos) == '\r'.toByte &&
+        content(pos + 1) == '\n'.toByte) pos += 2
+      if (pos < n) {
+        val version = readLine()
+        if (version != "WARC/1.0") {
+          out += WetRec("bad_record", null, null, null, null)
+          val nxt = indexOfMarker(pos)
+          pos = if (nxt < 0) n else nxt
+        } else {
+          var headers = Map.empty[String, String]
+          var line = readLine()
+          while (line.nonEmpty) {
+            val i = line.indexOf(':')
+            if (i > 0) headers += line.substring(0, i).trim -> line.substring(i + 1).trim
+            line = readLine()
+          }
+          headers.get("Content-Length").flatMap(_.toIntOption) match {
+            case Some(len) if pos + len <= n =>
+              if (headers.get("WARC-Type").contains("conversion") &&
+                headers.contains("WARC-Target-URI")) {
+                val ts = headers.get("WARC-Date")
+                  .map(dt => java.sql.Timestamp.from(java.time.Instant.parse(dt)))
+                  .orNull
+                out += WetRec("ok", headers("WARC-Target-URI"), ts,
+                  headers.getOrElse("Content-Type", "application/octet-stream"),
+                  new String(content, pos, len,
+                    java.nio.charset.StandardCharsets.UTF_8))
+              } // else: warcinfo/request/response records — skip
+              pos += len
+            case _ =>
+              out += WetRec("truncated", null, null, null, null)
+              pos = n
+          }
+        }
+      }
+    }
+    out.toList
+  }
+
+  /** The parsed (url, fetch_ts, mime, text) records table — the front
+    * door of a corpus run (C4 §2.1, RefinedWeb, FineWeb all start at
+    * WET dumps). Parallelism: `binaryFile` scans one row per shard and
+    * the flatMap decompresses + parses that shard's members inside the
+    * task — per-file fan-out, the unit real crawls shard at (100k
+    * WARC files per Common Crawl snapshot), with NO whole-dump gzip
+    * single-task trap (src19) because no task ever sees two files.
+    * Payload bytes never cross a shuffle — the only downstream moves
+    * are on the parsed columns a query asks for.
+    */
+  private[graft] def wetRecords(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = wetStaged(s, d)
+    s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
+      .load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap { gz =>
+        // concatenated gzip members: GZIPInputStream reads them all
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(gz))
+        val buf = new java.io.ByteArrayOutputStream()
+        val chunk = new Array[Byte](64 * 1024)
+        var k = in.read(chunk)
+        while (k >= 0) { buf.write(chunk, 0, k); k = in.read(chunk) }
+        in.close()
+        parseWet(buf.toByteArray)
+      }
+      .toDF()
+  }
+
+  /** src20 — the ingest AUDIT a crawl load signs off with: per source
+    * (parsed back out of the record URLs) the record count, total text
+    * bytes, text mismatches vs the source-of-truth table (0 or the
+    * parse corrupted content — the oracle pins 0), and the fetch-time
+    * range; quarantined records roll up into their own `_quarantined_*`
+    * buckets. Fully oracled: every number is recomputable from the
+    * documents table + the deterministic fixture rules (corruption =
+    * doc_id % 97 == 13, one truncated tail per shard, fetch time =
+    * 2024-01-01 + doc_id % 86400 seconds).
+    */
+  def wetIngest(s: SparkSession, d: String): DataFrame = {
+    val recs = wetRecords(s, d)
+    val parts = split(col("url"), "/")
+    val ok = recs.filter(col("status") === "ok")
+      .withColumn("src", element_at(parts, -2))
+      .withColumn("doc_id", element_at(parts, -1).cast("long"))
+    val bynSource = ok
+      .join(documents(s, d).select(col("doc_id"), col("text").as("dtext")),
+        Seq("doc_id"), "left")
+      .groupBy(col("src").as("bucket"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(expr("octet_length(text)")).as("total_text_bytes"),
+        sum(when(col("dtext").isNull || col("dtext") =!= col("text"), 1L)
+          .otherwise(0L)).as("n_text_mismatch"),
+        date_format(min(col("fetch_ts")), "yyyy-MM-dd HH:mm:ss").as("min_fetch"),
+        date_format(max(col("fetch_ts")), "yyyy-MM-dd HH:mm:ss").as("max_fetch"))
+    def qRow(status: String) = recs.filter(col("status") === status)
+      .agg(count(lit(1)).as("n_records"))
+      .select(lit(s"_quarantined_$status").as("bucket"), col("n_records"),
+        lit(0L).as("total_text_bytes"), lit(0L).as("n_text_mismatch"),
+        lit("").as("min_fetch"), lit("").as("max_fetch"))
+    bynSource.unionByName(qRow("bad_record"))
+      .unionByName(qRow("truncated"))
+      .orderBy("bucket")
+  }
+
   /** Hive-style partitioned parquet write + partition-pruned read: the
     * filter on the partition column must prune at planning time (the scan
     * shows `PartitionFilters`, reading 1/5 of the files) — the layout
@@ -961,6 +1186,34 @@ object Sources {
         |  count(DISTINCT event_id) AS n_ids,
         |  round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src20_wet_ingest", wetIngest, Some(
+      // the fixture is a pure function of documents: ok records are the
+      // non-corrupt docs, bad_record count = the corrupt-rule docs,
+      // truncated = one planted tail per shard (8), fetch times replay
+      // the doc_id formula — so DuckDB recomputes the whole audit
+      // without ever seeing a WARC byte
+      """WITH ok AS (
+        |  SELECT source, doc_id, octet_length(CAST(text AS BLOB)) AS nb,
+        |    TIMESTAMP '2024-01-01 00:00:00'
+        |      + INTERVAL (doc_id % 86400) SECOND AS ts
+        |  FROM documents WHERE doc_id % 97 <> 13),
+        |per_src AS (
+        |  SELECT source AS bucket, count(*) AS n_records,
+        |    CAST(sum(nb) AS BIGINT) AS total_text_bytes,
+        |    CAST(0 AS BIGINT) AS n_text_mismatch,
+        |    strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS min_fetch,
+        |    strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_fetch
+        |  FROM ok GROUP BY source),
+        |quarantined AS (
+        |  SELECT '_quarantined_bad_record' AS bucket,
+        |    (SELECT count(*) FROM documents WHERE doc_id % 97 = 13) AS n_records,
+        |    CAST(0 AS BIGINT) AS total_text_bytes,
+        |    CAST(0 AS BIGINT) AS n_text_mismatch, '' AS min_fetch, '' AS max_fetch
+        |  UNION ALL
+        |  SELECT '_quarantined_truncated', 8, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), '', '')
+        |SELECT * FROM per_src UNION ALL SELECT * FROM quarantined
+        |ORDER BY bucket""".stripMargin)),
     QueryDef("src19_gzip_ingest", gzipIngest, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_quantity), 4) AS sum_qty,

@@ -359,4 +359,61 @@ class SourcesSpec extends SparkSpec {
       .agg(count(lit(1)), coalesce(sum("o_orderkey"), lit(0L))).head()
     assert(masked == direct)
   }
+
+  test("wet ingest: 8 gz shards fan out past one task, no record lost or invented") {
+    val dir = Sources.wetStaged(spark, sf0001)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == Sources.wetFiles, s"expected 8 shards, got ${files.length}")
+    // per-FILE fan-out: the binaryFile scan must NOT serialize all
+    // members through one task the way a single whole-dump .gz would
+    // (src19's trap) — at 100k-shard crawl scale this is the whole game
+    val recs = Sources.wetRecords(spark, sf0001)
+    assert(recs.rdd.getNumPartitions > 1,
+      s"shard scan planned ${recs.rdd.getNumPartitions} partition(s)")
+    // conservation: ok + bad_record == documents rows (every doc's
+    // record either parsed or quarantined — none vanished, none doubled)
+    val byStatus = recs.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    val nBad = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % Sources.wetCorruptMod === Sources.wetCorruptRem)
+      .count()
+    assert(byStatus("ok") == nDocs - nBad && byStatus("bad_record") == nBad,
+      s"$byStatus vs $nDocs docs / $nBad corrupt")
+    assert(byStatus("truncated") == Sources.wetFiles)
+  }
+
+  test("wet parser: quarantines garbled + truncated records, resyncs to the next good one") {
+    def gzMembers(recs: Array[Byte]*): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(r); gz.finish()
+      }
+      out.toByteArray
+    }
+    def rec(version: String, id: Long, text: String): Array[Byte] =
+      (s"$version\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: http://crawl.test/s/$id\r\n" +
+        "WARC-Date: 2024-01-01T00:00:05Z\r\nContent-Type: text/plain\r\n" +
+        s"Content-Length: ${text.getBytes("UTF-8").length}\r\n\r\n$text\r\n\r\n")
+        .getBytes("UTF-8")
+    val truncated = ("WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      "WARC-Target-URI: http://crawl.test/s/9\r\n" +
+      "Content-Length: 500000\r\n\r\nonly-these-bytes").getBytes("UTF-8")
+    val stream = gzMembers(rec("WARC/1.0", 1, "first doc"),
+      rec("WARC/0.9", 2, "damaged doc"), rec("WARC/1.0", 3, "third doc"),
+      truncated)
+    // decompress concatenated members the way the operator does
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(stream))
+    val parsed = Sources.parseWet(in.readAllBytes())
+    assert(parsed.map(_.status) == Seq("ok", "bad_record", "ok", "truncated"),
+      s"statuses: ${parsed.map(_.status)}")
+    // the resync must recover record 3 INTACT after the damaged one
+    val third = parsed(2)
+    assert(third.url == "http://crawl.test/s/3" && third.text == "third doc" &&
+      third.mime == "text/plain" &&
+      third.fetch_ts.toInstant == java.time.Instant.parse("2024-01-01T00:00:05Z"))
+  }
 }
