@@ -2158,6 +2158,99 @@ object TextAnalysis {
       .orderBy("doc_id")
 
   // ------------------------------------------------------------------
+  // t34 — HTML boilerplate extraction (the jusText/trafilatura
+  // archetype): the step between a WARC response record and every
+  // declared t-query — strip markup, segment into block-level elements,
+  // keep blocks by word-count + link-density rules. One narrow per-row
+  // transform, zero shuffle: at 100 TB it runs at scan speed like
+  // t28/t30, and composes in front of p13 as the clean stage for
+  // markup docs (t27 then removes the cross-doc repeats block rules
+  // can't see).
+  // ------------------------------------------------------------------
+
+  private[graft] val t34ChunkWords = 8       // fixture <p> block size
+  private[graft] val t34MinWords = 6         // jusText-style short-block cut
+  private[graft] val t34MaxLinkDensity = 0.3 // navigation/link-list cut
+
+  /** Deterministic HTML fixture: wrap a document in the markup a crawl
+    * actually serves — head (title/style/script), a link-dense nav bar,
+    * the text as 8-word `<p>` blocks, an inline body script, a
+    * "related links" block reusing the doc's first words as anchor
+    * text, and a short footer. Pure function of (doc_id, text), so the
+    * oracle reasons about every block without parsing HTML: the plants
+    * all fail the keep rules, full content chunks all pass, and the
+    * tail chunk passes iff it has ≥ 6 words — kept text is therefore
+    * exactly a computable token PREFIX of the original document.
+    */
+  private[graft] def buildHtml(docId: Long, text: String): String = {
+    val toks = text.split(" ")
+    val ps = toks.grouped(t34ChunkWords)
+      .map(c => s"<p>${c.mkString(" ")}</p>").mkString("\n")
+    val w0 = toks.head
+    val w1 = toks(math.min(1, toks.length - 1))
+    s"""<html><head><title>Doc $docId</title><style>body{margin:0}</style>""" +
+      s"""<script>var a=$docId;</script></head>\n<body>\n""" +
+      """<div class="nav"><a href="/">Home</a> <a href="/about">About</a> """ +
+      """<a href="/contact">Contact</a></div>""" + "\n" + ps + "\n" +
+      s"""<script>track($docId);</script>\n""" +
+      s"""<div class="related">Related: <a href="/r/1">$w0</a> """ +
+      s"""<a href="/r/2">$w1</a></div>""" + "\n" +
+      """<div class="footer">Copyright 2024 crawl.test</div>""" +
+      "\n</body></html>"
+  }
+
+  /** The extraction rule: drop `<head>` and every script/style element,
+    * segment the body into `<p>`/`<div>` blocks, and keep a block iff
+    * it has ≥ [[t34MinWords]] words AND ≤ [[t34MaxLinkDensity]] of its
+    * visible characters sit inside anchors — the two-signal density
+    * heuristic (jusText, Pomikálek 2011) that separates running text
+    * from navigation/footer chrome. Returns
+    * (n_blocks, kept_blocks, kept_words, cleaned_text).
+    */
+  private[graft] def extractMainText(html: String): (Long, Long, Long, String) = {
+    val body = html
+      .replaceAll("(?s)<head>.*?</head>", " ")
+      .replaceAll("(?s)<script[^>]*>.*?</script>", " ")
+      .replaceAll("(?s)<style[^>]*>.*?</style>", " ")
+    val blockRe = "(?s)<(p|div)[^>]*>(.*?)</\\1>".r
+    val anchorRe = "(?s)<a[^>]*>(.*?)</a>".r
+    val blocks = blockRe.findAllMatchIn(body).map(_.group(2)).toList
+    val kept = blocks.filter { b =>
+      val linkChars = anchorRe.findAllMatchIn(b).map(_.group(1).length).sum
+      val plain = b.replaceAll("<[^>]+>", " ").replaceAll(" +", " ").trim
+      val words = if (plain.isEmpty) 0 else plain.split(" ").length
+      val density = if (plain.isEmpty) 1.0 else linkChars.toDouble / plain.length
+      words >= t34MinWords && density <= t34MaxLinkDensity
+    }.map(_.replaceAll("<[^>]+>", " ").replaceAll(" +", " ").trim)
+    val cleaned = kept.mkString(" ")
+    val keptWords = if (cleaned.isEmpty) 0L else cleaned.split(" ").length.toLong
+    (blocks.length.toLong, kept.length.toLong, keptWords, cleaned)
+  }
+
+  /** t34 — per-doc extraction report over the planted-HTML fixture:
+    * block counts, kept words, and the md5 of the extracted text. Fully
+    * oracled — the fixture rules make the kept text a token prefix the
+    * oracle recomputes straight from `documents.text`, so agreement
+    * proves markup stripping, block segmentation, and both density
+    * rules end-to-end (m2's fixture-formula discipline applied to HTML).
+    */
+  def htmlBoilerplateExtract(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d).select("doc_id", "source", "text")
+      .as[(Long, String, String)]
+      .map { case (id, src, text) =>
+        val (nb, kb, kw, cleaned) = extractMainText(buildHtml(id, text))
+        (id, src, nb, kb, kw, cleaned)
+      }
+      .toDF("doc_id", "source", "n_blocks", "kept_blocks", "n_words_kept",
+        "cleaned")
+      .select(col("doc_id"), col("source"), col("n_blocks"),
+        col("kept_blocks"), col("n_words_kept"),
+        md5(col("cleaned")).as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  // ------------------------------------------------------------------
   // t28 — model-based quality filter (the DCLM/FineWeb-Edu archetype):
   // a fastText-shaped LINEAR classifier over hashed token-bigram
   // features. The weight vector is fixed and seeded — the point is the
@@ -2242,6 +2335,29 @@ object TextAnalysis {
       .orderBy("source")
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("t34_html_extract", (s, d) => htmlBoilerplateExtract(s, d), Some(
+      // plants (nav/related/footer) all fail the keep rules and the
+      // content chunks are 8-word groups, so: blocks = ceil(nw/8) + 3,
+      // kept = full chunks (+ the tail iff ≥ 6 words), and the kept
+      // text is exactly that token prefix of the document
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source, toks,
+        |    CAST(ceil(nw / 8.0) AS BIGINT) + 3 AS n_blocks,
+        |    CAST(nw // 8 + CASE WHEN nw % 8 >= 6 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS kept_blocks,
+        |    CAST((nw - nw % 8)
+        |      + CASE WHEN nw % 8 >= 6 THEN nw % 8 ELSE 0 END AS BIGINT)
+        |      AS keep_words
+        |  FROM t)
+        |SELECT doc_id, source, n_blocks, kept_blocks,
+        |  keep_words AS n_words_kept,
+        |  md5(array_to_string(list_slice(toks, 1, keep_words), ' '))
+        |    AS cleaned_md5
+        |FROM k ORDER BY doc_id""".stripMargin)),
     QueryDef("t27_line_dedup", (s, d) => segmentLineDedup(s, d), Some(
       """WITH t AS (
         |  SELECT doc_id, source, string_split(text, ' ') AS w

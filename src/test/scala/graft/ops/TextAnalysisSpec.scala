@@ -1094,4 +1094,36 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3)))
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
+
+  test("t34 extraction: nav/footer/inline-js dropped by RULE, content kept, anchors stripped") {
+    // hand-written page, independent of the fixture builder: each plant
+    // must fall to the density/word-count RULES, not to plant identity
+    val html =
+      """<html><head><title>T</title><style>p{x}</style><script>var a=1;</script></head>
+        |<body>
+        |<div id="nav"><a href="/">Home</a> <a href="/b">Blog</a> <a href="/c">Contact</a></div>
+        |<p>this running text block has clearly more than six words in it</p>
+        |<script>inline.body.tracker(42);</script>
+        |<p>a second real paragraph mentions <a href="/x">one link</a> among many plain words</p>
+        |<div class="linklist">browse <a href="/1">alpha beta gamma delta</a> <a href="/2">epsilon zeta eta theta</a> now</div>
+        |<p>tiny tail</p>
+        |<div class="footer">Copyright 2024 example</div>
+        |</body></html>""".stripMargin
+    val (nBlocks, kept, keptWords, cleaned) = TextAnalysis.extractMainText(html)
+    assert(nBlocks == 6, s"expected 6 body blocks, got $nBlocks")
+    // kept: the two real paragraphs only. Dropped by rule: nav (3 words,
+    // density 1), linklist (10 words but >0.3 of chars inside anchors),
+    // tiny tail (<6 words), footer (3 words). Head + both scripts gone
+    // pre-segmentation.
+    assert(kept == 2, s"kept $kept blocks: <$cleaned>")
+    assert(cleaned ==
+      "this running text block has clearly more than six words in it " +
+        "a second real paragraph mentions one link among many plain words")
+    assert(keptWords == 23)
+    assert(!cleaned.contains("<") && !cleaned.contains("tracker") &&
+      !cleaned.contains("Home") && !cleaned.contains("Copyright"))
+    // the mid-density check really bit: same words WITHOUT anchors passes
+    val noAnchors = "<p>browse alpha beta gamma delta epsilon zeta eta theta now</p>"
+    assert(TextAnalysis.extractMainText(s"<html><body>$noAnchors</body></html>")._2 == 1)
+  }
 }
