@@ -1414,6 +1414,94 @@ object TextAnalysis {
       .orderBy("tier")
   }
 
+  /** t35 — stupid-backoff TRIGRAM perplexity (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4): the faithful CCNet
+    * quality filter t16's add-one bigram stands in for. Each trigram
+    * position scores S(w₃|w₁w₂) = c₃/c₂ when the PRUNED trigram table
+    * (t18's ≥ minCount cut — a shipped LM is count-pruned) has the
+    * trigram, else α·c₂(w₂w₃)/c₁(w₂) from the pruned bigram table, else
+    * α²·c₁(w₃)/N — corpus-internal scoring, so the unigram floor always
+    * exists and no probability is zero. Per-doc mean ln S + t20's tier
+    * assignment (cuts from ONE exact-percentile agg broadcast back).
+    *
+    * Dataflow: one narrow generator emits each position's five keys;
+    * the two PRUNED tables are k-row broadcast LUTs (t22's discipline),
+    * the unigram table is vocab-sized (Zipf-bounded — broadcast here,
+    * a shuffled hash join at 100 TB), N is a 1-row cross join. Backoff
+    * LEVEL counts are exact integers — they pin the branch decisions
+    * cross-engine independent of any fp rounding.
+    */
+  def backoffPerplexity(s: SparkSession, d: String,
+      minCount: Long = 5): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val t = col("t")
+    val grams = toks.filter(size(t) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 2),
+          i => struct(
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2)).as("g3"),
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("g2a"),
+            concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)).as("g2b"),
+            element_at(t, i + 1).as("u2"),
+            element_at(t, i + 2).as("u3")))).as("p"))
+      .select(col("doc_id"), col("p.g3").as("g3"), col("p.g2a").as("g2a"),
+        col("p.g2b").as("g2b"), col("p.u2").as("u2"), col("p.u3").as("u3"))
+    val c3 = trigramCounts(s, d, minCount)
+      .select(col("trigram"), col("n").as("c3"))
+    val bigrams = toks.filter(size(t) >= 2)
+      .select(explode(transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1)))).as("bg"))
+    val c2 = bigrams.groupBy("bg").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val c1 = toks.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTok = toks.select(explode(t).as("w"))
+      .agg(count(lit(1)).as("n_corpus"))
+    // trigram hit ⇒ its history bigram passed the same cut (c₃ ≤ c₂),
+    // so the c₃ branch's denominator can never be null
+    val scored = grams
+      .join(broadcast(c3), grams("g3") === c3("trigram"), "left")
+      .join(broadcast(c2.select(col("bg"), col("c2").as("c2a"))),
+        grams("g2a") === col("bg"), "left").drop("bg")
+      .join(broadcast(c2.select(col("bg"), col("c2").as("c2b"))),
+        grams("g2b") === col("bg"), "left").drop("bg")
+      .join(c1.select(col("w"), col("c1").as("cu2")),
+        grams("u2") === col("w")).drop("w")
+      .join(c1.select(col("w"), col("c1").as("cu3")),
+        grams("u3") === col("w")).drop("w")
+      .crossJoin(broadcast(nTok))
+      .select(col("doc_id"),
+        when(col("c3").isNotNull,
+          log(col("c3").cast("double") / col("c2a")))
+          .when(col("c2b").isNotNull,
+            log(lit(0.4) * col("c2b").cast("double") / col("cu2")))
+          .otherwise(
+            log(lit(0.16) * col("cu3").cast("double") / col("n_corpus")))
+          .as("lp"),
+        when(col("c3").isNotNull, 1L).otherwise(0L).as("h3"),
+        when(col("c3").isNull && col("c2b").isNotNull, 1L).otherwise(0L).as("h2"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum("h3").as("n_trigram_hits"),
+        sum("h2").as("n_bigram_backoffs"),
+        (count(lit(1)) - sum("h3") - sum("h2")).as("n_unigram_backoffs"),
+        round(avg("lp"), 6).as("avg_logprob"))
+    val cuts = Stats.quantileCuts(perDoc, Seq(Stats.CutSpec("c",
+        "avg_logprob", Seq(0.3333333333333333, 0.6666666666666666))))._1
+      .select(element_at(col("c"), 1).as("k1"),
+        element_at(col("c"), 2).as("k2"))
+    perDoc.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("avg_logprob") > col("k2"), "head")
+          .when(col("avg_logprob") > col("k1"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "n_trigrams", "n_trigram_hits", "n_bigram_backoffs",
+        "n_unigram_backoffs", "avg_logprob", "tier")
+      .orderBy("doc_id")
+  }
+
   /** p4 — quality-weighted subsampling (the DCLM/FineWeb move: keep
     * high-quality documents with higher probability instead of a hard
     * threshold). Keep-probability p = 0.2 + 0.6·quality — every doc
@@ -2663,6 +2751,70 @@ object TextAnalysis {
         |SELECT doc_id, shard, tier,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY tier, hk, doc_id) AS INT) AS cur_pos
         |FROM t ORDER BY shard, cur_pos""".stripMargin)),
+    QueryDef("t35_backoff_perplexity", (s, d) => backoffPerplexity(s, d), Some(
+      // the full stupid-backoff replay: same pruned count tables, same
+      // branch rule, same ln arithmetic; the integer backoff-level
+      // counts pin every branch decision independent of fp
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |grams0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> struct_pack(
+        |        g3 := t[i] || ' ' || t[i+1] || ' ' || t[i+2],
+        |        g2a := t[i] || ' ' || t[i+1],
+        |        g2b := t[i+1] || ' ' || t[i+2],
+        |        u2 := t[i+1], u3 := t[i+2]))) AS p
+        |  FROM toks WHERE len(t) >= 3),
+        |g AS (
+        |  SELECT doc_id, p.g3 AS g3, p.g2a AS g2a, p.g2b AS g2b,
+        |    p.u2 AS u2, p.u3 AS u3
+        |  FROM grams0),
+        |c3 AS (
+        |  SELECT g3 AS tg, count(*) AS c3 FROM g
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |bi AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1])) AS bg
+        |  FROM toks WHERE len(t) >= 2),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bi
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_corpus FROM uni),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    CASE
+        |      WHEN c3.c3 IS NOT NULL THEN ln(CAST(c3.c3 AS DOUBLE) / c2a.c2)
+        |      WHEN c2b.c2 IS NOT NULL
+        |        THEN ln(0.4 * CAST(c2b.c2 AS DOUBLE) / cu2.c1)
+        |      ELSE ln(0.16 * CAST(cu3.c1 AS DOUBLE) / nt.n_corpus) END AS lp,
+        |    CASE WHEN c3.c3 IS NOT NULL THEN 1 ELSE 0 END AS h3,
+        |    CASE WHEN c3.c3 IS NULL AND c2b.c2 IS NOT NULL THEN 1 ELSE 0 END
+        |      AS h2
+        |  FROM g
+        |  LEFT JOIN c3 ON g.g3 = c3.tg
+        |  LEFT JOIN c2 c2a ON g.g2a = c2a.bg
+        |  LEFT JOIN c2 c2b ON g.g2b = c2b.bg
+        |  JOIN c1 cu2 ON g.u2 = cu2.w
+        |  JOIN c1 cu3 ON g.u3 = cu3.w
+        |  CROSS JOIN nt),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_trigrams,
+        |    CAST(sum(h3) AS BIGINT) AS n_trigram_hits,
+        |    CAST(sum(h2) AS BIGINT) AS n_bigram_backoffs,
+        |    CAST(count(*) - sum(h3) - sum(h2) AS BIGINT) AS n_unigram_backoffs,
+        |    round(avg(lp), 6) AS avg_logprob
+        |  FROM scored GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_cont(avg_logprob, 0.3333333333333333) AS k1,
+        |    quantile_cont(avg_logprob, 0.6666666666666666) AS k2
+        |  FROM perdoc)
+        |SELECT doc_id, n_trigrams, n_trigram_hits, n_bigram_backoffs,
+        |  n_unigram_backoffs, avg_logprob,
+        |  CASE WHEN avg_logprob > k2 THEN 'head'
+        |       WHEN avg_logprob > k1 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM perdoc CROSS JOIN cuts ORDER BY doc_id""".stripMargin)),
     QueryDef("t20_perplexity_tiers", (s, d) => perplexityTiers(s, d), Some(
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

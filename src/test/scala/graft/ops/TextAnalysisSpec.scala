@@ -1095,6 +1095,38 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("t35 backoff: levels partition every position, tier masses are thirds, head > tail") {
+    val rows = TextAnalysis.backoffPerplexity(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every trigram position scored at exactly one backoff level
+    rows.foreach { r =>
+      val (n, h3, h2, h1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(h3 + h2 + h1 == n && h3 >= 0 && h2 >= 0 && h1 >= 0, s"$r")
+      assert(n >= 1, s"doc with <3 tokens should have been filtered: $r")
+    }
+    // the pruned tables really force backoff somewhere, and the trigram
+    // table really hits somewhere — otherwise the operator degenerates
+    // to a unigram model (or to t16)
+    assert(rows.map(_.getLong(2)).sum > 0, "no trigram hits at all")
+    assert(rows.map(_.getLong(3)).sum + rows.map(_.getLong(4)).sum > 0,
+      "nothing backed off — the count cut is not biting")
+    // CCNet tier masses: percentile cuts at 1/3 and 2/3 → each tier
+    // holds a third of the docs (± ties on the rounded score)
+    val byTier = rows.groupBy(_.getString(6)).view.mapValues(_.length).toMap
+    assert(byTier.keySet == Set("head", "middle", "tail"), s"$byTier")
+    val third = rows.length / 3.0
+    byTier.foreach { case (t, n) =>
+      assert(math.abs(n - third) <= math.max(3, third * 0.05),
+        s"tier $t mass $n far from $third: $byTier")
+    }
+    // the split orders quality as intended: head docs score above tail
+    def meanLp(tier: String) = {
+      val g = rows.filter(_.getString(6) == tier).map(_.getDouble(5))
+      g.sum / g.length
+    }
+    assert(meanLp("head") > meanLp("tail"))
+  }
+
   test("t34 extraction: nav/footer/inline-js dropped by RULE, content kept, anchors stripped") {
     // hand-written page, independent of the fixture builder: each plant
     // must fall to the density/word-count RULES, not to plant identity
