@@ -688,4 +688,75 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(self.getDouble(0) - 4.0) < 1e-9 &&
       math.abs(self.getDouble(1) - 4.0) < 1e-9)
   }
+
+  test("v20: appended index matches a full rebuild's recall on planted clusters") {
+    import spark.implicits._
+    // v3's planted-cluster fixture shape (different seed): the regime
+    // where an index rebuild-vs-append difference would actually show
+    val rnd = new scala.util.Random(31)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_v20").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    def recallOf(res: Array[org.apache.spark.sql.Row]): Double = {
+      val brute = Similarity.bruteForceTopK(spark, dir).collect()
+        .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val got = res.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rc = brute.map { case (q, truth) =>
+        got.get(q).map(f => (f intersect truth).size.toDouble / truth.size)
+          .getOrElse(0.0)
+      }
+      rc.sum / rc.size
+    }
+    val appended = recallOf(Similarity.annIvfIncremental(spark, dir).collect())
+    val rebuilt = recallOf(Similarity.annIvf(spark, dir).collect())
+    assert(appended >= 0.9, s"appended-index recall $appended below 0.9")
+    assert(appended >= rebuilt - 0.05,
+      s"append lost recall vs full rebuild: $appended vs $rebuilt")
+  }
+
+  test("v20: per-batch cost is batch-sized and the base segment is immutable") {
+    def listing(p: String): Set[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getAbsolutePath, f.length, f.lastModified)).toSet
+    }
+    val st = Similarity.incrementalIvfState(spark, sf0001)
+    val baseBefore = listing(st.baseDir)
+    val report = Similarity.incrementalIvfMaintenance(spark, sf0001).collect().head
+    // the delta write is ∝ batch: its data files number at most one per
+    // touched cell per writing task — far below the base segment's —
+    // and nothing in the base segment was rewritten or touched
+    val deltaFiles = listing(st.deltaDir)
+    assert(deltaFiles.nonEmpty && deltaFiles.size <= report.getLong(1),
+      s"${deltaFiles.size} delta files for batch of ${report.getLong(1)}")
+    assert(listing(st.baseDir) == baseBefore, "append mutated the base segment")
+    assert(report.getLong(3) <= report.getLong(1)) // cells_touched <= n_batch
+  }
+
+  test("v20: drift gate quiet on the natural batch, fires on a shifted batch") {
+    import spark.implicits._
+    val natural = Similarity.incrementalIvfMaintenance(spark, sf0001).collect().head
+    assert(!natural.getBoolean(6),
+      s"gate fired on an in-distribution batch: $natural")
+    // shifted batch: every arriving vector collapses to one point → the
+    // occupancy lands in one cell, PSI far outside the control noise
+    val one = graft.Tables.embeddings(spark, sf0001)
+      .select("embedding").head().getSeq[Float](0)
+    val shifted = graft.Tables.embeddings(spark, sf0001)
+      .filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("vec_id"), typedlit(one).as("embedding"))
+    val drifted = Similarity
+      .incrementalIvfMaintenance(spark, sf0001, Some(shifted)).collect().head
+    assert(drifted.getBoolean(6), s"gate missed a fully-shifted batch: $drifted")
+    assert(drifted.getDouble(4) > natural.getDouble(4))
+  }
 }
