@@ -126,7 +126,36 @@ object GraftCatalog {
       .orderBy("day", "event_type")
   }
 
+  /** cat4 — MV roll-up COMPENSATION: a MONTHLY/event_type aggregation
+    * over raw events, answered from the DAILY view by re-aggregating
+    * its stored partials (count → sum(n), cents-sum → sum(cents)) —
+    * `MatViewRewriteRule`'s subsumption matcher, the Calcite/Oracle
+    * step beyond cat3's exact matching. Exact integer partials make the
+    * compensated answer bit-identical to the raw aggregation; the
+    * oracle reads raw events while the Spark plan reads only the view
+    * (spec-pinned, as is a non-rewritable query staying untouched).
+    */
+  def mvRollupCompensation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.plans.MatViews.stageDailyRollup(s, d)
+    graft.Tables.events(s, d)
+      .groupBy(trunc(to_date(col("ts")), "mon").as("month"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("event_type"), col("n"),
+        round(col("cents").cast("double") / 100, 2).as("revenue"))
+      .orderBy("month", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat4_mv_rollup", mvRollupCompensation, Some(
+      """SELECT strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m-%d')
+        |    AS month,
+        |  event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100, 2) AS revenue
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("cat3_mv_rewrite", mvRewriteRollup, Some(
       // the ORACLE reads raw events — agreement proves the view-backed
       // plan returns exactly the raw-data answer

@@ -1,11 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType, StringType}
 
 /** Materialized-view EXACT-MATCH substitution — the engine's third
   * optimizer-tier extension (beside the kernel-fusion rule and the as-of
@@ -14,9 +16,13 @@ import org.apache.spark.sql.functions._
   * fact scan. At 100 TB this is the difference between a full-corpus
   * shuffle and reading a few thousand pre-aggregated rows — the classic
   * summary-table pattern (Oracle/Calcite "materialized view rewrite"),
-  * done here as exact plan matching: the rewrite fires ONLY when the
-  * query's aggregate subtree is canonically identical to the view's
-  * defining query, so it can never change semantics.
+  * done here in two tiers: EXACT plan matching (cat3 — the query's
+  * aggregate subtree is canonically identical to the view's defining
+  * query, answered by a plain projection), and roll-up COMPENSATION
+  * (cat4 — a COARSER aggregation whose keys are expressions over the
+  * view's keys and whose aggregates are algebraic over the stored
+  * partials, answered by re-aggregating the view). Both fire only on
+  * structurally-proven matches, so neither can change semantics.
   *
   * Exactness discipline: the view stores counts and EXACT integer cents
   * (`sum(cast(round(value*100) as bigint))`), so the substituted answer
@@ -50,12 +56,61 @@ object MatViews {
   }
 
   /** One registered view: its parquet dir, the canonicalized defining
-    * plan, the source dataset dir, and the dataset fingerprint captured
-    * at stage time — re-checked at rewrite time so an in-place dataset
-    * regeneration can never be answered from the stale view.
+    * plan, the source dataset dir, the dataset fingerprint captured at
+    * stage time (re-checked at rewrite time so an in-place dataset
+    * regeneration can never be answered from the stale view), and the
+    * NORMALIZED key/partial expressions of the defining aggregate —
+    * what the roll-up compensation matcher (cat4) derives coarser
+    * queries from.
     */
   private[plans] final case class MvEntry(
-      mv: String, template: LogicalPlan, datasetDir: String, fingerprint: String)
+      mv: String, template: LogicalPlan, datasetDir: String, fingerprint: String,
+      dayNorm: Expression, etNorm: Expression, centsNorm: Expression)
+
+  /** Normalize an expression for cross-plan comparison: attribute
+    * references become `BoundReference`s at their ordinal in the
+    * relation's full data schema (name-keyed — stable across two scans
+    * of the same parquet however each plan pruned its columns), then
+    * canonicalize. Two plans over the same table produce equal
+    * normalized forms iff the expressions are the same computation.
+    */
+  private[plans] def normalizeToSchema(e: Expression, rel: LogicalRelation): Expression = {
+    val schema = rel.relation.schema
+    val ord = rel.output.collect {
+      case a: AttributeReference if schema.fieldNames.contains(a.name) =>
+        a.exprId -> schema.fieldIndex(a.name)
+    }.toMap
+    e.transform {
+      case a: AttributeReference if ord.contains(a.exprId) =>
+        BoundReference(ord(a.exprId), a.dataType, nullable = true)
+    }.canonicalized
+  }
+
+  private[plans] def stripAlias(e: Expression): Expression = e match {
+    case a: Alias => stripAlias(a.child)
+    case other => other
+  }
+
+  /** Substitute references to aliases defined in `plan`'s Projects by
+    * the aliased computation, to fixpoint — undoes both the optimizer's
+    * PullOutGroupingExpressions (which hides a grouping key behind a
+    * `_groupingexpression` attribute in a fully-optimized plan) and any
+    * reader-side normalization Projects, so expressions compare in
+    * terms of raw relation columns only.
+    */
+  private[plans] def inlineProjectAliases(e: Expression, plan: LogicalPlan): Expression = {
+    val aliasMap = plan.collect { case p: Project => p.projectList }
+      .flatten.collect { case al: Alias => al.exprId -> al.child }.toMap
+    @annotation.tailrec
+    def go(x: Expression): Expression = {
+      val r = x.transformUp {
+        case a: AttributeReference if aliasMap.contains(a.exprId) =>
+          aliasMap(a.exprId)
+      }
+      if (r.fastEquals(x)) r else go(r)
+    }
+    go(e)
+  }
 
   /** canonical events.parquet path -> registered view entry */
   private[plans] val registry =
@@ -87,10 +142,27 @@ object MatViews {
       }
       dir
     }
-    val template = withoutRewrite {
-      naiveDailyRollup(s, d).queryExecution.optimizedPlan.canonicalized
+    val opt = withoutRewrite {
+      naiveDailyRollup(s, d).queryExecution.optimizedPlan
     }
-    registry.put(canonicalSrc(d), MvEntry(mv, template, d, fp))
+    // the defining aggregate's normalized shapes: its DATE grouping key,
+    // its STRING grouping key, and the exact-cents Sum child — the
+    // vocabulary coarser queries must be expressible in for cat4
+    val (dayNorm, etNorm, centsNorm) = opt.collect { case a: Aggregate => a }
+      .headOption.map { a =>
+        val rel = a.collectFirst { case l: LogicalRelation => l }.get
+        val gs = a.groupingExpressions
+          .map(g => inlineProjectAliases(stripAlias(g), a))
+        val day = gs.find(_.dataType == DateType).get
+        val et = gs.find(_.dataType == StringType).get
+        val cents = a.aggregateExpressions.flatMap(_.collect {
+          case ae: AggregateExpression => ae.aggregateFunction
+        }).collectFirst { case sm: Sum => inlineProjectAliases(sm.child, a) }.get
+        (normalizeToSchema(day, rel), normalizeToSchema(et, rel),
+          normalizeToSchema(cents, rel))
+      }.get
+    registry.put(canonicalSrc(d),
+      MvEntry(mv, opt.canonicalized, d, fp, dayNorm, etNorm, centsNorm))
     mv
   }
 }
@@ -117,6 +189,148 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  private def viewScan(mv: String): LogicalPlan = {
+    val s = SparkSession.active
+    MatViews.withoutRewrite {
+      s.read.parquet(mv).select("day", "event_type", "n", "cents")
+        .queryExecution.analyzed
+    }
+  }
+
+  /** Exact-match substitution (cat3): one row per (day, event_type) by
+    * construction, so a plain projection over the view scan IS the
+    * aggregate's answer.
+    */
+  private def exactSwap(agg: Aggregate, entry: MatViews.MvEntry): Option[LogicalPlan] =
+    if (agg.canonicalized != entry.template) None
+    else {
+      val mvPlan = viewScan(entry.mv)
+      val out: Seq[NamedExpression] =
+        agg.output.zip(mvPlan.output).map { case (orig, fromMv) =>
+          Alias(fromMv, orig.name)(exprId = orig.exprId)
+        }
+      Some(Project(out, mvPlan))
+    }
+
+  /** Roll-up COMPENSATION (cat4 — the Calcite/Oracle "aggregate roll-up"
+    * step beyond exact matching): answer a COARSER aggregation from the
+    * daily view by re-aggregating its stored partials. Fires when
+    *
+    *   - every grouping key is an expression over the view's keys — each
+    *     key subtree that normalizes to the view's day/event_type
+    *     expression is replaced by a marker, and the rewrite is accepted
+    *     only if NO raw-column reference survives (grouping keys ⊆
+    *     functional closure of view keys, decided structurally); and
+    *   - every aggregate is algebraic over the stored partials:
+    *     count(<non-null literal>) re-aggregates as sum(n), and a sum
+    *     whose child normalizes to the view's exact-cents expression
+    *     re-aggregates as sum(cents) — both exact over integers, so the
+    *     compensated answer is bit-identical to the raw aggregation; and
+    *   - the aggregate reads the bare registered relation (projections
+    *     only below it — a Filter would need its own derivability proof,
+    *     out of scope).
+    *
+    * The compensated plan is Aggregate(G′, A′, viewScan) with outputs
+    * re-aliased to the original exprIds, so the parent plan never knows.
+    */
+  private def rollupSwap(agg: Aggregate, entry: MatViews.MvEntry): Option[LogicalPlan] = {
+    val chainOk = agg.child.collectFirst {
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[LogicalRelation] => n
+    }.isEmpty
+    val relOpt = agg.collectFirst { case l: LogicalRelation => l }
+    if (!chainOk || relOpt.isEmpty) return None
+    val rel = relOpt.get
+    def norm(e: Expression): Expression =
+      MatViews.normalizeToSchema(MatViews.inlineProjectAliases(e, agg), rel)
+
+    val dayMark = AttributeReference("__mv_day", DateType)()
+    val etMark = AttributeReference("__mv_et", StringType)()
+    // key-closure test: inline child-Project aliases FIRST (a pulled-out
+    // `_groupingexpression` attribute has no subtrees to match), then
+    // consume every subtree derivable from a view key; anything left
+    // referencing a raw column makes the key underivable
+    def derive(e: Expression): Option[Expression] = {
+      val replaced = MatViews.inlineProjectAliases(e, agg).transformUp {
+        case sub if norm(sub) == entry.dayNorm => dayMark
+        case sub if norm(sub) == entry.etNorm => etMark
+      }
+      if (replaced.references.forall(a =>
+        a.exprId == dayMark.exprId || a.exprId == etMark.exprId)) Some(replaced)
+      else None
+    }
+
+    val groupedOpt = agg.groupingExpressions
+      .map(g => derive(MatViews.stripAlias(g)))
+    if (groupedOpt.exists(_.isEmpty)) return None
+    val grouped = agg.groupingExpressions.map(MatViews.stripAlias)
+      .zip(groupedOpt.map(_.get))
+
+    val mvPlan = viewScan(entry.mv)
+    val Seq(vDay, vEt, vN, vCents) = mvPlan.output
+
+    // Compensate one output column. Post-CollapseProject, an output is an
+    // arbitrary scalar expression over grouping keys and aggregates
+    // (`date_format(month)`, `round(sum(cents)/100, 2)`, ...), so the
+    // classification is a tree rewrite, not a case split: compensatable
+    // AggregateExpressions re-aggregate the stored partials (count →
+    // sum(n), exact-cents sum → sum(cents)), derivable key subtrees
+    // become view-key markers, and the rewrite is accepted only if no
+    // raw-column reference survives. Anything else (count DISTINCT,
+    // sum over a non-partial expression, a raw-column scalar) leaves a
+    // residual reference or a poisoned node and kills the match.
+    val poison = AttributeReference("__mv_poison", LongType)()
+    def compensate(ne: NamedExpression): Option[NamedExpression] = {
+      val replaced = MatViews.inlineProjectAliases(ne, agg).transformUp {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count if c.children.forall {
+              case l: Literal => l.value != null
+              case _ => false
+            } =>
+              // partial counts always exist per surviving group → the
+              // sum is never null; Coalesce keeps count's non-null type
+              Coalesce(Seq(
+                AggregateExpression(Sum(vN), aggregate.completeMode,
+                  isDistinct = false), Literal(0L)))
+            case sm: Sum if sm.dataType == LongType &&
+              norm(sm.child) == entry.centsNorm =>
+              AggregateExpression(Sum(vCents), aggregate.completeMode,
+                isDistinct = false)
+            case _ => poison
+          }
+        case sub if norm(sub) == entry.dayNorm => dayMark
+        case sub if norm(sub) == entry.etNorm => etMark
+      }
+      val clean = replaced.references.forall(a =>
+        a.exprId == dayMark.exprId || a.exprId == etMark.exprId ||
+        a.exprId == vN.exprId || a.exprId == vCents.exprId)
+      // key-derived scalars here are sound by construction: analysis
+      // already validated every output as a function of the query's own
+      // grouping keys and aggregates, so a surviving key subtree can
+      // only be (part of) a query grouping expression
+      if (!clean) None
+      else replaced match {
+        case al: Alias => Some(al)
+        case other => Some(Alias(other, ne.name)(exprId = ne.exprId))
+      }
+    }
+    val outsOpt = agg.aggregateExpressions.map(compensate)
+    if (outsOpt.exists(_.isEmpty)) return None
+
+    def inst(e: Expression): Expression = e.transform {
+      case a: Attribute if a.exprId == dayMark.exprId => vDay
+      case a: Attribute if a.exprId == etMark.exprId => vEt
+    }
+    val newGroupings = grouped.map { case (_, derivedG) => inst(derivedG) }
+    val newOutputs = outsOpt.map(_.get).map(ne =>
+      inst(ne).asInstanceOf[NamedExpression])
+    Some(Aggregate(newGroupings, newOutputs, mvPlan))
+  }
+
+  private object aggregate {
+    val completeMode = org.apache.spark.sql.catalyst.expressions.aggregate.Complete
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MatViews.bypassed || MatViews.registry.isEmpty) return plan
     plan.transform {
@@ -124,32 +338,18 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
         val swapped = for {
           src <- srcPathOf(agg)
           entry <- Option(MatViews.registry.get(src))
-          if agg.canonicalized == entry.template
           // Staleness gate: the dataset may have been regenerated in
-          // place since staging. The fingerprint is an O(file-stat) walk,
-          // paid only after the src + canonical-template match, so it's a
-          // rare cost; on mismatch deregister so the stale view can
-          // never answer (the next stageDailyRollup re-registers fresh).
+          // place since staging. The fingerprint is an O(file-stat)
+          // walk, paid only for aggregates over a registered table; on
+          // mismatch deregister so the stale view can never answer (the
+          // next stageDailyRollup re-registers fresh).
           if {
             val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) == entry.fingerprint
             if (!fresh) MatViews.registry.remove(src, entry)
             fresh
           }
-          mv = entry.mv
-        } yield {
-          val s = SparkSession.active
-          // one row per (day, event_type) by construction: a plain
-          // projection over the view scan IS the aggregate's answer
-          val mvPlan = MatViews.withoutRewrite {
-            s.read.parquet(mv).select("day", "event_type", "n", "cents")
-              .queryExecution.analyzed
-          }
-          val out: Seq[NamedExpression] =
-            agg.output.zip(mvPlan.output).map { case (orig, fromMv) =>
-              Alias(fromMv, orig.name)(exprId = orig.exprId)
-            }
-          Project(out, mvPlan)
-        }
+          next <- exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
+        } yield next
         swapped.getOrElse(agg)
     }
   }

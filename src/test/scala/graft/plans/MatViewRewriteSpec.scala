@@ -42,4 +42,50 @@ class MatViewRewriteSpec extends SparkSpec {
     assert(!plan.contains("graft_mv_daily"),
       s"rewrite fired on a non-matching query:\n$plan")
   }
+
+  test("cat4 roll-up: the coarser aggregate reads ONLY the view and equals the raw answer") {
+    import org.apache.spark.sql.functions._
+    val df = graft.engine.GraftCatalog.mvRollupCompensation(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_daily"),
+      s"roll-up compensation did not fire:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"compensated plan still scans the fact table:\n$plan")
+    // bit-identical to the raw aggregation (exact integer partials)
+    val expected = MatViews.withoutRewrite {
+      graft.engine.GraftCatalog.mvRollupCompensation(spark, sf0001).collect()
+    }
+    assert(df.collect().toSeq == expected.toSeq)
+  }
+
+  test("cat4 roll-up: non-derivable aggregates and keys stay on the fact table") {
+    MatViews.stageDailyRollup(spark, sf0001)
+    import org.apache.spark.sql.functions._
+    // sum(value) is NOT algebraic over the stored cents partials
+    val rawSum = graft.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(sum("value").as("v"))
+    assert(!rawSum.queryExecution.executedPlan.toString.contains("graft_mv_daily"))
+    // hour-grained key is FINER than the view's day key — underivable
+    val hourly = graft.Tables.events(spark, sf0001)
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    assert(!hourly.queryExecution.executedPlan.toString.contains("graft_mv_daily"))
+    // count DISTINCT is not re-aggregatable from counts
+    val dist = graft.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(countDistinct("user_id").as("u"))
+    assert(!dist.queryExecution.executedPlan.toString.contains("graft_mv_daily"))
+    // but the pure event_type marginal IS derivable — the whole point
+    val marginal = graft.Tables.events(spark, sf0001)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val mplan = marginal.queryExecution.executedPlan.toString
+    assert(mplan.contains("graft_mv_daily") && !mplan.contains("events.parquet"),
+      s"event_type marginal should compensate from the view:\n$mplan")
+    val expected = MatViews.withoutRewrite { marginal.collect() }
+    assert(marginal.collect().sortBy(_.getString(0)).toSeq ==
+      expected.sortBy(_.getString(0)).toSeq)
+  }
 }
