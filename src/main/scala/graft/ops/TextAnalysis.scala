@@ -1502,6 +1502,41 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** p22 — CRAWL-to-corpus pipeline: the end-to-end composition a real
+    * corpus run starts with, now expressible because the engine has a
+    * crawl front door — src20's WET records (parsed from the
+    * gzip-member web-archive fixture, corrupt records already
+    * quarantined) flow through exact dedup (min-doc_id keeps, keyed on
+    * the md5 digest so the shuffle never carries raw text — p21's
+    * discipline) and t28's integer model-quality gate into the
+    * per-source sign-off accounting. Stage order IS the drop
+    * precedence (p13's contract); every count is recomputable from the
+    * documents table + src20's deterministic fixture rules, so the
+    * whole composition is fully oracled via chained CTEs — the oracle
+    * never sees a WARC byte.
+    */
+  def crawlCorpusBuild(s: SparkSession, d: String): DataFrame = {
+    val recs = graft.sources.Sources.wetRecords(s, d)
+    val parts = split(col("url"), "/")
+    val parsed = recs.filter(col("status") === "ok")
+      .select(element_at(parts, -1).cast("long").as("doc_id"),
+        element_at(parts, -2).as("source"), col("text"))
+      .withColumn("toks", size(tokens(col("text"))).cast("long"))
+    val w = Window.partitionBy(md5(col("text"))).orderBy("doc_id")
+    parsed
+      .withColumn("dk", row_number().over(w) === 1)
+      .withColumn("qk", t28ScoreU(col("text")) >= 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_parsed"),
+        sum("toks").as("tok_parsed"),
+        sum(when(col("dk"), 1L).otherwise(0L)).as("n_dedup"),
+        sum(when(col("dk"), col("toks")).otherwise(0L)).as("tok_dedup"),
+        sum(when(col("dk") && col("qk"), 1L).otherwise(0L)).as("n_quality"),
+        sum(when(col("dk") && col("qk"), col("toks")).otherwise(0L))
+          .as("tok_quality"))
+      .orderBy("source")
+  }
+
   /** p4 — quality-weighted subsampling (the DCLM/FineWeb move: keep
     * high-quality documents with higher probability instead of a hard
     * threshold). Keep-probability p = 0.2 + 0.6·quality — every doc
@@ -2527,6 +2562,38 @@ object TextAnalysis {
         |  md5(array_to_string(list_transform(ki, i -> sg[i]), ' '))
         |    AS clean_md5
         |FROM k ORDER BY doc_id""".stripMargin)),
+    QueryDef("p22_crawl_corpus", (s, d) => crawlCorpusBuild(s, d), Some {
+      val wlist = t28WeightsU.mkString("[", ",", "]")
+      // src20's fixture rule (doc_id % 97 == 13 → quarantined) selects
+      // the parsed set; dedup + the t28 integer scorer replay exactly
+      s"""WITH parsed AS (
+        |  SELECT doc_id, source, text,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |    string_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 97 <> 13),
+        |flags AS (
+        |  SELECT source, toks,
+        |    (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+        |      AS dk,
+        |    (CAST(coalesce(list_sum(list_transform(range(1, len(w)), i ->
+        |      (${wlist}::BIGINT[])[
+        |        (strpos('0123456789abcdef',
+        |           substr(md5(w[i] || ' ' || w[i+1]), 1, 1)) - 1) * 16
+        |        + strpos('0123456789abcdef',
+        |           substr(md5(w[i] || ' ' || w[i+1]), 2, 1))])), 0)
+        |      AS BIGINT) >= 0) AS qk
+        |  FROM parsed)
+        |SELECT source,
+        |  count(*) AS n_parsed,
+        |  CAST(sum(toks) AS BIGINT) AS tok_parsed,
+        |  CAST(sum(CASE WHEN dk THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+        |  CAST(sum(CASE WHEN dk THEN toks ELSE 0 END) AS BIGINT) AS tok_dedup,
+        |  CAST(sum(CASE WHEN dk AND qk THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality,
+        |  CAST(sum(CASE WHEN dk AND qk THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tok_quality
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin
+    }),
     QueryDef("t28_model_quality", (s, d) => modelQualityReport(s, d), Some {
       val wlist = t28WeightsU.mkString("[", ",", "]")
       s"""WITH t AS (

@@ -1095,6 +1095,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("p22 crawl corpus: stage chain only drops, parsed set = docs minus quarantined") {
+    val rows = TextAnalysis.crawlCorpusBuild(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, nd, nq) = (r.getLong(1), r.getLong(3), r.getLong(5))
+      assert(nq <= nd && nd <= np, s"stage chain grew: $r")
+      assert(r.getLong(6) <= r.getLong(4) && r.getLong(4) <= r.getLong(2))
+    }
+    // conservation against src20's quarantine rule: the parsed corpus is
+    // exactly the documents that survived the WET parse
+    val docs = graft.Tables.documents(spark, sf0001)
+    val expected = docs.filter(org.apache.spark.sql.functions.expr(
+      "doc_id % 97 != 13")).count()
+    assert(rows.map(_.getLong(1)).sum == expected,
+      s"parsed total ${rows.map(_.getLong(1)).sum} != $expected")
+  }
+
   test("t35 backoff: levels partition every position, tier masses are thirds, head > tail") {
     val rows = TextAnalysis.backoffPerplexity(spark, sf0001).collect()
     assert(rows.nonEmpty)
