@@ -148,7 +148,31 @@ object GraftCatalog {
       .orderBy("month", "event_type")
   }
 
+  /** cat5 — MV rewrite under a DERIVABLE FILTER: a clicks-only daily
+    * rollup over raw events, answered from the view with the predicate
+    * compensated onto the view scan (a predicate over the view's keys
+    * selects whole groups, so Filter(view) ≡ Filter(raw) exactly). The
+    * oracle reads raw events; the Spark plan reads only the view —
+    * spec-pinned, along with a value-predicate query staying on the
+    * fact table (derivability is the gate, not filter presence).
+    */
+  def mvFilterCompensation(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.plans.MatViews.stageDailyRollup(s, d)
+    graft.Tables.events(s, d)
+      .filter(col("event_type") === "click")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat5_mv_filter", mvFilterCompensation, Some(
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY day ORDER BY day""".stripMargin)),
     QueryDef("cat4_mv_rollup", mvRollupCompensation, Some(
       """SELECT strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m-%d')
         |    AS month,

@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, BoundReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
@@ -226,16 +226,22 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     *     whose child normalizes to the view's exact-cents expression
     *     re-aggregates as sum(cents) — both exact over integers, so the
     *     compensated answer is bit-identical to the raw aggregation; and
-    *   - the aggregate reads the bare registered relation (projections
-    *     only below it — a Filter would need its own derivability proof,
-    *     out of scope).
+    *   - the chain below the aggregate holds only Projects, the
+    *     registered relation, and Filters whose every condition is
+    *     ITSELF derivable from the view keys (cat5): a predicate over
+    *     day/event_type selects whole groups, so filtering the view's
+    *     rows is exactly filtering the raw rows — the compensated plan
+    *     gets Filter(cond′, viewScan) underneath. A predicate touching
+    *     any other column (value, user_id) kills the match.
     *
-    * The compensated plan is Aggregate(G′, A′, viewScan) with outputs
-    * re-aliased to the original exprIds, so the parent plan never knows.
+    * The compensated plan is Aggregate(G′, A′, [Filter(cond′,)] viewScan)
+    * with outputs re-aliased to the original exprIds, so the parent plan
+    * never knows.
     */
   private def rollupSwap(agg: Aggregate, entry: MatViews.MvEntry): Option[LogicalPlan] = {
     val chainOk = agg.child.collectFirst {
-      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[LogicalRelation] => n
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
+        !n.isInstanceOf[LogicalRelation] => n
     }.isEmpty
     val relOpt = agg.collectFirst { case l: LogicalRelation => l }
     if (!chainOk || relOpt.isEmpty) return None
@@ -258,6 +264,12 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
         a.exprId == dayMark.exprId || a.exprId == etMark.exprId)) Some(replaced)
       else None
     }
+
+    // cat5: every Filter condition below the aggregate must be a
+    // predicate over the view keys (whole-group selection)
+    val condsOpt = agg.child.collect { case f: Filter => f.condition }
+      .map(derive)
+    if (condsOpt.exists(_.isEmpty)) return None
 
     val groupedOpt = agg.groupingExpressions
       .map(g => derive(MatViews.stripAlias(g)))
@@ -324,7 +336,10 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     val newGroupings = grouped.map { case (_, derivedG) => inst(derivedG) }
     val newOutputs = outsOpt.map(_.get).map(ne =>
       inst(ne).asInstanceOf[NamedExpression])
-    Some(Aggregate(newGroupings, newOutputs, mvPlan))
+    val childPlan =
+      if (condsOpt.isEmpty) mvPlan
+      else Filter(condsOpt.map(c => inst(c.get)).reduce(And), mvPlan)
+    Some(Aggregate(newGroupings, newOutputs, childPlan))
   }
 
   private object aggregate {
