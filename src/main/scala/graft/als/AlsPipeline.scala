@@ -342,7 +342,6 @@ object AlsPipeline {
     */
   private[als] def computeImplicit(s: SparkSession, d: String,
       k: Int = 10, evalUsers: Int = 200): ImplicitArtifacts = {
-    import org.apache.spark.sql.expressions.Window
     val inter = implicitInteractions(s, d)
       .withColumn("b",
         conv(substring(md5(concat_ws(":", col("user"), col("item"))), 1, 2),
@@ -367,13 +366,32 @@ object AlsPipeline {
     val nHoldEval = holdEval.count()
     val trainPairs = train.select("user", "item")
     // strength-weighted mean percentile rank + hit-rate@k of a scored
-    // (user, item, <scoreCol>) candidate grid against the holdout
+    // (user, item, <scoreCol>) candidate grid against the holdout.
+    // Rank is computed as 1 + |strictly-better candidates| under
+    // (score desc, item asc) — identical to the row_number() it
+    // replaces, but as a join + hash aggregation instead of a
+    // per-user window: a Window.partitionBy(user) over the candidate
+    // grid sorts a CATALOG-sized partition per user in one task (the
+    // round-9 review flag), while this join is hash-partitioned and
+    // only the |holdout-per-user| ranks that MPR actually reads are
+    // ever materialized.
     def rankMetrics(scored: DataFrame, scoreCol: String): (Double, Double) = {
-      val w = Window.partitionBy("user").orderBy(desc(scoreCol), asc("item"))
-      val ranked = scored
-        .withColumn("rnk", row_number().over(w))
-        .withColumn("ncand", count(lit(1)).over(Window.partitionBy("user")))
-        .join(holdEval, Seq("user", "item"))
+      val holdScored = scored.join(holdEval, Seq("user", "item"))
+        .select(col("user"), col("item").as("hitem"),
+          col(scoreCol).as("hscore"), col("strength"))
+      val cand = scored.select(col("user"), col("item").as("citem"),
+        col(scoreCol).as("cscore"))
+      val better = cand
+        .join(holdScored.select("user", "hitem", "hscore"), Seq("user"))
+        .filter(col("cscore") > col("hscore") ||
+          (col("cscore") === col("hscore") && col("citem") < col("hitem")))
+        .groupBy("user", "hitem").agg(count(lit(1)).as("nbetter"))
+      val ncands = scored.groupBy("user").agg(count(lit(1)).as("ncand"))
+      val ranked = holdScored
+        .join(better, Seq("user", "hitem"), "left")
+        .na.fill(0L, Seq("nbetter"))
+        .join(ncands, Seq("user"))
+        .withColumn("rnk", col("nbetter") + 1)
       val r = ranked.agg(
         sum(col("strength") *
           when(col("ncand") > 1,
