@@ -65,14 +65,64 @@ object Graph {
     ranks
   }
 
-  /** g1 — PageRank over the nation-level trade graph: an edge
+  /** PERSONALIZED PageRank (the random-walk-with-restart ranking behind
+    * "related to THESE nodes" recommendations — Page et al. 1999 §6,
+    * Haveliwala 2002's topic-sensitive variant): [[pageRank]] with the
+    * uniform restart vector replaced by a distribution concentrated on a
+    * SEED set — restart goes to a seed (1/|S| each), never to an
+    * arbitrary node, so mass stays in the seeds' neighborhood and the
+    * stationary ranks measure proximity to the seed set. Dangling mass
+    * redistributes to the seed distribution too (the same correction,
+    * personalized). Identical per-iteration dataflow and 12-decimal
+    * rounding discipline as g1, so the unrolled iterations stay exactly
+    * oracle-able.
+    */
+  def personalizedPageRank(edgesIn: DataFrame, seedsIn: DataFrame,
+      iterations: Int = 10, damping: Double = 0.85): DataFrame = {
+    val edges = edgesIn.cache()
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct().cache()
+    // seeds outside the graph carry no edges and would strand restart
+    // mass — normalize over the seeds actually present (both engines)
+    val seeds = seedsIn.select("node").distinct()
+      .join(nodes, Seq("node"), "left_semi").cache()
+    val ns = seeds.count().toDouble
+    require(ns > 0, "personalized PageRank needs at least one seed in the graph")
+    val pvec = nodes
+      .join(seeds.withColumn("__s", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("__s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0)).as("p"))
+      .cache()
+    val dangling = nodes.join(edges.select("src").distinct(),
+      nodes("node") === col("src"), "left_anti").select("node").cache()
+
+    var ranks = pvec.select(col("node"), col("p").as("rank"))
+    for (i <- 1 to iterations) {
+      val dm = ranks.join(dangling, Seq("node"), "left_semi")
+        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val contrib = edges.join(ranks, edges("src") === ranks("node"))
+        .groupBy(edges("dst").as("cnode"))
+        .agg(sum(col("w") * col("rank")).as("mass"))
+      ranks = pvec
+        .join(contrib, pvec("node") === col("cnode"), "left")
+        .crossJoin(dm)
+        .select(pvec("node"),
+          round(lit(1 - damping) * col("p") +
+            lit(damping) * (coalesce(col("mass"), lit(0.0))
+              + col("dm") * col("p")), 12).as("rank"))
+      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** The nation-level trade graph g1 and g8 rank over: an edge
     * customer-nation → supplier-nation per lineitem (via its order),
     * weighted by flow count and out-normalized. The edge build is the
     * expensive part at scale — a fact-fact shuffle join on orderkey plus
-    * broadcastable dims — and it happens ONCE; the 10 rank iterations
-    * then run on the |nations|² aggregate.
+    * broadcastable dims — and it happens ONCE; the rank iterations then
+    * run on the |nations|² aggregate.
     */
-  def nationPageRank(s: SparkSession, d: String): DataFrame = {
+  private def nationTradeEdges(s: SparkSession, d: String): DataFrame = {
     val flows = lineitem(s, d).select("l_orderkey", "l_suppkey")
       .join(orders(s, d).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
@@ -82,11 +132,33 @@ object Graph {
         col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
       .agg(count(lit(1)).cast("double").as("cnt"))
-    val edges = flows.withColumn("w",
+    flows.withColumn("w",
       round(col("cnt") / sum("cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy("src")), 12))
       .select("src", "dst", "w")
-    pageRank(edges).select(col("node").as("nationkey"), col("rank"))
+  }
+
+  /** g1 — PageRank over the nation-level trade graph. */
+  def nationPageRank(s: SparkSession, d: String): DataFrame =
+    pageRank(nationTradeEdges(s, d))
+      .select(col("node").as("nationkey"), col("rank"))
+      .orderBy("nationkey")
+
+  /** g8 — PERSONALIZED PageRank on the trade graph, seeded at one
+    * region's nations: "which trading partners are closest to ASIA" —
+    * the walk restarts only inside the region, so ranks decay with
+    * trade distance from it. Fully oracled via g1's unrolled-CTE
+    * discipline with the personalized restart vector.
+    */
+  def regionPersonalizedRank(s: SparkSession, d: String,
+      region: String = "ASIA"): DataFrame = {
+    val seeds = Tables.nation(s, d)
+      .join(Tables.region(s, d),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === region)
+      .select(col("n_nationkey").as("node"))
+    personalizedPageRank(nationTradeEdges(s, d), seeds)
+      .select(col("node").as("nationkey"), col("rank"))
       .orderBy("nationkey")
   }
 
@@ -474,6 +546,50 @@ object Graph {
        |SELECT node AS nationkey, rank FROM pr10 ORDER BY 1""".stripMargin
   }
 
+  private def personalizedPageRankOracle: String = {
+    val steps = (1 to 10).map { i =>
+      s"""pr$i AS MATERIALIZED (
+         |  SELECT pv.node,
+         |    round(0.15 * pv.p + 0.85*(coalesce(im.mass, 0) +
+         |      (SELECT coalesce(sum(rank), 0) FROM pr${i - 1}
+         |       WHERE node IN (SELECT node FROM dang)) * pv.p), 12)
+         |      AS rank
+         |  FROM pvec pv LEFT JOIN (
+         |    SELECT e.dst AS dnode, sum(p.rank * e.w) AS mass
+         |    FROM edges e JOIN pr${i - 1} p ON p.node = e.src GROUP BY 1) im
+         |    ON pv.node = im.dnode)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH
+       |e0 AS MATERIALIZED (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |    CAST(count(*) AS DOUBLE) AS cnt
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst,
+       |    round(cnt / sum(cnt) OVER (PARTITION BY src), 12) AS w
+       |  FROM e0),
+       |nodes AS MATERIALIZED (
+       |  SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+       |seeds AS MATERIALIZED (
+       |  SELECT n_nationkey AS node FROM nation
+       |  JOIN region ON n_regionkey = r_regionkey
+       |  WHERE r_name = 'ASIA' AND n_nationkey IN (SELECT node FROM nodes)),
+       |ns AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS k FROM seeds),
+       |pvec AS MATERIALIZED (
+       |  SELECT node, CASE WHEN node IN (SELECT node FROM seeds)
+       |    THEN 1.0/(SELECT k FROM ns) ELSE 0.0 END AS p
+       |  FROM nodes),
+       |dang AS MATERIALIZED (
+       |  SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM e0)),
+       |pr0 AS MATERIALIZED (SELECT node, p AS rank FROM pvec),
+       |$steps
+       |SELECT node AS nationkey, rank FROM pr10 ORDER BY 1""".stripMargin
+  }
+
   /** Bounded Bellman-Ford relaxation: after R rounds, `cost(node)` is the
     * cheapest path from any seed using ≤ R edges — the distributed SSSP
     * iterate (each round = one edges⋈dist shuffle + one min-agg, both
@@ -580,6 +696,8 @@ object Graph {
         |FROM s0 JOIN s1 USING (node) JOIN s2 USING (node)
         |ORDER BY s0.node""".stripMargin)),
     QueryDef("g1_pagerank", nationPageRank, Some(pageRankOracle)),
+    QueryDef("g8_personalized_rank", (s, d) => regionPersonalizedRank(s, d),
+      Some(personalizedPageRankOracle)),
     // UNION (not UNION ALL) recursion: DuckDB's semi-naive evaluation
     // dedups (node, dist) states, so the walk is |nodes|·maxHops bounded
     // instead of path-enumerating; min() collapses to hop distance

@@ -178,4 +178,33 @@ class GraphSpec extends SparkSpec {
       assert(h1 >= lo && h1 <= hi && h2 >= lo && h2 <= hi)
     }
   }
+
+  test("g8 PPR: mass conserved, concentrated on the seed region vs uniform PR") {
+    import org.apache.spark.sql.functions._
+    val ppr = Graph.regionPersonalizedRank(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val pr = Graph.nationPageRank(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ppr.keySet == pr.keySet)
+    // total mass ≈ 1 (rounding each iteration costs ≤ nodes·1e-12/iter)
+    assert(math.abs(ppr.values.sum - 1.0) < 1e-6, s"mass ${ppr.values.sum}")
+    // the walk restarts only inside ASIA: its nations must hold MORE
+    // total rank than under the uniform restart
+    val asia = graft.Tables.nation(spark, sf0001)
+      .join(graft.Tables.region(spark, sf0001),
+        col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .select("n_nationkey").collect().map(_.getInt(0)).toSet
+    val pprAsia = asia.toSeq.flatMap(ppr.get).sum
+    val prAsia = asia.toSeq.flatMap(pr.get).sum
+    assert(pprAsia > prAsia,
+      s"personalization did not concentrate mass: $pprAsia vs $prAsia")
+    // a seed set entirely outside the graph must be rejected, not NaN
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "w")
+    val offGraph = Seq(99L).toDF("node")
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(edges, offGraph, iterations = 1)
+    }
+  }
 }
