@@ -1136,6 +1136,84 @@ object Similarity {
       .orderBy("src", "rank")
   }
 
+  /** v21 — GRAPH-search ANN serving (the flat-NSW beam search at the
+    * heart of HNSW — Malkov & Yashunin 2018, single-layer form): the
+    * engine's graph-ANN story closes serve-side — v15 BUILDS the kNN
+    * graph, v16 REFINES it, v21 answers queries from it. Entry points
+    * come from the IVF index (the coarse routing HNSW's upper layers
+    * provide — here the memoized quantizer already built): the query's
+    * nprobe-cell candidates are scored exactly and the best `ef` form
+    * the beam; each round then expands the beam's members' graph
+    * neighbors (undirected view), scores the newcomers exactly, and
+    * keeps the best `ef` of the union. Graph edges cross cell
+    * boundaries, so expansion recovers exactly the neighbors cell
+    * pruning loses — and because every candidate is EXACTLY scored and
+    * the pool only ever grows, the final top-k's per-rank score (and
+    * its recall, modulo score ties) is provably ≥ plain IVF's at the
+    * same nprobe. That containment theorem is the spec's anchor.
+    *
+    * Shape at scale: the beam table is O(queries·ef) rows, each round
+    * is one hash join with the O(n·k) edge list plus one with the
+    * embedding table (both on vector id), and every rank cut is the
+    * bounded TopK aggregator — no windows, no unbounded state. Rounds
+    * are fixed (the HNSW stop rule made dataflow-friendly), so cost is
+    * rounds × bounded joins regardless of corpus size. Rows-only
+    * (seeded KMeans has no SQL twin).
+    */
+  def graphSearchTopK(s: SparkSession, d: String, numQueries: Int = 5,
+      k: Int = 10, nprobe: Int = 1, ef: Int = 32, rounds: Int = 2): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val nCorpus = e.count()
+    val nl = adaptiveNlist(nCorpus)
+    val cents = memoCents(e, d, nl, nCorpus)
+    if (cents.isEmpty)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
+    val corpus = s.read.parquet(stagedIvfIndex(s, e, d, nl, cents))
+    val centDf = cents.toSeq.toDF("cell", "centroid")
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")).cache()
+    val probeW = Window.partitionBy("q_id").orderBy(desc("ccos"), asc("cell"))
+    val probes = q.crossJoin(broadcast(centDf))
+      .withColumn("ccos", cosine(col("qv"), col("centroid")))
+      .withColumn("pr", row_number().over(probeW))
+      .filter(col("pr") <= nprobe)
+      .select("q_id", "qv", "cell")
+    val probedCells = probes.select("cell").distinct().collect()
+      .map(_.getInt(0)).toSeq
+    val seeds = probes.join(corpus.filter(col("cell").isin(probedCells: _*)), "cell")
+      .filter(col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+      .select("q_id", "vec_id", "cos")
+    var beam = graft.functions.TopK.perGroup(seeds, "q_id", "cos", "vec_id", ef)
+      .select("q_id", "vec_id", "cos").localCheckpoint()
+    // undirected neighbor view of the memoized kNN graph: an edge is
+    // followable from either endpoint (NSW's search graph)
+    val g0 = knnGraph(s, d).select(col("src"), col("dst"))
+    val und = g0.union(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+    val full = e.select(col("vec_id"), col("embedding").as("nv"))
+    for (_ <- 1 to rounds) {
+      val expand = beam.select(col("q_id"), col("vec_id").as("src"))
+        .join(und, "src")
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .join(full, "vec_id")
+        .join(broadcast(q), "q_id")
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .select("q_id", "vec_id", "cos")
+      // the pool only grows: beam ∪ neighbors, deduped, best ef kept
+      val pool = beam.unionByName(expand)
+        .groupBy("q_id", "vec_id").agg(max("cos").as("cos"))
+      beam = graft.functions.TopK.perGroup(pool, "q_id", "cos", "vec_id", ef)
+        .select("q_id", "vec_id", "cos").localCheckpoint()
+    }
+    graft.functions.TopK.perGroup(beam, "q_id", "cos", "vec_id", k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** v18 — BINARY sign-bit embedding codes + Hamming retrieval (the
     * deterministic mean-threshold variant of Charikar 2002's hyperplane
     * LSH — the third member of the engine's compression triptych after
@@ -1370,6 +1448,7 @@ object Similarity {
     QueryDef("v15_knn_graph", (s, d) => knnGraph(s, d), None),
     QueryDef("v20_incremental_ivf", (s, d) => incrementalIvfMaintenance(s, d),
       None),
+    QueryDef("v21_graph_search", (s, d) => graphSearchTopK(s, d), None),
     // rows-only: NN-Descent inherits v15's seeded-KMeans upstream; the
     // spec pins per-rank monotonicity vs v15, recall-not-worse on planted
     // clusters, well-formedness, and rerun determinism

@@ -689,6 +689,50 @@ class SimilaritySpec extends SparkSpec {
       math.abs(self.getDouble(1) - 4.0) < 1e-9)
   }
 
+  test("v21 graph search: per-rank never below IVF at the same nprobe; clustered recall; rerun-stable") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(47)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_v21").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // the containment theorem: v21's pool starts from IVF's candidates
+    // (same nprobe) and only grows, every candidate exactly scored — so
+    // each rank's score can never fall below plain IVF's
+    val ivf = Similarity.annIvf(spark, dir, nprobe = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val gs = Similarity.graphSearchTopK(spark, dir, nprobe = 1).collect()
+    val gsm = gs.map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    ivf.foreach { case (key, ivfCos) =>
+      assert(gsm.getOrElse(key, -2.0) >= ivfCos - 1e-9,
+        s"rank $key: graph ${gsm.get(key)} below IVF $ivfCos")
+    }
+    // graph expansion recovers what nprobe=1 cell pruning loses
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recallOf(res: Array[org.apache.spark.sql.Row]): Double = {
+      val got = res.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rc = brute.map { case (qq, truth) =>
+        got.get(qq).map(f => (f intersect truth).size.toDouble / truth.size)
+          .getOrElse(0.0)
+      }
+      rc.sum / rc.size
+    }
+    val rIvf = recallOf(Similarity.annIvf(spark, dir, nprobe = 1).collect())
+    val rGs = recallOf(gs)
+    assert(rGs >= rIvf - 1e-9, s"graph recall $rGs below IVF $rIvf")
+    assert(rGs >= 0.85, s"graph-search recall $rGs below 0.85 on clustered data")
+    // deterministic end to end
+    val again = Similarity.graphSearchTopK(spark, dir, nprobe = 1).collect()
+    assert(gs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("v20: appended index matches a full rebuild's recall on planted clusters") {
     import spark.implicits._
     // v3's planted-cluster fixture shape (different seed): the regime
