@@ -656,6 +656,47 @@ object Quality {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** dq12 — INGEST-COMPLETENESS / volume-anomaly audit: the
+    * did-yesterday's-load-arrive check a warehouse runs before every
+    * downstream job trusts a time-partitioned table. The full calendar
+    * between the table's first and last day is generated (a silently
+    * MISSING day is precisely what a groupBy over existing rows can't
+    * see), each day's row count compared to its trailing-7-day window:
+    * `gap` (zero rows), `low` (under half the trailing mean), `high`
+    * (over double), else `ok`. The comparisons are integer
+    * cross-multiplications (2·n·cnt < sum etc.), never float division
+    * — bit-exact cross-engine, ts4's discipline.
+    *
+    * Scale: one full-data hash agg to the per-day rollup; the calendar
+    * explode and the trailing window run on the calendar-sized table
+    * only (a15/ts3's discipline — thousands of rows at any corpus
+    * size). Fully oracled.
+    */
+  def ingestCompletenessAudit(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val span = daily.agg(min("day").as("d0"), max("day").as("d1"))
+    val calendar = span
+      .select(explode(sequence(col("d0"), col("d1"))).as("day"))
+    val grid = calendar.join(daily, Seq("day"), "left")
+      .na.fill(0L, Seq("n"))
+    val w = Window.orderBy("day").rowsBetween(-7, -1)
+    grid
+      .withColumn("sum7", sum("n").over(w))
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .withColumn("status",
+        when(col("n") === 0, "gap")
+          .when(col("cnt7") > 0 && col("n") * 2 * col("cnt7") < col("sum7"), "low")
+          .when(col("cnt7") > 0 && col("n") * col("cnt7") > col("sum7") * 2, "high")
+          .otherwise("ok"))
+      .select(col("day"), col("n").as("n_events"),
+        coalesce(col("sum7"), lit(0L)).as("trail7_sum"),
+        col("cnt7").as("trail7_days"), col("status"))
+      .orderBy("day")
+  }
+
   /** dq11 — REFERENTIAL-INTEGRITY AUDIT: orphan counts and rates for
     * every foreign-key edge of the star schema (orders→customer,
     * lineitem→orders/part/supplier, customer→nation) — the audit a
@@ -699,6 +740,32 @@ object Quality {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("dq12_completeness", (s, d) => ingestCompletenessAudit(s, d), Some(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |cal AS (
+        |  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE)
+        |    AS day
+        |  FROM span),
+        |grid AS (
+        |  SELECT c.day, coalesce(d.n, 0) AS n
+        |  FROM cal c LEFT JOIN daily d USING (day)),
+        |win AS (
+        |  SELECT day, n,
+        |    CAST(coalesce(sum(n) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sum7,
+        |    CAST(count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS cnt7
+        |  FROM grid)
+        |SELECT day, CAST(n AS BIGINT) AS n_events, sum7 AS trail7_sum,
+        |  cnt7 AS trail7_days,
+        |  CASE WHEN n = 0 THEN 'gap'
+        |       WHEN cnt7 > 0 AND n * 2 * cnt7 < sum7 THEN 'low'
+        |       WHEN cnt7 > 0 AND n * cnt7 > sum7 * 2 THEN 'high'
+        |       ELSE 'ok' END AS status
+        |FROM win ORDER BY day""".stripMargin)),
     QueryDef("dq11_ref_integrity", (s, d) => refIntegrityAudit(s, d), Some(
       """WITH e1 AS (
         |  SELECT 'customer->nation' AS relation, count(*) AS n_rows,

@@ -246,4 +246,28 @@ class QualitySpec extends SparkSpec {
     assert(ta > 0 && tb > 0 && ta + tb ==
       graft.Tables.events(spark, sf0001).count())
   }
+
+  test("dq12: planted gap/spike/trickle days get flagged; steady days stay ok") {
+    import spark.implicits._
+    // 12 steady days of 100 events, then day 13 MISSING entirely, day 14
+    // a 2-event trickle, day 15 a 300-event spike, day 16 steady again
+    def burst(day: Int, n: Int): Seq[(Long, java.sql.Timestamp, Long, String, Double)] =
+      (0 until n).map { i =>
+        (day * 10000L + i,
+          java.sql.Timestamp.valueOf(f"2024-02-$day%02d 10:00:00"),
+          i.toLong % 50, "view", 1.0)
+      }
+    val rows = (1 to 12).flatMap(burst(_, 100)) ++
+      burst(14, 2) ++ burst(15, 300) ++ burst(16, 100)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dq12").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val audit = Quality.ingestCompletenessAudit(spark, dir).collect()
+      .map(r => r.getDate(0).toString -> r.getString(4)).toMap
+    assert(audit.size == 16, s"calendar should cover the span incl. the gap: $audit")
+    assert(audit("2024-02-13") == "gap", s"missing day not flagged: $audit")
+    assert(audit("2024-02-14") == "low", s"trickle day not flagged: $audit")
+    assert(audit("2024-02-15") == "high", s"spike day not flagged: $audit")
+    assert(audit("2024-02-10") == "ok" && audit("2024-02-16") == "ok")
+  }
 }
