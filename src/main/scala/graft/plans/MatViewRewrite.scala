@@ -346,6 +346,22 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     val completeMode = org.apache.spark.sql.catalyst.expressions.aggregate.Complete
   }
 
+  /** Cheap candidacy gate, run before ANY expensive matching: every
+    * aggregate function must be a plain (non-distinct, unfiltered)
+    * Count or Sum — the only shapes either tier can compensate. Plans
+    * like dq10's percentile aggregates over the same events table
+    * otherwise pay the full normalize-every-subtree matcher on every
+    * optimizer iteration just to fail (measured ~1.4 s on one query).
+    */
+  private def cheapCandidate(agg: Aggregate): Boolean =
+    agg.aggregateExpressions.forall(_.collect {
+      case ae: AggregateExpression => ae
+    }.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
+      (ae.aggregateFunction match {
+        case _: Count | _: Sum => true
+        case _ => false
+      })))
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MatViews.bypassed || MatViews.registry.isEmpty) return plan
     plan.transform {
@@ -353,6 +369,7 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
         val swapped = for {
           src <- srcPathOf(agg)
           entry <- Option(MatViews.registry.get(src))
+          if cheapCandidate(agg)
           // Staleness gate: the dataset may have been regenerated in
           // place since staging. The fingerprint is an O(file-stat)
           // walk, paid only for aggregates over a registered table; on
