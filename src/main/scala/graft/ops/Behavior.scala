@@ -467,6 +467,55 @@ object Behavior {
       .select("n_a", "x_a", "rate_a", "n_b", "x_b", "rate_b", "lift", "z")
   }
 
+  /** e22 — DIFFERENCE-IN-DIFFERENCES readout (Card & Krueger's
+    * quasi-experimental workhorse): when a change launches at a point
+    * in TIME rather than by randomized assignment, the naive post-vs-pre
+    * delta confounds the change with seasonality — DiD subtracts the
+    * control arm's own pre→post drift: (rA_post − rA_pre) −
+    * (rB_post − rB_pre). Launch day = the midpoint of the event span
+    * (deterministic, data-derived); units and arms are e20's exposed
+    * user-days and md5-parity buckets, so the 2×2 (arm, period) cube is
+    * the only full-data pass — a 4-cell rollup plus scalar arithmetic
+    * on exact integers, every rate a division of identical integers on
+    * both engines. Fully oracled.
+    */
+  def didReadout(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val launch = ev.agg(min(to_date(col("ts"))).as("d0"),
+        max(to_date(col("ts"))).as("d1"))
+      .select(expr("date_add(d0, cast(datediff(d1, d0) div 2 as int))")
+        .as("launch"))
+    val units = ev
+      .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(
+        max(when(col("event_type") === "view", 1).otherwise(0)).as("saw"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      .filter(col("saw") === 1)
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1)
+          .between("0", "7"), "A").otherwise("B"))
+      .crossJoin(broadcast(launch))
+      .withColumn("post", (col("day") >= col("launch")).cast("int"))
+    def cell(arm: String, post: Int, c: Column) =
+      sum(when(col("arm") === arm && col("post") === post, c).otherwise(0L))
+    val cube = units.agg(
+      first(col("launch")).as("launch"),
+      cell("A", 0, lit(1L)).as("n_a_pre"), cell("A", 0, col("conv")).as("x_a_pre"),
+      cell("A", 1, lit(1L)).as("n_a_post"), cell("A", 1, col("conv")).as("x_a_post"),
+      cell("B", 0, lit(1L)).as("n_b_pre"), cell("B", 0, col("conv")).as("x_b_pre"),
+      cell("B", 1, lit(1L)).as("n_b_post"), cell("B", 1, col("conv")).as("x_b_post"))
+    def rate(x: String, n: String) = col(x).cast("double") / col(n)
+    cube.select(
+      date_format(col("launch"), "yyyy-MM-dd").as("launch_day"),
+      col("n_a_pre"), col("n_a_post"), col("n_b_pre"), col("n_b_post"),
+      round(rate("x_a_pre", "n_a_pre"), 6).as("rate_a_pre"),
+      round(rate("x_a_post", "n_a_post"), 6).as("rate_a_post"),
+      round(rate("x_b_pre", "n_b_pre"), 6).as("rate_b_pre"),
+      round(rate("x_b_post", "n_b_post"), 6).as("rate_b_post"),
+      round((rate("x_a_post", "n_a_post") - rate("x_a_pre", "n_a_pre"))
+        - (rate("x_b_post", "n_b_post") - rate("x_b_pre", "n_b_pre")), 6)
+        .as("did"))
+  }
+
   /** e21 — CUPED variance-reduced A/B readout (Deng, Xu, Kohavi &
     * Walker 2013, "Improving the Sensitivity of Online Controlled
     * Experiments by Utilizing Pre-Experiment Data"): e20's user-day
@@ -572,6 +621,44 @@ object Behavior {
       |FROM r""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("e22_did_readout", (s, d) => didReadout(s, d), Some(
+      """WITH span AS (
+        |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+        |  FROM events),
+        |l AS (SELECT d0 + CAST((d1 - d0) // 2 AS INTEGER) AS launch FROM span),
+        |u AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id, day),
+        |units AS (
+        |  SELECT CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+        |      BETWEEN '0' AND '7' THEN 'A' ELSE 'B' END AS arm,
+        |    CASE WHEN day >= (SELECT launch FROM l) THEN 1 ELSE 0 END AS post,
+        |    conv
+        |  FROM u WHERE saw = 1),
+        |cube AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN arm='A' AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_pre,
+        |    CAST(sum(CASE WHEN arm='A' AND post=0 THEN conv ELSE 0 END) AS BIGINT) AS x_a_pre,
+        |    CAST(sum(CASE WHEN arm='A' AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_post,
+        |    CAST(sum(CASE WHEN arm='A' AND post=1 THEN conv ELSE 0 END) AS BIGINT) AS x_a_post,
+        |    CAST(sum(CASE WHEN arm='B' AND post=0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_pre,
+        |    CAST(sum(CASE WHEN arm='B' AND post=0 THEN conv ELSE 0 END) AS BIGINT) AS x_b_pre,
+        |    CAST(sum(CASE WHEN arm='B' AND post=1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b_post,
+        |    CAST(sum(CASE WHEN arm='B' AND post=1 THEN conv ELSE 0 END) AS BIGINT) AS x_b_post
+        |  FROM units)
+        |SELECT strftime((SELECT launch FROM l), '%Y-%m-%d') AS launch_day,
+        |  n_a_pre, n_a_post, n_b_pre, n_b_post,
+        |  round(CAST(x_a_pre AS DOUBLE) / n_a_pre, 6) AS rate_a_pre,
+        |  round(CAST(x_a_post AS DOUBLE) / n_a_post, 6) AS rate_a_post,
+        |  round(CAST(x_b_pre AS DOUBLE) / n_b_pre, 6) AS rate_b_pre,
+        |  round(CAST(x_b_post AS DOUBLE) / n_b_post, 6) AS rate_b_post,
+        |  round((CAST(x_a_post AS DOUBLE) / n_a_post
+        |      - CAST(x_a_pre AS DOUBLE) / n_a_pre)
+        |    - (CAST(x_b_post AS DOUBLE) / n_b_post
+        |      - CAST(x_b_pre AS DOUBLE) / n_b_pre), 6) AS did
+        |FROM cube""".stripMargin)),
     QueryDef("e21_cuped", (s, d) => cupedReadout(s, d), Some(
       // the same five exact-integer moments in DuckDB; every double
       // divides identical integers, so θ and the adjusted rates match

@@ -118,6 +118,25 @@ class BehaviorSpec extends SparkSpec {
       s"CUPED broke mean conservation: ${nA * ra + nB * rb} vs $totalConv")
   }
 
+  test("e22 DiD: all four cells populated, estimate recomputes from the cube") {
+    val r = graft.ops.Behavior.didReadout(spark, sf0001).collect().head
+    val (nap, napo, nbp, nbpo) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nap > 0 && napo > 0 && nbp > 0 && nbpo > 0,
+      s"an (arm, period) cell is empty: $r")
+    val (rap, rapo, rbp, rbpo) =
+      (r.getDouble(5), r.getDouble(6), r.getDouble(7), r.getDouble(8))
+    Seq(rap, rapo, rbp, rbpo).foreach(x => assert(x >= 0.0 && x <= 1.0))
+    // DiD must be the double difference of the reported rates (to the
+    // rounding the report applies)
+    val did = (rapo - rap) - (rbpo - rbp)
+    assert(math.abs(r.getDouble(9) - did) < 5e-6,
+      s"did ${r.getDouble(9)} vs recomputed $did")
+    // the midpoint launch day splits the span: both periods non-trivial
+    assert(math.min(nap + nbp, napo + nbpo).toDouble /
+      (nap + nbp + napo + nbpo) > 0.2, s"degenerate period split: $r")
+  }
+
   test("f14 CIDR rollup: blocks partition the traffic, min/max stay inside each prefix") {
     val rows = graft.ops.Relational.ipCidrRollup(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
