@@ -232,4 +232,25 @@ class PlanShapeSpec extends SparkSpec {
       "Exchange hashpartitioning\\(_groupingexpression".r.findAllIn(p).nonEmpty,
       s"p21's group shuffle should key on the md5 digest, not text:\n$p")
   }
+
+  test("crawl corpus (p22): dedup window keys on the md5 digest, never raw text") {
+    val p = plan("p22_crawl_corpus")
+    // the exact-dedup rank partitions by md5(text): the window exchange
+    // must hash on the projected digest (p21's discipline) — shuffling
+    // raw documents to dedup them is the classic 100 TB mistake
+    assert(p.contains("md5(cast(text"),
+      s"p22 lost its digest projection:\n$p")
+    assert(!"Exchange hashpartitioning\\(text".r.findAllIn(p).hasNext,
+      s"p22 shuffles raw text:\n$p")
+  }
+
+  test("mv roll-up (cat4/cat5): compensated plans aggregate the view, zero fact-table IO") {
+    graft.plans.MatViews.stageDailyRollup(spark, sf0001)
+    val p4 = plan("cat4_mv_rollup")
+    assert(p4.contains("graft_mv_daily") && !p4.contains("events.parquet"),
+      s"cat4 plan still touches the fact table:\n$p4")
+    val p5 = plan("cat5_mv_filter")
+    assert(p5.contains("graft_mv_daily") && !p5.contains("events.parquet"),
+      s"cat5 plan still touches the fact table:\n$p5")
+  }
 }
