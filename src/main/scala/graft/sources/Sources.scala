@@ -121,6 +121,11 @@ object Sources {
     * (Content-Length past EOF); docs with doc_id % 97 == 13 get a
     * garbled version line — the two corruption modes a real crawl dump
     * actually shows (mid-dump damage, cut-off transfer).
+    *
+    * The per-task local file writes here are FIXTURE SCAFFOLDING only
+    * (valid in local mode, binaryFileIngest's precedent): in production
+    * the WET shards already exist on shared storage — they ARE the
+    * input — and only the reader below is the production path.
     */
   private[graft] def wetStaged(s: SparkSession, d: String): String =
     Tables.stagedDir(wetMemo, s"$d#${Tables.datasetFingerprint(d)}") { () =>

@@ -70,6 +70,15 @@ class MatViewRewriteSpec extends SparkSpec {
     val rexp = MatViews.withoutRewrite { ranged.collect() }
     assert(ranged.collect().sortBy(_.getString(0)).toSeq ==
       rexp.sortBy(_.getString(0)).toSeq)
+    // the degenerate coarsening — the GLOBAL total (no grouping at all)
+    // — compensates too: sum of all daily partials
+    val global = graft.Tables.events(spark, sf0001)
+      .agg(count(lit(1)).as("n"))
+    val gplan = global.queryExecution.executedPlan.toString
+    assert(gplan.contains("graft_mv_daily") && !gplan.contains("events.parquet"),
+      s"global count should compensate from the view:\n$gplan")
+    val gexp = MatViews.withoutRewrite { global.head().getLong(0) }
+    assert(global.head().getLong(0) == gexp)
   }
 
   test("cat4 roll-up: the coarser aggregate reads ONLY the view and equals the raw answer") {
