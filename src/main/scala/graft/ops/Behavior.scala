@@ -467,6 +467,37 @@ object Behavior {
       .select("n_a", "x_a", "rate_a", "n_b", "x_b", "rate_b", "lift", "z")
   }
 
+  /** a23 — AUDIENCE-OVERLAP report: how the viewer, clicker, and buyer
+    * populations intersect — the segmentation question behind every
+    * funnel/retargeting dashboard ("how many viewers never buy",
+    * "are clickers a subset of viewers"). ONE user-keyed hash
+    * aggregation derives each user's three membership flags (the only
+    * full-data pass — the shuffle carries user ids and three bits),
+    * then a 1-row rollup counts every region of the Venn diagram by
+    * exact integer sums; inclusion-exclusion identities and the
+    * view↔purchase Jaccard ride along. At 100 TB this is the
+    * sketch-free exact form; a17's re-aggregatable HLL cube is the
+    * approximate path when even the user dictionary is too large —
+    * note HLL alone cannot intersect, which is why the exact flag
+    * rollup is the primitive worth owning. Fully oracled.
+    */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val flags = events(s, d).groupBy("user_id").agg(
+      max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+      max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+      max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+    flags.agg(
+      count(lit(1)).as("n_users"),
+      sum("v").as("n_view"), sum("c").as("n_click"), sum("p").as("n_purchase"),
+      sum(col("v") * col("c")).as("n_view_click"),
+      sum(col("v") * col("p")).as("n_view_purchase"),
+      sum(col("c") * col("p")).as("n_click_purchase"),
+      sum(col("v") * col("c") * col("p")).as("n_all_three"))
+      .withColumn("jaccard_view_purchase", round(
+        col("n_view_purchase").cast("double") /
+          (col("n_view") + col("n_purchase") - col("n_view_purchase")), 6))
+  }
+
   /** e22 — DIFFERENCE-IN-DIFFERENCES readout (Card & Krueger's
     * quasi-experimental workhorse): when a change launches at a point
     * in TIME rather than by randomized assignment, the naive post-vs-pre
@@ -621,6 +652,28 @@ object Behavior {
       |FROM r""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("a23_audience_overlap", (s, d) => audienceOverlap(s, d), Some(
+      """WITH flags AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p
+        |  FROM events GROUP BY user_id),
+        |cube AS (
+        |  SELECT count(*) AS n_users,
+        |    CAST(sum(v) AS BIGINT) AS n_view,
+        |    CAST(sum(c) AS BIGINT) AS n_click,
+        |    CAST(sum(p) AS BIGINT) AS n_purchase,
+        |    CAST(sum(v * c) AS BIGINT) AS n_view_click,
+        |    CAST(sum(v * p) AS BIGINT) AS n_view_purchase,
+        |    CAST(sum(c * p) AS BIGINT) AS n_click_purchase,
+        |    CAST(sum(v * c * p) AS BIGINT) AS n_all_three
+        |  FROM flags)
+        |SELECT *,
+        |  round(CAST(n_view_purchase AS DOUBLE)
+        |    / (n_view + n_purchase - n_view_purchase), 6)
+        |    AS jaccard_view_purchase
+        |FROM cube""".stripMargin)),
     QueryDef("e22_did_readout", (s, d) => didReadout(s, d), Some(
       """WITH span AS (
         |  SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1

@@ -118,6 +118,26 @@ class BehaviorSpec extends SparkSpec {
       s"CUPED broke mean conservation: ${nA * ra + nB * rb} vs $totalConv")
   }
 
+  test("a23 overlap: Venn regions obey set algebra, totals match direct distinct counts") {
+    val r = graft.ops.Behavior.audienceOverlap(spark, sf0001).collect().head
+    val (n, nv, nc, np) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (nvc, nvp, ncp, nall) =
+      (r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))
+    // every pairwise intersection bounded by its sides and below by the
+    // triple; union never exceeds the user population
+    assert(nvc <= math.min(nv, nc) && nvp <= math.min(nv, np) &&
+      ncp <= math.min(nc, np))
+    assert(nall <= math.min(nvc, math.min(nvp, ncp)))
+    assert(nv + nc + np - nvc - nvp - ncp + nall <= n)
+    // cross-check one leg against an independent direct computation
+    val ev = graft.Tables.events(spark, sf0001)
+    val direct = ev.filter(col("event_type") === "view")
+      .select("user_id").distinct()
+      .intersect(ev.filter(col("event_type") === "purchase")
+        .select("user_id").distinct()).count()
+    assert(nvp == direct, s"n_view_purchase $nvp != direct $direct")
+  }
+
   test("e22 DiD: all four cells populated, estimate recomputes from the cube") {
     val r = graft.ops.Behavior.didReadout(spark, sf0001).collect().head
     val (nap, napo, nbp, nbpo) =
