@@ -95,20 +95,26 @@ object Sources {
     * terminator). `version` is overridable so the fixture can plant a
     * garbled record the parser must quarantine.
     */
-  private def wetRecordBytes(docId: Long, source: String, text: String,
-      version: String = "WARC/1.0"): Array[Byte] = {
-    val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  private def warcRecordBytes(docId: Long, source: String,
+      payload: Array[Byte], warcType: String, contentType: String,
+      version: String): Array[Byte] = {
     val date = java.time.Instant.parse("2024-01-01T00:00:00Z")
       .plusSeconds(docId % 86400L)
     (s"$version\r\n" +
-      "WARC-Type: conversion\r\n" +
+      s"WARC-Type: $warcType\r\n" +
       s"WARC-Target-URI: http://crawl.test/$source/$docId\r\n" +
       s"WARC-Date: $date\r\n" +
-      "Content-Type: text/plain\r\n" +
+      s"Content-Type: $contentType\r\n" +
       s"Content-Length: ${payload.length}\r\n\r\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++
       payload ++ "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
   }
+
+  private def wetRecordBytes(docId: Long, source: String, text: String,
+      version: String = "WARC/1.0"): Array[Byte] =
+    warcRecordBytes(docId, source,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      "conversion", "text/plain", version)
 
   private val wetMemo = new java.util.concurrent.ConcurrentHashMap[String, String]
 
@@ -177,7 +183,8 @@ object Sources {
     * Content-Length past EOF emits `truncated` and stops. warcinfo and
     * other non-conversion records are skipped per the WET contract.
     */
-  private[graft] def parseWet(content: Array[Byte]): Seq[WetRec] = {
+  private[graft] def parseWet(content: Array[Byte],
+      keepTypes: Set[String] = Set("conversion")): Seq[WetRec] = {
     val marker = "WARC/1.0\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val n = content.length
     def indexOfMarker(from: Int): Int = {
@@ -220,7 +227,7 @@ object Sources {
           }
           headers.get("Content-Length").flatMap(_.toIntOption) match {
             case Some(len) if pos + len <= n =>
-              if (headers.get("WARC-Type").contains("conversion") &&
+              if (headers.get("WARC-Type").exists(keepTypes) &&
                 headers.contains("WARC-Target-URI")) {
                 val ts = headers.get("WARC-Date")
                   .map(dt => java.sql.Timestamp.from(java.time.Instant.parse(dt)))
@@ -251,9 +258,12 @@ object Sources {
     * Payload bytes never cross a shuffle — the only downstream moves
     * are on the parsed columns a query asks for.
     */
-  private[graft] def wetRecords(s: SparkSession, d: String): DataFrame = {
+  private[graft] def wetRecords(s: SparkSession, d: String): DataFrame =
+    warcRecordsFrom(s, wetStaged(s, d), Set("conversion"))
+
+  private[graft] def warcRecordsFrom(s: SparkSession, dir: String,
+      keepTypes: Set[String]): DataFrame = {
     import s.implicits._
-    val dir = wetStaged(s, d)
     s.read.format("binaryFile").option("pathGlobFilter", "*.warc.gz")
       .load(dir)
       .select("content").as[Array[Byte]]
@@ -266,9 +276,101 @@ object Sources {
         var k = in.read(chunk)
         while (k >= 0) { buf.write(chunk, 0, k); k = in.read(chunk) }
         in.close()
-        parseWet(buf.toByteArray)
+        parseWet(buf.toByteArray, keepTypes)
       }
       .toDF()
+  }
+
+  /** Stage the WARC RESPONSE fixture (src21): the same 8-shard
+    * per-record-gzip-member layout as the WET fixture, but each record
+    * is a `WARC-Type: response` carrying a full HTTP response —
+    * status line, headers, blank line, then the t34 HTML page rendered
+    * from the document — exactly what Common Crawl's raw WARC files
+    * hold before the WET extraction step. Corruption plants mirror
+    * wetStaged's (garbled version line on the same docs, truncated
+    * tail per shard). Fixture scaffolding only, like wetStaged.
+    */
+  private[graft] def warcResponseStaged(s: SparkSession, d: String): String =
+    Tables.stagedDir(wetMemo, s"warc#$d#${Tables.datasetFingerprint(d)}") { () =>
+      val dir = Tables.scratchDir("graft_warc", d)
+      val root = new java.io.File(dir)
+      if (root.exists()) Option(root.listFiles()).toSeq.flatten.foreach(_.delete())
+      root.mkdirs()
+      val (cMod, cRem) = (wetCorruptMod, wetCorruptRem)
+      documents(s, d).select("doc_id", "source", "text")
+        .repartition(wetFiles, col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = new java.io.FileOutputStream(s"$dir/part-$pid.warc.gz")
+          try {
+            def member(bytes: Array[Byte]): Unit = {
+              val gz = new java.util.zip.GZIPOutputStream(out)
+              gz.write(bytes); gz.finish()
+            }
+            val info = "software: graft-warc-writer\r\n"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            member(("WARC/1.0\r\nWARC-Type: warcinfo\r\n" +
+              s"Content-Length: ${info.length}\r\n\r\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ info ++
+              "\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            it.foreach { r =>
+              val id = r.getLong(0)
+              val html = graft.ops.TextAnalysis.buildHtml(id, r.getString(2))
+              val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                "X-Crawler: graft\r\n\r\n" + html)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val v = if (id % cMod == cRem) "WARC/0.9" else "WARC/1.0"
+              member(warcRecordBytes(id, r.getString(1), http, "response",
+                "application/http; msgtype=response", v))
+            }
+            member(("WARC/1.0\r\nWARC-Type: response\r\n" +
+              "WARC-Target-URI: http://crawl.test/_tail/0\r\n" +
+              "Content-Length: 999999\r\n\r\nshort")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          } finally out.close()
+        }
+      dir
+    }
+
+  /** src21 — the COMPLETE crawl front door: raw WARC response records
+    * → HTTP payload split → t34's HTML main-text extraction, in one
+    * declared pipeline (src20 handles the pre-extracted WET form; this
+    * is the step before it exists). Each ok record's payload is a full
+    * HTTP response; the body after the first blank line is the HTML
+    * page, and t34's density rules recover the document text. The
+    * per-source rollup counts docs, blocks, kept blocks, kept words,
+    * and DISTINCT extracted-text digests — all recomputable by the
+    * oracle from the documents table because t34's fixture makes the
+    * extracted text a token prefix, so agreement proves WARC framing +
+    * HTTP split + tag stripping + both density rules end-to-end
+    * without the oracle seeing a WARC byte. Narrow per-record work
+    * throughout; the only shuffle is the |sources|-row rollup.
+    */
+  def warcHtmlIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val recs = warcRecordsFrom(s, warcResponseStaged(s, d), Set("response"))
+    val parts = split(col("url"), "/")
+    val ok = recs.filter(col("status") === "ok")
+      .select(element_at(parts, -2).as("source"), col("text").as("payload"))
+      .as[(String, String)]
+      .map { case (src, payload) =>
+        val body = payload.split("\r\n\r\n", 2) match {
+          case Array(_, b) => b
+          case _ => ""
+        }
+        val (nb, kb, kw, cleaned) =
+          graft.ops.TextAnalysis.extractMainText(body)
+        (src, nb, kb, kw, cleaned)
+      }
+      .toDF("source", "n_blocks", "kept_blocks", "kept_words", "cleaned")
+    ok.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_blocks").as("n_blocks"),
+        sum("kept_blocks").as("n_kept_blocks"),
+        sum("kept_words").as("n_kept_words"),
+        countDistinct(md5(col("cleaned"))).as("n_distinct_clean"))
+      .orderBy("source")
   }
 
   /** src20 — the ingest AUDIT a crawl load signs off with: per source
@@ -1191,6 +1293,32 @@ object Sources {
         |  count(DISTINCT event_id) AS n_ids,
         |  round(sum(value), 2) AS value_sum
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src21_warc_html", warcHtmlIngest, Some(
+      // t34's token-prefix contract makes every per-doc extraction
+      // statistic (and its digest) a pure function of documents.text,
+      // so the oracle replays the whole WARC→HTTP→HTML chain's OUTPUT
+      // without parsing any of it
+      """WITH parsed AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS nw
+        |  FROM documents WHERE doc_id % 97 <> 13),
+        |k AS (
+        |  SELECT source,
+        |    CAST(ceil(nw / 8.0) AS BIGINT) + 3 AS nb,
+        |    CAST(nw // 8 + CASE WHEN nw % 8 >= 6 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS kb,
+        |    CAST((nw - nw % 8)
+        |      + CASE WHEN nw % 8 >= 6 THEN nw % 8 ELSE 0 END AS BIGINT) AS kw,
+        |    md5(array_to_string(list_slice(toks, 1,
+        |      (nw - nw % 8) + CASE WHEN nw % 8 >= 6 THEN nw % 8 ELSE 0 END),
+        |      ' ')) AS cm
+        |  FROM parsed)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_blocks,
+        |  CAST(sum(kb) AS BIGINT) AS n_kept_blocks,
+        |  CAST(sum(kw) AS BIGINT) AS n_kept_words,
+        |  count(DISTINCT cm) AS n_distinct_clean
+        |FROM k GROUP BY source ORDER BY source""".stripMargin)),
     QueryDef("src20_wet_ingest", wetIngest, Some(
       // the fixture is a pure function of documents: ok records are the
       // non-corrupt docs, bad_record count = the corrupt-rule docs,

@@ -383,6 +383,33 @@ class SourcesSpec extends SparkSpec {
     assert(byStatus("truncated") == Sources.wetFiles)
   }
 
+  test("warc response ingest (src21): conservation vs the quarantine rule, type filter bites") {
+    // the response-record path classifies records exactly like the WET
+    // path: ok + bad_record = documents, one truncated tail per shard
+    val recs = Sources.warcRecordsFrom(spark,
+      Sources.warcResponseStaged(spark, sf0001), Set("response"))
+    val byStatus = recs.groupBy("status").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nDocs = graft.Tables.documents(spark, sf0001).count()
+    val nBad = graft.Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % Sources.wetCorruptMod === Sources.wetCorruptRem)
+      .count()
+    assert(byStatus("ok") == nDocs - nBad && byStatus("bad_record") == nBad,
+      s"$byStatus vs $nDocs/$nBad")
+    assert(byStatus("truncated") == Sources.wetFiles)
+    // every ok payload is a real HTTP response whose body starts with
+    // the page markup — the split the src21 pipeline depends on
+    val payload = recs.filter(col("status") === "ok")
+      .select("text").head().getString(0)
+    assert(payload.startsWith("HTTP/1.1 200 OK\r\n"))
+    assert(payload.split("\r\n\r\n", 2)(1).startsWith("<html>"))
+    // the keep-type filter really bites: asking for conversion records
+    // from a response archive yields no ok rows (quarantine still counted)
+    val asWet = Sources.warcRecordsFrom(spark,
+      Sources.warcResponseStaged(spark, sf0001), Set("conversion"))
+    assert(asWet.filter(col("status") === "ok").count() == 0)
+  }
+
   test("wet parser: quarantines garbled + truncated records, resyncs to the next good one") {
     def gzMembers(recs: Array[Byte]*): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()
