@@ -188,6 +188,72 @@ object Mutations {
       .orderBy("event_type")
   }
 
+  /** up10 — PHYSICAL right-to-be-forgotten restatement: up8 computes the
+    * logical erasure; this executes it against a persisted DAY-partitioned
+    * store and proves the physics — the GDPR/CCPA delete job every
+    * lakehouse runs. Touched days come from the STORE itself (a
+    * forgotten user's rows pin the partitions that must change); the
+    * remainder of exactly those days rewrites under dynamic partition
+    * overwrite (up6's primitive), so write cost ∝ affected partitions
+    * and untouched day dirs stay byte-identical (spec-pinned, with the
+    * forgotten users provably absent from the post-store). Deriving
+    * touched days from the store — not the request — makes the job
+    * IDEMPOTENT for free: a re-run finds no forgotten rows, restates
+    * nothing, and every file stays byte-identical (spec-pinned).
+    *
+    * The declared audit joins RAW per-day counts with the post-store
+    * per-day counts: n_after comes from the actual files, so oracle
+    * agreement (which recomputes all four columns from the raw table
+    * and the deterministic forget rule user_id % 101 == 7) proves the
+    * physical delete removed exactly the requested rows and nothing
+    * else. Scale: the only full-data work is the one-time staging and
+    * the touched-day remainder write; the audit is two day-level
+    * rollups.
+    */
+  private[graft] def forgetPred = pmod(col("user_id"), lit(101)) === 7
+
+  private[graft] def forgetStoreDir(s: SparkSession, d: String): String = {
+    val dir = Tables.scratchDir("graft_up10_store", d)
+    events(s, d)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        to_date(col("ts")).as("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private[graft] def forgetRestate(s: SparkSession, dir: String): Long = {
+    val store = s.read.parquet(dir)
+    val touched = store.filter(forgetPred).select("day").distinct().cache()
+    val nTouched = touched.count() // calendar-bounded
+    if (nTouched > 0) {
+      val remainder = store.join(broadcast(touched), Seq("day"), "left_semi")
+        .filter(!forgetPred)
+        .select("event_id", "user_id", "event_type", "value", "day")
+      val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try remainder.write.partitionBy("day").mode("overwrite").parquet(dir)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    }
+    touched.unpersist(blocking = false)
+    nTouched
+  }
+
+  def forgetRestatement(s: SparkSession, d: String): DataFrame = {
+    val dir = forgetStoreDir(s, d)
+    forgetRestate(s, dir)
+    val before = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_before"))
+    val after = s.read.parquet(dir)
+      .groupBy("day").agg(count(lit(1)).as("n_after"))
+    before.join(after, Seq("day"), "left")
+      .na.fill(0L, Seq("n_after"))
+      .select(col("day"), col("n_before"), col("n_after"),
+        (col("n_before") - col("n_after")).as("n_removed"),
+        (col("n_before") > col("n_after")).as("restated"))
+      .orderBy("day")
+  }
+
   /** up7 — CDC APPLY, the inverse of up4's extract: replay the
     * insert/update/delete changeset onto the OLD snapshot and reproduce
     * the NEW one exactly — the round-trip that proves a diff feed loses
@@ -328,6 +394,16 @@ object Mutations {
         |             ELSE o_totalprice END, 2) AS price
         |FROM orders WHERE o_orderkey % 11 <> 0
         |ORDER BY o_orderkey""".stripMargin)),
+    QueryDef("up10_forget_restatement", forgetRestatement, Some(
+      // n_after is measured from the post-restatement FILES; the oracle
+      // recomputes it from the raw table + the forget rule — agreement
+      // proves the physical delete removed exactly the requested rows
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) AS n_before,
+        |  CAST(count(*) FILTER (user_id % 101 <> 7) AS BIGINT) AS n_after,
+        |  CAST(count(*) FILTER (user_id % 101 = 7) AS BIGINT) AS n_removed,
+        |  (count(*) FILTER (user_id % 101 = 7)) > 0 AS restated
+        |FROM events GROUP BY day ORDER BY day""".stripMargin)),
     QueryDef("up6_partition_overwrite", dynamicPartitionOverwrite, Some(
       """SELECT event_type, count(*) AS n,
         |  round(sum(CASE WHEN event_type = 'click' THEN value * 2 ELSE value END), 4)

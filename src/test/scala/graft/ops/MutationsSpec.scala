@@ -126,4 +126,39 @@ class MutationsSpec extends SparkSpec {
     // the two retained versions really are different table states
     assert(counts(0)._1 > counts(1)._1 && counts(0)._2 > counts(1)._2)
   }
+
+  test("up10 forget: untouched partitions byte-identical, users gone, re-run is a no-op") {
+    import org.apache.spark.sql.functions._
+    def listing(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    val dir = Mutations.forgetStoreDir(spark, sf0001)
+    val pre = listing(dir)
+    val untouchedDays = graft.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(when(col("user_id") % 101 === 7, 1L).otherwise(0L)).as("nf"))
+      .filter(col("nf") === 0).select("day").collect()
+      .map(_.getDate(0).toString).toSet
+    assert(untouchedDays.nonEmpty, "fixture has no untouched day to pin")
+    val touched = Mutations.forgetRestate(spark, dir)
+    assert(touched > 0, "the forget rule matched nothing")
+    val post = listing(dir)
+    // every file in an untouched day partition survived byte-identically
+    val preUntouched = pre.filter { case (path, _) =>
+      untouchedDays.exists(day => path.contains(s"day=$day")) }
+    preUntouched.foreach { case (path, meta) =>
+      assert(post.get(path).contains(meta), s"untouched partition mutated: $path")
+    }
+    // the forgotten users are physically gone
+    assert(spark.read.parquet(dir)
+      .filter(col("user_id") % 101 === 7).count() == 0)
+    // idempotence: deriving touched days from the STORE means a second
+    // run finds nothing, restates nothing, and every file is untouched
+    assert(Mutations.forgetRestate(spark, dir) == 0)
+    assert(listing(dir) == post, "re-run rewrote files")
+  }
 }
