@@ -167,7 +167,40 @@ object GraftCatalog {
       .orderBy("day")
   }
 
+  /** cat6 — JOIN-AWARE MV rewrite (Goldstein & Larson 2001; Calcite's
+    * `MaterializedViewRule`): the most common real dashboard query — an
+    * aggregate over the fact ⋈ dimension star join, here revenue by
+    * customer segment — answered from a registered AGGREGATE-JOIN view
+    * instead of re-running the join. The rule proves the query's join
+    * is structurally the view's own (same two relations, same
+    * equi-condition, Project/Filter otherwise), then reuses cat4's
+    * roll-up compensation: segment-only keys re-aggregate the stored
+    * (day, event_type, segment) exact-integer partials. At 100 TB the
+    * fact-side shuffle AND the dimension join both disappear — the plan
+    * reads a calendar × |types| × |segments|-sized view. The oracle
+    * replays the raw join in DuckDB; the Spark plan reads only the
+    * view (spec-pinned, with a different-condition join left alone).
+    */
+  def mvJoinRewrite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.plans.MatViews.stageStarRollup(s, d)
+    graft.Tables.events(s, d)
+      .join(graft.Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(col("c_mktsegment"), col("n"),
+        round(col("cents").cast("double") / 100, 2).as("revenue"))
+      .orderBy("c_mktsegment")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat6_mv_join", mvJoinRewrite, Some(
+      """SELECT c_mktsegment, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100, 2) AS revenue
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
     QueryDef("cat5_mv_filter", mvFilterCompensation, Some(
       """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

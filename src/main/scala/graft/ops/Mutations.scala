@@ -229,10 +229,25 @@ object Mutations {
       val remainder = store.join(broadcast(touched), Seq("day"), "left_semi")
         .filter(!forgetPred)
         .select("event_id", "user_id", "event_type", "value", "day")
+      // A touched day whose EVERY row is forgotten leaves no remainder row,
+      // so dynamic overwrite would never rewrite that partition and the
+      // forgotten rows would physically survive. Collect those days
+      // (calendar-bounded) before the write and drop their partition dirs
+      // explicitly afterwards.
+      val emptied = touched
+        .join(remainder.select("day").distinct(), Seq("day"), "left_anti")
+        .collect().map(_.getDate(0).toString)
       val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
       s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
       try remainder.write.partitionBy("day").mode("overwrite").parquet(dir)
       finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+      if (emptied.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        emptied.foreach { day =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"day=$day"), true)
+        }
+      }
     }
     touched.unpersist(blocking = false)
     nTouched

@@ -417,17 +417,32 @@ object Similarity {
         .write.mode("overwrite").partitionBy("cell").parquet(dir)
       dir
     }
-    val tag = if (batchOverride.isDefined) "ovr" else "std"
-    val deltaDir = graft.Tables.stagedDir(ivfStageMemo,
-      s"v20delta#${graft.Tables.scratchTag(d)}#$fp#$nl#$tag") { () =>
-      val dir = graft.Tables.scratchDir(s"graft_ivf_v20delta_${nl}_${fp}_$tag", d)
-      batch.select(col("vec_id"), col("embedding"),
-        (lit(0) - assignCell(col("embedding"), cents).getField("negcell"))
-          .as("cell"))
-        .write.mode("overwrite").partitionBy("cell").parquet(dir)
-      dir
+    // Key the delta staging on the override's CONTENT, not a fixed tag:
+    // two different override batches in one JVM (e.g. two drift
+    // scenarios) must not silently reuse each other's staged delta.
+    val tag = batchOverride match {
+      case None => "std"
+      case Some(b) =>
+        val h = b.select(coalesce(
+            bit_xor(xxhash64(col("vec_id"), col("embedding"))), lit(0L)).as("h"))
+          .head.getLong(0)
+        f"ovr$h%016x"
     }
-    IvfDelta(baseDir, deltaDir, cents, nl, nBase, batch.count())
+    val nBatch = batch.count()
+    // An empty batch would stage a parquet dir with no data files, and
+    // the later read would fail schema inference — skip the delta
+    // entirely; readers treat deltaDir == "" as "no delta segment".
+    val deltaDir = if (nBatch == 0) "" else
+      graft.Tables.stagedDir(ivfStageMemo,
+        s"v20delta#${graft.Tables.scratchTag(d)}#$fp#$nl#$tag") { () =>
+        val dir = graft.Tables.scratchDir(s"graft_ivf_v20delta_${nl}_${fp}_$tag", d)
+        batch.select(col("vec_id"), col("embedding"),
+          (lit(0) - assignCell(col("embedding"), cents).getField("negcell"))
+            .as("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(dir)
+        dir
+      }
+    IvfDelta(baseDir, deltaDir, cents, nl, nBase, nBatch)
   }
 
   /** Search over the appended index: v3's probe-and-prune against the
@@ -441,8 +456,9 @@ object Similarity {
     val st = incrementalIvfState(s, d)
     if (st.cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
-    val corpus = s.read.parquet(st.baseDir)
-      .unionByName(s.read.parquet(st.deltaDir))
+    val baseSeg = s.read.parquet(st.baseDir)
+    val corpus = if (st.deltaDir.isEmpty) baseSeg
+      else baseSeg.unionByName(s.read.parquet(st.deltaDir))
     val centDf = st.cents.toSeq.toDF("cell", "centroid")
     val q = embeddings(s, d).filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -508,6 +524,13 @@ object Similarity {
     val st = incrementalIvfState(s, d, batchOverride)
     if (st.cents.isEmpty)
       return Seq.empty[(Long, Long, Int, Long, Double, Double, Boolean)].toDF(
+        "n_base", "n_batch", "n_cells", "cells_touched", "psi", "psi_control",
+        "refit")
+    if (st.nBatch == 0)
+      // degrade to an explicit zero-batch report: nothing arrived, no
+      // cells touched, no drift evidence, never a refit (the NaN PSI a
+      // 0-total share table would produce compares > any threshold)
+      return Seq((st.nBase, 0L, st.cents.length, 0L, 0.0, 0.0, false)).toDF(
         "n_base", "n_batch", "n_cells", "cells_touched", "psi", "psi_control",
         "refit")
     val baseSeg = s.read.parquet(st.baseDir).cache()

@@ -3,11 +3,12 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, Coalesce, Expression, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DateType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DateType, LongType, StringType}
 
 /** Materialized-view EXACT-MATCH substitution — the engine's third
   * optimizer-tier extension (beside the kernel-fusion rule and the as-of
@@ -165,6 +166,110 @@ object MatViews {
       MvEntry(mv, opt.canonicalized, d, fp, dayNorm, etNorm, centsNorm))
     mv
   }
+
+  // ---- cat6: aggregate-JOIN view (Goldstein & Larson's join matching) ----
+
+  /** One registered aggregate-join view: the star rollup pre-joins the
+    * fact with a dimension and stores (day, event_type, c_mktsegment)
+    * partials. Because the view CONTAINS the join's result, a query
+    * aggregating the SAME join (structurally proven: same two relations,
+    * same equi-condition, only Project/Filter otherwise) with keys
+    * derivable from the view's keys and algebraic Count/Sum aggregates
+    * is answered by re-aggregating the view — no FK/cardinality
+    * assumption needed, exactly Goldstein & Larson 2001's
+    * "join-matching + roll-up" tier (Calcite `MaterializedViewRule`'s
+    * public form). `keyNorms` are two-relation normalized forms (see
+    * `normalizeToRels`), in view-column order.
+    */
+  private[plans] final case class StarEntry(
+      mv: String, datasetDir: String, fingerprint: String,
+      factSrc: String, dimSrc: String, joinCondNorm: Expression,
+      keyNorms: Seq[(Expression, DataType)], centsNorm: Expression)
+
+  /** fact canonical path -> registered aggregate-join view */
+  private[plans] val starRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, StarEntry]
+  private val starStaged = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[plans] def canonicalPath(d: String, table: String): String =
+    new java.io.File(s"$d/$table.parquet").getAbsolutePath
+
+  /** Two-relation normalization: attributes of relation i bind at
+    * ordinal `i*8192 + fieldIndex` in a virtual concatenated schema, so
+    * expressions over a (fact, dim) pair compare across plans however
+    * each pruned its columns. The relation order is fixed by role (fact
+    * first, dim second), never by plan position.
+    */
+  private[plans] def normalizeToRels(e: Expression, rels: Seq[LogicalRelation]): Expression = {
+    val ord = rels.zipWithIndex.flatMap { case (rel, ti) =>
+      val schema = rel.relation.schema
+      rel.output.collect {
+        case a: AttributeReference if schema.fieldNames.contains(a.name) =>
+          a.exprId -> (ti * 8192 + schema.fieldIndex(a.name))
+      }
+    }.toMap
+    e.transform {
+      case a: AttributeReference if ord.contains(a.exprId) =>
+        BoundReference(ord(a.exprId), a.dataType, nullable = true)
+    }.canonicalized
+  }
+
+  /** The canonical aggregate-join (star) rollup the cat6 tier
+    * recognizes: events joined to its user dimension, partials per
+    * (day, event_type, market segment). Calendar × |event types| ×
+    * |segments| rows — the summary table for every "revenue by
+    * customer segment" dashboard cut.
+    */
+  def naiveStarRollup(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .join(graft.Tables.customer(s, d), col("user_id") === col("c_custkey"))
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+
+  /** Stage (memoized) the star rollup for dataset `d` and register it
+    * for join-aware rewrite. Returns the view directory.
+    */
+  def stageStarRollup(s: SparkSession, d: String): String = {
+    val fp = graft.Tables.datasetFingerprint(d)
+    val key = s"star#$d#$fp"
+    val mv = graft.Tables.stagedDir(starStaged, key) { () =>
+      val dir = graft.Tables.scratchDir("graft_mv_star", d)
+      withoutRewrite {
+        naiveStarRollup(s, d).write.mode("overwrite").parquet(dir)
+      }
+      dir
+    }
+    val opt = withoutRewrite {
+      naiveStarRollup(s, d).queryExecution.optimizedPlan
+    }
+    val factSrc = canonicalSrc(d)
+    val dimSrc = canonicalPath(d, "customer")
+    val entry = opt.collect { case a: Aggregate => a }.headOption.map { a =>
+      val rels = a.collect { case l: LogicalRelation => l }
+      def pathOf(l: LogicalRelation): String = l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.headOption
+          .map(p => new java.io.File(p.toUri.getPath).getAbsolutePath).getOrElse("")
+        case _ => ""
+      }
+      val fact = rels.find(pathOf(_) == factSrc).get
+      val dim = rels.find(pathOf(_) == dimSrc).get
+      val ordered = Seq(fact, dim)
+      def norm(e: Expression): Expression =
+        normalizeToRels(inlineProjectAliases(e, a), ordered)
+      val j = a.collect { case jn: Join => jn }.head
+      val keyNorms = a.groupingExpressions.map(g =>
+        (norm(stripAlias(g)), g.dataType))
+      val cents = a.aggregateExpressions.flatMap(_.collect {
+        case ae: AggregateExpression => ae.aggregateFunction
+      }).collectFirst { case sm: Sum => norm(sm.child) }.get
+      StarEntry(mv, d, fp, factSrc, dimSrc, norm(j.condition.get),
+        keyNorms, cents)
+    }.get
+    starRegistry.put(factSrc, entry)
+    mv
+  }
 }
 
 /** The rewrite itself: an `Aggregate` whose single source relation is a
@@ -256,7 +361,13 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     // consume every subtree derivable from a view key; anything left
     // referencing a raw column makes the key underivable
     def derive(e: Expression): Option[Expression] = {
-      val replaced = MatViews.inlineProjectAliases(e, agg).transformUp {
+      val inlined = MatViews.inlineProjectAliases(e, agg)
+      // A non-deterministic predicate (rand() < 0.5) has no column
+      // references, so the closure test below would pass it vacuously —
+      // but compensating it onto the view scan samples whole GROUPS
+      // instead of raw rows, changing semantics. Deterministic only.
+      if (!inlined.deterministic) return None
+      val replaced = inlined.transformUp {
         case sub if norm(sub) == entry.dayNorm => dayMark
         case sub if norm(sub) == entry.etNorm => etMark
       }
@@ -346,6 +457,172 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     val completeMode = org.apache.spark.sql.catalyst.expressions.aggregate.Complete
   }
 
+  private def starViewScan(mv: String): LogicalPlan = {
+    val s = SparkSession.active
+    MatViews.withoutRewrite {
+      s.read.parquet(mv)
+        .select("day", "event_type", "c_mktsegment", "n", "cents")
+        .queryExecution.analyzed
+    }
+  }
+
+  private def relPathOf(l: LogicalRelation): String = l.relation match {
+    case h: HadoopFsRelation => h.location.rootPaths.headOption
+      .map(p => new java.io.File(p.toUri.getPath).getAbsolutePath).getOrElse("")
+    case _ => ""
+  }
+
+  /** cat6 — aggregate-over-JOIN answered from the registered
+    * aggregate-join view (Goldstein & Larson's join matching on top of
+    * cat4/cat5's compensation machinery). Fires when the subtree below
+    * the Aggregate is exactly ONE Inner Join of the registered fact and
+    * dimension relations (plus Project/Filter chains), the join
+    * condition normalizes to the view's defining condition, every
+    * Filter condition and grouping key is derivable from the view's
+    * keys, and every aggregate is algebraic over the stored partials.
+    * Because the view stores the join's own aggregated result, matching
+    * the join STRUCTURALLY is sufficient — no key/FK cardinality
+    * assumption is involved.
+    */
+  private def starSwap(agg: Aggregate, entry: MatViews.StarEntry): Option[LogicalPlan] = {
+    val chainOk = agg.child.collectFirst {
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
+        !n.isInstanceOf[Join] && !n.isInstanceOf[LogicalRelation] => n
+    }.isEmpty
+    if (!chainOk) return None
+    val joins = agg.collect { case j: Join => j }
+    val rels = agg.collect { case l: LogicalRelation => l }
+    if (joins.size != 1 || rels.size != 2) return None
+    val j = joins.head
+    if (j.joinType != Inner || j.condition.isEmpty) return None
+    val factOpt = rels.find(relPathOf(_) == entry.factSrc)
+    val dimOpt = rels.find(relPathOf(_) == entry.dimSrc)
+    if (factOpt.isEmpty || dimOpt.isEmpty) return None
+    val ordered = Seq(factOpt.get, dimOpt.get)
+    def norm(e: Expression): Expression =
+      MatViews.normalizeToRels(MatViews.inlineProjectAliases(e, agg), ordered)
+    if (norm(j.condition.get) != entry.joinCondNorm) return None
+
+    val marks = entry.keyNorms.zipWithIndex.map { case ((kn, dt), i) =>
+      kn -> AttributeReference(s"__mv_k$i", dt)()
+    }
+    val markIds = marks.map(_._2.exprId).toSet
+    def derive(e: Expression): Option[Expression] = {
+      val inlined = MatViews.inlineProjectAliases(e, agg)
+      if (!inlined.deterministic) return None
+      val replaced = inlined.transformUp {
+        case sub if marks.exists(_._1 == norm(sub)) =>
+          marks.find(_._1 == norm(sub)).get._2
+      }
+      if (replaced.references.forall(a => markIds.contains(a.exprId)))
+        Some(replaced)
+      else None
+    }
+
+    // every Filter below the aggregate — in either join leg or above the
+    // join — must be a whole-group (key-derivable) selection. Exception:
+    // `IsNotNull(<join key>)` conjuncts, which the optimizer infers FROM
+    // the join condition (InferFiltersFromConstraints) and which the
+    // inner equi-join subsumes — the view's rows already satisfy them.
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    val joinKeyNorms: Set[Expression] =
+      conjuncts(j.condition.get).flatMap {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+          Seq(norm(l), norm(r))
+        case _ => Seq.empty
+      }.toSet
+    val condsOpt = agg.child.collect { case f: Filter => f.condition }
+      .flatMap(conjuncts)
+      .filterNot {
+        case org.apache.spark.sql.catalyst.expressions.IsNotNull(c) =>
+          joinKeyNorms.contains(norm(c))
+        case _ => false
+      }
+      .map(derive)
+    if (condsOpt.exists(_.isEmpty)) return None
+    val groupedOpt = agg.groupingExpressions
+      .map(g => derive(MatViews.stripAlias(g)))
+    if (groupedOpt.exists(_.isEmpty)) return None
+
+    val mvPlan = starViewScan(entry.mv)
+    val Seq(vDay, vEt, vSeg, vN, vCents) = mvPlan.output
+    val keyAtts = Seq(vDay, vEt, vSeg)
+
+    val poison = AttributeReference("__mv_poison", LongType)()
+    def compensate(ne: NamedExpression): Option[NamedExpression] = {
+      val inlined = MatViews.inlineProjectAliases(ne, agg)
+      if (!inlined.deterministic) return None
+      val replaced = inlined.transformUp {
+        case ae: AggregateExpression if !ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count if c.children.forall {
+              case l: Literal => l.value != null
+              case _ => false
+            } =>
+              Coalesce(Seq(
+                AggregateExpression(Sum(vN), aggregate.completeMode,
+                  isDistinct = false), Literal(0L)))
+            case sm: Sum if sm.dataType == LongType &&
+              norm(sm.child) == entry.centsNorm =>
+              AggregateExpression(Sum(vCents), aggregate.completeMode,
+                isDistinct = false)
+            case _ => poison
+          }
+        case sub if marks.exists(_._1 == norm(sub)) =>
+          marks.find(_._1 == norm(sub)).get._2
+      }
+      val clean = replaced.references.forall(a =>
+        markIds.contains(a.exprId) ||
+        a.exprId == vN.exprId || a.exprId == vCents.exprId)
+      if (!clean) None
+      else replaced match {
+        case al: Alias => Some(al)
+        case other => Some(Alias(other, ne.name)(exprId = ne.exprId))
+      }
+    }
+    val outsOpt = agg.aggregateExpressions.map(compensate)
+    if (outsOpt.exists(_.isEmpty)) return None
+
+    def inst(e: Expression): Expression = e.transform {
+      case a: Attribute if markIds.contains(a.exprId) =>
+        keyAtts(marks.indexWhere(_._2.exprId == a.exprId))
+    }
+    val newGroupings = groupedOpt.map(g => inst(g.get))
+    val newOutputs = outsOpt.map(_.get).map(ne =>
+      inst(ne).asInstanceOf[NamedExpression])
+    val childPlan =
+      if (condsOpt.isEmpty) mvPlan
+      else Filter(condsOpt.map(c => inst(c.get)).reduce(And), mvPlan)
+    Some(Aggregate(newGroupings, newOutputs, childPlan))
+  }
+
+  /** starSwap's registry/staleness wrapper: the fact path keys the
+    * star registry; the fingerprint gate is cat3's discipline.
+    */
+  private def starPath(agg: Aggregate): Option[LogicalPlan] = {
+    if (MatViews.starRegistry.isEmpty || !cheapCandidate(agg)) return None
+    val rels = agg.collect { case l: LogicalRelation => l }
+    if (rels.size != 2) return None
+    val paths = rels.map(relPathOf)
+    for {
+      entry <- paths.flatMap(p =>
+        Option(MatViews.starRegistry.get(p))).headOption
+      // BOTH relations must be the view's own pair before paying the
+      // fingerprint file-walk — an events self-join or events ⋈ other
+      // aggregate exits here for free
+      if paths.contains(entry.factSrc) && paths.contains(entry.dimSrc)
+      if {
+        val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) == entry.fingerprint
+        if (!fresh) MatViews.starRegistry.remove(entry.factSrc, entry)
+        fresh
+      }
+      next <- starSwap(agg, entry)
+    } yield next
+  }
+
   /** Cheap candidacy gate, run before ANY expensive matching: every
     * aggregate function must be a plain (non-distinct, unfiltered)
     * Count or Sum — the only shapes either tier can compensate. Plans
@@ -363,10 +640,11 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
       })))
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (MatViews.bypassed || MatViews.registry.isEmpty) return plan
+    if (MatViews.bypassed ||
+      (MatViews.registry.isEmpty && MatViews.starRegistry.isEmpty)) return plan
     plan.transform {
       case agg: Aggregate =>
-        val swapped = for {
+        val single = for {
           src <- srcPathOf(agg)
           entry <- Option(MatViews.registry.get(src))
           if cheapCandidate(agg)
@@ -382,7 +660,7 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
           }
           next <- exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
         } yield next
-        swapped.getOrElse(agg)
+        single.orElse(starPath(agg)).getOrElse(agg)
     }
   }
 }

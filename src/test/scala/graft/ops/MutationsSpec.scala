@@ -161,4 +161,31 @@ class MutationsSpec extends SparkSpec {
     assert(Mutations.forgetRestate(spark, dir) == 0)
     assert(listing(dir) == post, "re-run rewrote files")
   }
+
+  test("up10 forget: a day whose EVERY row is forgotten is physically removed") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // Plant a store where day 2024-01-01 contains ONLY forgettable users
+    // (user_id % 101 == 7): dynamic overwrite alone would never rewrite it
+    // because the remainder has no row for that day.
+    val dir = graft.Tables.scratchDir("graft_up10_allforgot", sf0001)
+    val rows = Seq(
+      (1L, 7L, "view", 1.0, "2024-01-01"),    // 7 % 101 == 7
+      (2L, 108L, "view", 2.0, "2024-01-01"),  // 108 % 101 == 7
+      (3L, 5L, "click", 3.0, "2024-01-02"),   // kept
+      (4L, 7L, "view", 4.0, "2024-01-02")     // forgotten, day survives
+    ).toDF("event_id", "user_id", "event_type", "value", "d")
+      .withColumn("day", to_date(col("d"))).drop("d")
+    rows.write.partitionBy("day").mode("overwrite").parquet(dir)
+    assert(Mutations.forgetRestate(spark, dir) == 2)
+    val post = spark.read.parquet(dir)
+    assert(post.filter(col("user_id") % 101 === 7).count() == 0,
+      "forgotten rows survived in a fully-forgotten partition")
+    assert(post.select("day").distinct().as[java.sql.Date].collect()
+      .map(_.toString).toSet == Set("2024-01-02"))
+    assert(!new java.io.File(dir.stripPrefix("file:"), "day=2024-01-01").exists,
+      "emptied day partition dir not removed")
+    // idempotent: nothing left to forget
+    assert(Mutations.forgetRestate(spark, dir) == 0)
+  }
 }

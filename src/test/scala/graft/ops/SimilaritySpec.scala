@@ -803,4 +803,32 @@ class SimilaritySpec extends SparkSpec {
     assert(drifted.getBoolean(6), s"gate missed a fully-shifted batch: $drifted")
     assert(drifted.getDouble(4) > natural.getDouble(4))
   }
+
+  test("v20: override staging is content-keyed; an empty batch degrades cleanly") {
+    import spark.implicits._
+    val emb = graft.Tables.embeddings(spark, sf0001)
+    val one = emb.select("embedding").head().getSeq[Float](0)
+    // first override: the whole natural batch collapsed to one point
+    val big = emb.filter(pmod(col("vec_id"), lit(10)) === 7)
+      .select(col("vec_id"), typedlit(one).as("embedding"))
+    val bigRep = Similarity
+      .incrementalIvfMaintenance(spark, sf0001, Some(big)).collect().head
+    assert(bigRep.getLong(1) > 1)
+    // second, DIFFERENT override in the same JVM: one single vector. A
+    // fixed staging tag would silently reuse the first delta and report
+    // its cells; content keying must stage this batch on its own.
+    val small = emb.filter(col("vec_id") === 7)
+      .select(col("vec_id"), typedlit(one).as("embedding"))
+    val smallRep = Similarity
+      .incrementalIvfMaintenance(spark, sf0001, Some(small)).collect().head
+    assert(smallRep.getLong(1) == 1L)
+    assert(smallRep.getLong(3) == 1L,
+      s"stale delta reused for a different override: $smallRep")
+    // empty batch: explicit zero report (not a schema-inference crash),
+    // and the gate never fires on nothing
+    val emptyRep = Similarity
+      .incrementalIvfMaintenance(spark, sf0001, Some(big.limit(0))).collect().head
+    assert(emptyRep.getLong(1) == 0L && emptyRep.getLong(3) == 0L)
+    assert(emptyRep.getDouble(4) == 0.0 && !emptyRep.getBoolean(6))
+  }
 }

@@ -109,6 +109,16 @@ class MatViewRewriteSpec extends SparkSpec {
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
     assert(!hourly.queryExecution.executedPlan.toString.contains("graft_mv_daily"))
+    // a NON-DETERMINISTIC predicate has no column references, so the
+    // key-closure test alone would pass it vacuously — but compensating
+    // rand() onto the view samples whole GROUPS, not raw rows. Must stay
+    // on the fact table.
+    val sampled = graft.Tables.events(spark, sf0001)
+      .filter(rand(42) < 0.5)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    assert(!sampled.queryExecution.executedPlan.toString.contains("graft_mv_daily"),
+      "rewrite fired under a non-deterministic predicate")
     // count DISTINCT is not re-aggregatable from counts
     val dist = graft.Tables.events(spark, sf0001)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
@@ -125,5 +135,60 @@ class MatViewRewriteSpec extends SparkSpec {
     val expected = MatViews.withoutRewrite { marginal.collect() }
     assert(marginal.collect().sortBy(_.getString(0)).toSeq ==
       expected.sortBy(_.getString(0)).toSeq)
+  }
+
+  test("cat6 join-aware: the star aggregate reads ONLY the view and equals the raw join") {
+    val df = graft.engine.GraftCatalog.mvJoinRewrite(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_star"),
+      s"join-aware rewrite did not fire:\n$plan")
+    assert(!plan.contains("events.parquet") && !plan.contains("customer.parquet"),
+      s"rewritten plan still reads a base table:\n$plan")
+    val expected = MatViews.withoutRewrite {
+      graft.engine.GraftCatalog.mvJoinRewrite(spark, sf0001).collect()
+    }
+    assert(expected.nonEmpty)
+    assert(df.collect().toSeq == expected.toSeq,
+      "view-backed star answer diverges from the raw join")
+  }
+
+  test("cat6 join-aware: derivable filters compensate; foreign shapes stay on base tables") {
+    MatViews.stageStarRollup(spark, sf0001)
+    import org.apache.spark.sql.functions._
+    def star = graft.Tables.events(spark, sf0001)
+      .join(graft.Tables.customer(spark, sf0001),
+        col("user_id") === col("c_custkey"))
+    // a key-derivable filter (event_type) compensates onto the view scan
+    val filtered = star.filter(col("event_type") === "click")
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    val fplan = filtered.queryExecution.executedPlan.toString
+    assert(fplan.contains("graft_mv_star") && !fplan.contains("events.parquet"),
+      s"derivable filter should compensate:\n$fplan")
+    val fexp = MatViews.withoutRewrite { filtered.collect() }
+    assert(filtered.collect().sortBy(_.getString(0)).toSeq ==
+      fexp.sortBy(_.getString(0)).toSeq)
+    // a DIFFERENT join condition is not the view's join — left alone
+    val wrongJoin = graft.Tables.events(spark, sf0001)
+      .join(graft.Tables.customer(spark, sf0001),
+        col("user_id") === col("c_nationkey"))
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assert(!wrongJoin.queryExecution.executedPlan.toString.contains("graft_mv_star"),
+      "rewrite fired on a different join condition")
+    // a value predicate is not derivable from the view keys — left alone
+    val valueFilter = star.filter(col("value") > 5.0)
+      .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+    assert(!valueFilter.queryExecution.executedPlan.toString.contains("graft_mv_star"),
+      "rewrite fired under a raw-column predicate")
+    // a non-algebraic aggregate cannot re-aggregate from the partials
+    val avgAgg = star.groupBy(col("c_mktsegment")).agg(avg(col("value")).as("v"))
+    assert(!avgAgg.queryExecution.executedPlan.toString.contains("graft_mv_star"),
+      "rewrite fired on a non-compensatable aggregate")
+    // a coarser-than-segment cut — the GLOBAL total over the join
+    val global = star.agg(count(lit(1)).as("n"))
+    val gplan = global.queryExecution.executedPlan.toString
+    assert(gplan.contains("graft_mv_star") && !gplan.contains("events.parquet"),
+      s"global count over the join should compensate:\n$gplan")
+    val gexp = MatViews.withoutRewrite { global.head().getLong(0) }
+    assert(global.head().getLong(0) == gexp)
   }
 }
