@@ -194,7 +194,43 @@ object GraftCatalog {
       .orderBy("c_mktsegment")
   }
 
+  /** cat7 — INCREMENTAL maintenance of the registered MV: a managed
+    * copy of the events table is staged and registered (cat3's flow),
+    * then an append batch lands as NEW parquet files (p16's increment
+    * discipline), and `MatViews.maintainDailyRollup` folds ONLY those
+    * files into the stored partials (manifest diff — src15's trick;
+    * algebraic merge — up3's discipline: counts and exact cents both
+    * re-aggregate by summation), refreshing the registered fingerprint.
+    * The declared daily rollup over the post-append store is then
+    * answered BY THE MAINTAINED VIEW (plan reads neither the store nor
+    * a rebuilt view — spec-pinned, along with maintained ≡ full
+    * recompute and the delta-only read). Base ∪ increment is exactly
+    * the raw events table, so the DuckDB oracle recomputes the rollup
+    * from raw events — agreement proves the merged partials are the
+    * truth. At 100 TB this closes the gap the rewrite tier opened:
+    * view freshness at increment cost, not fact-rebuild cost.
+    */
+  def mvIncrementalMaintenance(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = graft.Tables.scratchDir("graft_cat7_store", d)
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
+      .write.mode("overwrite").parquet(s"$store/events.parquet")
+    graft.plans.MatViews.stageDailyRollup(s, store)
+    ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      .write.mode("append").parquet(s"$store/events.parquet")
+    graft.plans.MatViews.maintainDailyRollup(s, store)
+    graft.plans.MatViews.naiveDailyRollup(s, store)
+      .orderBy("day", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat7_mv_incremental", mvIncrementalMaintenance, Some(
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin)),
     QueryDef("cat6_mv_join", mvJoinRewrite, Some(
       """SELECT c_mktsegment, count(*) AS n,
         |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)

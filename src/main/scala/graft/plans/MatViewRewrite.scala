@@ -66,7 +66,8 @@ object MatViews {
     */
   private[plans] final case class MvEntry(
       mv: String, template: LogicalPlan, datasetDir: String, fingerprint: String,
-      dayNorm: Expression, etNorm: Expression, centsNorm: Expression)
+      dayNorm: Expression, etNorm: Expression, centsNorm: Expression,
+      manifest: Set[String] = Set.empty)
 
   /** Normalize an expression for cross-plan comparison: attribute
     * references become `BoundReference`s at their ordinal in the
@@ -163,8 +164,78 @@ object MatViews {
           normalizeToSchema(cents, rel))
       }.get
     registry.put(canonicalSrc(d),
-      MvEntry(mv, opt.canonicalized, d, fp, dayNorm, etNorm, centsNorm))
+      MvEntry(mv, opt.canonicalized, d, fp, dayNorm, etNorm, centsNorm,
+        listDataFiles(canonicalSrc(d))))
     mv
+  }
+
+  // ---- cat7: incremental maintenance of the registered view ----
+
+  /** Relative paths of the parquet data files under a table dir — the
+    * stage-time manifest appends are detected against (src15's trick:
+    * increment = current listing minus known listing, so maintenance
+    * reads ONLY the new files, never the table).
+    */
+  private[plans] def listDataFiles(src: String): Set[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val root = new java.io.File(src).getAbsoluteFile.toPath
+    walk(root.toFile).filter(_.getName.endsWith(".parquet"))
+      .map(f => root.relativize(f.getAbsoluteFile.toPath).toString).toSet
+  }
+
+  final case class MaintenanceReport(
+      added: Int, removed: Int, restaged: Boolean, viewDir: String)
+
+  private val maintVersion = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** cat7 — maintain the REGISTERED daily view after an append, in
+    * delta cost: new data files (manifest diff) are the only thing
+    * read; their rollup merges ALGEBRAICALLY into the stored partials
+    * (counts and exact cents both re-aggregate by summation — up3's
+    * discipline), the merged view lands in a fresh versioned dir, and
+    * the registry entry re-keys to the post-append fingerprint. At
+    * 100 TB this is the whole point of the rewrite tier: the view
+    * costs one increment-sized aggregation per batch instead of the
+    * full fact re-stage the fingerprint mismatch would otherwise
+    * force. Non-append changes (deleted/rewritten files) fall back to
+    * a full re-stage — the algebraic merge can only add partials.
+    */
+  def maintainDailyRollup(s: SparkSession, d: String): MaintenanceReport = {
+    val src = canonicalSrc(d)
+    val current = listDataFiles(src)
+    val fp = graft.Tables.datasetFingerprint(d)
+    Option(registry.get(src)) match {
+      case None =>
+        stageDailyRollup(s, d)
+        MaintenanceReport(current.size, 0, restaged = true, registry.get(src).mv)
+      case Some(entry) if entry.fingerprint == fp =>
+        MaintenanceReport(0, 0, restaged = false, entry.mv)
+      case Some(entry) =>
+        val added = current -- entry.manifest
+        val removed = entry.manifest -- current
+        if (removed.nonEmpty || added.isEmpty) {
+          stageDailyRollup(s, d)
+          MaintenanceReport(added.size, removed.size, restaged = true,
+            registry.get(src).mv)
+        } else {
+          val merged = withoutRewrite {
+            val delta = s.read.parquet(added.toSeq.sorted.map(f => s"$src/$f"): _*)
+              .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+            s.read.parquet(entry.mv).unionByName(delta)
+              .groupBy("day", "event_type")
+              .agg(sum("n").as("n"), sum("cents").as("cents"))
+          }
+          val dir = s"${entry.mv.replaceAll("_m\\d+$", "")}_m${maintVersion.incrementAndGet()}"
+          withoutRewrite { merged.write.mode("overwrite").parquet(dir) }
+          registry.put(src,
+            entry.copy(mv = dir, fingerprint = fp, manifest = current))
+          MaintenanceReport(added.size, 0, restaged = false, dir)
+        }
+    }
   }
 
   // ---- cat6: aggregate-JOIN view (Goldstein & Larson's join matching) ----

@@ -137,6 +137,55 @@ class MatViewRewriteSpec extends SparkSpec {
       expected.sortBy(_.getString(0)).toSeq)
   }
 
+  test("cat7: an append maintains the registered view in delta cost; stale never serves") {
+    import org.apache.spark.sql.functions._
+    val store = graft.Tables.scratchDir("graft_cat7spec", sf0001)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    def files(): Set[String] = MatViews.listDataFiles(s"$store/events.parquet")
+    ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
+      .write.mode("overwrite").parquet(s"$store/events.parquet")
+    MatViews.stageDailyRollup(spark, store)
+    val baseFiles = files()
+    ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      .write.mode("append").parquet(s"$store/events.parquet")
+    val appendedFiles = files() -- baseFiles
+    assert(appendedFiles.nonEmpty)
+    // maintenance detects EXACTLY the appended files and merges — no restage
+    val report = MatViews.maintainDailyRollup(spark, store)
+    assert(!report.restaged, "append was answered by a full re-stage")
+    assert(report.added == appendedFiles.size && report.removed == 0)
+    assert(report.viewDir.contains("_m"), s"view not versioned: ${report.viewDir}")
+    // maintained view ≡ full recompute over the post-append store
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3))
+    val maintained = spark.read.parquet(report.viewDir)
+      .select("day", "event_type", "n", "cents").collect().map(key).sortBy(t => (t._1, t._2))
+    val full = MatViews.withoutRewrite {
+      MatViews.naiveDailyRollup(spark, store).collect().map(key).sortBy(t => (t._1, t._2))
+    }
+    assert(maintained.toSeq == full.toSeq,
+      "algebraic merge diverged from the full recompute")
+    // the post-append query is answered from the MAINTAINED view dir
+    val df = MatViews.naiveDailyRollup(spark, store)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(report.viewDir).getName),
+      s"query not answered from the maintained view:\n$plan")
+    assert(df.collect().map(key).sortBy(t => (t._1, t._2)).toSeq == full.toSeq)
+    // no-op maintenance: nothing new, same view
+    val again = MatViews.maintainDailyRollup(spark, store)
+    assert(again.added == 0 && !again.restaged && again.viewDir == report.viewDir)
+    // and the staleness gate alone (no maintenance) never serves stale:
+    // append once more and query WITHOUT maintaining
+    ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      .withColumn("event_id", col("event_id") + 1000000000L)
+      .write.mode("append").parquet(s"$store/events.parquet")
+    val pre = MatViews.naiveDailyRollup(spark, store)
+    assert(!pre.queryExecution.executedPlan.toString
+      .contains(new java.io.File(report.viewDir).getName),
+      "stale maintained view served after an unmaintained append")
+  }
+
   test("cat6 join-aware: the star aggregate reads ONLY the view and equals the raw join") {
     val df = graft.engine.GraftCatalog.mvJoinRewrite(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
