@@ -450,15 +450,17 @@ object Similarity {
     * literal cell filter prunes partitions in each. Spec-pinned to
     * recall parity with a from-scratch rebuild on the full corpus.
     */
-  private[ops] def annIvfIncremental(s: SparkSession, d: String,
-      numQueries: Int = 5, k: Int = 10, nprobe: Int = 4): DataFrame = {
+  private[graft] def annIvfIncremental(s: SparkSession, d: String,
+      numQueries: Int = 5, k: Int = 10, nprobe: Int = 4,
+      deltaDirOverride: Option[String] = None): DataFrame = {
     import s.implicits._
     val st = incrementalIvfState(s, d)
     if (st.cents.isEmpty)
       return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
+    val deltaDir = deltaDirOverride.getOrElse(st.deltaDir)
     val baseSeg = s.read.parquet(st.baseDir)
-    val corpus = if (st.deltaDir.isEmpty) baseSeg
-      else baseSeg.unionByName(s.read.parquet(st.deltaDir))
+    val corpus = if (deltaDir.isEmpty) baseSeg
+      else baseSeg.unionByName(s.read.parquet(deltaDir))
     val centDf = st.cents.toSeq.toDF("cell", "centroid")
     val q = embeddings(s, d).filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
@@ -551,6 +553,99 @@ object Similarity {
         round(col("psi_control"), 4).as("psi_control"),
         (col("psi") > greatest(lit(0.25), lit(3.0) * col("psi_control")))
           .as("refit"))
+  }
+
+  // ---- st24: STREAMING vector ingest into the v20 incremental index ----
+
+  /** Scratch delta dir the stream writes; exposed for the parity spec. */
+  private[graft] def streamDeltaDir(d: String): String =
+    graft.Tables.scratchDir("graft_st24_delta", d)
+
+  /** st24 — STREAMING vector ingest: v20's delta-segment append as a
+    * Structured Streaming pipeline, closing the st × v family
+    * composition (real corpora arrive as streams). The arriving batch
+    * (v20's increment rule) is staged as a multi-file stream source;
+    * `maxFilesPerTrigger=1` makes each file its own micro-batch, and
+    * `foreachBatch` runs the EXACT v20 append per batch: assign the
+    * batch's vectors to the FROZEN base centroids (no refit — the
+    * batch reuses existing geometry), append them as that batch's own
+    * cell-partitioned delta segment files (LSM discipline: base files
+    * immutable, each micro-batch adds its own segment), and evaluate
+    * the noise-calibrated PSI drift gate against the base occupancy —
+    * the per-batch decision a live ingest pipeline actually makes.
+    *
+    * Per-batch state is bounded: the assignment is one narrow pass
+    * over the batch, the gate arithmetic reads two nlist-sized count
+    * tables, and the ledger row is 5 scalars. The declared result is
+    * the ingest LEDGER (one row per micro-batch, ordered by batch
+    * content — `first_vec`, the batch's min vec_id — so arrival order
+    * can't perturb the output). Rows-only (the cell geometry is a
+    * seeded KMeans fit): the spec pins stream ≡ batch — the streamed
+    * delta holds exactly v20's (vec_id, cell) assignment and the
+    * search over base + streamed delta returns v20's results
+    * bit-for-bit — plus per-batch segment isolation.
+    */
+  def streamingVectorIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = incrementalIvfState(s, d)
+    if (st.cents.isEmpty || st.nBatch == 0)
+      return Seq.empty[(Long, Long, Long, Double, Boolean)]
+        .toDF("first_vec", "n_batch", "cells_touched", "psi", "refit")
+    val cents = st.cents
+    val baseSeg = s.read.parquet(st.baseDir)
+    val baseCounts = baseSeg.groupBy("cell").agg(count(lit(1)).as("nb")).cache()
+    // v20's noise calibration: the gate threshold comes from an
+    // in-distribution control slice of the base corpus (already
+    // assigned inside the base segment)
+    val psiControl = cellPsi(baseCounts,
+      baseSeg.filter(pmod(col("vec_id"), lit(10)) === 3)
+        .groupBy("cell").agg(count(lit(1)).as("nx")))
+      .head().getDouble(0)
+    val thresh = math.max(0.25, 3.0 * psiControl)
+
+    // stage the arriving vectors as a multi-file stream source (4 slices)
+    val srcDir = graft.Tables.scratchDir("graft_st24_src", d)
+    embeddings(s, d).filter(v20BatchPred)
+      .withColumn("slice", pmod(col("vec_id"), lit(4)).cast("int"))
+      .repartitionByRange(4, col("slice"))
+      .write.mode("overwrite").parquet(srcDir)
+    val srcSchema = s.read.parquet(srcDir).schema
+    val deltaDir = streamDeltaDir(d)
+    val ckpt = graft.Tables.scratchDir("graft_st24_ckpt", d)
+    // fresh run: clear the accumulated segments and the source ledger
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(deltaDir, ckpt).foreach { p =>
+      val path = new org.apache.hadoop.fs.Path(p)
+      path.getFileSystem(hconf).delete(path, true)
+    }
+    val ledger =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double, Boolean)]
+    val q = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val assigned = b.select(col("vec_id"), col("embedding"),
+            (lit(0) - assignCell(col("embedding"), cents).getField("negcell"))
+              .as("cell")).cache()
+          // this micro-batch's own delta segment (append = new files only)
+          assigned.write.mode("append").partitionBy("cell").parquet(deltaDir)
+          val cellCounts = assigned.groupBy("cell").agg(count(lit(1)).as("nx"))
+          val psi = cellPsi(baseCounts, cellCounts).head().getDouble(0)
+          val head = assigned.agg(min("vec_id"), count(lit(1)),
+            countDistinct("cell")).head()
+          ledger.add((head.getLong(0), head.getLong(1), head.getLong(2),
+            math.rint(psi * 1e4) / 1e4, psi > thresh))
+          assigned.unpersist(blocking = false)
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    baseCounts.unpersist(blocking = false)
+    import scala.jdk.CollectionConverters._
+    ledger.asScala.toSeq.sortBy(_._1)
+      .toDF("first_vec", "n_batch", "cells_touched", "psi", "refit")
   }
 
   /** v13's intermediate surfaces, exposed so the spec can count the

@@ -1334,6 +1334,8 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st24_streaming_vector_ingest",
+      (s, d) => graft.ops.Similarity.streamingVectorIngest(s, d)),
     QueryDef("st23_streaming_ab_test", (s, d) => streamingAbTest(s, d),
       // e20's oracle verbatim: the unit cube is algebraic, so the
       // streamed readout IS the batch one — stream ≡ batch ≡ DuckDB

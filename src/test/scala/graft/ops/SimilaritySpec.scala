@@ -831,4 +831,41 @@ class SimilaritySpec extends SparkSpec {
     assert(emptyRep.getLong(1) == 0L && emptyRep.getLong(3) == 0L)
     assert(emptyRep.getDouble(4) == 0.0 && !emptyRep.getBoolean(6))
   }
+
+  test("st24: stream-ingested delta equals the batch v20 index; search parity is exact") {
+    import org.apache.spark.sql.functions._
+    val ledger = Similarity.streamingVectorIngest(spark, sf0001).collect()
+    assert(ledger.nonEmpty, "no micro-batch was ingested")
+    // per-batch boundedness: every micro-batch carried a slice of the
+    // arriving set, and the ledger covers the whole batch exactly once
+    val st = Similarity.incrementalIvfState(spark, sf0001)
+    assert(ledger.map(_.getLong(1)).sum == st.nBatch,
+      "ledger batch sizes do not cover the arriving set")
+    assert(ledger.length > 1, "stream collapsed to a single micro-batch")
+    // stream ≡ batch: the streamed delta holds exactly v20's
+    // (vec_id, cell) assignment — same vectors, same frozen geometry
+    val streamed = spark.read.parquet(Similarity.streamDeltaDir(sf0001))
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    val batch = spark.read.parquet(st.deltaDir)
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(streamed == batch, "streamed assignment diverges from batch v20")
+    // search parity: base + streamed delta answers bit-for-bit what
+    // base + batch delta answers
+    val viaStream = Similarity.annIvfIncremental(spark, sf0001,
+      deltaDirOverride = Some(Similarity.streamDeltaDir(sf0001))).collect()
+    val viaBatch = Similarity.annIvfIncremental(spark, sf0001).collect()
+    assert(viaStream.toSeq == viaBatch.toSeq,
+      "search over the streamed index diverges from the batch index")
+    // segment isolation: each micro-batch appended its own files — at
+    // least one data file per ledger row across the delta dir
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val nFiles = walk(new java.io.File(Similarity.streamDeltaDir(sf0001)))
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles >= ledger.length,
+      s"$nFiles delta files for ${ledger.length} micro-batches")
+  }
 }
