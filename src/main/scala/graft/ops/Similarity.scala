@@ -1576,7 +1576,53 @@ object Similarity {
     QueryDef("v17_plaid_rerank", (s, d) => plaidRerank(s, d), None),
     // rows-only: pool>=corpus ≡ exact v2, clustered recall, 64-bit
     // boundedness, and rerun determinism pinned in the spec
-    QueryDef("v18_binary_hamming", (s, d) => binaryHammingTopK(s, d), None),
+    QueryDef("v18_binary_hamming", (s, d) => binaryHammingTopK(s, d), Some(
+      // fully deterministic (rounded hyperplane means, sign bits,
+      // popcount, exact rescore) → DuckDB replays the whole two-stage
+      // retrieval; hsim counts differing bits over the real dims (the
+      // code's zero padding XORs to zero on both engines)
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |means AS (
+        |  SELECT dim, round(avg(v), 6) AS m
+        |  FROM (SELECT unnest(emb) AS v,
+        |          unnest(range(1, len(emb) + 1)) AS dim FROM e)
+        |  GROUP BY dim),
+        |mv AS (SELECT list(m ORDER BY dim) AS ms FROM means),
+        |coded AS (
+        |  SELECT vec_id, emb,
+        |    list_transform(range(1, len(emb) + 1),
+        |      i -> CASE WHEN emb[i] > ms[i] THEN 1 ELSE 0 END) AS bits
+        |  FROM e CROSS JOIN mv),
+        |q AS (SELECT vec_id AS q_id, emb AS qv, bits AS qb
+        |      FROM coded WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, c.vec_id,
+        |    CAST(64 - len(list_filter(range(1, len(c.bits) + 1),
+        |      i -> c.bits[i] <> q.qb[i])) AS DOUBLE) AS hsim
+        |  FROM coded c JOIN q ON q.q_id <> c.vec_id),
+        |pool AS (
+        |  SELECT q_id, vec_id FROM (
+        |    SELECT q_id, vec_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY hsim DESC, vec_id) AS rn
+        |    FROM scored) WHERE rn <= 50),
+        |rescored AS (
+        |  SELECT p.q_id, p.vec_id,
+        |    list_inner_product(qq.qv, c.emb)
+        |      / (sqrt(list_inner_product(qq.qv, qq.qv))
+        |         * sqrt(list_inner_product(c.emb, c.emb))) AS raw_cos
+        |  FROM pool p
+        |  JOIN coded c ON c.vec_id = p.vec_id
+        |  JOIN q qq ON qq.q_id = p.q_id)
+        |SELECT q_id, CAST(rank AS INT) AS rank, vec_id AS n_id,
+        |  round(raw_cos, 6) AS cos
+        |FROM (
+        |  SELECT q_id, vec_id, raw_cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY raw_cos DESC, vec_id) AS rank
+        |  FROM rescored) WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin)),
     QueryDef("v14_maxsim_topk", (s, d) => maxSimTopK(s, d), Some(
       // same total order as v2 (score desc, n_id asc); per-qi maxes
       // summed in fixed qi order on both sides
@@ -1614,10 +1660,104 @@ object Similarity {
     QueryDef("v9_pq_topk", (s, d) => pqTopK(s, d), None),
     // rows-only: quantized scores have no SQL twin; recall@k vs exact v2
     // pinned in the spec
-    QueryDef("v8_quantized_topk", (s, d) => quantizedTopK(s, d), None),
+    QueryDef("v8_quantized_topk", (s, d) => quantizedTopK(s, d), Some(
+      // symmetric int8 quantization is pure arithmetic (scale =
+      // max(|x|)/127 floored at 1e-30, code = clamp(floor(x/s + .5)),
+      // integer dot exact in double) → DuckDB replays quantize, scan,
+      // pool, and exact rescore; ascore ranks raw (same IEEE ops)
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |qz AS (
+        |  SELECT vec_id, emb,
+        |    greatest(list_max(list_transform(emb, x -> abs(x))) / 127.0,
+        |      1e-30) AS s
+        |  FROM e),
+        |coded AS (
+        |  SELECT vec_id, emb, s,
+        |    list_transform(emb,
+        |      x -> greatest(-127.0, least(127.0, floor(x / s + 0.5)))) AS c
+        |  FROM qz),
+        |q AS (SELECT vec_id AS q_id, emb AS qv, s AS qs, c AS qc
+        |      FROM coded WHERE vec_id < 5),
+        |approx AS (
+        |  SELECT q.q_id, c.vec_id AS n_id,
+        |    q.qs * c.s * list_inner_product(q.qc, c.c) AS ascore
+        |  FROM coded c JOIN q ON q.q_id <> c.vec_id),
+        |pool AS (
+        |  SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY ascore DESC, n_id) AS rn
+        |    FROM approx) WHERE rn <= 30),
+        |rescored AS (
+        |  SELECT p.q_id, p.n_id,
+        |    list_inner_product(qq.qv, c.emb)
+        |      / (sqrt(list_inner_product(qq.qv, qq.qv))
+        |         * sqrt(list_inner_product(c.emb, c.emb))) AS raw_cos
+        |  FROM pool p
+        |  JOIN coded c ON c.vec_id = p.n_id
+        |  JOIN q qq ON qq.q_id = p.q_id)
+        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, round(raw_cos, 6) AS cos
+        |FROM (
+        |  SELECT q_id, n_id, raw_cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY raw_cos DESC, n_id) AS rank
+        |  FROM rescored) WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin)),
     // rows-only: the greedy is iterative (not SQL-expressible); λ=1
     // top-k degeneration and the diversity gain are pinned in the spec
-    QueryDef("v7_mmr_diversify", (s, d) => mmrDiversifiedTopK(s, d), None),
+    QueryDef("v7_mmr_diversify", (s, d) => mmrDiversifiedTopK(s, d), Some(
+      // the MMR greedy is deterministic, so DuckDB replays it: a
+      // recursive CTE picks rank 1..5 per query in lockstep, carrying
+      // the selected ids as a LIST; the per-step argmax is max() over a
+      // (mmr, -n_id) struct (lexicographic), redundancy from a
+      // precomputed pool-pair cosine table rounded 6dp like the engine
+      """WITH RECURSIVE e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+        |    round(list_inner_product(q.emb, c.emb)
+        |      / (sqrt(list_inner_product(q.emb, q.emb))
+        |         * sqrt(list_inner_product(c.emb, c.emb))), 6) AS rel
+        |  FROM e q, e c
+        |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+        |pool AS (
+        |  SELECT q_id, n_id, rel FROM (
+        |    SELECT q_id, n_id, rel,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY rel DESC, n_id) AS rn
+        |    FROM scored) WHERE rn <= 20),
+        |pairs AS (
+        |  SELECT p1.q_id, p1.n_id AS a, p2.n_id AS b,
+        |    round(list_inner_product(ea.emb, eb.emb)
+        |      / (sqrt(list_inner_product(ea.emb, ea.emb))
+        |         * sqrt(list_inner_product(eb.emb, eb.emb))), 6) AS c
+        |  FROM pool p1 JOIN pool p2
+        |    ON p1.q_id = p2.q_id AND p1.n_id <> p2.n_id
+        |  JOIN e ea ON ea.vec_id = p1.n_id
+        |  JOIN e eb ON eb.vec_id = p2.n_id),
+        |step AS (
+        |  SELECT q_id, 0 AS rank, CAST([] AS BIGINT[]) AS sel,
+        |    CAST(NULL AS BIGINT) AS n_id,
+        |    CAST(0.0 AS DOUBLE) AS rel, CAST(0.0 AS DOUBLE) AS mmr
+        |  FROM (SELECT DISTINCT q_id FROM pool)
+        |  UNION ALL
+        |  SELECT q_id, rank + 1,
+        |    sel || [(max(key)).id],
+        |    (max(key)).id, (max(key)).r, (max(key)).m
+        |  FROM (
+        |    SELECT s.q_id, s.rank, s.sel, p.n_id, p.rel,
+        |      {'m': round(0.5 * p.rel - 0.5 * coalesce(
+        |        (SELECT max(pc.c) FROM pairs pc
+        |         WHERE pc.q_id = s.q_id AND pc.a = p.n_id
+        |           AND list_contains(s.sel, pc.b)), 0.0), 6),
+        |       'i': -p.n_id, 'id': p.n_id, 'r': p.rel} AS key
+        |    FROM step s JOIN pool p
+        |      ON p.q_id = s.q_id AND NOT list_contains(s.sel, p.n_id)
+        |    WHERE s.rank < 5)
+        |  GROUP BY q_id, rank, sel)
+        |SELECT q_id, CAST(rank AS INT) AS rank, n_id, rel, mmr
+        |FROM step WHERE rank >= 1 ORDER BY q_id, rank""".stripMargin)),
     QueryDef("v6_int8_quant", (s, d) => int8Quantization(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x FROM embeddings),
         |s1 AS (SELECT vec_id, x,

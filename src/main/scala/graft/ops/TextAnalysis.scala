@@ -3289,7 +3289,48 @@ object TextAnalysis {
       Some(heavyHittersOracle)),
     // rows-only: the FFD greedy is iterative (not SQL-expressible);
     // budget/partition/density invariants are pinned in the spec
-    QueryDef("p7_ffd_packing", (s, d) => ffdPacking(s, d), None),
+    QueryDef("p7_ffd_packing", (s, d) => ffdPacking(s, d), Some(
+      // the FFD greedy is deterministic, so DuckDB REPLAYS it: a
+      // recursive CTE walks each language's (n_tok DESC, doc_id) order
+      // carrying the open-bin list as LIST<STRUCT>, first-fit via
+      // list_filter, 256-cap via slice — bin ids match bit-for-bit
+      """WITH RECURSIVE docs AS (
+        |  SELECT lang, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_tok,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_tok DESC, doc_id) AS BIGINT) AS rn
+        |  FROM docs),
+        |langs AS (SELECT DISTINCT lang FROM r),
+        |walk AS (
+        |  SELECT lang, CAST(0 AS BIGINT) AS rn,
+        |    CAST([] AS STRUCT(b INTEGER, u BIGINT)[]) AS open,
+        |    0 AS next_bin,
+        |    CAST(NULL AS BIGINT) AS doc_id, CAST(0 AS BIGINT) AS n_tok,
+        |    -1 AS bin
+        |  FROM langs
+        |  UNION ALL
+        |  SELECT w.lang, r.rn,
+        |    CASE WHEN len(list_filter(w.open, x -> x.u + r.n_tok <= 2048)) > 0
+        |      THEN list_transform(w.open, x ->
+        |        CASE WHEN x.b = list_filter(w.open,
+        |            y -> y.u + r.n_tok <= 2048)[1].b
+        |          THEN {'b': x.b, 'u': x.u + r.n_tok} ELSE x END)
+        |      ELSE CASE WHEN len(w.open) + 1 > 256
+        |        THEN (w.open || [{'b': w.next_bin, 'u': r.n_tok}])[2:]
+        |        ELSE w.open || [{'b': w.next_bin, 'u': r.n_tok}] END
+        |    END AS open,
+        |    CASE WHEN len(list_filter(w.open, x -> x.u + r.n_tok <= 2048)) > 0
+        |      THEN w.next_bin ELSE w.next_bin + 1 END AS next_bin,
+        |    r.doc_id, r.n_tok,
+        |    CASE WHEN len(list_filter(w.open, x -> x.u + r.n_tok <= 2048)) > 0
+        |      THEN list_filter(w.open, x -> x.u + r.n_tok <= 2048)[1].b
+        |      ELSE w.next_bin END AS bin
+        |  FROM walk w JOIN r ON r.lang = w.lang AND r.rn = w.rn + 1)
+        |SELECT lang, bin, doc_id, n_tok
+        |FROM walk WHERE rn >= 1 ORDER BY lang, bin, doc_id""".stripMargin)),
     QueryDef("p9_clean_corpus", (s, d) => cleanCorpusSummary(s, d), Some(
       s"""WITH $contaminationCtes,
         |corpus AS (
