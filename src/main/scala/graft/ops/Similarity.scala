@@ -786,7 +786,10 @@ object Similarity {
     * queries×pool rows, never the corpus. λ=1 degenerates to exact
     * top-k order (pinned in SimilaritySpec, along with the diversity
     * gain at λ=0.5). Relevance and pairwise sims are rounded to 6dp
-    * before the greedy so the trace is reproducible across layouts.
+    * before the greedy so the trace is reproducible across layouts —
+    * which also makes the whole greedy DuckDB-replayable: fully
+    * oracled since round 11 via a recursive CTE (per-step argmax over
+    * the remaining pool, redundancy from a pool-pair cosine table).
     */
   def mmrDiversifiedTopK(s: SparkSession, d: String, numQueries: Int = 5,
       poolSize: Int = 20, k: Int = 5, lambda: Double = 0.5): DataFrame = {
@@ -843,9 +846,10 @@ object Similarity {
     * bit-identical to the superseded ARRAY<DOUBLE> formulation (pinned
     * in ArraySimSpec). Full-precision vectors are touched for
     * pool·queries rows, never the corpus. Same bounded-TopK shuffle
-    * discipline as v2 in both phases. Rows-only (quantized scores have
-    * no SQL twin); recall@k against exact v2 is pinned in
-    * SimilaritySpec.
+    * discipline as v2 in both phases. Fully DuckDB-oracled since round
+    * 11: the symmetric quantization is pure arithmetic, so the oracle
+    * replays quantize, int-dot scan, pool, and exact rescore; recall@k
+    * against exact v2 additionally pinned in SimilaritySpec.
     */
   def quantizedTopK(s: SparkSession, d: String, numQueries: Int = 5,
       k: Int = 10, pool: Int = 30): DataFrame = {
@@ -1332,6 +1336,140 @@ object Similarity {
       .orderBy("q_id", "rank")
   }
 
+  /** Deterministic exponential HNSW level: P(level ≥ ℓ) = 4^-ℓ via the
+    * id hash (no RNG — rerun- and engine-stable), capped at `maxL`.
+    */
+  private[graft] def hnswLevel(maxL: Int): Column = {
+    val h = abs(xxhash64(col("vec_id")))
+    (1 to maxL).foldLeft(lit(0)) { (acc, l) =>
+      when(pmod(h, lit(math.pow(4, l).toLong)) === 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** v22 — HIERARCHICAL graph ANN (HNSW's log-depth layer form —
+    * Malkov & Yashunin 2018; v21 is the single-layer base case): nodes
+    * get deterministic exponential levels (P(level ≥ ℓ) = 4^-ℓ from
+    * the id hash), each upper layer is a degree-capped kNN graph over
+    * its members — built from the LAYER BELOW's graph by scoring the
+    * ≤2-hop member pairs exactly (small layers ≤256 members get the
+    * exact within-layer graph; the candidate set is degree-bounded so
+    * the build is join-shaped, never quadratic in the corpus) — and
+    * search descends: score the (small) top layer exactly for entry,
+    * one beam round per upper layer routes toward the query's region,
+    * then v21's full beam runs on the layer-0 graph. This removes the
+    * IVF dependency from graph serving (v21 needs the quantizer for
+    * entry points; v22's routing IS the hierarchy) — the property that
+    * keeps entry routing O(log n) exact scores when one coarse probe
+    * no longer covers the corpus.
+    *
+    * Shape at scale: every stage is an id-keyed join bounded by
+    * queries·ef or layer degree; upper layers shrink 4× per level so
+    * the whole hierarchy build is a constant factor over the v15 graph
+    * build; no windows, no unbounded state, rounds fixed. Rows-only
+    * (the v15 base graph rests on the seeded-KMeans IVF probes);
+    * spec pins layer nesting/decay/degree-cap, ≥0.9 recall on the
+    * planted-cluster fixture with recall-not-worse than v21, and
+    * rerun determinism.
+    */
+  def hierarchicalGraphSearch(s: SparkSession, d: String, numQueries: Int = 5,
+      k: Int = 10, ef: Int = 32, rounds: Int = 2, layerK: Int = 5,
+      efUpper: Int = 8): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val n = e.count()
+    if (n == 0)
+      return Seq.empty[(Long, Int, Long, Double)].toDF("q_id", "rank", "n_id", "cos")
+    val maxL = math.max(1, math.min(8,
+      (math.log(math.max(4.0, n.toDouble)) / math.log(4.0)).floor.toInt))
+    val leveled = e.withColumn("lvl", hnswLevel(maxL)).cache()
+    val lvlCounts = leveled.groupBy("lvl").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    def memberCount(l: Int): Long =
+      lvlCounts.collect { case (lv, c) if lv >= l => c }.sum
+    def members(l: Int): DataFrame =
+      leveled.filter(col("lvl") >= l).select("vec_id", "embedding")
+    val top = (1 to maxL).filter(memberCount(_) >= 2).lastOption.getOrElse(0)
+
+    val g0 = knnGraph(s, d).select("src", "dst")
+    val und0 = g0.union(g0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().cache()
+
+    // build layer graphs bottom-up: layer ℓ's candidates are the ≤2-hop
+    // member pairs of layer ℓ-1's graph, scored exactly, degree-capped
+    val layerEdges = scala.collection.mutable.Map.empty[Int, DataFrame]
+    var lower = und0
+    for (l <- 1 to top) {
+      val ids = members(l).select("vec_id")
+      val cand =
+        if (memberCount(l) <= 256) {
+          members(l).select(col("vec_id").as("src"), col("embedding").as("sv"))
+            .crossJoin(members(l)
+              .select(col("vec_id").as("dst"), col("embedding").as("dv")))
+            .filter(col("src") =!= col("dst"))
+        } else {
+          lower.select(col("src"), col("dst").as("mid"))
+            .join(lower.select(col("src").as("mid"), col("dst")), "mid")
+            .select("src", "dst")
+            .union(lower.select("src", "dst"))
+            .filter(col("src") =!= col("dst")).distinct()
+            .join(ids.select(col("vec_id").as("src")), "src")
+            .join(ids.select(col("vec_id").as("dst")), "dst")
+            .join(e.select(col("vec_id").as("src"), col("embedding").as("sv")),
+              "src")
+            .join(e.select(col("vec_id").as("dst"), col("embedding").as("dv")),
+              "dst")
+        }
+      val scored = cand.withColumn("cos", cosine(col("sv"), col("dv")))
+        .select("src", "dst", "cos")
+      val kept = graft.functions.TopK.perGroup(scored, "src", "cos", "dst", layerK)
+        .select("src", "dst")
+      val undl = kept
+        .union(kept.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct().localCheckpoint()
+      layerEdges(l) = undl
+      lower = undl
+    }
+
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv")).cache()
+    val full = e.select(col("vec_id"), col("embedding").as("nv"))
+    def expandOnce(beam: DataFrame, und: DataFrame, width: Int): DataFrame = {
+      val expand = beam.select(col("q_id"), col("vec_id").as("src"))
+        .join(und, "src")
+        .select(col("q_id"), col("dst").as("vec_id")).distinct()
+        .join(full, "vec_id")
+        .join(broadcast(q), "q_id")
+        .filter(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qv"), col("nv")))
+        .select("q_id", "vec_id", "cos")
+      val pool = beam.unionByName(expand)
+        .groupBy("q_id", "vec_id").agg(max("cos").as("cos"))
+      graft.functions.TopK.perGroup(pool, "q_id", "cos", "vec_id", width)
+        .select("q_id", "vec_id", "cos").localCheckpoint()
+    }
+    // entry: the top layer is small by construction — score it exactly
+    val entryPool =
+      if (top >= 1) members(top)
+      else e.filter(col("vec_id") < 256).select("vec_id", "embedding")
+    val entryScored = entryPool.join(broadcast(q),
+        col("q_id") =!= col("vec_id"))
+      .withColumn("cos", cosine(col("qv"), col("embedding")))
+      .select("q_id", "vec_id", "cos")
+    var beam = graft.functions.TopK
+      .perGroup(entryScored, "q_id", "cos", "vec_id", efUpper)
+      .select("q_id", "vec_id", "cos").localCheckpoint()
+    // route down through the upper layers, one beam round each
+    for (l <- top to 1 by -1) beam = expandOnce(beam, layerEdges(l), efUpper)
+    // layer 0: the full v21 beam
+    beam = graft.functions.TopK.perGroup(beam, "q_id", "cos", "vec_id", ef)
+      .select("q_id", "vec_id", "cos").localCheckpoint()
+    for (_ <- 1 to rounds) beam = expandOnce(beam, und0, ef)
+    graft.functions.TopK.perGroup(beam, "q_id", "cos", "vec_id", k)
+      .select(col("q_id"), col("rank"), col("vec_id").as("n_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rank")
+  }
+
   /** v18 — BINARY sign-bit embedding codes + Hamming retrieval (the
     * deterministic mean-threshold variant of Charikar 2002's hyperplane
     * LSH — the third member of the engine's compression triptych after
@@ -1348,10 +1486,11 @@ object Similarity {
     * Shape at scale: the coded corpus is 8 bytes/vector — a billion
     * vectors fit in 8 GB, broadcastable shards — the scan is one
     * codegen'd XOR+bit_count per row, and the only shuffles are
-    * TopK-bounded. Rows-only (the sign threshold has no SQL twin worth
-    * hand-rolling); the spec pins pool≥corpus degeneration to exact v2
-    * BIT-FOR-BIT, clustered recall, 64-bit boundedness, and rerun
-    * determinism.
+    * TopK-bounded. Fully DuckDB-oracled since round 11 (the rounded
+    * hyperplane, sign bits, differing-bit count, and exact rescore all
+    * replay in SQL); the spec additionally pins pool≥corpus
+    * degeneration to exact v2 BIT-FOR-BIT, clustered recall, 64-bit
+    * boundedness, and rerun determinism.
     */
   def binaryHammingTopK(s: SparkSession, d: String, numQueries: Int = 5,
       k: Int = 10, pool: Int = 50): DataFrame = {
@@ -1567,6 +1706,7 @@ object Similarity {
     QueryDef("v20_incremental_ivf", (s, d) => incrementalIvfMaintenance(s, d),
       None),
     QueryDef("v21_graph_search", (s, d) => graphSearchTopK(s, d), None),
+    QueryDef("v22_hnsw_search", (s, d) => hierarchicalGraphSearch(s, d), None),
     // rows-only: NN-Descent inherits v15's seeded-KMeans upstream; the
     // spec pins per-rank monotonicity vs v15, recall-not-worse on planted
     // clusters, well-formedness, and rerun determinism

@@ -817,7 +817,8 @@ object TextAnalysis {
     * list is capped at [[ffdMaxOpen]] (oldest bin retires first), so
     * per-task state is O(maxOpen) regardless of group size. Fully
     * deterministic: sort order and bin choice are pure functions of the
-    * data. At 100 TB, pre-shard each language (p5) and pack per shard —
+    * data — and therefore DuckDB-replayable: fully oracled since round
+    * 11 via a recursive CTE carrying the open-bin list. At 100 TB, pre-shard each language (p5) and pack per shard —
     * the operator's shape is unchanged, only the grouping key widens.
     */
   val ffdMaxOpen: Int = 256

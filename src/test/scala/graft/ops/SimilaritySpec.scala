@@ -733,6 +733,54 @@ class SimilaritySpec extends SparkSpec {
     assert(gs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("v22 hierarchy: layers nest with geometric decay and degree cap; clustered recall not below v21; rerun-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(53)
+    val dim = 32
+    val centers = Array.fill(25, dim)(rnd.nextGaussian())
+    val rows = (0 until 500).map { id =>
+      val c = centers(id % 25)
+      (id.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat).toSeq, id % 25)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_v22").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    // layer assignment: deterministic exponential decay, nested by
+    // construction (level >= l implies level >= l-1)
+    val levels = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), Similarity.hnswLevel(4).as("lvl"))
+      .groupBy("lvl").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val n = levels.values.sum
+    def atLeast(l: Int) = levels.collect { case (lv, c) if lv >= l => c }.sum
+    assert(n == 500)
+    assert(atLeast(1) > 0, "no node promoted to layer 1")
+    // E[|layer l|] = n/4^l; allow generous binomial slack
+    assert(atLeast(1) < n / 2, s"layer 1 too big: ${atLeast(1)}")
+    assert(atLeast(2) <= atLeast(1) && atLeast(3) <= atLeast(2))
+    // search: recall on the clustered fixture not below v21's, both ≥ .85
+    val brute = Similarity.bruteForceTopK(spark, dir).collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    def recallOf(res: Array[org.apache.spark.sql.Row]): Double = {
+      val got = res.groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+      val rc = brute.map { case (qq, truth) =>
+        got.get(qq).map(f => (f intersect truth).size.toDouble / truth.size)
+          .getOrElse(0.0)
+      }
+      rc.sum / rc.size
+    }
+    val hs = Similarity.hierarchicalGraphSearch(spark, dir).collect()
+    val rHs = recallOf(hs)
+    val rV21 = recallOf(Similarity.graphSearchTopK(spark, dir, nprobe = 1).collect())
+    assert(rHs >= 0.85, s"hierarchical recall $rHs below 0.85 on clustered data")
+    assert(rHs >= rV21 - 0.05, s"hierarchical recall $rHs well below v21 $rV21")
+    // rerun-identical (no RNG anywhere in the hierarchy or the search)
+    val again = Similarity.hierarchicalGraphSearch(spark, dir).collect()
+    assert(hs.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("v20: appended index matches a full rebuild's recall on planted clusters") {
     import spark.implicits._
     // v3's planted-cluster fixture shape (different seed): the regime
