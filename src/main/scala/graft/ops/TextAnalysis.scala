@@ -1503,6 +1503,125 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t36 — stupid-backoff 5-GRAM perplexity: t35's scorer generalized
+    * to the CCNet/C4 shape (the filtering LMs those pipelines train
+    * are 5-gram KenLM models; trigram is the faithful-but-small form).
+    * The chain is five levels deep — 5-gram → 4-gram → trigram →
+    * bigram → unigram, each backoff multiplying in the 0.4 penalty
+    * (0.4, 0.16, 0.064, 0.0256 as literals on both engines) — and
+    * every numerator comes from a count-pruned table while its history
+    * denominator is guaranteed non-null by the same monotone argument
+    * as t35: c₅(w₁..₅) ≥ minCount ⇒ c₄(w₁..₄) ≥ c₅ ≥ minCount, level
+    * by level. minCount = 2 here, not t35's 5: the synthetic corpus
+    * has zero 5-grams repeating ≥5× (measured), and a threshold the
+    * data never clears would leave the top level dead code — CCNet
+    * prunes by corpus-tuned thresholds for exactly this reason.
+    *
+    * Scale shape is t35's: the pruned 5/4/3/2-gram tables are k-row
+    * broadcast LUTs, the unigram join is the one vocabulary-sized
+    * shuffle (documented flip to a shuffled hash join at 100 TB), N is
+    * a 1-row cross join, and the per-position generator is one narrow
+    * explode. Fully oracled including the exact-integer per-level
+    * backoff counts that pin every branch decision cross-engine.
+    */
+  def backoffPerplexity5(s: SparkSession, d: String,
+      minCount: Long = 2): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val t = col("t")
+    def joinTok(from: Int, to: Int, i: Column): Column =
+      concat_ws(" ", (from to to).map(o => element_at(t, i + o)): _*)
+    val grams = toks.filter(size(t) >= 5)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 4),
+          i => struct(
+            joinTok(0, 4, i).as("g5"),
+            joinTok(0, 3, i).as("g4a"), joinTok(1, 4, i).as("g4b"),
+            joinTok(1, 3, i).as("g3a"), joinTok(2, 4, i).as("g3b"),
+            joinTok(2, 3, i).as("g2a"), joinTok(3, 4, i).as("g2b"),
+            element_at(t, i + 3).as("u4"),
+            element_at(t, i + 4).as("u5")))).as("p"))
+      .select(col("doc_id") +: Seq("g5", "g4a", "g4b", "g3a", "g3b",
+        "g2a", "g2b", "u4", "u5").map(f => col(s"p.$f").as(f)): _*)
+    def pruned(order: Int): DataFrame = {
+      val win = toks.filter(size(t) >= order)
+        .select(explode(transform(sequence(lit(1), size(t) - (order - 1)),
+          i => joinTok(0, order - 1, i))).as("g"))
+      win.groupBy("g").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= minCount)
+    }
+    val c5 = pruned(5).select(col("g"), col("n").as("c5"))
+    val c4 = pruned(4)
+    val c3 = pruned(3)
+    val c2 = pruned(2)
+    val c1 = toks.select(explode(t).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val nTok = toks.select(explode(t).as("w"))
+      .agg(count(lit(1)).as("n_corpus"))
+    def lut(src: DataFrame, key: String, as: String): DataFrame =
+      src.select(col("g").as(s"${as}_g"), col("n").as(as))
+    val scored = grams
+      .join(broadcast(c5), grams("g5") === c5("g"), "left").drop("g")
+      .join(broadcast(lut(c4, "g4a", "c4a")),
+        col("g4a") === col("c4a_g"), "left").drop("c4a_g")
+      .join(broadcast(lut(c4, "g4b", "c4b")),
+        col("g4b") === col("c4b_g"), "left").drop("c4b_g")
+      .join(broadcast(lut(c3, "g3a", "c3a")),
+        col("g3a") === col("c3a_g"), "left").drop("c3a_g")
+      .join(broadcast(lut(c3, "g3b", "c3b")),
+        col("g3b") === col("c3b_g"), "left").drop("c3b_g")
+      .join(broadcast(lut(c2, "g2a", "c2a")),
+        col("g2a") === col("c2a_g"), "left").drop("c2a_g")
+      .join(broadcast(lut(c2, "g2b", "c2b")),
+        col("g2b") === col("c2b_g"), "left").drop("c2b_g")
+      .join(c1.select(col("w"), col("c1").as("cu4")),
+        col("u4") === col("w")).drop("w")
+      .join(c1.select(col("w"), col("c1").as("cu5")),
+        col("u5") === col("w")).drop("w")
+      .crossJoin(broadcast(nTok))
+      .select(col("doc_id"),
+        when(col("c5").isNotNull,
+          log(col("c5").cast("double") / col("c4a")))
+          .when(col("c4b").isNotNull,
+            log(lit(0.4) * col("c4b").cast("double") / col("c3a")))
+          .when(col("c3b").isNotNull,
+            log(lit(0.16) * col("c3b").cast("double") / col("c2a")))
+          .when(col("c2b").isNotNull,
+            log(lit(0.064) * col("c2b").cast("double") / col("cu4")))
+          .otherwise(
+            log(lit(0.0256) * col("cu5").cast("double") / col("n_corpus")))
+          .as("lp"),
+        when(col("c5").isNotNull, 1L).otherwise(0L).as("h5"),
+        when(col("c5").isNull && col("c4b").isNotNull, 1L)
+          .otherwise(0L).as("h4"),
+        when(col("c5").isNull && col("c4b").isNull &&
+          col("c3b").isNotNull, 1L).otherwise(0L).as("h3"),
+        when(col("c5").isNull && col("c4b").isNull && col("c3b").isNull &&
+          col("c2b").isNotNull, 1L).otherwise(0L).as("h2"))
+    val perDoc = scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_5grams"),
+        sum("h5").as("n_5gram_hits"),
+        sum("h4").as("n_4gram_backoffs"),
+        sum("h3").as("n_3gram_backoffs"),
+        sum("h2").as("n_2gram_backoffs"),
+        (count(lit(1)) - sum("h5") - sum("h4") - sum("h3") - sum("h2"))
+          .as("n_unigram_backoffs"),
+        round(avg("lp"), 6).as("avg_logprob"))
+    val cuts = Stats.quantileCuts(perDoc, Seq(Stats.CutSpec("c",
+        "avg_logprob", Seq(0.3333333333333333, 0.6666666666666666))))._1
+      .select(element_at(col("c"), 1).as("k1"),
+        element_at(col("c"), 2).as("k2"))
+    perDoc.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("avg_logprob") > col("k2"), "head")
+          .when(col("avg_logprob") > col("k1"), "middle")
+          .otherwise("tail"))
+      .select("doc_id", "n_5grams", "n_5gram_hits", "n_4gram_backoffs",
+        "n_3gram_backoffs", "n_2gram_backoffs", "n_unigram_backoffs",
+        "avg_logprob", "tier")
+      .orderBy("doc_id")
+  }
+
   /** p22 — CRAWL-to-corpus pipeline: the end-to-end composition a real
     * corpus run starts with, now expressible because the engine has a
     * crawl front door — src20's WET records (parsed from the
@@ -2819,6 +2938,105 @@ object TextAnalysis {
         |SELECT doc_id, shard, tier,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY tier, hk, doc_id) AS INT) AS cur_pos
         |FROM t ORDER BY shard, cur_pos""".stripMargin)),
+    QueryDef("t36_backoff5_perplexity", (s, d) => backoffPerplexity5(s, d), Some(
+      // the 5-level stupid-backoff replay (t35's discipline one model
+      // order up): same pruned tables at minCount 2, same branch
+      // chain, 0.4/0.16/0.064/0.0256 as literals on both engines; the
+      // four integer backoff-level counts pin every branch decision
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, p.* FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(generate_series(1, len(t) - 4),
+        |        i -> struct_pack(
+        |          g5 := t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4],
+        |          g4a := t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3],
+        |          g4b := t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4],
+        |          g3a := t[i+1]||' '||t[i+2]||' '||t[i+3],
+        |          g3b := t[i+2]||' '||t[i+3]||' '||t[i+4],
+        |          g2a := t[i+2]||' '||t[i+3],
+        |          g2b := t[i+3]||' '||t[i+4],
+        |          u4 := t[i+3], u5 := t[i+4]))) AS p
+        |    FROM toks WHERE len(t) >= 5)),
+        |c5 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4])) AS gr
+        |  FROM toks WHERE len(t) >= 5),
+        |c5t AS (SELECT gr, count(*) AS n FROM c5 GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |c4 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 3),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3])) AS gr
+        |  FROM toks WHERE len(t) >= 4),
+        |c4t AS (SELECT gr, count(*) AS n FROM c4 GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |c3 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 2),
+        |    i -> t[i]||' '||t[i+1]||' '||t[i+2])) AS gr
+        |  FROM toks WHERE len(t) >= 3),
+        |c3t AS (SELECT gr, count(*) AS n FROM c3 GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |c2 AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |    i -> t[i]||' '||t[i+1])) AS gr
+        |  FROM toks WHERE len(t) >= 2),
+        |c2t AS (SELECT gr, count(*) AS n FROM c2 GROUP BY 1
+        |  HAVING count(*) >= 2),
+        |uni AS (SELECT unnest(t) AS w FROM toks),
+        |c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY 1),
+        |nt AS (SELECT count(*) AS n_corpus FROM uni),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    CASE
+        |      WHEN t5.n IS NOT NULL
+        |        THEN ln(CAST(t5.n AS DOUBLE) / t4a.n)
+        |      WHEN t4b.n IS NOT NULL
+        |        THEN ln(0.4 * CAST(t4b.n AS DOUBLE) / t3a.n)
+        |      WHEN t3b.n IS NOT NULL
+        |        THEN ln(0.16 * CAST(t3b.n AS DOUBLE) / t2a.n)
+        |      WHEN t2b.n IS NOT NULL
+        |        THEN ln(0.064 * CAST(t2b.n AS DOUBLE) / cu4.c1)
+        |      ELSE ln(0.0256 * CAST(cu5.c1 AS DOUBLE) / nt.n_corpus) END
+        |      AS lp,
+        |    CASE WHEN t5.n IS NOT NULL THEN 1 ELSE 0 END AS h5,
+        |    CASE WHEN t5.n IS NULL AND t4b.n IS NOT NULL THEN 1 ELSE 0 END
+        |      AS h4,
+        |    CASE WHEN t5.n IS NULL AND t4b.n IS NULL AND t3b.n IS NOT NULL
+        |      THEN 1 ELSE 0 END AS h3,
+        |    CASE WHEN t5.n IS NULL AND t4b.n IS NULL AND t3b.n IS NULL
+        |      AND t2b.n IS NOT NULL THEN 1 ELSE 0 END AS h2
+        |  FROM g
+        |  LEFT JOIN c5t t5 ON g.g5 = t5.gr
+        |  LEFT JOIN c4t t4a ON g.g4a = t4a.gr
+        |  LEFT JOIN c4t t4b ON g.g4b = t4b.gr
+        |  LEFT JOIN c3t t3a ON g.g3a = t3a.gr
+        |  LEFT JOIN c3t t3b ON g.g3b = t3b.gr
+        |  LEFT JOIN c2t t2a ON g.g2a = t2a.gr
+        |  LEFT JOIN c2t t2b ON g.g2b = t2b.gr
+        |  JOIN c1 cu4 ON g.u4 = cu4.w
+        |  JOIN c1 cu5 ON g.u5 = cu5.w
+        |  CROSS JOIN nt),
+        |perdoc AS (
+        |  SELECT doc_id, count(*) AS n_5grams,
+        |    CAST(sum(h5) AS BIGINT) AS n_5gram_hits,
+        |    CAST(sum(h4) AS BIGINT) AS n_4gram_backoffs,
+        |    CAST(sum(h3) AS BIGINT) AS n_3gram_backoffs,
+        |    CAST(sum(h2) AS BIGINT) AS n_2gram_backoffs,
+        |    CAST(count(*) - sum(h5) - sum(h4) - sum(h3) - sum(h2) AS BIGINT)
+        |      AS n_unigram_backoffs,
+        |    round(avg(lp), 6) AS avg_logprob
+        |  FROM scored GROUP BY 1),
+        |cuts AS (
+        |  SELECT quantile_cont(avg_logprob, 0.3333333333333333) AS k1,
+        |    quantile_cont(avg_logprob, 0.6666666666666666) AS k2
+        |  FROM perdoc)
+        |SELECT doc_id, n_5grams, n_5gram_hits, n_4gram_backoffs,
+        |  n_3gram_backoffs, n_2gram_backoffs, n_unigram_backoffs,
+        |  avg_logprob,
+        |  CASE WHEN avg_logprob > k2 THEN 'head'
+        |       WHEN avg_logprob > k1 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM perdoc CROSS JOIN cuts ORDER BY doc_id""".stripMargin)),
     QueryDef("t35_backoff_perplexity", (s, d) => backoffPerplexity(s, d), Some(
       // the full stupid-backoff replay: same pruned count tables, same
       // branch rule, same ln arithmetic; the integer backoff-level

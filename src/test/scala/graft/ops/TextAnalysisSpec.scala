@@ -1144,6 +1144,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(meanLp("head") > meanLp("tail"))
   }
 
+  test("t36 5-gram backoff: five levels partition every position, all levels live, tier thirds") {
+    val rows = TextAnalysis.backoffPerplexity5(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // every 5-gram position scored at exactly one of the five levels
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val levels = (2 to 6).map(r.getLong)
+      assert(levels.sum == n && levels.forall(_ >= 0), s"$r")
+      assert(n >= 1, s"doc with <5 tokens should have been filtered: $r")
+    }
+    // the full chain is live: the 5-gram table hits somewhere AND every
+    // backoff level absorbs mass somewhere — a threshold the corpus
+    // never clears would leave the top level dead code (the reason
+    // minCount is 2, not t35's 5)
+    val totals = (2 to 6).map(i => rows.map(_.getLong(i)).sum)
+    assert(totals.head > 0, "no 5-gram hits at all — top level dead")
+    assert(totals.tail.sum > 0, "nothing backed off — the cut is not biting")
+    assert(totals.count(_ > 0) >= 4, s"levels not exercised: $totals")
+    // tier thirds + ordering, t35's discipline
+    val byTier = rows.groupBy(_.getString(8)).view.mapValues(_.length).toMap
+    assert(byTier.keySet == Set("head", "middle", "tail"), s"$byTier")
+    val third = rows.length / 3.0
+    byTier.foreach { case (t, n) =>
+      assert(math.abs(n - third) <= math.max(3, third * 0.05),
+        s"tier $t mass $n far from $third: $byTier")
+    }
+    def meanLp(tier: String) = {
+      val g = rows.filter(_.getString(8) == tier).map(_.getDouble(7))
+      g.sum / g.length
+    }
+    assert(meanLp("head") > meanLp("tail"))
+  }
+
   test("t34 extraction: nav/footer/inline-js dropped by RULE, content kept, anchors stripped") {
     // hand-written page, independent of the fixture builder: each plant
     // must fall to the density/word-count RULES, not to plant identity
