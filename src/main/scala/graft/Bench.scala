@@ -1,7 +1,71 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Family shards (round-10 advice #6): the 300-query single-JVM sweep
+    * is past its noise ceiling — late-suite queries inflate 1.5–2.5×
+    * from page-cache/JIT pressure and every round forces probe
+    * adjudication.
+    * `--shard <name>` times one family in a FRESH JVM (each shard's
+    * emitted jvm.uptime ≈ its own total is the freshness criterion);
+    * `--merge` then folds the bench_shard_*.json records into ONE
+    * bench_full.json with per-shard jvm blocks, so cross-round
+    * comparison reads steady-state numbers. Membership is total and
+    * disjoint: every declared query lands in exactly one shard
+    * (spec-pinned in BenchShardSpec).
+    */
+  private[graft] val shardNames = Seq("st", "v", "g", "d", "als", "rest")
+  private[graft] def shardOf(name: String): String =
+    if (name.startsWith("st")) "st"
+    else if (name.matches("^v\\d.*")) "v"
+    else if (name.matches("^g\\d.*")) "g"
+    else if (name.matches("^(d|dq)\\d.*")) "d"
+    else if (name.startsWith("als")) "als"
+    else "rest"
+
+  private def mergeShards(): Unit = {
+    val dir = java.nio.file.Paths.get(".")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.matches("bench_shard_\\w+\\.json"))
+      .toSeq.sortBy(_.getFileName.toString)
+    require(files.nonEmpty, "no bench_shard_*.json files to merge")
+    def field(s: String, name: String): String =
+      ("\"" + name + "\":(\\{[^}]*\\}|\\[[^\\]]*\\]|\"[^\"]*\"|[-0-9.Ee+]+)").r
+        .findFirstMatchIn(s).map(_.group(1)).getOrElse("null")
+    val parts = files.map { f =>
+      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val shard = f.getFileName.toString
+        .stripPrefix("bench_shard_").stripSuffix(".json")
+      (shard, field(s, "value").toDouble, field(s, "queries"),
+        field(s, "errors"), field(s, "jvm"), field(s, "sf"))
+    }
+    val total = parts.map(_._2).sum
+    val queries = parts.map(_._3.stripPrefix("{").stripSuffix("}"))
+      .filter(_.nonEmpty).mkString("{", ",", "}")
+    val errors = parts.map(_._4.stripPrefix("[").stripSuffix("]"))
+      .filter(_.nonEmpty).mkString("[", ",", "]")
+    val shards = parts.map { case (sh, v, _, _, jvm, _) =>
+      s"\"$sh\":{\"total\":$v,\"jvm\":$jvm}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$queries,"errors":$errors,"shards":$shards,""" +
+      s""""sf":${parts.head._6}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("--merge")) { mergeShards(); return }
+    val shardArg: Option[String] =
+      if (args.headOption.contains("--shard")) {
+        require(args.length == 2 && shardNames.contains(args(1)),
+          s"--shard wants one of ${shardNames.mkString("/")}")
+        Some(args(1))
+      } else None
+    val queryArgs = if (shardArg.isDefined) Array.empty[String] else args
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // Sessions.configure: the SAME flags Verify runs under (UTC, AQE,
@@ -36,7 +100,10 @@ object Bench {
     // als_* query the (previously unordered) iteration hit first. Timing it
     // explicitly makes the one genuinely iterative ML workload trackable
     // round-over-round; the als_* queries below then time post-fit work.
-    val alsFitSec = {
+    // In shard mode the fit line belongs to the "als" shard only — other
+    // shards have no als query and must not pay (or hide) the fit.
+    val timeAlsFit = shardArg.forall(_ == "als")
+    val alsFitSec = if (!timeAlsFit) 0.0 else {
       val t0 = System.nanoTime()
       try graft.als.AlsPipeline.artifacts(spark, sfDir)
       catch { case e: Throwable =>
@@ -69,12 +136,16 @@ object Bench {
     // and a filtered probe never overwrites the full-sweep registry:
     // its line goes to bench_probe.json unless SPARK_GRAFT_BENCH_FULL
     // explicitly redirects it.
-    val unknown = args.filterNot(SparkEntry.queries.contains)
+    val unknown = queryArgs.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty,
       s"unknown query name(s): ${unknown.mkString(", ")} — check SparkEntry.queries")
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.view.filterKeys(args.toSet).toMap
+    val selected = shardArg match {
+      case Some(sh) =>
+        SparkEntry.queries.view.filterKeys(shardOf(_) == sh).toMap
+      case None if queryArgs.isEmpty => SparkEntry.queries
+      case None =>
+        SparkEntry.queries.view.filterKeys(queryArgs.toSet).toMap
+    }
     val results = (selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var ok = true
       def runOnce(): Double = {
@@ -108,7 +179,7 @@ object Bench {
         math.min(d1, runOnce())
       else d1
       name -> dt
-    } :+ ("als_fit" -> alsFitSec)).toMap
+    } ++ (if (timeAlsFit) Seq("als_fit" -> alsFitSec) else Nil)).toMap
     val qs = results.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -149,7 +220,8 @@ object Bench {
     // so the tail always captures the numbers that matter.
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-        if (args.isEmpty) "bench_full.json" else "bench_probe.json")
+        shardArg.map(sh => s"bench_shard_$sh.json").getOrElse(
+          if (queryArgs.isEmpty) "bench_full.json" else "bench_probe.json"))
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
