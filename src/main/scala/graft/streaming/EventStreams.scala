@@ -245,6 +245,66 @@ object EventStreams {
     graft.ops.Behavior.abReadoutFromUnits(units)
   }
 
+  /** st25 — STREAMING materialized-view maintenance: the st × cat7
+    * composition (cat7 proves delta-cost MV upkeep for ONE append;
+    * production appends arrive as a stream). A managed copy of the
+    * events table is staged and its daily rollup registered (cat3's
+    * flow); the increment then replays as micro-batches, and EACH
+    * batch's foreachBatch (a) appends the batch as new parquet files
+    * into the store and (b) calls `MatViews.maintainDailyRollup` —
+    * the manifest diff finds exactly that batch's files, the stored
+    * exact-integer partials merge algebraically, and the registry
+    * re-keys to the post-batch fingerprint. Per-batch cost is
+    * increment-sized; the view is query-fresh after every batch
+    * (specs pin per-batch no-restage and the final plan reading the
+    * maintained versioned view). Base ∪ streamed increments is
+    * exactly the raw events table, so the declared post-stream rollup
+    * shares cat3/cat7's DuckDB oracle VERBATIM — stream ≡ batch ≡
+    * DuckDB, st17's three-way discipline applied to the optimizer
+    * tier.
+    */
+  private[graft] def streamingMvIngest(s: SparkSession, d: String):
+      (Seq[graft.plans.MatViews.MaintenanceReport], String) = {
+    val store = Tables.scratchDir("graft_st25_store", d)
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
+      .write.mode("overwrite").parquet(s"$store/events.parquet")
+    graft.plans.MatViews.stageDailyRollup(s, store)
+    // the arriving increment, staged as 2 slice files → 2 micro-batches
+    val srcDir = Tables.scratchDir("graft_st25_src", d)
+    ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      .repartitionByRange(2, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val srcSchema = s.read.parquet(srcDir).schema
+    val ckpt = Tables.scratchDir("graft_st25_ckpt", d)
+    val hconf = s.sparkContext.hadoopConfiguration
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    cp.getFileSystem(hconf).delete(cp, true)
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.plans.MatViews.MaintenanceReport]
+    val q = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          b.write.mode("append").parquet(s"$store/events.parquet")
+          reports.add(graft.plans.MatViews.maintainDailyRollup(s, store))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (reports.asScala.toSeq, store)
+  }
+
+  def streamingMvMaintenance(s: SparkSession, d: String): DataFrame = {
+    val (_, store) = streamingMvIngest(s, d)
+    graft.plans.MatViews.naiveDailyRollup(s, store)
+      .orderBy("day", "event_type")
+  }
+
   final case class MgState(counters: Map[String, Long], processed: Long)
   final case class MgEmit(bucket: Int, processed: Long, candidates: Seq[String])
 
@@ -1334,6 +1394,15 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st25_streaming_mv_maintenance", streamingMvMaintenance, Some(
+      // cat3/cat7's oracle verbatim: the streamed increments land the
+      // store at exactly the raw events table, so the view-answered
+      // rollup must equal DuckDB's recompute from raw — stream ≡
+      // batch ≡ DuckDB for the optimizer tier
+      """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin)),
     QueryDef("st24_streaming_vector_ingest",
       (s, d) => graft.ops.Similarity.streamingVectorIngest(s, d)),
     QueryDef("st23_streaming_ab_test", (s, d) => streamingAbTest(s, d),

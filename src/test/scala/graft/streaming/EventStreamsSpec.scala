@@ -527,4 +527,31 @@ class EventStreamsSpec extends SparkSpec {
         minCount = minCount, capacity = 2)
     }
   }
+
+  test("st25: every micro-batch maintains the MV in delta cost; the final query reads the maintained view") {
+    import org.apache.spark.sql.functions._
+    val (reports, store) = EventStreams.streamingMvIngest(spark, sf0001)
+    assert(reports.size >= 2, s"stream collapsed to ${reports.size} batch(es)")
+    // per-batch delta maintenance: never a restage, always new files
+    reports.foreach { r =>
+      assert(!r.restaged, s"a streamed batch forced a full restage: $r")
+      assert(r.added > 0 && r.removed == 0, s"$r")
+    }
+    // successive maintenance versions: each batch produced a NEW view dir
+    assert(reports.map(_.viewDir).distinct.size == reports.size)
+    // the post-stream query is answered from the LAST maintained view
+    val df = graft.plans.MatViews.naiveDailyRollup(spark, store)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(reports.last.viewDir).getName),
+      s"query not answered from the maintained view:\n$plan")
+    // stream ≡ batch: maintained partials equal the full recompute
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3))
+    val got = df.collect().map(key).sortBy(t => (t._1, t._2))
+    val full = graft.plans.MatViews.withoutRewrite {
+      graft.plans.MatViews.naiveDailyRollup(spark, store)
+        .collect().map(key).sortBy(t => (t._1, t._2))
+    }
+    assert(got.toSeq == full.toSeq)
+  }
 }
