@@ -378,7 +378,110 @@ object Mutations {
       .orderBy("prio")
   }
 
+  /** up11 — SMALL-FILE COMPACTION (Delta `OPTIMIZE` / Iceberg
+    * `rewrite_data_files`): the lakehouse maintenance job that undoes
+    * streaming/incremental ingest's file fragmentation. A day-partitioned
+    * events store is staged with a deterministic fragmentation profile —
+    * odd days arrive as one file per `event_id % 8` slice (the shape st24/
+    * p16-style micro-batch appends leave behind), even days are already
+    * compact — then the compactor lists partition dirs, finds days whose
+    * file count exceeds the target, and rewrites ONLY those days under
+    * dynamic partition overwrite (up6's primitive), one task per day, one
+    * file per day. Partition pruning makes the rewrite read ∝ fragmented
+    * data, never the table; untouched days stay byte-identical and a
+    * re-run is a no-op (both spec-pinned) — at 100 TB this is the nightly
+    * job that keeps scan task counts (and NameNode/liststatus pressure)
+    * bounded while the ingest path stays append-only.
+    *
+    * The declared audit is fully oracled because the fragmentation is a
+    * pure function of the data: files_before for an odd day = the number
+    * of DISTINCT `event_id % 8` slices present that day (an append whose
+    * slice is empty writes no file), even days = 1; files_after = 1 for
+    * every day by the one-task-per-day rewrite. DuckDB recomputes all of
+    * it from raw events; the engine MEASURES its columns from the actual
+    * file system, so agreement proves the physical layout.
+    */
+  private[graft] def compactStoreDir(s: SparkSession, d: String): String = {
+    val dir = Tables.scratchDir("graft_up11_store", d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(root, true)
+    val ev = events(s, d).select(col("event_id"), col("user_id"),
+      col("event_type"), col("value"), to_date(col("ts")).as("day"))
+    // even days: already compact (one file per day)
+    ev.filter(dayofmonth(col("day")) % 2 === 0)
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    // odd days: fragmented — one append per event_id%8 slice, each append
+    // landing one file per day (fixture scaffolding: 8 bounded passes)
+    (0 until 8).foreach { slice =>
+      ev.filter(dayofmonth(col("day")) % 2 === 1)
+        .filter(pmod(col("event_id"), lit(8)) === slice)
+        .repartition(col("day"))
+        .write.partitionBy("day").mode("append").parquet(dir)
+    }
+    dir
+  }
+
+  /** One compaction pass: returns (day, files_before) for every partition
+    * it rewrote; empty when nothing exceeds the target (the no-op re-run).
+    */
+  private[graft] def compactRun(s: SparkSession, dir: String,
+      targetFiles: Int = 1): Map[String, Int] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val frag = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("day="))
+      .map(p => p.getName.stripPrefix("day=") ->
+        fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .filter(_._2 > targetFiles).toMap // calendar-bounded
+    if (frag.nonEmpty) {
+      val days = frag.keys.map(java.sql.Date.valueOf).toSeq
+      // partition pruning keeps the read ∝ fragmented days only
+      val rewrite = s.read.parquet(dir)
+        .filter(col("day").isin(days: _*))
+        .repartition(col("day"))
+      val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+      try rewrite.write.partitionBy("day").mode("overwrite").parquet(dir)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+    }
+    frag
+  }
+
+  def compactAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = compactStoreDir(s, d)
+    val before = compactRun(s, dir)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val after = fs.listStatus(root).filter(_.isDirectory)
+      .map(_.getPath).filter(_.getName.startsWith("day="))
+      .map(p => p.getName.stripPrefix("day=") ->
+        fs.listStatus(p).count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .toMap
+    val audit = after.keys.toSeq.sorted.map { day =>
+      (java.sql.Date.valueOf(day), before.getOrElse(day, after(day)),
+        after(day), before.contains(day))
+    }.toDF("day", "files_before", "files_after", "compacted")
+    s.read.parquet(dir).groupBy("day").agg(count(lit(1)).as("n"))
+      .join(audit, Seq("day"))
+      .select("day", "n", "files_before", "files_after", "compacted")
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up11_compaction", compactAudit, Some(
+      // files_before/files_after/compacted are MEASURED from the store's
+      // file system; the oracle derives them from raw events + the
+      // deterministic fragmentation rule — agreement proves the layout
+      """SELECT CAST(ts AS DATE) AS day, count(*) AS n,
+        |  CAST(CASE WHEN day(CAST(ts AS DATE)) % 2 = 1
+        |       THEN count(DISTINCT event_id % 8) ELSE 1 END AS INT) AS files_before,
+        |  1 AS files_after,
+        |  CASE WHEN day(CAST(ts AS DATE)) % 2 = 1
+        |       THEN count(DISTINCT event_id % 8) ELSE 1 END > 1 AS compacted
+        |FROM events GROUP BY day ORDER BY day""".stripMargin)),
     QueryDef("up9_multitable_snapshot", multiTableSnapshot, Some(
       """SELECT o_orderpriority AS prio, count(*) AS n_items,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,

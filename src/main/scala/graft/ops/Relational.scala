@@ -629,9 +629,72 @@ object Relational {
         sum("purchased").cast("bigint").as("n_purchased"))
   }
 
+  /** j15 — HYBRID SKEW-SALTED JOIN: the hot-key shuffle-join fix for the
+    * one data shape that breaks hash partitioning at 100 TB. A
+    * deterministic skew transform (every user_id not divisible by 3
+    * collapses to entity 0) makes one key own ~2/3 of the fact — under a
+    * plain shuffle join that key's entire mass lands on ONE task while
+    * 31 sit idle, and no amount of cluster makes the straggler finish
+    * sooner. The operator runs the production recipe end-to-end:
+    *
+    *  1. DETECT: one aggregated frequency pass; keys owning more than
+    *     1/16 of the fact are "hot" (a top-frequency sketch at scale —
+    *     the rollup here IS that sketch exactly; its output is
+    *     key-cardinality-bounded and broadcasts).
+    *  2. SALT hot keys only (the hybrid part — salting everything would
+    *     replicate the whole dim ×16): hot fact rows get a uniform salt
+    *     in [0,16) from xxhash64(event_id); cold rows salt 0.
+    *  3. REPLICATE the dim side ×16 for hot keys only (explode over
+    *     sequence(0,15)), ×1 for cold keys, and join on (uid, salt) —
+    *     the hot key's mass now spreads over 16 shuffle partitions.
+    *
+    * AQE's skewedJoin covers sort-merge joins at runtime; explicit
+    * salting is the form that also fixes hash-partitioned aggregations
+    * and stays deterministic. The declared rollup is salt-independent by
+    * construction and fully oracled by replaying the skew mapping + a
+    * plain join in DuckDB; RelationalSkewSpec pins the balance (max
+    * per-(uid,salt) cell ≤ 1/8 of what the unsalted hot key held).
+    */
+  def skewSaltedJoin(s: SparkSession, d: String): DataFrame = {
+    val S = 16
+    val fact = events(s, d).select(
+      when(pmod(col("user_id"), lit(3)) =!= 0, lit(0L))
+        .otherwise(col("user_id")).as("uid"),
+      col("event_id"), col("value"))
+    val dim = fact.select("uid").distinct()
+      .withColumn("segment", pmod(col("uid"), lit(5)))
+    val total = fact.count() // one scalar, drives the hot threshold
+    val hot = fact.groupBy("uid").agg(count(lit(1)).as("n"))
+      .filter(col("n") > total / S)
+      .select(col("uid"), lit(true).as("is_hot"))
+    val saltedFact = fact.join(broadcast(hot), Seq("uid"), "left")
+      .withColumn("salt",
+        when(col("is_hot"), pmod(xxhash64(col("event_id")), lit(S)).cast("int"))
+          .otherwise(lit(0)))
+      .drop("is_hot")
+    val saltedDim = dim.join(broadcast(hot), Seq("uid"), "left")
+      .withColumn("salt", explode(
+        when(col("is_hot"), sequence(lit(0), lit(S - 1)))
+          .otherwise(array(lit(0)))))
+      .drop("is_hot")
+    saltedFact.join(saltedDim, Seq("uid", "salt"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("segment")
+  }
+
   // ---- registry ----
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j15_skew_salted_join", skewSaltedJoin, Some(
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS uid,
+        |    value
+        |  FROM events),
+        |dim AS (SELECT DISTINCT uid, uid % 5 AS segment FROM f)
+        |SELECT segment, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM f JOIN dim USING (uid)
+        |GROUP BY segment ORDER BY segment""".stripMargin)),
     QueryDef("o1_csv_roundtrip", csvRoundtrip, Some(
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity
         |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin)),

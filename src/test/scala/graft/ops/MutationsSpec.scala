@@ -188,4 +188,42 @@ class MutationsSpec extends SparkSpec {
     // idempotent: nothing left to forget
     assert(Mutations.forgetRestate(spark, dir) == 0)
   }
+
+  test("up11 compaction: fragmented days → 1 file, untouched days byte-identical, re-run no-op") {
+    import org.apache.spark.sql.functions._
+    def listing(p: String): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(p)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length, f.lastModified)).toMap
+    }
+    def filesPerDay(p: String): Map[String, Int] =
+      listing(p).keys.toSeq
+        .flatMap(_.split('/').find(_.startsWith("day=")).map(_.stripPrefix("day=")))
+        .groupBy(identity).view.mapValues(_.size).toMap
+    val dir = Mutations.compactStoreDir(spark, sf0001)
+    val before = filesPerDay(dir)
+    val preListing = listing(dir)
+    val nBefore = spark.read.parquet(dir).count()
+    val frag = before.filter(_._2 > 1)
+    val untouched = before.keySet -- frag.keySet
+    assert(frag.nonEmpty, "fixture produced no fragmented day")
+    assert(untouched.nonEmpty, "fixture produced no already-compact day")
+    val rewrote = Mutations.compactRun(spark, dir)
+    assert(rewrote == frag, "compactor rewrote a different day set than the fragmented one")
+    val after = filesPerDay(dir)
+    // every fragmented day collapsed to exactly one file; the rest untouched
+    frag.keys.foreach(day => assert(after(day) == 1, s"$day still has ${after(day)} files"))
+    val postListing = listing(dir)
+    preListing.filter { case (p, _) => untouched.exists(day => p.contains(s"day=$day")) }
+      .foreach { case (p, meta) =>
+        assert(postListing.get(p).contains(meta), s"untouched partition mutated: $p")
+      }
+    // no row lost or duplicated by the rewrite
+    assert(spark.read.parquet(dir).count() == nBefore)
+    // idempotent: a second pass finds nothing above target and writes nothing
+    assert(Mutations.compactRun(spark, dir).isEmpty)
+    assert(listing(dir) == postListing, "no-op re-run rewrote files")
+  }
 }

@@ -253,4 +253,39 @@ class PlanShapeSpec extends SparkSpec {
     assert(p5.contains("graft_mv_daily") && !p5.contains("events.parquet"),
       s"cat5 plan still touches the fact table:\n$p5")
   }
+
+  test("skew-salted join (j15): salting spreads the hot key's mass ≥ 8× thinner") {
+    import org.apache.spark.sql.functions._
+    val S = 16
+    val fact = graft.Tables.events(spark, sf0001).select(
+      when(pmod(col("user_id"), lit(3)) =!= 0, lit(0L))
+        .otherwise(col("user_id")).as("uid"),
+      col("event_id"))
+    val total = fact.count()
+    // the skew is real: the hot key owns more than half the fact
+    val byKey = fact.groupBy("uid").agg(count(lit(1)).as("n"))
+    val hotN = byKey.orderBy(desc("n")).first().getLong(1)
+    assert(hotN > total / 2, s"fixture skew too weak: $hotN of $total")
+    // after salting, the largest (uid, salt) cell holds ≤ hot/8 — the
+    // shuffle's max task is bounded by the CELL, so the straggler is gone
+    val maxCell = fact
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(S)))
+      .groupBy("uid", "salt").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n")).first().getLong(2)
+    assert(maxCell <= hotN / 8,
+      s"salting left a cell of $maxCell rows (hot key holds $hotN)")
+    // the declared rollup is salt-independent: replay as a plain join
+    val dim = fact.select("uid").distinct()
+      .withColumn("segment", pmod(col("uid"), lit(5)))
+    val plain = graft.Tables.events(spark, sf0001).select(
+        when(pmod(col("user_id"), lit(3)) =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("uid"), col("value"))
+      .join(dim, Seq("uid"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("segment").collect().toSeq
+    val salted = graft.ops.Relational.skewSaltedJoin(spark, sf0001)
+      .collect().toSeq
+    assert(salted == plain, "salted join result diverges from the plain join")
+  }
 }

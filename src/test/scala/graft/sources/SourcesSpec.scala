@@ -443,4 +443,29 @@ class SourcesSpec extends SparkSpec {
       third.mime == "text/plain" &&
       third.fetch_ts.toInstant == java.time.Instant.parse("2024-01-01T00:00:05Z"))
   }
+
+  test("src22: z-order manifest prunes the 2-D box to ≤ half the files; unclustered layout prunes nothing; pruned read ≡ full scan") {
+    import org.apache.spark.sql.functions._
+    val zDir = Sources.zorderStoreDir(spark, sf0001, clustered = true)
+    val zAll = Sources.zorderManifest(spark, zDir).length
+    val zHit = Sources.zorderSurvivors(spark, zDir).length
+    assert(zAll >= 12, s"range partitioning produced only $zAll files")
+    assert(zHit <= zAll / 2,
+      s"z-order skipped too little: $zHit of $zAll files survive the box")
+    // the same box over an unclustered (hash-ordered) layout: every file
+    // spans nearly the full (user, day) rectangle, nothing skips
+    val linDir = Sources.zorderStoreDir(spark, sf0001, clustered = false)
+    val linHit = Sources.zorderSurvivors(spark, linDir).length
+    val linAll = Sources.zorderManifest(spark, linDir).length
+    assert(linHit == linAll, s"unclustered layout unexpectedly pruned: $linHit/$linAll")
+    assert(zHit < linHit, "z-order layout did not beat the unclustered one")
+    // a wrong skip would lose rows: pruned-scan result ≡ full-scan result
+    val (ulo, uhi, dlo, dhi) = Sources.zBox
+    val pred = col("user_id").between(ulo, uhi) &&
+      col("day").between(lit(dlo).cast("date"), lit(dhi).cast("date"))
+    val full = spark.read.parquet(zDir).filter(pred).count()
+    val pruned = spark.read.parquet(Sources.zorderSurvivors(spark, zDir): _*)
+      .filter(pred).count()
+    assert(pruned == full && full > 0, s"pruned=$pruned full=$full")
+  }
 }
