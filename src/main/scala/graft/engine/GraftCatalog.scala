@@ -225,7 +225,42 @@ object GraftCatalog {
       .orderBy("day", "event_type")
   }
 
+  /** cat8 — CHEAPEST-VIEW CHOICE: with BOTH the daily and the monthly
+    * rollup views registered over the same events table, a per-month
+    * aggregation matches both (the monthly view directly; the daily via
+    * cat4's roll-up compensation) and the rule answers from the one
+    * with fewer stored rows — months × types instead of days × types.
+    * This is the view-selection step every multi-summary-table
+    * warehouse runs after matching (Calcite's rule set, Oracle's query
+    * rewrite): at 100 TB a dashboard's month-level cut should read the
+    * month-count-sized table even when a finer view also qualifies.
+    * Exact integer partials make either answer bit-identical, so the
+    * choice is pure cost — the oracle reads raw events; the plan-reads-
+    * only-the-monthly-view choice is spec-pinned (as is a day-level
+    * query, underivable from the monthly key, still answering from the
+    * daily view).
+    */
+  def mvCheapestView(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.plans.MatViews.stageDailyRollup(s, d)
+    graft.plans.MatViews.stageMonthlyRollup(s, d)
+    graft.Tables.events(s, d)
+      .groupBy(trunc(to_date(col("ts")), "mon").as("month"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(date_format(col("month"), "yyyy-MM-dd").as("month"),
+        col("n"), round(col("cents").cast("double") / 100, 2).as("revenue"))
+      .orderBy("month")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat8_mv_choice", mvCheapestView, Some(
+      """SELECT strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m-%d')
+        |    AS month,
+        |  count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100, 2) AS revenue
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("cat7_mv_incremental", mvIncrementalMaintenance, Some(
       """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents

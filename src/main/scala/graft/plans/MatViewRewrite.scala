@@ -67,7 +67,7 @@ object MatViews {
   private[plans] final case class MvEntry(
       mv: String, template: LogicalPlan, datasetDir: String, fingerprint: String,
       dayNorm: Expression, etNorm: Expression, centsNorm: Expression,
-      manifest: Set[String] = Set.empty)
+      manifest: Set[String] = Set.empty, rows: Long = 0L)
 
   /** Normalize an expression for cross-plan comparison: attribute
     * references become `BoundReference`s at their ordinal in the
@@ -131,25 +131,14 @@ object MatViews {
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
 
-  /** Stage (memoized) the daily rollup for dataset `d` and register it
-    * for rewrite. Returns the view directory.
+  /** Build an MvEntry for a single-relation daily/monthly-shaped rollup:
+    * extract the defining aggregate's normalized DATE key, STRING key and
+    * exact-cents Sum child — the vocabulary coarser queries must be
+    * expressible in for cat4/cat8 compensation.
     */
-  def stageDailyRollup(s: SparkSession, d: String): String = {
-    val fp = graft.Tables.datasetFingerprint(d)
-    val key = s"$d#$fp"
-    val mv = graft.Tables.stagedDir(staged, key) { () =>
-      val dir = graft.Tables.scratchDir("graft_mv_daily", d)
-      withoutRewrite {
-        naiveDailyRollup(s, d).write.mode("overwrite").parquet(dir)
-      }
-      dir
-    }
-    val opt = withoutRewrite {
-      naiveDailyRollup(s, d).queryExecution.optimizedPlan
-    }
-    // the defining aggregate's normalized shapes: its DATE grouping key,
-    // its STRING grouping key, and the exact-cents Sum child — the
-    // vocabulary coarser queries must be expressible in for cat4
+  private def singleRelEntry(s: SparkSession, mv: String, d: String,
+      fp: String, defining: DataFrame): MvEntry = {
+    val opt = withoutRewrite { defining.queryExecution.optimizedPlan }
     val (dayNorm, etNorm, centsNorm) = opt.collect { case a: Aggregate => a }
       .headOption.map { a =>
         val rel = a.collectFirst { case l: LogicalRelation => l }.get
@@ -163,9 +152,66 @@ object MatViews {
         (normalizeToSchema(day, rel), normalizeToSchema(et, rel),
           normalizeToSchema(cents, rel))
       }.get
+    val nRows = withoutRewrite { s.read.parquet(mv).count() } // view-sized
+    MvEntry(mv, opt.canonicalized, d, fp, dayNorm, etNorm, centsNorm,
+      listDataFiles(canonicalSrc(d)), nRows)
+  }
+
+  /** Stage (memoized) the daily rollup for dataset `d` and register it
+    * for rewrite. Returns the view directory.
+    */
+  def stageDailyRollup(s: SparkSession, d: String): String = {
+    val fp = graft.Tables.datasetFingerprint(d)
+    val key = s"$d#$fp"
+    val mv = graft.Tables.stagedDir(staged, key) { () =>
+      val dir = graft.Tables.scratchDir("graft_mv_daily", d)
+      withoutRewrite {
+        naiveDailyRollup(s, d).write.mode("overwrite").parquet(dir)
+      }
+      dir
+    }
     registry.put(canonicalSrc(d),
-      MvEntry(mv, opt.canonicalized, d, fp, dayNorm, etNorm, centsNorm,
-        listDataFiles(canonicalSrc(d))))
+      singleRelEntry(s, mv, d, fp, naiveDailyRollup(s, d)))
+    mv
+  }
+
+  // ---- cat8: a SECOND, coarser view over the same source — the rule
+  // picks the cheapest matching candidate ----
+
+  /** The monthly rollup view: same shape as the daily one, one decade
+    * coarser. Its Date key column is NAMED `day` (holding the month
+    * start) so the whole single-relation compensation machinery —
+    * viewScan, rollupSwap, maintenance — applies verbatim; what
+    * distinguishes it is its defining key expression
+    * `trunc(to_date(ts), 'mon')`, which is what queries match against.
+    */
+  def naiveMonthlyRollup(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .groupBy(trunc(to_date(col("ts")), "mon").as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+
+  /** events path -> registered coarser (monthly) view */
+  private[plans] val coarseRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvEntry]
+  private val coarseStaged = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Stage (memoized) the monthly rollup for dataset `d` and register it
+    * as a SECOND rewrite candidate beside the daily view. Returns the
+    * view directory.
+    */
+  def stageMonthlyRollup(s: SparkSession, d: String): String = {
+    val fp = graft.Tables.datasetFingerprint(d)
+    val key = s"month#$d#$fp"
+    val mv = graft.Tables.stagedDir(coarseStaged, key) { () =>
+      val dir = graft.Tables.scratchDir("graft_mv_monthly", d)
+      withoutRewrite {
+        naiveMonthlyRollup(s, d).write.mode("overwrite").parquet(dir)
+      }
+      dir
+    }
+    coarseRegistry.put(canonicalSrc(d),
+      singleRelEntry(s, mv, d, fp, naiveMonthlyRollup(s, d)))
     mv
   }
 
@@ -710,26 +756,40 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
         case _ => false
       })))
 
+  /** cat8 — COST-ORDERED candidate choice: every registered view over
+    * the aggregate's source (the daily view and any coarser one) is a
+    * candidate; candidates are tried in ascending stored-row-count
+    * order, so the CHEAPEST view that structurally matches answers. A
+    * monthly query matches both the monthly view (directly) and the
+    * daily view (via cat4's roll-up compensation, month = trunc(day));
+    * the chooser reads the month-count-sized table, not the
+    * calendar-sized one — the view-selection step every
+    * multi-summary-table warehouse (Calcite, Oracle) runs after
+    * matching. A day-level query is underivable from the monthly key
+    * and still answers from the daily view (spec-pinned).
+    */
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MatViews.bypassed ||
-      (MatViews.registry.isEmpty && MatViews.starRegistry.isEmpty)) return plan
+      (MatViews.registry.isEmpty && MatViews.coarseRegistry.isEmpty &&
+        MatViews.starRegistry.isEmpty)) return plan
     plan.transform {
       case agg: Aggregate =>
         val single = for {
           src <- srcPathOf(agg)
-          entry <- Option(MatViews.registry.get(src))
           if cheapCandidate(agg)
-          // Staleness gate: the dataset may have been regenerated in
-          // place since staging. The fingerprint is an O(file-stat)
-          // walk, paid only for aggregates over a registered table; on
-          // mismatch deregister so the stale view can never answer (the
-          // next stageDailyRollup re-registers fresh).
-          if {
+          candidates = (Option(MatViews.registry.get(src)).map(_ -> MatViews.registry).toSeq ++
+            Option(MatViews.coarseRegistry.get(src)).map(_ -> MatViews.coarseRegistry).toSeq)
+            .sortBy(_._1.rows)
+          next <- candidates.view.flatMap { case (entry, reg) =>
+            // Staleness gate: the dataset may have been regenerated in
+            // place since staging. The fingerprint is an O(file-stat)
+            // walk, paid only for aggregates over a registered table; on
+            // mismatch deregister so the stale view can never answer (the
+            // next stage call re-registers fresh).
             val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) == entry.fingerprint
-            if (!fresh) MatViews.registry.remove(src, entry)
-            fresh
-          }
-          next <- exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
+            if (!fresh) { reg.remove(src, entry); None }
+            else exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
+          }.headOption
         } yield next
         single.orElse(starPath(agg)).getOrElse(agg)
     }

@@ -247,10 +247,10 @@ class PlanShapeSpec extends SparkSpec {
   test("mv roll-up (cat4/cat5): compensated plans aggregate the view, zero fact-table IO") {
     graft.plans.MatViews.stageDailyRollup(spark, sf0001)
     val p4 = plan("cat4_mv_rollup")
-    assert(p4.contains("graft_mv_daily") && !p4.contains("events.parquet"),
+    assert(p4.contains("graft_mv_") && !p4.contains("events.parquet"),
       s"cat4 plan still touches the fact table:\n$p4")
     val p5 = plan("cat5_mv_filter")
-    assert(p5.contains("graft_mv_daily") && !p5.contains("events.parquet"),
+    assert(p5.contains("graft_mv_") && !p5.contains("events.parquet"),
       s"cat5 plan still touches the fact table:\n$p5")
   }
 

@@ -64,8 +64,11 @@ class MatViewRewriteSpec extends SparkSpec {
       .filter(col("event_type").isin("click", "view"))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
+    // (graft_mv_ not graft_mv_daily: once cat8 registers the monthly
+    // view in this JVM, an event_type-only cut legitimately answers
+    // from the cheaper view — the pin is zero-fact-IO, not which view)
     val rplan = ranged.queryExecution.executedPlan.toString
-    assert(rplan.contains("graft_mv_daily") && !rplan.contains("events.parquet"),
+    assert(rplan.contains("graft_mv_") && !rplan.contains("events.parquet"),
       s"isin key filter should compensate:\n$rplan")
     val rexp = MatViews.withoutRewrite { ranged.collect() }
     assert(ranged.collect().sortBy(_.getString(0)).toSeq ==
@@ -75,7 +78,7 @@ class MatViewRewriteSpec extends SparkSpec {
     val global = graft.Tables.events(spark, sf0001)
       .agg(count(lit(1)).as("n"))
     val gplan = global.queryExecution.executedPlan.toString
-    assert(gplan.contains("graft_mv_daily") && !gplan.contains("events.parquet"),
+    assert(gplan.contains("graft_mv_") && !gplan.contains("events.parquet"),
       s"global count should compensate from the view:\n$gplan")
     val gexp = MatViews.withoutRewrite { global.head().getLong(0) }
     assert(global.head().getLong(0) == gexp)
@@ -85,7 +88,7 @@ class MatViewRewriteSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val df = graft.engine.GraftCatalog.mvRollupCompensation(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("graft_mv_daily"),
+    assert(plan.contains("graft_mv_"),
       s"roll-up compensation did not fire:\n$plan")
     assert(!plan.contains("events.parquet"),
       s"compensated plan still scans the fact table:\n$plan")
@@ -103,12 +106,12 @@ class MatViewRewriteSpec extends SparkSpec {
     val rawSum = graft.Tables.events(spark, sf0001)
       .groupBy(col("event_type"))
       .agg(sum("value").as("v"))
-    assert(!rawSum.queryExecution.executedPlan.toString.contains("graft_mv_daily"))
+    assert(!rawSum.queryExecution.executedPlan.toString.contains("graft_mv_"))
     // hour-grained key is FINER than the view's day key — underivable
     val hourly = graft.Tables.events(spark, sf0001)
       .groupBy(date_trunc("hour", col("ts")).as("h"))
       .agg(count(lit(1)).as("n"))
-    assert(!hourly.queryExecution.executedPlan.toString.contains("graft_mv_daily"))
+    assert(!hourly.queryExecution.executedPlan.toString.contains("graft_mv_"))
     // a NON-DETERMINISTIC predicate has no column references, so the
     // key-closure test alone would pass it vacuously — but compensating
     // rand() onto the view samples whole GROUPS, not raw rows. Must stay
@@ -117,20 +120,20 @@ class MatViewRewriteSpec extends SparkSpec {
       .filter(rand(42) < 0.5)
       .groupBy(to_date(col("ts")).as("day"))
       .agg(count(lit(1)).as("n"))
-    assert(!sampled.queryExecution.executedPlan.toString.contains("graft_mv_daily"),
+    assert(!sampled.queryExecution.executedPlan.toString.contains("graft_mv_"),
       "rewrite fired under a non-deterministic predicate")
     // count DISTINCT is not re-aggregatable from counts
     val dist = graft.Tables.events(spark, sf0001)
       .groupBy(to_date(col("ts")).as("day"), col("event_type"))
       .agg(countDistinct("user_id").as("u"))
-    assert(!dist.queryExecution.executedPlan.toString.contains("graft_mv_daily"))
+    assert(!dist.queryExecution.executedPlan.toString.contains("graft_mv_"))
     // but the pure event_type marginal IS derivable — the whole point
     val marginal = graft.Tables.events(spark, sf0001)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
     val mplan = marginal.queryExecution.executedPlan.toString
-    assert(mplan.contains("graft_mv_daily") && !mplan.contains("events.parquet"),
+    assert(mplan.contains("graft_mv_") && !mplan.contains("events.parquet"),
       s"event_type marginal should compensate from the view:\n$mplan")
     val expected = MatViews.withoutRewrite { marginal.collect() }
     assert(marginal.collect().sortBy(_.getString(0)).toSeq ==
@@ -239,5 +242,43 @@ class MatViewRewriteSpec extends SparkSpec {
       s"global count over the join should compensate:\n$gplan")
     val gexp = MatViews.withoutRewrite { global.head().getLong(0) }
     assert(global.head().getLong(0) == gexp)
+  }
+
+  test("cat8: with both views registered, a month query reads the CHEAPER monthly view; a day query still reads the daily") {
+    import org.apache.spark.sql.functions._
+    MatViews.stageDailyRollup(spark, sf0001)
+    MatViews.stageMonthlyRollup(spark, sf0001)
+    // the cost order is real: the monthly view stores fewer rows
+    val src = MatViews.canonicalSrc(sf0001)
+    val daily = MatViews.registry.get(src)
+    val monthly = MatViews.coarseRegistry.get(src)
+    assert(monthly.rows > 0 && monthly.rows < daily.rows,
+      s"cost order broken: monthly=${monthly.rows} daily=${daily.rows}")
+    // a month-level query matches BOTH (monthly directly, daily via
+    // roll-up compensation) — the chooser must take the monthly view
+    val df = graft.engine.GraftCatalog.mvCheapestView(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_monthly"),
+      s"chooser did not pick the monthly view:\n$plan")
+    assert(!plan.contains("graft_mv_daily") && !plan.contains("events.parquet"),
+      s"chooser read a more expensive source:\n$plan")
+    val expected = MatViews.withoutRewrite {
+      graft.engine.GraftCatalog.mvCheapestView(spark, sf0001).collect()
+    }
+    assert(expected.nonEmpty)
+    assert(df.collect().toSeq == expected.toSeq,
+      "cheapest-view answer diverges from the raw aggregation")
+    // a DAY-level query is underivable from the monthly key: the chooser
+    // tries monthly first (cheaper), fails the key-closure test, and
+    // falls through to the daily view
+    val dayQ = graft.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val dplan = dayQ.queryExecution.executedPlan.toString
+    assert(dplan.contains("graft_mv_daily") && !dplan.contains("graft_mv_monthly"),
+      s"day query mis-routed:\n$dplan")
+    val dexp = MatViews.withoutRewrite { dayQ.collect() }
+    assert(dayQ.collect().sortBy(_.getDate(0).toString).toSeq ==
+      dexp.sortBy(_.getDate(0).toString).toSeq)
   }
 }
