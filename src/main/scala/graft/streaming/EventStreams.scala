@@ -305,6 +305,106 @@ object EventStreams {
       .orderBy("day", "event_type")
   }
 
+  /** st26 — LATE-DATA ACCOUNTING: what a watermark actually DOES,
+    * measured and oracled. Production streams always have stragglers;
+    * the watermark is the contract that bounds state by declaring how
+    * late a row may be and still count — and every serious pipeline
+    * must ACCOUNT for what it dropped (the reconciliation report
+    * between the streaming dashboard and the batch restatement).
+    *
+    * The fixture makes arrival order deterministic: three slice files
+    * replayed as three micro-batches (mtimes pin the order) —
+    * on-time events of Jan 1–10, then on-time events of Jan 11–30,
+    * then EVERY late event (event_id % 5 == 3, all days).
+    *
+    * The drop rule this measures is Spark's TWO-WATERMARK semantics
+    * (SPARK-40025, probed here empirically before pinning the oracle):
+    * batch N's LATE-ROW FILTER uses the PREVIOUS watermark — max event
+    * time through batch N−2, minus the delay — while state EVICTION at
+    * the end of batch N uses the current one (through N−1). So the
+    * late batch (batch 2) is filtered against max(slice-0 ts) − 1 h:
+    * a straggler whose 1-day window closed before Jan 10's watermark
+    * is dropped; every other straggler still lands in live state
+    * (days 10–29 were NOT yet evicted when batch 2 ran — eviction at
+    * the end of batch 1 also used the older watermark). Both sides of
+    * the ledger are declared: n_ontime comes from the STREAM's final
+    * update-mode state, n_dropped = n_total − n_ontime against the
+    * batch recount — and the DuckDB oracle replays the two-watermark
+    * rule itself (wm_late as a scalar subquery over slice 0), so a
+    * hash match proves the engine's drop semantics, not just its
+    * arithmetic. A spec cross-checks the engine's own
+    * numRowsDroppedByWatermark metric (partial-row granularity) and
+    * the exact dropped set.
+    */
+  private val lateSliced = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def lateArrivalDir(s: SparkSession, d: String): String =
+    memo(lateSliced)(d) {
+      val dir = Tables.scratchDir("graft_st26_src", d)
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(root, true)
+      fs.mkdirs(root)
+      val ev = Tables.events(s, d)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val late = pmod(col("event_id"), lit(5)) === 3
+      val slices = Seq(
+        ev.filter(!late && to_date(col("ts")) <= lit("2024-01-10").cast("date")),
+        ev.filter(!late && to_date(col("ts")) > lit("2024-01-10").cast("date")),
+        ev.filter(late))
+      val base = System.currentTimeMillis() - 3600000L
+      slices.zipWithIndex.foreach { case (df, i) =>
+        val tmp = Tables.scratchDir(s"graft_st26_tmp$i", d)
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(dir, f"slice$i%02d.parquet")
+        java.nio.file.Files.copy(part.toPath, dst.toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // arrival order = mtime order, pinned a minute apart
+        assert(dst.setLastModified(base + i * 60000L))
+      }
+      dir
+    }
+
+  private[graft] def lateAccountingRun(s: SparkSession, d: String):
+      (DataFrame, Long) = {
+    val src = lateArrivalDir(s, d)
+    val schema = Tables.events(s, d).schema
+      .fields.filterNot(_.name == "props")
+    val stream = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(schema))
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val qname = s"graft_st26_${Tables.scratchTag(d)}"
+    val q = stream.writeStream.outputMode("update")
+      .format("memory").queryName(qname).start()
+    try q.processAllAvailable() finally q.stop()
+    val droppedMetric = q.recentProgress.flatMap(p =>
+      Option(p.stateOperators).toSeq.flatten.map(_.numRowsDroppedByWatermark))
+      .sum
+    // update-mode memory sink holds every emitted version of a key;
+    // counts only grow, so the final state is the per-key max
+    val finalState = s.table(qname)
+      .groupBy(to_date(col("window.start")).as("day"), col("event_type"))
+      .agg(max("n").as("n_ontime"))
+    (finalState, droppedMetric)
+  }
+
+  def lateDataAccounting(s: SparkSession, d: String): DataFrame = {
+    val (ontime, _) = lateAccountingRun(s, d)
+    val naive = Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_total"))
+    naive.join(ontime, Seq("day", "event_type"), "left")
+      .na.fill(0L, Seq("n_ontime"))
+      .select(col("day"), col("event_type"), col("n_total"),
+        col("n_ontime"), (col("n_total") - col("n_ontime")).as("n_dropped"))
+      .orderBy("day", "event_type")
+  }
+
   final case class MgState(counters: Map[String, Long], processed: Long)
   final case class MgEmit(bucket: Int, processed: Long, candidates: Seq[String])
 
@@ -1394,6 +1494,27 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st26_late_data_accounting", lateDataAccounting, Some(
+      // the oracle REPLAYS the two-watermark drop rule: wm_late =
+      // max(on-time ts of the first arrival slice) − 1 h; a late row
+      // (event_id % 5 = 3, arriving in batch 2) is dropped iff its
+      // 1-day window end <= wm_late. n_ontime must equal what the
+      // stream's final state holds — semantics, not just arithmetic.
+      """WITH wm AS (
+        |  SELECT max(ts) - INTERVAL 1 HOUR AS w
+        |  FROM events
+        |  WHERE event_id % 5 <> 3 AND CAST(ts AS DATE) <= DATE '2024-01-10'),
+        |flags AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    (event_id % 5 = 3 AND
+        |     CAST(CAST(ts AS DATE) + INTERVAL 1 DAY AS TIMESTAMP)
+        |       <= (SELECT w FROM wm)) AS dropped
+        |  FROM events)
+        |SELECT day, event_type, count(*) AS n_total,
+        |  count(*) FILTER (NOT dropped) AS n_ontime,
+        |  count(*) FILTER (dropped) AS n_dropped
+        |FROM flags GROUP BY day, event_type
+        |ORDER BY day, event_type""".stripMargin)),
     QueryDef("st25_streaming_mv_maintenance", streamingMvMaintenance, Some(
       // cat3/cat7's oracle verbatim: the streamed increments land the
       // store at exactly the raw events table, so the view-answered

@@ -554,4 +554,32 @@ class EventStreamsSpec extends SparkSpec {
     }
     assert(got.toSeq == full.toSeq)
   }
+
+  test("st26: the engine drops exactly the two-watermark late set; the metric confirms engine-side drops") {
+    import org.apache.spark.sql.functions._
+    val (_, droppedMetric) = EventStreams.lateAccountingRun(spark, sf0001)
+    // the drop happened inside the ENGINE's stateful operator (the
+    // metric is partial-row granularity, so > 0 is the honest pin)
+    assert(droppedMetric > 0, "watermark filter dropped nothing")
+    val df = EventStreams.lateDataAccounting(spark, sf0001)
+    // replay the two-watermark rule batch-side: wm_late = max(slice-0
+    // on-time ts) − 1 h; dropped ⟺ late ∧ window end <= wm_late
+    val ev = graft.Tables.events(spark, sf0001)
+    val late = pmod(col("event_id"), lit(5)) === 3
+    val wmLate = new java.sql.Timestamp(
+      ev.filter(!late && to_date(col("ts")) <= lit("2024-01-10").cast("date"))
+        .agg(max("ts")).head.getTimestamp(0).getTime - 3600000L)
+    val expectDropped = ev.filter(late &&
+      (to_date(col("ts")).cast("timestamp") + expr("INTERVAL 1 DAY")) <= lit(wmLate))
+      .count()
+    val gotDropped = df.agg(sum("n_dropped")).head.getLong(0)
+    assert(gotDropped == expectDropped && expectDropped > 0,
+      s"ledger=$gotDropped model=$expectDropped")
+    // same-day stragglers (window still open at the late watermark)
+    // were counted, not dropped
+    val lateKept = ev.filter(late).count() - expectDropped
+    assert(lateKept > 0, "fixture left no straggler inside the watermark")
+    val keptCheck = df.agg(sum("n_ontime")).head.getLong(0)
+    assert(keptCheck == ev.count() - expectDropped)
+  }
 }
