@@ -23,6 +23,13 @@ object Bench {
     else if (name.startsWith("als")) "als"
     else "rest"
 
+  /** Merge via a REAL JSON parse (Jackson rides the Spark classpath),
+    * not regex field-scraping: an error string containing ']'/'}' would
+    * truncate a non-greedy capture into malformed output, and a shard
+    * missing a field would surface as an inscrutable
+    * NumberFormatException("null") — each shard is validated with a
+    * named error instead (r11 advice).
+    */
   private def mergeShards(): Unit = {
     val dir = java.nio.file.Paths.get(".")
     import scala.jdk.CollectionConverters._
@@ -30,27 +37,35 @@ object Bench {
       .filter(_.getFileName.toString.matches("bench_shard_\\w+\\.json"))
       .toSeq.sortBy(_.getFileName.toString)
     require(files.nonEmpty, "no bench_shard_*.json files to merge")
-    def field(s: String, name: String): String =
-      ("\"" + name + "\":(\\{[^}]*\\}|\\[[^\\]]*\\]|\"[^\"]*\"|[-0-9.Ee+]+)").r
-        .findFirstMatchIn(s).map(_.group(1)).getOrElse("null")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val parts = files.map { f =>
-      val s = new String(java.nio.file.Files.readAllBytes(f), "UTF-8")
+      val root = mapper.readTree(f.toFile)
       val shard = f.getFileName.toString
         .stripPrefix("bench_shard_").stripSuffix(".json")
-      (shard, field(s, "value").toDouble, field(s, "queries"),
-        field(s, "errors"), field(s, "jvm"), field(s, "sf"))
+      Seq("value", "queries", "errors", "jvm", "sf").foreach(k =>
+        require(root.hasNonNull(k), s"$f: required field '$k' missing — " +
+          "re-run that shard; refusing to merge a partial record"))
+      (shard, root)
     }
-    val total = parts.map(_._2).sum
-    val queries = parts.map(_._3.stripPrefix("{").stripSuffix("}"))
-      .filter(_.nonEmpty).mkString("{", ",", "}")
-    val errors = parts.map(_._4.stripPrefix("[").stripSuffix("]"))
-      .filter(_.nonEmpty).mkString("[", ",", "]")
-    val shards = parts.map { case (sh, v, _, _, jvm, _) =>
-      s"\"$sh\":{\"total\":$v,\"jvm\":$jvm}"
-    }.mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$queries,"errors":$errors,"shards":$shards,""" +
-      s""""sf":${parts.head._6}}"""
+    val out = mapper.createObjectNode()
+    out.put("metric", "total")
+    out.put("value", parts.map(_._2.get("value").asDouble()).sum)
+    out.put("unit", "sec")
+    val queries = out.putObject("queries")
+    val errors = out.putArray("errors")
+    val shards = out.putObject("shards")
+    parts.foreach { case (sh, root) =>
+      root.get("queries").properties().asScala
+        .foreach(e => queries.set[com.fasterxml.jackson.databind.JsonNode](
+          e.getKey, e.getValue))
+      root.get("errors").elements().asScala.foreach(errors.add)
+      val shNode = shards.putObject(sh)
+      shNode.set[com.fasterxml.jackson.databind.JsonNode](
+        "total", root.get("value"))
+      shNode.set[com.fasterxml.jackson.databind.JsonNode]("jvm", root.get("jvm"))
+    }
+    out.set[com.fasterxml.jackson.databind.JsonNode]("sf", parts.head._2.get("sf"))
+    val line = mapper.writeValueAsString(out)
     java.nio.file.Files.write(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL", "bench_full.json")),
       (line + "\n").getBytes("UTF-8"))

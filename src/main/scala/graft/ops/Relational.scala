@@ -683,9 +683,48 @@ object Relational {
       .orderBy("segment")
   }
 
+  /** j16 — Spark's BUILT-IN runtime bloom-filter join, declared and
+    * plan-pinned (the engine-native sibling of j9's hand-built bloom
+    * semi-join): when a selective filter sits on the build side of a
+    * shuffle join, `InjectRuntimeFilter` plants a `bloom_filter`
+    * aggregate on that side and a `might_contain` predicate on the PROBE
+    * side's scan, so probe rows that cannot join are dropped BEFORE the
+    * shuffle — at 100 TB that is the difference between shuffling the
+    * full fact and shuffling the ~1/5 that survives. The knobs live on
+    * their own session (`newSession` shares the SparkContext but not the
+    * SQLConf), so forcing the SMJ here never de-optimizes neighboring
+    * queries. Broadcast is disabled because a broadcast join would hide
+    * the runtime filter this query exists to demonstrate — at real scale
+    * the orders side exceeds any broadcast threshold on its own.
+    * RelationalPlanSpec pins `might_contain` on the probe side.
+    */
+  def runtimeBloomJoin(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    // test-scale fixtures sit far under the 10GB production default —
+    // the plan shape, not the byte count, is what this operator declares
+    s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    s.conf.set("spark.sql.optimizer.runtimeFilter.number.threshold", "10")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val o = orders(s, d).filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+    lineitem(s, d).join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
   // ---- registry ----
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j16_runtime_bloom_join", runtimeBloomJoin, Some(
+      """SELECT l_returnflag, count(*) AS n,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("j15_skew_salted_join", skewSaltedJoin, Some(
       """WITH f AS (
         |  SELECT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS uid,

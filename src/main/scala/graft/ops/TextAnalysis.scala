@@ -987,6 +987,82 @@ object TextAnalysis {
     * both hash-check against the same DuckDB recomputation.
     */
   /** Shared contamination CTE chain (t9/t11 full query, p9 composition). */
+  /** DuckDB replay of t22's sequential BPE training (Sennrich et al.
+    * 2016) — the oracle-flip for the last deterministic rows-only text
+    * ops (r11 verdict item 6; p7's FFD recursive CTE is the template).
+    * The recursive working set is the WHOLE symbolized vocabulary per
+    * step; each iteration (a) computes the global argmax pair — count
+    * DESC, left, right, exactly bpeMergesFromWords' tie-break — via a
+    * second reference to the working table (DuckDB allows it), and
+    * (b) replays the LEFT-TO-RIGHT GREEDY merge with window functions:
+    * candidate positions, gaps-and-islands run ids (consecutive
+    * candidates only arise for left=right runs), odd-position-in-run
+    * merges, lag() drops the consumed right element. Validated
+    * bit-for-bit against an independent in-memory BPE on sf0.001 and
+    * sf0.01 corpora.
+    */
+  private val bpeReplayCtes: String =
+    """WITH RECURSIVE vocab AS (
+      |  SELECT w, count(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w
+      |),
+      |t AS (
+      |  SELECT 0 AS step, w AS wid, cnt,
+      |         list_append(string_split(w, ''), '</w>') AS sym,
+      |         CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+      |         CAST(NULL AS BIGINT) AS mpc
+      |  FROM vocab
+      |  UNION ALL
+      |  SELECT step + 1, wid, cnt, list(out_s ORDER BY pos) AS sym, l, r, pc
+      |  FROM (
+      |    SELECT step, wid, cnt, l, r, pc, pos,
+      |      CASE WHEN merge_at THEN l || r ELSE s END AS out_s,
+      |      COALESCE(lag(merge_at) OVER (PARTITION BY wid ORDER BY pos),
+      |        FALSE) AS consumed
+      |    FROM (
+      |      SELECT *, cand AND (row_number() OVER (
+      |          PARTITION BY wid, CASE WHEN cand THEN pos - cpc ELSE NULL END
+      |          ORDER BY pos) % 2 = 1) AS merge_at
+      |      FROM (
+      |        SELECT *, (s = l AND sn = r) AS cand,
+      |          SUM(CASE WHEN s = l AND sn = r THEN 1 ELSE 0 END) OVER (
+      |            PARTITION BY wid ORDER BY pos
+      |            ROWS UNBOUNDED PRECEDING) AS cpc
+      |        FROM (
+      |          SELECT t.step, t.wid, t.cnt, b.l, b.r, b.pc, g.i AS pos,
+      |                 t.sym[g.i] AS s, t.sym[g.i + 1] AS sn
+      |          FROM t,
+      |            (SELECT s AS l, sn AS r, sum(cnt) AS pc FROM (
+      |               SELECT t2.cnt, t2.sym[g2.i] AS s, t2.sym[g2.i + 1] AS sn
+      |               FROM t t2, UNNEST(range(1, len(t2.sym))) AS g2(i))
+      |             GROUP BY s, sn ORDER BY pc DESC, l, r LIMIT 1) b,
+      |            UNNEST(range(1, len(t.sym) + 1)) AS g(i)
+      |          WHERE t.step < 20 AND b.pc >= 2
+      |        )
+      |      )
+      |    )
+      |  ) WHERE NOT consumed
+      |  GROUP BY step, wid, cnt, l, r, pc
+      |)""".stripMargin
+
+  /** t25's encode side over the replayed merges: the final-step symbol
+    * count per vocab word joined back to the per-(doc, word) counts —
+    * the same vocab-sized-encode-then-join shape the Spark operator
+    * runs.
+    */
+  private val bpeEncodeCtes: String =
+    """final AS (
+      |  SELECT wid, len(sym)::BIGINT AS n_units, len(wid)::BIGINT AS n_chars
+      |  FROM t WHERE step = (SELECT max(step) FROM t)),
+      |pdw AS (
+      |  SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+      |    SELECT doc_id,
+      |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0 GROUP BY doc_id, w)""".stripMargin
+
   private val contaminationCtes: String =
     """docs AS (
       |  SELECT doc_id,
@@ -1835,10 +1911,11 @@ object TextAnalysis {
     * Ties argmax-broken by (count DESC, left, right) so the learned
     * merge table is a deterministic function of the corpus.
     * localCheckpoint every 3 rounds truncates the growing fold
-    * lineage (the CC/PageRank discipline). Rows-only: the sequential
-    * loop has no SQL twin; parity with an independent in-memory BPE
-    * on the classic corpus and rerun-determinism on documents are
-    * spec-pinned.
+    * lineage (the CC/PageRank discipline). Fully oracled since r12:
+    * the deterministic greedy is REPLAYED in a DuckDB recursive CTE
+    * (see bpeReplayCtes) — argmax, tie-break, and the left-to-right
+    * merge all bit-for-bit; in-memory-BPE parity and rerun
+    * determinism stay spec-pinned.
     */
   def bpeMerges(s: SparkSession, d: String, k: Int = 20,
       minCount: Long = 2L): DataFrame = {
@@ -1948,9 +2025,10 @@ object TextAnalysis {
     * token counts come from joining unit counts back to the (doc, word)
     * count table (hash-partitioned on the word, the only data-sized
     * exchanges). Per-doc output: whitespace words, BPE units, and the
-    * chars-per-unit compression proxy. Rows-only: the sequential merge
-    * loop has no SQL twin; parity of the encoder with training's fold
-    * and the unit-count bounds are spec-pinned.
+    * chars-per-unit compression proxy. Fully oracled since r12 via the
+    * bpeReplayCtes merge replay + the same vocab-encode-then-join in
+    * SQL; encoder-vs-training parity and unit-count bounds stay
+    * spec-pinned.
     */
   def bpeEncode(s: SparkSession, d: String, k: Int = 20): DataFrame = {
     import s.implicits._
@@ -1980,11 +2058,11 @@ object TextAnalysis {
     * per word, the signal vocab-size and merge-budget decisions are
     * made from). Pure composition, not recomputation: t25's per-doc
     * encode (memoized merge table, vocab-sized encode rollup) joined
-    * to the doc's language, rolled up to a |langs|-row report. Rows-
-    * only (the BPE upstream has no SQL twin); the spec pins fertility
-    * ≥ 1, rollup ≡ per-doc t25 aggregated independently, and merge-
-    * budget monotonicity (more merges never increase any language's
-    * fertility).
+    * to the doc's language, rolled up to a |langs|-row report. Fully
+    * oracled since r12 (rides the bpeReplayCtes merge replay); the
+    * spec pins fertility ≥ 1, rollup ≡ per-doc t25 aggregated
+    * independently, and merge-budget monotonicity (more merges never
+    * increase any language's fertility).
     */
   def tokenizerFertility(s: SparkSession, d: String, k: Int = 20): DataFrame = {
     bpeEncode(s, d, k)
@@ -2771,11 +2849,35 @@ object TextAnalysis {
       (s, d) => clusterBalancedMix(s, d), None),
     // rows-only: the sequential merge loop has no SQL twin; in-memory
     // reference parity + determinism pinned in the spec
-    QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), None),
-    QueryDef("t25_bpe_encode", (s, d) => bpeEncode(s, d), None),
-    // rows-only: composition over the BPE encode; fertility >= 1,
-    // rollup consistency, and merge-budget monotonicity spec-pinned
-    QueryDef("t32_tokenizer_fertility", (s, d) => tokenizerFertility(s, d), None),
+    // BPE is a deterministic greedy, so DuckDB REPLAYS it exactly
+    // (p7's flip is the template): see bpeReplayCtes
+    QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), Some(
+      s"""$bpeReplayCtes
+        |SELECT DISTINCT step, ml AS "left", mr AS "right", mpc AS pair_count
+        |FROM t WHERE step >= 1 ORDER BY step""".stripMargin)),
+    QueryDef("t25_bpe_encode", (s, d) => bpeEncode(s, d), Some(
+      s"""$bpeReplayCtes,
+        |$bpeEncodeCtes
+        |SELECT p.doc_id, sum(p.c)::BIGINT AS n_words,
+        |  sum(p.c * f.n_units)::BIGINT AS n_bpe_tokens,
+        |  round(CAST(sum(p.c * f.n_chars) AS DOUBLE)
+        |    / sum(p.c * f.n_units), 4) AS chars_per_unit
+        |FROM pdw p JOIN final f ON p.w = f.wid
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
+    QueryDef("t32_tokenizer_fertility", (s, d) => tokenizerFertility(s, d), Some(
+      s"""$bpeReplayCtes,
+        |$bpeEncodeCtes,
+        |enc AS (
+        |  SELECT p.doc_id, sum(p.c)::BIGINT AS n_words,
+        |    sum(p.c * f.n_units)::BIGINT AS n_bpe_tokens
+        |  FROM pdw p JOIN final f ON p.w = f.wid GROUP BY p.doc_id)
+        |SELECT d.lang, count(*)::BIGINT AS n_docs,
+        |  sum(e.n_words)::BIGINT AS n_words,
+        |  sum(e.n_bpe_tokens)::BIGINT AS n_units,
+        |  round(CAST(sum(e.n_bpe_tokens) AS DOUBLE)
+        |    / CAST(sum(e.n_words) AS DOUBLE), 4) AS fertility
+        |FROM enc e JOIN documents d ON e.doc_id = d.doc_id
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
     QueryDef("t33_blocklist_filter", (s, d) => blocklistFilter(s, d), Some(
       """WITH f AS (
         |  SELECT source,

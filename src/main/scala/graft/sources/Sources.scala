@@ -1277,20 +1277,28 @@ object Sources {
     }
   }
 
+  private val zorderMemo = new java.util.concurrent.ConcurrentHashMap[String, String]
+
   private[graft] def zorderStoreDir(s: SparkSession, d: String,
       clustered: Boolean): String = {
-    val dir = Tables.scratchDir(if (clustered) "graft_src22_z" else "graft_src22_lin", d)
-    val ev = events(s, d).select(col("event_id"), col("user_id"),
-      col("event_type"), col("value"), to_date(col("ts")).as("day"))
-      .withColumn("day_idx", datediff(col("day"), lit("2024-01-01")))
-    val keyed = if (clustered)
-      ev.withColumn("zkey",
-        mortonSpread(col("user_id")).bitwiseOR(shiftleft(mortonSpread(col("day_idx")), 1)))
-    else ev.withColumn("zkey", xxhash64(col("event_id"))) // no locality at all
-    keyed.repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
-      .drop("zkey", "day_idx")
-      .write.mode("overwrite").parquet(dir)
-    dir
+    // staging memoized per dataset fingerprint like the bucketed/IVF
+    // stores (r11 verdict item 7: the committed line rewrote the whole
+    // z-ordered store on every call) — a rerun pays only the box query
+    Tables.stagedDir(zorderMemo,
+      s"z$clustered#$d#${Tables.datasetFingerprint(d)}") { () =>
+      val dir = Tables.scratchDir(if (clustered) "graft_src22_z" else "graft_src22_lin", d)
+      val ev = events(s, d).select(col("event_id"), col("user_id"),
+        col("event_type"), col("value"), to_date(col("ts")).as("day"))
+        .withColumn("day_idx", datediff(col("day"), lit("2024-01-01")))
+      val keyed = if (clustered)
+        ev.withColumn("zkey",
+          mortonSpread(col("user_id")).bitwiseOR(shiftleft(mortonSpread(col("day_idx")), 1)))
+      else ev.withColumn("zkey", xxhash64(col("event_id"))) // no locality at all
+      keyed.repartitionByRange(16, col("zkey")).sortWithinPartitions("zkey")
+        .drop("zkey", "day_idx")
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
   }
 
   /** One scan builds the per-file min/max manifest; returns it collected
@@ -1311,8 +1319,9 @@ object Sources {
   private[graft] val zBox = (3L, 9L, "2024-01-10", "2024-01-19")
 
   /** Files whose (user, day) rectangle intersects the box. */
-  private[graft] def zorderSurvivors(s: SparkSession, dir: String): Seq[String] = {
-    val (ulo, uhi, dlo, dhi) = zBox
+  private[graft] def zorderSurvivors(s: SparkSession, dir: String,
+      box: (Long, Long, String, String) = zBox): Seq[String] = {
+    val (ulo, uhi, dlo, dhi) = box
     val (lo, hi) = (java.sql.Date.valueOf(dlo), java.sql.Date.valueOf(dhi))
     zorderManifest(s, dir).collect {
       case (f, umin, umax, dmin, dmax)
@@ -1334,12 +1343,125 @@ object Sources {
       .orderBy("event_type")
   }
 
+  private[graft] val zBox2 = (2L, 11L, "2024-01-05", "2024-01-14")
+
+  /** The z-ordered store read through the engine's `ManifestFileIndex`:
+    * per-file (min,max)×(user,day) stats ride INSIDE the plan, so file
+    * pruning happens at `listFiles` time from the pushed data filters —
+    * src23's whole point vs src22's operator-side pre-listing (see
+    * ManifestFileIndex's scaladoc).
+    */
+  private[graft] def manifestIndexedStore(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val dir = zorderStoreDir(s, d, clustered = true)
+    val stats = zorderManifest(s, dir).map { case (f, umin, umax, dmin, dmax) =>
+      new org.apache.hadoop.fs.Path(f).toUri.getPath ->
+        ManifestFileIndex.FileStats(umin, umax,
+          dmin.toLocalDate.toEpochDay.toInt, dmax.toLocalDate.toEpochDay.toInt)
+    }.toMap
+    val idx = new ManifestFileIndex(s, new org.apache.hadoop.fs.Path(dir), stats)
+    val rel = HadoopFsRelation(idx,
+      partitionSchema = new org.apache.spark.sql.types.StructType(),
+      dataSchema = s.read.parquet(dir).schema, bucketSpec = None,
+      fileFormat = new ParquetFileFormat, options = Map.empty[String, String])(s)
+    s.baseRelationToDataFrame(rel)
+  }
+
+  /** src23 — the box rollup as a PLAIN filtered query over the indexed
+    * store: no survivor pre-listing anywhere in the operator; the plan's
+    * own scan prunes to the manifest's surviving files (numFiles metric
+    * spec-pinned), and the result is fully oracled against raw events.
+    */
+  def fileIndexBoxQuery(s: SparkSession, d: String): DataFrame = {
+    val (ulo, uhi, dlo, dhi) = zBox2
+    manifestIndexedStore(s, d)
+      .filter(col("user_id").between(ulo, uhi) &&
+        col("day").between(lit(dlo).cast("date"), lit(dhi).cast("date")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  /** src24 — parquet AGGREGATE PUSHDOWN (DSv2): an unfiltered
+    * count/min/max is answered from parquet FOOTER statistics — zero
+    * row groups decompressed, zero rows materialized. At 100 TB the
+    * "how many rows / what's the date range" admin query costs a
+    * metadata pass over file footers instead of a full scan. The
+    * pushdown is a v2-reader feature, so the query runs on its own
+    * session with the v1 fallback list cleared and
+    * `parquet.aggregatePushDown` on; SourcesSpec pins
+    * `PushedAggregation` in the scan and zero output rows from the
+    * row-group side. Fully oracled — DuckDB recomputes the same three
+    * aggregates from the data, so a wrong footer shortcut breaks the
+    * hash.
+    */
+  def aggregatePushdown(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s.conf.set("spark.sql.sources.useV1SourceList", "")
+    // min/max on an INT64 key: timestamp columns are excluded from
+    // footer-stats pushdown (pushdown is all-or-nothing per aggregate
+    // list, so one ineligible column would silently disable all three)
+    s.read.parquet(s"$d/lineitem.parquet")
+      .agg(count(lit(1)).as("n"),
+        min("l_orderkey").as("first_key"), max("l_orderkey").as("last_key"))
+  }
+
+  /** src25 — EXCHANGE-FREE bucketed aggregation: the rollup keyed on the
+    * bucket key over src3's bucketed store runs partial→final with ZERO
+    * Exchange — the scan's outputPartitioning (murmur3 hash on
+    * l_orderkey, 8 buckets) already satisfies the aggregate's required
+    * distribution, so EnsureRequirements inserts nothing. At 100 TB the
+    * daily rollup over a bucketed fact is the most common shuffle the
+    * layout can delete: pay the clustering once at write time, aggregate
+    * forever shuffle-free (the aggregation sibling of j14's zero-exchange
+    * as-of join). SourcesSpec pins no Exchange below the aggregate.
+    */
+  def bucketedRollup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.scratchDir("graft_bucket", d)
+    val (liTbl, oTbl) = bucketTableNames(d)
+    writeBucketed(s, lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      "l_orderkey", s"$base/li", liTbl)
+    writeBucketed(s, orders(s, d).select("o_orderkey", "o_orderpriority"),
+      "o_orderkey", s"$base/o", oTbl)
+    bucketedRollupPlan(s, liTbl).orderBy("l_orderkey")
+  }
+
+  /** The bare bucket-key aggregate — the plan SourcesSpec asserts is
+    * Exchange-free (the declared query's orderBy adds its own range
+    * exchange for deterministic output; the aggregation itself must not).
+    */
+  private[graft] def bucketedRollupPlan(s: SparkSession, liTbl: String): DataFrame =
+    s.table(liTbl)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        // exact-cents discipline: a rounded double SUM differs in the
+        // last ulp across engines at .005 boundaries (caught by the
+        // oracle on this very query); integer cents sum identically
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .as("revenue_cents"))
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src24_agg_pushdown", aggregatePushdown, Some(
+      """SELECT count(*) AS n, min(l_orderkey) AS first_key,
+        |  max(l_orderkey) AS last_key FROM lineitem""".stripMargin)),
+    QueryDef("src25_bucketed_rollup", bucketedRollup, Some(
+      """SELECT l_orderkey, count(*) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src22_zorder_skipping", zorderBoxQuery, Some(
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events
         |WHERE user_id BETWEEN 3 AND 9
         |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-19'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src23_fileindex_skipping", fileIndexBoxQuery, Some(
+      """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events
+        |WHERE user_id BETWEEN 2 AND 11
+        |  AND CAST(ts AS DATE) BETWEEN DATE '2024-01-05' AND DATE '2024-01-14'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("j13_dynamic_pruning", dynamicPartitionPruning, Some(
       """SELECT event_type, count(*) AS n, round(sum(value), 4) AS sum_value

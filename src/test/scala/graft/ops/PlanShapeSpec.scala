@@ -288,4 +288,28 @@ class PlanShapeSpec extends SparkSpec {
       .collect().toSeq
     assert(salted == plain, "salted join result diverges from the plain join")
   }
+
+  test("runtime bloom join (j16): might_contain filters the probe side before the shuffle") {
+    val df = graft.ops.Relational.runtimeBloomJoin(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"),
+      s"no runtime bloom filter on the probe side:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+      s"runtime filters only apply to shuffle joins:\n$p")
+    // the injected filter must sit on the LINEITEM (probe) scan branch
+    assert("might_contain[\\s\\S]{0,2000}lineitem".r.findFirstIn(p).isDefined ||
+      "lineitem[\\s\\S]{0,2000}might_contain".r.findFirstIn(p).isDefined,
+      s"might_contain not adjacent to the probe scan:\n$p")
+    // and the result equals the plain broadcast-join form
+    import org.apache.spark.sql.functions._
+    val plain = graft.Tables.lineitem(spark, sf0001)
+      .join(graft.Tables.orders(spark, sf0001)
+        .filter(col("o_orderpriority") === "1-URGENT").select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy("l_returnflag").collect().toSeq
+    assert(df.collect().toSeq == plain)
+  }
 }

@@ -145,7 +145,8 @@ class MatViewRewriteSpec extends SparkSpec {
     val store = graft.Tables.scratchDir("graft_cat7spec", sf0001)
     val ev = graft.Tables.events(spark, sf0001)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    def files(): Set[String] = MatViews.listDataFiles(s"$store/events.parquet")
+    def files(): Set[String] =
+      MatViews.listDataFiles(s"$store/events.parquet").keySet
     ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
       .write.mode("overwrite").parquet(s"$store/events.parquet")
     MatViews.stageDailyRollup(spark, store)
@@ -187,6 +188,68 @@ class MatViewRewriteSpec extends SparkSpec {
     assert(!pre.queryExecution.executedPlan.toString
       .contains(new java.io.File(report.viewDir).getName),
       "stale maintained view served after an unmaintained append")
+  }
+
+  test("cat7: incremental maintenance refreshes the template — exact match fires post-append") {
+    import org.apache.spark.sql.functions._
+    val store = graft.Tables.scratchDir("graft_cat7tmpl", sf0001)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(pmod(col("event_id"), lit(10)) =!= 3)
+      .write.mode("overwrite").parquet(s"$store/events.parquet")
+    MatViews.stageDailyRollup(spark, store)
+    ev.filter(pmod(col("event_id"), lit(10)) === 3)
+      .write.mode("append").parquet(s"$store/events.parquet")
+    val report = MatViews.maintainDailyRollup(spark, store)
+    assert(!report.restaged)
+    // the re-registered entry's template is derived from the POST-append
+    // store, so the exact tier (cat3) answers with a plain projection —
+    // no Aggregate survives in the plan (a stale template would force
+    // the roll-up compensation path on every matching query)
+    val df = MatViews.naiveDailyRollup(spark, store)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(report.viewDir).getName),
+      s"not answered from the maintained view:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"exact swap should be a plain projection post-maintenance:\n$plan")
+  }
+
+  test("cat7: an in-place file rewrite under the same name forces a full re-stage") {
+    import org.apache.spark.sql.functions._
+    val store = graft.Tables.scratchDir("graft_cat7inplace", sf0001)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.repartition(4).write.mode("overwrite").parquet(s"$store/events.parquet")
+    MatViews.stageDailyRollup(spark, store)
+    val tableDir = new java.io.File(s"$store/events.parquet")
+    val parts = tableDir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    assert(parts.length >= 2, "need at least two part files to swap contents")
+    // rewrite part 0 IN PLACE with part 1's bytes (same name, different
+    // content) and ALSO append new files — a name-set diff alone would
+    // classify this batch as a pure append and merge a wrong view
+    java.nio.file.Files.copy(parts(1).toPath, parts(0).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // keep the local-FS checksum sidecar consistent with the new bytes
+    // (a real FS rewrite goes through Hadoop and maintains its own crc)
+    java.nio.file.Files.copy(
+      new java.io.File(tableDir, s".${parts(1).getName}.crc").toPath,
+      new java.io.File(tableDir, s".${parts(0).getName}.crc").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ev.filter(pmod(col("event_id"), lit(7)) === 0)
+      .withColumn("event_id", col("event_id") + 2000000000L)
+      .write.mode("append").parquet(s"$store/events.parquet")
+    val report = MatViews.maintainDailyRollup(spark, store)
+    assert(report.restaged,
+      "in-place rewrite + append must force a full re-stage, not an algebraic merge")
+    // the re-staged view equals the full recompute over the mutated store
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3))
+    val maintained = spark.read.parquet(report.viewDir)
+      .select("day", "event_type", "n", "cents").collect().map(key).sortBy(t => (t._1, t._2))
+    val full = MatViews.withoutRewrite {
+      MatViews.naiveDailyRollup(spark, store).collect().map(key).sortBy(t => (t._1, t._2))
+    }
+    assert(maintained.toSeq == full.toSeq)
   }
 
   test("cat6 join-aware: the star aggregate reads ONLY the view and equals the raw join") {

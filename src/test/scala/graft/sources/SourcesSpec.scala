@@ -468,4 +468,76 @@ class SourcesSpec extends SparkSpec {
       .filter(pred).count()
     assert(pruned == full && full > 0, s"pruned=$pruned full=$full")
   }
+
+  // AQE-aware scan lookup: executed stages hide under QueryStageExec
+  private def fileScans(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+      }.flatten
+    scans(df.queryExecution.executedPlan)
+  }
+
+  test("src23: the ManifestFileIndex prunes files INSIDE the plan — numFiles == manifest survivors") {
+    val df = Sources.fileIndexBoxQuery(spark, sf0001)
+    assert(df.collect().nonEmpty) // execute THIS plan so its metrics fill
+    val scan = fileScans(df).head
+    val scanned = scan.metrics("numFiles").value
+    val zDir = Sources.zorderStoreDir(spark, sf0001, clustered = true)
+    val all = Sources.zorderManifest(spark, zDir).length
+    val survivors = Sources.zorderSurvivors(spark, zDir, Sources.zBox2).length
+    assert(scanned == survivors && scanned < all,
+      s"plan scanned $scanned files; manifest survivors=$survivors of $all")
+    // pruning composes with ANY predicate over the indexed store, not
+    // just the declared box — src23's whole point vs src22
+    val other = Sources.manifestIndexedStore(spark, sf0001)
+      .filter(col("user_id") === 4L)
+      .agg(count(lit(1)).as("n"))
+    val n4 = other.collect()(0).getLong(0)
+    val scanned4 = fileScans(other).head.metrics("numFiles").value
+    assert(scanned4 < all, s"point predicate did not prune: $scanned4/$all")
+    val raw4 = spark.read.parquet(zDir).filter(col("user_id") === 4L).count()
+    assert(n4 == raw4, s"pruned count $n4 != raw $raw4")
+  }
+
+  test("src24: count/min/max answered from parquet footers — PushedAggregation, zero rows materialized") {
+    val df = Sources.aggregatePushdown(spark, sf0001)
+    val row = df.collect()(0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PushedAggregation: \\[[^\\]]+\\]".r.findFirstIn(plan).isDefined,
+      s"aggregate not pushed to the parquet scan:\n$plan")
+    assert(plan.contains("COUNT(*)") && plan.contains("MIN(l_orderkey)"),
+      s"pushed aggregate list incomplete:\n$plan")
+    // footer answer ≡ data answer
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val exp = li.agg(count(lit(1)), min("l_orderkey"), max("l_orderkey")).collect()(0)
+    assert(row.getLong(0) == exp.getLong(0) &&
+      row.getLong(1) == exp.getLong(1) &&
+      row.getLong(2) == exp.getLong(2))
+  }
+
+  test("src25: bucket-key rollup over the bucketed store runs with ZERO Exchange") {
+    Sources.bucketedRollup(spark, sf0001).collect() // stages the tables
+    val (liTbl, _) = Sources.bucketTableNames(sf0001)
+    val bare = Sources.bucketedRollupPlan(spark, liTbl)
+    val plan = bare.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucket-key aggregation must not shuffle — scan partitioning satisfies it:\n$plan")
+    // and it equals the plain-store rollup
+    val viaBuckets = bare.collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val plain = graft.Tables.lineitem(spark, sf0001)
+      .groupBy("l_orderkey")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .as("revenue_cents"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(viaBuckets == plain)
+  }
 }
