@@ -225,6 +225,37 @@ object GraftCatalog {
       .orderBy("day", "event_type")
   }
 
+  /** cat10 — incremental maintenance of the aggregate-JOIN view:
+    * cat7's append-then-algebraic-merge flow lifted over the star
+    * (fact⋈dim) view. A managed copy of events + customer is staged
+    * and the star rollup registered (cat6's flow); an append batch
+    * lands as new FACT files; `MatViews.maintainStarRollup` joins ONLY
+    * those files to the (unchanged) dimension and folds the delta's
+    * partials into the stored view — the standard incremental-view-
+    * maintenance delta rule for join views (Gupta & Mumick 1995). The
+    * declared star rollup over the post-append store then answers from
+    * the MAINTAINED view (cat6's rewrite, spec-pinned) while the
+    * oracle recomputes from the raw joined tables — a wrong merge
+    * breaks the hash. A dim change or fact rewrite forces the full
+    * re-stage (spec-pinned).
+    */
+  def mvStarIncremental(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = graft.Tables.scratchDir("graft_cat10_store", d)
+    val ev = graft.Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(pmod(col("event_id"), lit(10)) =!= 4)
+      .write.mode("overwrite").parquet(s"$store/events.parquet")
+    graft.Tables.customer(s, d).select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$store/customer.parquet")
+    graft.plans.MatViews.stageStarRollup(s, store)
+    ev.filter(pmod(col("event_id"), lit(10)) === 4)
+      .write.mode("append").parquet(s"$store/events.parquet")
+    graft.plans.MatViews.maintainStarRollup(s, store)
+    graft.plans.MatViews.naiveStarRollup(s, store)
+      .orderBy("day", "event_type", "c_mktsegment")
+  }
+
   /** cat8 — CHEAPEST-VIEW CHOICE: with BOTH the daily and the monthly
     * rollup views registered over the same events table, a per-month
     * aggregation matches both (the monthly view directly; the daily via
@@ -254,6 +285,12 @@ object GraftCatalog {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("cat10_mv_star_incremental", mvStarIncremental, Some(
+      """SELECT CAST(ts AS DATE) AS day, event_type, c_mktsegment,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
     QueryDef("cat8_mv_choice", mvCheapestView, Some(
       """SELECT strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m-%d')
         |    AS month,

@@ -951,7 +951,42 @@ object Analytics {
       .orderBy("qpct")
   }
 
+  /** a24 — day-over-day deltas via EXCHANGE REUSE: the daily rollup is
+    * self-joined against its previous day, and because both join inputs
+    * are the SAME aggregation subplan, Catalyst's ReuseExchange replaces
+    * the second with a `ReusedExchange` over the first's shuffle output
+    * — events are scanned and aggregated ONCE (spec-pinned: one FileScan,
+    * a ReusedExchange node). At 100 TB every compare-to-yesterday
+    * dashboard has this shape, and scan-once-join-twice is the
+    * difference between one fact pass and two. Exact-cents deltas keep
+    * the oracle bit-identical.
+    */
+  def dayOverDay(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    daily.as("a").join(daily.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("a.day") === date_add(col("b.day"), 1))
+      .select(col("a.day").as("day"), col("a.event_type").as("event_type"),
+        (col("a.n") - col("b.n")).as("delta_n"),
+        round((col("a.cents") - col("b.cents")).cast("double") / 100, 2)
+          .as("delta_value"))
+      .orderBy("day", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("a24_day_over_day", (s, d) => dayOverDay(s, d), Some(
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n,
+        |    sum(CAST(round(value * 100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT a.day, a.event_type, a.n - b.n AS delta_n,
+        |  round(CAST(a.cents - b.cents AS DOUBLE) / 100, 2) AS delta_value
+        |FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day = b.day + 1
+        |ORDER BY 1, 2""".stripMargin)),
     QueryDef("a22_weighted_percentiles", (s, d) => weightedPercentiles(s, d), Some(
       """WITH c AS (
         |  SELECT CAST(round(round(l_extendedprice, 2) * 100, 0) AS BIGINT) AS cents,

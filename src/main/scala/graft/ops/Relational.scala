@@ -716,9 +716,76 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** j17 — AQE SKEW JOIN, declared and plan-pinned: j15 fixes the
+    * hot-key straggler by hand (deterministic salting); this is Spark's
+    * RUNTIME fix — `OptimizeSkewedJoin` measures the map-output sizes
+    * after the shuffle and splits an oversized partition into
+    * advisory-sized sub-reads, each re-reading the (duplicated) other
+    * side — no plan change, no salting column, works on any sort-merge
+    * join. Same skew fixture as j15 (one key owns ~2/3 of the fact);
+    * thresholds are lowered on an isolated session because the
+    * production defaults (256 MB) are sized for real clusters, not a
+    * test SF — the SHAPE (the SMJ marked skew=true) is what this
+    * operator declares, and RelationalPlanSpec pins it. The rollup is
+    * fully oracled by replaying the plain join in DuckDB — the
+    * split-and-reread must not change a single row.
+    */
+  private val skewFactMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** The skewed fact staged as a 16-FILE table (memoized per dataset
+    * fingerprint). Two structural conditions gate AQE\'s splitter, both
+    * discovered by probing mapStats: (a) the skewed reduce partition is
+    * split at MAPPER-OUTPUT granularity, so a single-map-task source
+    * (the one-row-group test parquet under any maxPartitionBytes!)
+    * is unsplittable — a real 100 TB fact is thousands of files, and
+    * staging 16 gives the splitter 16 units; (b) the dim side must be
+    * a plain shuffled scan — a `distinct`-derived dim leaves an
+    * Aggregate between shuffle and join and the rule\'s
+    * Sort(ShuffleQueryStage) pattern no longer matches either side.
+    */
+  private def skewFactDir(s: SparkSession, d: String): String =
+    graft.Tables.stagedDir(skewFactMemo,
+      s"skewfact#$d#${graft.Tables.datasetFingerprint(d)}") { () =>
+      val dir = graft.Tables.scratchDir("graft_j17_fact", d)
+      events(s, d).select(
+        when(pmod(col("user_id"), lit(3)) =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("uid"),
+        col("value"))
+        .repartition(16)
+        .write.mode("overwrite").parquet(dir)
+      dir
+    }
+
+  def aqeSkewJoin(s0: SparkSession, d: String): DataFrame = {
+    val s = s0.newSession()
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val fact = s.read.parquet(skewFactDir(s, d))
+    val dim = customer(s, d).select(col("c_custkey").as("uid"),
+      pmod(col("c_custkey"), lit(5)).as("segment"))
+    fact.join(dim.hint("merge"), Seq("uid"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("segment")
+  }
+
   // ---- registry ----
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("j17_aqe_skew_join", aqeSkewJoin, Some(
+      """WITH f AS (
+        |  SELECT CASE WHEN user_id % 3 <> 0 THEN 0 ELSE user_id END AS uid,
+        |    value
+        |  FROM events),
+        |dim AS (SELECT c_custkey AS uid, c_custkey % 5 AS segment
+        |        FROM customer)
+        |SELECT segment, count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM f JOIN dim USING (uid)
+        |GROUP BY segment ORDER BY segment""".stripMargin)),
     QueryDef("j16_runtime_bloom_join", runtimeBloomJoin, Some(
       """SELECT l_returnflag, count(*) AS n,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -323,7 +323,9 @@ object MatViews {
   private[plans] final case class StarEntry(
       mv: String, datasetDir: String, fingerprint: String,
       factSrc: String, dimSrc: String, joinCondNorm: Expression,
-      keyNorms: Seq[(Expression, DataType)], centsNorm: Expression)
+      keyNorms: Seq[(Expression, DataType)], centsNorm: Expression,
+      factManifest: Map[String, (Long, Long)] = Map.empty,
+      dimManifest: Map[String, (Long, Long)] = Map.empty)
 
   /** fact canonical path -> registered aggregate-join view */
   private[plans] val starRegistry =
@@ -370,22 +372,19 @@ object MatViews {
   /** Stage (memoized) the star rollup for dataset `d` and register it
     * for join-aware rewrite. Returns the view directory.
     */
-  def stageStarRollup(s: SparkSession, d: String): String = {
-    val fp = graft.Tables.datasetFingerprint(d)
-    val key = s"star#$d#$fp"
-    val mv = graft.Tables.stagedDir(starStaged, key) { () =>
-      val dir = graft.Tables.scratchDir("graft_mv_star", d)
-      withoutRewrite {
-        naiveStarRollup(s, d).write.mode("overwrite").parquet(dir)
-      }
-      dir
-    }
+  /** Derive a StarEntry for view dir `mv` from the CURRENT dataset
+    * state — the normalized join condition, key and cents vocabulary
+    * plus the fact/dim file manifests the incremental maintenance
+    * (cat10) diffs against.
+    */
+  private def starEntryFor(s: SparkSession, mv: String, d: String,
+      fp: String): StarEntry = {
     val opt = withoutRewrite {
       naiveStarRollup(s, d).queryExecution.optimizedPlan
     }
     val factSrc = canonicalSrc(d)
     val dimSrc = canonicalPath(d, "customer")
-    val entry = opt.collect { case a: Aggregate => a }.headOption.map { a =>
+    opt.collect { case a: Aggregate => a }.headOption.map { a =>
       val rels = a.collect { case l: LogicalRelation => l }
       def pathOf(l: LogicalRelation): String = l.relation match {
         case h: HadoopFsRelation => h.location.rootPaths.headOption
@@ -404,10 +403,89 @@ object MatViews {
         case ae: AggregateExpression => ae.aggregateFunction
       }).collectFirst { case sm: Sum => norm(sm.child) }.get
       StarEntry(mv, d, fp, factSrc, dimSrc, norm(j.condition.get),
-        keyNorms, cents)
+        keyNorms, cents, listDataFiles(factSrc), listDataFiles(dimSrc))
     }.get
-    starRegistry.put(factSrc, entry)
+  }
+
+  def stageStarRollup(s: SparkSession, d: String): String = {
+    val fp = graft.Tables.datasetFingerprint(d)
+    val key = s"star#$d#$fp"
+    val mv = graft.Tables.stagedDir(starStaged, key) { () =>
+      val dir = graft.Tables.scratchDir("graft_mv_star", d)
+      withoutRewrite {
+        naiveStarRollup(s, d).write.mode("overwrite").parquet(dir)
+      }
+      dir
+    }
+    starRegistry.put(canonicalSrc(d), starEntryFor(s, mv, d, fp))
     mv
+  }
+
+  /** cat10 — incremental maintenance of the registered aggregate-JOIN
+    * view (cat7's algebra lifted over the join): because the star
+    * partials aggregate the fact⋈dim result and that result is the
+    * DISJOINT union of (old fact)⋈dim and (delta fact)⋈dim when the
+    * dim is unchanged, a pure fact append maintains the view by
+    * joining ONLY the new fact files to the dim and merging the
+    * delta's partials algebraically — counts and exact cents both
+    * re-aggregate by summation. At 100 TB the fact is the table that
+    * grows every batch while the dimension is calendar-stable, so
+    * this is the maintenance path a star summary actually lives on
+    * (Goldstein & Larson's views under the standard incremental-
+    * view-maintenance delta rule, Gupta & Mumick 1995). ANY dim
+    * change — or a fact delete/in-place rewrite, detected by the
+    * (size, mtime) manifests — falls back to the full re-stage: the
+    * algebraic merge can only add fact partials under a fixed dim.
+    */
+  def maintainStarRollup(s: SparkSession, d: String): MaintenanceReport = {
+    val factSrc = canonicalSrc(d)
+    val dimSrc = canonicalPath(d, "customer")
+    s.catalog.refreshByPath(factSrc)
+    s.catalog.refreshByPath(dimSrc)
+    val curFact = listDataFiles(factSrc)
+    val curDim = listDataFiles(dimSrc)
+    val fp = graft.Tables.datasetFingerprint(d)
+    Option(starRegistry.get(factSrc)) match {
+      case None =>
+        stageStarRollup(s, d)
+        MaintenanceReport(curFact.size, 0, restaged = true,
+          starRegistry.get(factSrc).mv)
+      case Some(entry) if entry.fingerprint == fp =>
+        MaintenanceReport(0, 0, restaged = false, entry.mv)
+      case Some(entry) =>
+        val added = curFact.keySet -- entry.factManifest.keySet
+        val removed = entry.factManifest.keySet -- curFact.keySet
+        val changed = (curFact.keySet & entry.factManifest.keySet)
+          .filter(f => curFact(f) != entry.factManifest(f))
+        val dimChanged = curDim != entry.dimManifest
+        if (dimChanged || removed.nonEmpty || changed.nonEmpty || added.isEmpty) {
+          stageStarRollup(s, d)
+          MaintenanceReport(added.size,
+            (removed ++ changed).size + (if (dimChanged) 1 else 0),
+            restaged = true, starRegistry.get(factSrc).mv)
+        } else {
+          val merged = withoutRewrite {
+            val delta = s.read
+              .parquet(added.toSeq.sorted.map(f => s"$factSrc/$f"): _*)
+              .join(graft.Tables.customer(s, d),
+                col("user_id") === col("c_custkey"))
+              .groupBy(to_date(col("ts")).as("day"), col("event_type"),
+                col("c_mktsegment"))
+              .agg(count(lit(1)).as("n"),
+                sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+            s.read.parquet(entry.mv).unionByName(delta)
+              .groupBy("day", "event_type", "c_mktsegment")
+              .agg(sum("n").as("n"), sum("cents").as("cents"))
+          }
+          val dir = s"${entry.mv.replaceAll("_m\\d+$", "")}_m${maintVersion.incrementAndGet()}"
+          withoutRewrite { merged.write.mode("overwrite").parquet(dir) }
+          // full entry re-derivation, cat7's discipline: normalized
+          // vocabulary against the post-append relations, fresh
+          // manifests, re-keyed fingerprint — all view-sized work
+          starRegistry.put(factSrc, starEntryFor(s, dir, d, fp))
+          MaintenanceReport(added.size, 0, restaged = false, dir)
+        }
+    }
   }
 }
 

@@ -8,13 +8,14 @@ import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionD
 /** src23 — PLAN-INTEGRATED manifest data skipping: the engine-grade form
   * of src22's min/max file pruning. src22 pre-lists surviving files
   * OUTSIDE the optimizer and reads them explicitly, so only that one
-  * operator benefits; this `FileIndex` carries the per-file (min,max)
+  * operator benefits; this `FileIndex` carries per-file (min,max)
   * column stats and intersects them with the PUSHED data filters inside
   * `listFiles`, so ANY query planned over the store — whatever its
-  * predicate — prunes files in the plan itself, the way Delta/Iceberg
-  * planners consult their manifests (Armbrust et al., VLDB 2020, Delta
-  * Lake; the reference has no notion of data skipping — its scans read
-  * every SequenceFile split, `ALS/ALS.java:228-237`).
+  * predicate, whatever tracked column it constrains — prunes files in
+  * the plan itself, the way Delta/Iceberg planners consult their
+  * manifests (Armbrust et al., VLDB 2020, Delta Lake; the reference has
+  * no notion of data skipping — its scans read every SequenceFile
+  * split, `ALS/ALS.java:228-237`).
   *
   * Scale shape: the manifest is file-count-sized (16 entries here,
   * O(files) at 100 TB — the same cardinality every table format's
@@ -27,10 +28,11 @@ import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionD
   * the executed plan's numFiles metric to the manifest's survivor count.
   */
 object ManifestFileIndex {
-  /** Per-file stats: [umin,umax] over `user_id`, [dmin,dmax] over `day`
-    * in epoch days (DateType literals compare as epoch-day ints).
+  /** Per-file [min,max] for one tracked column, as longs: integral
+    * columns carry their values, DateType columns their epoch days
+    * (the unit DateType literals compare in).
     */
-  final case class FileStats(umin: Long, umax: Long, dmin: Int, dmax: Int)
+  final case class ColRange(min: Long, max: Long)
 
   /** Tighten [lo,hi] bounds for `name` from the pushed conjuncts.
     * Conservative by construction: only attribute-vs-literal
@@ -77,26 +79,39 @@ object ManifestFileIndex {
   }
 }
 
+/** @param stats per-file, per-tracked-column [min,max] ranges:
+  *   normalized file path -> (column name -> range). Any column of any
+  *   file may be absent — absence disables skipping for that (file,
+  *   column), never correctness.
+  */
 class ManifestFileIndex(
     spark: SparkSession, root: Path,
-    stats: Map[String, ManifestFileIndex.FileStats])
+    stats: Map[String, Map[String, ManifestFileIndex.ColRange]])
   extends InMemoryFileIndex(spark, Seq(root),
     Map.empty[String, String], None) {
+
+  /** Every column any file carries stats for. */
+  private val trackedCols: Seq[String] =
+    stats.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    val (ulo, uhi) = ManifestFileIndex.boundsOf("user_id", dataFilters)
-    val (dlo, dhi) = ManifestFileIndex.boundsOf("day", dataFilters)
-    if (ulo == Long.MinValue && uhi == Long.MaxValue &&
-      dlo == Long.MinValue && dhi == Long.MaxValue) return base
+    val bounds = trackedCols
+      .map(c => c -> ManifestFileIndex.boundsOf(c, dataFilters))
+      .filter { case (_, (lo, hi)) =>
+        lo != Long.MinValue || hi != Long.MaxValue }
+    if (bounds.isEmpty) return base
     base.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         stats.get(f.getPath.toUri.getPath) match {
           case None => true // unknown file: never skip on missing stats
-          case Some(st) =>
-            st.umax >= ulo && st.umin <= uhi &&
-              st.dmax.toLong >= dlo && st.dmin.toLong <= dhi
+          case Some(colStats) => bounds.forall { case (c, (lo, hi)) =>
+            colStats.get(c) match {
+              case None => true // untracked column for this file: keep
+              case Some(r) => r.max >= lo && r.min <= hi
+            }
+          }
         }
       })
     }

@@ -1356,9 +1356,10 @@ object Sources {
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val dir = zorderStoreDir(s, d, clustered = true)
     val stats = zorderManifest(s, dir).map { case (f, umin, umax, dmin, dmax) =>
-      new org.apache.hadoop.fs.Path(f).toUri.getPath ->
-        ManifestFileIndex.FileStats(umin, umax,
-          dmin.toLocalDate.toEpochDay.toInt, dmax.toLocalDate.toEpochDay.toInt)
+      new org.apache.hadoop.fs.Path(f).toUri.getPath -> Map(
+        "user_id" -> ManifestFileIndex.ColRange(umin, umax),
+        "day" -> ManifestFileIndex.ColRange(
+          dmin.toLocalDate.toEpochDay, dmax.toLocalDate.toEpochDay))
     }.toMap
     val idx = new ManifestFileIndex(s, new org.apache.hadoop.fs.Path(dir), stats)
     val rel = HadoopFsRelation(idx,

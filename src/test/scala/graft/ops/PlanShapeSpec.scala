@@ -289,6 +289,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(salted == plain, "salted join result diverges from the plain join")
   }
 
+  test("day-over-day (a24): the self-joined rollup reuses one exchange — events scanned once") {
+    // pin the reuse shape with the MV rewrite suppressed: when a daily
+    // view happens to be registered (other tests in this suite register
+    // one), the rule answers BOTH join sides from the calendar-sized
+    // view — an even better plan, but a different one than this pin
+    val p = graft.plans.MatViews.withoutRewrite {
+      val df = graft.SparkEntry.queries("a24_day_over_day")(spark, sf0001)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    assert(p.contains("ReusedExchange"),
+      s"self-join recomputed the rollup instead of reusing the exchange:\n$p")
+    // count scans in the FINAL adaptive plan only (the string also
+    // renders the pre-reuse Initial Plan section)
+    val finalSection = p.split("== Initial Plan ==").head
+    val scans = "FileScan parquet".r.findAllIn(finalSection).size
+    assert(scans == 1, s"events scanned $scans times (expected 1):\n$p")
+  }
+
+  test("AQE skew join (j17): the hot partition splits at runtime — SMJ marked skew=true") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ops.Relational.aqeSkewJoin(spark, sf0001)
+    val rows = df.collect() // AQE decides after the shuffle runs
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$p")
+    // split-and-reread must not change a single row: replay plainly
+    val plain = graft.Tables.events(spark, sf0001).select(
+        when(pmod(col("user_id"), lit(3)) =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("uid"), col("value"))
+    val dim = graft.Tables.customer(spark, sf0001)
+      .select(col("c_custkey").as("uid"),
+        pmod(col("c_custkey"), lit(5)).as("segment"))
+    val expected = plain.join(dim, Seq("uid"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
+      .orderBy("segment").collect()
+    assert(rows.toSeq == expected.toSeq)
+  }
+
   test("runtime bloom join (j16): might_contain filters the probe side before the shuffle") {
     val df = graft.ops.Relational.runtimeBloomJoin(spark, sf0001)
     val p = df.queryExecution.executedPlan.toString

@@ -214,6 +214,52 @@ class MatViewRewriteSpec extends SparkSpec {
       s"exact swap should be a plain projection post-maintenance:\n$plan")
   }
 
+  test("cat10: a fact append maintains the star view in delta cost; a dim change forces re-stage") {
+    import org.apache.spark.sql.functions._
+    val store = graft.Tables.scratchDir("graft_cat10spec", sf0001)
+    val ev = graft.Tables.events(spark, sf0001)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(pmod(col("event_id"), lit(10)) =!= 4)
+      .write.mode("overwrite").parquet(s"$store/events.parquet")
+    graft.Tables.customer(spark, sf0001).select("c_custkey", "c_mktsegment")
+      .write.mode("overwrite").parquet(s"$store/customer.parquet")
+    MatViews.stageStarRollup(spark, store)
+    ev.filter(pmod(col("event_id"), lit(10)) === 4)
+      .write.mode("append").parquet(s"$store/events.parquet")
+    val report = MatViews.maintainStarRollup(spark, store)
+    assert(!report.restaged, "fact append was answered by a full re-stage")
+    assert(report.added > 0 && report.removed == 0)
+    // maintained view ≡ full recompute over the post-append store
+    def key(r: org.apache.spark.sql.Row) = (r.getDate(0).toString,
+      r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))
+    val maintained = spark.read.parquet(report.viewDir)
+      .select("day", "event_type", "c_mktsegment", "n", "cents")
+      .collect().map(key).sortBy(t => (t._1, t._2, t._3))
+    val full = MatViews.withoutRewrite {
+      MatViews.naiveStarRollup(spark, store)
+        .collect().map(key).sortBy(t => (t._1, t._2, t._3))
+    }
+    assert(maintained.toSeq == full.toSeq,
+      "star algebraic merge diverged from the full recompute")
+    // the post-append star query answers from the MAINTAINED view
+    val df = MatViews.naiveStarRollup(spark, store)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(report.viewDir).getName),
+      s"query not answered from the maintained star view:\n$plan")
+    assert(!plan.contains("events.parquet") && !plan.contains("customer.parquet"),
+      s"maintained-star plan still reads a base table:\n$plan")
+    // no-op maintenance: same view back
+    val again = MatViews.maintainStarRollup(spark, store)
+    assert(again.added == 0 && !again.restaged && again.viewDir == report.viewDir)
+    // a DIM change can never take the algebraic path
+    graft.Tables.customer(spark, sf0001)
+      .select("c_custkey", "c_mktsegment")
+      .withColumn("c_mktsegment", upper(col("c_mktsegment")))
+      .write.mode("overwrite").parquet(s"$store/customer.parquet")
+    val dimReport = MatViews.maintainStarRollup(spark, store)
+    assert(dimReport.restaged, "dim change must force a full re-stage")
+  }
+
   test("cat7: an in-place file rewrite under the same name forces a full re-stage") {
     import org.apache.spark.sql.functions._
     val store = graft.Tables.scratchDir("graft_cat7inplace", sf0001)
