@@ -470,7 +470,198 @@ object Mutations {
       .orderBy("day")
   }
 
+  /** up12 — OPTIMISTIC CONCURRENCY COMMIT (the Delta/Iceberg commit
+    * protocol at partition granularity): concurrent writers stage their
+    * output first, then race an atomic create of the next version file
+    * in the `_log/`; a loser re-checks whether any version committed
+    * since its base touched a partition it read or wrote — if disjoint
+    * it REBASES (publishes its already-staged files as the next
+    * version, no re-execution), if overlapping it RE-EXECUTES against
+    * the current snapshot before retrying. This is what makes a
+    * lakehouse table safely multi-writer without a lock service: the
+    * log serializes commits, data files are immutable until published,
+    * and conflict detection is a metadata intersection — O(log entries
+    * × touched-partition lists), never a data read.
+    *
+    * The declared scenario interleaves three writers so BOTH paths run
+    * and the protocol is DATA-observable: writer A (+7 cents, odd
+    * days) and writer B2 (+13 cents, day%3==0 — overlapping A) both
+    * stage from v0 BEFORE A commits; B1 (+100 cents, even days,
+    * disjoint from A) rebases through cleanly; B2's commit detects A's
+    * overlapping v1 and MUST re-stage from the post-A snapshot — if it
+    * published its stale staging instead, A's +7 on the overlap would
+    * be silently lost and the oracle hash (which applies all three
+    * updates) breaks. Lost-update prevention is thus proven by the
+    * DuckDB agreement, not just by spec counters.
+    */
+  private[graft] final case class OccResult(
+      version: Int, attempts: Int, stagings: Int, rebased: Boolean)
+
+  /** One OCC writer over the day-partitioned store at `dir`. `stage()`
+    * reads ONLY its touched day partitions from the current store and
+    * writes the transformed replacement to a private staging dir;
+    * `commit()` runs the conflict check against versions committed
+    * since `base`, re-staging on overlap, then atomically claims the
+    * next version file and publishes the staging via dynamic partition
+    * overwrite.
+    */
+  private[graft] final class OccWriter(s: SparkSession, dir: String,
+      staging: String, base: Int, touched: Seq[String],
+      transform: DataFrame => DataFrame) {
+    private val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    var stagings = 0
+
+    def stage(): Unit = {
+      stagings += 1
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      val cur = s.read.parquet(dir)
+        .filter(col("day").isin(touched: _*)) // partition-pruned read
+      // localCheckpoint: the staged rows must be MATERIALIZED before the
+      // publish overwrites the partitions they were computed from
+      transform(cur).localCheckpoint(true)
+        .write.mode("overwrite").parquet(staging)
+    }
+
+    def commit(): OccResult = {
+      var myBase = base
+      var attempts = 0
+      var rebased = false
+      while (true) {
+        attempts += 1
+        val committed = occVersions(fs, dir)
+        val newer = committed.filter(_._1 > myBase)
+        if (newer.exists(_._2.intersect(touched.toSet).nonEmpty)) {
+          // an overlapping commit landed since our snapshot: our staged
+          // output was computed from stale data — re-execute on current
+          myBase = committed.map(_._1).max
+          stage()
+        } else {
+          if (newer.nonEmpty) rebased = true
+          val target = committed.map(_._1).max + 1
+          if (occTryClaim(fs, dir, target, touched)) {
+            val savedInfer = s.conf.get(
+              "spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+            val savedMode =
+              s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+            s.conf.set(
+              "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+            s.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
+            try {
+              s.read.parquet(staging)
+                .write.partitionBy("day").mode("overwrite").parquet(dir)
+              s.catalog.refreshByPath(dir) // drop cached file listings
+            } finally {
+              s.conf.set("spark.sql.sources.partitionOverwriteMode", savedMode)
+              s.conf.set(
+                "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+            }
+            return OccResult(target, attempts, stagings, rebased)
+          }
+          // lost the claim race: loop re-checks conflicts at the new head
+        }
+      }
+      sys.error("unreachable")
+    }
+  }
+
+  /** Committed (version, touched-partitions) entries under `dir/_log`. */
+  private def occVersions(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Seq[(Int, Set[String])] = {
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(log)) Seq.empty
+    else fs.listStatus(log).toSeq.filter(_.getPath.getName.startsWith("v"))
+      .map { st =>
+        val v = st.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt
+        val in = fs.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        v -> body.split("\n").filter(_.nonEmpty).toSet
+      }.sortBy(_._1)
+  }
+
+  /** Atomic exclusive claim of version `v`: create-if-absent of the
+    * version file (the filesystem primitive every log-structured table
+    * format serializes on), then write the touched-partition list.
+    */
+  private def occTryClaim(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      v: Int, touched: Seq[String]): Boolean = {
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    fs.mkdirs(log)
+    val p = new org.apache.hadoop.fs.Path(log, s"v$v.txt")
+    try {
+      val out = fs.create(p, false) // overwrite=false: exclusive create
+      try out.write(touched.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      true
+    } catch { case _: java.io.IOException => false }
+  }
+
+  private[graft] def occStoreDir(s: SparkSession, d: String): String = {
+    val dir = Tables.scratchDir("graft_up12_store", d)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    events(s, d)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .repartition(col("day"))
+      .write.partitionBy("day").mode("overwrite").parquet(dir)
+    occTryClaim(fs, dir, 0, Seq.empty) // v0: the staged base snapshot
+    dir
+  }
+
+  private[graft] def occScenario(s: SparkSession, d: String)
+      : (String, OccResult, OccResult, OccResult) = {
+    val dir = occStoreDir(s, d)
+    val savedInfer = s.conf
+      .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val allDays = s.read.parquet(dir).select("day").distinct()
+        .collect().map(_.getString(0)).sorted // calendar-bounded
+      val odd = allDays.filter(dd => dd.takeRight(2).toInt % 2 == 1)
+      val even = allDays.filter(dd => dd.takeRight(2).toInt % 2 == 0)
+      val div3 = allDays.filter(dd => dd.takeRight(2).toInt % 3 == 0)
+      def bump(by: Int)(df: DataFrame): DataFrame =
+        df.withColumn("cents", col("cents") + lit(by.toLong))
+      val wA = new OccWriter(s, dir, Tables.scratchDir("graft_up12_sa", d),
+        base = 0, odd, bump(7))
+      val wB1 = new OccWriter(s, dir, Tables.scratchDir("graft_up12_sb1", d),
+        base = 0, even, bump(100))
+      val wB2 = new OccWriter(s, dir, Tables.scratchDir("graft_up12_sb2", d),
+        base = 0, div3, bump(13))
+      wA.stage()
+      wB2.stage() // stages from v0 BEFORE A commits — the true interleaving
+      val ra = wA.commit() // v1
+      wB1.stage()
+      val rb1 = wB1.commit() // v2: disjoint from A — rebase, no re-stage
+      val rb2 = wB2.commit() // conflicts with v1 — MUST re-stage, then v3
+      (dir, ra, rb1, rb2)
+    } finally s.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+  }
+
+  def occCommitRollup(s: SparkSession, d: String): DataFrame = {
+    val (dir, _, _, _) = occScenario(s, d)
+    s.read.parquet(dir)
+      .groupBy(col("event_type"),
+        (dayofmonth(col("day").cast("date")) % 2).cast("long").as("parity"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("event_type", "parity")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up12_occ_commit", occCommitRollup, Some(
+      """SELECT event_type, day(CAST(ts AS DATE)) % 2 AS parity,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)
+        |    + CASE WHEN day(CAST(ts AS DATE)) % 2 = 1 THEN 7 ELSE 100 END
+        |    + CASE WHEN day(CAST(ts AS DATE)) % 3 = 0 THEN 13 ELSE 0 END)
+        |    AS BIGINT) AS sum_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up11_compaction", compactAudit, Some(
       // files_before/files_after/compacted are MEASURED from the store's
       // file system; the oracle derives them from raw events + the

@@ -226,4 +226,31 @@ class MutationsSpec extends SparkSpec {
     assert(Mutations.compactRun(spark, dir).isEmpty)
     assert(listing(dir) == postListing, "no-op re-run rewrote files")
   }
+
+  test("up12 occ: disjoint writer rebases, overlapping writer re-stages; serial result") {
+    val (dir, ra, rb1, rb2) = Mutations.occScenario(spark, sf0001)
+    // A committed first from v0: clean single-attempt commit
+    assert(ra == Mutations.OccResult(1, 1, 1, rebased = false), s"A: $ra")
+    // B1 was disjoint from A: REBASED through v1 without re-staging
+    assert(rb1 == Mutations.OccResult(2, 1, 1, rebased = true), s"B1: $rb1")
+    // B2 staged from v0 before A committed, overlaps A: forced re-stage
+    assert(rb2.version == 3 && rb2.stagings == 2 && !rb2.rebased, s"B2: $rb2")
+    // the log serialized exactly v0..v3
+    val log = new java.io.File(s"$dir/_log").listFiles().map(_.getName)
+      .filter(_.startsWith("v")).sorted
+    assert(log.toSeq == Seq("v0.txt", "v1.txt", "v2.txt", "v3.txt"))
+    // final store == serial application of the three updates to the base
+    val base = graft.Tables.events(spark, sf0001)
+      .select(col("event_id"),
+        expr("cast(round(value * 100) as bigint)").as("base_cents"),
+        dayofmonth(to_date(col("ts"))).as("dom"))
+    val expected = base.select(col("event_id"),
+      (col("base_cents")
+        + when(col("dom") % 2 === 1, 7L).otherwise(100L)
+        + when(col("dom") % 3 === 0, 13L).otherwise(0L)).as("cents"))
+    val got = spark.read.parquet(dir).select("event_id", "cents")
+    assert(got.join(expected, Seq("event_id", "cents"), "left_anti").count() == 0
+      && got.count() == expected.count(),
+      "final store diverges from serial application — a lost update")
+  }
 }
