@@ -1698,6 +1698,97 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t37 — interpolated KNESER–NEY trigram perplexity (Kneser & Ney
+    * 1995; the interpolated form of Chen & Goodman 1999 with one Ney
+    * discount per order): the smoothing the filtering LMs t35/t36
+    * approximate are actually trained with (KenLM is interpolated
+    * modified-KN; this is the single-discount variant). Unlike stupid
+    * backoff there is no branch — every position mixes all three
+    * levels, and the lower orders score CONTINUATION counts (in how
+    * many distinct contexts does this n-gram complete?), not raw
+    * frequency: the classic "San Francisco" effect — "Francisco" is
+    * frequent but only ever follows "San", so its unigram weight must
+    * be tiny.
+    *
+    *   P(w₃|w₁w₂) = max(c₃−D₃,0)/c(w₁w₂) + D₃·N₁₊(w₁w₂•)/c(w₁w₂) · P₂
+    *   P₂(w₃|w₂) = max(N₁₊(•w₂w₃)−D₂,0)/N₁₊(•w₂•)
+    *                 + D₂·N₁₊(w₂•)/N₁₊(•w₂•) · P₁
+    *   P₁(w₃)    = N₁₊(•w₃)/N₁₊(••)
+    *
+    * with Dₙ = n₁/(n₁+2n₂) from each order's count-of-counts (Ney,
+    * Essen & Kneser 1994). Every continuation statistic derives from
+    * ONE trigram type inventory (history counts are the adjusted
+    * Σ_w₃ c₃ form KenLM uses for lower orders, so each level is
+    * properly normalized over its support); because the corpus scores
+    * itself, every denominator is provably non-null — no OOV path.
+    *
+    * Dataflow: one narrow generator; the type tables are corpus-
+    * derived aggregates joined back N:1 (Zipf-bounded — AQE broadcasts
+    * them here, shuffled-hash at 100 TB); discounts are two 1-row
+    * cross joins. The per-position probability is pure scalar
+    * arithmetic written IDENTICALLY in the DuckDB oracle, and the
+    * integer singleton-position count pins the discount's max(·,0)
+    * boundary cross-engine independent of fp.
+    */
+  def kneserNeyPerplexity(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+    val t = col("t")
+    val pos = toks.filter(size(t) >= 3)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(t) - 2),
+          i => struct(
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1),
+              element_at(t, i + 2)).as("g3"),
+            concat_ws(" ", element_at(t, i), element_at(t, i + 1)).as("h2"),
+            concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)).as("g2"),
+            element_at(t, i + 1).as("w2"),
+            element_at(t, i + 2).as("w3")))).as("p"))
+      .select(col("doc_id"), col("p.g3").as("g3"), col("p.h2").as("h2"),
+        col("p.g2").as("g2"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+    // the trigram TYPE inventory — every lower-order statistic below is
+    // an aggregate of this one table (no separate bigram/unigram scans)
+    val tri = pos.groupBy("g3", "h2", "g2", "w2", "w3")
+      .agg(count(lit(1)).as("c3"))
+    val hist = tri.groupBy("h2")
+      .agg(sum("c3").as("ch2"), count(lit(1)).as("t_h2")) // c(w₁w₂), N₁₊(w₁w₂•)
+    val cont2 = tri.groupBy("g2", "w2", "w3")
+      .agg(count(lit(1)).as("nc")) // N₁₊(•w₂w₃): distinct preceding w₁
+    val mid = cont2.groupBy("w2")
+      .agg(sum("nc").as("ncdot"), count(lit(1)).as("types_w2")) // N₁₊(•w₂•), N₁₊(w₂•)
+    val uni = cont2.groupBy("w3").agg(count(lit(1)).as("ncw3")) // N₁₊(•w₃)
+    val tot = cont2.agg(count(lit(1)).as("n_types")) // N₁₊(••)
+    def neyDiscount(src: DataFrame, c: String, as: String): DataFrame =
+      src.agg((sum(when(col(c) === 1, 1L).otherwise(0L)).cast("double") /
+        (sum(when(col(c) === 1, 1L).otherwise(0L)) +
+          lit(2) * sum(when(col(c) === 2, 1L).otherwise(0L)))).as(as))
+    val d3 = neyDiscount(tri, "c3", "d3")
+    val d2 = neyDiscount(cont2, "nc", "d2")
+    val triFull = tri.join(hist, "h2")
+      .select(col("g3"), col("c3"), col("ch2"), col("t_h2"))
+    val scored = pos
+      .join(triFull, "g3")
+      .join(cont2.select(col("g2"), col("nc")), "g2")
+      .join(mid, "w2")
+      .join(uni, "w3")
+      .crossJoin(broadcast(tot))
+      .crossJoin(broadcast(d3))
+      .crossJoin(broadcast(d2))
+      .select(col("doc_id"), col("c3"),
+        log(
+          greatest(col("c3") - col("d3"), lit(0.0)) / col("ch2") +
+            (col("d3") * col("t_h2") / col("ch2")) *
+              (greatest(col("nc") - col("d2"), lit(0.0)) / col("ncdot") +
+                (col("d2") * col("types_w2") / col("ncdot")) *
+                  (col("ncw3").cast("double") / col("n_types"))))
+          .as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("c3") === 1, 1L).otherwise(0L)).as("n_singleton_pos"),
+        round(avg("lp"), 6).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** p22 — CRAWL-to-corpus pipeline: the end-to-end composition a real
     * corpus run starts with, now expressible because the engine has a
     * crawl front door — src20's WET records (parsed from the
@@ -3040,6 +3131,70 @@ object TextAnalysis {
         |SELECT doc_id, shard, tier,
         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY tier, hk, doc_id) AS INT) AS cur_pos
         |FROM t ORDER BY shard, cur_pos""".stripMargin)),
+    QueryDef("t37_kneser_ney", (s, d) => kneserNeyPerplexity(s, d), Some(
+      // the full interpolated-KN replay: the same trigram type
+      // inventory, the same continuation counts derived from it, the
+      // same Ney discounts, and the probability written as the SAME
+      // scalar expression — the singleton-position integer pins the
+      // max(c−D,0) boundary independent of fp
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |pos0 AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 2),
+        |      i -> struct_pack(
+        |        g3 := t[i] || ' ' || t[i+1] || ' ' || t[i+2],
+        |        h2 := t[i] || ' ' || t[i+1],
+        |        g2 := t[i+1] || ' ' || t[i+2],
+        |        w2 := t[i+1], w3 := t[i+2]))) AS p
+        |  FROM toks WHERE len(t) >= 3),
+        |pos AS MATERIALIZED (
+        |  SELECT doc_id, p.g3 AS g3, p.h2 AS h2, p.g2 AS g2,
+        |    p.w2 AS w2, p.w3 AS w3
+        |  FROM pos0),
+        |tri AS MATERIALIZED (
+        |  SELECT g3, h2, g2, w2, w3, count(*) AS c3
+        |  FROM pos GROUP BY 1, 2, 3, 4, 5),
+        |hist AS MATERIALIZED (
+        |  SELECT h2, CAST(sum(c3) AS BIGINT) AS ch2, count(*) AS t_h2
+        |  FROM tri GROUP BY 1),
+        |cont2 AS MATERIALIZED (
+        |  SELECT g2, w2, w3, count(*) AS nc FROM tri GROUP BY 1, 2, 3),
+        |mid AS MATERIALIZED (
+        |  SELECT w2, CAST(sum(nc) AS BIGINT) AS ncdot,
+        |    count(*) AS types_w2
+        |  FROM cont2 GROUP BY 1),
+        |uni AS MATERIALIZED (SELECT w3, count(*) AS ncw3 FROM cont2 GROUP BY 1),
+        |tot AS MATERIALIZED (SELECT count(*) AS n_types FROM cont2),
+        |dd3 AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END)
+        |       + 2 * sum(CASE WHEN c3 = 2 THEN 1 ELSE 0 END)) AS d3
+        |  FROM tri),
+        |dd2 AS MATERIALIZED (
+        |  SELECT CAST(sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / (sum(CASE WHEN nc = 1 THEN 1 ELSE 0 END)
+        |       + 2 * sum(CASE WHEN nc = 2 THEN 1 ELSE 0 END)) AS d2
+        |  FROM cont2),
+        |scored AS (
+        |  SELECT pos.doc_id, tri.c3,
+        |    ln(greatest(tri.c3 - dd3.d3, 0.0) / hist.ch2
+        |      + (dd3.d3 * hist.t_h2 / hist.ch2) *
+        |        (greatest(cont2.nc - dd2.d2, 0.0) / mid.ncdot
+        |          + (dd2.d2 * mid.types_w2 / mid.ncdot) *
+        |            (CAST(uni.ncw3 AS DOUBLE) / tot.n_types))) AS lp
+        |  FROM pos
+        |  JOIN tri ON pos.g3 = tri.g3
+        |  JOIN hist ON tri.h2 = hist.h2
+        |  JOIN cont2 ON pos.g2 = cont2.g2
+        |  JOIN mid ON pos.w2 = mid.w2
+        |  JOIN uni ON pos.w3 = uni.w3
+        |  CROSS JOIN tot CROSS JOIN dd3 CROSS JOIN dd2)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(sum(CASE WHEN c3 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_singleton_pos,
+        |  round(avg(lp), 6) AS avg_logprob
+        |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("t36_backoff5_perplexity", (s, d) => backoffPerplexity5(s, d), Some(
       // the 5-level stupid-backoff replay (t35's discipline one model
       // order up): same pruned tables at minCount 2, same branch

@@ -1144,6 +1144,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(meanLp("head") > meanLp("tail"))
   }
 
+  test("t37 Kneser-Ney: proper distribution (vocab sum = 1 per history), Ney discounts in (0,1)") {
+    // Recompute the count tables in plain Scala from the SAME tokenization
+    // and verify the invariant the DuckDB oracle CANNOT see: interpolated
+    // KN is a true conditional distribution — for any observed history
+    // (w1,w2), Σ over the WHOLE vocab of P(w3|w1,w2) must be exactly 1
+    // (unseen trigrams score through the backoff terms only).
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val pos = docs.flatMap { case (_, text) =>
+      val t = text.split(" ", -1) // -1 keeps trailing empties like Spark's split
+      if (t.length >= 3) (0 to t.length - 3).map(i => (t(i), t(i + 1), t(i + 2)))
+      else Seq.empty
+    }
+    val tri = pos.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val hist = tri.toSeq.groupBy { case ((w1, w2, _), _) => (w1, w2) }
+      .view.mapValues(g => (g.map(_._2).sum, g.size.toLong)).toMap // (ch2, t_h2)
+    val cont2 = tri.keys.toSeq.groupBy { case (_, w2, w3) => (w2, w3) }
+      .view.mapValues(_.size.toLong).toMap // N1+(. w2 w3)
+    val mid = cont2.toSeq.groupBy(_._1._1)
+      .view.mapValues(g => (g.map(_._2).sum, g.size.toLong)).toMap // (ncdot, types_w2)
+    val uni = cont2.toSeq.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val nTypes = cont2.size.toLong
+    def ney(cnts: Iterable[Long]) = {
+      val n1 = cnts.count(_ == 1L).toDouble; val n2 = cnts.count(_ == 2L)
+      n1 / (n1 + 2 * n2)
+    }
+    val d3 = ney(tri.values); val d2 = ney(cont2.values)
+    assert(d3 > 0 && d3 < 1 && d2 > 0 && d2 < 1, s"degenerate discounts $d3 $d2")
+    def p(w1: String, w2: String, w3: String): Double = {
+      val (ch2, th2) = hist((w1, w2))
+      val c3 = tri.getOrElse((w1, w2, w3), 0L)
+      val nc = cont2.getOrElse((w2, w3), 0L)
+      val (ncdot, tw2) = mid(w2)
+      val p1 = uni.getOrElse(w3, 0L).toDouble / nTypes
+      val p2 = math.max(nc - d2, 0.0) / ncdot + d2 * tw2 / ncdot * p1
+      math.max(c3 - d3, 0.0) / ch2 + d3 * th2 / ch2 * p2
+    }
+    val vocab = uni.keys.toSeq
+    val topHists = hist.toSeq.sortBy(-_._2._1).take(3).map(_._1)
+    topHists.foreach { case (w1, w2) =>
+      val s = vocab.iterator.map(w3 => p(w1, w2, w3)).sum
+      assert(math.abs(s - 1.0) < 1e-6, s"Σ P(.|$w1 $w2) = $s, not 1")
+    }
+    // and the operator's per-doc bookkeeping matches the same inventory
+    val rows = TextAnalysis.kneserNeyPerplexity(spark, sf0001).collect()
+    val nTriByDoc = docs.map { case (id, text) =>
+      id -> math.max(text.split(" ", -1).length - 2, 0).toLong
+    }.toMap.filter(_._2 > 0)
+    assert(rows.length == nTriByDoc.size)
+    rows.foreach { r =>
+      assert(r.getLong(1) == nTriByDoc(r.getLong(0)), s"n_trigrams off: $r")
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(2) >= 0)
+      assert(r.getDouble(3) <= 1e-12, s"avg log-prob must be <= 0: $r")
+    }
+    assert(rows.map(_.getDouble(3)).min < -0.5, "corpus scored implausibly certain")
+  }
+
   test("t36 5-gram backoff: five levels partition every position, all levels live, tier thirds") {
     val rows = TextAnalysis.backoffPerplexity5(spark, sf0001).collect()
     assert(rows.nonEmpty)
