@@ -256,6 +256,44 @@ object GraftCatalog {
       .orderBy("day", "event_type", "c_mktsegment")
   }
 
+  /** cat9 — STATS-DRIVEN VIEW CHOICE: two registered views have the
+    * SAME defining query and the SAME row count — the daily rollup
+    * stored flat and stored day-PARTITIONED — so cat8's row-count
+    * ordering literally cannot rank them. For a day-selective query
+    * (`WHERE to_date(ts) = D GROUP BY event_type`) the chooser instead
+    * ranks by estimated SCAN cost: the registration-time ANALYZE stat
+    * (day NDV over the view) gives the post-filter size rows/NDV, and
+    * the view's physical layout decides whether that estimate is
+    * realizable as read reduction — the partitioned store answers from
+    * ONE day directory, the flat store must be scanned whole. At 100 TB
+    * this is the difference between reading a few KB and the whole
+    * summary table; it is also why warehouses feed column stats, not
+    * just table sizes, into view selection. Two engine pieces make the
+    * match fire at all: Spark lowers `to_date(ts) = D` to raw-ts
+    * midnight bounds before injected rules run, so the matcher recovers
+    * day predicates from the lowered form (the same recovery lakehouse
+    * planners do for date-derived partition pruning), and the chooser
+    * estimates cost from the COMPENSATED plan it is about to emit. The
+    * oracle reads raw events; the partitioned-view choice + one-day
+    * file pruning are spec-pinned.
+    */
+  def mvStatsChoice(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.plans.MatViews.stageDailyRollup(s, d)
+    graft.plans.MatViews.stagePartitionedDailyRollup(s, d)
+    // deterministic probe day: 3 days past the dataset's first event day
+    val d0 = graft.Tables.events(s, d)
+      .agg(date_add(min(to_date(col("ts"))), 3).as("d")).head.getDate(0)
+    graft.Tables.events(s, d)
+      .filter(to_date(col("ts")) === lit(d0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .select(col("event_type"), col("n"),
+        round(col("cents").cast("double") / 100, 2).as("revenue"))
+      .orderBy("event_type")
+  }
+
   /** cat8 — CHEAPEST-VIEW CHOICE: with BOTH the daily and the monthly
     * rollup views registered over the same events table, a per-month
     * aggregation matches both (the monthly view directly; the daily via
@@ -316,6 +354,14 @@ object GraftCatalog {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("cat9_mv_stats_choice", mvStatsChoice, Some(
+      """WITH probe AS (
+        |  SELECT CAST(min(CAST(ts AS DATE)) AS DATE) + 3 AS d FROM events)
+        |SELECT event_type, count(*) AS n,
+        |  round(CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+        |    / 100, 2) AS revenue
+        |FROM events, probe WHERE CAST(ts AS DATE) = probe.d
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("cat8_mv_choice", mvCheapestView, Some(
       """SELECT strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m-%d')
         |    AS month,

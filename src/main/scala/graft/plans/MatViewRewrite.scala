@@ -1,14 +1,15 @@
 package graft.plans
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, Coalesce, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, BoundReference, Cast, Coalesce, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IsNotNull, LessThan, LessThanOrEqual, Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Sum}
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DataType, DateType, LongType, StringType}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, DateType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** Materialized-view EXACT-MATCH substitution — the engine's third
   * optimizer-tier extension (beside the kernel-fusion rule and the as-of
@@ -67,7 +68,8 @@ object MatViews {
   private[plans] final case class MvEntry(
       mv: String, template: LogicalPlan, datasetDir: String, fingerprint: String,
       dayNorm: Expression, etNorm: Expression, centsNorm: Expression,
-      manifest: Map[String, (Long, Long)] = Map.empty, rows: Long = 0L)
+      manifest: Map[String, (Long, Long)] = Map.empty, rows: Long = 0L,
+      partitionCol: Option[String] = None, keyNdv: Long = 0L)
 
   /** Normalize an expression for cross-plan comparison: attribute
     * references become `BoundReference`s at their ordinal in the
@@ -137,7 +139,8 @@ object MatViews {
     * expressible in for cat4/cat8 compensation.
     */
   private def singleRelEntry(s: SparkSession, mv: String, d: String,
-      fp: String, defining: DataFrame): MvEntry = {
+      fp: String, defining: DataFrame,
+      partitionCol: Option[String] = None): MvEntry = {
     val opt = withoutRewrite { defining.queryExecution.optimizedPlan }
     val (dayNorm, etNorm, centsNorm) = opt.collect { case a: Aggregate => a }
       .headOption.map { a =>
@@ -153,8 +156,17 @@ object MatViews {
           normalizeToSchema(cents, rel))
       }.get
     val nRows = withoutRewrite { s.read.parquet(mv).count() } // view-sized
+    // ANALYZE-style column stat, computed once at registration over the
+    // VIEW (never the fact table): the day key's NDV feeds the
+    // stats-driven chooser's post-filter cost estimate (cat9) — a
+    // day-equality predicate selects ~rows/NDV of a view, and whether
+    // that estimate is realizable as SCAN reduction depends on the
+    // view's physical layout (partitionCol).
+    val ndv = withoutRewrite {
+      s.read.parquet(mv).select("day").distinct().count()
+    }
     MvEntry(mv, opt.canonicalized, d, fp, dayNorm, etNorm, centsNorm,
-      listDataFiles(canonicalSrc(d)), nRows)
+      listDataFiles(canonicalSrc(d)), nRows, partitionCol, ndv)
   }
 
   /** Stage (memoized) the daily rollup for dataset `d` and register it
@@ -212,6 +224,40 @@ object MatViews {
     }
     coarseRegistry.put(canonicalSrc(d),
       singleRelEntry(s, mv, d, fp, naiveMonthlyRollup(s, d)))
+    mv
+  }
+
+  // ---- cat9: a PHYSICALLY day-partitioned copy of the daily view —
+  // same defining query, same row count, different layout ----
+
+  /** events path -> registered day-PARTITIONED daily view */
+  private[plans] val partRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvEntry]
+  private val partStaged = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Stage (memoized) the daily rollup AGAIN, hive-partitioned by day,
+    * and register it as a third candidate. Logically redundant with the
+    * unpartitioned daily view — identical defining query, identical row
+    * count — which is exactly the point: row-count ordering (cat8)
+    * cannot tell them apart, but for a day-selective query the
+    * partitioned layout answers by reading ONE day directory while the
+    * unpartitioned file must be scanned whole. The stats-driven chooser
+    * (cat9) sees the difference through (partitionCol, keyNdv).
+    */
+  def stagePartitionedDailyRollup(s: SparkSession, d: String): String = {
+    val fp = graft.Tables.datasetFingerprint(d)
+    val key = s"part#$d#$fp"
+    val mv = graft.Tables.stagedDir(partStaged, key) { () =>
+      val dir = graft.Tables.scratchDir("graft_mv_daily_part", d)
+      withoutRewrite {
+        naiveDailyRollup(s, d).write.mode("overwrite")
+          .partitionBy("day").parquet(dir)
+      }
+      dir
+    }
+    partRegistry.put(canonicalSrc(d),
+      singleRelEntry(s, mv, d, fp, naiveDailyRollup(s, d),
+        partitionCol = Some("day")))
     mv
   }
 
@@ -566,6 +612,56 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     // `_groupingexpression` attribute has no subtrees to match), then
     // consume every subtree derivable from a view key; anything left
     // referencing a raw column makes the key underivable
+    // Spark lowers `to_date(ts) <cmp> <date>` to raw-timestamp bounds
+    // (UnwrapCastInBinaryComparison) BEFORE injected rules see the plan,
+    // so a day-selective query reaches this matcher as
+    //   isnotnull(ts) AND ts >= D 00:00 AND ts < D+1 00:00
+    // — no to_date subtree left to match dayNorm. Recover day predicates
+    // from that lowered form, the same midnight-aligned-bound recovery a
+    // lakehouse planner does to prune date-derived partitions: when the
+    // view's day key is a cast-to-date of a raw timestamp column, a
+    // MIDNIGHT-aligned >=/< bound on that column selects whole day
+    // groups exactly (ts >= midnight(D) ⟺ day >= D; ts < midnight(D) ⟺
+    // day < D). Non-midnight bounds cut within a day and stay
+    // underivable (conservative).
+    // Strip the WHOLE cast chain under the day key: a TIMESTAMP_NTZ
+    // source column reaches the defining plan as cast(cast(ts as
+    // timestamp) as date) (the reader normalizes ts first), but the
+    // lowered query filter compares the RAW column — Spark unwraps
+    // through every cast and types the midnight literal in the raw
+    // column's own type, so the base-column match must too. The
+    // midnight→day mapping is cast-chain-safe in both cases: an NTZ
+    // wall-midnight bound selects exactly the NTZ wall date, which is
+    // what to_date(cast(ntz as ltz)) returns in the session zone.
+    @annotation.tailrec
+    def stripCasts(x: Expression): Expression = x match {
+      case c: Cast => stripCasts(c.child)
+      case other => other
+    }
+    val tsNorm: Option[Expression] = entry.dayNorm match {
+      case c: Cast if c.dataType == DateType => Some(stripCasts(c.child))
+      case _ => None
+    }
+    def isTsBase(x: Expression): Boolean = tsNorm.exists(norm(x) == _)
+    lazy val zone = java.time.ZoneId.of(SQLConf.get.sessionLocalTimeZone)
+    def midnightDay(l: Literal): Option[Int] = {
+      def ofLdt(ldt: java.time.LocalDateTime): Option[Int] =
+        if (ldt.toLocalTime == java.time.LocalTime.MIDNIGHT)
+          Some(ldt.toLocalDate.toEpochDay.toInt)
+        else None
+      l match {
+        case Literal(m: Long, TimestampType) =>
+          ofLdt(java.time.Instant.EPOCH
+            .plus(m, java.time.temporal.ChronoUnit.MICROS)
+            .atZone(zone).toLocalDateTime)
+        case Literal(m: Long, TimestampNTZType) =>
+          ofLdt(java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(m, 1000000L),
+            (Math.floorMod(m, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC))
+        case _ => None
+      }
+    }
     def derive(e: Expression): Option[Expression] = {
       val inlined = MatViews.inlineProjectAliases(e, agg)
       // A non-deterministic predicate (rand() < 0.5) has no column
@@ -574,6 +670,21 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
       // instead of raw rows, changing semantics. Deterministic only.
       if (!inlined.deterministic) return None
       val replaced = inlined.transformUp {
+        case GreaterThanOrEqual(t, l: Literal)
+          if isTsBase(t) && midnightDay(l).isDefined =>
+          GreaterThanOrEqual(dayMark, Literal(midnightDay(l).get, DateType))
+        case LessThanOrEqual(l: Literal, t)
+          if isTsBase(t) && midnightDay(l).isDefined =>
+          GreaterThanOrEqual(dayMark, Literal(midnightDay(l).get, DateType))
+        case LessThan(t, l: Literal)
+          if isTsBase(t) && midnightDay(l).isDefined =>
+          LessThan(dayMark, Literal(midnightDay(l).get, DateType))
+        case GreaterThan(l: Literal, t)
+          if isTsBase(t) && midnightDay(l).isDefined =>
+          LessThan(dayMark, Literal(midnightDay(l).get, DateType))
+        // to_date preserves nullness, so a raw-ts null guard selects
+        // exactly the non-null day groups
+        case IsNotNull(t) if isTsBase(t) => IsNotNull(dayMark)
         case sub if norm(sub) == entry.dayNorm => dayMark
         case sub if norm(sub) == entry.etNorm => etMark
       }
@@ -855,15 +966,60 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     * matching. A day-level query is underivable from the monthly key
     * and still answers from the daily view (spec-pinned).
     */
+  /** cat9 — STATS-DRIVEN scan-cost estimate for a successfully
+    * rewritten candidate: the stored row count, cut by partition
+    * pruning when the compensated filter bounds the view's PARTITION
+    * column. Selectivity comes from the registration-time ANALYZE stat
+    * (the day key's NDV): a bounded day range [lo, hi) over a
+    * day-partitioned view reads ~rows × span / NDV, while the same
+    * predicate over an unpartitioned view still SCANS every stored row
+    * — the filter cuts output, not input, and at 100 TB the read IS
+    * the cost. Row-count ordering alone (cat8) cannot see this: the
+    * partitioned and unpartitioned daily views tie exactly on rows.
+    * One-sided or absent bounds fall back to the full row count
+    * (conservative — never overstates the pruning).
+    */
+  private def estScanCost(entry: MatViews.MvEntry, rewritten: LogicalPlan): Long = {
+    if (entry.partitionCol.isEmpty || entry.keyNdv <= 0L) return entry.rows
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    val conds = rewritten.collect { case f: Filter => conjuncts(f.condition) }.flatten
+    def isPartCol(x: Expression): Boolean = x match {
+      case a: AttributeReference =>
+        entry.partitionCol.contains(a.name) && a.dataType == DateType
+      case _ => false
+    }
+    var lo = Option.empty[Int]
+    var hi = Option.empty[Int] // [lo, hi) in epoch days
+    conds.foreach {
+      case EqualTo(a, Literal(v: Int, DateType)) if isPartCol(a) =>
+        lo = Some(lo.fold(v)(math.max(_, v)))
+        hi = Some(hi.fold(v + 1)(math.min(_, v + 1)))
+      case GreaterThanOrEqual(a, Literal(v: Int, DateType)) if isPartCol(a) =>
+        lo = Some(lo.fold(v)(math.max(_, v)))
+      case LessThan(a, Literal(v: Int, DateType)) if isPartCol(a) =>
+        hi = Some(hi.fold(v)(math.min(_, v)))
+      case _ =>
+    }
+    (lo, hi) match {
+      case (Some(l), Some(h)) =>
+        val span = math.max(h - l, 0).toLong
+        math.max(entry.rows * span / entry.keyNdv, 1L)
+      case _ => entry.rows
+    }
+  }
+
   /** Is this relation's path a key in ANY registry? */
   private def isRegisteredPath(p: String): Boolean =
     MatViews.registry.containsKey(p) || MatViews.coarseRegistry.containsKey(p) ||
-      MatViews.starRegistry.containsKey(p)
+      MatViews.starRegistry.containsKey(p) || MatViews.partRegistry.containsKey(p)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MatViews.bypassed ||
       (MatViews.registry.isEmpty && MatViews.coarseRegistry.isEmpty &&
-        MatViews.starRegistry.isEmpty)) return plan
+        MatViews.starRegistry.isEmpty && MatViews.partRegistry.isEmpty)) return plan
     // Registry-key bail-out: ONE whole-plan walk. Unless some relation
     // under the plan is a registered key, no Aggregate can match — so a
     // large unregistered plan (dozens of Aggregates over big subtrees)
@@ -885,10 +1041,11 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
           if (rels.size != 1) None
           else {
             val src = paths.head
-            val candidates = (Option(MatViews.registry.get(src)).map(_ -> MatViews.registry).toSeq ++
-              Option(MatViews.coarseRegistry.get(src)).map(_ -> MatViews.coarseRegistry).toSeq)
-              .sortBy(_._1.rows)
-            candidates.view.flatMap { case (entry, reg) =>
+            val candidates =
+              (Option(MatViews.registry.get(src)).map(_ -> MatViews.registry).toSeq ++
+                Option(MatViews.coarseRegistry.get(src)).map(_ -> MatViews.coarseRegistry).toSeq ++
+                Option(MatViews.partRegistry.get(src)).map(_ -> MatViews.partRegistry).toSeq)
+            val swapped = candidates.flatMap { case (entry, reg) =>
               // Staleness gate: the dataset may have been regenerated in
               // place since staging. The fingerprint is an O(file-stat)
               // walk, paid only for aggregates over a registered table; on
@@ -897,7 +1054,18 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
               val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) == entry.fingerprint
               if (!fresh) { reg.remove(src, entry); None }
               else exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
-            }.headOption
+                .map(p => (entry, p))
+            }
+            // cat8+cat9 — pick the candidate whose REWRITTEN plan is
+            // estimated cheapest to SCAN (stats-driven: partition-pruned
+            // post-filter size when the layout realizes it, stored rows
+            // otherwise), row count then view path as deterministic
+            // tiebreaks. Candidate count is ≤3 per source, so evaluating
+            // every swap before choosing costs three plan analyses, not
+            // a search.
+            swapped.minByOption { case (entry, p) =>
+              (estScanCost(entry, p), entry.rows, entry.mv)
+            }.map(_._2)
           }
         single.orElse(starPath(agg, rels, paths)).getOrElse(agg)
     }

@@ -56,10 +56,10 @@ class MatViewRewriteSpec extends SparkSpec {
       graft.engine.GraftCatalog.mvFilterCompensation(spark, sf0001).collect()
     }
     assert(df.collect().toSeq == expected.toSeq)
-    // a multi-value key predicate compensates too. (A to_date(ts) range
-    // predicate does NOT: Spark's date pushdown lowers it to a raw-ts
-    // comparison before the rule sees it, and a raw-column predicate is
-    // correctly judged non-derivable — conservative, never wrong.)
+    // a multi-value key predicate compensates too. (Spark lowers
+    // to_date(ts) comparisons to raw-ts bounds before the rule sees
+    // them; since cat9 the matcher recovers day predicates from the
+    // midnight-aligned lowered form — pinned below.)
     val ranged = graft.Tables.events(spark, sf0001)
       .filter(col("event_type").isin("click", "view"))
       .groupBy(col("event_type"))
@@ -389,5 +389,109 @@ class MatViewRewriteSpec extends SparkSpec {
     val dexp = MatViews.withoutRewrite { dayQ.collect() }
     assert(dayQ.collect().sortBy(_.getDate(0).toString).toSeq ==
       dexp.sortBy(_.getDate(0).toString).toSeq)
+  }
+
+  // AQE-aware scan lookup (SourcesSpec.fileScans is the template)
+  private def fileScans(df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+        case q: QueryStageExec => scans(q.plan)
+      }.flatten
+    scans(df.queryExecution.executedPlan)
+  }
+
+  private def probeDay(d: String): java.sql.Date = {
+    import org.apache.spark.sql.functions._
+    MatViews.withoutRewrite {
+      graft.Tables.events(spark, d)
+        .agg(date_add(min(to_date(col("ts"))), 3).as("d")).head.getDate(0)
+    }
+  }
+
+  test("cat9: lowered to_date bounds recover day predicates — equality and range compensate onto the flat view") {
+    import org.apache.spark.sql.functions._
+    MatViews.partRegistry.clear() // flat daily view only
+    MatViews.stageDailyRollup(spark, sf0001)
+    val d0 = probeDay(sf0001)
+    // Spark lowers to_date(ts) = d0 to isnotnull(ts) AND ts >= midnight
+    // AND ts < midnight+1d before injected rules run; the matcher must
+    // recover the day predicate from that form or never fire on ANY
+    // day-selective query
+    val q = graft.Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) === lit(d0))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_daily") && !plan.contains("events.parquet"),
+      s"day-equality compensation did not fire:\n$plan")
+    val exp = MatViews.withoutRewrite { q.collect() }
+    assert(exp.nonEmpty, "probe day selected no events — fixture drifted")
+    assert(q.collect().sortBy(_.getString(0)).toSeq ==
+      exp.sortBy(_.getString(0)).toSeq)
+    // a midnight-aligned RANGE recovers too (>= lower, < upper+1d)
+    val r = graft.Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")).between(lit(d0), date_add(lit(d0), 2)))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val rplan = r.queryExecution.executedPlan.toString
+    assert(rplan.contains("graft_mv_daily") && !rplan.contains("events.parquet"),
+      s"day-range compensation did not fire:\n$rplan")
+    val rexp = MatViews.withoutRewrite { r.collect() }
+    assert(r.collect().sortBy(_.getString(0)).toSeq ==
+      rexp.sortBy(_.getString(0)).toSeq)
+    // a NON-midnight bound cuts within a day: must stay on the fact table
+    val mid = new java.sql.Timestamp(d0.getTime + 6L * 3600 * 1000)
+    val bad = graft.Tables.events(spark, sf0001)
+      .filter(col("ts") >= lit(mid))
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val bplan = bad.queryExecution.executedPlan.toString
+    assert(bplan.contains("events.parquet"),
+      s"non-midnight bound wrongly compensated:\n$bplan")
+  }
+
+  test("cat9: stats-driven choice — identical row counts, the day-selective query reads the PARTITIONED view pruned to one day") {
+    import org.apache.spark.sql.functions._
+    MatViews.stageDailyRollup(spark, sf0001)
+    MatViews.stagePartitionedDailyRollup(spark, sf0001)
+    val src = MatViews.canonicalSrc(sf0001)
+    val flat = MatViews.registry.get(src)
+    val part = MatViews.partRegistry.get(src)
+    // the premise: row-count ordering CANNOT rank these two
+    assert(flat.rows == part.rows && part.rows > 0,
+      s"views should tie on rows: flat=${flat.rows} part=${part.rows}")
+    assert(part.partitionCol.contains("day") && part.keyNdv > 1,
+      s"partitioned entry missing stats: $part")
+    val df = graft.engine.GraftCatalog.mvStatsChoice(spark, sf0001)
+    val rows = df.collect() // execute THIS plan so scan metrics fill
+    assert(rows.nonEmpty)
+    val plan = df.queryExecution.executedPlan.toString
+    val flatName = new java.io.File(
+      graft.Tables.scratchDir("graft_mv_daily", sf0001)).getName
+    assert(plan.contains("graft_mv_daily_part"),
+      s"stats chooser did not pick the partitioned view:\n$plan")
+    assert(!plan.contains(flatName) && !plan.contains("events.parquet"),
+      s"chooser read a source it should have priced out:\n$plan")
+    // partition pruning is REAL: the scan read exactly the probe-day
+    // directory's files, a strict subset of the store
+    val partDir = graft.Tables.scratchDir("graft_mv_daily_part", sf0001)
+    val d0 = probeDay(sf0001)
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    val dayFiles = parquets(new java.io.File(s"$partDir/day=$d0")).size
+    val allFiles = parquets(new java.io.File(partDir)).size
+    val scanned = fileScans(df).head.metrics("numFiles").value
+    assert(scanned == dayFiles && dayFiles < allFiles,
+      s"scan read $scanned files; day dir has $dayFiles of $allFiles")
+    // and the answer is still exactly the raw aggregation
+    val expected = MatViews.withoutRewrite {
+      graft.engine.GraftCatalog.mvStatsChoice(spark, sf0001).collect()
+    }
+    assert(df.collect().toSeq == expected.toSeq,
+      "stats-chosen answer diverges from the raw aggregation")
   }
 }
