@@ -652,7 +652,199 @@ object Mutations {
       .orderBy("event_type", "parity")
   }
 
+  // ---- up13: log-structured TIME TRAVEL ----
+
+  /** up13 — TIME TRAVEL over a log-structured table (the Delta/Iceberg
+    * read core that up12's commit race presupposes): data files are
+    * IMMUTABLE — every commit writes NEW files into its own batch dir
+    * and appends a log entry listing `a <file>` / `r <file>` actions;
+    * the table at version v is exactly the file set obtained by
+    * replaying entries ≤ v (adds ∪, removes ∖). Updates and deletes are
+    * COPY-ON-WRITE: rewrite only the touched day partition's live files
+    * into a new batch, log the swap — the old files stay on disk
+    * untouched, which is the whole mechanism (snapshots are metadata,
+    * not copies; history costs only the rewritten fraction).
+    *
+    * At 100 TB: an AS OF read is a log replay (O(commits) metadata) plus
+    * a scan of the referenced files — never a data reconstruction; a
+    * day-scoped COW update reads and rewrites ONE day directory. The
+    * declared scenario commits v0 base → v1 append → v2 COW update
+    * (+9 cents on one day) → v3 COW delete (clicks on another day) and
+    * answers a per-(version, event_type) rollup by reading ALL FOUR
+    * snapshots from the one store; the DuckDB oracle rebuilds each
+    * logical state from raw events, so the hash match proves every
+    * snapshot reconstruction, not just the head.
+    */
+  private def ttFs(s: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** Write `df` as batch `sub` and publish its files INTO the table's
+    * flat layout — `day=X/<sub>-<name>.parquet`, the Delta layout: all
+    * data files share one directory structure (partition discovery
+    * needs that), batches are distinguished by unique file names, and
+    * the move is a metadata rename, never a data copy. Returns the
+    * published relative paths.
+    */
+  private def ttWriteBatch(s: SparkSession, dir: String, sub: String,
+      df: DataFrame): Seq[String] = {
+    val fs = ttFs(s, dir)
+    val staging = s"$dir/_staging_$sub"
+    df.write.partitionBy("day").mode("overwrite").parquet(staging)
+    val stRoot = new org.apache.hadoop.fs.Path(staging)
+    val it = fs.listFiles(stRoot, true)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stBase = stRoot.toUri.getPath
+    while (it.hasNext) {
+      val f = it.next()
+      val p = f.getPath.toUri.getPath
+      if (p.endsWith(".parquet")) {
+        val rel = p.stripPrefix(stBase).stripPrefix("/") // day=X/part-....parquet
+        val slash = rel.indexOf('/')
+        val pubRel = s"${rel.take(slash)}/$sub-${rel.drop(slash + 1)}"
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$pubRel")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(f.getPath, dst), s"publish rename failed: $p")
+        out += pubRel
+      }
+    }
+    fs.delete(stRoot, true)
+    out.toSeq.sorted
+  }
+
+  /** Append log entry `v`: `a <path>` adds and `r <path>` removes.
+    * Exclusive create — the same serialization point as up12's claim.
+    */
+  private def ttCommit(s: SparkSession, dir: String, v: Int,
+      adds: Seq[String], removes: Seq[String]): Unit = {
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    fs.mkdirs(log)
+    val body = (adds.sorted.map("a " + _) ++ removes.sorted.map("r " + _))
+      .mkString("\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(log, s"v$v.txt"), false)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The live file set at version `asOf`: replay log entries ≤ asOf. */
+  private[graft] def ttLiveFiles(s: SparkSession, dir: String, asOf: Int): Seq[String] = {
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    val entries = fs.listStatus(log).toSeq
+      .filter(_.getPath.getName.matches("v\\d+\\.txt"))
+      .map { st =>
+        st.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt -> st.getPath
+      }.filter(_._1 <= asOf).sortBy(_._1)
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    entries.foreach { case (_, p) =>
+      val in = fs.open(p)
+      val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      body.split("\n").filter(_.nonEmpty).foreach { line =>
+        if (line.startsWith("a ")) live += line.drop(2)
+        else if (line.startsWith("r ")) live -= line.drop(2)
+      }
+    }
+    live.toSeq.sorted
+  }
+
+  /** Snapshot read: exactly the live files, partition column recovered
+    * via basePath (day stays a STRING — inference disabled like up12's
+    * reads, so snapshots compare stably across sf regenerations).
+    */
+  private[graft] def ttAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
+    val files = ttLiveFiles(s, dir, v).map(f => s"$dir/$f")
+    require(files.nonEmpty, s"version $v has no live files")
+    val savedInfer = s.conf
+      .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try s.read.option("basePath", dir).parquet(files: _*)
+    finally s.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+  }
+
+  /** Build the 4-version store: v0 base, v1 append, v2 COW update,
+    * v3 COW delete. Rebuilt per call (the scenario IS the operator).
+    */
+  private[graft] def ttStore(s: SparkSession, d: String): String = {
+    val dir = Tables.scratchDir("graft_up13_store", d)
+    val fs = ttFs(s, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    def writeBatch(df: DataFrame, sub: String): Seq[String] =
+      ttWriteBatch(s, dir, sub, df)
+    val base = events(s, d).select(col("event_id"), col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ttCommit(s, dir, 0, writeBatch(base.repartition(col("day")), "b0"), Nil)
+    // v1: append late data — immutable files, metadata-only commit
+    val late = base.filter(col("event_id") % 7 === 0)
+      .withColumn("event_id", col("event_id") + lit(1000000000L))
+    ttCommit(s, dir, 1, writeBatch(late.repartition(col("day")), "b1"), Nil)
+    // day probes, calendar-bounded collects
+    val d0 = events(s, d).agg(date_format(
+      date_add(min(to_date(col("ts"))), 3), "yyyy-MM-dd")).head.getString(0)
+    val d1 = events(s, d).agg(date_format(
+      date_add(min(to_date(col("ts"))), 5), "yyyy-MM-dd")).head.getString(0)
+    // v2: COW update — read ONLY the touched day's live files, rewrite
+    def cow(v: Int, day: String, sub: String)(tf: DataFrame => DataFrame): Unit = {
+      val touched = ttLiveFiles(s, dir, v - 1).filter(_.contains(s"day=$day/"))
+      val cur = {
+        val savedInfer = s.conf
+          .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+        s.conf.set(
+          "spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+        try s.read.option("basePath", dir)
+          .parquet(touched.map(f => s"$dir/$f"): _*)
+          .localCheckpoint(true) // materialize before the metadata swap
+        finally s.conf.set(
+          "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+      }
+      ttCommit(s, dir, v, writeBatch(tf(cur), sub), touched)
+    }
+    cow(2, d0, "b2")(_.withColumn("cents", col("cents") + lit(9L)))
+    cow(3, d1, "b3")(_.filter(col("event_type") =!= "click"))
+    dir
+  }
+
+  def timeTravelRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    (0 to 3).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up13_time_travel", timeTravelRollup, Some(
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 0 AS version, event_type, cents FROM base
+        |  UNION ALL SELECT 1, event_type, cents FROM v1
+        |  UNION ALL SELECT 2, event_type, cents FROM v2
+        |  UNION ALL SELECT 3, event_type, cents FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up12_occ_commit", occCommitRollup, Some(
       """SELECT event_type, day(CAST(ts AS DATE)) % 2 AS parity,
         |  count(*) AS n,

@@ -253,4 +253,57 @@ class MutationsSpec extends SparkSpec {
       && got.count() == expected.count(),
       "final store diverges from serial application — a lost update")
   }
+
+  test("up13 time travel: files are immutable, COW touches one day, snapshots are metadata") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    def statOf(rel: String) = {
+      val f = new java.io.File(s"$dir/$rel")
+      (f.exists(), f.length())
+    }
+    val live0 = Mutations.ttLiveFiles(spark, dir, 0)
+    val live3 = Mutations.ttLiveFiles(spark, dir, 3)
+    assert(live0.nonEmpty && live3.nonEmpty)
+    // IMMUTABILITY: every v0 file still exists, byte-identical length,
+    // even the ones v2/v3 logically REMOVED — history is metadata, the
+    // rewrites never touched old bytes
+    val stats0 = live0.map(f => f -> statOf(f)).toMap
+    live0.foreach { f =>
+      assert(stats0(f)._1, s"v0 file vanished: $f")
+    }
+    val removed = live0.toSet -- live3.toSet
+    assert(removed.nonEmpty, "COW commits removed nothing — scenario broken")
+    removed.foreach { f =>
+      assert(statOf(f) == stats0(f), s"removed file mutated on disk: $f")
+    }
+    // COW LOCALITY: v2 swapped files of exactly ONE day directory, v3 of
+    // exactly one OTHER day
+    val live1 = Mutations.ttLiveFiles(spark, dir, 1)
+    val live2 = Mutations.ttLiveFiles(spark, dir, 2)
+    def days(fs: Set[String]) = fs.map(_.takeWhile(_ != '/'))
+    val v2Touched = days((live1.toSet -- live2.toSet) ++ (live2.toSet -- live1.toSet))
+    val v3Touched = days((live2.toSet -- live3.toSet) ++ (live3.toSet -- live2.toSet))
+    assert(v2Touched.size == 1, s"v2 touched $v2Touched")
+    assert(v3Touched.size == 1 && v3Touched != v2Touched, s"v3 touched $v3Touched")
+    // the append (v1) removed nothing and is PURE metadata over new files
+    assert(live0.toSet.subsetOf(live1.toSet) && live1.size > live0.size)
+    // the head snapshot equals the logical serial state: base + append,
+    // +9 cents on the v2 day, clicks deleted on the v3 day
+    val got = Mutations.ttAsOf(spark, dir, 3)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val d0 = v2Touched.head.stripPrefix("day=")
+    val d1 = v3Touched.head.stripPrefix("day=")
+    val base = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("event_id"))
+    val logical = base.unionByName(base.filter(col("event_id") % 7 === 0))
+      .withColumn("cents",
+        when(col("day") === d0, col("cents") + 9L).otherwise(col("cents")))
+      .filter(!(col("event_type") === "click" && col("day") === d1))
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == logical.toSeq,
+      "head snapshot diverges from the serial logical state")
+  }
 }
