@@ -256,6 +256,28 @@ object GraftCatalog {
       .orderBy("day", "event_type", "c_mktsegment")
   }
 
+  /** cat12 — COUNT(DISTINCT) answered from the DISTINCT-KEYS view: the
+    * daily-active-users query (`count(DISTINCT user_id) GROUP BY day`)
+    * is the canonical aggregation NO summary view can serve — distinct
+    * is not algebraic over (count, sum) partials — so warehouses
+    * maintain the distinct key tuples themselves as a view and rewrite
+    * distinct counts onto it (any projection of a distinct set stays
+    * distinct-countable, exactly). At 100 TB the fact-table distinct
+    * shuffles the corpus; the view-backed one shuffles |distinct
+    * (day, type, user)| rows. A day-selective variant composes with
+    * cat5/cat9's derivable-filter compensation. The oracle recomputes
+    * the distinct count from raw events; the plan-reads-only-the-view
+    * and non-derivable-aggregates-stay-raw are spec-pinned.
+    */
+  def mvDistinctRewrite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.plans.MatViews.stageDistinctUsers(s, d)
+    graft.Tables.events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .orderBy("day")
+  }
+
   /** cat9 — STATS-DRIVEN VIEW CHOICE: two registered views have the
     * SAME defining query and the SAME row count — the daily rollup
     * stored flat and stored day-PARTITIONED — so cat8's row-count
@@ -354,6 +376,10 @@ object GraftCatalog {
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("cat12_mv_distinct", mvDistinctRewrite, Some(
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT user_id) AS dau
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("cat9_mv_stats_choice", mvStatsChoice, Some(
       """WITH probe AS (
         |  SELECT CAST(min(CAST(ts AS DATE)) AS DATE) + 3 AS d FROM events)

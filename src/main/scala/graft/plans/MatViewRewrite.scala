@@ -261,6 +261,65 @@ object MatViews {
     mv
   }
 
+  // ---- cat12: the DISTINCT-KEYS view — a pre-deduplicated
+  // (day, event_type, user_id) fact for COUNT(DISTINCT) rewrites ----
+
+  /** The distinct-keys view: one row per (day, event_type, user_id)
+    * actually present in the facts. COUNT(DISTINCT) is NOT algebraic
+    * over the summary views' (n, cents) partials — no merge of counts
+    * can recover it — but it IS exactly re-aggregable over the distinct
+    * tuple set itself: any projection of a distinct set stays
+    * distinct-countable, so a coarser distinct count (by day alone, by
+    * event_type alone) re-runs the distinct over view rows and equals
+    * the raw answer bit-for-bit.
+    */
+  def naiveDistinctUsers(s: SparkSession, d: String): DataFrame =
+    graft.Tables.events(s, d)
+      .select(to_date(col("ts")).as("day"), col("event_type"), col("user_id"))
+      .distinct()
+
+  /** events path -> registered distinct-keys view */
+  private[plans] val distinctRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, MvEntry]
+  private val distinctStaged = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  /** Entry for the distinct-keys view. Day/et keys as usual; the
+    * centsNorm SLOT carries the normalized DISTINCT key expression
+    * (user_id) — the child cat12's matcher proves COUNT(DISTINCT …)
+    * against (a deduped view has no Sum partial, so the slot is free
+    * and the matcher that reads it is distinctSwap only).
+    */
+  private def distinctRelEntry(s: SparkSession, mv: String, d: String,
+      fp: String, defining: DataFrame): MvEntry = {
+    val opt = withoutRewrite { defining.queryExecution.optimizedPlan }
+    val a = opt.collect { case ag: Aggregate => ag }.head // distinct() IS an Aggregate
+    val rel = a.collectFirst { case l: LogicalRelation => l }.get
+    val gs = a.groupingExpressions.map(g => inlineProjectAliases(stripAlias(g), a))
+    val day = gs.find(_.dataType == DateType).get
+    val et = gs.find(_.dataType == StringType).get
+    val user = gs.find(_.dataType == LongType).get
+    val nRows = withoutRewrite { s.read.parquet(mv).count() }
+    MvEntry(mv, opt.canonicalized, d, fp, normalizeToSchema(day, rel),
+      normalizeToSchema(et, rel), normalizeToSchema(user, rel),
+      listDataFiles(canonicalSrc(d)), nRows)
+  }
+
+  /** Stage (memoized) the distinct-keys view and register it. */
+  def stageDistinctUsers(s: SparkSession, d: String): String = {
+    val fp = graft.Tables.datasetFingerprint(d)
+    val key = s"distinct#$d#$fp"
+    val mv = graft.Tables.stagedDir(distinctStaged, key) { () =>
+      val dir = graft.Tables.scratchDir("graft_mv_distinct", d)
+      withoutRewrite {
+        naiveDistinctUsers(s, d).write.mode("overwrite").parquet(dir)
+      }
+      dir
+    }
+    distinctRegistry.put(canonicalSrc(d),
+      distinctRelEntry(s, mv, d, fp, naiveDistinctUsers(s, d)))
+    mv
+  }
+
   // ---- cat7: incremental maintenance of the registered view ----
 
   /** Relative paths of the parquet data files under a table dir, each
@@ -569,40 +628,15 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
       Some(Project(out, mvPlan))
     }
 
-  /** Roll-up COMPENSATION (cat4 — the Calcite/Oracle "aggregate roll-up"
-    * step beyond exact matching): answer a COARSER aggregation from the
-    * daily view by re-aggregating its stored partials. Fires when
-    *
-    *   - every grouping key is an expression over the view's keys — each
-    *     key subtree that normalizes to the view's day/event_type
-    *     expression is replaced by a marker, and the rewrite is accepted
-    *     only if NO raw-column reference survives (grouping keys ⊆
-    *     functional closure of view keys, decided structurally); and
-    *   - every aggregate is algebraic over the stored partials:
-    *     count(<non-null literal>) re-aggregates as sum(n), and a sum
-    *     whose child normalizes to the view's exact-cents expression
-    *     re-aggregates as sum(cents) — both exact over integers, so the
-    *     compensated answer is bit-identical to the raw aggregation; and
-    *   - the chain below the aggregate holds only Projects, the
-    *     registered relation, and Filters whose every condition is
-    *     ITSELF derivable from the view keys (cat5): a predicate over
-    *     day/event_type selects whole groups, so filtering the view's
-    *     rows is exactly filtering the raw rows — the compensated plan
-    *     gets Filter(cond′, viewScan) underneath. A predicate touching
-    *     any other column (value, user_id) kills the match.
-    *
-    * The compensated plan is Aggregate(G′, A′, [Filter(cond′,)] viewScan)
-    * with outputs re-aliased to the original exprIds, so the parent plan
-    * never knows.
+  /** Shared key-derivation apparatus for compensation matchers
+    * (rollupSwap/cat4-5 and distinctSwap/cat12): normalization against
+    * the query's relation, marker attributes for the view's day/et
+    * keys, and the closure test that decides whether an expression is
+    * a function of the view keys alone — including the recovery of day
+    * predicates from Spark's lowered raw-timestamp midnight bounds.
     */
-  private def rollupSwap(agg: Aggregate, entry: MatViews.MvEntry): Option[LogicalPlan] = {
-    val chainOk = agg.child.collectFirst {
-      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
-        !n.isInstanceOf[LogicalRelation] => n
-    }.isEmpty
-    val relOpt = agg.collectFirst { case l: LogicalRelation => l }
-    if (!chainOk || relOpt.isEmpty) return None
-    val rel = relOpt.get
+  private final class KeyDeriver(agg: Aggregate, entry: MatViews.MvEntry,
+      rel: LogicalRelation) {
     def norm(e: Expression): Expression =
       MatViews.normalizeToSchema(MatViews.inlineProjectAliases(e, agg), rel)
 
@@ -692,7 +726,44 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
         a.exprId == dayMark.exprId || a.exprId == etMark.exprId)) Some(replaced)
       else None
     }
+  }
 
+  /** Roll-up COMPENSATION (cat4 — the Calcite/Oracle "aggregate roll-up"
+    * step beyond exact matching): answer a COARSER aggregation from the
+    * daily view by re-aggregating its stored partials. Fires when
+    *
+    *   - every grouping key is an expression over the view's keys — each
+    *     key subtree that normalizes to the view's day/event_type
+    *     expression is replaced by a marker, and the rewrite is accepted
+    *     only if NO raw-column reference survives (grouping keys ⊆
+    *     functional closure of view keys, decided structurally); and
+    *   - every aggregate is algebraic over the stored partials:
+    *     count(<non-null literal>) re-aggregates as sum(n), and a sum
+    *     whose child normalizes to the view's exact-cents expression
+    *     re-aggregates as sum(cents) — both exact over integers, so the
+    *     compensated answer is bit-identical to the raw aggregation; and
+    *   - the chain below the aggregate holds only Projects, the
+    *     registered relation, and Filters whose every condition is
+    *     ITSELF derivable from the view keys (cat5): a predicate over
+    *     day/event_type selects whole groups, so filtering the view's
+    *     rows is exactly filtering the raw rows — the compensated plan
+    *     gets Filter(cond′, viewScan) underneath. A predicate touching
+    *     any other column (value, user_id) kills the match.
+    *
+    * The compensated plan is Aggregate(G′, A′, [Filter(cond′,)] viewScan)
+    * with outputs re-aliased to the original exprIds, so the parent plan
+    * never knows.
+    */
+  private def rollupSwap(agg: Aggregate, entry: MatViews.MvEntry): Option[LogicalPlan] = {
+    val chainOk = agg.child.collectFirst {
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
+        !n.isInstanceOf[LogicalRelation] => n
+    }.isEmpty
+    val relOpt = agg.collectFirst { case l: LogicalRelation => l }
+    if (!chainOk || relOpt.isEmpty) return None
+    val rel = relOpt.get
+    val kd = new KeyDeriver(agg, entry, rel)
+    import kd.{norm, dayMark, etMark, derive}
     // cat5: every Filter condition below the aggregate must be a
     // predicate over the view keys (whole-group selection)
     val condsOpt = agg.child.collect { case f: Filter => f.condition }
@@ -772,6 +843,83 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
 
   private object aggregate {
     val completeMode = org.apache.spark.sql.catalyst.expressions.aggregate.Complete
+  }
+
+  private def distinctViewScan(mv: String): LogicalPlan = {
+    val s = SparkSession.active
+    MatViews.withoutRewrite {
+      s.read.parquet(mv).select("day", "event_type", "user_id")
+        .queryExecution.analyzed
+    }
+  }
+
+  /** cat12 — COUNT(DISTINCT) rewrite over the distinct-keys view.
+    * Distinct counts are not algebraic over the summary views' partials,
+    * so cat3–cat9 can never answer them; they ARE exactly re-aggregable
+    * over a view that stores the distinct key tuples themselves. Fires
+    * when every aggregate output is a plain single-child COUNT(DISTINCT
+    * e) with e normalizing to the view's distinct key, and every
+    * grouping key / filter condition is derivable from the view's
+    * day/et keys (same closure test and lowered-date-bound recovery as
+    * cat4/cat5). The rewritten plan runs the SAME distinct aggregation
+    * over |distinct tuples| rows instead of the fact table — at 100 TB
+    * the difference between shuffling the corpus and the key space.
+    */
+  private def distinctSwap(agg: Aggregate, entry: MatViews.MvEntry): Option[LogicalPlan] = {
+    val chainOk = agg.child.collectFirst {
+      case n if !n.isInstanceOf[Project] && !n.isInstanceOf[Filter] &&
+        !n.isInstanceOf[LogicalRelation] => n
+    }.isEmpty
+    val relOpt = agg.collectFirst { case l: LogicalRelation => l }
+    if (!chainOk || relOpt.isEmpty) return None
+    val rel = relOpt.get
+    val kd = new KeyDeriver(agg, entry, rel)
+    import kd.{norm, dayMark, etMark, derive}
+    val condsOpt = agg.child.collect { case f: Filter => f.condition }.map(derive)
+    if (condsOpt.exists(_.isEmpty)) return None
+    val groupedOpt = agg.groupingExpressions
+      .map(g => derive(MatViews.stripAlias(g)))
+    if (groupedOpt.exists(_.isEmpty)) return None
+    val mvPlan = distinctViewScan(entry.mv)
+    val Seq(vDay, vEt, vUser) = mvPlan.output
+    val poison = AttributeReference("__mv_poison", LongType)()
+    def compensate(ne: NamedExpression): Option[NamedExpression] = {
+      val replaced = MatViews.inlineProjectAliases(ne, agg).transformUp {
+        case ae: AggregateExpression if ae.isDistinct && ae.filter.isEmpty =>
+          ae.aggregateFunction match {
+            case c: Count if c.children.size == 1 &&
+              norm(c.children.head) == entry.centsNorm =>
+              AggregateExpression(Count(Seq(vUser)), aggregate.completeMode,
+                isDistinct = true)
+            case _ => poison
+          }
+        // any other aggregate needs multiplicity the deduped view dropped
+        case ae: AggregateExpression => poison
+        case sub if norm(sub) == entry.dayNorm => dayMark
+        case sub if norm(sub) == entry.etNorm => etMark
+      }
+      val clean = replaced.references.forall(a =>
+        a.exprId == dayMark.exprId || a.exprId == etMark.exprId ||
+          a.exprId == vUser.exprId)
+      if (!clean) None
+      else replaced match {
+        case al: Alias => Some(al)
+        case other => Some(Alias(other, ne.name)(exprId = ne.exprId))
+      }
+    }
+    val outsOpt = agg.aggregateExpressions.map(compensate)
+    if (outsOpt.exists(_.isEmpty)) return None
+    def inst(e: Expression): Expression = e.transform {
+      case a: Attribute if a.exprId == dayMark.exprId => vDay
+      case a: Attribute if a.exprId == etMark.exprId => vEt
+    }
+    val newGroupings = groupedOpt.map(g => inst(g.get))
+    val newOutputs = outsOpt.map(_.get).map(ne =>
+      inst(ne).asInstanceOf[NamedExpression])
+    val childPlan =
+      if (condsOpt.isEmpty) mvPlan
+      else Filter(condsOpt.map(c => inst(c.get)).reduce(And), mvPlan)
+    Some(Aggregate(newGroupings, newOutputs, childPlan))
   }
 
   private def starViewScan(mv: String): LogicalPlan = {
@@ -948,8 +1096,10 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
   private def cheapCandidate(agg: Aggregate): Boolean =
     agg.aggregateExpressions.forall(_.collect {
       case ae: AggregateExpression => ae
-    }.forall(ae => !ae.isDistinct && ae.filter.isEmpty &&
+    }.forall(ae => ae.filter.isEmpty &&
       (ae.aggregateFunction match {
+        // distinct Counts pass the gate too — cat12's matcher decides
+        // whether the distinct-keys view can answer them
         case _: Count | _: Sum => true
         case _ => false
       })))
@@ -1014,12 +1164,14 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
   /** Is this relation's path a key in ANY registry? */
   private def isRegisteredPath(p: String): Boolean =
     MatViews.registry.containsKey(p) || MatViews.coarseRegistry.containsKey(p) ||
-      MatViews.starRegistry.containsKey(p) || MatViews.partRegistry.containsKey(p)
+      MatViews.starRegistry.containsKey(p) || MatViews.partRegistry.containsKey(p) ||
+      MatViews.distinctRegistry.containsKey(p)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (MatViews.bypassed ||
       (MatViews.registry.isEmpty && MatViews.coarseRegistry.isEmpty &&
-        MatViews.starRegistry.isEmpty && MatViews.partRegistry.isEmpty)) return plan
+        MatViews.starRegistry.isEmpty && MatViews.partRegistry.isEmpty &&
+        MatViews.distinctRegistry.isEmpty)) return plan
     // Registry-key bail-out: ONE whole-plan walk. Unless some relation
     // under the plan is a registered key, no Aggregate can match — so a
     // large unregistered plan (dozens of Aggregates over big subtrees)
@@ -1066,6 +1218,15 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
             swapped.minByOption { case (entry, p) =>
               (estScanCost(entry, p), entry.rows, entry.mv)
             }.map(_._2)
+              // cat12 — distinct counts: a different query class (the
+              // partial-backed candidates above can never answer one,
+              // and a Count/Sum query can never match the deduped view)
+              .orElse(Option(MatViews.distinctRegistry.get(src)).flatMap { entry =>
+                val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) ==
+                  entry.fingerprint
+                if (!fresh) { MatViews.distinctRegistry.remove(src, entry); None }
+                else distinctSwap(agg, entry)
+              })
           }
         single.orElse(starPath(agg, rels, paths)).getOrElse(agg)
     }

@@ -453,6 +453,50 @@ class MatViewRewriteSpec extends SparkSpec {
       s"non-midnight bound wrongly compensated:\n$bplan")
   }
 
+  test("cat12: count-distinct answers from the distinct-keys view; multiplicity-needing aggregates stay raw") {
+    import org.apache.spark.sql.functions._
+    MatViews.stageDistinctUsers(spark, sf0001)
+    val df = graft.engine.GraftCatalog.mvDistinctRewrite(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_distinct") && !plan.contains("events.parquet"),
+      s"distinct rewrite did not fire:\n$plan")
+    val exp = MatViews.withoutRewrite {
+      graft.engine.GraftCatalog.mvDistinctRewrite(spark, sf0001).collect()
+    }
+    assert(exp.nonEmpty)
+    assert(df.collect().toSeq == exp.toSeq,
+      "view-backed distinct count diverges from raw")
+    // composes with the derivable-filter machinery: a day-selective
+    // distinct count still reads only the view
+    val d0 = probeDay(sf0001)
+    val sel = graft.Tables.events(spark, sf0001)
+      .filter(to_date(col("ts")) === lit(d0))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("au"))
+    val splan = sel.queryExecution.executedPlan.toString
+    assert(splan.contains("graft_mv_distinct") && !splan.contains("events.parquet"),
+      s"filtered distinct count did not compensate:\n$splan")
+    val sexp = MatViews.withoutRewrite { sel.collect() }
+    assert(sel.collect().sortBy(_.getString(0)).toSeq ==
+      sexp.sortBy(_.getString(0)).toSeq)
+    // a query that ALSO needs multiplicity can be served by NEITHER the
+    // deduped view (count(*) lost) nor the summary views (distinct not
+    // algebraic): it must stay on the fact table
+    val mixed = graft.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("dau"))
+    val mplan = mixed.queryExecution.executedPlan.toString
+    assert(mplan.contains("events.parquet"),
+      s"mixed multiplicity+distinct query wrongly rewritten:\n$mplan")
+    // distinct over a NON-key column is underivable from this view
+    val other = graft.Tables.events(spark, sf0001)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("value")).as("dv"))
+    val oplan = other.queryExecution.executedPlan.toString
+    assert(oplan.contains("events.parquet"),
+      s"foreign distinct key wrongly rewritten:\n$oplan")
+  }
+
   test("cat9: stats-driven choice — identical row counts, the day-selective query reads the PARTITIONED view pruned to one day") {
     import org.apache.spark.sql.functions._
     MatViews.stageDailyRollup(spark, sf0001)
