@@ -320,6 +320,59 @@ object MatViews {
     mv
   }
 
+  /** st27/cat12 — maintain the registered distinct-keys view after an
+    * append, APPEND-ONLY: the manifest diff finds exactly the new source
+    * files; their distinct tuples anti-join the stored view and only the
+    * genuinely NEW tuples are appended — the view store is never
+    * rewritten (a distinct set is monotone under appends, unlike cat7's
+    * partials which must be merged), so per-batch write cost is the
+    * novelty of the batch. Removed/rewritten source files force a full
+    * re-stage, same rule as cat7.
+    */
+  def maintainDistinctUsers(s: SparkSession, d: String): MaintenanceReport = {
+    val src = canonicalSrc(d)
+    s.catalog.refreshByPath(src)
+    val current = listDataFiles(src)
+    val fp = graft.Tables.datasetFingerprint(d)
+    Option(distinctRegistry.get(src)) match {
+      case None =>
+        stageDistinctUsers(s, d)
+        MaintenanceReport(current.size, 0, restaged = true,
+          distinctRegistry.get(src).mv)
+      case Some(entry) if entry.fingerprint == fp =>
+        MaintenanceReport(0, 0, restaged = false, entry.mv)
+      case Some(entry) =>
+        val added = current.keySet -- entry.manifest.keySet
+        val removed = entry.manifest.keySet -- current.keySet
+        val changed = (current.keySet & entry.manifest.keySet)
+          .filter(f => current(f) != entry.manifest(f))
+        if (removed.nonEmpty || changed.nonEmpty || added.isEmpty) {
+          stageDistinctUsers(s, d)
+          MaintenanceReport(added.size, (removed ++ changed).size,
+            restaged = true, distinctRegistry.get(src).mv)
+        } else {
+          withoutRewrite {
+            // raw-file read like cat7: to_date over the raw (NTZ) column
+            // yields the same wall date the normalized reader produces
+            val novel = s.read
+              .parquet(added.toSeq.sorted.map(f => s"$src/$f"): _*)
+              .select(to_date(col("ts")).as("day"), col("event_type"),
+                col("user_id"))
+              .distinct()
+              .join(s.read.parquet(entry.mv),
+                Seq("day", "event_type", "user_id"), "left_anti")
+              // materialize before appending into the dir being read
+              .localCheckpoint(true)
+            novel.write.mode("append").parquet(entry.mv)
+          }
+          s.catalog.refreshByPath(entry.mv)
+          distinctRegistry.put(src,
+            distinctRelEntry(s, entry.mv, d, fp, naiveDistinctUsers(s, d)))
+          MaintenanceReport(added.size, 0, restaged = false, entry.mv)
+        }
+    }
+  }
+
   // ---- cat7: incremental maintenance of the registered view ----
 
   /** Relative paths of the parquet data files under a table dir, each

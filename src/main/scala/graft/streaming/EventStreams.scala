@@ -305,6 +305,62 @@ object EventStreams {
       .orderBy("day", "event_type")
   }
 
+  /** st27 — STREAMING distinct-keys maintenance (st25 × cat12): the
+    * streaming-DAU problem. A distinct set is MONOTONE under appends —
+    * unlike cat7's partials nothing merges, new tuples only ACCUMULATE —
+    * so each micro-batch maintains the registered distinct-keys view
+    * append-only: the batch's distinct tuples anti-join the view and
+    * only the novelty lands as new files; the store is never rewritten.
+    * Per-batch write cost = novel tuples in the batch; at 100 TB the
+    * alternative (re-running COUNT(DISTINCT) over the corpus per
+    * refresh) re-shuffles everything each time. The declared result is
+    * the post-stream DAU query, whose plan cat12 answers FROM the
+    * maintained view (spec-pinned); base ∪ increments equals raw
+    * events, so the oracle is cat12's verbatim — stream ≡ batch ≡
+    * DuckDB.
+    */
+  private[graft] def streamingDistinctIngest(s: SparkSession, d: String):
+      (Seq[graft.plans.MatViews.MaintenanceReport], String) = {
+    val store = Tables.scratchDir("graft_st27_store", d)
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.filter(pmod(col("event_id"), lit(10)) =!= 7)
+      .write.mode("overwrite").parquet(s"$store/events.parquet")
+    graft.plans.MatViews.stageDistinctUsers(s, store)
+    val srcDir = Tables.scratchDir("graft_st27_src", d)
+    ev.filter(pmod(col("event_id"), lit(10)) === 7)
+      .repartitionByRange(2, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val srcSchema = s.read.parquet(srcDir).schema
+    val ckpt = Tables.scratchDir("graft_st27_ckpt", d)
+    val cp = new org.apache.hadoop.fs.Path(ckpt)
+    cp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(cp, true)
+    val reports = new java.util.concurrent.ConcurrentLinkedQueue[
+      graft.plans.MatViews.MaintenanceReport]
+    val q = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          b.write.mode("append").parquet(s"$store/events.parquet")
+          reports.add(graft.plans.MatViews.maintainDistinctUsers(s, store))
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    (reports.asScala.toSeq, store)
+  }
+
+  def streamingDistinctMaintenance(s: SparkSession, d: String): DataFrame = {
+    val (_, store) = streamingDistinctIngest(s, d)
+    Tables.events(s, store)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+      .orderBy("day")
+  }
+
   /** st26 — LATE-DATA ACCOUNTING: what a watermark actually DOES,
     * measured and oracled. Production streams always have stragglers;
     * the watermark is the contract that bounds state by declaring how
@@ -1494,6 +1550,11 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st27_streaming_distinct", streamingDistinctMaintenance, Some(
+      // cat12's oracle verbatim: base ∪ streamed increments == events
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(DISTINCT user_id) AS dau
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st26_late_data_accounting", lateDataAccounting, Some(
       // the oracle REPLAYS the two-watermark drop rule: wm_late =
       // max(on-time ts of the first arrival slice) − 1 h; a late row

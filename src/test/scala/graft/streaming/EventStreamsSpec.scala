@@ -555,6 +555,47 @@ class EventStreamsSpec extends SparkSpec {
     assert(got.toSeq == full.toSeq)
   }
 
+  test("st27: streamed batches maintain the distinct view APPEND-ONLY; the DAU query reads the view") {
+    import org.apache.spark.sql.functions._
+    val (reports, store) = EventStreams.streamingDistinctIngest(spark, sf0001)
+    assert(reports.size >= 2, s"stream collapsed to ${reports.size} batch(es)")
+    reports.foreach { r =>
+      assert(!r.restaged && r.added > 0 && r.removed == 0,
+        s"a streamed batch broke append-only maintenance: $r")
+    }
+    // append-only means ONE stable view dir across all batches (st25's
+    // merge rewrites into versioned dirs; a monotone distinct set never
+    // needs to)
+    assert(reports.map(_.viewDir).distinct.size == 1)
+    val mv = reports.last.viewDir
+    // the view IS the distinct tuple set of the post-stream store
+    val viewRows = graft.plans.MatViews.withoutRewrite {
+      spark.read.parquet(mv).count()
+    }
+    val rawDistinct = graft.plans.MatViews.withoutRewrite {
+      graft.plans.MatViews.naiveDistinctUsers(spark, store).count()
+    }
+    assert(viewRows == rawDistinct, s"view $viewRows != raw $rawDistinct")
+    // the post-stream DAU query answers FROM the maintained view (cat12)
+    val df = graft.Tables.events(spark, store)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains(new java.io.File(mv).getName) &&
+      !plan.contains("events.parquet"),
+      s"DAU query not answered from the maintained view:\n$plan")
+    val got = df.collect().map(r => (r.getDate(0).toString, r.getLong(1))).sorted
+    // a FRESH plan inside the guard — reusing df would reuse its already
+    // rewritten QueryExecution and compare the view with itself
+    val raw = graft.plans.MatViews.withoutRewrite {
+      graft.Tables.events(spark, store)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(countDistinct(col("user_id")).as("dau"))
+        .collect().map(r => (r.getDate(0).toString, r.getLong(1))).sorted
+    }
+    assert(got.toSeq == raw.toSeq)
+  }
+
   test("st26: the engine drops exactly the two-watermark late set; the metric confirms engine-side drops") {
     import org.apache.spark.sql.functions._
     val (_, droppedMetric) = EventStreams.lateAccountingRun(spark, sf0001)
