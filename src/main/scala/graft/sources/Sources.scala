@@ -1443,7 +1443,81 @@ object Sources {
         sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
           .as("revenue_cents"))
 
+  // ---- src26: partition-spec EVOLUTION ----
+
+  /** src26 — PARTITION EVOLUTION (Iceberg's spec evolution): the table
+    * started day-partitioned; operations later ADDED event_type to the
+    * partition spec — and the history was NOT rewritten. Files written
+    * under the old spec stay exactly where they are (at 100 TB a
+    * re-partition of history is a full-table rewrite; the whole point
+    * of spec evolution is never paying it); each generation keeps its
+    * own layout, and a query plans against BOTH: the day filter prunes
+    * both generations' day directories, the event_type filter prunes
+    * gen1's subdirectories physically and falls back to a data filter
+    * over gen0 — every file contributes exactly its matching rows, so
+    * the union is the raw answer. The oracle recomputes from raw
+    * events; per-generation file pruning is spec-pinned from executed
+    * scan metrics.
+    */
+  private val evoMemo = new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def evolvedStoreDir(s: SparkSession, d: String): String =
+    Tables.stagedDir(evoMemo, s"evo#$d#${Tables.datasetFingerprint(d)}") { () =>
+      val dir = Tables.scratchDir("graft_evo_store", d)
+      val ev = Tables.events(s, d).select(col("event_id"), col("ts"),
+        col("user_id"), col("value"), col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val cut = Tables.events(s, d).agg(date_format(
+        date_add(min(to_date(col("ts"))), 14), "yyyy-MM-dd")).head.getString(0)
+      ev.filter(col("day") < cut).repartition(col("day"))
+        .write.mode("overwrite").partitionBy("day").parquet(s"$dir/gen0")
+      ev.filter(col("day") >= cut).repartition(col("day"), col("event_type"))
+        .write.mode("overwrite").partitionBy("day", "event_type")
+        .parquet(s"$dir/gen1")
+      dir
+    }
+
+  private[graft] def evoGenRead(s: SparkSession, path: String): DataFrame = {
+    val saved = s.conf
+      .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try s.read.parquet(path)
+    finally s.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", saved)
+  }
+
+  /** The declared cross-generation query: a day range straddling the
+    * cutover, filtered to one event_type — partition-pruned under each
+    * generation's OWN spec.
+    */
+  def partitionEvolutionQuery(s: SparkSession, d: String): DataFrame = {
+    val dir = evolvedStoreDir(s, d)
+    val Array(lo, hi) = Tables.events(s, d).agg(
+      date_format(date_add(min(to_date(col("ts"))), 10), "yyyy-MM-dd"),
+      date_format(date_add(min(to_date(col("ts"))), 20), "yyyy-MM-dd"))
+      .head.toSeq.map(_.toString).toArray
+    def shape(df: DataFrame): DataFrame =
+      df.filter(col("day").between(lo, hi) && col("event_type") === "click")
+        .select(col("day"), col("value"))
+    shape(evoGenRead(s, s"$dir/gen0"))
+      .unionByName(shape(evoGenRead(s, s"$dir/gen1")))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(round(value * 100) as bigint)")).as("cents"))
+      .orderBy("day")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src26_partition_evolution", partitionEvolutionQuery, Some(
+      """WITH probe AS (
+        |  SELECT min(CAST(ts AS DATE)) + 10 AS lo,
+        |    min(CAST(ts AS DATE)) + 20 AS hi FROM events)
+        |SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM events, probe
+        |WHERE CAST(ts AS DATE) BETWEEN lo AND hi AND event_type = 'click'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src24_agg_pushdown", aggregatePushdown, Some(
       """SELECT count(*) AS n, min(l_orderkey) AS first_key,
         |  max(l_orderkey) AS last_key FROM lineitem""".stripMargin)),

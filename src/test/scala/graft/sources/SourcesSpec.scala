@@ -540,4 +540,51 @@ class SourcesSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(viaBuckets == plain)
   }
+
+  test("src26: each generation prunes under its OWN spec — gen1 reads only click subdirs, history unrewritten") {
+    val dir = Sources.evolvedStoreDir(spark, sf0001)
+    val df = Sources.partitionEvolutionQuery(spark, sf0001)
+    assert(df.collect().nonEmpty) // execute THIS plan so metrics fill
+    def parquets(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(parquets)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Seq.empty
+    val scans = fileScans(df)
+    assert(scans.size == 2, s"expected one scan per generation: ${scans.size}")
+    val byGen = scans.map(sc =>
+      sc.relation.location.rootPaths.head.toString -> sc).toMap
+    val gen0Scan = byGen.collect { case (p, sc) if p.contains("gen0") => sc }.head
+    val gen1Scan = byGen.collect { case (p, sc) if p.contains("gen1") => sc }.head
+    // the probe range: lo..hi as the operator derives them
+    import org.apache.spark.sql.functions._
+    val Array(lo, hi) = graft.Tables.events(spark, sf0001).agg(
+      date_format(date_add(min(to_date(col("ts"))), 10), "yyyy-MM-dd"),
+      date_format(date_add(min(to_date(col("ts"))), 20), "yyyy-MM-dd"))
+      .head.toSeq.map(_.toString).toArray
+    def inRange(day: String) = day >= lo && day <= hi
+    // gen0 (old spec): day dirs prune; event_type is a DATA filter, so
+    // every type's files in the range are read — but nothing outside it
+    val gen0All = parquets(new java.io.File(s"$dir/gen0")).size
+    val gen0Range = new java.io.File(s"$dir/gen0").listFiles()
+      .filter(f => f.getName.startsWith("day=") &&
+        inRange(f.getName.stripPrefix("day=")))
+      .flatMap(parquets).length
+    assert(gen0Scan.metrics("numFiles").value == gen0Range &&
+      gen0Range < gen0All,
+      s"gen0 scanned ${gen0Scan.metrics("numFiles").value}, want $gen0Range of $gen0All")
+    // gen1 (evolved spec): BOTH day and event_type prune physically
+    val gen1All = parquets(new java.io.File(s"$dir/gen1")).size
+    val gen1Click = new java.io.File(s"$dir/gen1").listFiles()
+      .filter(f => f.getName.startsWith("day=") &&
+        inRange(f.getName.stripPrefix("day=")))
+      .flatMap(f => Option(f.listFiles()).toSeq.flatten)
+      .filter(_.getName == "event_type=click")
+      .flatMap(parquets).length
+    assert(gen1Scan.metrics("numFiles").value == gen1Click &&
+      gen1Click < gen1All,
+      s"gen1 scanned ${gen1Scan.metrics("numFiles").value}, want $gen1Click of $gen1All")
+    // spec evolution never rewrites history: gen0 holds NO event_type dirs
+    assert(!new java.io.File(s"$dir/gen0").listFiles()
+      .flatMap(f => Option(f.listFiles()).toSeq.flatten)
+      .exists(_.getName.startsWith("event_type=")))
+  }
 }
