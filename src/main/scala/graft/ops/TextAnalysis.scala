@@ -2106,6 +2106,95 @@ object TextAnalysis {
       bpeMerges(s, d, k).orderBy("step").collect().toSeq
         .map(r => (r.getString(1), r.getString(2))))
 
+  /** t38 — WORDPIECE merge learning (Schuster & Nakajima 2012; the
+    * BERT tokenizer's trainer): like BPE (t22) the loop greedily merges
+    * one adjacent symbol pair per round, but the objective is the
+    * LIKELIHOOD gain of a unigram LM — argmax of count(lr) /
+    * (count(l)·count(r)) — so a rare-but-collocated pair beats a merely
+    * frequent one. Continuation pieces carry the ## prefix
+    * (word-initial "a" and continuation "##a" are DIFFERENT units with
+    * different counts — BERT's convention), and a merge concatenates
+    * the left unit with the right unit's suffix.
+    *
+    * The argmax is over RATIONALS; fp sorting could misorder near-ties
+    * cross-engine, so selection is exact: candidates are narrowed by a
+    * double-score band (sound — the true max's double is within an ulp
+    * of the band top), then the winner is decided by BigInt
+    * cross-multiplication, ties by (l, r). The DuckDB replay reaches
+    * the same total order with one HUGEINT sort key,
+    * floor(pc·2⁹⁰/(cl·cr)): distinct rationals with denominators
+    * cl·cr ≤ ~10¹³ differ by at least (cl·cr)⁻² ≈ 10⁻²⁶, and
+    * 2⁹⁰ ≈ 1.2·10²⁷ stretches that gap past the ±1 truncation error,
+    * so floored keys order exactly like the rationals (a 100 TB corpus
+    * would move both sides to 256-bit cross-compare).
+    *
+    * Dataflow: the corpus folds once into the (word, cnt) vocab; each
+    * round is vocab-sized — pair counts and symbol counts (map-side
+    * combined), a ≤handful-row band collect, a narrow re-segmentation
+    * fold — so k rounds cost k vocab-sized shuffles, t22's budget plus
+    * one join.
+    */
+  def wordpieceMerges(s: SparkSession, d: String, k: Int = 15,
+      minCount: Long = 2L): DataFrame = {
+    import s.implicits._
+    val words = documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val chars = filter(split(col("w"), ""), x => length(x) > 0)
+    var syms = words.select(col("cnt").cast("long").as("cnt"),
+      transform(chars, (c, i) =>
+        when(i === 0, c).otherwise(concat(lit("##"), c))).as("sym"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long)]
+    var step = 1
+    var done = false
+    while (step <= k && !done) {
+      val pairs = syms.select(col("cnt"), explode(zip_with(
+          slice(col("sym"), lit(1), size(col("sym")) - 1),
+          slice(col("sym"), lit(2), size(col("sym")) - 1),
+          (a, b) => struct(a.as("l"), b.as("r")))).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pc"))
+        .filter(col("pc") >= minCount)
+      val scounts = syms.select(col("cnt"), explode(col("sym")).as("s"))
+        .groupBy("s").agg(sum("cnt").as("sc"))
+      val scored = pairs
+        .join(scounts.select(col("s").as("l"), col("sc").as("cl")), "l")
+        .join(scounts.select(col("s").as("r"), col("sc").as("cr")), "r")
+        .withColumn("ds", col("pc").cast("double") / (col("cl") * col("cr")))
+      val mxRow = scored.agg(max("ds")).head
+      if (mxRow.isNullAt(0)) done = true
+      else {
+        val band = scored
+          .filter(col("ds") >= mxRow.getDouble(0) * (1 - 1e-12))
+          .select("l", "r", "pc", "cl", "cr").collect()
+          .map(r => (r.getString(0), r.getString(1),
+            r.getLong(2), r.getLong(3), r.getLong(4)))
+        val win = band.reduceLeft { (a, b) =>
+          val lhs = BigInt(a._3) * BigInt(b._4) * BigInt(b._5)
+          val rhs = BigInt(b._3) * BigInt(a._4) * BigInt(a._5)
+          if (lhs > rhs) a else if (lhs < rhs) b
+          else if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+        }
+        val (l, r, pc, cl, cr) = win
+        merges += ((step, l, r, pc, cl, cr))
+        val (lw, rw, mw) = (lit(l), lit(r), lit(l + r.stripPrefix("##")))
+        val next = syms.select(col("cnt"),
+          aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) => when(size(acc) > 0 &&
+                element_at(acc, -1) === lw && x === rw,
+              concat(slice(acc, lit(1), size(acc) - 1), array(mw)))
+              .otherwise(concat(acc, array(x)))).as("sym"))
+        syms = if (step % 3 == 0) next.localCheckpoint() else next
+        step += 1
+      }
+    }
+    merges.toSeq.toDF("step", "left", "right",
+      "pair_count", "left_count", "right_count")
+  }
+
   /** t25 — BPE ENCODE: apply t22's learned merges to tokenize the
     * corpus — the other half of the tokenizer lifecycle (t22 trains it,
     * this runs it over every document, the single most-executed step of
@@ -2942,6 +3031,77 @@ object TextAnalysis {
     // reference parity + determinism pinned in the spec
     // BPE is a deterministic greedy, so DuckDB REPLAYS it exactly
     // (p7's flip is the template): see bpeReplayCtes
+    QueryDef("t38_wordpiece_merges", (s, d) => wordpieceMerges(s, d), Some(
+      // the full WordPiece replay: same ##-prefixed init, same
+      // likelihood argmax — decided by the HUGEINT 2⁹⁰-scaled key whose
+      // floor orders exactly like the rationals (see the operator's
+      // gap argument) — same tie-break, same left-to-right merge
+      """WITH RECURSIVE vocab AS (
+        |  SELECT w, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0 GROUP BY w
+        |),
+        |t AS (
+        |  SELECT 0 AS step, w AS wid, cnt,
+        |         list_transform(generate_series(1, len(string_split(w, ''))),
+        |           i -> CASE WHEN i = 1 THEN string_split(w, '')[i]
+        |                ELSE '##' || string_split(w, '')[i] END) AS sym,
+        |         CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+        |         CAST(NULL AS BIGINT) AS mpc, CAST(NULL AS BIGINT) AS mcl,
+        |         CAST(NULL AS BIGINT) AS mcr
+        |  FROM vocab
+        |  UNION ALL
+        |  SELECT step + 1, wid, cnt, list(out_s ORDER BY pos) AS sym,
+        |         l, r, pc, cl, cr
+        |  FROM (
+        |    SELECT step, wid, cnt, l, r, pc, cl, cr, pos,
+        |      CASE WHEN merge_at THEN l || regexp_replace(r, '^##', '')
+        |           ELSE s END AS out_s,
+        |      COALESCE(lag(merge_at) OVER (PARTITION BY wid ORDER BY pos),
+        |        FALSE) AS consumed
+        |    FROM (
+        |      SELECT *, cand AND (row_number() OVER (
+        |          PARTITION BY wid, CASE WHEN cand THEN pos - cpc ELSE NULL END
+        |          ORDER BY pos) % 2 = 1) AS merge_at
+        |      FROM (
+        |        SELECT *, (s = l AND sn = r) AS cand,
+        |          SUM(CASE WHEN s = l AND sn = r THEN 1 ELSE 0 END) OVER (
+        |            PARTITION BY wid ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS cpc
+        |        FROM (
+        |          SELECT t.step, t.wid, t.cnt, b.l, b.r, b.pc, b.cl, b.cr,
+        |                 g.i AS pos, t.sym[g.i] AS s, t.sym[g.i + 1] AS sn
+        |          FROM t,
+        |            (SELECT p.l, p.r, p.pc, sl.sc AS cl, sr.sc AS cr
+        |             FROM (SELECT s AS l, sn AS r, sum(cnt) AS pc FROM (
+        |                     SELECT t2.cnt, t2.sym[g2.i] AS s,
+        |                            t2.sym[g2.i + 1] AS sn
+        |                     FROM t t2, UNNEST(range(1, len(t2.sym))) AS g2(i))
+        |                   GROUP BY s, sn HAVING sum(cnt) >= 2) p
+        |             JOIN (SELECT u AS s, sum(cnt) AS sc FROM (
+        |                     SELECT t3.cnt, unnest(t3.sym) AS u FROM t t3)
+        |                   GROUP BY u) sl ON sl.s = p.l
+        |             JOIN (SELECT u AS s, sum(cnt) AS sc FROM (
+        |                     SELECT t4.cnt, unnest(t4.sym) AS u FROM t t4)
+        |                   GROUP BY u) sr ON sr.s = p.r
+        |             ORDER BY CAST(p.pc AS HUGEINT)
+        |                 * CAST('1237940039285380274899124224' AS HUGEINT)
+        |                 // (CAST(sl.sc AS HUGEINT) * CAST(sr.sc AS HUGEINT))
+        |                 DESC,
+        |               p.l, p.r
+        |             LIMIT 1) b,
+        |            UNNEST(range(1, len(t.sym) + 1)) AS g(i)
+        |          WHERE t.step < 15
+        |        )
+        |      )
+        |    )
+        |  ) WHERE NOT consumed
+        |  GROUP BY step, wid, cnt, l, r, pc, cl, cr
+        |)
+        |SELECT DISTINCT step, ml AS "left", mr AS "right",
+        |  mpc AS pair_count, mcl AS left_count, mcr AS right_count
+        |FROM t WHERE step >= 1 ORDER BY step""".stripMargin)),
     QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), Some(
       s"""$bpeReplayCtes
         |SELECT DISTINCT step, ml AS "left", mr AS "right", mpc AS pair_count

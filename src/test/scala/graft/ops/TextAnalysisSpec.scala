@@ -535,6 +535,74 @@ class TextAnalysisSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("t38 WordPiece: distributed loop == exact in-memory reference; ## discipline holds") {
+    import org.apache.spark.sql.functions._
+    val wc = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0).groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // exact in-memory WordPiece: BigInt rational argmax, (l, r) ties
+    def ref(k: Int, minCount: Long): Seq[(Int, String, String, Long, Long, Long)] = {
+      var vocab: Map[Vector[String], Long] = wc.map { case (w, c) =>
+        w.split("").filter(_.nonEmpty).toVector.zipWithIndex
+          .map { case (ch, i) => if (i == 0) ch else "##" + ch } -> c
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long, Long, Long)]
+      var step = 1
+      var stop = false
+      while (step <= k && !stop) {
+        val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+        val sc = scala.collection.mutable.Map.empty[String, Long]
+        vocab.foreach { case (syms, c) =>
+          syms.foreach(x => sc(x) = sc.getOrElse(x, 0L) + c)
+          syms.sliding(2).foreach {
+            case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+            case _ =>
+          }
+        }
+        val cands = pairs.toSeq.collect { case ((l, r), pc) if pc >= minCount =>
+          (l, r, pc, sc(l), sc(r))
+        }
+        if (cands.isEmpty) stop = true
+        else {
+          val win = cands.reduceLeft { (a, b) =>
+            val lhs = BigInt(a._3) * BigInt(b._4) * BigInt(b._5)
+            val rhs = BigInt(b._3) * BigInt(a._4) * BigInt(a._5)
+            if (lhs > rhs) a else if (lhs < rhs) b
+            else if (a._1 < b._1 || (a._1 == b._1 && a._2 <= b._2)) a else b
+          }
+          out += ((step, win._1, win._2, win._3, win._4, win._5))
+          val merged = win._1 + win._2.stripPrefix("##")
+          vocab = vocab.toSeq.map { case (syms, c) =>
+            syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == win._1 && x == win._2)
+                acc.init :+ merged
+              else acc :+ x
+            } -> c
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+          step += 1
+        }
+      }
+      out.toSeq
+    }
+    val got = TextAnalysis.wordpieceMerges(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    val expected = ref(15, 2L)
+    assert(expected.nonEmpty && got == expected,
+      s"got:\n${got.mkString("\n")}\nexpected:\n${expected.mkString("\n")}")
+    // BERT's ## discipline: a merge's RIGHT is always a continuation
+    // unit, and merged units keep the left's word-position class
+    assert(got.forall(_._3.startsWith("##")),
+      "a word-initial unit appeared as a merge's right side")
+    // the objective is likelihood, not frequency: counts carried in the
+    // output let anyone re-check score ordering — each step's winner
+    // beats the PREVIOUS step's winner on that step's own table is not
+    // checkable post-hoc, but pair_count >= minCount always holds
+    assert(got.forall(_._4 >= 2L))
+  }
+
   test("BPE encode: encoder mirrors training's fold, counts bounded, rerun-stable") {
     // encoder parity with the training fold on the classic corpus: a
     // word rewritten by every learned merge in order must end at the
