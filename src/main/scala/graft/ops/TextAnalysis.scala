@@ -1052,6 +1052,71 @@ object TextAnalysis {
     * the same vocab-sized-encode-then-join shape the Spark operator
     * runs.
     */
+  private val wordpieceReplayCtes: String =
+    """WITH RECURSIVE vocab AS (
+      |  SELECT w, count(*)::BIGINT AS cnt FROM (
+      |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+      |    FROM documents)
+      |  WHERE len(w) > 0 GROUP BY w
+      |),
+      |t AS (
+      |  SELECT 0 AS step, w AS wid, cnt,
+      |         list_transform(generate_series(1, len(string_split(w, ''))),
+      |           i -> CASE WHEN i = 1 THEN string_split(w, '')[i]
+      |                ELSE '##' || string_split(w, '')[i] END) AS sym,
+      |         CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+      |         CAST(NULL AS BIGINT) AS mpc, CAST(NULL AS BIGINT) AS mcl,
+      |         CAST(NULL AS BIGINT) AS mcr
+      |  FROM vocab
+      |  UNION ALL
+      |  SELECT step + 1, wid, cnt, list(out_s ORDER BY pos) AS sym,
+      |         l, r, pc, cl, cr
+      |  FROM (
+      |    SELECT step, wid, cnt, l, r, pc, cl, cr, pos,
+      |      CASE WHEN merge_at THEN l || regexp_replace(r, '^##', '')
+      |           ELSE s END AS out_s,
+      |      COALESCE(lag(merge_at) OVER (PARTITION BY wid ORDER BY pos),
+      |        FALSE) AS consumed
+      |    FROM (
+      |      SELECT *, cand AND (row_number() OVER (
+      |          PARTITION BY wid, CASE WHEN cand THEN pos - cpc ELSE NULL END
+      |          ORDER BY pos) % 2 = 1) AS merge_at
+      |      FROM (
+      |        SELECT *, (s = l AND sn = r) AS cand,
+      |          SUM(CASE WHEN s = l AND sn = r THEN 1 ELSE 0 END) OVER (
+      |            PARTITION BY wid ORDER BY pos
+      |            ROWS UNBOUNDED PRECEDING) AS cpc
+      |        FROM (
+      |          SELECT t.step, t.wid, t.cnt, b.l, b.r, b.pc, b.cl, b.cr,
+      |                 g.i AS pos, t.sym[g.i] AS s, t.sym[g.i + 1] AS sn
+      |          FROM t,
+      |            (SELECT p.l, p.r, p.pc, sl.sc AS cl, sr.sc AS cr
+      |             FROM (SELECT s AS l, sn AS r, sum(cnt) AS pc FROM (
+      |                     SELECT t2.cnt, t2.sym[g2.i] AS s,
+      |                            t2.sym[g2.i + 1] AS sn
+      |                     FROM t t2, UNNEST(range(1, len(t2.sym))) AS g2(i))
+      |                   GROUP BY s, sn HAVING sum(cnt) >= 2) p
+      |             JOIN (SELECT u AS s, sum(cnt) AS sc FROM (
+      |                     SELECT t3.cnt, unnest(t3.sym) AS u FROM t t3)
+      |                   GROUP BY u) sl ON sl.s = p.l
+      |             JOIN (SELECT u AS s, sum(cnt) AS sc FROM (
+      |                     SELECT t4.cnt, unnest(t4.sym) AS u FROM t t4)
+      |                   GROUP BY u) sr ON sr.s = p.r
+      |             ORDER BY CAST(p.pc AS HUGEINT)
+      |                 * CAST('1237940039285380274899124224' AS HUGEINT)
+      |                 // (CAST(sl.sc AS HUGEINT) * CAST(sr.sc AS HUGEINT))
+      |                 DESC,
+      |               p.l, p.r
+      |             LIMIT 1) b,
+      |            UNNEST(range(1, len(t.sym) + 1)) AS g(i)
+      |          WHERE t.step < 15
+      |        )
+      |      )
+      |    )
+      |  ) WHERE NOT consumed
+      |  GROUP BY step, wid, cnt, l, r, pc, cl, cr
+      |)""".stripMargin
+
   private val bpeEncodeCtes: String =
     """final AS (
       |  SELECT wid, len(sym)::BIGINT AS n_units, len(wid)::BIGINT AS n_chars
@@ -2195,6 +2260,91 @@ object TextAnalysis {
       "pair_count", "left_count", "right_count")
   }
 
+  /** Learned WordPiece inventory, collected once per (dataset, k):
+    * both position classes of every corpus character (c and ##c — a
+    * char only ever seen word-initially gets a ##-form too, which is
+    * unreachable when encoding the same corpus, so the closure choice
+    * is observationally equal to BERT's and identical on both engines)
+    * plus the k merge outputs in their own position class.
+    */
+  private val wpVocabMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]
+  private def learnedWordpieceVocab(s: SparkSession, d: String,
+      k: Int): Seq[String] =
+    wpVocabMemo.computeIfAbsent(
+      s"$d#${graft.Tables.datasetFingerprint(d)}#$k", _ => {
+        val merges = wordpieceMerges(s, d, k).orderBy("step").collect()
+          .map(r => (r.getString(1), r.getString(2)))
+        val alphabet = documents(s, d)
+          .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+          .filter(length(col("w")) > 0)
+          .select(explode(filter(split(col("w"), ""),
+            x => length(x) > 0)).as("c"))
+          .distinct().collect().map(_.getString(0)).toSeq
+        val mergedPieces = merges.map { case (l, r) => l + r.stripPrefix("##") }
+        (alphabet.flatMap(c => Seq(c, "##" + c)) ++ mergedPieces).distinct
+      })
+
+  /** t39 — WORDPIECE ENCODE by GREEDY LONGEST MATCH (MaxMatch — BERT's
+    * actual inference algorithm, and a genuinely different procedure
+    * from training's merge replay, unlike BPE where t25 re-applies
+    * t22's merges): at each position take the longest vocabulary piece
+    * of the right position class (word-initial vs ##-continuation) and
+    * jump past it. The whole matcher compiles to ONE Catalyst
+    * `aggregate` fold over character positions with a nested
+    * longest-first `when` chain probing literal piece arrays — no UDF,
+    * fully codegen'd, and the vocabulary is a ≤(2·alphabet + k)-entry
+    * broadcast literal. Encode cost is the t25 shape: the fold runs
+    * per DISTINCT word (vocab-sized), then joins back to per-(doc,
+    * word) counts. The DuckDB oracle replays MaxMatch as a recursive
+    * CTE over (word, pos) with a correlated longest-prefix probe into
+    * the SAME piece inventory derived from the replayed merges.
+    */
+  def wordpieceEncode(s: SparkSession, d: String, k: Int = 15): DataFrame = {
+    val pieces = learnedWordpieceVocab(s, d, k)
+    val byClassLen: Map[(Boolean, Int), Seq[String]] = pieces
+      .map(p => (p.startsWith("##"), p.stripPrefix("##")))
+      .groupBy(p => (p._1, p._2.length)).view.mapValues(_.map(_._2)).toMap
+    val maxL = byClassLen.keys.map(_._2).max
+    def hit(cont: Boolean, j: Int, sub: Column): Column =
+      byClassLen.get((cont, j))
+        .map(raws => array_contains(typedlit(raws), sub))
+        .getOrElse(lit(false))
+    def nUnits(w: Column): Column = {
+      val zero = struct(lit(0L).as("units"), lit(0).as("skip"))
+      aggregate(sequence(lit(1), length(w)), zero, (acc, i) => {
+        val u = acc.getField("units")
+        val sk = acc.getField("skip")
+        // longest-first: later (larger-j) whens are built OUTERMOST
+        var ml: Column = lit(1)
+        for (j <- 2 to maxL) {
+          val sub = w.substr(i, lit(j))
+          val h = (i + lit(j - 1) <= length(w)) &&
+            when(i === 1, hit(cont = false, j, sub))
+              .otherwise(hit(cont = true, j, sub))
+          ml = when(h, lit(j)).otherwise(ml)
+        }
+        when(sk > 0, struct(u.as("units"), (sk - 1).as("skip")))
+          .otherwise(struct((u + 1L).as("units"), (ml - 1).as("skip")))
+      }, acc => acc.getField("units"))
+    }
+    val docWords = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val perDocWord = docWords.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val vocabUnits = perDocWord.select("w").distinct()
+      .select(col("w"), nUnits(col("w")).as("n_units"),
+        length(col("w")).cast("long").as("n_chars"))
+    perDocWord.join(vocabUnits, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_units")).as("n_wp_units"),
+        round(sum(col("c") * col("n_chars")).cast("double") /
+          sum(col("c") * col("n_units")), 4).as("chars_per_unit"))
+      .orderBy("doc_id")
+  }
+
   /** t25 — BPE ENCODE: apply t22's learned merges to tokenize the
     * corpus — the other half of the tokenizer lifecycle (t22 trains it,
     * this runs it over every document, the single most-executed step of
@@ -3036,72 +3186,53 @@ object TextAnalysis {
       // likelihood argmax — decided by the HUGEINT 2⁹⁰-scaled key whose
       // floor orders exactly like the rationals (see the operator's
       // gap argument) — same tie-break, same left-to-right merge
-      """WITH RECURSIVE vocab AS (
-        |  SELECT w, count(*)::BIGINT AS cnt FROM (
-        |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
-        |    FROM documents)
-        |  WHERE len(w) > 0 GROUP BY w
-        |),
-        |t AS (
-        |  SELECT 0 AS step, w AS wid, cnt,
-        |         list_transform(generate_series(1, len(string_split(w, ''))),
-        |           i -> CASE WHEN i = 1 THEN string_split(w, '')[i]
-        |                ELSE '##' || string_split(w, '')[i] END) AS sym,
-        |         CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
-        |         CAST(NULL AS BIGINT) AS mpc, CAST(NULL AS BIGINT) AS mcl,
-        |         CAST(NULL AS BIGINT) AS mcr
-        |  FROM vocab
-        |  UNION ALL
-        |  SELECT step + 1, wid, cnt, list(out_s ORDER BY pos) AS sym,
-        |         l, r, pc, cl, cr
-        |  FROM (
-        |    SELECT step, wid, cnt, l, r, pc, cl, cr, pos,
-        |      CASE WHEN merge_at THEN l || regexp_replace(r, '^##', '')
-        |           ELSE s END AS out_s,
-        |      COALESCE(lag(merge_at) OVER (PARTITION BY wid ORDER BY pos),
-        |        FALSE) AS consumed
-        |    FROM (
-        |      SELECT *, cand AND (row_number() OVER (
-        |          PARTITION BY wid, CASE WHEN cand THEN pos - cpc ELSE NULL END
-        |          ORDER BY pos) % 2 = 1) AS merge_at
-        |      FROM (
-        |        SELECT *, (s = l AND sn = r) AS cand,
-        |          SUM(CASE WHEN s = l AND sn = r THEN 1 ELSE 0 END) OVER (
-        |            PARTITION BY wid ORDER BY pos
-        |            ROWS UNBOUNDED PRECEDING) AS cpc
-        |        FROM (
-        |          SELECT t.step, t.wid, t.cnt, b.l, b.r, b.pc, b.cl, b.cr,
-        |                 g.i AS pos, t.sym[g.i] AS s, t.sym[g.i + 1] AS sn
-        |          FROM t,
-        |            (SELECT p.l, p.r, p.pc, sl.sc AS cl, sr.sc AS cr
-        |             FROM (SELECT s AS l, sn AS r, sum(cnt) AS pc FROM (
-        |                     SELECT t2.cnt, t2.sym[g2.i] AS s,
-        |                            t2.sym[g2.i + 1] AS sn
-        |                     FROM t t2, UNNEST(range(1, len(t2.sym))) AS g2(i))
-        |                   GROUP BY s, sn HAVING sum(cnt) >= 2) p
-        |             JOIN (SELECT u AS s, sum(cnt) AS sc FROM (
-        |                     SELECT t3.cnt, unnest(t3.sym) AS u FROM t t3)
-        |                   GROUP BY u) sl ON sl.s = p.l
-        |             JOIN (SELECT u AS s, sum(cnt) AS sc FROM (
-        |                     SELECT t4.cnt, unnest(t4.sym) AS u FROM t t4)
-        |                   GROUP BY u) sr ON sr.s = p.r
-        |             ORDER BY CAST(p.pc AS HUGEINT)
-        |                 * CAST('1237940039285380274899124224' AS HUGEINT)
-        |                 // (CAST(sl.sc AS HUGEINT) * CAST(sr.sc AS HUGEINT))
-        |                 DESC,
-        |               p.l, p.r
-        |             LIMIT 1) b,
-        |            UNNEST(range(1, len(t.sym) + 1)) AS g(i)
-        |          WHERE t.step < 15
-        |        )
-        |      )
-        |    )
-        |  ) WHERE NOT consumed
-        |  GROUP BY step, wid, cnt, l, r, pc, cl, cr
-        |)
+      s"""$wordpieceReplayCtes
         |SELECT DISTINCT step, ml AS "left", mr AS "right",
         |  mpc AS pair_count, mcl AS left_count, mcr AS right_count
         |FROM t WHERE step >= 1 ORDER BY step""".stripMargin)),
+    QueryDef("t39_wordpiece_encode", (s, d) => wordpieceEncode(s, d), Some(
+      // MaxMatch replayed as a recursive CTE: the piece inventory
+      // derives from the replayed merges (same closure rule as the
+      // operator — both position classes of every corpus char + merge
+      // outputs), and each (word, pos) step jumps past the longest
+      // matching piece of the right class
+      s"""$wordpieceReplayCtes,
+        |alpha AS (
+        |  SELECT DISTINCT unnest(string_split(w, '')) AS c FROM vocab),
+        |pieces AS (
+        |  SELECT c AS raw, FALSE AS cont FROM alpha
+        |  UNION
+        |  SELECT c AS raw, TRUE AS cont FROM alpha
+        |  UNION
+        |  SELECT regexp_replace(ml, '^##', '')
+        |      || regexp_replace(mr, '^##', '') AS raw,
+        |    ml LIKE '##%' AS cont
+        |  FROM (SELECT DISTINCT ml, mr FROM t WHERE step >= 1)),
+        |seg AS (
+        |  SELECT w, 1 AS pos, CAST(0 AS BIGINT) AS units
+        |  FROM (SELECT DISTINCT w FROM vocab)
+        |  UNION ALL
+        |  SELECT w, pos + ml, units + 1 FROM (
+        |    SELECT w, pos, units,
+        |      (SELECT max(len(p.raw)) FROM pieces p
+        |       WHERE p.cont = (seg.pos > 1)
+        |         AND substr(seg.w, seg.pos, len(p.raw)) = p.raw) AS ml
+        |    FROM seg WHERE pos <= len(w))),
+        |nunits AS (
+        |  SELECT w, max(units) AS n_units, len(w)::BIGINT AS n_chars
+        |  FROM seg WHERE pos > len(w) GROUP BY w, len(w)),
+        |pdw AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0 GROUP BY doc_id, w)
+        |SELECT p.doc_id, sum(p.c)::BIGINT AS n_words,
+        |  sum(p.c * f.n_units)::BIGINT AS n_wp_units,
+        |  round(CAST(sum(p.c * f.n_chars) AS DOUBLE)
+        |    / sum(p.c * f.n_units), 4) AS chars_per_unit
+        |FROM pdw p JOIN nunits f ON p.w = f.w
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
     QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), Some(
       s"""$bpeReplayCtes
         |SELECT DISTINCT step, ml AS "left", mr AS "right", mpc AS pair_count

@@ -603,6 +603,58 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.forall(_._4 >= 2L))
   }
 
+  test("t39 WordPiece encode: Catalyst MaxMatch fold == in-memory greedy longest match") {
+    import org.apache.spark.sql.functions._
+    // rebuild the same inventory the operator learns
+    val merges = TextAnalysis.wordpieceMerges(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val words = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val alphabet = words.flatMap(_._2.toCharArray.map(_.toString)).distinct
+    val vocab = (alphabet.flatMap(c => Seq(c, "##" + c)) ++
+      merges.map { case (l, r) => l + r.stripPrefix("##") }).toSet
+    val maxL = vocab.map(_.stripPrefix("##").length).max
+    def maxMatch(w: String): Long = {
+      var pos = 0
+      var units = 0L
+      while (pos < w.length) {
+        var j = math.min(maxL, w.length - pos)
+        var taken = 1
+        var found = false
+        while (j >= 1 && !found) {
+          val p = (if (pos == 0) "" else "##") + w.substring(pos, pos + j)
+          if (vocab.contains(p)) { taken = j; found = true }
+          j -= 1
+        }
+        units += 1
+        pos += taken
+      }
+      units
+    }
+    val expected = words.groupBy(_._1).map { case (id, ws) =>
+      val units = ws.map(x => maxMatch(x._2)).sum
+      val chars = ws.map(_._2.length.toLong).sum
+      (id, ws.length.toLong, units,
+        BigDecimal(chars.toDouble / units)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = TextAnalysis.wordpieceEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { case (id, nw, nu, cpu) =>
+      val (_, enw, enu, ecpu) = expected.find(_._1 == id).get
+      assert(nw == enw && nu == enu, s"doc $id: got ($nw,$nu) want ($enw,$enu)")
+      assert(math.abs(cpu - ecpu) < 1e-9, s"doc $id cpu: $cpu vs $ecpu")
+      assert(nu >= nw, "a word encoded to zero units")
+    }
+    // MaxMatch with a merge vocabulary must beat char-level somewhere
+    val charUnits = words.map(_._2.length.toLong).sum
+    assert(got.map(_._3).sum < charUnits,
+      "no merge was ever used — encoder degenerated to characters")
+  }
+
   test("BPE encode: encoder mirrors training's fold, counts bounded, rerun-stable") {
     // encoder parity with the training fold on the classic corpus: a
     // word rewritten by every learned merge in order must end at the
