@@ -173,7 +173,7 @@ object MatViews {
     * for rewrite. Returns the view directory.
     */
   def stageDailyRollup(s: SparkSession, d: String): String = {
-    val fp = graft.Tables.datasetFingerprint(d)
+    val fp = graft.Tables.datasetFingerprint(canonicalSrc(d))
     val key = s"$d#$fp"
     val mv = graft.Tables.stagedDir(staged, key) { () =>
       val dir = graft.Tables.scratchDir("graft_mv_daily", d)
@@ -213,7 +213,7 @@ object MatViews {
     * view directory.
     */
   def stageMonthlyRollup(s: SparkSession, d: String): String = {
-    val fp = graft.Tables.datasetFingerprint(d)
+    val fp = graft.Tables.datasetFingerprint(canonicalSrc(d))
     val key = s"month#$d#$fp"
     val mv = graft.Tables.stagedDir(coarseStaged, key) { () =>
       val dir = graft.Tables.scratchDir("graft_mv_monthly", d)
@@ -245,7 +245,7 @@ object MatViews {
     * (cat9) sees the difference through (partitionCol, keyNdv).
     */
   def stagePartitionedDailyRollup(s: SparkSession, d: String): String = {
-    val fp = graft.Tables.datasetFingerprint(d)
+    val fp = graft.Tables.datasetFingerprint(canonicalSrc(d))
     val key = s"part#$d#$fp"
     val mv = graft.Tables.stagedDir(partStaged, key) { () =>
       val dir = graft.Tables.scratchDir("graft_mv_daily_part", d)
@@ -306,7 +306,7 @@ object MatViews {
 
   /** Stage (memoized) the distinct-keys view and register it. */
   def stageDistinctUsers(s: SparkSession, d: String): String = {
-    val fp = graft.Tables.datasetFingerprint(d)
+    val fp = graft.Tables.datasetFingerprint(canonicalSrc(d))
     val key = s"distinct#$d#$fp"
     val mv = graft.Tables.stagedDir(distinctStaged, key) { () =>
       val dir = graft.Tables.scratchDir("graft_mv_distinct", d)
@@ -333,7 +333,7 @@ object MatViews {
     val src = canonicalSrc(d)
     s.catalog.refreshByPath(src)
     val current = listDataFiles(src)
-    val fp = graft.Tables.datasetFingerprint(d)
+    val fp = graft.Tables.datasetFingerprint(canonicalSrc(d))
     Option(distinctRegistry.get(src)) match {
       case None =>
         stageDistinctUsers(s, d)
@@ -420,7 +420,7 @@ object MatViews {
     // read time — maintenance is exactly the moment the store changed
     s.catalog.refreshByPath(src)
     val current = listDataFiles(src)
-    val fp = graft.Tables.datasetFingerprint(d)
+    val fp = graft.Tables.datasetFingerprint(canonicalSrc(d))
     Option(registry.get(src)) match {
       case None =>
         stageDailyRollup(s, d)
@@ -1214,6 +1214,33 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
     }
   }
 
+  /** NEGATIVE-MATCH cache: an Aggregate proven non-rewritable is
+    * recorded by (registry-content stamp, canonicalized-plan hash) and
+    * skipped thereafter. The optimizer re-runs this rule on every
+    * fixpoint iteration and the same dashboards re-issue identical
+    * plans, so a non-matching aggregate otherwise re-pays the FULL
+    * derivation machinery (per-subtree normalize+canonicalize) each
+    * time — measured as the r12 e-family bench inflation. The stamp is
+    * the identity of every registered entry, so any registration,
+    * maintenance re-registration, or staleness eviction invalidates
+    * the cache implicitly; a (2⁻³²) hash collision can only SKIP a
+    * legitimate rewrite — plans stay correct, the summary optimization
+    * is merely missed.
+    */
+  private val negCache =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def registryStamp: Int = {
+    var h = 17
+    Seq(MatViews.registry, MatViews.coarseRegistry, MatViews.partRegistry,
+      MatViews.distinctRegistry).foreach { r =>
+      val it = r.values().iterator()
+      while (it.hasNext) h = h * 31 + System.identityHashCode(it.next())
+    }
+    val st = MatViews.starRegistry.values().iterator()
+    while (st.hasNext) h = h * 31 + System.identityHashCode(st.next())
+    h
+  }
+
   /** Is this relation's path a key in ANY registry? */
   private def isRegisteredPath(p: String): Boolean =
     MatViews.registry.containsKey(p) || MatViews.coarseRegistry.containsKey(p) ||
@@ -1236,52 +1263,81 @@ object MatViewRewriteRule extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!touchesRegistered) return plan
+    // ONE staleness fingerprint per dataset dir per rule invocation: the
+    // stat walk is O(files) and every candidate for the same source
+    // shares it — per-candidate walks were the dominant matcher tax on
+    // query-dense plans once five registries were populated (the r11
+    // item-2 lesson, re-learned one registry-count up in r12's bench).
+    val fpCache = scala.collection.mutable.Map.empty[String, String]
+    def fpOf(dir: String): String =
+      fpCache.getOrElseUpdate(dir, graft.Tables.datasetFingerprint(dir))
+    val stamp = registryStamp
+    if (negCache.size() > 100000) negCache.clear() // runaway-plan backstop
     plan.transform {
-      case agg: Aggregate if cheapCandidate(agg) =>
+      case agg: Aggregate if cheapCandidate(agg) &&
+          !negCache.contains(s"$stamp:${agg.canonicalized.hashCode}") =>
         // one relation collect per Aggregate, shared by the
         // single-relation (cat3/cat4/cat5/cat8) and star (cat6) tiers
         val rels = agg.collect { case l: LogicalRelation => l }
         val paths = rels.map(relPathOf)
+        // distinct-ness splits the candidate space up front: a distinct
+        // aggregate can never compensate from (n, cents) partials and a
+        // plain one can never answer from the deduped view, so each
+        // query class pays exactly its own matcher
+        lazy val hasDistinct = agg.aggregateExpressions.exists(_.collect {
+          case ae: AggregateExpression if ae.isDistinct => ae
+        }.nonEmpty)
         val single =
           if (rels.size != 1) None
-          else {
+          else if (hasDistinct) {
+            val src = paths.head
+            // cat12 — distinct counts from the distinct-keys view
+            Option(MatViews.distinctRegistry.get(src)).flatMap { entry =>
+              if (fpOf(src) != entry.fingerprint) {
+                MatViews.distinctRegistry.remove(src, entry); None
+              } else distinctSwap(agg, entry)
+            }
+          } else {
             val src = paths.head
             val candidates =
               (Option(MatViews.registry.get(src)).map(_ -> MatViews.registry).toSeq ++
                 Option(MatViews.coarseRegistry.get(src)).map(_ -> MatViews.coarseRegistry).toSeq ++
                 Option(MatViews.partRegistry.get(src)).map(_ -> MatViews.partRegistry).toSeq)
-            val swapped = candidates.flatMap { case (entry, reg) =>
               // Staleness gate: the dataset may have been regenerated in
-              // place since staging. The fingerprint is an O(file-stat)
-              // walk, paid only for aggregates over a registered table; on
-              // mismatch deregister so the stale view can never answer (the
-              // next stage call re-registers fresh).
-              val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) == entry.fingerprint
-              if (!fresh) { reg.remove(src, entry); None }
-              else exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
-                .map(p => (entry, p))
-            }
+              // place since staging; on mismatch deregister so the stale
+              // view can never answer (the next stage call re-registers).
+              .filter { case (entry, reg) =>
+                val fresh = fpOf(src) == entry.fingerprint
+                if (!fresh) reg.remove(src, entry)
+                fresh
+              }
             // cat8+cat9 — pick the candidate whose REWRITTEN plan is
             // estimated cheapest to SCAN (stats-driven: partition-pruned
             // post-filter size when the layout realizes it, stored rows
-            // otherwise), row count then view path as deterministic
-            // tiebreaks. Candidate count is ≤3 per source, so evaluating
-            // every swap before choosing costs three plan analyses, not
-            // a search.
-            swapped.minByOption { case (entry, p) =>
-              (estScanCost(entry, p), entry.rows, entry.mv)
-            }.map(_._2)
-              // cat12 — distinct counts: a different query class (the
-              // partial-backed candidates above can never answer one,
-              // and a Count/Sum query can never match the deduped view)
-              .orElse(Option(MatViews.distinctRegistry.get(src)).flatMap { entry =>
-                val fresh = graft.Tables.datasetFingerprint(entry.datasetDir) ==
-                  entry.fingerprint
-                if (!fresh) { MatViews.distinctRegistry.remove(src, entry); None }
-                else distinctSwap(agg, entry)
-              })
+            // otherwise). Cost differs between successful candidates ONLY
+            // when the chain carries a Filter (estScanCost is rows
+            // otherwise) — so the common filter-less aggregate keeps the
+            // LAZY first-match-in-rows-order walk and pays one swap
+            // attempt, not three.
+            val hasFilter = agg.child.collectFirst { case f: Filter => f }.nonEmpty
+            if (!hasFilter) {
+              candidates.sortBy { case (e, _) => (e.rows, e.mv) }
+                .view.flatMap { case (entry, _) =>
+                  exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
+                }.headOption
+            } else {
+              candidates.flatMap { case (entry, _) =>
+                exactSwap(agg, entry).orElse(rollupSwap(agg, entry))
+                  .map(p => (entry, p))
+              }.minByOption { case (entry, p) =>
+                (estScanCost(entry, p), entry.rows, entry.mv)
+              }.map(_._2)
+            }
           }
-        single.orElse(starPath(agg, rels, paths)).getOrElse(agg)
+        single.orElse(starPath(agg, rels, paths)).getOrElse {
+          negCache.add(s"$stamp:${agg.canonicalized.hashCode}")
+          agg
+        }
     }
   }
 }
