@@ -18,6 +18,89 @@ import graft.{QueryDef, Tables}
 object Behavior {
   import Tables._
 
+  /** e23 — MARKOV REMOVAL-EFFECT ATTRIBUTION (Anderl et al. 2014 — the
+    * model-based complement to e6's rule-based last-touch/position
+    * credit): user-day event paths, truncated at the first purchase,
+    * define an absorbing Markov chain (START → channels → CONV/NULL);
+    * a channel's credit is its REMOVAL EFFECT — how much the chain's
+    * conversion probability drops when every path through that channel
+    * is failed — normalized into attribution shares. Removal is
+    * value-zeroing: P(conv) is the absorbing-chain hitting probability
+    * computed by 50 value-iteration steps, and a removed channel's
+    * state value is pinned to 0, which is exactly "transitions into it
+    * go to NULL".
+    *
+    * Scale split: the DISTRIBUTED work is path construction and the
+    * (src, dst) transition count — two window passes and one
+    * aggregation, all hash-partitioned on (user_id, day); the chain
+    * solve is a ≤|channels+3|² LUT collected to the driver (the
+    * sample-sized-fit discipline: never an MLlib job for a 7×7
+    * matrix). Each iteration rounds to 12 dp — g1 PageRank's
+    * per-iteration rounding, which makes the fp fixed point identical
+    * across engines regardless of summation order — so the DuckDB
+    * recursive-CTE replay hash-matches exactly.
+    */
+  def markovAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    val seq0 = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val firstPurch = seq0.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "day").agg(min("rn").as("conv_rn"))
+    val path = seq0.join(firstPurch, Seq("user_id", "day"), "left")
+      .filter(col("conv_rn").isNull || col("rn") <= col("conv_rn"))
+      .withColumn("state", when(col("event_type") === "purchase", lit("CONV"))
+        .otherwise(col("event_type")))
+    val trans = path
+      .withColumn("src", coalesce(lag("state", 1).over(w), lit("START")))
+      .select(col("src"), col("state").as("dst"))
+    val ends = path
+      .withColumn("mx", max("rn").over(Window.partitionBy("user_id", "day")))
+      .filter(col("rn") === col("mx") && col("state") =!= "CONV")
+      .select(col("state").as("src"), lit("NULL").as("dst"))
+    // the transition LUT: ≤ (|channels|+3)² rows — bounded by the event
+    // vocabulary, never the data
+    val counts = trans.unionByName(ends)
+      .groupBy("src", "dst").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val totals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val t: Map[String, Seq[(String, Double)]] = counts
+      .groupBy(_._1).view.mapValues(_.toSeq.sortBy(_._2)
+        .map { case (src, dst, n) => (dst, n.toDouble / totals(src)) }).toMap
+    val states = t.keys.toSeq.sorted
+    def r12(v: Double): Double =
+      BigDecimal(v).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pConv(removed: String): Double = {
+      var cur = states.map(_ -> 0.0).toMap
+      for (_ <- 1 to 50) {
+        cur = states.map { st =>
+          val v = t(st).map { case (dst, pr) =>
+            pr * (dst match {
+              case "CONV" => 1.0
+              case "NULL" => 0.0
+              case `removed` => 0.0
+              case other => cur.getOrElse(other, 0.0)
+            })
+          }.sum
+          st -> r12(v)
+        }.toMap
+      }
+      cur("START")
+    }
+    val base = pConv(removed = "")
+    val channels = states.filterNot(Set("START", "CONV", "NULL")).sorted
+    val res = channels.map(c => (c, 1.0 - pConv(c) / base))
+    val total = res.map(_._2).sum
+    res.map { case (c, re) =>
+      (c, BigDecimal(re).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(re / total).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("channel", "removal_effect", "attribution")
+      .orderBy("channel")
+  }
+
   /** e7 — weekly cohort retention matrix: users bucketed by first-seen
     * week, activity counted per (cohort, weeks-since) cell, reported as
     * a fraction of the cohort. Three aggregations, ONE logical key: the
@@ -949,6 +1032,79 @@ object Behavior {
         |  FROM cust CROSS JOIN cuts)
         |SELECT r, f, m, count(*) AS n_cust, round(sum(money), 2) AS revenue
         |FROM sc GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("e23_markov_attribution", (s, d) => markovAttribution(s, d), Some(
+      // the full replay: same paths (truncate at first purchase), same
+      // transition table, the SAME 50 value-iteration steps rounded to
+      // 12 dp per step (g1's per-iteration-rounding discipline makes the
+      // fp fixed point hash-matchable), same removal-by-zeroing rule
+      """WITH RECURSIVE ev AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, event_type,
+        |    row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |conv AS (
+        |  SELECT user_id, day, min(rn) AS conv_rn FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |path AS (
+        |  SELECT e.user_id, e.day, e.rn,
+        |    CASE WHEN e.event_type = 'purchase' THEN 'CONV'
+        |         ELSE e.event_type END AS state
+        |  FROM ev e LEFT JOIN conv c USING (user_id, day)
+        |  WHERE c.conv_rn IS NULL OR e.rn <= c.conv_rn),
+        |trans0 AS (
+        |  SELECT COALESCE(lag(state) OVER (PARTITION BY user_id, day
+        |      ORDER BY rn), 'START') AS src, state AS dst
+        |  FROM path),
+        |ends AS (
+        |  SELECT state AS src, 'NULL' AS dst FROM (
+        |    SELECT state, rn,
+        |      max(rn) OVER (PARTITION BY user_id, day) AS mx
+        |    FROM path)
+        |  WHERE rn = mx AND state <> 'CONV'),
+        |counts AS (
+        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS n FROM (
+        |    SELECT * FROM trans0 UNION ALL SELECT * FROM ends)
+        |  GROUP BY 1, 2),
+        |tt AS MATERIALIZED (
+        |  SELECT src, dst, n / sum(n) OVER (PARTITION BY src) AS pr
+        |  FROM counts),
+        |chan AS (
+        |  SELECT DISTINCT src AS c FROM tt
+        |  WHERE src NOT IN ('START', 'CONV', 'NULL')),
+        |scen AS MATERIALIZED (
+        |  SELECT 'base' AS scenario, '' AS removed
+        |  UNION ALL SELECT c, c FROM chan),
+        |states AS MATERIALIZED (SELECT DISTINCT src AS s FROM tt),
+        |iter AS (
+        |  SELECT 0 AS k, sc.scenario, sc.removed, sv.sl AS sl,
+        |    list_transform(sv.sl, x -> CAST(0.0 AS DOUBLE)) AS pl
+        |  FROM scen sc, (SELECT list(s ORDER BY s) AS sl FROM states) sv
+        |  UNION ALL
+        |  SELECT k + 1, scenario, removed, sl, list(p ORDER BY s) AS pl
+        |  FROM (
+        |    SELECT i.k, i.scenario, i.removed, i.sl, st.s,
+        |      round(COALESCE(SUM(t2.pr * CASE
+        |        WHEN t2.dst = 'CONV' THEN 1.0
+        |        WHEN t2.dst = 'NULL' THEN 0.0
+        |        WHEN t2.dst = i.removed THEN 0.0
+        |        ELSE COALESCE(i.pl[list_position(i.sl, t2.dst)], 0.0)
+        |        END), 0.0), 12) AS p
+        |    FROM iter i
+        |    CROSS JOIN states st
+        |    JOIN tt t2 ON t2.src = st.s
+        |    WHERE i.k < 50
+        |    GROUP BY i.k, i.scenario, i.removed, i.sl, st.s)
+        |  GROUP BY k, scenario, removed, sl),
+        |fin AS (
+        |  SELECT scenario, pl[list_position(sl, 'START')] AS p
+        |  FROM iter WHERE k = 50),
+        |res AS (
+        |  SELECT f.scenario AS channel,
+        |    1 - f.p / (SELECT p FROM fin WHERE scenario = 'base') AS re
+        |  FROM fin f WHERE f.scenario <> 'base')
+        |SELECT channel, round(re, 6) AS removal_effect,
+        |  round(re / sum(re) OVER (), 6) AS attribution
+        |FROM res ORDER BY channel""".stripMargin)),
     QueryDef("e7_cohort_retention", cohortRetention, Some(
       """WITH ev AS (
         |  SELECT DISTINCT user_id,

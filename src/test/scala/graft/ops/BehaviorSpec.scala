@@ -174,4 +174,79 @@ class BehaviorSpec extends SparkSpec {
       assert((hi >> (32 - plen)) == (base >> (32 - plen)), s"$cidr max $hi outside")
     }
   }
+
+
+  test("e23 Markov attribution: iterated hitting probabilities match the exact linear solve") {
+    import org.apache.spark.sql.functions._
+    // rebuild the same absorbing chain in test code
+    val rows = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getTimestamp(2),
+        r.getLong(3), r.getString(4)))
+    val trans = scala.collection.mutable.Map.empty[(String, String), Long]
+    rows.groupBy(r => (r._1, r._2)).foreach { case (_, es) =>
+      val ordered = es.sortBy(e => (e._3.getTime, e._4)).map(_._5)
+      val cut = ordered.indexOf("purchase")
+      val path = (if (cut >= 0) ordered.take(cut + 1) else ordered)
+        .map(t => if (t == "purchase") "CONV" else t)
+      val full = "START" +: path
+      full.sliding(2).foreach { case Array(a, b) =>
+        trans((a, b)) = trans.getOrElse((a, b), 0L) + 1
+      }
+      if (path.last != "CONV")
+        trans((path.last, "NULL")) = trans.getOrElse((path.last, "NULL"), 0L) + 1
+    }
+    val totals = trans.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map(_._2).sum.toDouble).toMap
+    val states = totals.keys.toSeq.sorted
+    val idx = states.zipWithIndex.toMap
+    // exact hitting probability: solve (I - Q) p = b by Gaussian elim,
+    // where Q is the chain restricted to transient states (a removed
+    // channel's row AND column zeroed) and b the one-step CONV mass
+    def exact(removed: String): Double = {
+      val n = states.length
+      val a = Array.ofDim[Double](n, n + 1)
+      for (i <- 0 until n) {
+        a(i)(i) = 1.0
+        if (states(i) != removed) {
+          trans.foreach { case ((s, t), c) if s == states(i) =>
+            val pr = c / totals(s)
+            if (t == "CONV") a(i)(n) += pr
+            else if (t != "NULL" && t != removed && idx.contains(t))
+              a(i)(idx(t)) -= pr
+          case _ =>
+          }
+        }
+      }
+      for (c <- 0 until n) {
+        val piv = (c until n).maxBy(r => math.abs(a(r)(c)))
+        val tmp = a(c); a(c) = a(piv); a(piv) = tmp
+        for (r <- 0 until n if r != c && math.abs(a(c)(c)) > 0) {
+          val f = a(r)(c) / a(c)(c)
+          for (k <- c to n) a(r)(k) -= f * a(c)(k)
+        }
+      }
+      a(idx("START"))(n) / a(idx("START"))(idx("START"))
+    }
+    val base = exact("")
+    assert(base > 0 && base < 1, s"degenerate base conversion $base")
+    val got = graft.ops.Behavior.markovAttribution(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(got.nonEmpty)
+    // every channel: iterated removal effect == exact within truncation
+    got.foreach { case (c, re, _) =>
+      val exactRe = 1.0 - exact(c) / base
+      assert(math.abs(re - exactRe) < 1e-5,
+        s"channel $c: iterated $re vs exact $exactRe")
+      assert(re >= -1e-9, s"removal can never HELP conversion: $c $re")
+    }
+    // shares are a normalization of the removal effects
+    val sum = got.map(_._2).sum
+    got.foreach { case (c, re, at) =>
+      assert(math.abs(at - re / sum) < 1e-5, s"share off for $c")
+    }
+    assert(math.abs(got.map(_._3).sum - 1.0) < 1e-4, "shares must sum to 1")
+  }
 }
