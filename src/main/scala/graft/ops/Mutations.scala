@@ -806,6 +806,62 @@ object Mutations {
     dir
   }
 
+  /** up14 — VACUUM with a retention horizon (Delta's VACUUM / Iceberg's
+    * expire_snapshots): time travel (up13) keeps every superseded file
+    * forever; vacuum deletes exactly the data files referenced by NO
+    * retained version — the union of the last `keep` versions' live
+    * sets is computed from the log (pure metadata), everything else on
+    * disk goes. Retained snapshots stay byte-identical (their files
+    * were never candidates); AS OF older than the horizon correctly
+    * dies. At 100 TB this is what bounds an immutable-file store:
+    * without it every COW update grows the table forever; with it
+    * storage is live-data + horizon-deep history, and the delete is
+    * O(files), never a data read. Returns (before, after, removed).
+    */
+  private[graft] def ttVacuum(s: SparkSession, dir: String,
+      keep: Int): (Int, Int, Int) = {
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    val maxV = fs.listStatus(log).toSeq
+      .map(_.getPath.getName).filter(_.matches("v\\d+\\.txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt).max
+    val horizon = maxV - keep + 1
+    val retained = (horizon to maxV)
+      .flatMap(v => ttLiveFiles(s, dir, v)).toSet
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val base = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next().getPath.toUri.getPath
+        if (p.endsWith(".parquet")) out += p.stripPrefix(base).stripPrefix("/")
+      }
+      out.toSeq
+    }
+    val doomed = onDisk.filterNot(retained)
+    doomed.foreach(f =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false))
+    (onDisk.size, onDisk.size - doomed.size, doomed.size)
+  }
+
+  /** The declared up14 query: build the 4-version store, vacuum to the
+    * last two versions, and answer the per-(version, event_type) rollup
+    * for BOTH retained snapshots from the vacuumed store — a hash match
+    * proves vacuum deleted nothing any retained version needs. The
+    * file accounting and the pre-horizon AS OF failure are spec-pinned
+    * (not data-derivable by the oracle).
+    */
+  def vacuumedTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    ttVacuum(s, dir, keep = 2)
+    (2 to 3).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
   def timeTravelRollup(s: SparkSession, d: String): DataFrame = {
     val dir = ttStore(s, d)
     (0 to 3).map { v =>
@@ -817,6 +873,35 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up14_vacuum", vacuumedTimeTravel, Some(
+      // up13's oracle restricted to the RETAINED versions — the same
+      // logical states recomputed from raw events, answered by the
+      // engine from the vacuumed store
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 2 AS version, event_type, cents FROM v2
+        |  UNION ALL SELECT 3, event_type, cents FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up13_time_travel", timeTravelRollup, Some(
       """WITH base AS (
         |  SELECT event_id, event_type,

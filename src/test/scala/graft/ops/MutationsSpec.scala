@@ -306,4 +306,42 @@ class MutationsSpec extends SparkSpec {
     assert(got.toSeq == logical.toSeq,
       "head snapshot diverges from the serial logical state")
   }
+
+  test("up14 vacuum: deletes exactly the unretained files; retained snapshots intact; pre-horizon AS OF dies") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val live2 = Mutations.ttLiveFiles(spark, dir, 2).toSet
+    val live3 = Mutations.ttLiveFiles(spark, dir, 3).toSet
+    val live0 = Mutations.ttLiveFiles(spark, dir, 0).toSet
+    val retained = live2 ++ live3
+    // retained snapshot contents BEFORE vacuum
+    val pre2 = Mutations.ttAsOf(spark, dir, 2)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val (before, after, removed) = Mutations.ttVacuum(spark, dir, keep = 2)
+    assert(before == after + removed && removed > 0,
+      s"vacuum accounting broken: $before/$after/$removed")
+    // exactly the unretained files are gone; every retained file remains
+    retained.foreach { f =>
+      assert(new java.io.File(s"$dir/$f").exists(), s"vacuum ate a retained file: $f")
+    }
+    val doomed = live0 -- retained
+    assert(doomed.nonEmpty)
+    doomed.foreach { f =>
+      assert(!new java.io.File(s"$dir/$f").exists(), s"unretained file survived: $f")
+    }
+    assert(after == retained.size, s"disk ($after) != retained set (${retained.size})")
+    // retained snapshots answer identically post-vacuum
+    val post2 = Mutations.ttAsOf(spark, dir, 2)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(post2.toSeq == pre2.toSeq, "retained snapshot changed under vacuum")
+    // a pre-horizon read must FAIL LOUDLY, never silently return less
+    val err = intercept[Exception] {
+      Mutations.ttAsOf(spark, dir, 0).count()
+    }
+    assert(err != null)
+    // idempotent: a second vacuum removes nothing
+    val (_, after2, removed2) = Mutations.ttVacuum(spark, dir, keep = 2)
+    assert(removed2 == 0 && after2 == after, "vacuum re-run not a no-op")
+  }
 }
