@@ -171,7 +171,8 @@ class SqlFrontEndSweepSpec extends SparkSpec {
     "j14_bucketed_asof" -> "DuckDB ASOF JOIN syntax; Spark's as-of is the AsOfJoin operator tier",
     "e9_timebound_funnel" -> "DuckDB ASOF JOIN syntax; Spark's as-of is the AsOfJoin operator tier",
     "e14_funnel_steps" -> "DuckDB ASOF JOIN syntax; Spark's as-of is the AsOfJoin operator tier",
-    "f13_unicode_norm" -> "DuckDB nfc_normalize has no Spark SQL builtin; the DataFrame form uses the engine's normalizer expression")
+    "f13_unicode_norm" -> "DuckDB nfc_normalize has no Spark SQL builtin; the DataFrame form uses the engine's normalizer expression",
+    "e23_markov_attribution" -> "the oracle's vector-carrying recursive CTE leans on DuckDB list(x ORDER BY y) aggregation and list_position, neither of which Spark SQL spells; the operator's chain solve is driver arithmetic over a bounded LUT, not a SQL plan")
 
   private def norm(v: Any): String = v match {
     case null => "∅"
