@@ -925,11 +925,13 @@ object EventStreams {
 
   private[graft] def rangeSrc(s: SparkSession, d: String): String =
     memo(rangeStaged)(d) {
-      val dir = Tables.scratchDir("graft_backfill_range", d)
-      Tables.events(s, d)
-        .repartitionByRange(backfillFiles, col("ts"), col("event_id"))
-        .write.mode("overwrite").parquet(dir)
-      dir
+      phased("rangeSrc.stage") {
+        val dir = Tables.scratchDir("graft_backfill_range", d)
+        Tables.events(s, d)
+          .repartitionByRange(backfillFiles, col("ts"), col("event_id"))
+          .write.mode("overwrite").parquet(dir)
+        dir
+      }
     }
 
   /** Implementation exposing the observed micro-batch count for the spec
@@ -1119,11 +1121,13 @@ object EventStreams {
           // materialize before the write: breaks lineage from the target
           // path (Spark refuses to overwrite a path it is reading) at the
           // cost of caching only the AFFECTED partitions' rows
-          val mat = merged.localCheckpoint(true)
+          val mat = phased("st12.batch.merge+ckpt")(merged.localCheckpoint(true))
           val saved =
             sp.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
           sp.conf.set("spark.sql.sources.partitionOverwriteMode", "DYNAMIC")
-          try mat.write.partitionBy("day").mode("overwrite").parquet(target)
+          try phased("st12.batch.overwrite") {
+            mat.write.partitionBy("day").mode("overwrite").parquet(target)
+          }
           finally
             sp.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
         }
@@ -1133,8 +1137,9 @@ object EventStreams {
         // files the merges have accumulated back to one per partition —
         // the in-stream half of the st14 composition
         if (compactEvery > 0 && batchNo % compactEvery == 0)
-          compactStore(sp, target, maxFiles = 1)
-        onBatch(days, partitionSnapshot(fs, target))
+          phased("st12.batch.compact")(compactStore(sp, target, maxFiles = 1))
+        onBatch(days, phased("st12.batch.snapshot")(
+          partitionSnapshot(fs, target)))
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -1165,9 +1170,10 @@ object EventStreams {
     // one file per trigger → ≥8 micro-batches; compaction every 3rd
     // batch keeps the file count bounded WHILE the stream runs, and the
     // final pass leaves every partition at one file
-    runUpdateMerge(s, d, rangeSrc(s, d), target,
-      filesPerTrigger = 1, compactEvery = 3)
-    compactStore(s, target, maxFiles = 1)
+    val src = phased("st14.rangeSrc")(rangeSrc(s, d))
+    phased("st14.stream")(runUpdateMerge(s, d, src, target,
+      filesPerTrigger = 1, compactEvery = 3))
+    phased("st14.finalCompact")(compactStore(s, target, maxFiles = 1))
     s.read.parquet(target)
       .select("hour", "event_type", "n", "sum_value")
       .orderBy("hour", "event_type")
@@ -1226,6 +1232,22 @@ object EventStreams {
         pd.getPath.getName -> files
       }.toMap
   }
+
+  /** Phase timing for the streaming stores' adjudication (round-12
+    * verdict items 1–3: st15/st14 burned two rounds because one number
+    * mixes staging, per-batch I/O, and snapshot walks). Enabled by
+    * `SPARK_GRAFT_ST_TIMINGS=1`; prints to stderr so bench JSON stays
+    * clean. Zero cost when off.
+    */
+  @inline private[graft] def phased[T](label: String)(f: => T): T =
+    if (!sys.env.contains("SPARK_GRAFT_ST_TIMINGS")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[st-timing] $label ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
 
   /** st15 — exactly-once keyed INGEST against at-least-once delivery:
     * the ledger dedupes against ITSELF, not a checkpoint. st11's
@@ -1293,8 +1315,10 @@ object EventStreams {
             val sp = batch.sparkSession
             val b = batch.dropDuplicates("event_id").persist()
             // calendar-sized: the days this batch touches
-            val days = b.select("day").distinct().collect()
-              .map(_.getString(0)).toSet
+            val days = phased("st15.batch.dedup+days") {
+              b.select("day").distinct().collect()
+                .map(_.getString(0)).toSet
+            }
             val n =
               if (days.isEmpty) 0L
               else {
@@ -1305,11 +1329,20 @@ object EventStreams {
                         .select("event_id"),
                       Seq("event_id"), "left_anti")
                   else b
-                // batch-sized; breaks lineage from the appended path
-                val mat = fresh.localCheckpoint(true)
+                // ONE file per (day, batch): the anti-join leaves
+                // shuffle-partition parallelism, and partitionBy("day")
+                // on that layout writes up to tasks × days files per
+                // batch — small files every LATER batch re-lists and
+                // re-reads (footer cost ∝ file count, the r12 st15
+                // regression: 9.7 s → 18–25 s as the dedup store grew a
+                // ~30× file tail). The day-hash shuffle is batch-sized.
+                val mat = phased("st15.batch.antijoin+repartition+ckpt") {
+                  fresh.repartition(col("day")).localCheckpoint(true)
+                }
                 val cnt = mat.count()
-                if (cnt > 0)
+                if (cnt > 0) phased("st15.batch.append") {
                   mat.write.partitionBy("day").mode("append").parquet(ledger)
+                }
                 cnt
               }
             appended.synchronized { appended += n }
@@ -1322,10 +1355,11 @@ object EventStreams {
         try q.awaitTermination() finally q.stop()
       }
       try {
-        deliver()
-        val snap1 = partitionSnapshot(fs, ledger)
-        deliver() // full re-delivery: must be a byte-level no-op
-        val snap2 = partitionSnapshot(fs, ledger)
+        phased("st15.delivery1")(deliver())
+        val snap1 = phased("st15.snapshot1")(partitionSnapshot(fs, ledger))
+        // full re-delivery: must be a byte-level no-op
+        phased("st15.delivery2")(deliver())
+        val snap2 = phased("st15.snapshot2")(partitionSnapshot(fs, ledger))
         (ledger, appended.toSeq, snap1, snap2)
       } finally s.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
