@@ -478,42 +478,84 @@ object AlsPipeline {
     * Cremonesi et al. 2010). Linear gains; all ties broken on item id so
     * the ranking — and the metric — is deterministic in-JVM.
     *
-    * Fixture honesty: the synthetic ratings are additive (user term +
-    * item term) plus pure hash noise — there is NO true user×item
-    * interaction structure, so personalization has no ranking headroom
-    * over popularity HERE and the measured lift hovers around zero
-    * (measured −0.001 at sf0.01). The artifact's value is the METRIC
-    * machinery, which the spec certifies directly: scoring by the true
-    * rating (the ideal ranker) yields NDCG exactly 1, both rankers land
-    * in a tight near-ideal band, and reruns are identical.
+    * Fixture: the eval fits on [[preferenceRatings]] — a planted
+    * user-segment × item-cluster affinity gives personalization real
+    * ranking headroom, so the certified lift over popularity is
+    * POSITIVE (the earlier additive fixture had no user×item
+    * structure and measured lift ≈ −0.001; round-12 verdict item 7).
+    * The spec certifies the metric machinery directly: scoring by the
+    * true rating (the ideal ranker) yields NDCG exactly 1, lift > 0,
+    * and reruns are identical.
     *
-    * Shape: predictions come from the PERSISTED factor artifacts (no
-    * refit — the memoized reference-config fit); the only data-sized
-    * work is the probe⋈factors join and per-user windows over each
-    * user's own probe slice (bounded by that user's held-out items,
-    * never the catalog). Rows-only like the rest of the ALS family
-    * (seeded split + MLlib fit have no SQL twin).
+    * Shape: one memoized generalizing fit per dataset; the only
+    * data-sized work is the probe⋈factors join and per-user windows
+    * over each user's own probe slice (bounded by that user's held-out
+    * items, never the catalog). Rows-only like the rest of the ALS
+    * family (seeded split + MLlib fit have no SQL twin).
     */
+  /** Planted PREFERENCE fixture for the ranking eval (round-12 verdict
+    * item 7): syntheticRatings' shape with the additive user/item terms
+    * shrunk and a user-segment × item-cluster AFFINITY block added
+    * (+1.5 when user%4 == item%4) — a true user×item interaction term
+    * no item-global popularity ranker can express, so personalization
+    * has real ranking headroom and the NDCG lift the eval certifies is
+    * positive instead of the additive fixture's measured ≈ −0.001.
+    * Half-point rounding and [0.5, 5] clamping unchanged.
+    */
+  private[als] def preferenceRatings(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(
+        col("l_suppkey").cast("int").as("user"),
+        col("l_partkey").cast("int").as("item"),
+        (round(
+          (lit(2.0)
+            + (col("l_suppkey") % 7 - lit(3)) * 0.25
+            + (col("l_partkey") % 5 - lit(2)) * 0.3
+            + when(pmod(col("l_suppkey"), lit(4)) === pmod(col("l_partkey"), lit(4)),
+                1.5).otherwise(0.0)
+            + (pmod(col("l_orderkey") * 31 + col("l_partkey") * 17, lit(100)).cast("double") / 100.0 - 0.5))
+          * 2) / 2).as("raw"))
+      .withColumn("rating", greatest(lit(0.5), least(lit(5.0), col("raw"))).cast("float"))
+      .drop("raw")
+      .groupBy("user", "item").agg(avg("rating").cast("float").as("rating"))
+
   /** The scored probe table feeding [[alsEvalRanking]]: one row per
     * evaluable (user, probe item) with the true rating, the model's
-    * predicted score, and the popularity score.
+    * predicted score, and the popularity score. The model is a
+    * generalizing explicit fit (rank 8, λ 0.1 — the implicit eval's
+    * lesson: rank 20 at λ 0.065 memorizes the small-SF fixture) on the
+    * train split of the PREFERENCE fixture; memoized per dataset via
+    * localCheckpoint so reruns re-read, never refit.
     */
-  private[als] def evalScored(s: SparkSession, d: String): DataFrame = {
-    val a = artifacts(s, d)
-    val ratings = syntheticRatings(s, d)
-    val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
-    val uf = s.read.parquet(s"${a.dir}/U")
-      .select(col("id").as("user"), col("features").as("uf"))
-    val mf = s.read.parquet(s"${a.dir}/M")
-      .select(col("id").as("item"), col("features").as("mf"))
-    // cold-start users/items (absent from the factors) drop — O13's rule
-    val pred = probe.join(uf, "user").join(mf, "item")
-      .withColumn("score",
-        graft.functions.ArraySim.dotNative(col("uf"), col("mf")))
-      .select("user", "item", "rating", "score")
-    val pop = train.groupBy("item").agg(avg("rating").as("pop"))
-    pred.join(pop, Seq("item"), "left").na.fill(0.0, Seq("pop"))
-  }
+  private val evalScoredMemo =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private[als] def evalScored(s: SparkSession, d: String): DataFrame =
+    evalScoredMemo.getOrElseUpdate(s"$d#${Tables.datasetFingerprint(d)}", {
+      val ratings = preferenceRatings(s, d)
+      val (train0, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
+      val train = train0.cache()
+      val model = new ALS()
+        .setRank(8).setMaxIter(10).setRegParam(0.1)
+        .setSeed(1L).setNumBlocks(adaptiveBlocks(train.count()))
+        .setUserCol("user").setItemCol("item").setRatingCol("rating")
+        .setColdStartStrategy("drop")
+        .fit(train)
+      val uf = model.userFactors
+        .select(col("id").as("user"), col("features").as("uf"))
+      val mf = model.itemFactors
+        .select(col("id").as("item"), col("features").as("mf"))
+      // cold-start users/items (absent from the factors) drop — O13's rule
+      val pred = probe.join(uf, "user").join(mf, "item")
+        .withColumn("score",
+          graft.functions.ArraySim.dotNative(col("uf"), col("mf")))
+        .select("user", "item", "rating", "score")
+      val pop = train.groupBy("item").agg(avg("rating").as("pop"))
+      val scored = pred.join(pop, Seq("item"), "left")
+        .na.fill(0.0, Seq("pop"))
+        .localCheckpoint(true)
+      train.unpersist()
+      scored
+    })
 
   /** Mean NDCG@k over users (≥2 probe items) ranking by `scoreCol`.
     * Exposed for the spec's ideal-ranker certification (scoreCol =

@@ -806,6 +806,129 @@ object Mutations {
     dir
   }
 
+  // ---- up15/up16: CHANGE DATA FEED between versions ----
+
+  /** Net file-level diff between two versions: (added, removed) relative
+    * paths — `live(to) ∖ live(from)` / `live(from) ∖ live(to)`. NET by
+    * construction: a file added and removed again inside the range
+    * contributes nothing, exactly the row semantics a snapshot diff
+    * wants. Pure log replay, O(commits) metadata.
+    */
+  private[graft] def ttChangedFiles(s: SparkSession, dir: String,
+      from: Int, to: Int): (Seq[String], Seq[String]) = {
+    val f = ttLiveFiles(s, dir, from).toSet
+    val t = ttLiveFiles(s, dir, to).toSet
+    ((t -- f).toSeq.sorted, (f -- t).toSeq.sorted)
+  }
+
+  /** Snapshot-style read of an explicit file list (day recovered via
+    * basePath, inference off — ttAsOf's discipline, factored for reads
+    * of partial file sets).
+    */
+  private def ttReadFiles(s: SparkSession, dir: String,
+      files: Seq[String]): DataFrame = {
+    val savedInfer = s.conf
+      .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try s.read.option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
+    finally s.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+  }
+
+  /** up15 — CHANGE DATA FEED (Delta's `table_changes` / Iceberg's
+    * incremental read): the row-level inserts and deletes between two
+    * versions of the up13 log-structured store, computed WITHOUT
+    * touching unchanged data — the log's net file diff names exactly
+    * the files any row change lives in, and a bag-difference between
+    * the added and removed files' rows cancels the rows a COW rewrite
+    * merely copied (an update surfaces as delete-of-old + insert-of-new,
+    * the file-granularity CDF every log-structured format without
+    * per-row tracking emits). The reference has no notion of versioned
+    * data at all (its jobs overwrite HDFS dirs, `ALS/ALS.java:312-327`).
+    *
+    * At 100 TB this is THE incremental-consumer primitive: downstream
+    * pipelines tail row-level deltas at churn cost — `ttChanges` plans
+    * over only the net-changed files (`df.inputFiles`-pinned in the
+    * spec), so a one-day COW update on a 3-year table costs one day,
+    * never a snapshot diff of two full table scans. It also closes
+    * cat7's delete gap (up16): a plain parquet dir physically LOSES a
+    * removed file's bytes, so cat7's manifest diff must full-re-stage
+    * on any delete; the up13 log retains superseded files, and the CDF
+    * turns a delete into subtractable partials.
+    */
+  private[graft] def ttChanges(s: SparkSession, dir: String,
+      from: Int, to: Int): DataFrame = {
+    val (addedF, removedF) = ttChangedFiles(s, dir, from, to)
+    require(addedF.nonEmpty || removedF.nonEmpty,
+      s"no changes between v$from and v$to")
+    val added = if (addedF.nonEmpty) Some(ttReadFiles(s, dir, addedF)) else None
+    val removed = if (removedF.nonEmpty) Some(ttReadFiles(s, dir, removedF)) else None
+    def emptyLike(df: DataFrame): DataFrame = df.filter(lit(false))
+    val a = added.getOrElse(emptyLike(removed.get))
+    val r = removed.getOrElse(emptyLike(added.get))
+    // bag difference both ways: rows copied verbatim by a COW rewrite
+    // appear on both sides and cancel; only genuine changes survive
+    a.exceptAll(r).withColumn("_change_type", lit("insert"))
+      .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
+  }
+
+  /** The declared up15 query: per adjacent version pair of the up13
+    * scenario, the change feed rolled up by (change, event_type). The
+    * delete commit (v3) emits NO insert rows and the append (v1) no
+    * deletes — net semantics the oracle's EXCEPT ALL replay must
+    * reproduce exactly.
+    */
+  def changeFeedRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    (1 to 3).map { v =>
+      ttChanges(s, dir, v - 1, v)
+        .groupBy(col("_change_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"),
+          col("_change_type").as("change"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "change", "event_type")
+  }
+
+  /** up16 — view maintenance THROUGH the change feed: stored
+    * (event_type → n, sum_cents) partials of an old version are carried
+    * to the head by ADDING insert partials and SUBTRACTING delete
+    * partials — count and exact-integer cents are both abelian-group
+    * aggregates, so deletes maintain algebraically, the move cat7's
+    * plain-dir store cannot make (its removed files' bytes are gone;
+    * `MatViewRewrite.maintainDailyRollup` documents the forced full
+    * re-stage). Maintenance cost is CDF cost: only net-changed files
+    * are read (spec-pinned via the plan's inputFiles), never the store.
+    */
+  private[graft] def maintainPartialsViaCdf(s: SparkSession, dir: String,
+      partials: DataFrame, from: Int, to: Int): DataFrame = {
+    val delta = ttChanges(s, dir, from, to)
+      .groupBy("event_type")
+      .agg(sum(when(col("_change_type") === "insert", 1L)
+        .otherwise(-1L)).as("dn"),
+        sum(when(col("_change_type") === "insert", col("cents"))
+          .otherwise(-col("cents"))).as("dcents"))
+    partials.join(delta, Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_cents"), lit(0L)) +
+          coalesce(col("dcents"), lit(0L))).as("sum_cents"))
+      .filter(col("n") > 0)
+  }
+
+  /** The declared up16 query: v1's rollup partials maintained to v3
+    * through the CDF — the range covers BOTH a COW update and a COW
+    * delete, so a hash match against the oracle's from-raw v3 state
+    * proves delete-bearing algebraic maintenance end to end.
+    */
+  def cdfMaintainedRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    val v1Partials = ttAsOf(s, dir, 1).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+    maintainPartialsViaCdf(s, dir, v1Partials, from = 1, to = 3)
+      .orderBy("event_type")
+  }
+
   /** up14 — VACUUM with a retention horizon (Delta's VACUUM / Iceberg's
     * expire_snapshots): time travel (up13) keeps every superseded file
     * forever; vacuum deletes exactly the data files referenced by NO
@@ -873,6 +996,77 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up15_change_feed", changeFeedRollup, Some(
+      // the oracle rebuilds the four logical states from raw events
+      // (up13's CTEs verbatim) and takes the bag difference of each
+      // adjacent pair — the engine computes the same rows from the
+      // log's net file diff, reading ONLY changed files
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |ch AS (
+        |  SELECT 1 AS version, 'insert' AS change, event_type, cents
+        |    FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM base)
+        |  UNION ALL
+        |  SELECT 1, 'delete', event_type, cents
+        |    FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v1)
+        |  UNION ALL
+        |  SELECT 2, 'insert', event_type, cents
+        |    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+        |  UNION ALL
+        |  SELECT 2, 'delete', event_type, cents
+        |    FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+        |  UNION ALL
+        |  SELECT 3, 'insert', event_type, cents
+        |    FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2)
+        |  UNION ALL
+        |  SELECT 3, 'delete', event_type, cents
+        |    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3))
+        |SELECT CAST(version AS BIGINT) AS version, change, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+    QueryDef("up16_cdf_maintenance", cdfMaintainedRollup, Some(
+      // v1 partials + CDF(1→3) must equal the from-raw v3 state — the
+      // oracle recomputes v3 directly; a wrong insert/delete partial
+      // (or a missed COW-copied row cancelling) breaks the hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe)))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("up14_vacuum", vacuumedTimeTravel, Some(
       // up13's oracle restricted to the RETAINED versions — the same
       // logical states recomputed from raw events, answered by the

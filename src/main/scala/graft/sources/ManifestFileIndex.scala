@@ -4,6 +4,7 @@ import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** src23 — PLAN-INTEGRATED manifest data skipping: the engine-grade form
   * of src22's min/max file pruning. src22 pre-lists surviving files
@@ -28,17 +29,56 @@ import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionD
   * the executed plan's numFiles metric to the manifest's survivor count.
   */
 object ManifestFileIndex {
-  /** Per-file [min,max] for one tracked column, as longs: integral
-    * columns carry their values, DateType columns their epoch days
-    * (the unit DateType literals compare in).
-    */
-  final case class ColRange(min: Long, max: Long)
+  /** Per-file [min,max] stats for one tracked column. */
+  sealed trait ColStat
 
-  /** Tighten [lo,hi] bounds for `name` from the pushed conjuncts.
-    * Conservative by construction: only attribute-vs-literal
-    * comparisons tighten; GreaterThan/LessThan tighten to their
+  /** Integral columns carry their values, DateType columns their epoch
+    * days (the unit DateType literals compare in).
+    */
+  final case class ColRange(min: Long, max: Long) extends ColStat
+
+  /** String columns carry their min/max values and compare in
+    * UTF8String (binary) order — the collation Spark's own min/max
+    * aggregates and string comparisons use, so the stats and the
+    * pushed literals live in the same total order (Java String
+    * compareTo would diverge from it outside the BMP).
+    */
+  final case class StrRange(min: String, max: String) extends ColStat
+
+  /** `(tightensLo, tightensHi, literal)` for every attribute-vs-literal
+    * conjunct over `name`. GreaterThan/LessThan tighten to their
     * non-strict bound (keeps a boundary file it could drop — never
-    * drops a file it must keep); anything unrecognized is ignored.
+    * drops a file it must keep); anything unrecognized is ignored
+    * (conservative by construction).
+    */
+  private def constraintsOn(name: String,
+      filters: Seq[Expression]): Seq[(Boolean, Boolean, Literal)] =
+    filters.flatMap {
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if a.name == name =>
+        Seq((true, false, l))
+      case GreaterThan(a: AttributeReference, l: Literal) if a.name == name =>
+        Seq((true, false, l))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) if a.name == name =>
+        Seq((false, true, l))
+      case LessThan(a: AttributeReference, l: Literal) if a.name == name =>
+        Seq((false, true, l))
+      case EqualTo(a: AttributeReference, l: Literal) if a.name == name =>
+        Seq((true, true, l))
+      case EqualTo(l: Literal, a: AttributeReference) if a.name == name =>
+        Seq((true, true, l))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if a.name == name =>
+        Seq((false, true, l)) // lit >= a  ⇒  a <= lit
+      case GreaterThan(l: Literal, a: AttributeReference) if a.name == name =>
+        Seq((false, true, l))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) if a.name == name =>
+        Seq((true, false, l))
+      case LessThan(l: Literal, a: AttributeReference) if a.name == name =>
+        Seq((true, false, l))
+      case _ => Nil
+    }
+
+  /** Tighten numeric [lo,hi] bounds for `name` from the pushed
+    * conjuncts (integral literals only).
     */
   private[sources] def boundsOf(name: String,
       filters: Seq[Expression]): (Long, Long) = {
@@ -50,30 +90,32 @@ object ManifestFileIndex {
     }
     var lo = Long.MinValue
     var hi = Long.MaxValue
-    def tightenLo(v: Long): Unit = if (v > lo) lo = v
-    def tightenHi(v: Long): Unit = if (v < hi) hi = v
-    filters.foreach {
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) if a.name == name =>
-        num(l).foreach(tightenLo)
-      case GreaterThan(a: AttributeReference, l: Literal) if a.name == name =>
-        num(l).foreach(tightenLo)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) if a.name == name =>
-        num(l).foreach(tightenHi)
-      case LessThan(a: AttributeReference, l: Literal) if a.name == name =>
-        num(l).foreach(tightenHi)
-      case EqualTo(a: AttributeReference, l: Literal) if a.name == name =>
-        num(l).foreach { v => tightenLo(v); tightenHi(v) }
-      case EqualTo(l: Literal, a: AttributeReference) if a.name == name =>
-        num(l).foreach { v => tightenLo(v); tightenHi(v) }
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) if a.name == name =>
-        num(l).foreach(tightenHi) // lit >= a  ⇒  a <= lit
-      case GreaterThan(l: Literal, a: AttributeReference) if a.name == name =>
-        num(l).foreach(tightenHi)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) if a.name == name =>
-        num(l).foreach(tightenLo)
-      case LessThan(l: Literal, a: AttributeReference) if a.name == name =>
-        num(l).foreach(tightenLo)
-      case _ => ()
+    constraintsOn(name, filters).foreach { case (tLo, tHi, l) =>
+      num(l).foreach { v =>
+        if (tLo && v > lo) lo = v
+        if (tHi && v < hi) hi = v
+      }
+    }
+    (lo, hi)
+  }
+
+  /** Tighten string [lo,hi] bounds for `name` from the pushed
+    * conjuncts (UTF8String literals only; round-12 verdict item 6 —
+    * without this, a filter on `event_type` got zero file skipping).
+    */
+  private[sources] def strBoundsOf(name: String, filters: Seq[Expression])
+      : (Option[UTF8String], Option[UTF8String]) = {
+    def str(l: Literal): Option[UTF8String] = l.value match {
+      case u: UTF8String => Some(u)
+      case _ => None
+    }
+    var lo: Option[UTF8String] = None
+    var hi: Option[UTF8String] = None
+    constraintsOn(name, filters).foreach { case (tLo, tHi, l) =>
+      str(l).foreach { v =>
+        if (tLo && lo.forall(_.compareTo(v) < 0)) lo = Some(v)
+        if (tHi && hi.forall(_.compareTo(v) > 0)) hi = Some(v)
+      }
     }
     (lo, hi)
   }
@@ -86,9 +128,10 @@ object ManifestFileIndex {
   */
 class ManifestFileIndex(
     spark: SparkSession, root: Path,
-    stats: Map[String, Map[String, ManifestFileIndex.ColRange]])
+    stats: Map[String, Map[String, ManifestFileIndex.ColStat]])
   extends InMemoryFileIndex(spark, Seq(root),
     Map.empty[String, String], None) {
+  import ManifestFileIndex.{ColRange, StrRange}
 
   /** Every column any file carries stats for. */
   private val trackedCols: Seq[String] =
@@ -97,21 +140,32 @@ class ManifestFileIndex(
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val base = super.listFiles(partitionFilters, dataFilters)
-    val bounds = trackedCols
+    val numBounds = trackedCols
       .map(c => c -> ManifestFileIndex.boundsOf(c, dataFilters))
       .filter { case (_, (lo, hi)) =>
-        lo != Long.MinValue || hi != Long.MaxValue }
-    if (bounds.isEmpty) return base
+        lo != Long.MinValue || hi != Long.MaxValue }.toMap
+    val strBounds = trackedCols
+      .map(c => c -> ManifestFileIndex.strBoundsOf(c, dataFilters))
+      .filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }.toMap
+    if (numBounds.isEmpty && strBounds.isEmpty) return base
+    def survives(colStats: Map[String, ManifestFileIndex.ColStat]): Boolean =
+      trackedCols.forall { c =>
+        colStats.get(c) match {
+          case None => true // untracked column for this file: keep
+          case Some(ColRange(min, max)) => numBounds.get(c).forall {
+            case (lo, hi) => max >= lo && min <= hi }
+          case Some(StrRange(min, max)) => strBounds.get(c).forall {
+            case (lo, hi) =>
+              lo.forall(UTF8String.fromString(max).compareTo(_) >= 0) &&
+                hi.forall(UTF8String.fromString(min).compareTo(_) <= 0)
+          }
+        }
+      }
     base.map { pd =>
       pd.copy(files = pd.files.filter { f =>
         stats.get(f.getPath.toUri.getPath) match {
           case None => true // unknown file: never skip on missing stats
-          case Some(colStats) => bounds.forall { case (c, (lo, hi)) =>
-            colStats.get(c) match {
-              case None => true // untracked column for this file: keep
-              case Some(r) => r.max >= lo && r.min <= hi
-            }
-          }
+          case Some(colStats) => survives(colStats)
         }
       })
     }

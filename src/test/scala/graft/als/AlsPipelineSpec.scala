@@ -182,10 +182,13 @@ class AlsPipelineSpec extends SparkSpec {
     assert(n > 0, "no evaluable users")
     assert(nm > 0.0 && nm <= 1.0, s"ndcg_model $nm out of range")
     assert(np > 0.0 && np <= 1.0, s"ndcg_pop $np out of range")
-    // additive-fixture honesty: both rankers near-ideal and within a
-    // tight band of each other (no true user×item structure to exploit)
-    assert(nm > 0.8 && np > 0.8, s"rankers far from ideal: $nm / $np")
-    assert(math.abs(nm - np) < 0.05, s"model/popularity gap implausible: $nm vs $np")
+    // the PREFERENCE fixture plants a user-segment × item-cluster
+    // affinity popularity cannot express: the personalized model must
+    // BEAT the popularity baseline (round-12 verdict item 7 — the
+    // additive fixture gave no headroom and lift hovered at −0.001)
+    assert(lift > 0.0, s"no personalization lift on the planted fixture: " +
+      s"model $nm vs popularity $np")
+    assert(nm > 0.7, s"model far from ideal: $nm")
     assert(math.abs(lift - math.rint((nm - np) * 1e6) / 1e6) < 2e-6)
     val again = AlsPipeline.alsEvalRanking(spark, sf0001).collect().head
     assert(again.getDouble(1) == nm && again.getDouble(2) == np,

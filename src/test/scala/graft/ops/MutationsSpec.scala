@@ -344,4 +344,67 @@ class MutationsSpec extends SparkSpec {
     val (_, after2, removed2) = Mutations.ttVacuum(spark, dir, keep = 2)
     assert(removed2 == 0 && after2 == after, "vacuum re-run not a no-op")
   }
+
+  test("up15 cdf: reads only net-changed files; COW copies cancel; delete commit emits no inserts") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val live3 = Mutations.ttLiveFiles(spark, dir, 3).toSet
+    // the 1→3 range spans a COW update AND a COW delete
+    val (addedF, removedF) = Mutations.ttChangedFiles(spark, dir, 1, 3)
+    assert(addedF.nonEmpty && removedF.nonEmpty)
+    val changes = Mutations.ttChanges(spark, dir, 1, 3)
+    // CDF cost ∝ churn: the plan reads ONLY the net-changed files,
+    // a strict subset of the head's live set — never the store
+    val planned = changes.inputFiles.map(f =>
+      f.stripPrefix("file:").replaceAll("^/+", "/")).toSet
+    val allowed = (addedF ++ removedF).map(f =>
+      new java.io.File(s"$dir/$f").getAbsolutePath).toSet
+    assert(planned.nonEmpty && planned.subsetOf(allowed),
+      s"CDF read outside the changed set: ${planned -- allowed}")
+    assert(allowed.size < live3.size + removedF.size,
+      "changed set is not smaller than the store — scenario degenerate")
+    // v2→v3 is a pure delete: the feed must contain NO insert rows
+    val del = Mutations.ttChanges(spark, dir, 2, 3)
+    assert(del.filter(col("_change_type") === "insert").count() == 0,
+      "COW-copied rows leaked into the insert feed")
+    assert(del.filter(col("_change_type") === "delete")
+      .filter(col("event_type") =!= "click").count() == 0,
+      "delete feed contains non-deleted rows")
+    // applying the 1→3 feed to snapshot v1 reproduces snapshot v3 exactly
+    val v1 = Mutations.ttAsOf(spark, dir, 1)
+    val ins = changes.filter(col("_change_type") === "insert").drop("_change_type")
+    val dels = changes.filter(col("_change_type") === "delete").drop("_change_type")
+    val replayed = v1.unionByName(ins).exceptAll(dels)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val head = Mutations.ttAsOf(spark, dir, 3)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(replayed.toSeq == head.toSeq,
+      "v1 + CDF(1→3) does not reproduce the v3 snapshot")
+  }
+
+  test("up16: delete-bearing maintenance equals full recompute without re-reading the store") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val v1Partials = Mutations.ttAsOf(spark, dir, 1).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .localCheckpoint(true) // freeze: the maintained side must not rescan v1
+    val maintained = Mutations
+      .maintainPartialsViaCdf(spark, dir, v1Partials, from = 1, to = 3)
+    // the maintenance pass reads only the changed files (plus nothing:
+    // partials are checkpointed), never the full store
+    val (addedF, removedF) = Mutations.ttChangedFiles(spark, dir, 1, 3)
+    val allowed = (addedF ++ removedF).map(f =>
+      new java.io.File(s"$dir/$f").getAbsolutePath).toSet
+    val planned = maintained.inputFiles.map(f =>
+      f.stripPrefix("file:").replaceAll("^/+", "/")).toSet
+    assert(planned.nonEmpty && planned.subsetOf(allowed),
+      s"maintenance read outside the CDF set: ${planned -- allowed}")
+    val got = maintained.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val full = Mutations.ttAsOf(spark, dir, 3).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == full.toSeq,
+      "CDF-maintained partials diverge from the full v3 recompute")
+  }
 }

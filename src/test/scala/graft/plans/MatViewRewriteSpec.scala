@@ -30,6 +30,34 @@ class MatViewRewriteSpec extends SparkSpec {
     assert(rawPlan.contains("events.parquet"), s"bypass still rewrote:\n$rawPlan")
   }
 
+  test("mv rewrite fires through the SQL front end: a spark.sql aggregate reads only the view") {
+    // round-12 verdict item 8: the rule is plan-level, so a SQL-issued
+    // aggregate over the registered store must get the SAME view swap
+    // the DataFrame path gets — this pin closes the last unpinned
+    // composition between the SQL front end and the cat tier
+    MatViews.stageDailyRollup(spark, sf0001)
+    graft.Tables.events(spark, sf0001).createOrReplaceTempView("events_sqlpin")
+    val df = spark.sql(
+      """SELECT to_date(ts) AS day, event_type, count(1) AS n,
+        |  sum(cast(round(value * 100) as bigint)) AS cents
+        |FROM events_sqlpin GROUP BY 1, 2""".stripMargin)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_mv_daily"),
+      s"SQL-issued aggregate was not view-swapped:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"SQL-issued plan still reads the fact table:\n$plan")
+    val got = df.collect()
+      .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    val raw = MatViews.withoutRewrite {
+      MatViews.naiveDailyRollup(spark, sf0001).collect()
+        .map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+    }
+    assert(raw.nonEmpty && got.toSeq == raw.toSeq,
+      "SQL-issued view-backed result diverges from the raw aggregation")
+  }
+
   test("mv rewrite: non-derivable aggregates over the same table are left alone") {
     MatViews.stageDailyRollup(spark, sf0001)
     // same source, but the filter touches a NON-key column: must NOT be

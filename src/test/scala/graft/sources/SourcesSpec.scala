@@ -504,6 +504,33 @@ class SourcesSpec extends SparkSpec {
     assert(n4 == raw4, s"pruned count $n4 != raw $raw4")
   }
 
+  test("src27: STRING predicate prunes files through the manifest — numFiles == string survivors") {
+    val df = Sources.stringSkippingQuery(spark, sf0001)
+    assert(df.collect().nonEmpty) // execute THIS plan so its metrics fill
+    val scanned = fileScans(df).head.metrics("numFiles").value
+    val dir = Sources.typeClusteredStoreDir(spark, sf0001)
+    val manifest = Sources.typedManifest(spark, dir)
+    val (et, uhi) = Sources.typedProbe
+    val survivors = manifest.count { case (_, tmin, tmax, umin, _) =>
+      tmin <= et && tmax >= et && umin <= uhi }
+    assert(scanned == survivors && scanned < manifest.length,
+      s"plan scanned $scanned files; survivors=$survivors of ${manifest.length}")
+    // a string-ONLY predicate prunes too (the round-12 gap: string
+    // filters got zero skipping) and returns exactly the raw answer
+    val only = Sources.stringIndexedStore(spark, sf0001)
+      .filter(col("event_type") === "signup")
+      .agg(count(lit(1)).as("n"))
+    val n = only.collect()(0).getLong(0)
+    val scannedStr = fileScans(only).head.metrics("numFiles").value
+    val strSurvivors = manifest.count { case (_, tmin, tmax, _, _) =>
+      tmin <= "signup" && tmax >= "signup" }
+    assert(scannedStr == strSurvivors && scannedStr < manifest.length,
+      s"string-only predicate: scanned $scannedStr, want $strSurvivors of ${manifest.length}")
+    val raw = spark.read.parquet(dir)
+      .filter(col("event_type") === "signup").count()
+    assert(n == raw, s"string-pruned count $n != raw $raw")
+  }
+
   test("src24: count/min/max answered from parquet footers — PushedAggregation, zero rows materialized") {
     val df = Sources.aggregatePushdown(spark, sf0001)
     val row = df.collect()(0)
