@@ -1117,6 +1117,100 @@ object TextAnalysis {
       |  GROUP BY step, wid, cnt, l, r, pc, cl, cr
       |)""".stripMargin
 
+  /** One Viterbi lattice as a recursive CTE (the t40/t41 replay): one
+    * row per (word, pos) carrying the WHOLE DP prefix as a
+    * LIST(STRUCT(sc, seg)) — e23's carry-the-state-vector discipline —
+    * and the per-cell argmax as a correlated max() over (j, piece)
+    * candidates with the struct key (score, −j) reproducing the
+    * engine's (score DESC, shortest-last-piece) tie rule. Cell scores
+    * re-round to 6 dp exactly like the Catalyst fold.
+    */
+  private def unigramVitCte(out: String, vocab: String): String =
+    s"""$out AS (
+       |  SELECT w, cnt, 0 AS pos,
+       |    [struct_pack(sc := CAST(0.0 AS DOUBLE),
+       |                 seg := CAST([] AS VARCHAR[]))] AS dp
+       |  FROM uwords
+       |  UNION ALL
+       |  SELECT w, cnt, pos + 1,
+       |    list_append(dp, struct_pack(
+       |      sc := max(struct_pack(a := cand, b := negj, c := seg2))['a'],
+       |      seg := max(struct_pack(a := cand, b := negj, c := seg2))['c']))
+       |  FROM (
+       |    SELECT t.w, t.cnt, t.pos, t.dp,
+       |      round(t.dp[t.pos + 2 - r.j].sc + v.logp, 6) AS cand,
+       |      -r.j AS negj,
+       |      list_append(t.dp[t.pos + 2 - r.j].seg, v.piece) AS seg2
+       |    FROM $out t
+       |    CROSS JOIN UNNEST(range(1, 5)) AS r(j)
+       |    JOIN $vocab v ON v.piece = substr(t.w, t.pos + 2 - r.j, r.j)
+       |    WHERE t.pos < len(t.w) AND r.j <= t.pos + 1)
+       |  GROUP BY w, cnt, pos, dp)""".stripMargin
+
+  /** The shared t40/t41 replay: seed substring inventory → initial
+    * probs → Viterbi E1 → Laplace M1 → mass prune → Viterbi E2 →
+    * final counts/log-probs. Parameters mirror unigramVocab's
+    * defaults (maxLen=4 via range(1,5), seedCap=400, vocabTarget=44).
+    */
+  private val unigramReplayCtes: String =
+    s"""WITH RECURSIVE
+       |uwords AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+       |    FROM documents)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |usubs AS MATERIALIZED (
+       |  SELECT piece, SUM(cnt)::BIGINT AS freq FROM (
+       |    SELECT u.cnt, substr(u.w, g.i, h.j) AS piece
+       |    FROM uwords u,
+       |         UNNEST(range(1, 256)) AS g(i),
+       |         UNNEST(range(1, 5)) AS h(j)
+       |    WHERE g.i + h.j - 1 <= len(u.w))
+       |  GROUP BY piece),
+       |useed AS MATERIALIZED (
+       |  SELECT piece, freq FROM usubs WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, freq FROM (
+       |    SELECT piece, freq,
+       |      row_number() OVER (ORDER BY freq DESC, piece) AS rk
+       |    FROM usubs WHERE len(piece) > 1) WHERE rk <= 400),
+       |ulp0 AS MATERIALIZED (
+       |  SELECT piece, round(ln(CAST(freq AS DOUBLE)
+       |    / CAST((SELECT SUM(freq) FROM useed) AS DOUBLE)), 6) AS logp
+       |  FROM useed),
+       |${unigramVitCte("uvit1", "ulp0")},
+       |uc1 AS MATERIALIZED (
+       |  SELECT piece, SUM(cnt)::BIGINT AS c FROM (
+       |    SELECT cnt, unnest(dp[len(w) + 1].seg) AS piece
+       |    FROM uvit1 WHERE pos = len(w))
+       |  GROUP BY piece),
+       |ulp1 AS MATERIALIZED (
+       |  SELECT s.piece, coalesce(c.c, 0)::BIGINT AS c,
+       |    round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+       |      / CAST((SELECT SUM(c) FROM uc1)
+       |           + (SELECT count(*) FROM useed) AS DOUBLE)), 6) AS logp
+       |  FROM useed s LEFT JOIN uc1 c ON s.piece = c.piece),
+       |uvocab2 AS MATERIALIZED (
+       |  SELECT piece, logp FROM ulp1 WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, logp FROM (
+       |    SELECT piece, logp, row_number() OVER (
+       |        ORDER BY CAST(c AS DOUBLE) * logp ASC, piece ASC) AS rk
+       |    FROM ulp1 WHERE len(piece) > 1)
+       |  WHERE rk <= 44 - (SELECT count(*) FROM ulp1 WHERE len(piece) = 1)),
+       |${unigramVitCte("uvit2", "uvocab2")},
+       |uc2 AS MATERIALIZED (
+       |  SELECT piece, SUM(cnt)::BIGINT AS c FROM (
+       |    SELECT cnt, unnest(dp[len(w) + 1].seg) AS piece
+       |    FROM uvit2 WHERE pos = len(w))
+       |  GROUP BY piece),
+       |ufinal AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(c.c, 0)::BIGINT AS n,
+       |    round(ln(CAST(coalesce(c.c, 0) + 1 AS DOUBLE)
+       |      / CAST((SELECT SUM(c) FROM uc2)
+       |           + (SELECT count(*) FROM uvocab2) AS DOUBLE)), 6) AS logp
+       |  FROM uvocab2 v LEFT JOIN uc2 c ON v.piece = c.piece)""".stripMargin
+
   private val bpeEncodeCtes: String =
     """final AS (
       |  SELECT wid, len(sym)::BIGINT AS n_units, len(wid)::BIGINT AS n_chars
@@ -2345,6 +2439,193 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ---- t40/t41: UNIGRAM-LM (SentencePiece) tokenizer ----
+
+  /** Viterbi DP over one word as ONE Catalyst `aggregate` fold (t39's
+    * no-UDF discipline): returns struct(sc, seg) — the max-log-prob
+    * segmentation of `w` under the piece→logp literal map, scores
+    * rounded to 6 dp at every DP cell so both engines walk the same
+    * lattice (6 dp because the inputs are ln() outputs, whose last-ulp
+    * engine differences are 10 orders below the rounding grid — the
+    * t37/TF-IDF discipline, vs 12 dp where a boundary flip is no longer
+    * astronomically unlikely). Ties take the SHORTEST last piece
+    * (score DESC, j ASC — the DuckDB replay's sort key); the candidate
+    * guard `i >= j` is the LEFT conjunct so out-of-range substr/
+    * element_at branches are never evaluated (And short-circuits,
+    * CaseWhen evaluates branch values lazily).
+    */
+  private def unigramViterbi(w: Column, lp: Seq[(String, Double)],
+      maxL: Int): Column = {
+    val cellT = "struct<sc:double,seg:array<string>>"
+    val lpMap = map_from_arrays(
+      typedlit(lp.map(_._1)), typedlit(lp.map(_._2)))
+    val zero = array(struct(lit(0.0).as("sc"),
+      array().cast("array<string>").as("seg")))
+    aggregate(sequence(lit(1), length(w)), zero, (acc, i) => {
+      var best: Column = lit(null).cast(cellT)
+      for (j <- maxL to 1 by -1) {
+        val sub = w.substr(i - lit(j) + 1, lit(j))
+        val prev = element_at(acc, i - lit(j) + 1)
+        val lgp = element_at(lpMap, sub)
+        val cand = round(prev.getField("sc") + lgp, 6)
+        val ok = (i >= lit(j)) && lgp.isNotNull
+        val candCell = struct(cand.as("sc"),
+          concat(prev.getField("seg"), array(sub)).as("seg"))
+        best = when(ok && (best.isNull || cand >= best.getField("sc")),
+          candCell).otherwise(best)
+      }
+      concat(acc, array(best))
+    }, acc => element_at(acc, -1))
+  }
+
+  private def r6(v: Double): Double =
+    BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The distinct-word inventory (Zipf rollup — every per-word pass in
+    * the tokenizer family runs on this, never the fact table).
+    */
+  private def wordInventory(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+
+  /** One Viterbi E-step: per distinct word, the best segmentation under
+    * `lp`; returns piece → Σ word-count-weighted occurrences (bounded:
+    * ≤ |lp| rows collected).
+    */
+  private def unigramCounts(s: SparkSession, d: String,
+      lp: Seq[(String, Double)], maxL: Int): Map[String, Long] =
+    wordInventory(s, d)
+      .select(col("cnt"),
+        explode(unigramViterbi(col("w"), lp, maxL).getField("seg")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** t40 — UNIGRAM-LM tokenizer training (Kudo 2018 — the SentencePiece
+    * default used by T5/LLaMA-family pipelines; completes the industry
+    * tokenizer triad beside BPE t22/t25 and WordPiece t38/t39, which
+    * learn MERGES while this learns a PROBABILITY MODEL over a pruned
+    * piece inventory). Deterministic hard-EM variant, exactly
+    * replayable cross-engine:
+    *
+    *  1. SEED: every substring of the distinct-word inventory up to
+    *     `maxLen` chars, frequency-weighted by word counts; capped at
+    *     `seedCap` multi-char pieces by (freq DESC, piece ASC) with
+    *     every single char retained (coverage guarantee). Initial
+    *     p₀(x) = freq(x)/Σfreq.
+    *  2. E-STEP (Viterbi): each distinct word takes its max-probability
+    *     segmentation (hard EM — the Viterbi specialization of Kudo's
+    *     forward-backward E-step, chosen because the argmax path is
+    *     exactly replayable where expected-count sums are not);
+    *     expected counts = word-count-weighted piece occurrences.
+    *  3. M-STEP: Laplace-smoothed re-estimate p(x) = (c(x)+1)/(C+V) —
+    *     smoothing keeps never-chosen coverage chars finite.
+    *  4. PRUNE by likelihood-mass contribution c(x)·log p(x) (Kudo's
+    *     loss-contribution with the re-segmentation term dropped —
+    *     deterministic and exactly replayable), single chars always
+    *     retained, to `vocabTarget` pieces.
+    *  5. Second E/M round on the pruned vocabulary → final counts and
+    *     log-probs.
+    *
+    * All log-probs are rounded to 6 dp and every DP cell re-rounds, so
+    * the DuckDB replay (three recursive-CTE Viterbi lattices — seed,
+    * pruned, encode — t39's correlated-probe pattern carrying the DP
+    * list per (word, pos) like e23's value-iteration state) reaches
+    * bit-identical segmentations. Scale shape: every pass is one
+    * vocab-sized fold + a bounded (≤ seed-sized) collect; the corpus is
+    * touched once for the word inventory.
+    */
+  private val unigramMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, Long, Double)]]
+  private[graft] def unigramVocab(s: SparkSession, d: String,
+      maxLen: Int = 4, seedCap: Int = 400, vocabTarget: Int = 44)
+      : Seq[(String, Long, Double)] =
+    unigramMemo.computeIfAbsent(
+      s"$d#${graft.Tables.datasetFingerprint(d)}#$maxLen#$seedCap#$vocabTarget", _ => {
+        val words = wordInventory(s, d)
+        // seed substring frequencies (distributed; nested transform —
+        // one row per (word, start, len) before the piece rollup)
+        val subs = words.select(col("cnt"), explode(flatten(
+          transform(sequence(lit(1), length(col("w"))), i =>
+            transform(
+              sequence(lit(1), least(lit(maxLen), length(col("w")) - i + 1)),
+              j => col("w").substr(i, j))))).as("piece"))
+          .groupBy("piece").agg(sum("cnt").as("freq"))
+        val chars = subs.filter(length(col("piece")) === 1)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1) // alphabet-bounded
+        val multi = subs.filter(length(col("piece")) > 1)
+          .orderBy(desc("freq"), asc("piece")).limit(seedCap)
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        val seed = chars ++ multi
+        val totalSeed = seed.map(_._2).sum
+        val lp0 = seed.map { case (p, f) =>
+          p -> r6(math.log(f.toDouble / totalSeed.toDouble)) }
+        // E1 + M1 over the full seed
+        val c1 = unigramCounts(s, d, lp0, maxLen)
+        val tc1 = c1.values.sum
+        val v1 = seed.size
+        val lp1 = seed.map { case (p, _) =>
+          p -> r6(math.log(
+            (c1.getOrElse(p, 0L) + 1).toDouble / (tc1 + v1).toDouble)) }
+        val lp1Map = lp1.toMap
+        // prune by likelihood mass c·logp (ASC: most negative = most
+        // mass = kept first), ties by piece; chars always retained
+        val keptMulti = multi.map(_._1)
+          .sortBy(p => (c1.getOrElse(p, 0L).toDouble * lp1Map(p), p))
+          .take(math.max(0, vocabTarget - chars.length))
+        val vocab2 = (chars.map(_._1) ++ keptMulti).map(p => p -> lp1Map(p))
+        // E2 + M2 on the pruned vocabulary
+        val c2 = unigramCounts(s, d, vocab2, maxLen)
+        val tc2 = c2.values.sum
+        val v2 = vocab2.size
+        vocab2.map { case (p, _) =>
+          (p, c2.getOrElse(p, 0L), r6(math.log(
+            (c2.getOrElse(p, 0L) + 1).toDouble / (tc2 + v2).toDouble)))
+        }
+      })
+
+  /** The declared t40 rollup: the final unigram vocabulary ranked by
+    * (count DESC, piece ASC).
+    */
+  def unigramTrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    unigramVocab(s, d)
+      .sortBy { case (p, n, _) => (-n, p) }.zipWithIndex
+      .map { case ((p, n, lg), i) => (i + 1L, p, n, lg) }
+      .toSeq.toDF("rank", "piece", "n", "logp")
+  }
+
+  /** t41 — UNIGRAM-LM (Viterbi) ENCODE: tokenize the corpus with t40's
+    * learned model — genuinely different inference from training's
+    * E-step only in the model it loads (Viterbi IS SentencePiece's
+    * production encoder, unlike BPE/WordPiece whose encode algorithms
+    * differ from training). Same scale shape as t25/t39: the fold runs
+    * once per DISTINCT word, per-doc counts come from the (doc, word)
+    * join; the vocabulary is a ≤ vocabTarget-entry broadcast literal.
+    */
+  def unigramEncode(s: SparkSession, d: String, maxLen: Int = 4): DataFrame = {
+    val lp = unigramVocab(s, d).map { case (p, _, lg) => p -> lg }
+    val docWords = documents(s, d)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val perDocWord = docWords.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    val vocabUnits = perDocWord.select("w").distinct()
+      .select(col("w"),
+        size(unigramViterbi(col("w"), lp, maxLen).getField("seg"))
+          .cast("long").as("n_units"),
+        length(col("w")).cast("long").as("n_chars"))
+    perDocWord.join(vocabUnits, "w")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("n_units")).as("n_units_total"),
+        round(sum(col("c") * col("n_chars")).cast("double") /
+          sum(col("c") * col("n_units")), 4).as("chars_per_unit"))
+      .orderBy("doc_id")
+  }
+
   /** t25 — BPE ENCODE: apply t22's learned merges to tokenize the
     * corpus — the other half of the tokenizer lifecycle (t22 trains it,
     * this runs it over every document, the single most-executed step of
@@ -3232,6 +3513,35 @@ object TextAnalysis {
         |  round(CAST(sum(p.c * f.n_chars) AS DOUBLE)
         |    / sum(p.c * f.n_units), 4) AS chars_per_unit
         |FROM pdw p JOIN nunits f ON p.w = f.w
+        |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
+    QueryDef("t40_unigram_train", (s, d) => unigramTrain(s, d), Some(
+      // the full unigram-LM replay: seed inventory, initial probs,
+      // Viterbi E-step, Laplace M-step, mass prune, second E/M round —
+      // 6 dp rounding at every log and every DP cell on both engines
+      s"""$unigramReplayCtes
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, piece) AS BIGINT)
+        |    AS rank, piece, n, logp
+        |FROM ufinal ORDER BY rank""".stripMargin)),
+    QueryDef("t41_unigram_encode", (s, d) => unigramEncode(s, d), Some(
+      // Viterbi encode with the replayed final model: a third lattice
+      // over the word inventory, then the per-doc join-back rollup
+      s"""$unigramReplayCtes,
+        |${unigramVitCte("uvit3", "ufinal")},
+        |uunits AS (
+        |  SELECT w, CAST(len(dp[len(w) + 1].seg) AS BIGINT) AS n_units,
+        |         CAST(len(w) AS BIGINT) AS n_chars
+        |  FROM uvit3 WHERE pos = len(w)),
+        |updw AS (
+        |  SELECT doc_id, w, count(*)::BIGINT AS c FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+        |    FROM documents)
+        |  WHERE len(w) > 0 GROUP BY doc_id, w)
+        |SELECT p.doc_id, sum(p.c)::BIGINT AS n_words,
+        |  sum(p.c * f.n_units)::BIGINT AS n_units_total,
+        |  round(CAST(sum(p.c * f.n_chars) AS DOUBLE)
+        |    / sum(p.c * f.n_units), 4) AS chars_per_unit
+        |FROM updw p JOIN uunits f ON p.w = f.w
         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin)),
     QueryDef("t22_bpe_merges", (s, d) => bpeMerges(s, d), Some(
       s"""$bpeReplayCtes

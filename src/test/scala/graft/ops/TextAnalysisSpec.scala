@@ -655,6 +655,94 @@ class TextAnalysisSpec extends SparkSpec {
       "no merge was ever used — encoder degenerated to characters")
   }
 
+  test("t40/t41 unigram LM: distributed hard-EM == exact in-memory reference; coverage, prune, encode hold") {
+    import org.apache.spark.sql.functions._
+    val (maxL, seedCap, vocabTarget) = (4, 400, 44)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val wordRows = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val wc: Map[String, Long] = wordRows.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    // reference Viterbi: engine tie rule = max score, then SHORTEST
+    // last piece (j ascending with strict > keeps the smallest j)
+    def viterbi(w: String, lp: Map[String, Double]): Vector[String] = {
+      val sc = Array.fill(w.length + 1)(Double.NegativeInfinity)
+      val seg = Array.fill(w.length + 1)(Vector.empty[String])
+      sc(0) = 0.0
+      for (i <- 1 to w.length) {
+        var bj = -1
+        for (j <- 1 to math.min(maxL, i)) {
+          lp.get(w.substring(i - j, i)).foreach { l =>
+            val cand = r6(sc(i - j) + l)
+            if (bj < 0 || cand > sc(i)) { sc(i) = cand; bj = j }
+          }
+        }
+        seg(i) = seg(i - bj) :+ w.substring(i - bj, i)
+      }
+      seg(w.length)
+    }
+    def estep(lp: Map[String, Double]): Map[String, Long] =
+      wc.toSeq.flatMap { case (w, cnt) => viterbi(w, lp).map(_ -> cnt) }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // seed: all substrings ≤ maxL, chars always kept, multi capped
+    val freqs = wc.toSeq.flatMap { case (w, cnt) =>
+      for (i <- 0 until w.length; j <- 1 to math.min(maxL, w.length - i))
+        yield (w.substring(i, i + j), cnt)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val chars = freqs.keys.filter(_.length == 1).toSeq.sorted
+    val multi = freqs.keys.filter(_.length > 1).toSeq
+      .sortBy(p => (-freqs(p), p)).take(seedCap)
+    val seed = chars ++ multi
+    val total = seed.map(freqs).sum
+    val lp0 = seed.map(p => p -> r6(math.log(freqs(p).toDouble / total))).toMap
+    val c1 = estep(lp0)
+    val (tc1, v1) = (c1.values.sum, seed.size)
+    val lp1 = seed.map(p => p ->
+      r6(math.log((c1.getOrElse(p, 0L) + 1).toDouble / (tc1 + v1)))).toMap
+    val kept = chars ++ multi
+      .sortBy(p => (c1.getOrElse(p, 0L).toDouble * lp1(p), p))
+      .take(vocabTarget - chars.length)
+    val lpPruned = kept.map(p => p -> lp1(p)).toMap
+    val c2 = estep(lpPruned)
+    val (tc2, v2) = (c2.values.sum, kept.size)
+    val expected = kept.map(p => (p, c2.getOrElse(p, 0L),
+      r6(math.log((c2.getOrElse(p, 0L) + 1).toDouble / (tc2 + v2))))).toSet
+    val got = TextAnalysis.unigramVocab(spark, sf0001).toSet
+    assert(got == expected,
+      s"distributed EM diverged from the reference:\n  extra=${got -- expected}\n  missing=${expected -- got}")
+    // structural pins: coverage, real pruning, a non-degenerate model
+    assert(got.size == vocabTarget && multi.size > vocabTarget - chars.size,
+      "pruning did not actually prune")
+    chars.foreach(c => assert(got.exists(_._1 == c), s"coverage char '$c' pruned"))
+    assert(got.exists(t => t._1.length > 1 && t._2 > 0),
+      "no multi-char piece ever chosen — model degenerated to characters")
+    // t41 encode equals the reference rollup per doc
+    val lpFinal = expected.map(t => t._1 -> t._3).toMap
+    val perDoc = wordRows.groupBy(_._1).map { case (id, ws) =>
+      val units = ws.map(x => viterbi(x._2, lpFinal).length.toLong).sum
+      val nChars = ws.map(_._2.length.toLong).sum
+      (id, ws.length.toLong, units,
+        BigDecimal(nChars.toDouble / units)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val enc = TextAnalysis.unigramEncode(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(enc.length == perDoc.size)
+    enc.foreach { case (id, nw, nu, cpu) =>
+      val (_, enw, enu, ecpu) = perDoc.find(_._1 == id).get
+      assert(nw == enw && nu == enu, s"doc $id: got ($nw,$nu) want ($enw,$enu)")
+      assert(math.abs(cpu - ecpu) < 1e-9, s"doc $id cpu: $cpu vs $ecpu")
+    }
+    // the learned model must compress below char-level somewhere
+    assert(enc.map(_._3).sum < wordRows.map(_._2.length.toLong).sum,
+      "encoder degenerated to characters")
+    // memoized rerun is identical
+    assert(TextAnalysis.unigramVocab(spark, sf0001).toSet == got)
+  }
+
   test("BPE encode: encoder mirrors training's fold, counts bounded, rerun-stable") {
     // encoder parity with the training fold on the classic corpus: a
     // word rewritten by every learned merge in order must end at the
