@@ -1093,6 +1093,20 @@ object EventStreams {
     val savedInfer =
       s.conf.get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    // The windowed-agg STATE is calendar-sized (hours × event types —
+    // ~3k keys), but state-store file I/O is per (batch × stateful-op ×
+    // STATE PARTITION): at the session's 32 shuffle partitions each of
+    // the ~10 micro-batches checkpoints 32 tiny delta files and the
+    // sync latency — not the aggregation — dominated st14's cost (the
+    // r12 'weak' adjudication: fresh probes swung 16–41 s with ~10 s of
+    // measured merge work; the residual was state-store churn at
+    // EventStreams.scala:1098-1100). 8 partitions cut the per-batch
+    // file count 4× while each still holds only ~hundreds of keys; at
+    // production scale the operator re-tunes this like any shuffle
+    // width. The merge writes in foreachBatch inherit the same width —
+    // bounded data, and the day-repartition decides file layout anyway.
+    val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(src)
       .withWatermark("ts", "30 days")
@@ -1146,6 +1160,7 @@ object EventStreams {
     try q.awaitTermination()
     finally {
       q.stop()
+      s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
       s.conf.set(
         "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
     }
@@ -1300,6 +1315,12 @@ object EventStreams {
       val savedInfer = s.conf
         .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
       s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      // batch-sized dedup/anti-join shuffles: 8 partitions, not the
+      // session's 32 — same over-partitioning tax runUpdateMerge pays
+      // (each micro-batch is ~1/4 of one day's events; 32 tasks of
+      // ~40k rows are dominated by task startup + shuffle-file I/O)
+      val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       // each delivery is a SEPARATE query with a FRESH checkpoint — the
       // re-delivery regime, not st11's same-checkpoint restart
       def deliver(): Unit = {
@@ -1361,8 +1382,11 @@ object EventStreams {
         phased("st15.delivery2")(deliver())
         val snap2 = phased("st15.snapshot2")(partitionSnapshot(fs, ledger))
         (ledger, appended.toSeq, snap1, snap2)
-      } finally s.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+      } finally {
+        s.conf.set("spark.sql.shuffle.partitions", savedShuffle)
+        s.conf.set(
+          "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+      }
     }
 
   final case class TjIn(user_id: Long, ts: java.sql.Timestamp,
