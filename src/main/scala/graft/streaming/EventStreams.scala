@@ -687,6 +687,22 @@ object EventStreams {
     * joins is exactly what the interval condition solves). Append output;
     * full replay ⇒ result equals the batch interval join — the oracle.
     */
+  /** Run `f` with the session's shuffle width temporarily lowered.
+    * Stream-stream joins keep FOUR state-store instances per state
+    * partition and sync each per micro-batch — at the session's 32
+    * partitions a two-batch interval join pays 256 store syncs for
+    * ~100k-row sides (measured: the sync latency, not the join,
+    * dominated st13/st14's cost and its disk-latency variance burned
+    * two rounds of adjudication). 8 partitions keep task sizes in the
+    * tens-of-thousands of rows; a production deployment re-tunes this
+    * like any shuffle width.
+    */
+  private def withShuffleWidth[T](s: SparkSession, n: Int)(f: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val src = stageDir(s, d)
     val schema = Tables.events(s, d).schema
@@ -701,9 +717,11 @@ object EventStreams {
         col("v_ts") <= col("c_ts") &&
         col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"))
     val qname = "graft_stream_interval_join"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    withShuffleWidth(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try q.processAllAvailable() finally q.stop()
+    }
     s.table(qname)
       .groupBy(col("c_user").as("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -775,19 +793,21 @@ object EventStreams {
         col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"),
       "left_outer")
     val qname = "graft_stream_outer_join"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      q.processAllAvailable() // batch 1: all real data
-      import s.implicits._
-      Seq((-901L, "2024-03-01 00:00:00", -901L, "click", 0.0, ""),
-          (-902L, "2024-03-01 00:00:00", -902L, "view", 0.0, ""))
-        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
-        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .write.mode("append").parquet(src)
-      q.processAllAvailable() // batch 2: sentinel advances the watermark
-    } finally q.stop()
+    withShuffleWidth(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable() // batch 1: all real data
+        import s.implicits._
+        Seq((-901L, "2024-03-01 00:00:00", -901L, "click", 0.0, ""),
+            (-902L, "2024-03-01 00:00:00", -902L, "view", 0.0, ""))
+          .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("append").parquet(src)
+        q.processAllAvailable() // batch 2: sentinel advances the watermark
+      } finally q.stop()
+    }
     s.table(qname)
       .filter(col("c_ts") < lit("2024-01-28").cast("timestamp"))
       .groupBy(col("c_user").as("user_id"))
@@ -835,19 +855,21 @@ object EventStreams {
         col("v_ts") >= col("c_ts") - expr("INTERVAL 10 MINUTES"),
       "full_outer")
     val qname = "graft_stream_full_outer_join"
-    val q = joined.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      q.processAllAvailable() // batch 1: all real data
-      import s.implicits._
-      Seq((-901L, "2024-03-01 00:00:00", -901L, "click", 0.0, ""),
-          (-902L, "2024-03-01 00:00:00", -902L, "view", 0.0, ""))
-        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
-        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .write.mode("append").parquet(src)
-      q.processAllAvailable() // batch 2: sentinels advance both watermarks
-    } finally q.stop()
+    withShuffleWidth(s, 8) {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable() // batch 1: all real data
+        import s.implicits._
+        Seq((-901L, "2024-03-01 00:00:00", -901L, "click", 0.0, ""),
+            (-902L, "2024-03-01 00:00:00", -902L, "view", 0.0, ""))
+          .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("append").parquet(src)
+        q.processAllAvailable() // batch 2: sentinels advance both watermarks
+      } finally q.stop()
+    }
     s.table(qname)
       .groupBy(coalesce(col("c_user"), col("v_user")).as("user_id"))
       .agg(
