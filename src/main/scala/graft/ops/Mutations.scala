@@ -825,7 +825,7 @@ object Mutations {
     * basePath, inference off — ttAsOf's discipline, factored for reads
     * of partial file sets).
     */
-  private def ttReadFiles(s: SparkSession, dir: String,
+  private[graft] def ttReadFiles(s: SparkSession, dir: String,
       files: Seq[String]): DataFrame = {
     val savedInfer = s.conf
       .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal}
 import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionDirectory}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -99,6 +99,35 @@ object ManifestFileIndex {
     (lo, hi)
   }
 
+  /** The IN-lists constraining `name`: one value set per `In`/`InSet`
+    * conjunct (each must independently admit the file — a file
+    * survives a set iff SOME member lies within its [min,max]).
+    * Values normalize like the range bounds: integral → Long,
+    * UTF8String kept for binary-order compare; a set with any
+    * unrecognized member is dropped entirely (conservative — a
+    * partially-understood set could wrongly prune).
+    */
+  private[sources] def inSetsOf(name: String, filters: Seq[Expression])
+      : Seq[Seq[Either[Long, UTF8String]]] = {
+    def norm(v: Any): Option[Either[Long, UTF8String]] = v match {
+      case i: java.lang.Integer => Some(Left(i.toLong))
+      case j: java.lang.Long => Some(Left(j))
+      case s: java.lang.Short => Some(Left(s.toLong))
+      case u: UTF8String => Some(Right(u))
+      case _ => None
+    }
+    filters.flatMap {
+      case In(a: AttributeReference, vs) if a.name == name &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        val normed = vs.map(v => norm(v.asInstanceOf[Literal].value))
+        if (normed.forall(_.isDefined)) Seq(normed.flatten) else Nil
+      case InSet(a: AttributeReference, hset) if a.name == name =>
+        val normed = hset.toSeq.map(norm)
+        if (normed.forall(_.isDefined)) Seq(normed.flatten) else Nil
+      case _ => Nil
+    }
+  }
+
   /** Tighten string [lo,hi] bounds for `name` from the pushed
     * conjuncts (UTF8String literals only; round-12 verdict item 6 —
     * without this, a filter on `event_type` got zero file skipping).
@@ -147,18 +176,32 @@ class ManifestFileIndex(
     val strBounds = trackedCols
       .map(c => c -> ManifestFileIndex.strBoundsOf(c, dataFilters))
       .filter { case (_, (lo, hi)) => lo.isDefined || hi.isDefined }.toMap
-    if (numBounds.isEmpty && strBounds.isEmpty) return base
+    val inSets = trackedCols
+      .map(c => c -> ManifestFileIndex.inSetsOf(c, dataFilters))
+      .filter(_._2.nonEmpty).toMap
+    if (numBounds.isEmpty && strBounds.isEmpty && inSets.isEmpty) return base
     def survives(colStats: Map[String, ManifestFileIndex.ColStat]): Boolean =
       trackedCols.forall { c =>
         colStats.get(c) match {
           case None => true // untracked column for this file: keep
-          case Some(ColRange(min, max)) => numBounds.get(c).forall {
-            case (lo, hi) => max >= lo && min <= hi }
-          case Some(StrRange(min, max)) => strBounds.get(c).forall {
-            case (lo, hi) =>
-              lo.forall(UTF8String.fromString(max).compareTo(_) >= 0) &&
-                hi.forall(UTF8String.fromString(min).compareTo(_) <= 0)
-          }
+          case Some(ColRange(min, max)) =>
+            numBounds.get(c).forall { case (lo, hi) =>
+              max >= lo && min <= hi } &&
+            inSets.get(c).forall(_.forall(_.exists {
+              case Left(v) => v >= min && v <= max
+              case Right(_) => true // string member vs numeric stats: keep
+            }))
+          case Some(StrRange(min, max)) =>
+            val (minU, maxU) =
+              (UTF8String.fromString(min), UTF8String.fromString(max))
+            strBounds.get(c).forall { case (lo, hi) =>
+              lo.forall(maxU.compareTo(_) >= 0) &&
+                hi.forall(minU.compareTo(_) <= 0)
+            } &&
+            inSets.get(c).forall(_.forall(_.exists {
+              case Right(v) => v.compareTo(minU) >= 0 && v.compareTo(maxU) <= 0
+              case Left(_) => true // numeric member vs string stats: keep
+            }))
         }
       }
     base.map { pd =>

@@ -1411,6 +1411,101 @@ object EventStreams {
       }
     }
 
+  /** st28 — STREAMING CDF TAILING: the up13 transaction log consumed AS
+    * A STREAM — the shape of Delta's streaming source, where a
+    * downstream view subscribes to a table's commits instead of
+    * re-scanning it. The `_log` directory is a file stream
+    * (`maxFilesPerTrigger=1`, so each micro-batch delivers exactly ONE
+    * commit's action lines); per batch the consumer computes that
+    * commit's ROW-LEVEL delta from only the files the commit touched
+    * (up15's bag-difference — a COW rewrite's copied rows cancel) and
+    * folds it into calendar-bounded (event_type → n, cents) partials
+    * with up16's abelian-group algebra: inserts add, deletes subtract.
+    * The maintained state after every version is emitted, so the
+    * declared result is up13's per-(version, event_type) rollup — but
+    * REACHED INCREMENTALLY, never by reading a snapshot (only v0's
+    * bootstrap scans its own adds); the oracle hash proves incremental
+    * ≡ full for all four states. At 100 TB: the consumer's per-commit
+    * cost is the commit's churn, its state is |event types| rows, and
+    * the log replay IS the ordering guarantee (commits arrive in
+    * version order; the consumer asserts monotonicity and dies loudly
+    * on a gap rather than folding deltas out of order).
+    */
+  def streamingCdfTail(s: SparkSession, d: String): DataFrame =
+    streamingCdfTailOnStore(s, graft.ops.Mutations.ttStore(s, d))
+
+  private[graft] def streamingCdfTailOnStore(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.ops.Mutations
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st28_ckpt").toString
+    // state: exact-integer partials + the per-version snapshots
+    val partials = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, Long, Long)]
+    var lastV = -1
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", "1")
+      .text(s"$dir/_log")
+      .select(col("value"), input_file_name().as("f"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val rows = batch.collect() // one commit: O(files-touched) lines
+        if (rows.nonEmpty) {
+          val versions = rows.map(r => new org.apache.hadoop.fs.Path(
+            r.getString(1)).getName.stripPrefix("v").stripSuffix(".txt").toInt)
+            .distinct
+          require(versions.length == 1,
+            s"one micro-batch must carry one commit, got ${versions.toSeq}")
+          val v = versions.head
+          require(v == lastV + 1,
+            s"commit gap: v$v after v$lastV — refusing out-of-order fold")
+          lastV = v
+          val lines = rows.map(_.getString(0)).filter(_.nonEmpty)
+          val adds = lines.collect { case l if l.startsWith("a ") => l.drop(2) }
+          val removes = lines.collect { case l if l.startsWith("r ") => l.drop(2) }
+          val sp = batch.sparkSession
+          def agg(files: Seq[String]): Seq[(String, Long, Long)] =
+            if (files.isEmpty) Nil
+            else Mutations.ttReadFiles(sp, dir, files)
+              .groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+              .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+              .toSeq
+          val delta: Seq[(String, Long, Long)] =
+            if (removes.isEmpty) agg(adds) // pure append: no diff needed
+            else {
+              // COW commit: bag-difference so copied rows cancel
+              val a = Mutations.ttReadFiles(sp, dir, adds)
+              val r = Mutations.ttReadFiles(sp, dir, removes)
+              a.exceptAll(r).withColumn("sgn", lit(1L))
+                .unionByName(r.exceptAll(a).withColumn("sgn", lit(-1L)))
+                .groupBy("event_type")
+                .agg(sum(col("sgn")).as("n"),
+                  sum(col("sgn") * col("cents")).as("c"))
+                .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
+                .toSeq
+            }
+          delta.foreach { case (et, dn, dc) =>
+            val (n0, c0) = partials.getOrElse(et, (0L, 0L))
+            val next = (n0 + dn, c0 + dc)
+            if (next._1 == 0L) partials.remove(et) else partials(et) = next
+          }
+          partials.toSeq.sortBy(_._1).foreach { case (et, (n, c)) =>
+            snaps += ((v.toLong, et, n, c))
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    import s.implicits._
+    snaps.toSeq.toDF("version", "event_type", "n", "sum_cents")
+      .orderBy("version", "event_type")
+  }
+
   final case class TjIn(user_id: Long, ts: java.sql.Timestamp,
       kind: String, value: Double, event_id: Long)
   final case class TjState(views: Seq[(Long, Double)],
@@ -1630,6 +1725,39 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st28_streaming_cdf", streamingCdfTail, Some(
+      // up13's oracle VERBATIM (st19/st20's discipline): the oracle
+      // recomputes every version state from raw events; the engine
+      // reaches the same states by TAILING the commit log — v0
+      // bootstrap + three per-commit row-level deltas, never a
+      // snapshot read — so the hash proves incremental ≡ full
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 0 AS version, event_type, cents FROM base
+        |  UNION ALL SELECT 1, event_type, cents FROM v1
+        |  UNION ALL SELECT 2, event_type, cents FROM v2
+        |  UNION ALL SELECT 3, event_type, cents FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("st27_streaming_distinct", streamingDistinctMaintenance, Some(
       // cat12's oracle verbatim: base ∪ streamed increments == events
       """SELECT CAST(ts AS DATE) AS day,

@@ -529,6 +529,21 @@ class SourcesSpec extends SparkSpec {
     val raw = spark.read.parquet(dir)
       .filter(col("event_type") === "signup").count()
     assert(n == raw, s"string-pruned count $n != raw $raw")
+    // an IN-list prunes too: a file survives iff SOME member lies in
+    // its [min,max]; the two-value probe must still skip the files
+    // covering only the other three event types
+    val inq = Sources.stringIndexedStore(spark, sf0001)
+      .filter(col("event_type").isin("click", "view"))
+      .agg(count(lit(1)).as("n"))
+    val nIn = inq.collect()(0).getLong(0)
+    val scannedIn = fileScans(inq).head.metrics("numFiles").value
+    val inSurvivors = manifest.count { case (_, tmin, tmax, _, _) =>
+      Seq("click", "view").exists(v => tmin <= v && tmax >= v) }
+    assert(scannedIn == inSurvivors && scannedIn < manifest.length,
+      s"IN-list did not prune: scanned $scannedIn, want $inSurvivors of ${manifest.length}")
+    val rawIn = spark.read.parquet(dir)
+      .filter(col("event_type").isin("click", "view")).count()
+    assert(nIn == rawIn, s"IN-pruned count $nIn != raw $rawIn")
   }
 
   test("src24: count/min/max answered from parquet footers — PushedAggregation, zero rows materialized") {

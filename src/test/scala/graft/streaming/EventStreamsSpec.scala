@@ -365,6 +365,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(spark.read.parquet(ledger).count() == distinctKeys)
   }
 
+  test("st28 cdf tail: incremental states == full recompute per version; a commit gap dies loudly") {
+    val got = EventStreams.streamingCdfTail(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    // every version reached, in order, and each incremental state equals
+    // the full log-replay snapshot recompute
+    assert(got.map(_._1).distinct == Seq(0L, 1L, 2L, 3L))
+    val full = graft.ops.Mutations.timeTravelRollup(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == full,
+      "tailed incremental states diverge from the full per-version recompute")
+    // ordering guarantee: a missing commit must kill the consumer, never
+    // fold deltas out of order
+    val dir = graft.ops.Mutations.ttStore(spark, sf0001)
+    assert(new java.io.File(s"$dir/_log/v2.txt").delete())
+    val err = intercept[Exception] {
+      EventStreams.streamingCdfTailOnStore(spark, dir).collect()
+    }
+    def gapMsg(t: Throwable): Boolean =
+      t != null && (Option(t.getMessage).exists(_.contains("commit gap")) ||
+        gapMsg(t.getCause))
+    assert(gapMsg(err), s"wrong failure for a commit gap: $err")
+  }
+
   test("update-merge sink: untouched day partitions keep byte-identical files") {
     // the st12 scaling claim made checkable: per-batch writes restate only
     // the day partitions containing changed keys, so a partition outside a
