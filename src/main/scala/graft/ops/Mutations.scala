@@ -751,6 +751,12 @@ object Mutations {
   /** Snapshot read: exactly the live files, partition column recovered
     * via basePath (day stays a STRING — inference disabled like up12's
     * reads, so snapshots compare stably across sf regenerations).
+    * `mergeSchema` because a snapshot's live set may span SCHEMA
+    * GENERATIONS (up17): a version whose files all predate an added
+    * column simply never surfaces it, while a head read reconciles old
+    * files to NULL — per-snapshot schema resolution, the Delta/Iceberg
+    * read rule. (Cost: one footer per live file, which the planner
+    * reads anyway.)
     */
   private[graft] def ttAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
     val files = ttLiveFiles(s, dir, v).map(f => s"$dir/$f")
@@ -758,7 +764,8 @@ object Mutations {
     val savedInfer = s.conf
       .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    try s.read.option("basePath", dir).parquet(files: _*)
+    try s.read.option("basePath", dir).option("mergeSchema", "true")
+      .parquet(files: _*)
     finally s.conf.set(
       "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
   }
@@ -929,6 +936,42 @@ object Mutations {
       .orderBy("event_type")
   }
 
+  /** up17 — SCHEMA EVOLUTION on the log-structured store (Delta's
+    * mergeSchema write / Iceberg's add-column): a v4 commit appends
+    * late-arriving rows that CARRY A NEW COLUMN (`ingest_gen`). The
+    * table format's contract, all spec-pinned: files already on disk
+    * are untouched (schema evolution is metadata + new files, never a
+    * rewrite); a pre-evolution snapshot (`AS OF 3`) does not even
+    * SURFACE the column (its live files predate it); the head read
+    * reconciles old files to NULL. At 100 TB this is why column adds
+    * are free in a lakehouse — the alternative is restating every file.
+    * The reference hard-codes one fixed schema end to end
+    * (`ALS/ALS.java:90-93`). The declared head rollup counts the
+    * evolved rows per type (`n_evolved` = non-null ingest_gen), fully
+    * oracled from raw events.
+    */
+  private[graft] def ttEvolvedStore(s: SparkSession, d: String): String = {
+    val dir = ttStore(s, d)
+    val extra = events(s, d).filter(col("event_id") % 11 === 0)
+      .select((col("event_id") + lit(2000000000L)).as("event_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        lit(2L).as("ingest_gen")) // the evolved column
+    ttCommit(s, dir, 4,
+      ttWriteBatch(s, dir, "b4", extra.repartition(col("day"))), Nil)
+    dir
+  }
+
+  def schemaEvolutionRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttEvolvedStore(s, d)
+    ttAsOf(s, dir, 4)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
+        count(col("ingest_gen")).as("n_evolved"))
+      .orderBy("event_type")
+  }
+
   /** up14 — VACUUM with a retention horizon (Delta's VACUUM / Iceberg's
     * expire_snapshots): time travel (up13) keeps every superseded file
     * forever; vacuum deletes exactly the data files referenced by NO
@@ -996,6 +1039,37 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up17_schema_evolution", schemaEvolutionRollup, Some(
+      // head = v3's logical state ∪ the evolved batch; n_evolved counts
+      // exactly the new-column carriers (old files reconcile to NULL)
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |head AS (
+        |  SELECT event_type, cents, CAST(NULL AS BIGINT) AS ingest_gen FROM v3
+        |  UNION ALL
+        |  SELECT event_type, cents, 2 AS ingest_gen
+        |  FROM base WHERE event_id % 11 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(ingest_gen) AS n_evolved
+        |FROM head GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("up15_change_feed", changeFeedRollup, Some(
       // the oracle rebuilds the four logical states from raw events
       // (up13's CTEs verbatim) and takes the bag difference of each

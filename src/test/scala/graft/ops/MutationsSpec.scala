@@ -407,4 +407,50 @@ class MutationsSpec extends SparkSpec {
     assert(got.toSeq == full.toSeq,
       "CDF-maintained partials diverge from the full v3 recompute")
   }
+
+  test("up17 schema evolution: old files untouched, pre-evolution snapshot lacks the column, head reconciles") {
+    val dir = Mutations.ttEvolvedStore(spark, sf0001)
+    // a pre-evolution snapshot does not even surface the new column
+    val v3cols = Mutations.ttAsOf(spark, dir, 3).columns.toSet
+    assert(!v3cols.contains("ingest_gen"),
+      s"AS OF 3 leaked the evolved column: $v3cols")
+    val head = Mutations.ttAsOf(spark, dir, 4)
+    assert(head.columns.contains("ingest_gen"))
+    // schema evolution is metadata + new files: every pre-v4 file
+    // byte-identical (the v4 commit adds b4-* files, removes nothing)
+    val pre = Mutations.ttLiveFiles(spark, dir, 3).toSet
+    val post = Mutations.ttLiveFiles(spark, dir, 4).toSet
+    assert(pre.subsetOf(post) && (post -- pre).forall(_.contains("b4-")),
+      "evolution commit rewrote pre-existing files")
+    // head reconciles: old rows NULL, evolved rows carry gen 2 exactly
+    val nulls = head.filter(col("ingest_gen").isNull).count()
+    val evolved = head.filter(col("ingest_gen") === 2L).count()
+    assert(nulls + evolved == head.count() && evolved > 0)
+    val expectedEvolved = graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 11 === 0).count()
+    assert(evolved == expectedEvolved,
+      s"evolved-row count $evolved != planted $expectedEvolved")
+    // v3's own rollup is unchanged by the later commit
+    val v3 = Mutations.ttAsOf(spark, dir, 3).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val logical = {
+      val ev = graft.Tables.events(spark, sf0001)
+      val base = ev.select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val d0 = ev.agg(date_format(
+        date_add(min(to_date(col("ts"))), 3), "yyyy-MM-dd")).head.getString(0)
+      val d1 = ev.agg(date_format(
+        date_add(min(to_date(col("ts"))), 5), "yyyy-MM-dd")).head.getString(0)
+      base.unionByName(base.filter(col("event_id") % 7 === 0))
+        .withColumn("cents",
+          when(col("day") === d0, col("cents") + 9L).otherwise(col("cents")))
+        .filter(!(col("event_type") === "click" && col("day") === d1))
+        .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    }
+    assert(v3.toSeq == logical.toSeq,
+      "pre-evolution snapshot drifted after the evolution commit")
+  }
 }
