@@ -936,6 +936,69 @@ object Mutations {
       .orderBy("event_type")
   }
 
+  /** up18 — MERGE INTO the log-structured store (the Delta/Iceberg
+    * MERGE write verb, the lakehouse's transactional upsert): matched
+    * target keys take the source row (update), unmatched source rows
+    * insert, everything else passes through — executed as ONE
+    * copy-on-write commit. The source's days are calendar-bounded, the
+    * touched live files are exactly those days' (day-partitioned
+    * layout ⇒ file ⊆ day), and the rewrite is
+    * `touched-rows ▷ source-keys ∪ source` (one anti-join + union —
+    * up1's mergeUpsert shape, but against a VERSIONED store whose old
+    * files survive as the previous snapshot). Cost ∝ touched days,
+    * never the table; untouched days keep byte-identical files and the
+    * commit is readable through every up13/up15 facility — AS OF shows
+    * the pre-merge state, the CDF shows exactly the merge's row-level
+    * effect (spec-pinned).
+    */
+  private[graft] def ttMergeInto(s: SparkSession, dir: String,
+      source: DataFrame, v: Int, sub: String): Unit = {
+    val days = source.select("day").distinct().collect()
+      .map(_.getString(0)).toSet // calendar-bounded
+    val touched = ttLiveFiles(s, dir, v - 1)
+      .filter(f => days.exists(day => f.contains(s"day=$day/")))
+    val merged = ttReadFiles(s, dir, touched)
+      .join(source.select("event_id"), Seq("event_id"), "left_anti")
+      .unionByName(source.select("event_id", "event_type", "cents", "day"))
+      .localCheckpoint(true) // materialize before the metadata swap
+    ttCommit(s, dir, v,
+      ttWriteBatch(s, dir, sub, merged.repartition(col("day"))), touched)
+  }
+
+  /** The up18 scenario: a day-bounded upsert batch (first three days'
+    * id%13 rows re-priced +1000 cents; keys deleted by v3 re-insert —
+    * MERGE's unmatched-source rule) applied as v4 on the up13 store.
+    */
+  private[graft] def ttMergedStore(s: SparkSession, d: String): String = {
+    val dir = ttStore(s, d)
+    val dayCut = events(s, d).agg(date_format(
+      date_add(min(to_date(col("ts"))), 2), "yyyy-MM-dd")).head.getString(0)
+    val updates = events(s, d)
+      .filter(col("event_id") % 13 === 0 &&
+        date_format(col("ts"), "yyyy-MM-dd") <= dayCut)
+      .select(col("event_id"), col("event_type"),
+        (expr("cast(round(value * 100) as bigint)") + lit(1000L)).as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    // unmatched-source rows exercise MERGE's insert arm (fresh key space)
+    val inserts = events(s, d)
+      .filter(col("event_id") % 17 === 0 &&
+        date_format(col("ts"), "yyyy-MM-dd") <= dayCut)
+      .select((col("event_id") + lit(3000000000L)).as("event_id"),
+        col("event_type"),
+        (expr("cast(round(value * 100) as bigint)") + lit(500L)).as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ttMergeInto(s, dir, updates.unionByName(inserts), 4, "b4m")
+    dir
+  }
+
+  def mergeIntoRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttMergedStore(s, d)
+    ttAsOf(s, dir, 4)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** up17 — SCHEMA EVOLUTION on the log-structured store (Delta's
     * mergeSchema write / Iceberg's add-column): a v4 commit appends
     * late-arriving rows that CARRY A NEW COLUMN (`ingest_gen`). The
@@ -1039,6 +1102,44 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up18_merge_into", mergeIntoRollup, Some(
+      // head = v3 with the windowed id%13 keys re-priced (update arm)
+      // and the +3e9 id%17 keys added (insert arm) — the oracle applies
+      // MERGE's semantics to the recomputed v3 state directly
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1,
+        |         min(day) + 2 AS dcut FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (
+        |  SELECT * FROM v3
+        |  WHERE NOT (event_id % 13 = 0 AND event_id < 1000000000
+        |             AND day <= (SELECT dcut FROM probe))
+        |  UNION ALL
+        |  SELECT event_id, event_type, cents + 1000, day FROM base
+        |  WHERE event_id % 13 = 0 AND day <= (SELECT dcut FROM probe)
+        |  UNION ALL
+        |  SELECT event_id + 3000000000, event_type, cents + 500, day
+        |  FROM base
+        |  WHERE event_id % 17 = 0 AND day <= (SELECT dcut FROM probe))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("up17_schema_evolution", schemaEvolutionRollup, Some(
       // head = v3's logical state ∪ the evolved batch; n_evolved counts
       // exactly the new-column carriers (old files reconcile to NULL)

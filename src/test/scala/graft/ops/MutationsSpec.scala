@@ -408,6 +408,40 @@ class MutationsSpec extends SparkSpec {
       "CDF-maintained partials diverge from the full v3 recompute")
   }
 
+  test("up18 merge into: touched days only, CDF shows exactly the upsert, pre-merge snapshot intact") {
+    val dir = Mutations.ttMergedStore(spark, sf0001)
+    val ev = graft.Tables.events(spark, sf0001)
+    val dayCut = ev.agg(date_format(
+      date_add(min(to_date(col("ts"))), 2), "yyyy-MM-dd")).head.getString(0)
+    val nUpd = ev.filter(col("event_id") % 13 === 0 &&
+      date_format(col("ts"), "yyyy-MM-dd") <= dayCut).count()
+    val nIns = ev.filter(col("event_id") % 17 === 0 &&
+      date_format(col("ts"), "yyyy-MM-dd") <= dayCut).count()
+    assert(nUpd > 0 && nIns > 0, "merge scenario degenerate")
+    // COW locality: only the windowed days' files were replaced
+    val (addedF, removedF) = Mutations.ttChangedFiles(spark, dir, 3, 4)
+    val windowDays = (0 to 2).map(i => ev.agg(date_format(
+      date_add(min(to_date(col("ts"))), i), "yyyy-MM-dd")).head.getString(0))
+    (addedF ++ removedF).foreach(f =>
+      assert(windowDays.exists(day => f.contains(s"day=$day/")),
+        s"merge touched a file outside its day window: $f"))
+    // row-level effect through the CDF: deletes = the replaced
+    // pre-images (update arm only), inserts = post-images + new keys
+    val ch = Mutations.ttChanges(spark, dir, 3, 4)
+    assert(ch.filter(col("_change_type") === "delete").count() == nUpd,
+      "CDF delete side is not exactly the replaced pre-images")
+    assert(ch.filter(col("_change_type") === "insert").count() == nUpd + nIns,
+      "CDF insert side is not exactly the merge's output rows")
+    // updated keys carry the re-priced cents; inserted keys are the
+    // +3e9 key space
+    val ins = ch.filter(col("_change_type") === "insert")
+    assert(ins.filter(col("event_id") >= 3000000000L).count() == nIns)
+    // the pre-merge snapshot still answers (old files survive as v3)
+    val v3n = Mutations.ttAsOf(spark, dir, 3).count()
+    val v4n = Mutations.ttAsOf(spark, dir, 4).count()
+    assert(v4n == v3n + nIns, s"head count $v4n != v3 $v3n + inserts $nIns")
+  }
+
   test("up17 schema evolution: old files untouched, pre-evolution snapshot lacks the column, head reconciles") {
     val dir = Mutations.ttEvolvedStore(spark, sf0001)
     // a pre-evolution snapshot does not even surface the new column
