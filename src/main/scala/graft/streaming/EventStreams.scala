@@ -88,9 +88,9 @@ object EventStreams {
         .filter(col("c") > 0))
       .groupBy("week", "bin_id").agg(count(lit(1)).as("cnt"))
     val qname = "graft_stream_qsketch"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start())
     graft.ops.Analytics.quantilesFromBuckets(s.table(qname))
   }
 
@@ -115,9 +115,9 @@ object EventStreams {
       .groupBy("week", "day")
       .agg(hll_sketch_agg(col("user_id")).as("sk"))
     val qname = "graft_stream_hll"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start())
     val weeklyEst = s.table(qname).groupBy("week")
       .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
     val weeklyExact = Tables.events(s, d)
@@ -168,9 +168,9 @@ object EventStreams {
       .withColumn("bin", size(filter(typedlit(cuts), x => col("c") > x)))
       .groupBy("late", "bin").agg(count(lit(1)).as("n"))
     val qname = "graft_stream_psi"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start())
     val binned = s.table(qname).groupBy("bin").agg(
       sum(when(col("late") === 0, col("n")).otherwise(0L)).as("n_a"),
       sum(when(col("late") === 1, col("n")).otherwise(0L)).as("n_b"))
@@ -202,9 +202,9 @@ object EventStreams {
       .agg(array_sort(collect_list(
         struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
     val qname = "graft_stream_session_paths"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start())
     s.table(qname)
       .select(array_join(
         transform(slice(col("evs"), 1, pathLen), x => x("event_type")),
@@ -235,9 +235,9 @@ object EventStreams {
       .agg(max(when(col("event_type") === "view", 1).otherwise(0)).as("saw"),
         max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
     val qname = "graft_stream_ab"
-    val q = stream.writeStream.outputMode("update")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("update")
+      .format("memory").queryName(qname).start())
     // update-mode re-emissions of a (user, day) group collapse under
     // max — sound because the streamed aggregates are monotone
     val units = s.table(qname).groupBy("user_id", "w")
@@ -435,9 +435,9 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 day"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val qname = s"graft_st26_${Tables.scratchTag(d)}"
-    val q = stream.writeStream.outputMode("update")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("update")
+      .format("memory").queryName(qname).start())
     val droppedMetric = q.recentProgress.flatMap(p =>
       Option(p.stateOperators).toSeq.flatten.map(_.numRowsDroppedByWatermark))
       .sum
@@ -540,9 +540,9 @@ object EventStreams {
           MgEmit(bucket, n, m.keys.toSeq.sorted)
       }
     val qname = "graft_stream_mg"
-    val q = updated.toDF().writeStream.outputMode("update")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      updated.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(qname).start())
     // final state per bucket = the emission with the largest processed
     // count (processed strictly grows whenever a bucket sees data); the
     // window runs over buckets × batches rows, never data
@@ -699,9 +699,27 @@ object EventStreams {
     */
   private def withShuffleWidth[T](s: SparkSession, n: Int)(f: => T): T = {
     val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    // only ever LOWER the width: a session already narrower (the spec
+    // harness runs at 4) keeps its own — raising it would widen the
+    // per-restatement writer ceiling the st14 spec bounds files by
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(n, saved.toInt).toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
+
+  /** Start `w` (by name, so the query PLANS at the lowered width — the
+    * streaming engine pins the state partition count at first-batch
+    * construction) and drain it to completion at the streaming state
+    * width. Returns the stopped query for progress inspection.
+    */
+  private def runDrained(s: SparkSession,
+      w: => org.apache.spark.sql.streaming.StreamingQuery)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    withShuffleWidth(s, 8) {
+      val q = w
+      try q.processAllAvailable() finally q.stop()
+      q
+    }
 
   def streamIntervalJoin(s: SparkSession, d: String): DataFrame = {
     val src = stageDir(s, d)
@@ -976,12 +994,15 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
     val qname = "graft_backfill_windowed"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    try q.awaitTermination() finally q.stop()
+    val q = withShuffleWidth(s, 8) {
+      val qq = stream.writeStream.outputMode("complete")
+        .format("memory").queryName(qname)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      try qq.awaitTermination() finally qq.stop()
+      qq
+    }
     val batches = q.recentProgress.count(_.numInputRows > 0)
     val out = s.table(qname)
       .select(
@@ -1128,7 +1149,8 @@ object EventStreams {
     // width. The merge writes in foreachBatch inherit the same width —
     // bounded data, and the day-repartition decides file layout anyway.
     val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions",
+      math.min(8, savedShuffle.toInt).toString)
     val agg = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", filesPerTrigger.toString).parquet(src)
       .withWatermark("ts", "30 days")
@@ -1342,7 +1364,8 @@ object EventStreams {
       // (each micro-batch is ~1/4 of one day's events; 32 tasks of
       // ~40k rows are dominated by task startup + shuffle-file I/O)
       val savedShuffle = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        math.min(8, savedShuffle.toInt).toString)
       // each delivery is a SEPARATE query with a FRESH checkpoint — the
       // re-delivery regime, not st11's same-checkpoint restart
       def deliver(): Unit = {
@@ -1591,18 +1614,20 @@ object EventStreams {
           out.iterator
       }
     val qname = "graft_stream_temporal_join"
-    val q = joined.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      q.processAllAvailable() // batch 1: all real data, watermark 0
-      Seq((-903L, "2024-03-01 00:00:00", -903L, "view", 0.0, ""))
-        .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
-        .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
-          col("user_id"), col("event_type"), col("value"), col("props"))
-        .write.mode("append").parquet(src)
-      q.processAllAvailable() // batch 2: sentinel advances the watermark,
-      // every stateful group times out and flushes its ready clicks
-    } finally q.stop()
+    withShuffleWidth(s, 8) {
+      val q = joined.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable() // batch 1: all real data, watermark 0
+        Seq((-903L, "2024-03-01 00:00:00", -903L, "view", 0.0, ""))
+          .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+          .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+            col("user_id"), col("event_type"), col("value"), col("props"))
+          .write.mode("append").parquet(src)
+        q.processAllAvailable() // batch 2: sentinel advances the watermark,
+        // every stateful group times out and flushes its ready clicks
+      } finally q.stop()
+    }
     s.table(qname)
       .filter(col("user_id") >= 0 && col("ts_ms") < cutoffMs)
       .groupBy("user_id")
@@ -1697,27 +1722,29 @@ object EventStreams {
           out.iterator
       }
     val qname = "graft_stream_funnel"
-    val q = funnel.toDF().writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try {
-      q.processAllAvailable() // batch 1: all real data, watermark 0
-      // Two sentinel rounds: the first advances the watermark past every
-      // real purchase; finalization happens in the watermark-advance
-      // micro-batch AFTER the batch that read the sentinel, and
-      // processAllAvailable only guarantees input-drain, not that the
-      // no-data batch committed. A SECOND, later sentinel forces another
-      // real input batch whose processing necessarily follows the first
-      // round's no-data flush — deterministic, no timing dependence.
-      Seq("2024-03-01 00:00:00", "2024-03-02 00:00:00").zipWithIndex
-        .foreach { case (tsS, i) =>
-          Seq((-907L - i, tsS, -907L, "view", 0.0, ""))
-            .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
-            .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
-              col("user_id"), col("event_type"), col("value"), col("props"))
-            .write.mode("append").parquet(src)
-          q.processAllAvailable() // sentinel advances the watermark
-        }
-    } finally q.stop()
+    withShuffleWidth(s, 8) {
+      val q = funnel.toDF().writeStream.outputMode("append")
+        .format("memory").queryName(qname).start()
+      try {
+        q.processAllAvailable() // batch 1: all real data, watermark 0
+        // Two sentinel rounds: the first advances the watermark past every
+        // real purchase; finalization happens in the watermark-advance
+        // micro-batch AFTER the batch that read the sentinel, and
+        // processAllAvailable only guarantees input-drain, not that the
+        // no-data batch committed. A SECOND, later sentinel forces another
+        // real input batch whose processing necessarily follows the first
+        // round's no-data flush — deterministic, no timing dependence.
+        Seq("2024-03-01 00:00:00", "2024-03-02 00:00:00").zipWithIndex
+          .foreach { case (tsS, i) =>
+            Seq((-907L - i, tsS, -907L, "view", 0.0, ""))
+              .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+              .select(col("event_id"), col("ts_s").cast("timestamp").as("ts"),
+                col("user_id"), col("event_type"), col("value"), col("props"))
+              .write.mode("append").parquet(src)
+            q.processAllAvailable() // sentinel advances the watermark
+          }
+      } finally q.stop()
+    }
     s.table(qname).filter(col("user_id") >= 0)
       .agg(count(lit(1)).as("n_purchases"),
         sum(when(col("click_ok"), 1L).otherwise(0L)).as("n_with_click"),
