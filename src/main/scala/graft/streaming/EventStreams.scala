@@ -56,9 +56,9 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
     val qname = "graft_windowed_counts"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start())
     s.table(qname)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
@@ -586,9 +586,9 @@ object EventStreams {
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sum_value"))
     val qname = "graft_sliding_counts"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start())
     s.table(qname)
       .select(
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("wstart"),
@@ -609,9 +609,9 @@ object EventStreams {
       .groupBy(session_window(col("ts"), "30 minutes").as("sw"), col("user_id"))
       .agg(count(lit(1)).as("n_events"))
     val qname = "graft_session_windows"
-    val q = stream.writeStream.outputMode("complete")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      stream.writeStream.outputMode("complete")
+      .format("memory").queryName(qname).start())
     s.table(qname)
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
@@ -646,9 +646,9 @@ object EventStreams {
           agg
       }
     val qname = "graft_stateful_max"
-    val q = updated.toDF().writeStream.outputMode("update")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      updated.toDF().writeStream.outputMode("update")
+      .format("memory").queryName(qname).start())
     // one update row per key per micro-batch → keep the final state
     s.table(qname)
       .groupBy("event_type")
@@ -671,9 +671,9 @@ object EventStreams {
       .select(col("user_id"), col("event_type"))
       .dropDuplicates("user_id", "event_type")
     val qname = "graft_stream_dedup"
-    val q = deduped.writeStream.outputMode("append")
-      .format("memory").queryName(qname).start()
-    try q.processAllAvailable() finally q.stop()
+    val q = runDrained(s,
+      deduped.writeStream.outputMode("append")
+      .format("memory").queryName(qname).start())
     s.table(qname)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_distinct_users"))
