@@ -343,6 +343,59 @@ object Graph {
     bfsDistances(sym, seeds).orderBy("node")
   }
 
+  /** g9 — WEIGHTED multi-seed shortest paths (hop-bounded Bellman–Ford
+    * with frontier-limited relaxation — SPFA): g3's BFS answers "how
+    * many hops", this answers "how cheap" under per-edge INTEGER
+    * weights (wt = 1 + (u+v) mod 7, symmetric and a pure function of
+    * the endpoints, so both engines weight identical edges). Each round
+    * relaxes only from nodes whose distance IMPROVED last round — by
+    * induction the distance table after round k is exactly the minimum
+    * over ≤k-edge paths, so frontier relaxation computes the same
+    * k-bounded semantics as textbook Bellman–Ford at frontier-sized
+    * (not graph-sized) join cost per round; an empty frontier is the
+    * fixpoint (= the true unbounded shortest distance). Declared
+    * semantics are `maxHops`-edge-bounded — exact-integer arithmetic,
+    * fully oracled: the DuckDB recursive CTE carries (node, dist, hops)
+    * and takes the same min. At 100 TB: per-round cost ∝ frontier ×
+    * degree, state is one (node, dist) row per reached node, and the
+    * hop bound caps the iteration like every production graph engine's
+    * max-iterations guard.
+    */
+  def weightedSssp(s: SparkSession, d: String, maxHops: Int = 8): DataFrame = {
+    val e = partCoEdges(s, d).cache()
+    val sym = e.select(col("u").as("src"), col("v").as("dst"))
+      .union(e.select(col("v").as("src"), col("u").as("dst")))
+      .withColumn("wt", lit(1L) + pmod(col("src") + col("dst"), lit(7)))
+      .cache()
+    val seeds = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .filter(pmod(col("node"), lit(97)) === 0).distinct()
+    var dist = seeds.select(col("node"), lit(0L).as("dist")).localCheckpoint()
+    var frontier = dist
+    var hop = 0
+    var active = true
+    while (active && hop < maxHops) {
+      hop += 1
+      val cand = frontier.join(sym, frontier("node") === sym("src"))
+        .select(sym("dst").as("node"),
+          (frontier("dist") + sym("wt")).as("nd"))
+        .groupBy("node").agg(min("nd").as("nd"))
+      val improved = cand.join(dist, Seq("node"), "left")
+        .filter(col("dist").isNull || col("nd") < col("dist"))
+        .select(col("node"), col("nd").as("dist"))
+        .localCheckpoint()
+      if (improved.isEmpty) active = false
+      else {
+        dist = dist.unionByName(improved)
+          .groupBy("node").agg(min("dist").as("dist"))
+          .localCheckpoint()
+        frontier = improved
+      }
+    }
+    e.unpersist()
+    dist.orderBy("node")
+  }
+
   /** g5 — k-CORE membership on the part co-occurrence graph: peel nodes
     * with degree < k until fixpoint; survivors form the k-core. This is
     * the graph-quality filter real corpus pipelines run on web/link
@@ -719,6 +772,29 @@ object Graph {
         |  UNION
         |  SELECT s.dst, w.dist + 1
         |  FROM walk w JOIN sym s ON s.src = w.node WHERE w.dist < 20)
+        |SELECT node, CAST(min(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("g9_weighted_sssp", (s, d) => weightedSssp(s, d), Some(
+      // the same walk with (dist, hops) carried: min over ≤8-edge paths
+      // under the endpoint-derived integer weights — exact arithmetic,
+      // g3's recursion discipline
+      """WITH RECURSIVE op AS (
+        |  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |e AS MATERIALIZED (
+        |  SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+        |symw AS MATERIALIZED (
+        |  SELECT u AS src, v AS dst, 1 + (u + v) % 7 AS wt FROM e
+        |  UNION ALL SELECT v, u, 1 + (u + v) % 7 FROM e),
+        |seeds AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        |  WHERE node % 97 = 0),
+        |walk(node, dist, hops) AS (
+        |  SELECT node, 0, 0 FROM seeds
+        |  UNION
+        |  SELECT s.dst, w.dist + s.wt, w.hops + 1
+        |  FROM walk w JOIN symw s ON s.src = w.node WHERE w.hops < 8)
         |SELECT node, CAST(min(dist) AS BIGINT) AS dist
         |FROM walk GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("g5_kcore", (s, d) => kCoreMembership(s, d),
