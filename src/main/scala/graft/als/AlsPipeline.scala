@@ -528,9 +528,21 @@ object AlsPipeline {
     * localCheckpoint so reruns re-read, never refit.
     */
   private val evalScoredMemo =
-    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  private[als] def evalScored(s: SparkSession, d: String): DataFrame =
-    evalScoredMemo.getOrElseUpdate(s"$d#${Tables.datasetFingerprint(d)}", {
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+  private[als] def evalScored(s: SparkSession, d: String): DataFrame = {
+    // memoize a STAGED PARQUET PATH, not a live DataFrame: a cached
+    // localCheckpoint is bound to the SparkContext that made it, so a
+    // session restart in the same JVM would hand back a dead plan; a
+    // parquet dir re-reads under any session (Tables.stagedDir rule).
+    val dir = Tables.stagedDir(evalScoredMemo,
+      s"alsscored#$d#${Tables.datasetFingerprint(d)}") { () =>
+      val out = Tables.scratchDir("graft_als_scored", d)
+      evalScoredBuild(s, d).write.mode("overwrite").parquet(out)
+      out
+    }
+    s.read.parquet(dir)
+  }
+  private def evalScoredBuild(s: SparkSession, d: String): DataFrame = {
       val ratings = preferenceRatings(s, d)
       val (train0, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
       val train = train0.cache()
@@ -555,7 +567,7 @@ object AlsPipeline {
         .localCheckpoint(true)
       train.unpersist()
       scored
-    })
+  }
 
   /** Mean NDCG@k over users (≥2 probe items) ranking by `scoreCol`.
     * Exposed for the spec's ideal-ranker certification (scoreCol =

@@ -393,6 +393,7 @@ object Graph {
       }
     }
     e.unpersist()
+    sym.unpersist()
     dist.orderBy("node")
   }
 

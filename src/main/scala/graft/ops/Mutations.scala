@@ -714,6 +714,9 @@ object Mutations {
 
   /** Append log entry `v`: `a <path>` adds and `r <path>` removes.
     * Exclusive create — the same serialization point as up12's claim.
+    * Every `ttCheckpointInterval`-th commit also writes a CHECKPOINT
+    * manifest (up19), so snapshot resolution never replays more than
+    * one interval's worth of commit files.
     */
   private def ttCommit(s: SparkSession, dir: String, v: Int,
       adds: Seq[String], removes: Seq[String]): Unit = {
@@ -724,28 +727,87 @@ object Mutations {
       .mkString("\n")
     val out = fs.create(new org.apache.hadoop.fs.Path(log, s"v$v.txt"), false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
+    if (v > 0 && v % ttCheckpointInterval == 0) ttWriteCheckpoint(s, dir, v)
   }
 
-  /** The live file set at version `asOf`: replay log entries ≤ asOf. */
-  private[graft] def ttLiveFiles(s: SparkSession, dir: String, asOf: Int): Seq[String] = {
+  /** up19 — checkpoint cadence: every Nth commit snapshots the live-file
+    * set into `_log/ckpt-v<N>.txt` (Delta writes `checkpoint.parquet`
+    * every 10 commits for exactly this reason; 4 keeps the small test
+    * scenarios exercising multiple checkpoints).
+    */
+  private[graft] val ttCheckpointInterval = 4
+
+
+  /** up19 — CHECKPOINT the commit log: materialize the live-file set at
+    * version `v` as one manifest file, so every later snapshot
+    * resolution (AS OF, CDF, MERGE's probe, vacuum, the streaming
+    * tailer's bootstrap) reads latest-checkpoint + the commit suffix
+    * instead of replaying the WHOLE log from v0 — O(1 + interval)
+    * metadata reads instead of O(versions). This is the exact tax the
+    * survey bans in the reference one level down (`ALS/ALS.java:312-327`
+    * re-reads A/AT from HDFS every iteration): at production commit
+    * rates an un-checkpointed log IS the table's bottleneck. Idempotent
+    * (a checkpoint is a pure function of the log prefix, so an existing
+    * file is simply kept) and atomically published (tmp + rename — a
+    * concurrent reader never sees a partial manifest).
+    */
+  private[graft] def ttWriteCheckpoint(s: SparkSession, dir: String, v: Int): Unit = {
+    val fs = ttFs(s, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_log/ckpt-v$v.txt")
+    if (fs.exists(p)) return // idempotent re-write: content is determined by v
+    val live = ttLiveFiles(s, dir, v) // itself resolves from the previous ckpt
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_log/.ckpt-v$v.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(live.mkString("\n").getBytes("UTF-8")) finally out.close()
+    // a lost rename race means a concurrent writer published the identical
+    // manifest first — drop ours
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+  }
+
+  /** The live file set at version `asOf`: seed from the newest checkpoint
+    * ≤ asOf, then replay only the commit entries in (ckpt, asOf] — the
+    * up19 read path (≤ 1 + interval file opens; without a checkpoint,
+    * the full replay the pre-up19 store did).
+    */
+  private[graft] def ttLiveFiles(s: SparkSession, dir: String, asOf: Int): Seq[String] =
+    ttLiveFilesCounted(s, dir, asOf)._1
+
+  /** [[ttLiveFiles]] plus the number of log/checkpoint files it opened —
+    * the spec pins resolution cost to ≤ 1 checkpoint + interval commits.
+    */
+  private[graft] def ttLiveFilesCounted(s: SparkSession, dir: String,
+      asOf: Int): (Seq[String], Int) = {
+    var opened = 0
     val fs = ttFs(s, dir)
     val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    val entries = fs.listStatus(log).toSeq
-      .filter(_.getPath.getName.matches("v\\d+\\.txt"))
-      .map { st =>
-        st.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt -> st.getPath
-      }.filter(_._1 <= asOf).sortBy(_._1)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
-    entries.foreach { case (_, p) =>
+    val names = fs.listStatus(log).toSeq.map(_.getPath)
+    def readLines(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      opened += 1
       val in = fs.open(p)
       val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      body.split("\n").filter(_.nonEmpty).foreach { line =>
+      body.split("\n").filter(_.nonEmpty).toSeq
+    }
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    val ckpt = names.map(_.getName).filter(_.matches("ckpt-v\\d+\\.txt"))
+      .map(_.stripPrefix("ckpt-v").stripSuffix(".txt").toInt)
+      .filter(_ <= asOf).sorted.lastOption
+    ckpt.foreach { cv =>
+      readLines(new org.apache.hadoop.fs.Path(log, s"ckpt-v$cv.txt"))
+        .foreach(live += _)
+    }
+    val entries = names
+      .filter(_.getName.matches("v\\d+\\.txt"))
+      .map(p => p.getName.stripPrefix("v").stripSuffix(".txt").toInt -> p)
+      .filter { case (v, _) => v > ckpt.getOrElse(-1) && v <= asOf }
+      .sortBy(_._1)
+    entries.foreach { case (_, p) =>
+      readLines(p).foreach { line =>
         if (line.startsWith("a ")) live += line.drop(2)
         else if (line.startsWith("r ")) live -= line.drop(2)
       }
     }
-    live.toSeq.sorted
+    (live.toSeq.sorted, opened)
   }
 
   /** Snapshot read: exactly the live files, partition column recovered
@@ -940,12 +1002,13 @@ object Mutations {
     * MERGE write verb, the lakehouse's transactional upsert): matched
     * target keys take the source row (update), unmatched source rows
     * insert, everything else passes through — executed as ONE
-    * copy-on-write commit. The source's days are calendar-bounded, the
-    * touched live files are exactly those days' (day-partitioned
-    * layout ⇒ file ⊆ day), and the rewrite is
+    * copy-on-write commit. Matching is TABLE-GLOBAL: the touched live
+    * files are found by probing the key column of the live set against
+    * the source's keys (a pruned scan + broadcast semi-join), so a key
+    * that moved days still matches, and the rewrite is
     * `touched-rows ▷ source-keys ∪ source` (one anti-join + union —
     * up1's mergeUpsert shape, but against a VERSIONED store whose old
-    * files survive as the previous snapshot). Cost ∝ touched days,
+    * files survive as the previous snapshot). Cost ∝ matched files,
     * never the table; untouched days keep byte-identical files and the
     * commit is readable through every up13/up15 facility — AS OF shows
     * the pre-merge state, the CDF shows exactly the merge's row-level
@@ -953,14 +1016,39 @@ object Mutations {
     */
   private[graft] def ttMergeInto(s: SparkSession, dir: String,
       source: DataFrame, v: Int, sub: String): Unit = {
-    val days = source.select("day").distinct().collect()
-      .map(_.getString(0)).toSet // calendar-bounded
-    val touched = ttLiveFiles(s, dir, v - 1)
-      .filter(f => days.exists(day => f.contains(s"day=$day/")))
-    val merged = ttReadFiles(s, dir, touched)
-      .join(source.select("event_id"), Seq("event_id"), "left_anti")
-      .unionByName(source.select("event_id", "event_type", "cents", "day"))
-      .localCheckpoint(true) // materialize before the metadata swap
+    // TABLE-GLOBAL match scope (Delta/Iceberg MERGE semantics): touched
+    // files are found by probing the LIVE file set for source keys — a
+    // column-pruned (key, input_file_name) scan semi-joined against the
+    // broadcast source keys — never by assuming matches live inside the
+    // source's own days. A source row whose key sits on a day OUTSIDE
+    // its carried day is thus an UPDATE (old file rewritten without the
+    // key, new row lands under the source's day), not a silent
+    // duplicate insert. At 100 TB the probe reads one column; with
+    // per-file key min/max (the ManifestFileIndex discipline) it would
+    // prune to candidate files before scanning at all. The collect is
+    // file-count-bounded (touched file names), never data.
+    val live = ttLiveFiles(s, dir, v - 1)
+    val srcKeys = source.select("event_id")
+    val base = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val touched =
+      if (live.isEmpty) Seq.empty[String]
+      else ttReadFiles(s, dir, live)
+        .select(col("event_id"), input_file_name().as("_f"))
+        .join(broadcast(srcKeys), Seq("event_id"), "left_semi")
+        .select("_f").distinct().collect()
+        .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
+          .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+        .toSeq.sorted
+    val srcCols = source.select("event_id", "event_type", "cents", "day")
+    // no matched file ⇒ pure insert: the source alone is the new batch
+    // (an anti-join against an empty path list would be an
+    // AnalysisException, and there is nothing to rewrite)
+    val merged =
+      if (touched.isEmpty) srcCols
+      else ttReadFiles(s, dir, touched)
+        .join(srcKeys, Seq("event_id"), "left_anti")
+        .unionByName(srcCols)
+        .localCheckpoint(true) // materialize before the metadata swap
     ttCommit(s, dir, v,
       ttWriteBatch(s, dir, sub, merged.repartition(col("day"))), touched)
   }
@@ -1035,6 +1123,48 @@ object Mutations {
       .orderBy("event_type")
   }
 
+  /** up19 store: a MANY-commit log — v0 base plus nine append commits
+    * (commit i appends the `event_id % 9 == i-1` slice re-keyed into its
+    * own id band), so checkpoints auto-write at v4 and v8 and all three
+    * resolution regimes get exercised: pre-first-checkpoint (full
+    * replay), mid-interval (ckpt4 + suffix), head (ckpt8 + suffix).
+    */
+  private[graft] def ttManyCommitStore(s: SparkSession, d: String): String = {
+    val dir = Tables.scratchDir("graft_up19_store", d)
+    val fs = ttFs(s, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val base = events(s, d).select(col("event_id"), col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    ttCommit(s, dir, 0,
+      ttWriteBatch(s, dir, "b0", base.repartition(col("day"))), Nil)
+    (1 to 9).foreach { i =>
+      val slice = base.filter(col("event_id") % 9 === (i - 1))
+        .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+      ttCommit(s, dir, i,
+        ttWriteBatch(s, dir, s"b$i", slice.repartition(col("day"))), Nil)
+    }
+    dir
+  }
+
+  /** The declared up19 query: per-(version, event_type) rollups at v3,
+    * v6 and v9 of the many-commit store — v3 resolves by pure replay
+    * (no checkpoint yet), v6 through ckpt4, v9 through ckpt8; the hash
+    * match proves checkpointed resolution reconstructs the identical
+    * snapshots the full replay would. The ≤(1 + interval)-file-read
+    * bound and checkpoint idempotence are spec-pinned (not
+    * data-observable by the oracle).
+    */
+  def checkpointedTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = ttManyCommitStore(s, d)
+    Seq(3, 6, 9).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
   /** up14 — VACUUM with a retention horizon (Delta's VACUUM / Iceberg's
     * expire_snapshots): time travel (up13) keeps every superseded file
     * forever; vacuum deletes exactly the data files referenced by NO
@@ -1102,6 +1232,23 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up19_log_checkpoint", checkpointedTimeTravel, Some(
+      // state at v = base ∪ the first v re-keyed slices (slice i carries
+      // the event_id % 9 = i-1 rows); the engine answers each version
+      // through checkpoint-seeded log resolution
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |vs AS (SELECT * FROM (VALUES (3), (6), (9)) AS t(version)),
+        |st AS (
+        |  SELECT vs.version, b.event_type, b.cents FROM vs CROSS JOIN base b
+        |  UNION ALL
+        |  SELECT vs.version, b.event_type, b.cents
+        |  FROM vs JOIN base b ON (b.event_id % 9) + 1 <= vs.version)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up18_merge_into", mergeIntoRollup, Some(
       // head = v3 with the windowed id%13 keys re-priced (update arm)
       // and the +3e9 id%17 keys added (insert arm) — the oracle applies

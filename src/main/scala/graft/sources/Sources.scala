@@ -1420,12 +1420,19 @@ object Sources {
   private[graft] def typedManifest(s: SparkSession, dir: String):
       Array[(String, String, String, Long, Long)] = {
     import s.implicits._
+    // nullable decode: a file whose tracked column is all-NULL has null
+    // min/max — such entries are DROPPED from the manifest so the file
+    // falls under the index's unknown-file rule (conservatively kept)
+    // instead of crashing the encoder / UTF8String.fromString(null).
     s.read.parquet(dir)
       .groupBy(input_file_name().as("file"))
       .agg(min("event_type").as("tmin"), max("event_type").as("tmax"),
         min("user_id").as("umin"), max("user_id").as("umax"))
-      .as[(String, String, String, Long, Long)]
+      .as[(String, Option[String], Option[String], Option[Long], Option[Long])]
       .collect()
+      .collect { case (f, Some(tmin), Some(tmax), Some(umin), Some(umax)) =>
+        (f, tmin, tmax, umin, umax)
+      }
   }
 
   private[graft] def stringIndexedStore(s: SparkSession, d: String): DataFrame = {

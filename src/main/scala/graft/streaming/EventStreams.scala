@@ -1467,8 +1467,47 @@ object EventStreams {
     val snaps = scala.collection.mutable.ArrayBuffer
       .empty[(Long, String, Long, Long)]
     var lastV = -1
+    // out-of-order tolerance: the file stream USUALLY delivers commits in
+    // version order (mtime sort), but nothing contractual guarantees it —
+    // and lexicographic tie-breaks invert at v10 ('v10' < 'v2'). Commits
+    // arriving early are BUFFERED keyed by version and folded only when
+    // their predecessor has been applied, so the delta algebra always
+    // folds in log order regardless of arrival order. The buffer is
+    // bounded by the reorder window (≤ commits outstanding), never data.
+    val pending = scala.collection.mutable.Map.empty[Int, Array[String]]
+    // up19 bootstrap: a checkpointed log is seeded from the newest
+    // checkpoint manifest — ONE scan of the checkpointed live set —
+    // and only commits AFTER it are tailed. The consumer thus never
+    // replays the full log and keeps working after pre-checkpoint
+    // commits age out (vacuumed history); on an un-checkpointed store
+    // (the declared st28 scenario) this is a no-op and the tail starts
+    // at v0 exactly as before.
+    locally {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+      val ckptV = fs.listStatus(log).toSeq.map(_.getPath.getName)
+        .filter(_.matches("ckpt-v\\d+\\.txt"))
+        .map(_.stripPrefix("ckpt-v").stripSuffix(".txt").toInt)
+        .sorted.lastOption.getOrElse(-1)
+      if (ckptV >= 0) {
+        val live = Mutations.ttLiveFiles(s, dir, ckptV)
+        Mutations.ttReadFiles(s, dir, live).groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+          .collect().foreach { r =>
+            partials(r.getString(0)) = (r.getLong(1), r.getLong(2))
+          }
+        lastV = ckptV
+        partials.toSeq.sortBy(_._1).foreach { case (et, (n, c)) =>
+          snaps += ((ckptV.toLong, et, n, c))
+        }
+      }
+    }
     val stream = s.readStream
       .option("maxFilesPerTrigger", "1")
+      // commit files only: checkpoint manifests (ckpt-v*.txt) are
+      // resolution shortcuts, not deltas — folding one would double-count
+      .option("pathGlobFilter", "v*.txt")
       .text(s"$dir/_log")
       .select(col("value"), input_file_name().as("f"))
     val q = stream.writeStream.outputMode("append")
@@ -1480,14 +1519,17 @@ object EventStreams {
             .distinct
           require(versions.length == 1,
             s"one micro-batch must carry one commit, got ${versions.toSeq}")
-          val v = versions.head
-          require(v == lastV + 1,
-            s"commit gap: v$v after v$lastV — refusing out-of-order fold")
+          // commits at or below the bootstrap checkpoint are already
+          // subsumed by the seeded partials — drop, never re-fold
+          if (versions.head > lastV)
+            pending(versions.head) = rows.map(_.getString(0)).filter(_.nonEmpty)
+          val sp = batch.sparkSession
+          while (pending.contains(lastV + 1)) {
+          val v = lastV + 1
           lastV = v
-          val lines = rows.map(_.getString(0)).filter(_.nonEmpty)
+          val lines = pending.remove(v).get
           val adds = lines.collect { case l if l.startsWith("a ") => l.drop(2) }
           val removes = lines.collect { case l if l.startsWith("r ") => l.drop(2) }
-          val sp = batch.sparkSession
           def agg(files: Seq[String]): Seq[(String, Long, Long)] =
             if (files.isEmpty) Nil
             else Mutations.ttReadFiles(sp, dir, files)
@@ -1517,6 +1559,7 @@ object EventStreams {
           partials.toSeq.sortBy(_._1).foreach { case (et, (n, c)) =>
             snaps += ((v.toLong, et, n, c))
           }
+          } // while: fold every buffered commit now unblocked
         }
         ()
       }
@@ -1524,6 +1567,12 @@ object EventStreams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
+    // out-of-order commits were buffered, not folded — if any remain at
+    // end-of-stream, a commit in the middle genuinely never arrived:
+    // die loudly rather than return a partial fold
+    require(pending.isEmpty,
+      s"commit gap: v${pending.keys.toSeq.sorted.mkString(",v")} arrived " +
+        s"but v${lastV + 1} never did — refusing partial fold")
     import s.implicits._
     snaps.toSeq.toDF("version", "event_type", "n", "sum_cents")
       .orderBy("version", "event_type")

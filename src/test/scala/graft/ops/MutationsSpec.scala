@@ -442,6 +442,86 @@ class MutationsSpec extends SparkSpec {
     assert(v4n == v3n + nIns, s"head count $v4n != v3 $v3n + inserts $nIns")
   }
 
+  test("up19 checkpoint: bounded resolution, idempotent re-write, equals full replay") {
+    val dir = Mutations.ttManyCommitStore(spark, sf0001)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    def ckptNames = fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.startsWith("ckpt-")).sorted.toSeq
+    // interval-4 cadence over 10 commits → checkpoints at v4 and v8
+    assert(ckptNames == Seq("ckpt-v4.txt", "ckpt-v8.txt"), ckptNames.toString)
+    // BOUNDED RESOLUTION: head (v9) reads ckpt8 + v9 — never the v0 replay
+    val (headLive, headOpened) = Mutations.ttLiveFilesCounted(spark, dir, 9)
+    assert(headOpened == 2, s"head resolution opened $headOpened log files")
+    assert(headOpened <= 1 + Mutations.ttCheckpointInterval)
+    // mid-interval (v6): ckpt4 + v5 + v6
+    val (_, midOpened) = Mutations.ttLiveFilesCounted(spark, dir, 6)
+    assert(midOpened == 3, s"v6 resolution opened $midOpened log files")
+    // pre-checkpoint (v3): plain replay of v0..v3
+    val (_, preOpened) = Mutations.ttLiveFilesCounted(spark, dir, 3)
+    assert(preOpened == 4)
+    // IDEMPOTENT RE-WRITE: bytes unchanged by a second call
+    def bytes(n: String): String = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(log, n))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val before = bytes("ckpt-v8.txt")
+    Mutations.ttWriteCheckpoint(spark, dir, 8)
+    assert(bytes("ckpt-v8.txt") == before, "checkpoint re-write changed bytes")
+    // CHECKPOINTED ≡ FULL REPLAY: drop the manifests, resolve again
+    ckptNames.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(log, n), false))
+    val (replayLive, replayOpened) = Mutations.ttLiveFilesCounted(spark, dir, 9)
+    assert(replayOpened == 10, s"un-checkpointed replay opened $replayOpened")
+    assert(replayLive == headLive,
+      "checkpoint-seeded live set diverges from the full replay")
+    // re-checkpointing reproduces the identical manifest
+    Mutations.ttWriteCheckpoint(spark, dir, 8)
+    assert(bytes("ckpt-v8.txt") == before)
+  }
+
+  test("up18 merge matches TABLE-GLOBALLY: a moved-day key updates, never duplicates; empty match is a pure insert") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val v3 = Mutations.ttAsOf(spark, dir, 3)
+    // pick a real key living on the EARLIEST day, then merge a source row
+    // carrying that key under a day 6 days LATER — outside any day the
+    // source names for the old row's location
+    val probe = v3.orderBy("day", "event_id")
+      .select("event_id", "day", "cents").head()
+    val (key, oldDay) = (probe.getLong(0), probe.getString(1))
+    val newDay = java.time.LocalDate.parse(oldDay).plusDays(6).toString
+    val source = Seq((key, "moved", 777L, newDay))
+      .toDF("event_id", "event_type", "cents", "day")
+    Mutations.ttMergeInto(spark, dir, source, 4, "b4mv")
+    val head = Mutations.ttAsOf(spark, dir, 4)
+    // UPDATE, not duplicate: the key appears exactly once, at the source
+    // day with the source payload — a day-scoped matcher would have
+    // inserted a second row and left the old one in place
+    val rows = head.filter(col("event_id") === key)
+      .select("day", "event_type", "cents").collect()
+    assert(rows.length == 1, s"moved-day key duplicated: ${rows.toSeq}")
+    assert(rows.head.getString(0) == newDay &&
+      rows.head.getString(1) == "moved" && rows.head.getLong(2) == 777L)
+    assert(head.count() == v3.count(), "merge changed the row count")
+    // CDF shows the exact row-level effect: one delete (the old image,
+    // on the OLD day) + one insert (the new image)
+    val ch = Mutations.ttChanges(spark, dir, 3, 4)
+      .select(col("_change_type"), col("event_id"), col("day")).collect()
+    val del = ch.filter(_.getString(0) == "delete")
+    val ins = ch.filter(_.getString(0) == "insert")
+    assert(del.length == 1 && del.head.getLong(1) == key &&
+      del.head.getString(2) == oldDay)
+    assert(ins.length == 1 && ins.head.getLong(1) == key &&
+      ins.head.getString(2) == newDay)
+    // EMPTY MATCH (pure insert): a source of only-fresh keys must commit
+    // without an anti-join over an empty path list
+    val fresh = Seq((7000000001L, "fresh", 1L, newDay))
+      .toDF("event_id", "event_type", "cents", "day")
+    Mutations.ttMergeInto(spark, dir, fresh, 5, "b5ins")
+    assert(Mutations.ttAsOf(spark, dir, 5).count() == v3.count() + 1)
+  }
+
   test("up17 schema evolution: old files untouched, pre-evolution snapshot lacks the column, head reconciles") {
     val dir = Mutations.ttEvolvedStore(spark, sf0001)
     // a pre-evolution snapshot does not even surface the new column

@@ -388,6 +388,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(gapMsg(err), s"wrong failure for a commit gap: $err")
   }
 
+  test("st28 bootstraps from the newest checkpoint: tail starts at ckpt version, head matches batch") {
+    import graft.ops.Mutations
+    // the up19 many-commit store checkpoints at v4 and v8 — the tailer
+    // must seed from ckpt8 (one live-set scan) and fold ONLY v9
+    val dir = Mutations.ttManyCommitStore(spark, sf0001)
+    val got = EventStreams.streamingCdfTailOnStore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.map(_._1).distinct == Seq(8L, 9L),
+      s"expected versions 8,9 only, got ${got.map(_._1).distinct}")
+    // both emitted states equal the batch AS-OF recompute
+    (8 to 9).foreach { v =>
+      val batch = Mutations.ttAsOf(spark, dir, v).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("cents").as("c")).collect()
+        .map(r => (v.toLong, r.getString(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._2).toSeq
+      assert(got.filter(_._1 == v) == batch,
+        s"bootstrapped state at v$v diverges from batch AS OF")
+    }
+    // the tailer works even when pre-checkpoint commit files are GONE
+    // (aged-out history): delete v0..v7 commit entries and re-tail
+    (0 to 7).foreach { v =>
+      assert(new java.io.File(s"$dir/_log/v$v.txt").delete())
+    }
+    val again = EventStreams.streamingCdfTailOnStore(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(again == got, "tail after history age-out diverges")
+  }
+
   test("update-merge sink: untouched day partitions keep byte-identical files") {
     // the st12 scaling claim made checkable: per-batch writes restate only
     // the day partitions containing changed keys, so a partition outside a
