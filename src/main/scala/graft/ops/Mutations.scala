@@ -821,15 +821,148 @@ object Mutations {
     * reads anyway.)
     */
   private[graft] def ttAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
-    val files = ttLiveFiles(s, dir, v).map(f => s"$dir/$f")
-    require(files.nonEmpty, s"version $v has no live files")
+    val (dvFiles, dataFiles) = ttLiveFiles(s, dir, v).partition(ttIsDv)
+    require(dataFiles.nonEmpty, s"version $v has no live files")
+    val files = dataFiles.map(f => s"$dir/$f")
     val savedInfer = s.conf
       .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    try s.read.option("basePath", dir).option("mergeSchema", "true")
-      .parquet(files: _*)
-    finally s.conf.set(
-      "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+    val data =
+      try s.read.option("basePath", dir).option("mergeSchema", "true")
+        .parquet(files: _*)
+      finally s.conf.set(
+        "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+    ttApplyDv(s, dir, data, dvFiles)
+  }
+
+  // ---- up20: DELETION VECTORS (merge-on-read deletes) ----
+
+  /** DV sidecars live under `_dv/` in the SAME log live set as data
+    * files — the path prefix is the discriminator, so every live-set
+    * facility (checkpoints, vacuum's referenced-file accounting, the
+    * CDF's net diff) covers them with zero extra machinery.
+    */
+  private[graft] def ttIsDv(rel: String): Boolean = rel.startsWith("_dv/")
+
+  /** The file's path RELATIVE to the table root, as a column — the key
+    * DV entries are recorded and matched under (stable across the
+    * `file:` scheme variants `input_file_name` may surface).
+    */
+  private def ttRelFile(dir: String) = regexp_extract(input_file_name(),
+    java.util.regex.Pattern.quote(
+      new org.apache.hadoop.fs.Path(dir).toUri.getPath) + "/(.*)$", 1)
+
+  /** Apply deletion vectors at read (the merge-on-read half of up20):
+    * anti-join the data rows against the live DV entries on
+    * (file, key). The DV side is deletion-sized and broadcast; a DV
+    * entry whose data file is no longer live simply never matches
+    * (inert metadata until vacuumed). No DVs ⇒ the read is untouched.
+    */
+  private[graft] def ttApplyDv(s: SparkSession, dir: String,
+      data: DataFrame, dvFiles: Seq[String]): DataFrame =
+    if (dvFiles.isEmpty) data
+    else {
+      val dv = s.read.parquet(dvFiles.map(f => s"$dir/$f"): _*)
+      val tagged = data.withColumn("_f", ttRelFile(dir))
+      tagged.join(broadcast(dv),
+          tagged("_f") === dv("file") && tagged("event_id") === dv("event_id"),
+          "left_anti")
+        .drop("_f")
+    }
+
+  /** Publish a (file, event_id) DV batch into `_dv/` — ttWriteBatch's
+    * rename discipline, flat layout (DVs carry no partition column).
+    * Registering the PART FILES (not the dir) keeps vacuum's
+    * referenced-file accounting exact.
+    */
+  private def ttWriteDv(s: SparkSession, dir: String, sub: String,
+      df: DataFrame): Seq[String] = {
+    val fs = ttFs(s, dir)
+    val staging = s"$dir/_staging_$sub"
+    df.coalesce(1).write.mode("overwrite").parquet(staging) // deletion-sized
+    val stRoot = new org.apache.hadoop.fs.Path(staging)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(stRoot, false)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val pubRel = s"_dv/$sub-${f.getPath.getName}"
+        val dst = new org.apache.hadoop.fs.Path(s"$dir/$pubRel")
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(f.getPath, dst), s"dv publish rename failed")
+        out += pubRel
+      }
+    }
+    fs.delete(stRoot, true)
+    out.toSeq.sorted
+  }
+
+  /** up20 — MERGE-ON-READ point delete (Delta deletion vectors /
+    * Iceberg position deletes): rows matching `pred` are deleted by
+    * writing a (file, key) SIDECAR against the immutable data files —
+    * the commit touches NO data file, so a point delete costs O(deleted
+    * rows) instead of rewriting every day it grazes (the 1000× write
+    * amplification COW pays for scattered deletes at 100 TB). Readers
+    * apply live DVs via [[ttApplyDv]]; [[ttDvCompact]] materializes
+    * them later (up11's OPTIMIZE discipline). The doomed list is
+    * computed from the DV-APPLIED head, so re-deleting an
+    * already-deleted row is impossible and the job is idempotent in
+    * effect.
+    */
+  private[graft] def ttDvDelete(s: SparkSession, dir: String, v: Int,
+      sub: String, pred: org.apache.spark.sql.Column): Unit = {
+    val doomed = ttAsOf(s, dir, v - 1).filter(pred)
+      .select(ttRelFile(dir).as("file"), col("event_id"))
+      .localCheckpoint(true) // pin before the commit changes the snapshot
+    ttCommit(s, dir, v, ttWriteDv(s, dir, sub, doomed), Nil)
+  }
+
+  /** Materialize all live DVs: rewrite each DV-bearing data file minus
+    * its deleted rows, retire the old files AND the DV sidecars in ONE
+    * commit — logically a no-op (the CDF between the two versions is
+    * empty, spec-pinned), physically the read-amplification payback.
+    * Cost ∝ DV-bearing files, never the table.
+    */
+  private[graft] def ttDvCompact(s: SparkSession, dir: String, v: Int,
+      sub: String): Unit = {
+    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    require(dvF.nonEmpty, "no deletion vectors to compact")
+    val dv = s.read.parquet(dvF.map(f => s"$dir/$f"): _*)
+    val bearing = dv.select("file").distinct().collect().map(_.getString(0))
+      .filter(dataF.contains).toSeq.sorted // inert entries (dead files) skip
+    val rewritten = ttApplyDv(s, dir, ttReadFiles(s, dir, bearing), dvF)
+      .localCheckpoint(true)
+    ttCommit(s, dir, v,
+      ttWriteBatch(s, dir, sub, rewritten.repartition(col("day"))),
+      (bearing ++ dvF).sorted)
+  }
+
+  /** The up20 scenario: the 4-version COW store + v4 DV delete of the
+    * `event_id % 23 == 0` rows (scattered across every day — the COW
+    * worst case) + v5 compaction materializing the DVs.
+    */
+  private[graft] def ttDvStore(s: SparkSession, d: String): String = {
+    val dir = ttStore(s, d)
+    ttDvDelete(s, dir, 4, "dv4", pmod(col("event_id"), lit(23)) === 0)
+    ttDvCompact(s, dir, 5, "b5c")
+    dir
+  }
+
+  /** The declared up20 query: the per-event_type rollup at v4 (DVs
+    * applied at read) AND v5 (DVs materialized) — the oracle computes
+    * ONE post-delete state and expects it twice, so the hash proves
+    * merge-on-read ≡ its compaction. Byte-identity of undeleted data
+    * files across the DV commit and the empty CDF across compaction
+    * are spec-pinned.
+    */
+  def dvDeleteRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttDvStore(s, d)
+    (4 to 5).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
   }
 
   /** Build the 4-version store: v0 base, v1 append, v2 COW update,
@@ -927,16 +1060,46 @@ object Mutations {
     */
   private[graft] def ttChanges(s: SparkSession, dir: String,
       from: Int, to: Int): DataFrame = {
-    val (addedF, removedF) = ttChangedFiles(s, dir, from, to)
-    require(addedF.nonEmpty || removedF.nonEmpty,
+    val (dvFromF, dataFromF) = ttLiveFiles(s, dir, from).partition(ttIsDv)
+    val (dvToF, dataToF) = ttLiveFiles(s, dir, to).partition(ttIsDv)
+    val fromSet = dataFromF.toSet
+    val toSet = dataToF.toSet
+    val addedF = (toSet -- fromSet).toSeq.sorted
+    val removedF = (fromSet -- toSet).toSeq.sorted
+    // DV-affected files (up20): a data file live at BOTH versions whose
+    // applicable deletion-vector entries changed carries row changes the
+    // file diff can't see — its OLD effective content (DVs as of `from`)
+    // and NEW effective content (DVs as of `to`) join the bag difference.
+    // The probe is deletion-churn-sized: the DV sym-difference names the
+    // files, never a data read.
+    val dvAffected: Seq[String] =
+      if (dvFromF == dvToF) Nil
+      else {
+        def dvRows(fs: Seq[String], like: Seq[String]): DataFrame =
+          if (fs.nonEmpty) s.read.parquet(fs.map(f => s"$dir/$f"): _*)
+          else s.read.parquet(like.map(f => s"$dir/$f"): _*).filter(lit(false))
+        val dFrom = dvRows(dvFromF, dvToF)
+        val dTo = dvRows(dvToF, dvFromF)
+        val both = fromSet.intersect(toSet)
+        dTo.exceptAll(dFrom).unionByName(dFrom.exceptAll(dTo))
+          .select("file").distinct().collect().map(_.getString(0))
+          .filter(both).toSeq.sorted
+      }
+    val oldFiles = (removedF ++ dvAffected).sorted
+    val newFiles = (addedF ++ dvAffected).sorted
+    require(oldFiles.nonEmpty || newFiles.nonEmpty,
       s"no changes between v$from and v$to")
-    val added = if (addedF.nonEmpty) Some(ttReadFiles(s, dir, addedF)) else None
-    val removed = if (removedF.nonEmpty) Some(ttReadFiles(s, dir, removedF)) else None
+    def eff(files: Seq[String], dvF: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(ttApplyDv(s, dir, ttReadFiles(s, dir, files), dvF))
+    val added = eff(newFiles, dvToF)
+    val removed = eff(oldFiles, dvFromF)
     def emptyLike(df: DataFrame): DataFrame = df.filter(lit(false))
     val a = added.getOrElse(emptyLike(removed.get))
     val r = removed.getOrElse(emptyLike(added.get))
     // bag difference both ways: rows copied verbatim by a COW rewrite
-    // appear on both sides and cancel; only genuine changes survive
+    // (or merely surviving a DV) appear on both sides and cancel; only
+    // genuine changes survive
     a.exceptAll(r).withColumn("_change_type", lit("insert"))
       .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
@@ -1232,6 +1395,36 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up20_deletion_vectors", dvDeleteRollup, Some(
+      // one post-delete state (v3 minus the % 23 keys), expected at BOTH
+      // v4 (merge-on-read) and v5 (materialized) — the hash proves the
+      // DV-applied read and its compaction agree exactly
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (SELECT * FROM v3 WHERE event_id % 23 <> 0),
+        |all_v AS (
+        |  SELECT 4 AS version, event_type, cents FROM v4
+        |  UNION ALL SELECT 5, event_type, cents FROM v4)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up19_log_checkpoint", checkpointedTimeTravel, Some(
       // state at v = base ∪ the first v re-keyed slices (slice i carries
       // the event_id % 9 = i-1 rows); the engine answers each version

@@ -1491,8 +1491,9 @@ object EventStreams {
         .map(_.stripPrefix("ckpt-v").stripSuffix(".txt").toInt)
         .sorted.lastOption.getOrElse(-1)
       if (ckptV >= 0) {
-        val live = Mutations.ttLiveFiles(s, dir, ckptV)
-        Mutations.ttReadFiles(s, dir, live).groupBy("event_type")
+        // ttAsOf, not a raw live-set read: the checkpointed set may carry
+        // deletion vectors, which the snapshot read applies
+        Mutations.ttAsOf(s, dir, ckptV).groupBy("event_type")
           .agg(count(lit(1)).as("n"), sum("cents").as("c"))
           .collect().foreach { r =>
             partials(r.getString(0)) = (r.getLong(1), r.getLong(2))
@@ -1530,27 +1531,26 @@ object EventStreams {
           val lines = pending.remove(v).get
           val adds = lines.collect { case l if l.startsWith("a ") => l.drop(2) }
           val removes = lines.collect { case l if l.startsWith("r ") => l.drop(2) }
-          def agg(files: Seq[String]): Seq[(String, Long, Long)] =
-            if (files.isEmpty) Nil
-            else Mutations.ttReadFiles(sp, dir, files)
-              .groupBy("event_type")
-              .agg(count(lit(1)).as("n"), sum("cents").as("c"))
-              .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-              .toSeq
           val delta: Seq[(String, Long, Long)] =
-            if (removes.isEmpty) agg(adds) // pure append: no diff needed
-            else {
-              // COW commit: bag-difference so copied rows cancel
-              val a = Mutations.ttReadFiles(sp, dir, adds)
-              val r = Mutations.ttReadFiles(sp, dir, removes)
-              a.exceptAll(r).withColumn("sgn", lit(1L))
-                .unionByName(r.exceptAll(a).withColumn("sgn", lit(-1L)))
+            if (removes.isEmpty && !adds.exists(Mutations.ttIsDv))
+              // pure data append: the new files ARE the delta
+              Mutations.ttReadFiles(sp, dir, adds)
                 .groupBy("event_type")
-                .agg(sum(col("sgn")).as("n"),
-                  sum(col("sgn") * col("cents")).as("c"))
+                .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+                .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+                .toSeq
+            else
+              // COW rewrite and/or deletion-vector change: the general
+              // DV-aware CDF (copied/surviving rows cancel in its bag
+              // difference); still reads only the commit's churn
+              Mutations.ttChanges(sp, dir, v - 1, v)
+                .groupBy("event_type")
+                .agg(sum(when(col("_change_type") === "insert", 1L)
+                  .otherwise(-1L)).as("n"),
+                  sum(when(col("_change_type") === "insert", col("cents"))
+                    .otherwise(-col("cents"))).as("c"))
                 .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2)))
                 .toSeq
-            }
           delta.foreach { case (et, dn, dc) =>
             val (n0, c0) = partials.getOrElse(et, (0L, 0L))
             val next = (n0 + dn, c0 + dc)

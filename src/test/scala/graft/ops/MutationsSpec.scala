@@ -481,6 +481,59 @@ class MutationsSpec extends SparkSpec {
     assert(bytes("ckpt-v8.txt") == before)
   }
 
+  test("up20 deletion vectors: no data file touched, CDF sees the delete, compaction is CDF-invisible") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileIds(): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out(f.getPath.toUri.getPath) = (f.getLen, f.getModificationTime)
+      }
+      out.toMap
+    }
+    val v3 = Mutations.ttAsOf(spark, dir, 3)
+    val v3n = v3.count()
+    val doomed = v3.filter(pmod(col("event_id"), lit(23)) === 0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(doomed.nonEmpty, "DV scenario degenerate: nothing to delete")
+    val preFiles = fileIds()
+    Mutations.ttDvDelete(spark, dir, 4,
+      "dv4", pmod(col("event_id"), lit(23)) === 0)
+    // MERGE-ON-READ: the delete commit touched NO data file — every
+    // pre-existing parquet byte-identical (len, mtime); only _dv/ grew
+    val postFiles = fileIds()
+    preFiles.foreach { case (p, id) =>
+      assert(postFiles.get(p).contains(id), s"DV delete rewrote $p")
+    }
+    assert((postFiles.keySet -- preFiles.keySet).forall(_.contains("/_dv/")),
+      "DV delete added a non-sidecar file")
+    // the DV-applied head drops exactly the doomed keys; v3 is untouched
+    val v4 = Mutations.ttAsOf(spark, dir, 4)
+    assert(v4.count() == v3n - doomed.size)
+    assert(v4.filter(col("event_id").isin(doomed.toSeq: _*)).count() == 0)
+    assert(Mutations.ttAsOf(spark, dir, 3).count() == v3n,
+      "pre-DV snapshot changed")
+    // CDF across the DV commit: deletes = exactly the doomed rows, no inserts
+    val ch = Mutations.ttChanges(spark, dir, 3, 4)
+    assert(ch.filter(col("_change_type") === "insert").count() == 0)
+    val chDel = ch.filter(col("_change_type") === "delete")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(chDel == doomed, "CDF delete side is not exactly the DV rows")
+    // compaction materializes: same logical state, DVs retired, and the
+    // CDF between the two versions is EMPTY (logically a no-op)
+    Mutations.ttDvCompact(spark, dir, 5, "b5c")
+    val (dvLive, _) = Mutations.ttLiveFiles(spark, dir, 5)
+      .partition(Mutations.ttIsDv)
+    assert(dvLive.isEmpty, s"compaction left live DVs: $dvLive")
+    assert(Mutations.ttAsOf(spark, dir, 5).count() == v3n - doomed.size)
+    assert(Mutations.ttChanges(spark, dir, 4, 5).count() == 0,
+      "compaction must be invisible to the change feed")
+  }
+
   test("up18 merge matches TABLE-GLOBALLY: a moved-day key updates, never duplicates; empty match is a pure insert") {
     val dir = Mutations.ttStore(spark, sf0001)
     val v3 = Mutations.ttAsOf(spark, dir, 3)
