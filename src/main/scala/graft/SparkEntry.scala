@@ -31,4 +31,9 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     modules.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Queries whose memoized index/codebook staging Bench separates from
+    * the timed (steady-state) run — see [[QueryDef.staged]]. */
+  def stagedQueries: Set[String] =
+    modules.filter(_.staged).map(_.name).toSet
 }

@@ -106,4 +106,11 @@ object Tables {
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String] = None)
+    oracle: Option[String] = None,
+    // staged = the query consumes a memoized on-disk index/codebook whose
+    // one-time build is NOT the operator's per-query cost: Bench runs such
+    // a query once untimed (building the staging) and times the second,
+    // steady-state run, recording the untimed pass in a separate
+    // `staging` field — the committed record then reads serving cost, not
+    // whichever query happened to build the shared index that day.
+    staged: Boolean = false)

@@ -1739,18 +1739,18 @@ object Similarity {
   val defs: Seq[QueryDef] = Seq(
     // rows-only: the IVF-approximate graph has no SQL twin; edge recall
     // vs the exact graph + determinism pinned in the spec
-    QueryDef("v15_knn_graph", (s, d) => knnGraph(s, d), None),
+    QueryDef("v15_knn_graph", (s, d) => knnGraph(s, d), None, staged = true),
     QueryDef("v20_incremental_ivf", (s, d) => incrementalIvfMaintenance(s, d),
       None),
-    QueryDef("v21_graph_search", (s, d) => graphSearchTopK(s, d), None),
-    QueryDef("v22_hnsw_search", (s, d) => hierarchicalGraphSearch(s, d), None),
+    QueryDef("v21_graph_search", (s, d) => graphSearchTopK(s, d), None, staged = true),
+    QueryDef("v22_hnsw_search", (s, d) => hierarchicalGraphSearch(s, d), None, staged = true),
     // rows-only: NN-Descent inherits v15's seeded-KMeans upstream; the
     // spec pins per-rank monotonicity vs v15, recall-not-worse on planted
     // clusters, well-formedness, and rerun determinism
-    QueryDef("v16_nndescent", (s, d) => nnDescentRefine(s, d), None),
+    QueryDef("v16_nndescent", (s, d) => nnDescentRefine(s, d), None, staged = true),
     // rows-only: PLAID staging inherits v3's seeded KMeans; exact
     // degeneration to v14, recall, and determinism pinned in the spec
-    QueryDef("v17_plaid_rerank", (s, d) => plaidRerank(s, d), None),
+    QueryDef("v17_plaid_rerank", (s, d) => plaidRerank(s, d), None, staged = true),
     // rows-only: pool>=corpus ≡ exact v2, clustered recall, 64-bit
     // boundedness, and rerun determinism pinned in the spec
     QueryDef("v18_binary_hamming", (s, d) => binaryHammingTopK(s, d), Some(
@@ -1799,7 +1799,7 @@ object Similarity {
         |    row_number() OVER (PARTITION BY q_id
         |      ORDER BY raw_cos DESC, vec_id) AS rank
         |  FROM rescored) WHERE rank <= 10
-        |ORDER BY q_id, rank""".stripMargin)),
+        |ORDER BY q_id, rank""".stripMargin), staged = true),
     QueryDef("v14_maxsim_topk", (s, d) => maxSimTopK(s, d), Some(
       // same total order as v2 (score desc, n_id asc); per-qi maxes
       // summed in fixed qi order on both sides
@@ -1831,10 +1831,10 @@ object Similarity {
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     // rows-only: the stacked IVF/PQ approximations have no SQL twin;
     // recall + index-layout claims pinned in the spec
-    QueryDef("v10_ivfpq_topk", (s, d) => ivfPqTopK(s, d), None),
+    QueryDef("v10_ivfpq_topk", (s, d) => ivfPqTopK(s, d), None, staged = true),
     // rows-only: PQ/ADC approximations have no SQL twin; recall@k vs
     // exact v2 pinned in the spec
-    QueryDef("v9_pq_topk", (s, d) => pqTopK(s, d), None),
+    QueryDef("v9_pq_topk", (s, d) => pqTopK(s, d), None, staged = true),
     // rows-only: quantized scores have no SQL twin; recall@k vs exact v2
     // pinned in the spec
     QueryDef("v8_quantized_topk", (s, d) => quantizedTopK(s, d), Some(
@@ -1965,7 +1965,7 @@ object Similarity {
         |ORDER BY q_id, n_id""".stripMargin)),
     // rows-only: seeded KMeans quantizer has no SQL twin; recall vs the
     // exact filtered v12 + scan-reduction + pruning spec-pinned
-    QueryDef("v13_filtered_ann", (s, d) => filteredAnnIvf(s, d), None),
+    QueryDef("v13_filtered_ann", (s, d) => filteredAnnIvf(s, d), None, staged = true),
     QueryDef("v12_filtered_topk", (s, d) => filteredTopK(s, d), Some(
       // v2's oracle with the metadata predicate as a pre-score join —
       // rank over the unrounded cosine, CAST rank to INT, round output
@@ -2019,10 +2019,10 @@ object Similarity {
         |  FROM scored)
         |SELECT q_id, rank, n_id, round(raw_cos, 6) AS cos
         |FROM ranked WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin)),
-    QueryDef("v3_ann_ivf", (s, d) => annIvf(s, d), None),
+    QueryDef("v3_ann_ivf", (s, d) => annIvf(s, d), None, staged = true),
     // rows-only: the seeded coarse quantizer has no SQL twin; the curve's
     // monotonicity + max-probe recall floor are spec-pinned
-    QueryDef("v11_ann_recall_curve", (s, d) => annRecallCurve(s, d), None),
+    QueryDef("v11_ann_recall_curve", (s, d) => annRecallCurve(s, d), None, staged = true),
     QueryDef("v5_fused_naive_cosine", (s, d) => cosineThresholdNaive(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
         |SELECT q.vec_id AS q_id, c.vec_id AS n_id,

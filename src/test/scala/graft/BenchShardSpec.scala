@@ -18,6 +18,9 @@ class BenchShardSpec extends AnyFunSuite {
     assert(names.filter(_.matches("^g\\d.*")).forall(Bench.shardOf(_) == "g"))
     assert(names.filter(_.matches("^(d|dq)\\d.*")).forall(Bench.shardOf(_) == "d"))
     assert(names.filter(_.startsWith("als")).forall(Bench.shardOf(_) == "als"))
+    assert(names.filter(_.matches("^t\\d.*")).forall(Bench.shardOf(_) == "t"))
+    assert(names.filter(_.matches("^(up|cat|src)\\d.*"))
+      .forall(Bench.shardOf(_) == "lake"))
     // membership is a partition: shard sizes sum to the full surface
     val bySh = names.groupBy(Bench.shardOf)
     assert(bySh.values.map(_.size).sum == names.size)
