@@ -965,6 +965,41 @@ object Mutations {
     }.reduce(_.unionByName(_)).orderBy("version", "event_type")
   }
 
+  /** Snapshot read of the tt store as a DIR-ROOTED relation (st29):
+    * unlike [[ttAsOf]]'s explicit-file-list read, the relation's root
+    * path IS the store dir — [[graft.sources.TtSnapshotFileIndex]]
+    * serves the live set from under it — so path-keyed machinery (the
+    * MV-rewrite registry) can address the versioned table the way it
+    * addresses a plain dir. DV-bearing snapshots are refused: the
+    * relation form can't apply deletion vectors (use ttAsOf).
+    */
+  private[graft] def ttHeadRelation(s: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    val live = ttLiveFiles(s, dir, v)
+    require(!live.exists(ttIsDv),
+      "ttHeadRelation cannot serve a DV-bearing snapshot")
+    require(live.nonEmpty, s"version $v has no live files")
+    val savedInfer = s.conf
+      .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
+    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+    try {
+      val idx = new graft.sources.TtSnapshotFileIndex(s,
+        new org.apache.hadoop.fs.Path(dir), live.toSet)
+      val full = ttReadFiles(s, dir, live).schema
+      val partitionSchema = idx.partitionSpec().partitionColumns
+      val dataSchema = org.apache.spark.sql.types.StructType(
+        full.filterNot(f => partitionSchema.fieldNames.contains(f.name)))
+      val rel = HadoopFsRelation(idx, partitionSchema = partitionSchema,
+        dataSchema = dataSchema, bucketSpec = None,
+        fileFormat = new ParquetFileFormat,
+        options = Map.empty[String, String])(s)
+      s.baseRelationToDataFrame(rel)
+    } finally s.conf.set(
+      "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+  }
+
   /** Build the 4-version store: v0 base, v1 append, v2 COW update,
     * v3 COW delete. Rebuilt per call (the scenario IS the operator).
     */

@@ -138,11 +138,13 @@ object MatViews {
     * exact-cents Sum child — the vocabulary coarser queries must be
     * expressible in for cat4/cat8 compensation.
     */
-  private def singleRelEntry(s: SparkSession, mv: String, d: String,
-      fp: String, defining: DataFrame,
-      partitionCol: Option[String] = None): MvEntry = {
-    val opt = withoutRewrite { defining.queryExecution.optimizedPlan }
-    val (dayNorm, etNorm, centsNorm) = opt.collect { case a: Aggregate => a }
+  /** Extract the normalized (day key, string key, exact-cents Sum child)
+    * from a single-relation daily/monthly-shaped rollup's optimized
+    * plan — shared by the plain-dir entries and the tt-store (st29) one.
+    */
+  private def deriveSingleRelNorms(opt: LogicalPlan)
+      : (Expression, Expression, Expression) =
+    opt.collect { case a: Aggregate => a }
       .headOption.map { a =>
         val rel = a.collectFirst { case l: LogicalRelation => l }.get
         val gs = a.groupingExpressions
@@ -155,6 +157,12 @@ object MatViews {
         (normalizeToSchema(day, rel), normalizeToSchema(et, rel),
           normalizeToSchema(cents, rel))
       }.get
+
+  private def singleRelEntry(s: SparkSession, mv: String, d: String,
+      fp: String, defining: DataFrame,
+      partitionCol: Option[String] = None): MvEntry = {
+    val opt = withoutRewrite { defining.queryExecution.optimizedPlan }
+    val (dayNorm, etNorm, centsNorm) = deriveSingleRelNorms(opt)
     val nRows = withoutRewrite { s.read.parquet(mv).count() } // view-sized
     // ANALYZE-style column stat, computed once at registration over the
     // VIEW (never the fact table): the day key's NDV feeds the
@@ -462,6 +470,93 @@ object MatViews {
           MaintenanceReport(added.size, 0, restaged = false, dir)
         }
     }
+  }
+
+  // ---- st29: the registered daily view OVER THE LOG-STRUCTURED STORE,
+  // maintained through the change feed ----
+
+  /** The daily-rollup shape over a tt store's snapshot `v` — the same
+    * (day, event_type, n, cents) vocabulary as [[naiveDailyRollup]], but
+    * rooted at the VERSIONED store via the dir-addressable snapshot
+    * relation ([[graft.ops.Mutations.ttHeadRelation]]), so the rewrite
+    * tier can key the registry on the store path like any plain table.
+    */
+  def ttDailyRollup(s: SparkSession, ttDir: String, v: Int): DataFrame =
+    graft.ops.Mutations.ttHeadRelation(s, ttDir, v)
+      .groupBy(to_date(col("day")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+
+  private def ttSrcKey(ttDir: String): String =
+    new java.io.File(ttDir).getAbsolutePath
+
+  /** (Re-)register the tt daily view: the WHOLE entry (template, norms,
+    * store fingerprint, view stats) re-derives against snapshot `v` —
+    * cat7's post-maintenance discipline, so the staleness gate always
+    * compares against the current head and a rebuilt store deregisters
+    * cleanly.
+    */
+  private def registerTtDailyRollup(s: SparkSession, ttDir: String, v: Int,
+      mv: String): Unit = {
+    val opt = withoutRewrite {
+      ttDailyRollup(s, ttDir, v).queryExecution.optimizedPlan
+    }
+    val (dayNorm, etNorm, centsNorm) = deriveSingleRelNorms(opt)
+    val nRows = withoutRewrite { s.read.parquet(mv).count() } // view-sized
+    val ndv = withoutRewrite {
+      s.read.parquet(mv).select("day").distinct().count()
+    }
+    registry.put(ttSrcKey(ttDir), MvEntry(mv, opt.canonicalized, ttDir,
+      graft.Tables.datasetFingerprint(ttDir), dayNorm, etNorm, centsNorm,
+      Map.empty, nRows, None, ndv))
+  }
+
+  /** Stage + register the tt daily view at snapshot `v` — the stream
+    * consumer's bootstrap, the ONLY full-snapshot aggregation it ever
+    * runs. Returns the view dir.
+    */
+  def stageTtDailyRollup(s: SparkSession, ttDir: String, v: Int): String = {
+    val dir = graft.Tables.scratchDir("graft_mv_tt", ttDir) + s"_v$v"
+    withoutRewrite {
+      ttDailyRollup(s, ttDir, v).write.mode("overwrite").parquet(dir)
+    }
+    registerTtDailyRollup(s, ttDir, v, dir)
+    dir
+  }
+
+  /** st29 — maintain the REGISTERED tt view across commit `v` through
+    * the CHANGE FEED: insert partials add, delete partials subtract
+    * (up16's abelian-group algebra over count and exact cents), the
+    * merged view lands in a fresh versioned dir, and the entry re-keys
+    * to the post-commit fingerprint — cat7's discipline at CDF cost.
+    * Only the commit's net-changed files are read, NEVER the store —
+    * including for COW updates and DELETES, the moves cat7's plain-dir
+    * manifest diff must full-re-stage on (its removed files' bytes are
+    * gone; the tt log retains them, and the CDF turns the delete into
+    * subtractable partials). Returns the new view dir.
+    */
+  def maintainTtDailyRollup(s: SparkSession, ttDir: String, v: Int): String = {
+    val src = ttSrcKey(ttDir)
+    val entry = Option(registry.get(src)).getOrElse(
+      sys.error(s"tt view not registered for $ttDir"))
+    val merged = withoutRewrite {
+      val delta = graft.ops.Mutations.ttChanges(s, ttDir, v - 1, v)
+        .groupBy(to_date(col("day")).as("day"), col("event_type"))
+        .agg(sum(when(col("_change_type") === "insert", 1L)
+          .otherwise(-1L)).as("dn"),
+          sum(when(col("_change_type") === "insert", col("cents"))
+            .otherwise(-col("cents"))).as("dcents"))
+      s.read.parquet(entry.mv)
+        .join(delta, Seq("day", "event_type"), "full_outer")
+        .select(col("day"), col("event_type"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+          (coalesce(col("cents"), lit(0L)) +
+            coalesce(col("dcents"), lit(0L))).as("cents"))
+        .filter(col("n") > 0)
+    }
+    val dir = s"${entry.mv.replaceAll("_m\\d+$", "")}_m${maintVersion.incrementAndGet()}"
+    withoutRewrite { merged.write.mode("overwrite").parquet(dir) }
+    registerTtDailyRollup(s, ttDir, v, dir)
+    dir
   }
 
   // ---- cat6: aggregate-JOIN view (Goldstein & Larson's join matching) ----

@@ -1578,6 +1578,73 @@ object EventStreams {
       .orderBy("version", "event_type")
   }
 
+  /** st29 — STREAM the change feed INTO the registered view (st28 ×
+    * up16 × cat7, the composition those tiers exist to enable): a
+    * foreachBatch consumer tails the tt store's commit log and folds
+    * each commit's insert/delete partials into the REGISTERED daily
+    * view — versioned view dir + whole-entry registry re-key per
+    * commit (cat7's discipline), delta computed by the DV-aware CDF
+    * (up16's algebra), so the MV stays fresh under COW updates AND
+    * DELETES without ever re-staging: per-commit read cost is the
+    * commit's churn, the bootstrap (v0) is the only full-snapshot
+    * aggregation. The declared result is the post-stream daily rollup
+    * over the head, whose plan the cat tier answers FROM the
+    * maintained view (spec-pinned via inputFiles); the oracle
+    * recomputes v3's rollup from raw events, so the hash proves
+    * stream-maintained ≡ full recompute across an update and a delete.
+    * At 100 TB this is the serving pattern every lakehouse dashboard
+    * wants: commits land on the versioned store, the summary table
+    * follows at churn cost, queries never touch the fact.
+    */
+  def streamingViewMaintenance(s: SparkSession, d: String): DataFrame =
+    streamingViewMaintenanceOnStore(s, graft.ops.Mutations.ttStore(s, d))
+
+  private[graft] def streamingViewMaintenanceOnStore(s: SparkSession,
+      dir: String): DataFrame = {
+    import graft.plans.MatViews
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st29_ckpt").toString
+    var lastV = -1
+    // st28's ordering discipline: fold strictly in version order,
+    // buffering early arrivals, dying loudly on an end-of-stream gap
+    val pending = scala.collection.mutable.Set.empty[Int]
+    val stream = s.readStream
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "v*.txt")
+      .text(s"$dir/_log")
+      .select(input_file_name().as("f"))
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val files = batch.select("f").distinct().collect().map(_.getString(0))
+        if (files.nonEmpty) {
+          require(files.length == 1,
+            s"one micro-batch must carry one commit, got ${files.toSeq}")
+          val v = new org.apache.hadoop.fs.Path(files.head).getName
+            .stripPrefix("v").stripSuffix(".txt").toInt
+          val sp = batch.sparkSession
+          if (v > lastV) pending += v
+          while (pending.contains(lastV + 1)) {
+            val nv = lastV + 1
+            pending -= nv
+            if (nv == 0) MatViews.stageTtDailyRollup(sp, dir, 0) // bootstrap
+            else MatViews.maintainTtDailyRollup(sp, dir, nv)
+            lastV = nv
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(pending.isEmpty,
+      s"commit gap: v${pending.toSeq.sorted.mkString(",v")} arrived but " +
+        s"v${lastV + 1} never did — refusing to serve a stale view")
+    // the post-stream rollup: answered BY THE MAINTAINED VIEW via the
+    // rewrite tier (the plan never touches the store — spec-pinned)
+    MatViews.ttDailyRollup(s, dir, lastV).orderBy("day", "event_type")
+  }
+
   final case class TjIn(user_id: Long, ts: java.sql.Timestamp,
       kind: String, value: Double, event_id: Long)
   final case class TjState(views: Seq[(Long, Double)],
@@ -1801,6 +1868,33 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st29_streaming_view_maint", streamingViewMaintenance, Some(
+      // v3's daily rollup recomputed from raw events — the engine's
+      // answer comes FROM the stream-maintained registered view (the
+      // v0 bootstrap plus three CDF folds, one carrying a COW update
+      // and one a DELETE), so the hash proves stream-maintained ≡ full
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe)))
+        |SELECT day, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS cents
+        |FROM v3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("st28_streaming_cdf", streamingCdfTail, Some(
       // up13's oracle VERBATIM (st19/st20's discipline): the oracle
       // recomputes every version state from raw events; the engine

@@ -416,6 +416,66 @@ class EventStreamsSpec extends SparkSpec {
     assert(again == got, "tail after history age-out diverges")
   }
 
+  test("st29: post-stream plan reads ONLY the maintained view; every fold equals full recompute") {
+    import graft.ops.Mutations
+    import graft.plans.MatViews
+    val dir = Mutations.ttStore(spark, sf0001)
+    val got = EventStreams.streamingViewMaintenanceOnStore(spark, dir)
+    // THE pin: the declared rollup's plan scans the maintained view dir,
+    // never the store — the cat tier answered it from the registered MV
+    val read = got.inputFiles.toSeq
+    assert(read.nonEmpty && read.forall(_.contains("graft_mv_tt")),
+      s"post-stream plan read outside the view: $read")
+    assert(read.forall(f => !f.contains("graft_up13_store") ||
+      f.contains("graft_mv_tt")), s"plan touched the store: $read")
+    // stream-maintained content equals the full head recompute
+    val viaView = got.collect()
+      .map(r => (r.getDate(0).toString, r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    val full = MatViews.withoutRewrite {
+      Mutations.ttAsOf(spark, dir, 3)
+        .groupBy(to_date(col("day")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .orderBy("day", "event_type").collect()
+        .map(r => (r.getDate(0).toString, r.getString(1),
+          r.getLong(2), r.getLong(3))).toSeq
+    }
+    assert(viaView == full,
+      "stream-maintained view diverges from the full v3 recompute")
+    // delete-bearing maintenance WITHOUT re-staging: re-run the fold
+    // sequence directly and pin each step — the v3 fold (the DELETE
+    // commit) must read only the commit's net-changed files, the move
+    // cat7's plain-dir manifest diff cannot make
+    val dir2 = Mutations.ttStore(spark, sf0001)
+    MatViews.stageTtDailyRollup(spark, dir2, 0)
+    (1 to 3).foreach { v =>
+      val mv = MatViews.maintainTtDailyRollup(spark, dir2, v)
+      val maintained = MatViews.withoutRewrite {
+        spark.read.parquet(mv).orderBy("day", "event_type").collect()
+          .map(r => (r.getDate(0).toString, r.getString(1),
+            r.getLong(2), r.getLong(3))).toSeq
+      }
+      val expect = MatViews.withoutRewrite {
+        Mutations.ttAsOf(spark, dir2, v)
+          .groupBy(to_date(col("day")).as("day"), col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+          .orderBy("day", "event_type").collect()
+          .map(r => (r.getDate(0).toString, r.getString(1),
+            r.getLong(2), r.getLong(3))).toSeq
+      }
+      assert(maintained == expect, s"maintained view wrong at v$v")
+    }
+    // the CDF the v3 fold consumed planned over ONLY the net-changed
+    // files (the store-read bound that makes maintenance churn-cost)
+    val (addedF, removedF) = Mutations.ttChangedFiles(spark, dir2, 2, 3)
+    val planned = Mutations.ttChanges(spark, dir2, 2, 3).inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+    val allowed = (addedF ++ removedF).map(f =>
+      new java.io.File(s"$dir2/$f").getAbsolutePath).toSet
+    assert(planned.nonEmpty && planned.subsetOf(allowed),
+      s"delete-commit maintenance read outside the CDF set: ${planned -- allowed}")
+  }
+
   test("update-merge sink: untouched day partitions keep byte-identical files") {
     // the st12 scaling claim made checkable: per-batch writes restate only
     // the day partitions containing changed keys, so a partition outside a
