@@ -1255,8 +1255,10 @@ object Mutations {
     * id%13 rows re-priced +1000 cents; keys deleted by v3 re-insert —
     * MERGE's unmatched-source rule) applied as v4 on the up13 store.
     */
-  private[graft] def ttMergedStore(s: SparkSession, d: String): String = {
-    val dir = ttStore(s, d)
+  /** The up18 changeset (shared by the DataFrame verb and src29's SQL
+    * MERGE, so the two front doors provably merge the same source).
+    */
+  private[graft] def ttMergeSource(s: SparkSession, d: String): DataFrame = {
     val dayCut = events(s, d).agg(date_format(
       date_add(min(to_date(col("ts"))), 2), "yyyy-MM-dd")).head.getString(0)
     val updates = events(s, d)
@@ -1273,7 +1275,12 @@ object Mutations {
         col("event_type"),
         (expr("cast(round(value * 100) as bigint)") + lit(500L)).as("cents"),
         date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    ttMergeInto(s, dir, updates.unionByName(inserts), 4, "b4m")
+    updates.unionByName(inserts)
+  }
+
+  private[graft] def ttMergedStore(s: SparkSession, d: String): String = {
+    val dir = ttStore(s, d)
+    ttMergeInto(s, dir, ttMergeSource(s, d), 4, "b4m")
     dir
   }
 

@@ -108,6 +108,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeKernelRule)
     ext.injectOptimizerRule(_ => MatViewRewriteRule)
+    ext.injectResolutionRule(spark => TtSqlMergeRule(spark))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(binary("graft_dot", DotProduct))
     ext.injectFunction(binary("graft_cosine", CosineSim))

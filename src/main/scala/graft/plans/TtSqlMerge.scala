@@ -1,0 +1,89 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+/** src29 — SQL `MERGE INTO` over a tt-catalog table, intercepted at
+  * resolution and routed to up18's transactional [[graft.ops.Mutations
+  * .ttMergeInto]] — how a table format owns a row-level SQL verb: the
+  * parser/analyzer provide the front end, the format provides the
+  * commit. (Delta/Iceberg do this through DSv2's
+  * `SupportsRowLevelOperations` plumbing; the engine's MERGE is a
+  * whole-commit verb, so a direct command substitution expresses it
+  * with none of the distributed-rewrite scaffolding that API exists to
+  * coordinate.)
+  *
+  * Supported shape = exactly the engine verb:
+  * `ON t.event_id = s.event_id, WHEN MATCHED THEN UPDATE SET *, WHEN
+  * NOT MATCHED THEN INSERT *` (star or the equivalent fully-aligned
+  * column assignments). Anything else over a tt target dies loudly at
+  * analysis — never a silent partial merge.
+  */
+case class TtSqlMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  private def ttTableOf(target: LogicalPlan): Option[graft.sources.TtTable] =
+    target.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+        if r.table.isInstanceOf[graft.sources.TtTable] =>
+        r.table.asInstanceOf[graft.sources.TtTable]
+    }
+
+  private def isKeyEq(cond: Expression): Boolean = cond match {
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      a.name.equalsIgnoreCase("event_id") && b.name.equalsIgnoreCase("event_id")
+    case _ => false
+  }
+
+  /** UPDATE SET * / INSERT *, literally or after the analyzer expanded
+    * the star into straight same-name column assignments.
+    */
+  private def straightAssignments(as: Seq[Assignment]): Boolean =
+    as.nonEmpty && as.forall {
+      case Assignment(k: Attribute, v: Attribute) =>
+        k.name.equalsIgnoreCase(v.name)
+      case _ => false
+    }
+  private def isUpdateAll(actions: Seq[MergeAction]): Boolean = actions match {
+    case Seq(UpdateStarAction(None)) => true
+    case Seq(UpdateAction(None, as, _)) => straightAssignments(as)
+    case _ => false
+  }
+  private def isInsertAll(actions: Seq[MergeAction]): Boolean = actions match {
+    case Seq(InsertStarAction(None)) => true
+    case Seq(InsertAction(None, as)) => straightAssignments(as)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperators {
+    case m @ MergeIntoTable(target, source, cond,
+        matched, notMatched, notMatchedBySource, _)
+        if ttTableOf(target).isDefined && source.resolved =>
+      val ok = isKeyEq(cond) && isUpdateAll(matched) &&
+        isInsertAll(notMatched) && notMatchedBySource.isEmpty
+      if (!ok) throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "_LEGACY_ERROR_TEMP_0035",
+        messageParameters = Map("message" ->
+          ("tt MERGE supports exactly: ON t.event_id = s.event_id, " +
+            "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — got: " +
+            m.simpleString(3))))
+      TtSqlMergeCommand(ttTableOf(target).get.storeDir, source)
+  }
+}
+
+/** The substituted command: one ttMergeInto commit at head+1. Runs
+  * eagerly under `spark.sql` like every command.
+  */
+case class TtSqlMergeCommand(dir: String, source: LogicalPlan)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graft.Bridge.ofRows(spark, source)
+      .select("event_id", "event_type", "cents", "day")
+    val v = graft.sources.TtCatalog.headVersion(spark, dir) + 1
+    graft.ops.Mutations.ttMergeInto(spark, dir, src, v, s"m$v")
+    Seq.empty
+  }
+}

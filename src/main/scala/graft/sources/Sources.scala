@@ -1587,7 +1587,54 @@ object Sources {
       .orderBy("day")
   }
 
+  /** src28 — SQL TIME TRAVEL through the tt catalog: the same four
+    * snapshots up13's DataFrame verb answers, reached by
+    * `spark.sql("... FROM tt.<table> VERSION AS OF v")` — the catalog's
+    * `loadTable(ident, version)` is Spark's contract for that syntax,
+    * and the oracle is up13's VERBATIM (the SQL front door must be
+    * indistinguishable from the library call; a row-equality spec pins
+    * the two forms against each other too).
+    */
+  def sqlTimeTravel(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttStore(s, d)
+    TtCatalog.install(s)
+    TtCatalog.register("up13_store", dir)
+    (0 to 3).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, event_type,
+        count(*) AS n, sum(cents) AS sum_cents
+        FROM tt.up13_store VERSION AS OF $v GROUP BY event_type""")
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** src29 — SQL MERGE INTO through the tt catalog: up18's changeset
+    * (the SAME source builder) applied by the SQL verb — parsed by
+    * Spark, routed to the engine's transactional commit by the injected
+    * resolution rule ([[graft.plans.TtSqlMergeRule]]) — then the head
+    * read back through the catalog. Oracle: up18's VERBATIM.
+    */
+  def sqlMergeInto(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttStore(s, d)
+    TtCatalog.install(s)
+    TtCatalog.register("up18_sql_store", dir)
+    graft.ops.Mutations.ttMergeSource(s, d)
+      .createOrReplaceTempView("graft_tt_merge_src")
+    s.sql("""MERGE INTO tt.up18_sql_store t
+      USING graft_tt_merge_src s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.up18_sql_store GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src28_sql_time_travel", sqlTimeTravel,
+      // up13's oracle VERBATIM: the SQL front door must answer exactly
+      // what the DataFrame verb answers
+      graft.ops.Mutations.defs.find(_.name == "up13_time_travel").get.oracle),
+    QueryDef("src29_sql_merge", sqlMergeInto,
+      // up18's oracle VERBATIM
+      graft.ops.Mutations.defs.find(_.name == "up18_merge_into").get.oracle),
     QueryDef("src26_partition_evolution", partitionEvolutionQuery, Some(
       """WITH probe AS (
         |  SELECT min(CAST(ts AS DATE)) + 10 AS lo,
