@@ -917,6 +917,32 @@ object Mutations {
     ttCommit(s, dir, v, ttWriteDv(s, dir, sub, doomed), Nil)
   }
 
+  /** up21 — MERGE-ON-READ UPDATE (Delta's DV-based UPDATE): ONE commit
+    * adds a deletion vector over the matched rows' OLD images and a new
+    * batch carrying their UPDATED images — write cost ∝ matched rows,
+    * no day rewrite, old files untouched (spec-pinned). An update that
+    * moves a row's partition value (SET day = ...) works for free: the
+    * DV retires the old image wherever it lives, the new image lands
+    * under its new day. The CDF sees exactly delete-of-old +
+    * insert-of-new through the existing DV-aware diff.
+    */
+  private[graft] def ttDvUpdate(s: SparkSession, dir: String, v: Int,
+      sub: String, pred: org.apache.spark.sql.Column,
+      set: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+    // tag the file BEFORE checkpointing: input_file_name is a scan-time
+    // property and dies with the localCheckpoint's lineage cut
+    val tagged = ttAsOf(s, dir, v - 1).filter(pred)
+      .withColumn("_f", ttRelFile(dir))
+      .localCheckpoint(true)
+    val dvRows = tagged.select(col("_f").as("file"), col("event_id"))
+    val updated = set.foldLeft(tagged.drop("_f")) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }.select("event_id", "event_type", "cents", "day")
+    val adds = ttWriteBatch(s, dir, sub, updated.repartition(col("day"))) ++
+      ttWriteDv(s, dir, s"$sub-dv", dvRows)
+    ttCommit(s, dir, v, adds, Nil)
+  }
+
   /** Materialize all live DVs: rewrite each DV-bearing data file minus
     * its deleted rows, retire the old files AND the DV sidecars in ONE
     * commit — logically a no-op (the CDF between the two versions is
@@ -946,6 +972,25 @@ object Mutations {
     ttDvDelete(s, dir, 4, "dv4", pmod(col("event_id"), lit(23)) === 0)
     ttDvCompact(s, dir, 5, "b5c")
     dir
+  }
+
+  /** The declared up21 query: the merge-on-read UPDATE (+77 cents on
+    * every purchase — scattered across all days, COW's worst case)
+    * applied as v4 on the 4-version store; the rollup is answered at
+    * BOTH v3 (pre-update, must be untouched) and v4 (updated images in
+    * force), so the hash proves the one-commit DV+batch update AND
+    * snapshot isolation around it.
+    */
+  def morUpdateRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    ttDvUpdate(s, dir, 4, "u4", col("event_type") === "purchase",
+      Seq("cents" -> (col("cents") + lit(77L))))
+    (3 to 4).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
   }
 
   /** The declared up20 query: the per-event_type rollup at v4 (DVs
@@ -1437,6 +1482,39 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up21_mor_update", morUpdateRollup, Some(
+      // v3 untouched; v4 = v3 with purchase cents +77 — the DV+batch
+      // one-commit update replayed logically
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN event_type = 'purchase' THEN 77 ELSE 0 END
+        |      AS cents, day
+        |  FROM v3),
+        |all_v AS (
+        |  SELECT 3 AS version, event_type, cents FROM v3
+        |  UNION ALL SELECT 4, event_type, cents FROM v4)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up20_deletion_vectors", dvDeleteRollup, Some(
       // one post-delete state (v3 minus the % 23 keys), expected at BOTH
       // v4 (merge-on-read) and v5 (materialized) — the hash proves the

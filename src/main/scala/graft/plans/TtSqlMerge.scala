@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 
@@ -70,6 +70,32 @@ case class TtSqlMergeRule(spark: SparkSession) extends Rule[LogicalPlan] {
             "WHEN MATCHED THEN UPDATE SET *, WHEN NOT MATCHED THEN INSERT * — got: " +
             m.simpleString(3))))
       TtSqlMergeCommand(ttTableOf(target).get.storeDir, source)
+
+    // src30 — SQL DELETE FROM over a tt target routes to up20's
+    // MERGE-ON-READ deletion-vector commit: the predicate's matched rows
+    // get a (file, key) sidecar, NO data file is rewritten, and every
+    // subsequent read (SQL or DataFrame) applies the DV. Arbitrary
+    // resolved predicates are supported — the DV job re-applies the
+    // expression to the snapshot by column name.
+    case d @ DeleteFromTable(target, condition)
+        if ttTableOf(target).isDefined && d.resolved =>
+      TtSqlDeleteCommand(ttTableOf(target).get.storeDir, condition)
+
+    // src31 — SQL UPDATE over a tt target routes to up21's merge-on-read
+    // update: one commit = DV over the old images + a batch of updated
+    // images. Assignment keys must be plain columns (SET c = <expr>).
+    case u @ UpdateTable(target, assignments, condition)
+        if ttTableOf(target).isDefined && u.resolved =>
+      val sets = assignments.map {
+        case Assignment(k: Attribute, v) => k.name -> v
+        case other => throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "_LEGACY_ERROR_TEMP_0035",
+          messageParameters = Map("message" ->
+            s"tt UPDATE supports only plain column assignments, got $other"))
+      }
+      TtSqlUpdateCommand(ttTableOf(target).get.storeDir, sets,
+        condition.getOrElse(org.apache.spark.sql.catalyst.expressions
+          .Literal.TrueLiteral))
   }
 }
 
@@ -86,4 +112,42 @@ case class TtSqlMergeCommand(dir: String, source: LogicalPlan)
     graft.ops.Mutations.ttMergeInto(spark, dir, src, v, s"m$v")
     Seq.empty
   }
+}
+
+/** SQL DELETE → one DV commit at head+1. The parsed predicate re-binds
+  * to the snapshot DataFrame by column NAME (exprIds belong to the SQL
+  * relation instance and mean nothing to the snapshot read).
+  */
+case class TtSqlDeleteCommand(dir: String, condition: Expression)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = graft.sources.TtCatalog.headVersion(spark, dir) + 1
+    graft.ops.Mutations.ttDvDelete(spark, dir, v, s"dv$v",
+      TtSqlCommands.byName(condition))
+    Seq.empty
+  }
+}
+
+/** SQL UPDATE → one up21 merge-on-read update commit at head+1. */
+case class TtSqlUpdateCommand(dir: String, sets: Seq[(String, Expression)],
+    condition: Expression) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val v = graft.sources.TtCatalog.headVersion(spark, dir) + 1
+    graft.ops.Mutations.ttDvUpdate(spark, dir, v, s"u$v",
+      TtSqlCommands.byName(condition),
+      sets.map { case (c, e) => c -> TtSqlCommands.byName(e) })
+    Seq.empty
+  }
+}
+
+private object TtSqlCommands {
+  /** Re-bind a parsed expression to the snapshot DataFrame by column
+    * NAME — the SQL relation's exprIds mean nothing to the snapshot
+    * read the commands execute against.
+    */
+  def byName(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.Bridge.column(e.transform {
+      case a: AttributeReference =>
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
+    })
 }

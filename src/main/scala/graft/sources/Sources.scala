@@ -1627,7 +1627,94 @@ object Sources {
       FROM tt.up18_sql_store GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** src30 — SQL DELETE FROM through the tt catalog: up20's
+    * merge-on-read delete driven by the SQL verb (the injected rule
+    * routes it to a deletion-vector commit — NO data file rewritten,
+    * spec-pinned) and the post-delete head read back through the
+    * catalog, which applies the vectors. Arbitrary predicates ride the
+    * same path; the fixture reuses up20's `% 23` rule so the oracle is
+    * its v4 state.
+    */
+  def sqlDeleteFrom(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttStore(s, d)
+    TtCatalog.install(s)
+    TtCatalog.register("up20_sql_store", dir)
+    s.sql("DELETE FROM tt.up20_sql_store WHERE event_id % 23 = 0")
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.up20_sql_store GROUP BY event_type ORDER BY event_type""")
+  }
+
+  /** src31 — SQL UPDATE through the tt catalog: up21's merge-on-read
+    * update driven by the SQL verb (one commit: DV over old images + a
+    * batch of updated images — no data file rewritten, spec-pinned),
+    * then the head read back through the catalog.
+    */
+  def sqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttStore(s, d)
+    TtCatalog.install(s)
+    TtCatalog.register("up21_sql_store", dir)
+    s.sql("""UPDATE tt.up21_sql_store SET cents = cents + 77
+      WHERE event_type = 'purchase'""")
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.up21_sql_store GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src31_sql_update", sqlUpdate, Some(
+      // up21's post-update head state (purchases +77 over v3)
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN event_type = 'purchase' THEN 77 ELSE 0 END
+        |      AS cents, day
+        |  FROM v3)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+    QueryDef("src30_sql_delete", sqlDeleteFrom, Some(
+      // up20's post-delete state (v3 minus the % 23 keys), answered
+      // through the SQL verb + catalog head read
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (SELECT * FROM v3 WHERE event_id % 23 <> 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src28_sql_time_travel", sqlTimeTravel,
       // up13's oracle VERBATIM: the SQL front door must answer exactly
       // what the DataFrame verb answers

@@ -1457,8 +1457,26 @@ object EventStreams {
   def streamingCdfTail(s: SparkSession, d: String): DataFrame =
     streamingCdfTailOnStore(s, graft.ops.Mutations.ttStore(s, d))
 
+  /** st30 — the tailer over a DELETION-VECTOR-bearing store (st28 ×
+    * up20): v4 is a DV commit (no data file changes — the delta is
+    * pure subtraction through the DV-aware CDF) and v5 is the
+    * compaction (logically invisible — the tailer must emit an
+    * UNCHANGED state for it, proving a physical rewrite never leaks
+    * into the row-level feed). Same consumer, zero DV-specific code in
+    * it: the general CDF path owns the semantics.
+    */
+  def streamingDvCdfTail(s: SparkSession, d: String): DataFrame =
+    streamingCdfTailOnStore(s, graft.ops.Mutations.ttDvStore(s, d),
+      fromCheckpoint = false) // the declared feed is the FULL history
+
+  /** `fromCheckpoint = false` replays from v0 even when the log carries
+    * a checkpoint — for consumers that want the FULL version history
+    * (st30's declared per-version feed) and know pre-checkpoint commits
+    * are still on disk; the default bootstraps from the newest
+    * checkpoint (up19's read discipline).
+    */
   private[graft] def streamingCdfTailOnStore(s: SparkSession,
-      dir: String): DataFrame = {
+      dir: String, fromCheckpoint: Boolean = true): DataFrame = {
     import graft.ops.Mutations
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft_st28_ckpt").toString
@@ -1490,7 +1508,7 @@ object EventStreams {
         .filter(_.matches("ckpt-v\\d+\\.txt"))
         .map(_.stripPrefix("ckpt-v").stripSuffix(".txt").toInt)
         .sorted.lastOption.getOrElse(-1)
-      if (ckptV >= 0) {
+      if (ckptV >= 0 && fromCheckpoint) {
         // ttAsOf, not a raw live-set read: the checkpointed set may carry
         // deletion vectors, which the snapshot read applies
         Mutations.ttAsOf(s, dir, ckptV).groupBy("event_type")
@@ -1868,6 +1886,40 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st30_streaming_dv_cdf", streamingDvCdfTail, Some(
+      // six per-version states: v4 = v3 minus the %23 keys (the DV
+      // commit's pure subtraction), v5 = v4 VERBATIM (compaction must
+      // be invisible to the tailed feed)
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (SELECT * FROM v3 WHERE event_id % 23 <> 0),
+        |all_v AS (
+        |  SELECT 0 AS version, event_type, cents FROM base
+        |  UNION ALL SELECT 1, event_type, cents FROM v1
+        |  UNION ALL SELECT 2, event_type, cents FROM v2
+        |  UNION ALL SELECT 3, event_type, cents FROM v3
+        |  UNION ALL SELECT 4, event_type, cents FROM v4
+        |  UNION ALL SELECT 5, event_type, cents FROM v4)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("st29_streaming_view_maint", streamingViewMaintenance, Some(
       // v3's daily rollup recomputed from raw events — the engine's
       // answer comes FROM the stream-maintained registered view (the

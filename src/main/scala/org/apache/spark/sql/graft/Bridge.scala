@@ -15,4 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Wrap a catalyst `Expression` as a user-facing `Column` (the Column
+    * constructor is `private[sql]` since the Spark 4 Column refactor).
+    * Used by the SQL DELETE front door to re-apply a parsed predicate
+    * to the snapshot DataFrame.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
 }

@@ -534,6 +534,52 @@ class MutationsSpec extends SparkSpec {
       "compaction must be invisible to the change feed")
   }
 
+  test("up21 merge-on-read update: one commit, no data file touched, CDF is old-out/new-in") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileIds(): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out(f.getPath.toUri.getPath) = (f.getLen, f.getModificationTime)
+      }
+      out.toMap
+    }
+    val v3 = Mutations.ttAsOf(spark, dir, 3)
+    val v3n = v3.count()
+    val nP = v3.filter(col("event_type") === "purchase").count()
+    val sumP = v3.filter(col("event_type") === "purchase")
+      .agg(sum("cents")).head.getLong(0)
+    assert(nP > 0)
+    val pre = fileIds()
+    Mutations.ttDvUpdate(spark, dir, 4, "u4",
+      col("event_type") === "purchase",
+      Seq("cents" -> (col("cents") + lit(77L))))
+    // merge-on-read: every pre-existing file byte-identical; the commit
+    // added only the updated-image batch + the DV sidecar
+    val post = fileIds()
+    pre.foreach { case (p, id) =>
+      assert(post.get(p).contains(id), s"MOR update rewrote $p")
+    }
+    // row count preserved; updated sum exact; pre-update snapshot intact
+    val v4 = Mutations.ttAsOf(spark, dir, 4)
+    assert(v4.count() == v3n)
+    assert(v4.filter(col("event_type") === "purchase")
+      .agg(sum("cents")).head.getLong(0) == sumP + 77L * nP)
+    assert(Mutations.ttAsOf(spark, dir, 3)
+      .filter(col("event_type") === "purchase")
+      .agg(sum("cents")).head.getLong(0) == sumP, "v3 drifted")
+    // CDF: exactly nP deletes (old images) + nP inserts (new images)
+    val ch = Mutations.ttChanges(spark, dir, 3, 4)
+    assert(ch.filter(col("_change_type") === "delete").count() == nP)
+    val ins = ch.filter(col("_change_type") === "insert")
+    assert(ins.count() == nP &&
+      ins.filter(col("event_type") =!= "purchase").count() == 0)
+  }
+
   test("up18 merge matches TABLE-GLOBALLY: a moved-day key updates, never duplicates; empty match is a pure insert") {
     val dir = Mutations.ttStore(spark, sf0001)
     val v3 = Mutations.ttAsOf(spark, dir, 3)
