@@ -823,16 +823,8 @@ object Mutations {
   private[graft] def ttAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
     val (dvFiles, dataFiles) = ttLiveFiles(s, dir, v).partition(ttIsDv)
     require(dataFiles.nonEmpty, s"version $v has no live files")
-    val files = dataFiles.map(f => s"$dir/$f")
-    val savedInfer = s.conf
-      .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
-    s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    val data =
-      try s.read.option("basePath", dir).option("mergeSchema", "true")
-        .parquet(files: _*)
-      finally s.conf.set(
-        "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
-    ttApplyDv(s, dir, data, dvFiles)
+    ttApplyDv(s, dir, ttReadFiles(s, dir, dataFiles, mergeSchema = true),
+      dvFiles)
   }
 
   // ---- up20: DELETION VECTORS (merge-on-read deletes) ----
@@ -844,13 +836,19 @@ object Mutations {
     */
   private[graft] def ttIsDv(rel: String): Boolean = rel.startsWith("_dv/")
 
-  /** The file's path RELATIVE to the table root, as a column — the key
-    * DV entries are recorded and matched under (stable across the
-    * `file:` scheme variants `input_file_name` may surface).
+  /** The file's path as logged: RELATIVE to the table root for the
+    * table's own files, ABSOLUTE for clone-inherited externals (up23) —
+    * the same convention the live set uses, so DV entries recorded
+    * under this key always match at read. Stable across the `file:`
+    * scheme variants `input_file_name` may surface.
     */
-  private def ttRelFile(dir: String) = regexp_extract(input_file_name(),
-    java.util.regex.Pattern.quote(
-      new org.apache.hadoop.fs.Path(dir).toUri.getPath) + "/(.*)$", 1)
+  private def ttRelFile(dir: String) = {
+    val rel = regexp_extract(input_file_name(),
+      java.util.regex.Pattern.quote(
+        new org.apache.hadoop.fs.Path(dir).toUri.getPath) + "/(.*)$", 1)
+    when(rel =!= "", rel)
+      .otherwise(regexp_replace(input_file_name(), "^[a-z]+:(//)?", ""))
+  }
 
   /** Apply deletion vectors at read (the merge-on-read half of up20):
     * anti-join the data rows against the live DV entries on
@@ -1025,6 +1023,8 @@ object Mutations {
     val live = ttLiveFiles(s, dir, v)
     require(!live.exists(ttIsDv),
       "ttHeadRelation cannot serve a DV-bearing snapshot")
+    require(!live.exists(_.startsWith("/")),
+      "ttHeadRelation cannot serve clone-inherited external files")
     require(live.nonEmpty, s"version $v has no live files")
     val savedInfer = s.conf
       .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
@@ -1103,17 +1103,52 @@ object Mutations {
     ((t -- f).toSeq.sorted, (f -- t).toSeq.sorted)
   }
 
+  /** Resolve a log path to an absolute one: paths are RELATIVE to the
+    * table dir except SHALLOW-CLONE (up23) externals, which are logged
+    * absolute (they live in the SOURCE table's tree) — the Delta
+    * shallow-clone rule: the clone's log references the source's
+    * immutable files until the clone's own commits supersede them.
+    */
+  private def ttAbs(dir: String, f: String): String =
+    if (f.startsWith("/")) f else s"$dir/$f"
+
   /** Snapshot-style read of an explicit file list (day recovered via
     * basePath, inference off — ttAsOf's discipline, factored for reads
-    * of partial file sets).
+    * of partial file sets). External (clone-inherited) files read
+    * WITHOUT the basePath day-recovery trick, so they must be listed
+    * under their own day dirs — which they are, in the source's tree.
     */
   private[graft] def ttReadFiles(s: SparkSession, dir: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String], mergeSchema: Boolean = false): DataFrame = {
     val savedInfer = s.conf
       .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-    try s.read.option("basePath", dir).parquet(files.map(f => s"$dir/$f"): _*)
-    finally s.conf.set(
+    val ms = mergeSchema.toString
+    try {
+      val (ext, local) = files.partition(_.startsWith("/"))
+      val localDf =
+        if (local.isEmpty) None
+        else Some(s.read.option("basePath", dir).option("mergeSchema", ms)
+          .parquet(local.map(f => s"$dir/$f"): _*))
+      val extDf =
+        if (ext.isEmpty) None
+        else {
+          // externals may span source-table day dirs: recover day via
+          // their own root (one read per source root keeps partition
+          // discovery exact; basePath requires paths under it)
+          val byRoot = ext.groupBy(f => f.take(f.lastIndexOf("/day=")))
+          Some(byRoot.map { case (root, fs) =>
+            s.read.option("basePath", root).option("mergeSchema", ms)
+              .parquet(fs: _*)
+          }.reduce(_.unionByName(_)))
+        }
+      (localDf, extDf) match {
+        case (Some(l), Some(e)) => l.unionByName(e)
+        case (Some(l), None) => l
+        case (None, Some(e)) => e
+        case _ => sys.error("empty file list")
+      }
+    } finally s.conf.set(
       "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
   }
 
@@ -1279,8 +1314,13 @@ object Mutations {
         .select(col("event_id"), input_file_name().as("_f"))
         .join(broadcast(srcKeys), Seq("event_id"), "left_semi")
         .select("_f").distinct().collect()
-        .map(r => new org.apache.hadoop.fs.Path(r.getString(0))
-          .toUri.getPath.stripPrefix(base).stripPrefix("/"))
+        .map { r =>
+          val p = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
+          // relativize ONLY the table's own files; a clone-inherited
+          // external keeps its absolute form (the log's convention)
+          if (p.startsWith(base + "/")) p.stripPrefix(base).stripPrefix("/")
+          else p
+        }
         .toSeq.sorted
     val srcCols = source.select("event_id", "event_type", "cents", "day")
     // no matched file ⇒ pure insert: the source alone is the new batch
@@ -1371,6 +1411,90 @@ object Mutations {
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
         count(col("ingest_gen")).as("n_evolved"))
       .orderBy("event_type")
+  }
+
+  /** up22 — RESTORE (Delta's `RESTORE TABLE ... VERSION AS OF`): roll
+    * the table BACK to an earlier snapshot as a NEW commit whose
+    * adds/removes are exactly the set difference between the target
+    * version's live set and the head's — nothing is copied (the target's
+    * files still exist: immutability + retention are what make restore a
+    * metadata verb), history is preserved (the pre-restore head stays
+    * readable AS OF), and the restore itself is time-travelable and
+    * CDF-consumable like any commit. O(log metadata).
+    */
+  private[graft] def ttRestore(s: SparkSession, dir: String, v: Int,
+      target: Int): Unit = {
+    val head = ttLiveFiles(s, dir, v - 1).toSet
+    val tgt = ttLiveFiles(s, dir, target).toSet
+    require(head != tgt, s"restore to v$target is a no-op")
+    ttCommit(s, dir, v, (tgt -- head).toSeq.sorted, (head -- tgt).toSeq.sorted)
+  }
+
+  /** The declared up22 query: restore the 4-version store to v1 as v4,
+    * then answer v3 (the pre-restore head — must still read) AND v4
+    * (must equal v1's state exactly) — the hash proves rollback
+    * without loss of the rolled-over history.
+    */
+  def restoreRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    ttRestore(s, dir, 4, target = 1)
+    Seq(3, 4).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** up23 — SHALLOW CLONE (Delta's `CREATE TABLE ... SHALLOW CLONE`):
+    * a NEW table whose v0 commit REFERENCES the source's data files at
+    * a chosen version — zero bytes copied; the clone then evolves
+    * INDEPENDENTLY (its own commits write into its own tree; a clone
+    * COW retires external references as pure metadata, so the source
+    * never notices). External files are logged ABSOLUTE — the path
+    * convention [[ttReadFiles]]/[[ttRelFile]] resolve — and the
+    * clone's vacuum can never delete them (it only lists its own
+    * tree). At 100 TB this is the dev/test-against-production pattern:
+    * fork the table for free, mutate the fork.
+    */
+  private[graft] def ttShallowClone(s: SparkSession, srcDir: String,
+      cloneDir: String, asOf: Int): Unit = {
+    val fs = ttFs(s, cloneDir)
+    fs.delete(new org.apache.hadoop.fs.Path(cloneDir), true)
+    val live = ttLiveFiles(s, srcDir, asOf)
+    // clone a DV-bearing snapshot AFTER compacting it (ttDvCompact):
+    // sidecar references don't survive the external-path convention
+    require(!live.exists(ttIsDv),
+      s"shallow clone of a DV-bearing snapshot — compact v$asOf first")
+    val srcBase = new org.apache.hadoop.fs.Path(srcDir).toUri.getPath
+    ttCommit(s, cloneDir, 0, live.map(f => s"$srcBase/$f"), Nil)
+  }
+
+  /** The declared up23 query: clone the 4-version store at v3, apply an
+    * independent COW mutation to the CLONE (every 'view' row +5 cents —
+    * a whole-type rewrite across all days), and answer both tables'
+    * heads side by side: the source must be byte-for-byte at v3 (its
+    * files were referenced, never touched — spec-pinned) and the clone
+    * must carry the mutation.
+    */
+  def shallowCloneRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    val clone = Tables.scratchDir("graft_up23_clone", d)
+    ttShallowClone(s, dir, clone, asOf = 3)
+    // independent clone mutation: COW-rewrite the rows matching the
+    // predicate PLUS their co-resident file rows (MERGE's shape: touched
+    // files rewritten wholesale, externals retired as metadata)
+    val srcRows = ttAsOf(s, clone, 0).filter(col("event_type") === "view")
+      .withColumn("cents", col("cents") + lit(5L))
+      .select("event_id", "event_type", "cents", "day")
+    ttMergeInto(s, clone, srcRows, 1, "c1")
+    def head(table: String, tdir: String, v: Int): DataFrame =
+      ttAsOf(s, tdir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(table).as("tbl"), col("event_type"),
+          col("n"), col("sum_cents"))
+    head("clone", clone, 1).unionByName(head("source", dir, 3))
+      .orderBy("tbl", "event_type")
   }
 
   /** up19 store: a MANY-commit log — v0 base plus nine append commits
@@ -1482,6 +1606,65 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up23_shallow_clone", shallowCloneRollup, Some(
+      // clone head = v3 with 'view' cents +5 (the clone's own COW);
+      // source head = v3 untouched — independence proven in one hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |tb AS (
+        |  SELECT 'clone' AS tbl, event_type,
+        |    cents + CASE WHEN event_type = 'view' THEN 5 ELSE 0 END AS cents
+        |  FROM v3
+        |  UNION ALL
+        |  SELECT 'source', event_type, cents FROM v3)
+        |SELECT tbl, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM tb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+    QueryDef("up22_restore", restoreRollup, Some(
+      // v3 = the pre-restore head (history preserved); v4 = v1's state
+      // re-served as the new head (rollback as pure metadata)
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 3 AS version, event_type, cents FROM v3
+        |  UNION ALL SELECT 4, event_type, cents FROM v1)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     QueryDef("up21_mor_update", morUpdateRollup, Some(
       // v3 untouched; v4 = v3 with purchase cents +77 — the DV+batch
       // one-commit update replayed logically

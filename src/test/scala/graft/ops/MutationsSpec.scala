@@ -534,6 +534,85 @@ class MutationsSpec extends SparkSpec {
       "compaction must be invisible to the change feed")
   }
 
+  test("up22 restore: pure metadata (no new file), head == target state, history preserved") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(): Set[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = scala.collection.mutable.Set.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.getPath
+      }
+      out.toSet
+    }
+    val v1rows = Mutations.ttAsOf(spark, dir, 1)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val v3rows = Mutations.ttAsOf(spark, dir, 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val pre = dataFiles()
+    Mutations.ttRestore(spark, dir, 4, target = 1)
+    assert(dataFiles() == pre, "restore wrote or deleted data files")
+    // the restored head is EXACTLY v1's state; v3 still readable
+    val v4rows = Mutations.ttAsOf(spark, dir, 4)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(v4rows == v1rows, "restored head diverges from the target state")
+    assert(Mutations.ttAsOf(spark, dir, 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq == v3rows,
+      "pre-restore head lost by the restore")
+  }
+
+  test("up23 shallow clone: zero data copied, source untouched by clone mutations") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val clone = graft.Tables.scratchDir("graft_up23_spec_clone", sf0001)
+    Mutations.ttShallowClone(spark, dir, clone, asOf = 3)
+    val fs = new org.apache.hadoop.fs.Path(clone)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def cloneDataFiles(): Seq[String] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(clone), true)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.getPath
+      }
+      out.toSeq
+    }
+    // ZERO-COPY: the clone dir holds no data file, yet reads the snapshot
+    assert(cloneDataFiles().isEmpty, "shallow clone copied data files")
+    val viaClone = Mutations.ttAsOf(spark, clone, 0)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    val viaSrc = Mutations.ttAsOf(spark, dir, 3)
+      .collect().map(_.toSeq).sortBy(_.toString).toSeq
+    assert(viaClone == viaSrc, "clone snapshot diverges from the source")
+    // independence: a clone COW mutation leaves every source file intact
+    def srcIds(): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          out(f.getPath.toUri.getPath) = (f.getLen, f.getModificationTime)
+      }
+      out.toMap
+    }
+    val pre = srcIds()
+    val mutated = Mutations.ttAsOf(spark, clone, 0)
+      .filter(col("event_type") === "view")
+      .withColumn("cents", col("cents") + lit(5L))
+      .select("event_id", "event_type", "cents", "day")
+    Mutations.ttMergeInto(spark, clone, mutated, 1, "c1")
+    assert(srcIds() == pre, "clone mutation touched the source's files")
+    // the clone carries the mutation; the source head does not
+    val cloneViewSum = Mutations.ttAsOf(spark, clone, 1)
+      .filter(col("event_type") === "view").agg(sum("cents")).head.getLong(0)
+    val srcViewSum = Mutations.ttAsOf(spark, dir, 3)
+      .filter(col("event_type") === "view").agg(sum("cents")).head.getLong(0)
+    val nView = Mutations.ttAsOf(spark, dir, 3)
+      .filter(col("event_type") === "view").count()
+    assert(cloneViewSum == srcViewSum + 5L * nView)
+  }
+
   test("up21 merge-on-read update: one commit, no data file touched, CDF is old-out/new-in") {
     val dir = Mutations.ttStore(spark, sf0001)
     val fs = new org.apache.hadoop.fs.Path(dir)
