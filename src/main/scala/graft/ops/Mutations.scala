@@ -719,16 +719,70 @@ object Mutations {
     * one interval's worth of commit files.
     */
   private def ttCommit(s: SparkSession, dir: String, v: Int,
-      adds: Seq[String], removes: Seq[String]): Unit = {
+      adds: Seq[String], removes: Seq[String],
+      meta: Seq[String] = Nil): Unit = {
     val fs = ttFs(s, dir)
     val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
     fs.mkdirs(log)
-    val body = (adds.sorted.map("a " + _) ++ removes.sorted.map("r " + _))
+    // `# key=value` metadata lines (st31's txn markers) ride the commit
+    // file; every action parser keys on the `a `/`r ` prefixes and
+    // ignores them
+    val body = (meta.map("# " + _) ++
+      adds.sorted.map("a " + _) ++ removes.sorted.map("r " + _))
       .mkString("\n")
     val out = fs.create(new org.apache.hadoop.fs.Path(log, s"v$v.txt"), false)
     try out.write(body.getBytes("UTF-8")) finally out.close()
     if (v > 0 && v % ttCheckpointInterval == 0) ttWriteCheckpoint(s, dir, v)
   }
+
+  /** Newest committed version, or -1 for an uninitialized store. */
+  private[graft] def ttHeadVersion(s: SparkSession, dir: String): Int = {
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    if (!fs.exists(log)) -1
+    else fs.listStatus(log).map(_.getPath.getName)
+      .filter(_.matches("v\\d+\\.txt"))
+      .map(_.stripPrefix("v").stripSuffix(".txt").toInt)
+      .foldLeft(-1)(math.max)
+  }
+
+  /** st31 — has a commit carrying `txn` already landed? The
+    * exactly-once probe (Delta's txnAppId/txnVersion idempotence).
+    * O(commits) commit-file reads here; a production format indexes
+    * txn markers into the checkpoint manifest so the probe is O(1).
+    */
+  private[graft] def ttTxnCommitted(s: SparkSession, dir: String,
+      txn: String): Boolean = {
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    fs.exists(log) && fs.listStatus(log)
+      .filter(_.getPath.getName.matches("v\\d+\\.txt"))
+      .exists { st =>
+        val in = fs.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        body.split("\n").contains(s"# txn=$txn")
+      }
+  }
+
+  /** st31 — IDEMPOTENT streaming append: commit `df` as the next
+    * version tagged `txn`; a REPLAYED batch (same txn — the
+    * at-least-once delivery every restarted stream produces) is
+    * detected from the log and SKIPPED, so the sink is exactly-once
+    * without a lock service: the log's exclusive version create
+    * serializes writers, the txn marker de-duplicates retries. Returns
+    * whether a commit actually happened.
+    */
+  private[graft] def ttIdempotentAppend(s: SparkSession, dir: String,
+      df: DataFrame, txn: String): Boolean =
+    if (ttTxnCommitted(s, dir, txn)) false
+    else {
+      val v = ttHeadVersion(s, dir) + 1
+      ttCommit(s, dir, v,
+        ttWriteBatch(s, dir, s"b$v", df.repartition(col("day"))), Nil,
+        meta = Seq(s"txn=$txn"))
+      true
+    }
 
   /** up19 — checkpoint cadence: every Nth commit snapshots the live-file
     * set into `_log/ckpt-v<N>.txt` (Delta writes `checkpoint.parquet`
@@ -1017,7 +1071,11 @@ object Mutations {
     * relation form can't apply deletion vectors (use ttAsOf).
     */
   private[graft] def ttHeadRelation(s: SparkSession, dir: String,
-      v: Int): DataFrame = {
+      v: Int): DataFrame = ttHeadRelationWithStats(s, dir, v, Map.empty)
+
+  private def ttHeadRelationWithStats(s: SparkSession, dir: String, v: Int,
+      stats: Map[String, Map[String, graft.sources.ManifestFileIndex.ColStat]])
+      : DataFrame = {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val live = ttLiveFiles(s, dir, v)
@@ -1031,7 +1089,7 @@ object Mutations {
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
     try {
       val idx = new graft.sources.TtSnapshotFileIndex(s,
-        new org.apache.hadoop.fs.Path(dir), live.toSet)
+        new org.apache.hadoop.fs.Path(dir), live.toSet, stats)
       val full = ttReadFiles(s, dir, live).schema
       val partitionSchema = idx.partitionSpec().partitionColumns
       val dataSchema = org.apache.spark.sql.types.StructType(
@@ -1043,6 +1101,48 @@ object Mutations {
       s.baseRelationToDataFrame(rel)
     } finally s.conf.set(
       "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
+  }
+
+  /** src32 — DATA SKIPPING on tt snapshot reads: the snapshot relation
+    * carries per-live-file key min/max and the FileIndex intersects
+    * them with the PUSHED predicates inside `listFiles` — Delta data
+    * skipping over the versioned store, composing the manifest tier
+    * (src23/src27's pruning pass) with the tt snapshot index. The
+    * stats come from one column-pruned key scan here (a production
+    * format records them AT COMMIT into the log/checkpoint — Delta's
+    * stats JSON; the lazy scan keeps the log format untouched and is
+    * the staging cost of the declared query). The per-(file, key)
+    * manifest is O(files) driver metadata.
+    */
+  private[graft] def ttSkippingRelation(s: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    val (_, dataFiles) = ttLiveFiles(s, dir, v).partition(ttIsDv)
+    val stats = ttReadFiles(s, dir, dataFiles)
+      .select(col("event_id"), input_file_name().as("f"))
+      .groupBy("f")
+      .agg(min("event_id").as("lo"), max("event_id").as("hi"))
+      .collect().map { r => // file-count-bounded
+        new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath ->
+          Map[String, graft.sources.ManifestFileIndex.ColStat]("event_id" ->
+            graft.sources.ManifestFileIndex.ColRange(r.getLong(1), r.getLong(2)))
+      }.toMap
+    ttHeadRelationWithStats(s, dir, v, stats)
+  }
+
+  /** The declared src32 query: the appended-id band (`event_id ≥ 1e9`,
+    * exactly the v1-append key space) over the v3 snapshot — every
+    * base-batch file's [min,max] lies below the bound, so the plan
+    * scans ONLY the append/COW files (numFiles pinned to the manifest's
+    * survivor count in the spec); fully oracled against the recomputed
+    * v3 state.
+    */
+  def ttSkippingQuery(s: SparkSession, d: String): DataFrame = {
+    val dir = ttStore(s, d)
+    ttSkippingRelation(s, dir, 3)
+      .filter(col("event_id") >= 1000000000L)
+      .groupBy(to_date(col("day")).as("day"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("day")
   }
 
   /** Build the 4-version store: v0 base, v1 append, v2 COW update,
@@ -1606,6 +1706,31 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src32_tt_data_skipping", ttSkippingQuery, Some(
+      // the appended-id band of the recomputed v3 state; the engine's
+      // plan prunes every base-batch file via the per-file key manifest
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe)))
+        |SELECT day, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v3 WHERE event_id >= 1000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("up23_shallow_clone", shallowCloneRollup, Some(
       // clone head = v3 with 'view' cents +5 (the clone's own COW);
       // source head = v3 untouched — independence proven in one hash

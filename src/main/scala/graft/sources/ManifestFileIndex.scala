@@ -160,15 +160,25 @@ class ManifestFileIndex(
     stats: Map[String, Map[String, ManifestFileIndex.ColStat]])
   extends InMemoryFileIndex(spark, Seq(root),
     Map.empty[String, String], None) {
-  import ManifestFileIndex.{ColRange, StrRange}
-
-  /** Every column any file carries stats for. */
-  private val trackedCols: Seq[String] =
-    stats.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
 
   override def listFiles(partitionFilters: Seq[Expression],
+      dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+    ManifestFileIndexPrune.prune(
+      super.listFiles(partitionFilters, dataFilters), stats, dataFilters)
+}
+
+/** The manifest pruning pass, factored so OTHER FileIndexes (the tt
+  * snapshot index, src32) can stat-skip with the same interval tests.
+  */
+object ManifestFileIndexPrune {
+  import ManifestFileIndex.{ColRange, StrRange}
+
+  private[sources] def prune(
+      base: Seq[PartitionDirectory],
+      stats: Map[String, Map[String, ManifestFileIndex.ColStat]],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val base = super.listFiles(partitionFilters, dataFilters)
+    val trackedCols: Seq[String] =
+      stats.valuesIterator.flatMap(_.keysIterator).toSeq.distinct.sorted
     val numBounds = trackedCols
       .map(c => c -> ManifestFileIndex.boundsOf(c, dataFilters))
       .filter { case (_, (lo, hi)) =>

@@ -21,7 +21,8 @@ import org.apache.spark.sql.execution.datasources.{InMemoryFileIndex, PartitionD
   * `day=...` directory layout.
   */
 final class TtSnapshotFileIndex(spark: SparkSession, root: Path,
-    live: Set[String])
+    live: Set[String],
+    stats: Map[String, Map[String, ManifestFileIndex.ColStat]] = Map.empty)
   extends InMemoryFileIndex(spark, Seq(root), Map.empty[String, String], None) {
 
   private val base = root.toUri.getPath
@@ -31,9 +32,12 @@ final class TtSnapshotFileIndex(spark: SparkSession, root: Path,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
-    super.listFiles(partitionFilters, dataFilters)
-      .map(pd => pd.copy(files = pd.files.filter(f => live(rel(f.getPath)))))
-      .filter(_.files.nonEmpty)
+    ManifestFileIndexPrune.prune(
+      super.listFiles(partitionFilters, dataFilters)
+        .map(pd =>
+          pd.copy(files = pd.files.filter(f => live(rel(f.getPath)))))
+        .filter(_.files.nonEmpty),
+      stats, dataFilters)
 
   override def inputFiles: Array[String] =
     super.inputFiles.filter(f => live(rel(new Path(f))))

@@ -1469,6 +1469,58 @@ object EventStreams {
     streamingCdfTailOnStore(s, graft.ops.Mutations.ttDvStore(s, d),
       fromCheckpoint = false) // the declared feed is the FULL history
 
+  /** st31 — EXACTLY-ONCE STREAMING WRITE into the tt store: each
+    * micro-batch lands as ONE tt commit tagged with its batch id
+    * (Delta's txnAppId/txnVersion idempotence); a replayed batch — the
+    * at-least-once delivery every restarted stream produces — is
+    * detected from the log and SKIPPED. The retry is SIMULATED INSIDE
+    * the declared scenario (every batch is delivered twice), so the
+    * oracle hash itself proves exactly-once: a double-commit would
+    * double-count. The write side is the tt machinery end-to-end — the
+    * resulting store is time-travelable per micro-batch, CDF-tailable
+    * (st28), and checkpoint-bounded (up19). At 100 TB this is the
+    * streaming-ingest front door a lakehouse table needs: micro-batch
+    * commits serialized by the log's exclusive create, retries
+    * de-duplicated by txn marker, no lock service.
+    */
+  def streamingTtSink(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Mutations
+    val dir = Tables.scratchDir("graft_st31_store", d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    // three-slice source: each part file becomes one micro-batch
+    val srcDir = Tables.scratchDir("graft_st31_src", d)
+    Tables.events(s, d)
+      .select("event_id", "ts", "event_type", "value")
+      .repartitionByRange(3, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val srcSchema = s.read.parquet(srcDir).schema
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st31_ckpt").toString
+    val q = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val sp = b.sparkSession
+        val rows = b.select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        require(Mutations.ttIdempotentAppend(sp, dir, rows, s"st31#$batchId"),
+          s"batch $batchId already committed on first delivery")
+        // simulated retry: the SAME batch re-delivered must be a no-op
+        require(!Mutations.ttIdempotentAppend(sp, dir, rows, s"st31#$batchId"),
+          s"replayed batch $batchId double-committed")
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    Mutations.ttAsOf(s, dir, Mutations.ttHeadVersion(s, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** `fromCheckpoint = false` replays from v0 even when the log carries
     * a checkpoint — for consumers that want the FULL version history
     * (st30's declared per-version feed) and know pre-checkpoint commits
@@ -1886,6 +1938,13 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st31_streaming_tt_sink", streamingTtSink, Some(
+      // every event exactly once despite every batch being delivered
+      // TWICE — a failed de-dup double-counts and breaks this hash
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st30_streaming_dv_cdf", streamingDvCdfTail, Some(
       // six per-version states: v4 = v3 minus the %23 keys (the DV
       // commit's pure subtraction), v5 = v4 VERBATIM (compaction must

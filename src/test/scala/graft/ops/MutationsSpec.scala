@@ -534,6 +534,51 @@ class MutationsSpec extends SparkSpec {
       "compaction must be invisible to the change feed")
   }
 
+  test("src32: tt snapshot scan prunes files via per-file key stats — numFiles == survivors") {
+    def fileScans(df: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def scans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+        p.collect {
+          case f: FileSourceScanExec => Seq(f)
+          case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: QueryStageExec => scans(q.plan)
+        }.flatten
+      scans(df.queryExecution.executedPlan)
+    }
+    val dir = Mutations.ttStore(spark, sf0001)
+    val df = Mutations.ttSkippingRelation(spark, dir, 3)
+      .filter(col("event_id") >= 1000000000L)
+    assert(df.collect().nonEmpty) // execute THIS plan so its metrics fill
+    // survivors = live files whose key max reaches the band
+    val live = Mutations.ttLiveFiles(spark, dir, 3)
+    val perFile = Mutations.ttReadFiles(spark, dir, live)
+      .groupBy(input_file_name().as("f"))
+      .agg(max("event_id").as("hi")).collect()
+    val survivors = perFile.count(_.getLong(1) >= 1000000000L)
+    val total = perFile.length
+    assert(survivors < total, "skipping fixture degenerate: nothing prunable")
+    val scanned = fileScans(df).head.metrics("numFiles").value
+    assert(scanned == survivors,
+      s"scan read $scanned files, manifest survivors $survivors (of $total)")
+  }
+
+  test("st31 sink plumbing: one commit per batch, txn markers probe-able, store time-travels") {
+    // the declared query already asserts the double-delivery skip; this
+    // pins the store SHAPE the sink leaves behind
+    graft.streaming.EventStreams.streamingTtSink(spark, sf0001).collect()
+    val dir = graft.Tables.scratchDir("graft_st31_store", sf0001)
+    assert(Mutations.ttHeadVersion(spark, dir) == 2, "3 batches != 3 commits")
+    (0 to 2).foreach { b =>
+      assert(Mutations.ttTxnCommitted(spark, dir, s"st31#$b"))
+    }
+    assert(!Mutations.ttTxnCommitted(spark, dir, "st31#3"))
+    // per-batch snapshots: each version adds exactly its slice
+    val counts = (0 to 2).map(v => Mutations.ttAsOf(spark, dir, v).count())
+    assert(counts(0) < counts(1) && counts(1) < counts(2))
+    assert(counts(2) == graft.Tables.events(spark, sf0001).count())
+  }
+
   test("up22 restore: pure metadata (no new file), head == target state, history preserved") {
     val dir = Mutations.ttStore(spark, sf0001)
     val fs = new org.apache.hadoop.fs.Path(dir)
