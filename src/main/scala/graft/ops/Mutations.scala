@@ -780,7 +780,7 @@ object Mutations {
       val v = ttHeadVersion(s, dir) + 1
       ttCommit(s, dir, v,
         ttWriteBatch(s, dir, s"b$v", df.repartition(col("day"))), Nil,
-        meta = Seq(s"txn=$txn"))
+        meta = Seq("op=streaming-append", s"txn=$txn"))
       true
     }
 
@@ -966,7 +966,8 @@ object Mutations {
     val doomed = ttAsOf(s, dir, v - 1).filter(pred)
       .select(ttRelFile(dir).as("file"), col("event_id"))
       .localCheckpoint(true) // pin before the commit changes the snapshot
-    ttCommit(s, dir, v, ttWriteDv(s, dir, sub, doomed), Nil)
+    ttCommit(s, dir, v, ttWriteDv(s, dir, sub, doomed), Nil,
+      meta = Seq("op=delete"))
   }
 
   /** up21 — MERGE-ON-READ UPDATE (Delta's DV-based UPDATE): ONE commit
@@ -992,7 +993,7 @@ object Mutations {
     }.select("event_id", "event_type", "cents", "day")
     val adds = ttWriteBatch(s, dir, sub, updated.repartition(col("day"))) ++
       ttWriteDv(s, dir, s"$sub-dv", dvRows)
-    ttCommit(s, dir, v, adds, Nil)
+    ttCommit(s, dir, v, adds, Nil, meta = Seq("op=update"))
   }
 
   /** Materialize all live DVs: rewrite each DV-bearing data file minus
@@ -1012,7 +1013,7 @@ object Mutations {
       .localCheckpoint(true)
     ttCommit(s, dir, v,
       ttWriteBatch(s, dir, sub, rewritten.repartition(col("day"))),
-      (bearing ++ dvF).sorted)
+      (bearing ++ dvF).sorted, meta = Seq("op=optimize"))
   }
 
   /** The up20 scenario: the 4-version COW store + v4 DV delete of the
@@ -1157,18 +1158,20 @@ object Mutations {
     val base = events(s, d).select(col("event_id"), col("event_type"),
       expr("cast(round(value * 100) as bigint)").as("cents"),
       date_format(col("ts"), "yyyy-MM-dd").as("day"))
-    ttCommit(s, dir, 0, writeBatch(base.repartition(col("day")), "b0"), Nil)
+    ttCommit(s, dir, 0, writeBatch(base.repartition(col("day")), "b0"), Nil,
+      meta = Seq("op=write"))
     // v1: append late data — immutable files, metadata-only commit
     val late = base.filter(col("event_id") % 7 === 0)
       .withColumn("event_id", col("event_id") + lit(1000000000L))
-    ttCommit(s, dir, 1, writeBatch(late.repartition(col("day")), "b1"), Nil)
+    ttCommit(s, dir, 1, writeBatch(late.repartition(col("day")), "b1"), Nil,
+      meta = Seq("op=append"))
     // day probes, calendar-bounded collects
     val d0 = events(s, d).agg(date_format(
       date_add(min(to_date(col("ts"))), 3), "yyyy-MM-dd")).head.getString(0)
     val d1 = events(s, d).agg(date_format(
       date_add(min(to_date(col("ts"))), 5), "yyyy-MM-dd")).head.getString(0)
     // v2: COW update — read ONLY the touched day's live files, rewrite
-    def cow(v: Int, day: String, sub: String)(tf: DataFrame => DataFrame): Unit = {
+    def cow(v: Int, day: String, sub: String, op: String)(tf: DataFrame => DataFrame): Unit = {
       val touched = ttLiveFiles(s, dir, v - 1).filter(_.contains(s"day=$day/"))
       val cur = {
         val savedInfer = s.conf
@@ -1181,10 +1184,11 @@ object Mutations {
         finally s.conf.set(
           "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
       }
-      ttCommit(s, dir, v, writeBatch(tf(cur), sub), touched)
+      ttCommit(s, dir, v, writeBatch(tf(cur), sub), touched,
+        meta = Seq(s"op=$op"))
     }
-    cow(2, d0, "b2")(_.withColumn("cents", col("cents") + lit(9L)))
-    cow(3, d1, "b3")(_.filter(col("event_type") =!= "click"))
+    cow(2, d0, "b2", "update")(_.withColumn("cents", col("cents") + lit(9L)))
+    cow(3, d1, "b3", "delete")(_.filter(col("event_type") =!= "click"))
     dir
   }
 
@@ -1433,7 +1437,8 @@ object Mutations {
         .unionByName(srcCols)
         .localCheckpoint(true) // materialize before the metadata swap
     ttCommit(s, dir, v,
-      ttWriteBatch(s, dir, sub, merged.repartition(col("day"))), touched)
+      ttWriteBatch(s, dir, sub, merged.repartition(col("day"))), touched,
+      meta = Seq("op=merge"))
   }
 
   /** The up18 scenario: a day-bounded upsert batch (first three days'
@@ -1500,7 +1505,8 @@ object Mutations {
         date_format(col("ts"), "yyyy-MM-dd").as("day"),
         lit(2L).as("ingest_gen")) // the evolved column
     ttCommit(s, dir, 4,
-      ttWriteBatch(s, dir, "b4", extra.repartition(col("day"))), Nil)
+      ttWriteBatch(s, dir, "b4", extra.repartition(col("day"))), Nil,
+      meta = Seq("op=append"))
     dir
   }
 
@@ -1527,7 +1533,8 @@ object Mutations {
     val head = ttLiveFiles(s, dir, v - 1).toSet
     val tgt = ttLiveFiles(s, dir, target).toSet
     require(head != tgt, s"restore to v$target is a no-op")
-    ttCommit(s, dir, v, (tgt -- head).toSeq.sorted, (head -- tgt).toSeq.sorted)
+    ttCommit(s, dir, v, (tgt -- head).toSeq.sorted,
+      (head -- tgt).toSeq.sorted, meta = Seq("op=restore"))
   }
 
   /** The declared up22 query: restore the 4-version store to v1 as v4,
@@ -1567,7 +1574,8 @@ object Mutations {
     require(!live.exists(ttIsDv),
       s"shallow clone of a DV-bearing snapshot — compact v$asOf first")
     val srcBase = new org.apache.hadoop.fs.Path(srcDir).toUri.getPath
-    ttCommit(s, cloneDir, 0, live.map(f => s"$srcBase/$f"), Nil)
+    ttCommit(s, cloneDir, 0, live.map(f => s"$srcBase/$f"), Nil,
+      meta = Seq("op=clone"))
   }
 
   /** The declared up23 query: clone the 4-version store at v3, apply an
@@ -1597,6 +1605,46 @@ object Mutations {
       .orderBy("tbl", "event_type")
   }
 
+  /** up24 — TABLE HISTORY (Delta's DESCRIBE HISTORY / Iceberg's
+    * snapshots table): the commit log read back as an audit surface —
+    * every commit carries an `op=` label (write/append/update/delete/
+    * merge/optimize/restore/clone/streaming-append), and the history is
+    * O(commits) metadata. The declared query JOINS the history with
+    * each version's ROW COUNT, so the oracle (which recomputes every
+    * state from raw events) verifies the operation sequence AGAINST the
+    * data it produced, not just label strings.
+    */
+  private[graft] def ttHistory(s: SparkSession, dir: String): Seq[(Int, String)] = {
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    fs.listStatus(log).toSeq
+      .filter(_.getPath.getName.matches("v\\d+\\.txt"))
+      .map { st =>
+        val v = st.getPath.getName.stripPrefix("v").stripSuffix(".txt").toInt
+        val in = fs.open(st.getPath)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val op = body.split("\n")
+          .collectFirst { case l if l.startsWith("# op=") =>
+            l.stripPrefix("# op=") }
+          .getOrElse("write")
+        v -> op
+      }.sortBy(_._1)
+  }
+
+  /** The declared up24 query: the up18 store's five-commit history
+    * (write → append → update → delete → merge), each version tagged
+    * with its operation and its snapshot row count.
+    */
+  def tableHistory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = ttMergedStore(s, d)
+    val hist = ttHistory(s, dir)
+    hist.map { case (v, op) =>
+      (v.toLong, op, ttAsOf(s, dir, v).count())
+    }.toDF("version", "op", "n_rows").orderBy("version")
+  }
+
   /** up19 store: a MANY-commit log — v0 base plus nine append commits
     * (commit i appends the `event_id % 9 == i-1` slice re-keyed into its
     * own id band), so checkpoints auto-write at v4 and v8 and all three
@@ -1611,12 +1659,14 @@ object Mutations {
       expr("cast(round(value * 100) as bigint)").as("cents"),
       date_format(col("ts"), "yyyy-MM-dd").as("day"))
     ttCommit(s, dir, 0,
-      ttWriteBatch(s, dir, "b0", base.repartition(col("day"))), Nil)
+      ttWriteBatch(s, dir, "b0", base.repartition(col("day"))), Nil,
+      meta = Seq("op=write"))
     (1 to 9).foreach { i =>
       val slice = base.filter(col("event_id") % 9 === (i - 1))
         .withColumn("event_id", col("event_id") + lit(i * 1000000000L))
       ttCommit(s, dir, i,
-        ttWriteBatch(s, dir, s"b$i", slice.repartition(col("day"))), Nil)
+        ttWriteBatch(s, dir, s"b$i", slice.repartition(col("day"))), Nil,
+        meta = Seq("op=append"))
     }
     dir
   }
@@ -1706,6 +1756,38 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up24_table_history", tableHistory, Some(
+      // the operation sequence verified AGAINST each snapshot's row
+      // count, both recomputed from raw events
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1,
+        |         min(day) + 2 AS dcut FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v3 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4n AS (
+        |  SELECT (SELECT count(*) FROM v3)
+        |    + (SELECT count(*) FROM base
+        |       WHERE event_id % 17 = 0 AND day <= (SELECT dcut FROM probe))
+        |    AS n),
+        |hist AS (
+        |  SELECT 0 AS version, 'write' AS op,
+        |    (SELECT count(*) FROM base) AS n_rows
+        |  UNION ALL SELECT 1, 'append', (SELECT count(*) FROM v1)
+        |  UNION ALL SELECT 2, 'update', (SELECT count(*) FROM v1)
+        |  UNION ALL SELECT 3, 'delete', (SELECT count(*) FROM v3)
+        |  UNION ALL SELECT 4, 'merge', (SELECT n FROM v4n))
+        |SELECT CAST(version AS BIGINT) AS version, op, n_rows
+        |FROM hist ORDER BY 1""".stripMargin)),
     QueryDef("src32_tt_data_skipping", ttSkippingQuery, Some(
       // the appended-id band of the recomputed v3 state; the engine's
       // plan prunes every base-batch file via the per-file key manifest
