@@ -689,7 +689,10 @@ object Mutations {
   private def ttWriteBatch(s: SparkSession, dir: String, sub: String,
       df: DataFrame): Seq[String] = {
     val fs = ttFs(s, dir)
-    val staging = s"$dir/_staging_$sub"
+    // unique staging dir per CALL: two concurrent writers staging the same
+    // sub (the up27/st31 race) must never interleave in one directory;
+    // published file names stay collision-free via the part-file UUIDs
+    val staging = s"$dir/_staging_${sub}_${java.util.UUID.randomUUID.toString.take(8)}"
     df.write.partitionBy("day").mode("overwrite").parquet(staging)
     val stRoot = new org.apache.hadoop.fs.Path(staging)
     val it = fs.listFiles(stRoot, true)
@@ -713,7 +716,18 @@ object Mutations {
   }
 
   /** Append log entry `v`: `a <path>` adds and `r <path>` removes.
-    * Exclusive create — the same serialization point as up12's claim.
+    * The publish is ATOMIC-WITH-CONTENT: the body is fully written to a
+    * private tmp file, then hard-linked into place — POSIX `link(2)`
+    * fails with EEXIST if the version is already claimed and makes the
+    * COMPLETE body visible in one syscall, so a concurrent reader (the
+    * idempotent-append txn probe, a snapshot resolution) can never
+    * observe a half-written commit. A bare exclusive create + write had
+    * exactly that window, and the two-writer race spec hit it: the
+    * loser's probe read the winner's just-created empty file and
+    * double-committed. (Production analogue: HDFS rename-no-replace /
+    * S3 conditional PUT — the same claim-with-content primitive.) A
+    * lost claim surfaces as hadoop's FileAlreadyExistsException — the
+    * retry signal ttIdempotentAppend keys on.
     * Every `ttCheckpointInterval`-th commit also writes a CHECKPOINT
     * manifest (up19), so snapshot resolution never replays more than
     * one interval's worth of commit files.
@@ -730,8 +744,19 @@ object Mutations {
     val body = (meta.map("# " + _) ++
       adds.sorted.map("a " + _) ++ removes.sorted.map("r " + _))
       .mkString("\n")
-    val out = fs.create(new org.apache.hadoop.fs.Path(log, s"v$v.txt"), false)
-    try out.write(body.getBytes("UTF-8")) finally out.close()
+    val logPath = log.toUri.getPath
+    val tmp = java.nio.file.Paths.get(logPath,
+      s".v$v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+    try java.nio.file.Files.createLink(
+      java.nio.file.Paths.get(logPath, s"v$v.txt"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+          s"version $v already committed under $dir/_log")
+    }
+    java.nio.file.Files.deleteIfExists(tmp)
     if (v > 0 && v % ttCheckpointInterval == 0) ttWriteCheckpoint(s, dir, v)
   }
 
@@ -772,17 +797,46 @@ object Mutations {
     * without a lock service: the log's exclusive version create
     * serializes writers, the txn marker de-duplicates retries. Returns
     * whether a commit actually happened.
+    *
+    * OCC retry/rebase (up27): the probe-then-commit pair is made
+    * atomic by ORDER, not by a lock — the txn probe covers every
+    * version committed at probe time, and the exclusive create of
+    * head+1 fails if ANY commit (including a concurrent duplicate of
+    * this very txn) landed after the probe; a lost race therefore
+    * re-resolves the head, RE-RUNS the probe against the log that
+    * actually won, and retries — Delta's conflict-check-then-retry
+    * discipline. An append logically conflicts with nothing except its
+    * own txn marker landing first, in which case the staged batch is
+    * abandoned unreferenced (vacuum reaps it). Bounded retries: an
+    * append that loses 20 straight races is contention worth crashing
+    * on, not spinning through.
     */
   private[graft] def ttIdempotentAppend(s: SparkSession, dir: String,
-      df: DataFrame, txn: String): Boolean =
-    if (ttTxnCommitted(s, dir, txn)) false
-    else {
+      df: DataFrame, txn: String): Boolean = {
+    if (ttTxnCommitted(s, dir, txn)) return false
+    // stage ONCE: retries re-commit the same immutable published batch
+    // at a new version — no re-execution (the rebase half of OCC). The
+    // txn hash keeps two racing writers' batch names disjoint.
+    val adds = ttWriteBatch(s, dir,
+      s"b${ttHeadVersion(s, dir) + 1}x${(txn.hashCode & 0x7fffffff).toHexString}",
+      df.repartition(col("day")))
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
       val v = ttHeadVersion(s, dir) + 1
-      ttCommit(s, dir, v,
-        ttWriteBatch(s, dir, s"b$v", df.repartition(col("day"))), Nil,
-        meta = Seq("op=streaming-append", s"txn=$txn"))
-      true
+      // probe AFTER resolving the head: any commit that lands between
+      // this probe and the create occupies v and fails the create
+      if (ttTxnCommitted(s, dir, txn)) return false
+      try {
+        ttCommit(s, dir, v, adds, Nil,
+          meta = Seq("op=streaming-append", s"txn=$txn"))
+        return true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // lost the race — rebase
+      }
     }
+    sys.error(s"append txn=$txn lost $attempts straight commit races")
+  }
 
   /** up19 — checkpoint cadence: every Nth commit snapshots the live-file
     * set into `_log/ckpt-v<N>.txt` (Delta writes `checkpoint.parquet`
@@ -930,7 +984,7 @@ object Mutations {
   private def ttWriteDv(s: SparkSession, dir: String, sub: String,
       df: DataFrame): Seq[String] = {
     val fs = ttFs(s, dir)
-    val staging = s"$dir/_staging_$sub"
+    val staging = s"$dir/_staging_${sub}_${java.util.UUID.randomUUID.toString.take(8)}"
     df.coalesce(1).write.mode("overwrite").parquet(staging) // deletion-sized
     val stRoot = new org.apache.hadoop.fs.Path(staging)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -988,9 +1042,18 @@ object Mutations {
       .withColumn("_f", ttRelFile(dir))
       .localCheckpoint(true)
     val dvRows = tagged.select(col("_f").as("file"), col("event_id"))
-    val updated = set.foldLeft(tagged.drop("_f")) {
-      case (df, (c, e)) => df.withColumn(c, e)
-    }.select("event_id", "event_type", "cents", "day")
+    val old = tagged.drop("_f")
+    // SQL UPDATE semantics: every SET RHS evaluates against the
+    // PRE-update row — ONE select computes all assignments (a
+    // sequential withColumn fold would let `SET a = b, b = a` read the
+    // NEW b, silently diverging from the standard). The batch projects
+    // the snapshot's ACTUAL schema, so evolved columns (up17's
+    // ingest_gen) ride through an update instead of being dropped.
+    val setMap = set.toMap
+    require(set.map(_._1).forall(old.columns.contains),
+      s"UPDATE sets unknown column(s): ${set.map(_._1).filterNot(old.columns.contains).mkString(", ")}")
+    val updated = old.select(old.columns.map(c =>
+      setMap.get(c).map(_.as(c)).getOrElse(col(c))): _*)
     val adds = ttWriteBatch(s, dir, sub, updated.repartition(col("day"))) ++
       ttWriteDv(s, dir, s"$sub-dv", dvRows)
     ttCommit(s, dir, v, adds, Nil, meta = Seq("op=update"))
@@ -1400,31 +1463,42 @@ object Mutations {
       source: DataFrame, v: Int, sub: String): Unit = {
     // TABLE-GLOBAL match scope (Delta/Iceberg MERGE semantics): touched
     // files are found by probing the LIVE file set for source keys — a
-    // column-pruned (key, input_file_name) scan semi-joined against the
-    // broadcast source keys — never by assuming matches live inside the
-    // source's own days. A source row whose key sits on a day OUTSIDE
-    // its carried day is thus an UPDATE (old file rewritten without the
+    // column-pruned (key, file) scan semi-joined against the broadcast
+    // source keys — never by assuming matches live inside the source's
+    // own days. A source row whose key sits on a day OUTSIDE its
+    // carried day is thus an UPDATE (old file rewritten without the
     // key, new row lands under the source's day), not a silent
     // duplicate insert. At 100 TB the probe reads one column; with
     // per-file key min/max (the ManifestFileIndex discipline) it would
     // prune to candidate files before scanning at all. The collect is
     // file-count-bounded (touched file names), never data.
-    val live = ttLiveFiles(s, dir, v - 1)
+    //
+    // DELETION-VECTOR composition (r14's one confirmed defect): the
+    // live set may carry `_dv/` sidecars after any up20/up21/src30
+    // commit — reading it raw would mix the `day=` layout with the
+    // flat `_dv/` one (CONFLICTING_DIRECTORY_STRUCTURES). So (a) the
+    // probe partitions them out and matches against the DV-APPLIED
+    // rows — a source key whose only row is DV-deleted is logically
+    // absent and takes MERGE's insert arm, not the update arm; (b) the
+    // rewrite reads touched files THROUGH ttApplyDv, so DV-deleted
+    // rows are never re-materialized into the new batch. DV entries
+    // keyed on the retired files become INERT (ttApplyDv's contract:
+    // an entry whose data file is no longer live never matches) — the
+    // same-commit metadata retirement Delta gets by rewriting sidecars;
+    // ttDvCompact reaps inert entries with the rest.
+    val (dvLive, dataLive) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
     val srcKeys = source.select("event_id")
-    val base = new org.apache.hadoop.fs.Path(dir).toUri.getPath
     val touched =
-      if (live.isEmpty) Seq.empty[String]
-      else ttReadFiles(s, dir, live)
-        .select(col("event_id"), input_file_name().as("_f"))
+      if (dataLive.isEmpty) Seq.empty[String]
+      else ttApplyDv(s, dir,
+          ttReadFiles(s, dir, dataLive)
+            // ttRelFile yields the file's LOG form directly: relative
+            // for the table's own files, absolute for clone-inherited
+            // externals (the removes list must use that convention)
+            .select(col("event_id"), ttRelFile(dir).as("_mf")),
+          dvLive)
         .join(broadcast(srcKeys), Seq("event_id"), "left_semi")
-        .select("_f").distinct().collect()
-        .map { r =>
-          val p = new org.apache.hadoop.fs.Path(r.getString(0)).toUri.getPath
-          // relativize ONLY the table's own files; a clone-inherited
-          // external keeps its absolute form (the log's convention)
-          if (p.startsWith(base + "/")) p.stripPrefix(base).stripPrefix("/")
-          else p
-        }
+        .select("_mf").distinct().collect().map(_.getString(0))
         .toSeq.sorted
     val srcCols = source.select("event_id", "event_type", "cents", "day")
     // no matched file ⇒ pure insert: the source alone is the new batch
@@ -1432,7 +1506,7 @@ object Mutations {
     // AnalysisException, and there is nothing to rewrite)
     val merged =
       if (touched.isEmpty) srcCols
-      else ttReadFiles(s, dir, touched)
+      else ttApplyDv(s, dir, ttReadFiles(s, dir, touched), dvLive)
         .join(srcKeys, Seq("event_id"), "left_anti")
         .unionByName(srcCols)
         .localCheckpoint(true) // materialize before the metadata swap

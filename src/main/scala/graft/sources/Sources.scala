@@ -1659,7 +1659,74 @@ object Sources {
       FROM tt.up21_sql_store GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** src33 — SQL DELETE then SQL MERGE on ONE registered store: the verb
+    * sequence the tt front door naturally exposes (r14's confirmed
+    * crash — MERGE's probe used to read DV sidecars as data and die
+    * with CONFLICTING_DIRECTORY_STRUCTURES). The DELETE lands a
+    * deletion-vector commit (v4); the MERGE (v5) must treat DV-deleted
+    * rows as logically absent — a source key whose only row was
+    * deleted takes the INSERT arm, and the COW rewrite applies live
+    * DVs so deleted rows are never resurrected into the new batch. The
+    * oracle applies MERGE's semantics to the post-delete state, so a
+    * resurrection (or a deleted row wrongly "matched") breaks the hash.
+    */
+  def sqlDeleteThenMerge(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttStore(s, d)
+    TtCatalog.install(s)
+    TtCatalog.register("src33_store", dir)
+    s.sql("DELETE FROM tt.src33_store WHERE event_id % 23 = 0")
+    graft.ops.Mutations.ttMergeSource(s, d)
+      .createOrReplaceTempView("graft_tt_merge_src33")
+    s.sql("""MERGE INTO tt.src33_store t
+      USING graft_tt_merge_src33 s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET *
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.src33_store GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src33_sql_delete_merge", sqlDeleteThenMerge, Some(
+      // post-delete v4 (v3 minus the % 23 keys) with MERGE's semantics
+      // applied on top: source keys replaced/inserted — including keys
+      // whose only row the DELETE removed (insert arm, NOT a silent
+      // resurrection of the deleted image)
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1,
+        |         min(day) + 2 AS dcut FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (SELECT * FROM v3 WHERE event_id % 23 <> 0),
+        |v5 AS (
+        |  SELECT * FROM v4
+        |  WHERE NOT (event_id % 13 = 0 AND event_id < 1000000000
+        |             AND day <= (SELECT dcut FROM probe))
+        |  UNION ALL
+        |  SELECT event_id, event_type, cents + 1000, day FROM base
+        |  WHERE event_id % 13 = 0 AND day <= (SELECT dcut FROM probe)
+        |  UNION ALL
+        |  SELECT event_id + 3000000000, event_type, cents + 500, day
+        |  FROM base
+        |  WHERE event_id % 17 = 0 AND day <= (SELECT dcut FROM probe))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v5 GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("src31_sql_update", sqlUpdate, Some(
       // up21's post-update head state (purchases +77 over v3)
       """WITH base AS (

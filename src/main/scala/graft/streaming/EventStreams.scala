@@ -1505,8 +1505,14 @@ object EventStreams {
         val rows = b.select(col("event_id"), col("event_type"),
           expr("cast(round(value * 100) as bigint)").as("cents"),
           date_format(col("ts"), "yyyy-MM-dd").as("day"))
-        require(Mutations.ttIdempotentAppend(sp, dir, rows, s"st31#$batchId"),
-          s"batch $batchId already committed on first delivery")
+        // a false return on the FIRST call is a legitimate skip, not an
+        // error: Structured Streaming re-delivers a batch after any
+        // task/driver failure (checkpoint replay), and absorbing that
+        // retry IS the exactly-once contract — only the deliberately
+        // simulated second call below asserts the no-op.
+        if (!Mutations.ttIdempotentAppend(sp, dir, rows, s"st31#$batchId"))
+          System.err.println(
+            s"[st31] batch $batchId replay absorbed (already committed)")
         // simulated retry: the SAME batch re-delivered must be a no-op
         require(!Mutations.ttIdempotentAppend(sp, dir, rows, s"st31#$batchId"),
           s"replayed batch $batchId double-committed")

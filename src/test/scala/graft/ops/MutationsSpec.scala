@@ -790,4 +790,105 @@ class MutationsSpec extends SparkSpec {
     assert(v3.toSeq == logical.toSeq,
       "pre-evolution snapshot drifted after the evolution commit")
   }
+
+  test("up18 × up20: MERGE on a DV-bearing store — no crash, no resurrection, exact CDF") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    // v4: DV-delete the % 23 keys (scattered across every day — the exact
+    // store state that crashed r14's merge probe)
+    Mutations.ttDvDelete(spark, dir, 4, "dv4",
+      pmod(col("event_id"), lit(23)) === 0)
+    val v4 = Mutations.ttAsOf(spark, dir, 4).localCheckpoint(true)
+    val src = Mutations.ttMergeSource(spark, sf0001).localCheckpoint(true)
+    Mutations.ttMergeInto(spark, dir, src, 5, "b5m")
+    val head = Mutations.ttAsOf(spark, dir, 5)
+    // no resurrection: every % 23 key at head came from the SOURCE (the
+    // deleted images never re-materialize through the COW rewrite)
+    val dead = head.filter(pmod(col("event_id"), lit(23)) === 0)
+    assert(dead.join(src, Seq("event_id"), "left_anti").count() == 0,
+      "DV-deleted rows resurrected by the merge rewrite")
+    // head ≡ (v4 minus source keys) ∪ source — full-state bag equality
+    val expected = v4.join(src.select("event_id"), Seq("event_id"), "left_anti")
+      .unionByName(src)
+    assert(head.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(head).count() == 0, "merged head state wrong")
+    // exact CDF: inserts ≡ the source rows, deletes ≡ the v4 images of
+    // matched keys (a DV-deleted key contributes an insert but NO delete)
+    val cdf = Mutations.ttChanges(spark, dir, 4, 5).localCheckpoint(true)
+    val ins = cdf.filter(col("_change_type") === "insert").drop("_change_type")
+    val del = cdf.filter(col("_change_type") === "delete").drop("_change_type")
+    assert(ins.exceptAll(src).count() == 0 && src.exceptAll(ins).count() == 0,
+      "CDF inserts differ from the merge source")
+    val expDel = v4.join(src.select("event_id"), Seq("event_id"), "left_semi")
+    assert(del.exceptAll(expDel).count() == 0 &&
+      expDel.exceptAll(del).count() == 0,
+      "CDF deletes differ from the matched v4 images")
+    // a key whose ONLY row was DV-deleted takes the INSERT arm: it must
+    // appear in the CDF as insert-without-delete
+    val insertArm = src.join(v4.select("event_id"), Seq("event_id"), "left_anti")
+    assert(insertArm.count() > 0, "fixture lost its deleted-then-merged keys")
+    assert(insertArm.join(del, Seq("event_id"), "left_semi").count() == 0,
+      "insert-arm keys wrongly surfaced a CDF delete")
+  }
+
+  test("ttDvUpdate: every SET RHS reads the PRE-update row; evolved columns survive") {
+    val dir = Mutations.ttEvolvedStore(spark, sf0001) // head v4, has ingest_gen
+    val pred = col("event_type") === "view" && pmod(col("event_id"), lit(5)) === 0
+    val v4 = Mutations.ttAsOf(spark, dir, 4).localCheckpoint(true)
+    assert(v4.filter(pred && col("ingest_gen").isNotNull).count() > 0,
+      "fixture must update some evolved rows")
+    // the classic swap: sequential assignment would read the NEW cents
+    Mutations.ttDvUpdate(spark, dir, 5, "u5", pred,
+      Seq("cents" -> col("event_id"), "event_id" -> col("cents")))
+    val head = Mutations.ttAsOf(spark, dir, 5)
+    // build expected IN v4's column order (day, a partition column, comes
+    // last) — exceptAll compares positionally
+    val swap = Map(
+      "event_id" -> when(pred, col("cents")).otherwise(col("event_id")),
+      "cents" -> when(pred, col("event_id")).otherwise(col("cents")))
+    val expected = v4.select(v4.columns.map(c =>
+      swap.getOrElse(c, col(c)).as(c)): _*)
+    assert(head.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(head).count() == 0,
+      "SET semantics diverged from simultaneous-assignment (or dropped a column)")
+    // evolved column intact: same non-null ingest_gen population
+    assert(head.filter(col("ingest_gen").isNotNull).count() ==
+      v4.filter(col("ingest_gen").isNotNull).count(),
+      "update dropped the evolved column from rewritten rows")
+  }
+
+  test("idempotent append under a two-writer race: duplicate txn lands once, distinct txns both land") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dir = Mutations.ttStore(spark, sf0001) // head v3
+    val batch = graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 41 === 0)
+      .select((col("event_id") + 6000000000L).as("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .localCheckpoint(true)
+    // SAME txn from two concurrent writers (the zombie-retry scenario):
+    // exactly one commit may land, whatever the interleaving
+    val sameTxn = Seq(
+      Future(Mutations.ttIdempotentAppend(spark, dir, batch, "race-dup")),
+      Future(Mutations.ttIdempotentAppend(spark, dir, batch, "race-dup")))
+      .map(Await.result(_, 120.seconds))
+    assert(sameTxn.count(identity) == 1,
+      s"duplicate txn committed ${sameTxn.count(identity)} times")
+    val headAfterDup = Mutations.ttHeadVersion(spark, dir)
+    assert(headAfterDup == 4, s"head $headAfterDup after one logical append")
+    // DISTINCT txns racing: both land, log stays linear (no gaps)
+    val distinct = Seq("race-a", "race-b").map(t =>
+      Future(Mutations.ttIdempotentAppend(spark, dir, batch, t)))
+      .map(Await.result(_, 120.seconds))
+    assert(distinct.forall(identity), "a distinct-txn writer was lost")
+    assert(Mutations.ttHeadVersion(spark, dir) == 6)
+    assert((0 to 6).forall(v =>
+      Mutations.ttLiveFiles(spark, dir, v).nonEmpty), "log has a gap")
+    // the duplicated batch's rows appear exactly TWICE more than once:
+    // once for the dup pair, once per distinct txn = 3 copies total
+    val n = batch.count()
+    assert(Mutations.ttAsOf(spark, dir, 6)
+      .filter(col("event_id") >= 6000000000L).count() == 3 * n)
+  }
 }
