@@ -1209,13 +1209,108 @@ object Mutations {
       .orderBy("day")
   }
 
+  /** JVM-lifetime memo of FINISHED scenario stores, one dir per
+    * (prefix, dataset fingerprint): declared lake queries stage their
+    * multi-commit store construction here, so Bench's staged pass
+    * (QueryDef.staged) carries the build cost and the timed line reads
+    * verb/snapshot cost — the v-family staging discipline applied to
+    * the lake tier (r14 verdict next #5). Contract: the builder leaves
+    * a COMPLETE read-only scenario under its own dir; a query over a
+    * memoized store either reads pinned versions or applies verbs at
+    * head+1 whose pinned-version reads are run-invariant (each query's
+    * scaladoc states which). Specs keep using the rebuild-always
+    * builders (ttStore & co.) on their own dirs, so spec mutations
+    * never collide with memoized query state.
+    */
+  private val scenarioMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
+  private[graft] def ttScenario(s: SparkSession, d: String, prefix: String)(
+      build: String => Unit): String =
+    Tables.stagedDir(scenarioMemo,
+        s"$prefix:${Tables.datasetFingerprint(d)}") { () =>
+      val dir = Tables.scratchDir(prefix, d)
+      ttFs(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+      build(dir)
+      dir
+    }
+
+  /** Commit already-published adds/removes at `target`, rebasing to the
+    * new head on a lost claim — the OCC append loop factored for verbs
+    * whose staged output is position-independent (an append conflicts
+    * with nothing; its files are immutable until the log references
+    * them). Returns the version that actually committed. Callers whose
+    * verbs READ the snapshot they were derived from (merge, update)
+    * must instead re-derive on conflict — up12's re-stage path.
+    */
+  private[graft] def ttCommitRetry(s: SparkSession, dir: String,
+      target: Int, adds: Seq[String], removes: Seq[String],
+      meta: Seq[String]): Int = {
+    var v = target
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      try { ttCommit(s, dir, v, adds, removes, meta); return v }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          v = ttHeadVersion(s, dir) + 1
+      }
+    }
+    sys.error(s"commit lost $attempts straight races under $dir")
+  }
+
+  /** up25 — OPTIMIZE (Delta's OPTIMIZE / Iceberg's rewrite_data_files):
+    * bin-packing compaction of a snapshot's fragmented days — every day
+    * directory holding ≥ `minFilesPerDay` live files is rewritten into
+    * one file, as ONE metadata-swap commit (`op=optimize`). Logically a
+    * no-op: the CDF across it is empty (every packed row cancels in the
+    * bag difference) and any rollup answers identically pre/post —
+    * that is the declared query's hash proof. Physically it is the
+    * read-amplification payback for streaming ingest: st31-style
+    * one-commit-per-micro-batch appends (and up19's per-slice commits)
+    * leave O(commits × days) small files, and at production commit
+    * rates unbounded file counts — not data volume — are what kill scan
+    * planning. Days already at one file are untouched (byte-identity
+    * spec-pinned); clone-inherited externals are left alone (packing
+    * them would copy another table's bytes into ours). Cost ∝ packed
+    * files, never the table. DV-bearing snapshots must ttDvCompact
+    * first — the two rewrites compose in either order but each owns
+    * its own commit. Returns whether anything was packed.
+    */
+  private[graft] def ttOptimize(s: SparkSession, dir: String, v: Int,
+      sub: String, minFilesPerDay: Int = 2): Boolean = {
+    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    require(dvF.isEmpty,
+      "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
+    val packed = dataF.filter(_.startsWith("day="))
+      .groupBy(f => f.take(f.indexOf('/')))
+      .filter(_._2.size >= minFilesPerDay)
+      .values.flatten.toSeq.sorted
+    if (packed.isEmpty) return false
+    // one file per packed day: repartition(day) puts each day in exactly
+    // one task, partitionBy(day) then writes a single file for it
+    val rows = ttReadFiles(s, dir, packed, mergeSchema = true)
+      .localCheckpoint(true)
+    ttCommit(s, dir, v,
+      ttWriteBatch(s, dir, sub, rows.repartition(col("day"))),
+      packed, meta = Seq("op=optimize"))
+    true
+  }
+
   /** Build the 4-version store: v0 base, v1 append, v2 COW update,
-    * v3 COW delete. Rebuilt per call (the scenario IS the operator).
+    * v3 COW delete. Rebuilt per call (the scenario IS the operator;
+    * declared queries instead stage a memoized copy via [[ttScenario]]).
     */
   private[graft] def ttStore(s: SparkSession, d: String): String = {
     val dir = Tables.scratchDir("graft_up13_store", d)
-    val fs = ttFs(s, dir)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    ttFs(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    ttBuildStore(s, d, dir)
+    dir
+  }
+
+  /** The 4-version scenario body, building into a CLEAN `dir`. */
+  private[graft] def ttBuildStore(s: SparkSession, d: String,
+      dir: String): Unit = {
     def writeBatch(df: DataFrame, sub: String): Seq[String] =
       ttWriteBatch(s, dir, sub, df)
     val base = events(s, d).select(col("event_id"), col("event_type"),
@@ -1252,7 +1347,6 @@ object Mutations {
     }
     cow(2, d0, "b2", "update")(_.withColumn("cents", col("cents") + lit(9L)))
     cow(3, d1, "b3", "delete")(_.filter(col("event_type") =!= "click"))
-    dir
   }
 
   // ---- up15/up16: CHANGE DATA FEED between versions ----
@@ -1727,8 +1821,14 @@ object Mutations {
     */
   private[graft] def ttManyCommitStore(s: SparkSession, d: String): String = {
     val dir = Tables.scratchDir("graft_up19_store", d)
-    val fs = ttFs(s, dir)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    ttFs(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
+    ttBuildManyCommits(s, d, dir)
+    dir
+  }
+
+  /** The many-commit scenario body, building into a CLEAN `dir`. */
+  private[graft] def ttBuildManyCommits(s: SparkSession, d: String,
+      dir: String): Unit = {
     val base = events(s, d).select(col("event_id"), col("event_type"),
       expr("cast(round(value * 100) as bigint)").as("cents"),
       date_format(col("ts"), "yyyy-MM-dd").as("day"))
@@ -1742,7 +1842,6 @@ object Mutations {
         ttWriteBatch(s, dir, s"b$i", slice.repartition(col("day"))), Nil,
         meta = Seq("op=append"))
     }
-    dir
   }
 
   /** The declared up19 query: per-(version, event_type) rollups at v3,
@@ -1754,13 +1853,70 @@ object Mutations {
     * data-observable by the oracle).
     */
   def checkpointedTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val dir = ttManyCommitStore(s, d)
+    val dir = ttScenario(s, d, "graft_up19q_store")(ttBuildManyCommits(s, d, _))
     Seq(3, 6, 9).map { v =>
       ttAsOf(s, dir, v).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
         .select(lit(v.toLong).as("version"), col("event_type"),
           col("n"), col("sum_cents"))
     }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** The declared up25 query: OPTIMIZE the many-commit store (ten
+    * commits × days of small files — exactly the fragmentation
+    * streaming ingest leaves) at v10, then answer the same rollup at
+    * v9 (pre) and v10 (post): the hash proves compaction is logically
+    * invisible while the post-optimize scan plans over ONE file per
+    * day. Store construction AND the optimize commit are staged
+    * ([[ttScenario]] — both are one-time state, not per-query cost);
+    * the numFiles drop, empty CDF and byte-identity of untouched
+    * files are spec-pinned (not data-observable by the oracle).
+    */
+  def optimizeRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttScenario(s, d, "graft_up25_store") { dd =>
+      ttBuildManyCommits(s, d, dd)
+      require(ttOptimize(s, dd, 10, "o10"), "up25 fixture had nothing to pack")
+    }
+    Seq(9, 10).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** up27 — OCC APPEND under a FORCED commit race: two writers stage
+    * batches from the SAME head; writer B claims head+1 first, then
+    * writer A attempts the same version — its claim fails and it
+    * REBASES (re-resolves the head and re-commits its already-published
+    * files at the next version, no re-execution: an append's staged
+    * output is position-independent). Delta's conflict-check-then-retry
+    * discipline, driven deterministically so the loser's path executes
+    * every run. The declared read is pinned at v5 (the first race's
+    * post-append head over the memoized store — later runs race again
+    * at higher versions without disturbing it); the oracle applies BOTH
+    * appends to the v3 state, so losing either writer breaks the hash.
+    */
+  def occAppendRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttScenario(s, d, "graft_up27_store")(ttBuildStore(s, d, _))
+    val h = ttHeadVersion(s, dir)
+    val base = events(s, d).select(col("event_id"), col("event_type"),
+      expr("cast(round(value * 100) as bigint)").as("cents"),
+      date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    def slice(m: Int, off: Long): DataFrame =
+      base.filter(col("event_id") % m === 0)
+        .withColumn("event_id", col("event_id") + lit(off))
+    val addsA = ttWriteBatch(s, dir, s"oa${h + 1}",
+      slice(31, 4000000000L).repartition(col("day")))
+    val addsB = ttWriteBatch(s, dir, s"ob${h + 1}",
+      slice(37, 5000000000L).repartition(col("day")))
+    val vB = ttCommitRetry(s, dir, h + 1, addsB, Nil, Seq("op=append"))
+    val vA = ttCommitRetry(s, dir, h + 1, addsA, Nil, Seq("op=append"))
+    require(vB == h + 1 && vA == h + 2,
+      s"forced race resolved wrong: B=$vB A=$vA from head $h")
+    ttAsOf(s, dir, 5).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("event_type")
   }
 
   /** up14 — VACUUM with a retention horizon (Delta's VACUUM / Iceberg's
@@ -1830,6 +1986,57 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up25_optimize", optimizeRollup, Some(
+      // one full state (base ∪ all nine re-keyed slices = every base row
+      // twice), expected at BOTH v9 (fragmented) and v10 (compacted) —
+      // the hash proves bin-packing rewrites bytes, never rows
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |vs AS (SELECT * FROM (VALUES (9), (10)) AS t(version)),
+        |st AS (
+        |  SELECT vs.version, b.event_type, b.cents FROM vs CROSS JOIN base b
+        |  UNION ALL
+        |  SELECT vs.version, b.event_type, b.cents FROM vs CROSS JOIN base b)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
+    QueryDef("up27_occ_append", occAppendRollup, Some(
+      // v3 plus BOTH writers' slices: the loser of the forced claim race
+      // must land via rebase or its slice is missing from the hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v5 AS (
+        |  SELECT * FROM v3
+        |  UNION ALL
+        |  SELECT event_id + 5000000000, event_type, cents, day FROM base
+        |  WHERE event_id % 37 = 0
+        |  UNION ALL
+        |  SELECT event_id + 4000000000, event_type, cents, day FROM base
+        |  WHERE event_id % 31 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v5 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("up24_table_history", tableHistory, Some(
       // the operation sequence verified AGAINST each snapshot's row
       // count, both recomputed from raw events

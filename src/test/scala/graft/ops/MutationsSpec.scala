@@ -856,6 +856,49 @@ class MutationsSpec extends SparkSpec {
       "update dropped the evolved column from rewritten rows")
   }
 
+  test("up25 optimize: fragmented days pack to one file, untouched days byte-identical, CDF empty, re-run no-op") {
+    val dir = graft.Tables.scratchDir("graft_up25spec", sf0001)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    val base = graft.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    val dcut = graft.Tables.events(spark, sf0001).agg(date_format(
+      date_add(min(to_date(col("ts"))), 2), "yyyy-MM-dd")).head.getString(0)
+    // v0: every day one file; v1: an append touching only the first days
+    // → those days fragment to 2 files, later days stay at 1
+    assert(Mutations.ttIdempotentAppend(spark, dir, base, "o-spec-0"))
+    assert(Mutations.ttIdempotentAppend(spark, dir,
+      base.filter(col("day") <= dcut)
+        .withColumn("event_id", col("event_id") + 9000000000L), "o-spec-1"))
+    val pre = Mutations.ttLiveFiles(spark, dir, 1)
+    val preDay = pre.groupBy(_.split('/').head)
+    val fragged = preDay.filter(_._2.size >= 2).keySet
+    val single = preDay.filter(_._2.size == 1).keySet
+    assert(fragged.nonEmpty && single.nonEmpty, s"fixture: $preDay")
+    val rollup = (v: Int) => Mutations.ttAsOf(spark, dir, v)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted
+    val preRoll = rollup(1)
+    assert(Mutations.ttOptimize(spark, dir, 2, "o2"))
+    val post = Mutations.ttLiveFiles(spark, dir, 2)
+    val postDay = post.groupBy(_.split('/').head)
+    // packed days now hold exactly one live file; single-file days keep
+    // the SAME file (never rewritten — byte identity by immutability)
+    fragged.foreach(dd => assert(postDay(dd).size == 1,
+      s"day $dd not packed: ${postDay(dd)}"))
+    single.foreach(dd => assert(postDay(dd) == preDay(dd),
+      s"untouched day $dd rewritten"))
+    // logically invisible: same rollup, empty row-level CDF
+    assert(rollup(2).toSeq == preRoll.toSeq)
+    assert(Mutations.ttChanges(spark, dir, 1, 2).count() == 0,
+      "optimize leaked row changes into the CDF")
+    // a second optimize finds nothing to pack
+    assert(!Mutations.ttOptimize(spark, dir, 3, "o3"))
+  }
+
   test("idempotent append under a two-writer race: duplicate txn lands once, distinct txns both land") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
