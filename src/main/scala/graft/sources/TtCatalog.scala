@@ -4,10 +4,11 @@ import java.util
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SparkSession, SQLContext}
-import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, V1Scan}
-import org.apache.spark.sql.sources.{BaseRelation, TableScan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{BaseRelation, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -57,7 +58,7 @@ object TtCatalog {
   * DV-aware `ttAsOf` read; `V1Scan` hands its rows to the SQL engine.
   */
 final class TtTable(tableName: String, dir: String, version: Option[Int])
-  extends Table with SupportsRead {
+  extends Table with SupportsRead with SupportsWrite {
 
   private def snapshot(s: SparkSession): DataFrame =
     graft.ops.Mutations.ttAsOf(s, dir,
@@ -71,9 +72,33 @@ final class TtTable(tableName: String, dir: String, version: Option[Int])
   override def name(): String = tableName
   override def schema(): StructType = resolvedSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 
   private[graft] def storeDir: String = dir
+
+  /** src35 — SQL `INSERT INTO tt.x SELECT ...`: the analyzer aligns the
+    * query to the table schema and plans AppendData; the V1 write
+    * bridge hands the rows to [[graft.ops.Mutations.ttSqlInsert]] — one
+    * plain append commit, OCC-retried. Overwrite (INSERT OVERWRITE /
+    * truncate) is refused: rewriting a versioned table's head wholesale
+    * is a restore or a COW verb, never a blind overwrite.
+    */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+              require(!overwrite,
+                "tt tables do not support INSERT OVERWRITE — use the " +
+                  "engine's restore/COW verbs")
+              require(version.isEmpty,
+                "cannot INSERT into a pinned snapshot (VERSION/TIMESTAMP AS OF)")
+              graft.ops.Mutations.ttSqlInsert(data.sparkSession, dir, data)
+            }
+          }
+      }
+    }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -124,6 +149,20 @@ final class TtCatalog extends TableCatalog {
   override def loadTable(ident: Identifier, version: String): Table =
     new TtTable(s"$catalogName.${ident.name} VERSION AS OF $version",
       dirOf(ident), Some(version.toInt))
+
+  /** `TIMESTAMP AS OF t` (src34) — Spark hands MICROSECONDS since
+    * epoch; resolve to the newest version whose commit timestamp
+    * (`# ts=` in the commit, the injectable [[graft.ops.Mutations
+    * .ttClockMs]] clock in the declared scenarios) is ≤ t — the
+    * Delta/Iceberg floor-over-commit-times rule. O(commits) metadata.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val dir = dirOf(ident)
+    val v = graft.ops.Mutations.ttVersionAt(
+      SparkSession.active, dir, timestamp / 1000L)
+    new TtTable(s"$catalogName.${ident.name} TIMESTAMP AS OF $timestamp",
+      dir, Some(v))
+  }
 
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],

@@ -1455,7 +1455,9 @@ object EventStreams {
     * on a gap rather than folding deltas out of order).
     */
   def streamingCdfTail(s: SparkSession, d: String): DataFrame =
-    streamingCdfTailOnStore(s, graft.ops.Mutations.ttStore(s, d))
+    // shared read-only memoized store: the tail (the operator) runs
+    // timed; store construction is staged (QueryDef.staged)
+    streamingCdfTailOnStore(s, graft.ops.Mutations.ttBaseScenario(s, d))
 
   /** st30 — the tailer over a DELETION-VECTOR-bearing store (st28 ×
     * up20): v4 is a DV commit (no data file changes — the delta is
@@ -1466,7 +1468,11 @@ object EventStreams {
     * it: the general CDF path owns the semantics.
     */
   def streamingDvCdfTail(s: SparkSession, d: String): DataFrame =
-    streamingCdfTailOnStore(s, graft.ops.Mutations.ttDvStore(s, d),
+    streamingCdfTailOnStore(s,
+      graft.ops.Mutations.ttScenario(s, d, "graft_st30_store") { dd =>
+        graft.ops.Mutations.ttBuildStore(s, d, dd)
+        graft.ops.Mutations.ttBuildDvSuffix(s, dd)
+      },
       fromCheckpoint = false) // the declared feed is the FULL history
 
   /** st31 — EXACTLY-ONCE STREAMING WRITE into the tt store: each
@@ -1563,8 +1569,8 @@ object EventStreams {
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
       val ckptV = fs.listStatus(log).toSeq.map(_.getPath.getName)
-        .filter(_.matches("ckpt-v\\d+\\.txt"))
-        .map(_.stripPrefix("ckpt-v").stripSuffix(".txt").toInt)
+        .filter(_.matches("ckpt-v\\d+\\.parquet"))
+        .map(_.stripPrefix("ckpt-v").stripSuffix(".parquet").toInt)
         .sorted.lastOption.getOrElse(-1)
       if (ckptV >= 0 && fromCheckpoint) {
         // ttAsOf, not a raw live-set read: the checkpointed set may carry
@@ -1582,7 +1588,7 @@ object EventStreams {
     }
     val stream = s.readStream
       .option("maxFilesPerTrigger", "1")
-      // commit files only: checkpoint manifests (ckpt-v*.txt) are
+      // commit files only: checkpoint manifests (ckpt-v*.parquet) are
       // resolution shortcuts, not deltas — folding one would double-count
       .option("pathGlobFilter", "v*.txt")
       .text(s"$dir/_log")
@@ -1673,7 +1679,13 @@ object EventStreams {
     * follows at churn cost, queries never touch the fact.
     */
   def streamingViewMaintenance(s: SparkSession, d: String): DataFrame =
-    streamingViewMaintenanceOnStore(s, graft.ops.Mutations.ttStore(s, d))
+    // own memoized store (NOT the shared lake base: this query registers
+    // a maintained view against its store dir, and a registry entry
+    // keyed to a shared dir could rewrite OTHER queries' plans — the
+    // r10 populated-registry lesson); re-runs re-bootstrap from v0
+    streamingViewMaintenanceOnStore(s,
+      graft.ops.Mutations.ttScenario(s, d, "graft_st29_store")(
+        graft.ops.Mutations.ttBuildStore(s, d, _)))
 
   private[graft] def streamingViewMaintenanceOnStore(s: SparkSession,
       dir: String): DataFrame = {
@@ -1984,7 +1996,8 @@ object EventStreams {
         |  UNION ALL SELECT 5, event_type, cents FROM v4)
         |SELECT CAST(version AS BIGINT) AS version, event_type,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
     QueryDef("st29_streaming_view_maint", streamingViewMaintenance, Some(
       // v3's daily rollup recomputed from raw events — the engine's
       // answer comes FROM the stream-maintained registered view (the
@@ -2011,7 +2024,8 @@ object EventStreams {
         |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe)))
         |SELECT day, event_type, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS cents
-        |FROM v3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+        |FROM v3 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
     QueryDef("st28_streaming_cdf", streamingCdfTail, Some(
       // up13's oracle VERBATIM (st19/st20's discipline): the oracle
       // recomputes every version state from raw events; the engine
@@ -2044,7 +2058,8 @@ object EventStreams {
         |  UNION ALL SELECT 3, event_type, cents FROM v3)
         |SELECT CAST(version AS BIGINT) AS version, event_type,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
-        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
     QueryDef("st27_streaming_distinct", streamingDistinctMaintenance, Some(
       // cat12's oracle verbatim: base ∪ streamed increments == events
       """SELECT CAST(ts AS DATE) AS day,

@@ -449,8 +449,10 @@ class MutationsSpec extends SparkSpec {
     val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
     def ckptNames = fs.listStatus(log).map(_.getPath.getName)
       .filter(_.startsWith("ckpt-")).sorted.toSeq
-    // interval-4 cadence over 10 commits → checkpoints at v4 and v8
-    assert(ckptNames == Seq("ckpt-v4.txt", "ckpt-v8.txt"), ckptNames.toString)
+    // interval-4 cadence over 10 commits → checkpoints at v4 and v8,
+    // written as PARQUET manifests (Delta's checkpoint.parquet shape)
+    assert(ckptNames == Seq("ckpt-v4.parquet", "ckpt-v8.parquet"),
+      ckptNames.toString)
     // BOUNDED RESOLUTION: head (v9) reads ckpt8 + v9 — never the v0 replay
     val (headLive, headOpened) = Mutations.ttLiveFilesCounted(spark, dir, 9)
     assert(headOpened == 2, s"head resolution opened $headOpened log files")
@@ -462,13 +464,20 @@ class MutationsSpec extends SparkSpec {
     val (_, preOpened) = Mutations.ttLiveFilesCounted(spark, dir, 3)
     assert(preOpened == 4)
     // IDEMPOTENT RE-WRITE: bytes unchanged by a second call
-    def bytes(n: String): String = {
+    def bytes(n: String): Seq[Byte] = {
       val in = fs.open(new org.apache.hadoop.fs.Path(log, n))
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      val buf = new java.io.ByteArrayOutputStream()
+      try {
+        val b = new Array[Byte](8192)
+        var r = in.read(b)
+        while (r >= 0) { buf.write(b, 0, r); r = in.read(b) }
+      } finally in.close()
+      buf.toByteArray.toSeq
     }
-    val before = bytes("ckpt-v8.txt")
+    val before = bytes("ckpt-v8.parquet")
     Mutations.ttWriteCheckpoint(spark, dir, 8)
-    assert(bytes("ckpt-v8.txt") == before, "checkpoint re-write changed bytes")
+    assert(bytes("ckpt-v8.parquet") == before,
+      "checkpoint re-write changed bytes")
     // CHECKPOINTED ≡ FULL REPLAY: drop the manifests, resolve again
     ckptNames.foreach(n =>
       fs.delete(new org.apache.hadoop.fs.Path(log, n), false))
@@ -476,9 +485,15 @@ class MutationsSpec extends SparkSpec {
     assert(replayOpened == 10, s"un-checkpointed replay opened $replayOpened")
     assert(replayLive == headLive,
       "checkpoint-seeded live set diverges from the full replay")
-    // re-checkpointing reproduces the identical manifest
+    // re-checkpointing reproduces the identical live set + stats (the
+    // parquet bytes may differ across writes — footer metadata — so the
+    // idempotence pin above covers the no-rewrite case, and this one
+    // covers content equality after a genuine re-write)
     Mutations.ttWriteCheckpoint(spark, dir, 8)
-    assert(bytes("ckpt-v8.txt") == before)
+    val (reLive, reStats, _) = Mutations.ttLiveEntriesCounted(spark, dir, 8)
+    Mutations.ttWriteCheckpoint(spark, dir, 8) // and it stays put
+    val (reLive2, reStats2, _) = Mutations.ttLiveEntriesCounted(spark, dir, 8)
+    assert(reLive == reLive2 && reStats == reStats2)
   }
 
   test("up20 deletion vectors: no data file touched, CDF sees the delete, compaction is CDF-invisible") {
@@ -490,8 +505,9 @@ class MutationsSpec extends SparkSpec {
       val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          out(f.getPath.toUri.getPath) = (f.getLen, f.getModificationTime)
+        val p = f.getPath.toUri.getPath
+        if (p.endsWith(".parquet") && !p.contains("/_log/"))
+          out(p) = (f.getLen, f.getModificationTime)
       }
       out.toMap
     }
@@ -588,7 +604,8 @@ class MutationsSpec extends SparkSpec {
       val out = scala.collection.mutable.Set.empty[String]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet")) out += f.getPath.toUri.getPath
+        val p = f.getPath.toUri.getPath
+        if (p.endsWith(".parquet") && !p.contains("/_log/")) out += p
       }
       out.toSet
     }
@@ -789,6 +806,29 @@ class MutationsSpec extends SparkSpec {
     }
     assert(v3.toSeq == logical.toSeq,
       "pre-evolution snapshot drifted after the evolution commit")
+  }
+
+  test("up24 history: stats-sourced counts equal the recount; timestamps follow the injectable clock") {
+    val dir = Mutations.ttMergedStore(spark, sf0001)
+    val hist = Mutations.ttHistory(spark, dir)
+    assert(hist.map(_.op) ==
+      Seq("write", "append", "update", "delete", "merge"))
+    hist.foreach { ci =>
+      // the r14-retired recount survives HERE as the cross-check: the
+      // metadata-served count must equal what a scan would say
+      val viaStats = Mutations.ttStatsRowCount(spark, dir, ci.version)
+      val recount = Mutations.ttAsOf(spark, dir, ci.version).count()
+      assert(viaStats.contains(recount),
+        s"v${ci.version}: stats-sourced $viaStats != recount $recount")
+      assert(ci.tsMs == Mutations.ttClockMs(ci.version),
+        s"v${ci.version} timestamp drifted from the injectable clock")
+    }
+    // DV-bearing snapshots refuse stats-sourcing (their subtraction is
+    // entry-level) — callers must recount
+    Mutations.ttDvDelete(spark, dir, 5, "dv5",
+      pmod(col("event_id"), lit(29)) === 0)
+    assert(Mutations.ttStatsRowCount(spark, dir, 5).isEmpty,
+      "DV-bearing snapshot served a stats-sourced count")
   }
 
   test("up18 × up20: MERGE on a DV-bearing store — no crash, no resurrection, exact CDF") {

@@ -58,8 +58,10 @@ class TtCatalogSpec extends SparkSpec {
       val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
       while (it.hasNext) {
         val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          out(f.getPath.toUri.getPath) = (f.getLen, f.getModificationTime)
+        val p = f.getPath.toUri.getPath
+        // _log/ carries parquet CHECKPOINT manifests — metadata, not data
+        if (p.endsWith(".parquet") && !p.contains("/_log/"))
+          out(p) = (f.getLen, f.getModificationTime)
       }
       out.toMap
     }
@@ -98,5 +100,73 @@ class TtCatalogSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
       .orderBy("event_type"))
     assert(viaSql == viaDf, "SQL UPDATE diverges from the DataFrame form")
+  }
+
+  test("SQL INSERT INTO lands one op=insert append commit ≡ the library verb; OVERWRITE refused") {
+    import graft.ops.Mutations
+    val dir = Mutations.ttStore(spark, sf0001)
+    TtCatalog.install(spark)
+    TtCatalog.register("src35_spec_store", dir)
+    graft.Tables.events(spark, sf0001)
+      .createOrReplaceTempView("graft_src35_spec_events")
+    spark.sql("""INSERT INTO tt.src35_spec_store
+      SELECT event_id + 7000000000 AS event_id, event_type,
+        cast(round(value * 100) as bigint) + 250 AS cents,
+        date_format(ts, 'yyyy-MM-dd') AS day
+      FROM graft_src35_spec_events WHERE event_id % 19 = 0""")
+    // exactly one new commit, labelled op=insert
+    assert(Mutations.ttHeadVersion(spark, dir) == 4)
+    assert(Mutations.ttHistory(spark, dir).last.op == "insert")
+    // row-equal to the library verb on a twin store
+    val twin = graft.Tables.scratchDir("graft_src35_spec_twin", sf0001)
+    new org.apache.hadoop.fs.Path(twin)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(twin), true)
+    Mutations.ttBuildStore(spark, sf0001, twin)
+    Mutations.ttSqlInsert(spark, twin, graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 19 === 0)
+      .select((col("event_id") + 7000000000L).as("event_id"),
+        col("event_type"),
+        (expr("cast(round(value * 100) as bigint)") + 250L).as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day")))
+    val viaSql = rows(Mutations.ttAsOf(spark, dir, 4)
+      .orderBy("event_id", "day", "cents"))
+    val viaVerb = rows(Mutations.ttAsOf(spark, twin, 4)
+      .orderBy("event_id", "day", "cents"))
+    assert(viaSql == viaVerb, "SQL INSERT diverges from the library append")
+    // INSERT OVERWRITE must be refused — a versioned table's head is
+    // rewritten by restore/COW verbs, never a blind overwrite
+    val err = intercept[Throwable] {
+      spark.sql("""INSERT OVERWRITE tt.src35_spec_store
+        SELECT * FROM tt.src35_spec_store VERSION AS OF 0""").collect()
+    }
+    assert(err.getMessage != null)
+    assert(Mutations.ttHeadVersion(spark, dir) == 4,
+      "refused overwrite still committed something")
+  }
+
+  test("SQL TIMESTAMP AS OF floors to the newest commit ≤ t and equals its VERSION AS OF twin") {
+    val dir = graft.ops.Mutations.ttBaseScenario(spark, sf0001)
+    TtCatalog.install(spark)
+    TtCatalog.register("src34_spec_store", dir)
+    // between-commit instants floor; exact hits resolve to themselves;
+    // an instant past the head serves the head (floor rule end to end)
+    Seq(("2024-06-01 00:00:00", 0), ("2024-06-01 01:30:00", 1),
+        ("2024-06-01 02:59:59", 2), ("2024-06-01 05:00:00", 3))
+      .foreach { case (ts, v) =>
+        val byTs = rows(spark.sql(
+          s"""SELECT * FROM tt.src34_spec_store TIMESTAMP AS OF '$ts'
+             ORDER BY event_id, day, cents"""))
+        val byV = rows(spark.sql(
+          s"""SELECT * FROM tt.src34_spec_store VERSION AS OF $v
+             ORDER BY event_id, day, cents"""))
+        assert(byTs == byV, s"TIMESTAMP AS OF '$ts' must resolve to v$v")
+      }
+    // an instant before the first commit has no version to serve
+    val err = intercept[Throwable] {
+      spark.sql("""SELECT * FROM tt.src34_spec_store
+        TIMESTAMP AS OF '2024-05-31 00:00:00'""").collect()
+    }
+    assert(err.getMessage != null)
   }
 }
