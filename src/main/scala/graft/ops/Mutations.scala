@@ -1282,7 +1282,7 @@ object Mutations {
 
   private def ttHeadRelationWithStats(s: SparkSession, dir: String, v: Int,
       stats: Map[String, Map[String, graft.sources.ManifestFileIndex.ColStat]])
-      : DataFrame = {
+      : DataFrame = ttConfLock.synchronized {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     val live = ttLiveFiles(s, dir, v)
@@ -1492,7 +1492,7 @@ object Mutations {
     // v2: COW update — read ONLY the touched day's live files, rewrite
     def cow(v: Int, day: String, sub: String, op: String)(tf: DataFrame => DataFrame): Unit = {
       val touched = ttLiveFiles(s, dir, v - 1).filter(_.contains(s"day=$day/"))
-      val cur = {
+      val cur = ttConfLock.synchronized {
         val savedInfer = s.conf
           .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
         s.conf.set(
@@ -1540,8 +1540,20 @@ object Mutations {
     * WITHOUT the basePath day-recovery trick, so they must be listed
     * under their own day dirs — which they are, in the source's tree.
     */
+  /** Serializes every save→flip→read→restore of the session-global
+    * partition-inference conf: two CONCURRENT flippers (the OCC
+    * two-writer race — each commit's stats scan reads files) would
+    * otherwise interleave save/restore and leak `false` session-wide,
+    * silently turning every later partition column (Similarity's int
+    * cells, plain stores' date days) into strings. The conf only
+    * matters during the eager schema resolution inside the lock, so
+    * the returned lazy DataFrame is safe to use outside it. Reentrant
+    * (ttHeadRelation flips, then calls ttReadFiles).
+    */
+  private[graft] val ttConfLock = new Object
+
   private[graft] def ttReadFiles(s: SparkSession, dir: String,
-      files: Seq[String], mergeSchema: Boolean = false): DataFrame = {
+      files: Seq[String], mergeSchema: Boolean = false): DataFrame = ttConfLock.synchronized {
     val savedInfer = s.conf
       .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
     s.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
