@@ -1148,8 +1148,17 @@ object Mutations {
     */
   private[graft] def ttDvDelete(s: SparkSession, dir: String, v: Int,
       sub: String, pred: org.apache.spark.sql.Column): Unit = {
-    val doomed = ttAsOf(s, dir, v - 1).filter(pred)
-      .select(ttRelFile(dir).as("file"), col("event_id"))
+    // tag the file BEFORE applying live DVs: input_file_name is a
+    // single-source expression, and on an already-DV-bearing store the
+    // DV-applied snapshot is a JOIN — tagging its output would throw
+    // MULTI_SOURCES_UNSUPPORTED (hit by a repeat DELETE on one store)
+    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    require(dataF.nonEmpty, s"version ${v - 1} has no live files")
+    val doomed = ttApplyDv(s, dir,
+        ttReadFiles(s, dir, dataF, mergeSchema = true)
+          .withColumn("_pf", ttRelFile(dir)), dvF)
+      .filter(pred)
+      .select(col("_pf").as("file"), col("event_id"))
       .localCheckpoint(true) // pin before the commit changes the snapshot
     ttCommit(s, dir, v, ttWriteDv(s, dir, sub, doomed), Nil,
       meta = Seq("op=delete"))
@@ -1167,13 +1176,18 @@ object Mutations {
   private[graft] def ttDvUpdate(s: SparkSession, dir: String, v: Int,
       sub: String, pred: org.apache.spark.sql.Column,
       set: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
-    // tag the file BEFORE checkpointing: input_file_name is a scan-time
-    // property and dies with the localCheckpoint's lineage cut
-    val tagged = ttAsOf(s, dir, v - 1).filter(pred)
-      .withColumn("_f", ttRelFile(dir))
+    // tag the file BEFORE applying live DVs (single-source expression —
+    // see ttDvDelete) and BEFORE checkpointing (input_file_name is a
+    // scan-time property and dies with the localCheckpoint's lineage cut)
+    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    require(dataF.nonEmpty, s"version ${v - 1} has no live files")
+    val tagged = ttApplyDv(s, dir,
+        ttReadFiles(s, dir, dataF, mergeSchema = true)
+          .withColumn("_pf", ttRelFile(dir)), dvF)
+      .filter(pred)
       .localCheckpoint(true)
-    val dvRows = tagged.select(col("_f").as("file"), col("event_id"))
-    val old = tagged.drop("_f")
+    val dvRows = tagged.select(col("_pf").as("file"), col("event_id"))
+    val old = tagged.drop("_pf")
     // SQL UPDATE semantics: every SET RHS evaluates against the
     // PRE-update row — ONE select computes all assignments (a
     // sequential withColumn fold would let `SET a = b, b = a` read the

@@ -939,6 +939,36 @@ class MutationsSpec extends SparkSpec {
     assert(!Mutations.ttOptimize(spark, dir, 3, "o3"))
   }
 
+  test("repeat DV verbs on an already-DV-bearing store: no crash, no resurrection, algebra holds") {
+    // the bench's staged re-runs hit exactly this: the SECOND DELETE/
+    // UPDATE sees a DV-bearing snapshot, whose read is a join —
+    // input_file_name must be evaluated on the single-source side
+    val dir = Mutations.ttStore(spark, sf0001)
+    Mutations.ttDvDelete(spark, dir, 4, "dv4",
+      pmod(col("event_id"), lit(23)) === 0)
+    def roll(v: Int) = Mutations.ttAsOf(spark, dir, v)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val v4 = roll(4)
+    // repeat delete: matches nothing (doomed computed from the
+    // DV-applied head), commits an empty sidecar, state unchanged
+    Mutations.ttDvDelete(spark, dir, 5, "dv5",
+      pmod(col("event_id"), lit(23)) === 0)
+    assert(roll(5) == v4, "repeat delete changed the state")
+    // update over the DV-bearing store: purchases +1, deleted keys stay dead
+    val nP = Mutations.ttAsOf(spark, dir, 5)
+      .filter(col("event_type") === "purchase").count()
+    Mutations.ttDvUpdate(spark, dir, 6, "u6",
+      col("event_type") === "purchase",
+      Seq("cents" -> (col("cents") + lit(1L))))
+    val exp = v4.map { case (t, n, c) =>
+      if (t == "purchase") (t, n, c + nP) else (t, n, c) }
+    assert(roll(6) == exp, "update over DVs diverged")
+    assert(Mutations.ttAsOf(spark, dir, 6)
+      .filter(pmod(col("event_id"), lit(23)) === 0).count() == 0,
+      "update resurrected DV-deleted rows")
+  }
+
   test("idempotent append under a two-writer race: duplicate txn lands once, distinct txns both land") {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.duration._
