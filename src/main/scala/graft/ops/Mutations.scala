@@ -927,18 +927,25 @@ object Mutations {
     val fs = ttFs(s, dir)
     val p = new org.apache.hadoop.fs.Path(s"$dir/_log/ckpt-v$v.parquet")
     if (fs.exists(p)) return // idempotent re-write: content is determined by v
-    val (live, stats, _) = ttLiveEntriesCounted(s, dir, v)
+    val res = ttResolve(s, dir, v)
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(StructField("file", StringType, false),
       StructField("numRows", LongType, true), StructField("lo", LongType, true),
       StructField("hi", LongType, true)))
     val rows: java.util.List[org.apache.spark.sql.Row] = {
-      val l = new java.util.ArrayList[org.apache.spark.sql.Row](live.size)
-      live.foreach { f =>
-        stats.get(f) match {
+      val l = new java.util.ArrayList[org.apache.spark.sql.Row](
+        res.live.size + res.schemaOps.size)
+      res.live.foreach { f =>
+        res.stats.get(f) match {
           case Some(st) => l.add(org.apache.spark.sql.Row(f, st.numRows, st.lo, st.hi))
           case None     => l.add(org.apache.spark.sql.Row(f, null, null, null))
         }
+      }
+      // schema-mapping ops fold into the checkpoint so a post-rename
+      // snapshot resolution stays bounded (never a full-log replay just
+      // to learn the logical schema)
+      res.schemaOps.zipWithIndex.foreach { case (op, i) =>
+        l.add(org.apache.spark.sql.Row(s"#schema:$i:$op", null, null, null))
       }
       l
     }
@@ -995,13 +1002,25 @@ object Mutations {
   }
 
   /** Full resolution: the live set, the per-file commit-time stats
-    * (checkpoint-seeded, suffix-refined), and the open count. Stats are
-    * metadata riders — a file present without stats (pre-stats store
-    * generations) simply resolves to no entry, and consumers fall back
-    * to scanning/recounting.
+    * (checkpoint-seeded, suffix-refined), the ORDERED schema-mapping
+    * ops (up26's rename/drop column mapping — Delta's columnMapping:
+    * logical renames/drops are commit metadata, physical files never
+    * change), and the open count. Stats are metadata riders — a file
+    * present without stats (pre-stats store generations) simply
+    * resolves to no entry, and consumers fall back to
+    * scanning/recounting.
     */
+  private[graft] final case class TtResolution(live: Seq[String],
+      stats: Map[String, TtStat], schemaOps: Seq[String], opened: Int)
+
   private[graft] def ttLiveEntriesCounted(s: SparkSession, dir: String,
       asOf: Int): (Seq[String], Map[String, TtStat], Int) = {
+    val r = ttResolve(s, dir, asOf)
+    (r.live, r.stats, r.opened)
+  }
+
+  private[graft] def ttResolve(s: SparkSession, dir: String,
+      asOf: Int): TtResolution = {
     var opened = 0
     val fs = ttFs(s, dir)
     val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
@@ -1015,15 +1034,24 @@ object Mutations {
     }
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, TtStat]
+    val schemaOps = scala.collection.mutable.ArrayBuffer.empty[String]
     val ckpt = names.map(_.getName).filter(_.matches("ckpt-v\\d+\\.parquet"))
       .map(_.stripPrefix("ckpt-v").stripSuffix(".parquet").toInt)
       .filter(_ <= asOf).sorted.lastOption
     ckpt.foreach { cv =>
       opened += 1
-      ttReadCheckpoint(s, dir, cv).foreach { case (f, st) =>
+      // schema-op rows ride the checkpoint as `#schema:<idx>:<op>`
+      // entries (idx preserves application order); they are metadata,
+      // never live files
+      val (schemaRows, fileRows) = ttReadCheckpoint(s, dir, cv)
+        .partition(_._1.startsWith("#schema:"))
+      fileRows.foreach { case (f, st) =>
         live += f
         st.foreach(stats(f) = _)
       }
+      schemaRows.map(_._1.stripPrefix("#schema:"))
+        .map { r => val i = r.indexOf(':'); (r.take(i).toInt, r.drop(i + 1)) }
+        .sortBy(_._1).foreach(schemaOps += _._2)
     }
     val entries = names
       .filter(_.getName.matches("v\\d+\\.txt"))
@@ -1036,9 +1064,11 @@ object Mutations {
         else if (line.startsWith("r ")) live -= line.drop(2)
         else if (line.startsWith("# stat=")) ttParseStat(line)
           .foreach { case (f, st) => stats(f) = st }
+        else if (line.startsWith("# rename=") || line.startsWith("# dropcol="))
+          schemaOps += line.stripPrefix("# ")
       }
     }
-    (live.toSeq.sorted, stats.toMap, opened)
+    TtResolution(live.toSeq.sorted, stats.toMap, schemaOps.toSeq, opened)
   }
 
   private def ttParseStat(line: String): Option[(String, TtStat)] =
@@ -1060,10 +1090,81 @@ object Mutations {
     * reads anyway.)
     */
   private[graft] def ttAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
-    val (dvFiles, dataFiles) = ttLiveFiles(s, dir, v).partition(ttIsDv)
+    val res = ttResolve(s, dir, v)
+    val (dvFiles, dataFiles) = res.live.partition(ttIsDv)
     require(dataFiles.nonEmpty, s"version $v has no live files")
-    ttApplyDv(s, dir, ttReadFiles(s, dir, dataFiles, mergeSchema = true),
-      dvFiles)
+    ttApplyMapping(res.schemaOps,
+      ttApplyDv(s, dir, ttReadFiles(s, dir, dataFiles, mergeSchema = true),
+        dvFiles))
+  }
+
+  // ---- up26: COLUMN MAPPING (rename/drop as metadata) ----
+
+  /** Apply the ordered schema-mapping ops to a physical-schema read:
+    * renames and drops are LOGICAL — recorded in commit metadata,
+    * applied at read — so the physical files never change (Delta's
+    * columnMapping; without it a rename is a full table rewrite).
+    * Sequential application reproduces the logical schema exactly,
+    * including chained renames (a→b then b→c). A rename whose source
+    * column a snapshot's files don't carry (pre-evolution generations)
+    * is a no-op for that read — mergeSchema reconciliation still owns
+    * physical presence.
+    */
+  private[graft] def ttApplyMapping(ops: Seq[String],
+      df: DataFrame): DataFrame =
+    ops.foldLeft(df) { (d, op) =>
+      op.split("=", 2) match {
+        case Array("rename", spec) =>
+          val Array(from, to) = spec.split('|')
+          if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+        case Array("dropcol", c) => d.drop(c)
+        case _ => d
+      }
+    }
+
+  /** up26 — RENAME COLUMN as ONE metadata commit: no file touched, the
+    * old name stays visible AS OF pre-rename versions, and later
+    * writers keep the PHYSICAL name via [[ttToPhysical]].
+    */
+  private[graft] def ttRenameColumn(s: SparkSession, dir: String, v: Int,
+      from: String, to: String): Unit =
+    ttCommit(s, dir, v, Nil, Nil,
+      meta = Seq("op=rename-column", s"rename=$from|$to"))
+
+  /** up26 — DROP COLUMN as ONE metadata commit: the column disappears
+    * from head reads while every earlier snapshot still surfaces it —
+    * the physical bytes are untouched (a real purge is up10's
+    * restatement, not a schema op).
+    */
+  private[graft] def ttDropColumn(s: SparkSession, dir: String, v: Int,
+      c: String): Unit =
+    ttCommit(s, dir, v, Nil, Nil,
+      meta = Seq("op=drop-column", s"dropcol=$c"))
+
+  /** Inverse-map a LOGICAL-schema batch to the store's PHYSICAL names
+    * (renames unwound in reverse; a dropped column cannot be written)
+    * and append it — how a post-rename writer lands data that older
+    * snapshots (which read physical names through their own op prefix)
+    * still reconcile correctly.
+    */
+  private[graft] def ttMappedAppend(s: SparkSession, dir: String, v: Int,
+      sub: String, df: DataFrame): Unit = {
+    val ops = ttResolve(s, dir, v - 1).schemaOps
+    val physical = ops.reverse.foldLeft(df) { (d, op) =>
+      op.split("=", 2) match {
+        case Array("rename", spec) =>
+          val Array(from, to) = spec.split('|')
+          if (d.columns.contains(to)) d.withColumnRenamed(to, from) else d
+        case Array("dropcol", c) =>
+          require(!d.columns.contains(c),
+            s"cannot append to dropped column $c")
+          d
+        case _ => d
+      }
+    }
+    ttCommit(s, dir, v,
+      ttWriteBatch(s, dir, sub, physical.repartition(col("day"))), Nil,
+      meta = Seq("op=append"))
   }
 
   // ---- up20: DELETION VECTORS (merge-on-read deletes) ----
@@ -1299,7 +1400,10 @@ object Mutations {
       : DataFrame = ttConfLock.synchronized {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val live = ttLiveFiles(s, dir, v)
+    val res = ttResolve(s, dir, v)
+    val live = res.live
+    require(res.schemaOps.isEmpty,
+      "ttHeadRelation cannot serve a column-mapped snapshot (use ttAsOf)")
     require(!live.exists(ttIsDv),
       "ttHeadRelation cannot serve a DV-bearing snapshot")
     require(!live.exists(_.startsWith("/")),
@@ -2138,6 +2242,39 @@ object Mutations {
     }.reduce(_.unionByName(_)).orderBy("version", "event_type")
   }
 
+  /** The declared up26 query: COLUMN MAPPING end to end — the r14
+    * verdict's missing #6 (rename/drop beyond up17's add-column,
+    * without which a rename is a full rewrite). The scenario: the
+    * 4-version store + up17's evolved batch (v4, adds `ingest_gen`),
+    * then `cents` RENAMED to `amount` (v5 — pure metadata, every file
+    * byte-identical), a post-rename append carrying the LOGICAL name
+    * (v6 — written physically as `cents` via the inverse map, so every
+    * older snapshot still reconciles), and `ingest_gen` DROPPED (v7 —
+    * metadata again; earlier snapshots still surface it). The head
+    * rollup aggregates `amount`; the oracle recomputes it from raw
+    * events under the old name — the hash proves rename+mapped-append+
+    * drop change reads, never bytes. Spec pins per-snapshot naming,
+    * byte-identity, the physical form of the mapped batch, and
+    * ops-through-checkpoint resolution.
+    */
+  def columnMappingRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttScenario(s, d, "graft_up26_store") { dd =>
+      ttBuildStore(s, d, dd)
+      ttBuildEvolvedSuffix(s, d, dd)
+      ttRenameColumn(s, dd, 5, "cents", "amount")
+      val mapped = events(s, d).filter(col("event_id") % 21 === 0)
+        .select((col("event_id") + lit(8000000000L)).as("event_id"),
+          col("event_type"),
+          (expr("cast(round(value * 100) as bigint)") + lit(330L)).as("amount"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      ttMappedAppend(s, dd, 6, "b6", mapped)
+      ttDropColumn(s, dd, 7, "ingest_gen")
+    }
+    ttAsOf(s, dir, 7).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("amount").as("sum_amount"))
+      .orderBy("event_type")
+  }
+
   /** up27 — OCC APPEND under a FORCED commit race: two writers stage
     * batches from the SAME head; writer B claims head+1 first, then
     * writer A attempts the same version — its claim fails and it
@@ -2268,6 +2405,39 @@ object Mutations {
         |SELECT CAST(version AS BIGINT) AS version, event_type,
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
+    QueryDef("up26_column_mapping", columnMappingRollup, Some(
+      // head state under the NEW name: v3 ∪ evolved batch ∪ mapped
+      // batch, aggregated as `amount` — the oracle computes it from
+      // raw events under the old physical name
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |head AS (
+        |  SELECT event_type, cents FROM v3
+        |  UNION ALL
+        |  SELECT event_type, cents FROM base WHERE event_id % 11 = 0
+        |  UNION ALL
+        |  SELECT event_type, cents + 330 FROM base WHERE event_id % 21 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_amount
+        |FROM head GROUP BY 1 ORDER BY 1""".stripMargin),
       staged = true),
     QueryDef("up27_occ_append", occAppendRollup, Some(
       // v3 plus BOTH writers' slices: the loser of the forced claim race

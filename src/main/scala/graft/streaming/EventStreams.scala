@@ -1614,7 +1614,11 @@ object EventStreams {
           val adds = lines.collect { case l if l.startsWith("a ") => l.drop(2) }
           val removes = lines.collect { case l if l.startsWith("r ") => l.drop(2) }
           val delta: Seq[(String, Long, Long)] =
-            if (removes.isEmpty && !adds.exists(Mutations.ttIsDv))
+            if (adds.isEmpty && removes.isEmpty)
+              // metadata-only commit (up26 rename/drop): no row change —
+              // the state simply re-emits unchanged for this version
+              Nil
+            else if (removes.isEmpty && !adds.exists(Mutations.ttIsDv))
               // pure data append: the new files ARE the delta
               Mutations.ttReadFiles(sp, dir, adds)
                 .groupBy("event_type")

@@ -939,6 +939,59 @@ class MutationsSpec extends SparkSpec {
     assert(!Mutations.ttOptimize(spark, dir, 3, "o3"))
   }
 
+  test("up26 column mapping: rename/drop are pure metadata, snapshots keep their own names, mapped append writes physical") {
+    val dir = graft.Tables.scratchDir("graft_up26spec", sf0001)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    Mutations.ttBuildStore(spark, sf0001, dir)
+    Mutations.ttBuildEvolvedSuffix(spark, sf0001, dir)
+    val v4amount = Mutations.ttAsOf(spark, dir, 4)
+      .agg(sum("cents")).head.getLong(0)
+    val filesV4 = Mutations.ttLiveFiles(spark, dir, 4)
+    // v5 RENAME: zero file change, old snapshots untouched
+    Mutations.ttRenameColumn(spark, dir, 5, "cents", "amount")
+    assert(Mutations.ttLiveFiles(spark, dir, 5) == filesV4,
+      "rename touched the live set")
+    val c4 = Mutations.ttAsOf(spark, dir, 4).columns.toSet
+    val c5 = Mutations.ttAsOf(spark, dir, 5).columns.toSet
+    assert(c4.contains("cents") && !c4.contains("amount"),
+      s"pre-rename snapshot leaked the new name: $c4")
+    assert(c5.contains("amount") && !c5.contains("cents"), c5.toString)
+    // v6 mapped append: logical `amount` in, PHYSICAL `cents` on disk
+    val mapped = graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 21 === 0)
+      .select((col("event_id") + 8000000000L).as("event_id"),
+        col("event_type"),
+        (expr("cast(round(value * 100) as bigint)") + 330L).as("amount"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    Mutations.ttMappedAppend(spark, dir, 6, "b6", mapped)
+    val b6files = (Mutations.ttLiveFiles(spark, dir, 6).toSet --
+      Mutations.ttLiveFiles(spark, dir, 5).toSet).toSeq
+    assert(b6files.nonEmpty)
+    val physCols = spark.read.parquet(s"$dir/${b6files.head}").columns.toSet
+    assert(physCols.contains("cents") && !physCols.contains("amount"),
+      s"mapped append wrote logical names to disk: $physCols")
+    // v7 DROP: metadata only; the column survives in earlier snapshots
+    Mutations.ttDropColumn(spark, dir, 7, "ingest_gen")
+    assert(!Mutations.ttAsOf(spark, dir, 7).columns.contains("ingest_gen"))
+    assert(Mutations.ttAsOf(spark, dir, 6).columns.contains("ingest_gen"),
+      "drop leaked backwards in time")
+    // algebra under the new name: head amount = v4 cents + mapped slice
+    val mappedSum = mapped.agg(sum("amount")).head.getLong(0)
+    assert(Mutations.ttAsOf(spark, dir, 7)
+      .agg(sum("amount")).head.getLong(0) == v4amount + mappedSum)
+    // ops fold through the checkpoint: a v7 checkpoint resolution must
+    // carry the same schema ops and produce the identical logical read
+    Mutations.ttWriteCheckpoint(spark, dir, 7)
+    val res = Mutations.ttResolve(spark, dir, 7)
+    assert(res.schemaOps ==
+      Seq("rename=cents|amount", "dropcol=ingest_gen"), res.schemaOps)
+    assert(res.opened <= 2, s"checkpointed resolution opened ${res.opened}")
+    assert(Mutations.ttAsOf(spark, dir, 7)
+      .agg(sum("amount")).head.getLong(0) == v4amount + mappedSum)
+  }
+
   test("repeat DV verbs on an already-DV-bearing store: no crash, no resurrection, algebra holds") {
     // the bench's staged re-runs hit exactly this: the SECOND DELETE/
     // UPDATE sees a DV-bearing snapshot, whose read is a join —
