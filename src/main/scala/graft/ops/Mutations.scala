@@ -1147,10 +1147,13 @@ object Mutations {
     * snapshots (which read physical names through their own op prefix)
     * still reconcile correctly.
     */
-  private[graft] def ttMappedAppend(s: SparkSession, dir: String, v: Int,
-      sub: String, df: DataFrame): Unit = {
-    val ops = ttResolve(s, dir, v - 1).schemaOps
-    val physical = ops.reverse.foldLeft(df) { (d, op) =>
+  /** Inverse-map a LOGICAL-schema batch to PHYSICAL names as of the
+    * current head — renames unwound in reverse; a dropped column
+    * cannot be written back.
+    */
+  private[graft] def ttToPhysical(s: SparkSession, dir: String, asOf: Int,
+      df: DataFrame): DataFrame =
+    ttResolve(s, dir, asOf).schemaOps.reverse.foldLeft(df) { (d, op) =>
       op.split("=", 2) match {
         case Array("rename", spec) =>
           val Array(from, to) = spec.split('|')
@@ -1162,10 +1165,13 @@ object Mutations {
         case _ => d
       }
     }
+
+  private[graft] def ttMappedAppend(s: SparkSession, dir: String, v: Int,
+      sub: String, df: DataFrame): Unit =
     ttCommit(s, dir, v,
-      ttWriteBatch(s, dir, sub, physical.repartition(col("day"))), Nil,
+      ttWriteBatch(s, dir, sub,
+        ttToPhysical(s, dir, v - 1, df).repartition(col("day"))), Nil,
       meta = Seq("op=append"))
-  }
 
   // ---- up20: DELETION VECTORS (merge-on-read deletes) ----
 
@@ -1570,8 +1576,13 @@ object Mutations {
     */
   private[graft] def ttSqlInsert(s: SparkSession, dir: String,
       data: DataFrame): Unit = {
-    val rows = data.select("event_id", "event_type", "cents", "day")
     val v = ttHeadVersion(s, dir) + 1
+    // the analyzer already aligned `data` to the LOGICAL head schema
+    // (order, arity, types); unwind column mapping so the batch lands
+    // under physical names (src36) and write it whole — per-snapshot
+    // mergeSchema reconciliation owns any generation differences
+    val rows = ttToPhysical(s, dir, v - 1, data)
+    require(rows.columns.contains("day"), "insert batch lost the day column")
     val adds = ttWriteBatch(s, dir, s"i$v", rows.repartition(col("day")))
     ttCommitRetry(s, dir, v, adds, Nil, Seq("op=insert"))
   }

@@ -1752,7 +1752,78 @@ object Sources {
       GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** src36 — SQL ALTER TABLE RENAME/DROP COLUMN through the tt catalog
+    * (up26's column mapping given its SQL spelling): the rename and
+    * drop land as metadata commits via `alterTable`, a post-rename SQL
+    * INSERT aligns to the LOGICAL schema and is inverse-mapped to
+    * physical names by the write bridge, and the head reads under the
+    * new name while `VERSION AS OF` pre-rename snapshots keep the old
+    * one (spec-pinned). All verbs run in the staged scenario builder
+    * (they are one-time schema history, not per-query cost); the timed
+    * query is the head rollup under the mapped name.
+    */
+  def sqlAlterColumn(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src36_store") { dd =>
+      graft.ops.Mutations.ttBuildStore(s, d, dd)
+      graft.ops.Mutations.ttBuildEvolvedSuffix(s, d, dd)
+      TtCatalog.install(s)
+      TtCatalog.register("src36_store", dd)
+      s.sql("ALTER TABLE tt.src36_store RENAME COLUMN cents TO amount")
+      graft.Tables.events(s, d).createOrReplaceTempView("graft_src36_events")
+      // build the INSERT in the table's own (logical) column order so
+      // the scenario is robust to mergeSchema field ordering
+      val exprs = s.table("tt.src36_store").columns.map {
+        case "event_id"   => "event_id + 9000000000 AS event_id"
+        case "event_type" => "event_type"
+        case "amount"     => "cast(round(value * 100) as bigint) + 410 AS amount"
+        case "day"        => "date_format(ts, 'yyyy-MM-dd') AS day"
+        case "ingest_gen" => "CAST(NULL AS BIGINT) AS ingest_gen"
+        case other => sys.error(s"unexpected column $other")
+      }
+      s.sql(s"""INSERT INTO tt.src36_store
+        SELECT ${exprs.mkString(", ")} FROM graft_src36_events
+        WHERE event_id % 27 = 0""")
+      s.sql("ALTER TABLE tt.src36_store DROP COLUMN ingest_gen")
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src36_store", dir)
+    s.sql("""SELECT event_type, count(*) AS n, sum(amount) AS sum_amount
+      FROM tt.src36_store GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src36_sql_alter_column", sqlAlterColumn, Some(
+      // head state under the renamed column: v3 ∪ evolved batch ∪ the
+      // post-rename SQL-inserted slice, aggregated as `amount`
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |head AS (
+        |  SELECT event_type, cents FROM v3
+        |  UNION ALL
+        |  SELECT event_type, cents FROM base WHERE event_id % 11 = 0
+        |  UNION ALL
+        |  SELECT event_type, cents + 410 FROM base WHERE event_id % 27 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_amount
+        |FROM head GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("src35_sql_insert", sqlInsertInto, Some(
       // v3 plus the inserted +7e9 slice — a lost or doubled insert
       // commit breaks the hash

@@ -170,8 +170,33 @@ final class TtCatalog extends TableCatalog {
       properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "tt tables are created by the engine's commit machinery, not DDL")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("tt tables are immutable via DDL")
+  /** src36 — `ALTER TABLE tt.x RENAME COLUMN a TO b` / `DROP COLUMN c`:
+    * the SQL spellings of up26's column mapping, each landing as ONE
+    * metadata commit (no file touched — the whole point of column
+    * mapping). Any other ALTER shape is refused loudly: adding data
+    * columns happens by writing them (up17's schema-evolution append),
+    * and type changes would need a rewrite this format deliberately
+    * refuses to hide behind DDL.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val s = SparkSession.active
+    val dir = dirOf(ident)
+    changes.foreach {
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          "tt tables have no nested columns to rename")
+        graft.ops.Mutations.ttRenameColumn(s, dir,
+          TtCatalog.headVersion(s, dir) + 1, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          "tt tables have no nested columns to drop")
+        graft.ops.Mutations.ttDropColumn(s, dir,
+          TtCatalog.headVersion(s, dir) + 1, d.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"tt ALTER TABLE supports RENAME COLUMN and DROP COLUMN only, got $other")
+    }
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean = false
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("tt tables cannot be renamed")

@@ -145,6 +145,46 @@ class TtCatalogSpec extends SparkSpec {
       "refused overwrite still committed something")
   }
 
+  test("SQL ALTER TABLE RENAME/DROP COLUMN: metadata commits, per-snapshot names, other shapes refused") {
+    import graft.ops.Mutations
+    val dir = Mutations.ttStore(spark, sf0001)
+    Mutations.ttBuildEvolvedSuffix(spark, sf0001, dir) // head v4, ingest_gen
+    TtCatalog.install(spark)
+    TtCatalog.register("src36_spec_store", dir)
+    val filesV4 = Mutations.ttLiveFiles(spark, dir, 4)
+    spark.sql("ALTER TABLE tt.src36_spec_store RENAME COLUMN cents TO amount")
+    spark.sql("ALTER TABLE tt.src36_spec_store DROP COLUMN ingest_gen")
+    assert(Mutations.ttHeadVersion(spark, dir) == 6)
+    assert(Mutations.ttLiveFiles(spark, dir, 6) == filesV4,
+      "ALTER touched data files")
+    assert(Mutations.ttHistory(spark, dir).takeRight(2).map(_.op) ==
+      Seq("rename-column", "drop-column"))
+    // head reads the new name; a pre-rename snapshot keeps the old one
+    val headCols = spark.table("tt.src36_spec_store").columns.toSet
+    assert(headCols.contains("amount") && !headCols.contains("cents") &&
+      !headCols.contains("ingest_gen"), headCols.toString)
+    val v4Cols = spark.sql(
+      "SELECT * FROM tt.src36_spec_store VERSION AS OF 4 LIMIT 1")
+      .columns.toSet
+    assert(v4Cols.contains("cents") && v4Cols.contains("ingest_gen") &&
+      !v4Cols.contains("amount"), v4Cols.toString)
+    // sums agree across the rename (same bytes, new name)
+    val viaOld = spark.sql(
+      "SELECT sum(cents) FROM tt.src36_spec_store VERSION AS OF 4")
+      .head.getLong(0)
+    val viaNew = spark.sql("SELECT sum(amount) FROM tt.src36_spec_store")
+      .head.getLong(0)
+    assert(viaOld == viaNew)
+    // any other ALTER shape dies loudly, committing nothing
+    val err = intercept[Throwable] {
+      spark.sql("""ALTER TABLE tt.src36_spec_store
+        ALTER COLUMN amount TYPE STRING""")
+    }
+    assert(err.getMessage != null)
+    assert(Mutations.ttHeadVersion(spark, dir) == 6,
+      "refused ALTER still committed")
+  }
+
   test("SQL TIMESTAMP AS OF floors to the newest commit ≤ t and equals its VERSION AS OF twin") {
     val dir = graft.ops.Mutations.ttBaseScenario(spark, sf0001)
     TtCatalog.install(spark)
