@@ -1527,6 +1527,30 @@ object Mutations {
     sys.error(s"commit lost $attempts straight races under $dir")
   }
 
+  /** OCC for SNAPSHOT-DERIVED verbs (merge/delete/update — up12's
+    * re-stage path, factored for the SQL tier): unlike an append, these
+    * verbs READ the snapshot they were derived from, so after a lost
+    * claim the staged output is stale — the loser must RE-DERIVE
+    * against the new head, not just re-commit. The verb closure takes
+    * the target version and derives from `target - 1` internally
+    * (every tt verb already does), so a retry re-runs the whole
+    * probe/rewrite. Bounded; returns the version that committed.
+    */
+  private[graft] def ttRetryVerb(s: SparkSession, dir: String,
+      firstTarget: Int)(verb: Int => Unit): Int = {
+    var v = firstTarget
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      try { verb(v); return v }
+      catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          v = ttHeadVersion(s, dir) + 1
+      }
+    }
+    sys.error(s"verb lost $attempts straight commit races under $dir")
+  }
+
   /** up25 — OPTIMIZE (Delta's OPTIMIZE / Iceberg's rewrite_data_files):
     * bin-packing compaction of a snapshot's fragmented days — every day
     * directory holding ≥ `minFilesPerDay` live files is rewritten into

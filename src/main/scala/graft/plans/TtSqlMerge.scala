@@ -108,8 +108,12 @@ case class TtSqlMergeCommand(dir: String, source: LogicalPlan)
   override def run(spark: SparkSession): Seq[Row] = {
     val src = org.apache.spark.sql.graft.Bridge.ofRows(spark, source)
       .select("event_id", "event_type", "cents", "day")
-    val v = graft.sources.TtCatalog.headVersion(spark, dir) + 1
-    graft.ops.Mutations.ttMergeInto(spark, dir, src, v, s"m$v")
+    // OCC with RE-DERIVATION: a lost claim re-runs the probe/rewrite
+    // against the head that actually won (the closure derives from
+    // v - 1 internally), never publishes a stale rewrite
+    graft.ops.Mutations.ttRetryVerb(spark, dir,
+      graft.sources.TtCatalog.headVersion(spark, dir) + 1)(v =>
+      graft.ops.Mutations.ttMergeInto(spark, dir, src, v, s"m$v"))
     Seq.empty
   }
 }
@@ -121,9 +125,10 @@ case class TtSqlMergeCommand(dir: String, source: LogicalPlan)
 case class TtSqlDeleteCommand(dir: String, condition: Expression)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = graft.sources.TtCatalog.headVersion(spark, dir) + 1
-    graft.ops.Mutations.ttDvDelete(spark, dir, v, s"dv$v",
-      TtSqlCommands.byName(condition))
+    graft.ops.Mutations.ttRetryVerb(spark, dir,
+      graft.sources.TtCatalog.headVersion(spark, dir) + 1)(v =>
+      graft.ops.Mutations.ttDvDelete(spark, dir, v, s"dv$v",
+        TtSqlCommands.byName(condition)))
     Seq.empty
   }
 }
@@ -132,10 +137,11 @@ case class TtSqlDeleteCommand(dir: String, condition: Expression)
 case class TtSqlUpdateCommand(dir: String, sets: Seq[(String, Expression)],
     condition: Expression) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val v = graft.sources.TtCatalog.headVersion(spark, dir) + 1
-    graft.ops.Mutations.ttDvUpdate(spark, dir, v, s"u$v",
-      TtSqlCommands.byName(condition),
-      sets.map { case (c, e) => c -> TtSqlCommands.byName(e) })
+    graft.ops.Mutations.ttRetryVerb(spark, dir,
+      graft.sources.TtCatalog.headVersion(spark, dir) + 1)(v =>
+      graft.ops.Mutations.ttDvUpdate(spark, dir, v, s"u$v",
+        TtSqlCommands.byName(condition),
+        sets.map { case (c, e) => c -> TtSqlCommands.byName(e) }))
     Seq.empty
   }
 }

@@ -939,6 +939,35 @@ class MutationsSpec extends SparkSpec {
     assert(!Mutations.ttOptimize(spark, dir, 3, "o3"))
   }
 
+  test("snapshot-derived verbs RE-DERIVE after a lost commit race — a stale rewrite never publishes") {
+    val dir = Mutations.ttStore(spark, sf0001) // head v3
+    // a "concurrent" writer lands v4 first: an append introducing key K
+    val k = 7500000001L
+    val dayX = graft.Tables.events(spark, sf0001).agg(date_format(
+      min(to_date(col("ts"))), "yyyy-MM-dd")).head.getString(0)
+    assert(Mutations.ttIdempotentAppend(spark, dir,
+      Seq((k, "moved", 999L, dayX))
+        .toDF("event_id", "event_type", "cents", "day"), "race-derive"))
+    assert(Mutations.ttHeadVersion(spark, dir) == 4)
+    // the merge STARTS from the stale head (target 4, derived at v3):
+    // its claim of v4 must fail, and the retry must re-derive at v4 —
+    // where K now exists — so K is an UPDATE. A re-commit WITHOUT
+    // re-derivation would treat K as unmatched and duplicate it.
+    val dayY = java.time.LocalDate.parse(dayX).plusDays(4).toString
+    val src = Seq((k, "merged", 111L, dayY))
+      .toDF("event_id", "event_type", "cents", "day")
+    val landed = Mutations.ttRetryVerb(spark, dir, 4)(v =>
+      Mutations.ttMergeInto(spark, dir, src, v, s"m$v"))
+    assert(landed == 5, s"merge landed at v$landed")
+    val rows = Mutations.ttAsOf(spark, dir, 5)
+      .filter(col("event_id") === k)
+      .select("event_type", "cents", "day").collect()
+    assert(rows.length == 1,
+      s"stale-derived merge duplicated the racing key: ${rows.toSeq}")
+    assert(rows.head.getString(0) == "merged" &&
+      rows.head.getLong(1) == 111L && rows.head.getString(2) == dayY)
+  }
+
   test("up26 column mapping: rename/drop are pure metadata, snapshots keep their own names, mapped append writes physical") {
     val dir = graft.Tables.scratchDir("graft_up26spec", sf0001)
     val fs = new org.apache.hadoop.fs.Path(dir)
