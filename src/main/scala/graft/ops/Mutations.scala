@@ -1358,7 +1358,8 @@ object Mutations {
     // memoized base store; the UPDATE verb runs (timed) at head+1 every
     // call, and the declared reads are pinned at v3/v4 — the first
     // run's pre/post pair — so later runs' extra commits never surface
-    val dir = ttScenario(s, d, "graft_up21_store")(ttBuildStore(s, d, _))
+    val dir = ttDerivedScenario(s, d, "graft_up21_store",
+      () => ttBaseScenario(s, d))(_ => ())
     val v = ttHeadVersion(s, dir) + 1
     ttDvUpdate(s, dir, v, s"u$v", col("event_type") === "purchase",
       Seq("cents" -> (col("cents") + lit(77L))))
@@ -1378,10 +1379,8 @@ object Mutations {
     * are spec-pinned.
     */
   def dvDeleteRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up20_store") { dd =>
-      ttBuildStore(s, d, dd)
-      ttBuildDvSuffix(s, dd)
-    }
+    val dir = ttDerivedScenario(s, d, "graft_up20_store",
+      () => ttBaseScenario(s, d))(dd => ttBuildDvSuffix(s, dd))
     (4 to 5).map { v =>
       ttAsOf(s, dir, v).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -1501,6 +1500,29 @@ object Mutations {
       ttFs(s, dir).delete(new org.apache.hadoop.fs.Path(dir), true)
       build(dir)
       dir
+    }
+
+  /** Memoized DERIVED scenario: clone a finished template store's tree
+    * (one local file copy — the log's data paths are RELATIVE, so the
+    * copy is a fully independent table; a parquet checkpoint rides
+    * along and re-keys its memo by the new path) and apply the
+    * scenario suffix. Store construction is thus paid ONCE per dataset
+    * per JVM (the template build) instead of once per scenario — at
+    * sf0.1 that is the difference between ~8 s and ~0.3 s of staging
+    * per derived lake scenario.
+    */
+  private[graft] def ttDerivedScenario(s: SparkSession, d: String,
+      prefix: String, template: () => String)(
+      suffix: String => Unit): String =
+    ttScenario(s, d, prefix) { dir =>
+      val src = template()
+      val fs = ttFs(s, dir)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(src), fs,
+        new org.apache.hadoop.fs.Path(dir),
+        false, true, s.sparkContext.hadoopConfiguration),
+        s"template clone $src -> $dir failed")
+      suffix(dir)
     }
 
   /** Commit already-published adds/removes at `target`, rebasing to the
@@ -1969,10 +1991,9 @@ object Mutations {
   }
 
   def mergeIntoRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up18q_store") { dd =>
-      ttBuildStore(s, d, dd)
-      ttMergeInto(s, dd, ttMergeSource(s, d), 4, "b4m")
-    }
+    val dir = ttDerivedScenario(s, d, "graft_up18q_store",
+      () => ttBaseScenario(s, d))(dd =>
+      ttMergeInto(s, dd, ttMergeSource(s, d), 4, "b4m"))
     ttAsOf(s, dir, 4)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -2014,10 +2035,8 @@ object Mutations {
   }
 
   def schemaEvolutionRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up17_store") { dd =>
-      ttBuildStore(s, d, dd)
-      ttBuildEvolvedSuffix(s, d, dd)
-    }
+    val dir = ttDerivedScenario(s, d, "graft_up17_store",
+      () => ttBaseScenario(s, d))(dd => ttBuildEvolvedSuffix(s, d, dd))
     ttAsOf(s, dir, 4)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"),
@@ -2049,10 +2068,8 @@ object Mutations {
     * without loss of the rolled-over history.
     */
   def restoreRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up22_store") { dd =>
-      ttBuildStore(s, d, dd)
-      ttRestore(s, dd, 4, target = 1)
-    }
+    val dir = ttDerivedScenario(s, d, "graft_up22_store",
+      () => ttBaseScenario(s, d))(dd => ttRestore(s, dd, 4, target = 1))
     Seq(3, 4).map { v =>
       ttAsOf(s, dir, v).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -2099,8 +2116,13 @@ object Mutations {
     // clone with its independent COW mutation applied
     val srcDir = Tables.scratchDir("graft_up23q_src", d)
     val clone = ttScenario(s, d, "graft_up23q_clone") { cloneDir =>
-      ttFs(s, srcDir).delete(new org.apache.hadoop.fs.Path(srcDir), true)
-      ttBuildStore(s, d, srcDir)
+      val fs = ttFs(s, srcDir)
+      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+      require(org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(ttBaseScenario(s, d)), fs,
+        new org.apache.hadoop.fs.Path(srcDir),
+        false, true, s.sparkContext.hadoopConfiguration),
+        "up23 source clone failed")
       ttShallowClone(s, srcDir, cloneDir, asOf = 3)
       // independent clone mutation: COW-rewrite the rows matching the
       // predicate PLUS their co-resident file rows (MERGE's shape:
@@ -2193,10 +2215,9 @@ object Mutations {
     */
   def tableHistory(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val dir = ttScenario(s, d, "graft_up18q_store") { dd =>
-      ttBuildStore(s, d, dd)
-      ttMergeInto(s, dd, ttMergeSource(s, d), 4, "b4m")
-    }
+    val dir = ttDerivedScenario(s, d, "graft_up18q_store",
+      () => ttBaseScenario(s, d))(dd =>
+      ttMergeInto(s, dd, ttMergeSource(s, d), 4, "b4m"))
     ttHistory(s, dir).map { ci =>
       val n = ttStatsRowCount(s, dir, ci.version).getOrElse(
         sys.error(s"v${ci.version} lost its commit stats"))
@@ -2245,7 +2266,7 @@ object Mutations {
     * data-observable by the oracle).
     */
   def checkpointedTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up19q_store")(ttBuildManyCommits(s, d, _))
+    val dir = ttManyScenario(s, d)
     Seq(3, 6, 9).map { v =>
       ttAsOf(s, dir, v).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -2265,10 +2286,9 @@ object Mutations {
     * files are spec-pinned (not data-observable by the oracle).
     */
   def optimizeRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up25_store") { dd =>
-      ttBuildManyCommits(s, d, dd)
-      require(ttOptimize(s, dd, 10, "o10"), "up25 fixture had nothing to pack")
-    }
+    val dir = ttDerivedScenario(s, d, "graft_up25_store",
+      () => ttManyScenario(s, d))(dd =>
+      require(ttOptimize(s, dd, 10, "o10"), "up25 fixture had nothing to pack"))
     Seq(9, 10).map { v =>
       ttAsOf(s, dir, v).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -2293,8 +2313,8 @@ object Mutations {
     * ops-through-checkpoint resolution.
     */
   def columnMappingRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up26_store") { dd =>
-      ttBuildStore(s, d, dd)
+    val dir = ttDerivedScenario(s, d, "graft_up26_store",
+      () => ttBaseScenario(s, d)) { dd =>
       ttBuildEvolvedSuffix(s, d, dd)
       ttRenameColumn(s, dd, 5, "cents", "amount")
       val mapped = events(s, d).filter(col("event_id") % 21 === 0)
@@ -2323,7 +2343,8 @@ object Mutations {
     * appends to the v3 state, so losing either writer breaks the hash.
     */
   def occAppendRollup(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up27_store")(ttBuildStore(s, d, _))
+    val dir = ttDerivedScenario(s, d, "graft_up27_store",
+      () => ttBaseScenario(s, d))(_ => ())
     val h = ttHeadVersion(s, dir)
     val base = events(s, d).select(col("event_id"), col("event_type"),
       expr("cast(round(value * 100) as bigint)").as("cents"),
@@ -2394,10 +2415,8 @@ object Mutations {
     * (not data-derivable by the oracle).
     */
   def vacuumedTimeTravel(s: SparkSession, d: String): DataFrame = {
-    val dir = ttScenario(s, d, "graft_up14_store") { dd =>
-      ttBuildStore(s, d, dd)
-      ttVacuum(s, dd, keep = 2)
-    }
+    val dir = ttDerivedScenario(s, d, "graft_up14_store",
+      () => ttBaseScenario(s, d))(dd => ttVacuum(s, dd, keep = 2))
     (2 to 3).map { v =>
       ttAsOf(s, dir, v).groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -2412,6 +2431,10 @@ object Mutations {
     */
   private[graft] def ttBaseScenario(s: SparkSession, d: String): String =
     ttScenario(s, d, "graft_lake_base")(ttBuildStore(s, d, _))
+
+  /** The shared many-commit template (up19's fixture; up25 derives). */
+  private[graft] def ttManyScenario(s: SparkSession, d: String): String =
+    ttScenario(s, d, "graft_lake_many")(ttBuildManyCommits(s, d, _))
 
   def timeTravelRollup(s: SparkSession, d: String): DataFrame = {
     val dir = ttBaseScenario(s, d)

@@ -1617,8 +1617,8 @@ object Sources {
     // every call — a re-merge of the same absolute-valued source is
     // idempotent in effect (matched keys take identical rows, prior
     // inserts re-match), so the head read is run-invariant
-    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src29_store")(
-      graft.ops.Mutations.ttBuildStore(s, d, _))
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src29_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d))(_ => ())
     TtCatalog.install(s)
     TtCatalog.register("up18_sql_store", dir)
     graft.ops.Mutations.ttMergeSource(s, d)
@@ -1644,8 +1644,8 @@ object Sources {
     // memoized base store (staged); the DELETE verb runs (timed) every
     // call — a re-delete matches nothing (the doomed set is computed
     // from the DV-applied head), so the head read is run-invariant
-    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src30_store")(
-      graft.ops.Mutations.ttBuildStore(s, d, _))
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src30_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d))(_ => ())
     TtCatalog.install(s)
     TtCatalog.register("up20_sql_store", dir)
     s.sql("DELETE FROM tt.up20_sql_store WHERE event_id % 23 = 0")
@@ -1663,8 +1663,8 @@ object Sources {
     // head+1 every call, and the declared read is PINNED at v4 (the
     // first run's post-update snapshot) — later runs' extra +77
     // commits never surface
-    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src31_store")(
-      graft.ops.Mutations.ttBuildStore(s, d, _))
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src31_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d))(_ => ())
     TtCatalog.install(s)
     TtCatalog.register("up21_sql_store", dir)
     s.sql("""UPDATE tt.up21_sql_store SET cents = cents + 77
@@ -1689,8 +1689,8 @@ object Sources {
     // memoized base store (staged); the DELETE+MERGE PAIR is idempotent
     // in effect (the merge re-inserts every source row the re-delete
     // removes), so the head read is run-invariant
-    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src33_store")(
-      graft.ops.Mutations.ttBuildStore(s, d, _))
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src33_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d))(_ => ())
     TtCatalog.install(s)
     TtCatalog.register("src33_store", dir)
     s.sql("DELETE FROM tt.src33_store WHERE event_id % 23 = 0")
@@ -1737,8 +1737,8 @@ object Sources {
     * and the OVERWRITE refusal.
     */
   def sqlInsertInto(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src35_store")(
-      graft.ops.Mutations.ttBuildStore(s, d, _))
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src35_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d))(_ => ())
     TtCatalog.install(s)
     TtCatalog.register("src35_store", dir)
     graft.Tables.events(s, d).createOrReplaceTempView("graft_src35_events")
@@ -1763,8 +1763,8 @@ object Sources {
     * query is the head rollup under the mapped name.
     */
   def sqlAlterColumn(s: SparkSession, d: String): DataFrame = {
-    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src36_store") { dd =>
-      graft.ops.Mutations.ttBuildStore(s, d, dd)
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src36_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d)) { dd =>
       graft.ops.Mutations.ttBuildEvolvedSuffix(s, d, dd)
       TtCatalog.install(s)
       TtCatalog.register("src36_store", dd)

@@ -1469,10 +1469,9 @@ object EventStreams {
     */
   def streamingDvCdfTail(s: SparkSession, d: String): DataFrame =
     streamingCdfTailOnStore(s,
-      graft.ops.Mutations.ttScenario(s, d, "graft_st30_store") { dd =>
-        graft.ops.Mutations.ttBuildStore(s, d, dd)
-        graft.ops.Mutations.ttBuildDvSuffix(s, dd)
-      },
+      graft.ops.Mutations.ttDerivedScenario(s, d, "graft_st30_store",
+        () => graft.ops.Mutations.ttBaseScenario(s, d))(dd =>
+        graft.ops.Mutations.ttBuildDvSuffix(s, dd)),
       fromCheckpoint = false) // the declared feed is the FULL history
 
   /** st31 — EXACTLY-ONCE STREAMING WRITE into the tt store: each
@@ -1688,8 +1687,8 @@ object EventStreams {
     // keyed to a shared dir could rewrite OTHER queries' plans — the
     // r10 populated-registry lesson); re-runs re-bootstrap from v0
     streamingViewMaintenanceOnStore(s,
-      graft.ops.Mutations.ttScenario(s, d, "graft_st29_store")(
-        graft.ops.Mutations.ttBuildStore(s, d, _)))
+      graft.ops.Mutations.ttDerivedScenario(s, d, "graft_st29_store",
+        () => graft.ops.Mutations.ttBaseScenario(s, d))(_ => ()))
 
   private[graft] def streamingViewMaintenanceOnStore(s: SparkSession,
       dir: String): DataFrame = {
