@@ -189,6 +189,63 @@ object AlsPipeline {
         math.rint(maxDiff * 1e5) / 1e5)
     })
 
+  /** als_sweep — HYPERPARAMETER MODEL SELECTION, the first thing a real
+    * user does with the reference's hard-coded hyperparameters
+    * (ALS.java:52-57 pins rank/λ as compile-time constants — there is
+    * no sweep anywhere in the reference): a rank × λ grid where every
+    * cell fits on the SAME shared train/probe split (one split, reused
+    * — never re-randomized per cell, or the comparison measures split
+    * noise) and reports probe RMSE; the chosen cell is the exact
+    * argmin. Sweep fits use maxIter=5 — the standard budget discipline
+    * for selection runs (the winner is refit at full iterations by the
+    * production config, which IS the memoized [[artifacts]] fit). Grid
+    * results are memoized per dataset: the declared query serves the
+    * table, never refits. Rows-only (seeded MLlib RNG, honestly
+    * un-oracleable); the spec pins argmin consistency, the shared-split
+    * contract, and memo identity.
+    */
+  private val sweepMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Double, Double, Long, Long)]]
+
+  private[als] def sweepGrid(s: SparkSession,
+      d: String): Seq[(Int, Double, Double, Long, Long)] =
+    sweepMemo.computeIfAbsent(s"$d#${Tables.datasetFingerprint(d)}", _ => {
+      val ratings = syntheticRatings(s, d).cache()
+      val (train, probe) = graft.ingest.Ratings.trainProbeSplit(ratings)
+      train.cache(); probe.cache()
+      val (nt, np) = (train.count(), probe.count())
+      val blocks = adaptiveBlocks(nt)
+      val before = s.sparkContext.getPersistentRDDs.keySet
+      val grid = for {
+        rank <- Seq(2, 8)
+        reg <- Seq(0.01, 0.1)
+      } yield {
+        val m = fit(train, Config(rank = rank, regParam = reg,
+          maxIter = 5, blocks = blocks))
+        (rank, reg, rmse(m, probe), nt, np)
+      }
+      // drop the fits' internal cached RDDs (the artifacts discipline)
+      s.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => before(id) }
+        .values.foreach(_.unpersist(blocking = false))
+      ratings.unpersist(); train.unpersist(); probe.unpersist()
+      grid
+    })
+
+  /** The declared als_sweep query: the grid as a table, RMSE rounded to
+    * a stable 6 dp, the argmin row flagged `chosen`.
+    */
+  def alsSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grid = sweepGrid(s, d)
+    val best = grid.minBy(_._3)
+    grid.map { case (rank, reg, r, _, _) =>
+      (rank, reg, math.rint(r * 1e6) / 1e6,
+        rank == best._1 && reg == best._2)
+    }.toDF("rank", "reg_param", "rmse", "chosen")
+      .orderBy("rank", "reg_param")
+  }
+
   /** Full EP1 pipeline (train → eval) as one declared query. Returns the
     * run's headline metrics as a single row — the Spark analogue of
     * rmse.txt (ALS.java:411-419). Shares the memoized reference-config
@@ -621,10 +678,16 @@ object AlsPipeline {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("als_end_to_end", alsEndToEnd, None),
+    QueryDef("als_sweep", alsSweep, None, staged = true),
     QueryDef("als_factors", alsFactors, None),
     QueryDef("als_predict_parity", alsPredictParity, None),
     QueryDef("als_recommend", (s, d) => alsRecommend(s, d), None),
-    QueryDef("als_implicit", (s, d) => alsImplicit(s, d), None),
+    // r16 watch-item adjudication: like d9, the fresh-vs-committed gap
+    // (16.9–22 s vs 11.4) is the one-time implicit-model fit the memo
+    // hides from whichever query runs second — staged, so the fit cost
+    // lands in the staging ledger and the timed line is steady-state.
+    QueryDef("als_implicit", (s, d) => alsImplicit(s, d), None,
+      staged = true),
     QueryDef("als_item_sims", (s, d) => alsItemSims(s, d), None),
     // rows-only: seeded split + MLlib fit upstream; ideal-ranker ⇒
     // NDCG = 1, tight model/popularity band on the additive fixture,

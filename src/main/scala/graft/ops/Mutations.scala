@@ -750,14 +750,19 @@ object Mutations {
     * stores carry no stat lines.
     */
   private def ttAddStats(s: SparkSession, dir: String,
-      adds: Seq[String]): Seq[String] = {
+      adds: Seq[String], canReAdd: Boolean): Seq[String] = {
     val data = adds.filterNot(ttIsDv)
     if (data.isEmpty) return Nil
     // a RE-add (up22's restore) re-publishes files the log already
-    // stat'd — resolve those from the log's own stat lines (O(commits)
-    // metadata) so restore keeps its no-data-read contract; only
-    // genuinely new files get the churn-sized scan
-    val known: Map[String, TtStat] = {
+    // stat'd — resolve those from the log's own stat lines so restore
+    // keeps its no-data-read contract. ONLY restore-style commits can
+    // re-publish (every other verb stages freshly-written files), so
+    // the log scan is gated on `canReAdd`: an append/merge/optimize
+    // commit pays zero metadata reads here — the ungated version was
+    // O(commits) reads PER COMMIT, i.e. O(commits²) over a store's
+    // lifetime, exactly the unbounded-resolution shape the checkpoint
+    // tier exists to kill. Restore itself stays O(commits) and rare.
+    val known: Map[String, TtStat] = if (!canReAdd) Map.empty else {
       val fs = ttFs(s, dir)
       val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
       if (!fs.exists(log)) Map.empty
@@ -799,23 +804,50 @@ object Mutations {
     // timestamp, per-file stats) ride the commit file; every action
     // parser keys on the `a `/`r ` prefixes and ignores them
     val ts = if (tsMs >= 0) tsMs else ttClockMs(v)
+    val canReAdd = meta.exists(_.startsWith("op=restore"))
     val body = ((s"ts=$ts" +: meta).map("# " + _) ++
-      ttAddStats(s, dir, adds).map("# " + _) ++
+      ttAddStats(s, dir, adds, canReAdd).map("# " + _) ++
       adds.sorted.map("a " + _) ++ removes.sorted.map("r " + _))
       .mkString("\n")
-    val logPath = log.toUri.getPath
-    val tmp = java.nio.file.Paths.get(logPath,
-      s".v$v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
-    try java.nio.file.Files.createLink(
-      java.nio.file.Paths.get(logPath, s"v$v.txt"), tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        java.nio.file.Files.deleteIfExists(tmp)
+    val scheme = Option(log.toUri.getScheme)
+      .getOrElse(fs.getUri.getScheme)
+    if (scheme == "file") {
+      // local FS: POSIX link(2) is claim-with-content — EEXIST if the
+      // version is taken, the COMPLETE body visible in one syscall. Any
+      // OTHER link failure (e.g. a filesystem without hard links) must
+      // not leak the tmp file, so cleanup rides a finally and only the
+      // EEXIST case maps to the OCC retry signal.
+      val logPath = log.toUri.getPath
+      val tmp = java.nio.file.Paths.get(logPath,
+        s".v$v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      java.nio.file.Files.write(tmp, body.getBytes("UTF-8"))
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(logPath, s"v$v.txt"), tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"version $v already committed under $dir/_log")
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      // non-local FS: write the full body to a private tmp, then
+      // rename-no-replace (HDFS rename refuses an existing destination;
+      // the object-store analogue is a conditional PUT). The rename is
+      // atomic-with-content on HDFS; a lost claim surfaces as the same
+      // FileAlreadyExistsException the retry loops key on.
+      val tmp = new org.apache.hadoop.fs.Path(log,
+        s".v$v.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+      val dst = new org.apache.hadoop.fs.Path(log, s"v$v.txt")
+      val won = try fs.rename(tmp, dst) catch {
+        case e: Throwable => fs.delete(tmp, false); throw e
+      }
+      if (!won) {
+        fs.delete(tmp, false)
         throw new org.apache.hadoop.fs.FileAlreadyExistsException(
           s"version $v already committed under $dir/_log")
+      }
     }
-    java.nio.file.Files.deleteIfExists(tmp)
     if (v > 0 && v % ttCheckpointInterval == 0) ttWriteCheckpoint(s, dir, v)
   }
 
@@ -832,21 +864,26 @@ object Mutations {
 
   /** st31 — has a commit carrying `txn` already landed? The
     * exactly-once probe (Delta's txnAppId/txnVersion idempotence).
-    * O(commits) commit-file reads here; a production format indexes
-    * txn markers into the checkpoint manifest so the probe is O(1).
+    * Served from SNAPSHOT RESOLUTION — txn markers are indexed into the
+    * parquet checkpoint (`#txn:` rows) and accumulated from the commit
+    * suffix, so the probe opens ≤ 1 checkpoint + interval commit files
+    * regardless of log length (Delta's setTransaction-in-checkpoint
+    * design; the pre-r16 form opened EVERY commit file, O(commits) per
+    * micro-batch, O(commits²) over a stream's life). Open count is
+    * spec-pinned via [[ttTxnCommittedCounted]].
     */
   private[graft] def ttTxnCommitted(s: SparkSession, dir: String,
-      txn: String): Boolean = {
-    val fs = ttFs(s, dir)
-    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    fs.exists(log) && fs.listStatus(log)
-      .filter(_.getPath.getName.matches("v\\d+\\.txt"))
-      .exists { st =>
-        val in = fs.open(st.getPath)
-        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        body.split("\n").contains(s"# txn=$txn")
-      }
+      txn: String): Boolean = ttTxnCommittedCounted(s, dir, txn)._1
+
+  /** [[ttTxnCommitted]] plus the number of log/checkpoint files opened. */
+  private[graft] def ttTxnCommittedCounted(s: SparkSession, dir: String,
+      txn: String): (Boolean, Int) = {
+    val head = ttHeadVersion(s, dir)
+    if (head < 0) (false, 0)
+    else {
+      val res = ttResolve(s, dir, head)
+      (res.txns.contains(txn), res.opened)
+    }
   }
 
   /** st31 — IDEMPOTENT streaming append: commit `df` as the next
@@ -947,6 +984,13 @@ object Mutations {
       res.schemaOps.zipWithIndex.foreach { case (op, i) =>
         l.add(org.apache.spark.sql.Row(s"#schema:$i:$op", null, null, null))
       }
+      // txn markers fold in too (Delta indexes txnAppId/txnVersion into
+      // checkpoint.parquet for the same reason): the exactly-once probe
+      // resolves from latest-checkpoint + suffix instead of opening
+      // every commit file — O(1 + interval), not O(commits)
+      res.txns.toSeq.sorted.foreach { t =>
+        l.add(org.apache.spark.sql.Row(s"#txn:$t", null, null, null))
+      }
       l
     }
     val staging = s"$dir/_log/.ckpt-v$v.${java.util.UUID.randomUUID.toString.take(8)}.tmp"
@@ -988,6 +1032,16 @@ object Mutations {
     * ≤ asOf, then replay only the commit entries in (ckpt, asOf] — the
     * up19 read path (≤ 1 + interval file opens; without a checkpoint,
     * the full replay the pre-up19 store did).
+    *
+    * Scale note: the set is returned DRIVER-RESIDENT (a Seq[String]),
+    * which is the same cardinality every FileIndex ultimately hands the
+    * scan planner — fine to millions of entries. The step beyond, for
+    * Delta-scale tables whose manifests outgrow driver memory, is to
+    * keep `ckpt-v<N>.parquet` AS A RELATION end to end: join-prune it
+    * against partition/stat predicates in-plan and feed the surviving
+    * file list straight to a custom FileScan, never collecting the full
+    * set (the checkpoint FORMAT here already supports that read — one
+    * columnar file of (file, numRows, lo, hi) rows).
     */
   private[graft] def ttLiveFiles(s: SparkSession, dir: String, asOf: Int): Seq[String] =
     ttLiveEntriesCounted(s, dir, asOf)._1
@@ -1011,7 +1065,8 @@ object Mutations {
     * scanning/recounting.
     */
   private[graft] final case class TtResolution(live: Seq[String],
-      stats: Map[String, TtStat], schemaOps: Seq[String], opened: Int)
+      stats: Map[String, TtStat], schemaOps: Seq[String], opened: Int,
+      txns: Set[String])
 
   private[graft] def ttLiveEntriesCounted(s: SparkSession, dir: String,
       asOf: Int): (Seq[String], Map[String, TtStat], Int) = {
@@ -1035,21 +1090,29 @@ object Mutations {
     val live = scala.collection.mutable.LinkedHashSet.empty[String]
     val stats = scala.collection.mutable.Map.empty[String, TtStat]
     val schemaOps = scala.collection.mutable.ArrayBuffer.empty[String]
+    val txns = scala.collection.mutable.Set.empty[String]
     val ckpt = names.map(_.getName).filter(_.matches("ckpt-v\\d+\\.parquet"))
       .map(_.stripPrefix("ckpt-v").stripSuffix(".parquet").toInt)
       .filter(_ <= asOf).sorted.lastOption
     ckpt.foreach { cv =>
       opened += 1
-      // schema-op rows ride the checkpoint as `#schema:<idx>:<op>`
-      // entries (idx preserves application order); they are metadata,
-      // never live files
-      val (schemaRows, fileRows) = ttReadCheckpoint(s, dir, cv)
-        .partition(_._1.startsWith("#schema:"))
+      // metadata rows ride the checkpoint beside the live files:
+      // `#schema:<idx>:<op>` (idx preserves application order) and
+      // `#txn:<txn>` (every streaming-txn marker committed ≤ cv, so the
+      // exactly-once probe never replays the full log) — never live files
+      val (metaRows, fileRows) = ttReadCheckpoint(s, dir, cv)
+        .partition(_._1.startsWith("#"))
       fileRows.foreach { case (f, st) =>
         live += f
         st.foreach(stats(f) = _)
       }
-      schemaRows.map(_._1.stripPrefix("#schema:"))
+      metaRows.map(_._1).foreach {
+        case r if r.startsWith("#txn:") => txns += r.stripPrefix("#txn:")
+        case r if r.startsWith("#schema:") => // ordered fold below
+        case other => sys.error(s"unknown checkpoint metadata row: $other")
+      }
+      metaRows.map(_._1).filter(_.startsWith("#schema:"))
+        .map(_.stripPrefix("#schema:"))
         .map { r => val i = r.indexOf(':'); (r.take(i).toInt, r.drop(i + 1)) }
         .sortBy(_._1).foreach(schemaOps += _._2)
     }
@@ -1066,9 +1129,16 @@ object Mutations {
           .foreach { case (f, st) => stats(f) = st }
         else if (line.startsWith("# rename=") || line.startsWith("# dropcol="))
           schemaOps += line.stripPrefix("# ")
+        else if (line.startsWith("# schemareset="))
+          // a restore rolling back schema state: clear the accumulated
+          // ops — the commit re-declares the target's ops right after
+          // this line, in order
+          schemaOps.clear()
+        else if (line.startsWith("# txn=")) txns += line.stripPrefix("# txn=")
       }
     }
-    TtResolution(live.toSeq.sorted, stats.toMap, schemaOps.toSeq, opened)
+    TtResolution(live.toSeq.sorted, stats.toMap, schemaOps.toSeq, opened,
+      txns.toSet)
   }
 
   private def ttParseStat(line: String): Option[(String, TtStat)] =
@@ -1092,10 +1162,62 @@ object Mutations {
   private[graft] def ttAsOf(s: SparkSession, dir: String, v: Int): DataFrame = {
     val res = ttResolve(s, dir, v)
     val (dvFiles, dataFiles) = res.live.partition(ttIsDv)
-    require(dataFiles.nonEmpty, s"version $v has no live files")
+    if (dataFiles.isEmpty) {
+      // a SQL-created table is legitimately empty between CREATE and its
+      // first INSERT — serve the declared schema with zero rows (any
+      // other fileless snapshot is still a hard error)
+      val sch = ttCreateSchema(s, dir).getOrElse(
+        sys.error(s"version $v has no live files"))
+      return ttApplyMapping(res.schemaOps, s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), sch))
+    }
     ttApplyMapping(res.schemaOps,
       ttApplyDv(s, dir, ttReadFiles(s, dir, dataFiles, mergeSchema = true),
         dvFiles))
+  }
+
+  // ---- src38: SQL CREATE TABLE / CTAS ----
+
+  /** src38 — CREATE a tt table: the v0 commit carries the declared
+    * schema (`# createschema=<json>`) and no files — the table exists,
+    * is empty, and every later verb (INSERT/MERGE/OPTIMIZE/RESTORE)
+    * works unchanged because creation is just commit #0 (Delta: CREATE
+    * TABLE is a metadata-only protocol action). The physical layout key
+    * `day` must be declared and be a STRING (partition directories
+    * round-trip as strings — a DATE-typed day would silently change
+    * type at first read).
+    */
+  private[graft] def ttCreateTable(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = ttFs(s, dir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log")),
+      s"location $dir already holds a tt store")
+    val day = schema.fields.find(_.name == "day").getOrElse(
+      sys.error("tt tables require a 'day' partition column"))
+    require(day.dataType == org.apache.spark.sql.types.StringType,
+      s"the 'day' partition column must be STRING, got ${day.dataType.sql}")
+    ttCommit(s, dir, 0, Nil, Nil,
+      meta = Seq("op=create", s"createschema=${schema.json}"))
+  }
+
+  /** The declared schema of a SQL-created store (None for stores built
+    * by the engine's write verbs, whose schema is carried by data
+    * files). One O(1) metadata read of v0.
+    */
+  private[graft] def ttCreateSchema(s: SparkSession,
+      dir: String): Option[org.apache.spark.sql.types.StructType] = {
+    val fs = ttFs(s, dir)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_log/v0.txt")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.split("\n").collectFirst {
+      case l if l.startsWith("# createschema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("# createschema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
   }
 
   // ---- up26: COLUMN MAPPING (rename/drop as metadata) ----
@@ -1135,11 +1257,35 @@ object Mutations {
     * from head reads while every earlier snapshot still surfaces it —
     * the physical bytes are untouched (a real purge is up10's
     * restatement, not a schema op).
+    *
+    * The PHYSICAL LAYOUT's key columns are refused: dropping `day`
+    * would commit durably and then wedge every subsequent write (the
+    * append path partitions by day and requires it), with no SQL-
+    * reachable undo — Delta refuses dropping partition columns for the
+    * same reason. The check covers the LOGICAL name too: if `day` was
+    * renamed, the drop of its current logical name is refused as well
+    * (ttToPhysical would unwind it back onto the layout key).
     */
   private[graft] def ttDropColumn(s: SparkSession, dir: String, v: Int,
-      c: String): Unit =
+      c: String): Unit = {
+    // physical resolution of the logical name being dropped: unwind the
+    // rename chain as of the pre-drop snapshot
+    val physical = ttResolve(s, dir, v - 1).schemaOps.reverse
+      .foldLeft(c) { (name, op) =>
+        op.split("=", 2) match {
+          case Array("rename", spec) =>
+            val Array(from, to) = spec.split('|')
+            if (name == to) from else name
+          case _ => name
+        }
+      }
+    require(physical != "day",
+      s"cannot drop column '$c': it is the store's physical partition " +
+        "column (day) — every write keys the layout on it. Delta refuses " +
+        "dropping partition columns for the same reason.")
     ttCommit(s, dir, v, Nil, Nil,
       meta = Seq("op=drop-column", s"dropcol=$c"))
+  }
 
   /** Inverse-map a LOGICAL-schema batch to the store's PHYSICAL names
     * (renames unwound in reverse; a dropped column cannot be written)
@@ -1513,9 +1659,16 @@ object Mutations {
     */
   private[graft] def ttDerivedScenario(s: SparkSession, d: String,
       prefix: String, template: () => String)(
-      suffix: String => Unit): String =
+      suffix: String => Unit): String = {
+    // Resolve the template BEFORE entering the memoized build:
+    // ttScenario's stagedDir runs its builder inside a computeIfAbsent
+    // on scenarioMemo, and template() resolves through the SAME map —
+    // ConcurrentHashMap forbids recursive updates (IllegalStateException
+    // or live-lock when the two keys share a bin). The template memo is
+    // idempotent, so an eager resolve costs one map hit on the cached
+    // path and nothing on the build path (the builder needed it anyway).
+    val src = template()
     ttScenario(s, d, prefix) { dir =>
-      val src = template()
       val fs = ttFs(s, dir)
       require(org.apache.hadoop.fs.FileUtil.copy(fs,
         new org.apache.hadoop.fs.Path(src), fs,
@@ -1524,6 +1677,7 @@ object Mutations {
         s"template clone $src -> $dir failed")
       suffix(dir)
     }
+  }
 
   /** Commit already-published adds/removes at `target`, rebasing to the
     * new head on a lost claim — the OCC append loop factored for verbs
@@ -1609,6 +1763,70 @@ object Mutations {
       ttWriteBatch(s, dir, sub, rows.repartition(col("day"))),
       packed, meta = Seq("op=optimize"))
     true
+  }
+
+  /** up28 — OPTIMIZE with CLUSTERING (Delta's `OPTIMIZE ... ZORDER BY`,
+    * Iceberg's sort-order rewrite): rewrite every day's live files
+    * RANGE-CLUSTERED on the key, `filesPerDay` files per day with
+    * DISJOINT key ranges — so the commit-time min/max stats (src32's
+    * skipping inputs) actually prune. Bin-packing (ttOptimize) fixes
+    * the file-COUNT problem; clustering fixes the file-CONTENT problem:
+    * a day written in arrival order has every file spanning the whole
+    * key range, and min/max stats prune NOTHING on a key-band query —
+    * compaction's main job at scale is making the layout match the
+    * stats. Same commit discipline as up25: one metadata-swap commit
+    * (`op=optimize`), logical no-op (any rollup answers identically
+    * pre/post — the declared query's hash proof), cost ∝ rewritten
+    * files. `repartitionByRange(day, key)` gives each task a contiguous
+    * (day, key) slab, so per-day outputs carry disjoint key ranges;
+    * `sortWithinPartitions` additionally orders rows inside each file
+    * (tighter parquet row-group stats for free). Z-order proper
+    * (Morton interleave of ≥2 dims, src22/src12's `mortonSpread`) is
+    * the multi-column generalization; over ONE skip key the space-
+    * filling curve degenerates to exactly this range sort.
+    */
+  private[graft] def ttOptimizeClustered(s: SparkSession, dir: String,
+      v: Int, sub: String, key: String = "event_id",
+      filesPerDay: Int = 4): Boolean = {
+    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    require(dvF.isEmpty,
+      "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
+    val packed = dataF.filter(_.startsWith("day="))
+    if (packed.isEmpty) return false
+    val days = packed.map(f => f.take(f.indexOf('/'))).distinct.size
+    val rows = ttReadFiles(s, dir, packed, mergeSchema = true)
+      .localCheckpoint(true)
+    ttCommit(s, dir, v,
+      ttWriteBatch(s, dir, sub,
+        rows.repartitionByRange(days * filesPerDay, col("day"), col(key))
+          .sortWithinPartitions(col("day"), col(key))),
+      packed, meta = Seq("op=optimize"))
+    true
+  }
+
+  /** The declared up28 query: the 4-version store CLUSTER-optimized at
+    * v4, answering a key-band rollup at BOTH v3 (pre, plain snapshot)
+    * and v4 (post, through the stats-driven skipping relation) — the
+    * hash proves clustering is a logical no-op; the spec pins the
+    * physical win (the v4 band scan reads a fraction of the files the
+    * v3 layout forces, because pre-clustering every base file spans the
+    * whole key range). The band cap is data-derived (max base id / 4),
+    * so the oracle recomputes it exactly.
+    */
+  def zorderOptimizeRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttDerivedScenario(s, d, "graft_up28_store",
+      () => ttBaseScenario(s, d))(dd =>
+      require(ttOptimizeClustered(s, dd, 4, "z4", "event_id", 4),
+        "up28 fixture had nothing to rewrite"))
+    val cap = events(s, d).agg(max("event_id")).head.getLong(0) / 4
+    Seq(3 -> ttAsOf(s, dir, 3), 4 -> ttSkippingRelation(s, dir, 4))
+      .map { case (v, df) =>
+        df.filter(col("event_id") <= cap)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+          .select(lit(v.toLong).as("version"), col("event_type"),
+            col("n"), col("sum_cents"))
+      }.reduce(_.unionByName(_)).orderBy("version", "event_type")
   }
 
   /** src35 — the SQL INSERT INTO verb: one plain append commit at
@@ -2055,11 +2273,25 @@ object Mutations {
     */
   private[graft] def ttRestore(s: SparkSession, dir: String, v: Int,
       target: Int): Unit = {
-    val head = ttLiveFiles(s, dir, v - 1).toSet
-    val tgt = ttLiveFiles(s, dir, target).toSet
-    require(head != tgt, s"restore to v$target is a no-op")
+    val headRes = ttResolve(s, dir, v - 1)
+    val tgtRes = ttResolve(s, dir, target)
+    val head = headRes.live.toSet
+    val tgt = tgtRes.live.toSet
+    require(head != tgt || headRes.schemaOps != tgtRes.schemaOps,
+      s"restore to v$target is a no-op")
+    // restore must roll back SCHEMA state too, not just the file set —
+    // a regretted DROP/RENAME COLUMN is a metadata-only commit, and
+    // without this it would survive the rollback (the r16 probe
+    // sequence). The restore commit carries a `schemareset` marker that
+    // clears the accumulated mapping ops, then RE-DECLARES the target
+    // version's ops verbatim, so resolution at any later version sees
+    // exactly the target's logical schema — self-contained in one
+    // commit body, checkpoint-foldable like every other schema op.
+    val schemaMeta =
+      if (headRes.schemaOps == tgtRes.schemaOps) Nil
+      else "schemareset=1" +: tgtRes.schemaOps
     ttCommit(s, dir, v, (tgt -- head).toSeq.sorted,
-      (head -- tgt).toSeq.sorted, meta = Seq("op=restore"))
+      (head -- tgt).toSeq.sorted, meta = Seq("op=restore") ++ schemaMeta)
   }
 
   /** The declared up22 query: restore the 4-version store to v1 as v4,
@@ -2115,11 +2347,14 @@ object Mutations {
     // files are what the clone's log references absolutely) and the
     // clone with its independent COW mutation applied
     val srcDir = Tables.scratchDir("graft_up23q_src", d)
+    // resolved OUTSIDE the memoized build — same-map recursive
+    // computeIfAbsent hazard as ttDerivedScenario's template
+    val baseDir = ttBaseScenario(s, d)
     val clone = ttScenario(s, d, "graft_up23q_clone") { cloneDir =>
       val fs = ttFs(s, srcDir)
       fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
       require(org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(ttBaseScenario(s, d)), fs,
+        new org.apache.hadoop.fs.Path(baseDir), fs,
         new org.apache.hadoop.fs.Path(srcDir),
         false, true, s.sparkContext.hadoopConfiguration),
         "up23 source clone failed")
@@ -2184,7 +2419,8 @@ object Mutations {
     val hist = ttHistory(s, dir)
     hist.filter(_.tsMs <= tsMs).map(_.version).sorted.lastOption.getOrElse(
       sys.error(s"no commit at or before ts=$tsMs under $dir " +
-        s"(earliest is ${hist.map(_.tsMs).min})"))
+        hist.map(_.tsMs).minOption.fold("(store has no commits)")(e =>
+          s"(earliest is $e)")))
   }
 
   /** Stats-sourced snapshot row count: the sum of live data files'
@@ -2379,13 +2615,38 @@ object Mutations {
     */
   private[graft] def ttVacuum(s: SparkSession, dir: String,
       keep: Int): (Int, Int, Int) = {
+    val maxV = ttHeadVersion(s, dir)
+    ttVacuumVersions(s, dir, (maxV - keep + 1) to maxV)
+  }
+
+  /** up29 — WALL-CLOCK retention (`VACUUM ... RETAIN <hours> HOURS`,
+    * Delta's production spelling): the horizon is resolved against the
+    * `# ts=` commit timestamps — every version committed within the
+    * window is retained (plus the head unconditionally: the current
+    * state is never vacuumable, however old). The clock is INJECTED
+    * (`nowMs`) so the declared scenario is deterministic and oracleable
+    * — production callers pass wall-clock, the declared query passes a
+    * fixed instant derived from [[ttClockMs]]. Delegates to the same
+    * referenced-file accounting as the version-horizon form.
+    */
+  private[graft] def ttVacuumRetainHours(s: SparkSession, dir: String,
+      hours: Int, nowMs: Long): (Int, Int, Int) = {
+    val hist = ttHistory(s, dir)
+    require(hist.nonEmpty, s"vacuum of an uninitialized store: $dir")
+    val cutoff = nowMs - hours.toLong * 3600000L
+    val head = hist.map(_.version).max
+    val retained = hist.filter(_.tsMs >= cutoff).map(_.version).toSet + head
+    ttVacuumVersions(s, dir, retained.toSeq.sorted)
+  }
+
+  /** Shared accounting: delete every data file referenced by NONE of
+    * `retainedVersions`. Pure log metadata + one tree listing; the
+    * delete is O(files), never a data read.
+    */
+  private def ttVacuumVersions(s: SparkSession, dir: String,
+      retainedVersions: Seq[Int]): (Int, Int, Int) = {
     val fs = ttFs(s, dir)
-    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
-    val maxV = fs.listStatus(log).toSeq
-      .map(_.getPath.getName).filter(_.matches("v\\d+\\.txt"))
-      .map(_.stripPrefix("v").stripSuffix(".txt").toInt).max
-    val horizon = maxV - keep + 1
-    val retained = (horizon to maxV)
+    val retained = retainedVersions
       .flatMap(v => ttLiveFiles(s, dir, v)).toSet
     val onDisk = {
       val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
@@ -2425,6 +2686,28 @@ object Mutations {
     }.reduce(_.unionByName(_)).orderBy("version", "event_type")
   }
 
+  /** The declared up29 query: WALL-CLOCK retention over the 4-version
+    * store — `RETAIN 1 HOUR` evaluated AT the v3 commit instant (the
+    * injected deterministic clock: commits land one hour apart), so the
+    * horizon resolves to {v2, v3} — v1 would retain every v0 file (an
+    * append supersedes nothing), which is why the window excludes it —
+    * and the COW-superseded originals are reaped. Both retained
+    * snapshots answer from the vacuumed store — the hash proves the
+    * time-resolved horizon deleted nothing any retained version needs.
+    * File accounting and the pre-horizon AS OF failure are spec-pinned.
+    */
+  def vacuumRetainRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttDerivedScenario(s, d, "graft_up29_store",
+      () => ttBaseScenario(s, d))(dd =>
+      ttVacuumRetainHours(s, dd, hours = 1, nowMs = ttClockMs(3)))
+    (2 to 3).map { v =>
+      ttAsOf(s, dir, v).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+        .select(lit(v.toLong).as("version"), col("event_type"),
+          col("n"), col("sum_cents"))
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
   /** The shared READ-ONLY 4-version store: up13/up15/up16 and the SQL
     * read fronts (src28/src32/src34, st28's tail) all resolve snapshots
     * of one memoized build — none of them commits to it.
@@ -2447,6 +2730,39 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up28_zorder_optimize", zorderOptimizeRollup, Some(
+      // the v3 state key-banded (cap = max base id / 4), expected at
+      // BOTH v3 (pre-clustering) and v4 (post) — the hash proves the
+      // clustered rewrite is a logical no-op; the physical skipping win
+      // is spec-pinned (numFiles drops through ttSkippingRelation)
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |banded AS (
+        |  SELECT * FROM v3
+        |  WHERE event_id <= (SELECT max(event_id) // 4 FROM events)),
+        |vs AS (SELECT * FROM (VALUES (3), (4)) AS t(version))
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM vs CROSS JOIN banded
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
     QueryDef("up25_optimize", optimizeRollup, Some(
       // one full state (base ∪ all nine re-keyed slices = every base row
       // twice), expected at BOTH v9 (fragmented) and v10 (compacted) —
@@ -2879,6 +3195,36 @@ object Mutations {
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
+    QueryDef("up29_vacuum_retain_hours", vacuumRetainRollup, Some(
+      // same retained states as up14 — the horizon here is WALL-CLOCK
+      // (RETAIN 1 HOUR at the v3 commit instant) instead of a version
+      // count, resolved against the deterministic commit timestamps
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 2 AS version, event_type, cents FROM v2
+        |  UNION ALL SELECT 3, event_type, cents FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       staged = true),
     QueryDef("up14_vacuum", vacuumedTimeTravel, Some(
       // up13's oracle restricted to the RETAINED versions — the same

@@ -109,6 +109,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => NativeKernelRule)
     ext.injectOptimizerRule(_ => MatViewRewriteRule)
     ext.injectResolutionRule(spark => TtSqlMergeRule(spark))
+    // src37 — the RESTORE TABLE statement Spark's grammar lacks;
+    // everything else delegates to the session's own parser
+    ext.injectParser((_, delegate) => new TtSqlParser(delegate))
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(binary("graft_dot", DotProduct))
     ext.injectFunction(binary("graft_cosine", CosineSim))

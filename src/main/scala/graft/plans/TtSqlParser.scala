@@ -1,0 +1,198 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/** src37 — SQL `RESTORE TABLE tt.<name> TO VERSION AS OF <v>` (Delta's
+  * RESTORE spelling): the SQL front door for up22's log-structured
+  * rollback, injected as a PARSER extension (`injectParser`) exactly the
+  * way Delta's `DeltaSqlParser` adds its extra statements — the wrapper
+  * owns the one statement Spark's grammar lacks and DELEGATES everything
+  * else verbatim, so the session's SQL surface is Spark's plus ours.
+  *
+  * Why this matters beyond completeness: a bad commit made FROM SQL
+  * (a regretted DROP COLUMN, a mis-keyed MERGE) must be undoable from
+  * the same front door — without a SQL RESTORE the only rollback is a
+  * DataFrame-side call a SQL user never sees. The restore itself is
+  * up22's metadata-only commit (re-add the target version's live set,
+  * remove the head's surplus — no data file read or written), OCC-
+  * retried like every other SQL verb; history is preserved (the
+  * pre-restore head stays readable AS OF its version).
+  *
+  * Reference scope: the reference engine has no SQL surface at all
+  * (`ALS-Hadoop` drives everything from `main`); this extends the
+  * lakehouse tier the survey's extension registry tracks as src37.
+  */
+class TtSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    sqlText match {
+      case TtSqlParser.Restore(name, v) =>
+        TtSqlRestoreCommand(name, v.toInt)
+      case TtSqlParser.Optimize(name, zcol) =>
+        TtSqlOptimizeCommand(name, Option(zcol))
+      case TtSqlParser.Vacuum(name, hours) =>
+        TtSqlVacuumCommand(name, hours.toInt)
+      case TtSqlParser.History(name) =>
+        TtSqlHistoryCommand(name)
+      case _ => delegate.parsePlan(sqlText)
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+}
+
+object TtSqlParser {
+  /** `RESTORE TABLE tt.<name> TO VERSION AS OF <v>` — case-insensitive,
+    * whitespace-tolerant, optional trailing semicolon. Only the `tt`
+    * catalog is claimed; any other RESTORE text falls through to the
+    * delegate (and fails there, as it would without us).
+    */
+  private[plans] val Restore =
+    ("""(?is)\s*RESTORE\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
+
+  /** `OPTIMIZE tt.<name> [ZORDER BY (<col>)]` — Delta's compaction
+    * statement: bin-packing without the clause, clustered rewrite with
+    * it (parens optional, one column — the tt skip key).
+    */
+  private[plans] val Optimize =
+    ("""(?is)\s*OPTIMIZE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?)?\s*;?\s*""").r
+
+  /** `VACUUM tt.<name> RETAIN <n> HOURS` — Delta's retention statement.
+    * The horizon instant is the HEAD COMMIT's timestamp (deterministic
+    * for a versioned store — "keep everything committed within n hours
+    * of the newest commit"); production wall-clock vacuuming passes
+    * `nowMs` to the library verb directly.
+    */
+  private[plans] val Vacuum =
+    ("""(?is)\s*VACUUM\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """RETAIN\s+(\d+)\s+HOURS?\s*;?\s*""").r
+
+  /** `DESCRIBE HISTORY tt.<name>` — Delta's audit statement. */
+  private[plans] val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
+  private[plans] def dirOf(table: String): String = {
+    val dir = graft.sources.TtCatalog.tables.get(table)
+    if (dir == null)
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+        Seq("tt", table))
+    dir
+  }
+}
+
+/** The executed statement: one OCC-retried `op=restore` commit at
+  * head+1. Returns (table, restored_to, committed_as) so the caller
+  * sees which version the rollback landed at.
+  */
+case class TtSqlRestoreCommand(table: String, target: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("restored_to", LongType, nullable = false)(),
+    AttributeReference("committed_as", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TtSqlParser.dirOf(table)
+    val committed = graft.ops.Mutations.ttRetryVerb(spark, dir,
+      graft.sources.TtCatalog.headVersion(spark, dir) + 1)(v =>
+      graft.ops.Mutations.ttRestore(spark, dir, v, target))
+    Seq(Row(s"tt.$table", target.toLong, committed.toLong))
+  }
+}
+
+/** src39 — `OPTIMIZE tt.x [ZORDER BY (col)]`: one OCC-retried
+  * `op=optimize` commit — bin-packing (up25) bare, clustered rewrite
+  * (up28) with the ZORDER clause. `committed_as` is -1 when nothing
+  * needed packing (the statement is then a true no-op, no commit).
+  */
+case class TtSqlOptimizeCommand(table: String, zorderBy: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("clustered", org.apache.spark.sql.types.BooleanType,
+      nullable = false)(),
+    AttributeReference("committed_as", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TtSqlParser.dirOf(table)
+    var did = false
+    val v = graft.ops.Mutations.ttRetryVerb(spark, dir,
+      graft.sources.TtCatalog.headVersion(spark, dir) + 1) { tv =>
+      did = zorderBy match {
+        case Some(key) =>
+          graft.ops.Mutations.ttOptimizeClustered(spark, dir, tv, s"z$tv", key)
+        case None =>
+          graft.ops.Mutations.ttOptimize(spark, dir, tv, s"o$tv")
+      }
+    }
+    Seq(Row(s"tt.$table", zorderBy.isDefined, if (did) v.toLong else -1L))
+  }
+}
+
+/** src40 — `VACUUM tt.x RETAIN n HOURS`: wall-clock retention (up29)
+  * evaluated at the head commit's timestamp — deterministic, and the
+  * natural reading for a versioned store ("keep n hours of history
+  * behind the newest commit"). Returns the file accounting.
+  */
+case class TtSqlVacuumCommand(table: String, hours: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("files_before", LongType, nullable = false)(),
+    AttributeReference("files_after", LongType, nullable = false)(),
+    AttributeReference("files_removed", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TtSqlParser.dirOf(table)
+    val nowMs = graft.ops.Mutations.ttHistory(spark, dir)
+      .map(_.tsMs).max
+    val (before, after, removed) =
+      graft.ops.Mutations.ttVacuumRetainHours(spark, dir, hours, nowMs)
+    Seq(Row(s"tt.$table", before.toLong, after.toLong, removed.toLong))
+  }
+}
+
+/** src41 — `DESCRIBE HISTORY tt.x`: the commit log as an audit table —
+  * version, operation, commit timestamp, and the snapshot's row count
+  * served from commit stats (up24's discipline; a stats-less or
+  * DV-bearing snapshot falls back to one bounded recount).
+  */
+case class TtSqlHistoryCommand(table: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("op", StringType, nullable = false)(),
+    AttributeReference("commit_ts", org.apache.spark.sql.types.TimestampType,
+      nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TtSqlParser.dirOf(table)
+    graft.ops.Mutations.ttHistory(spark, dir).map { ci =>
+      val n = graft.ops.Mutations.ttStatsRowCount(spark, dir, ci.version)
+        .getOrElse(graft.ops.Mutations.ttAsOf(spark, dir, ci.version).count())
+      Row(ci.version.toLong, ci.op, new java.sql.Timestamp(ci.tsMs), n)
+    }
+  }
+}

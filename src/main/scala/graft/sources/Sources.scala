@@ -1791,7 +1791,248 @@ object Sources {
       FROM tt.src36_store GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** src37 — SQL RESTORE through the injected parser extension
+    * ([[graft.plans.TtSqlParser]], Delta's `RESTORE TABLE ... TO
+    * VERSION AS OF` spelling): the rollback verb a SQL user needs when
+    * a SQL-made commit (a regretted DROP COLUMN, a mis-keyed MERGE)
+    * must be undone from the same front door. One OCC-retried metadata
+    * commit (up22's ttRestore); the restore runs in the staged builder
+    * (one-time history), the timed query answers BOTH the pre-restore
+    * head (v3 — history preserved) and the restored head (v4 ≡ v1's
+    * state) from pinned versions, so the read is run-invariant.
+    */
+  def sqlRestore(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src37_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d)) { dd =>
+      TtCatalog.install(s)
+      TtCatalog.register("src37_store", dd)
+      val out = s.sql("RESTORE TABLE tt.src37_store TO VERSION AS OF 1")
+        .collect()
+      require(out.length == 1 && out(0).getLong(2) == 4L,
+        s"SQL RESTORE landed at the wrong version: ${out.mkString}")
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src37_store", dir)
+    Seq(3, 4).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, event_type,
+        count(*) AS n, sum(cents) AS sum_cents
+        FROM tt.src37_store VERSION AS OF $v GROUP BY event_type""")
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** src38 — SQL CREATE TABLE AS SELECT through the tt catalog: the
+    * planner routes CTAS to `createTable` (one `op=create` v0 commit
+    * carrying the declared schema — Delta: table creation is a
+    * metadata-only protocol action) plus the append write bridge (v1,
+    * `op=insert`), so a table born from SQL is a full citizen of every
+    * later verb — INSERT/MERGE/OPTIMIZE/RESTORE/VERSION AS OF all work
+    * on it unchanged. The timed query is the head rollup, pinned at v1
+    * (creation history is one-time, staged); DROP TABLE and the
+    * empty-table read between CREATE and first INSERT are spec-pinned.
+    */
+  def sqlCreateTableAsSelect(s: SparkSession, d: String): DataFrame = {
+    TtCatalog.install(s)
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src38_store") { dd =>
+      // a fresh build targets a wiped dir; forget any stale registration
+      // so CREATE never trips over the previous JVM's name
+      TtCatalog.tables.remove("src38_store")
+      graft.Tables.events(s, d).createOrReplaceTempView("graft_src38_events")
+      s.sql(s"""CREATE TABLE tt.src38_store USING parquet LOCATION '$dd'
+        AS SELECT event_id, event_type,
+          cast(round(value * 100) as bigint) AS cents,
+          date_format(ts, 'yyyy-MM-dd') AS day
+        FROM graft_src38_events""")
+      dd
+    }
+    TtCatalog.register("src38_store", dir)
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.src38_store VERSION AS OF 1
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
+  /** src39 — `OPTIMIZE tt.x ZORDER BY (event_id)` through the parser
+    * extension: the clustered compaction statement (up28's verb, SQL
+    * spelling). Runs in the staged builder (one-time layout history);
+    * the timed query answers the pre/post rollup at pinned versions —
+    * the hash proves the SQL-spelled rewrite is a logical no-op.
+    */
+  def sqlOptimize(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src39_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d)) { dd =>
+      TtCatalog.install(s)
+      TtCatalog.register("src39_store", dd)
+      val out = s.sql("OPTIMIZE tt.src39_store ZORDER BY (event_id)")
+        .collect()
+      require(out.length == 1 && out(0).getLong(2) == 4L,
+        s"SQL OPTIMIZE landed wrong: ${out.mkString}")
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src39_store", dir)
+    Seq(3, 4).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, event_type,
+        count(*) AS n, sum(cents) AS sum_cents
+        FROM tt.src39_store VERSION AS OF $v GROUP BY event_type""")
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** src40 — `VACUUM tt.x RETAIN 1 HOURS` through the parser extension
+    * (up29's verb, SQL spelling; horizon anchored at the head commit's
+    * timestamp — deterministic). The vacuum runs in the staged builder;
+    * the timed query answers both retained snapshots — the hash proves
+    * the SQL-spelled retention deleted nothing a retained version needs.
+    */
+  def sqlVacuum(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src40_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d)) { dd =>
+      TtCatalog.install(s)
+      TtCatalog.register("src40_store", dd)
+      val out = s.sql("VACUUM tt.src40_store RETAIN 1 HOURS").collect()
+      require(out.length == 1 && out(0).getLong(3) > 0,
+        s"SQL VACUUM reaped nothing: ${out.mkString}")
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src40_store", dir)
+    Seq(2, 3).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version, event_type,
+        count(*) AS n, sum(cents) AS sum_cents
+        FROM tt.src40_store VERSION AS OF $v GROUP BY event_type""")
+    }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** src41 — `DESCRIBE HISTORY tt.x` through the parser extension:
+    * up24's audit surface as the Delta statement — version, op, commit
+    * timestamp (the injectable clock, oracle-recomputable) and the
+    * stats-served row count, over the read-only base store.
+    */
+  def sqlDescribeHistory(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttBaseScenario(s, d)
+    TtCatalog.install(s)
+    TtCatalog.register("src41_store", dir)
+    s.sql("DESCRIBE HISTORY tt.src41_store").orderBy("version")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src41_sql_history", sqlDescribeHistory, Some(
+      // up24's oracle shape over the 4-version base store: ops and the
+      // deterministic clock are protocol constants; the ROW COUNTS are
+      // data-derived — a stats-bookkeeping bug breaks the hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v3 AS (
+        |  SELECT * FROM v1
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |counts AS (
+        |  SELECT 0 AS version, 'write' AS op, (SELECT count(*) FROM base) AS n_rows
+        |  UNION ALL SELECT 1, 'append', (SELECT count(*) FROM v1)
+        |  UNION ALL SELECT 2, 'update', (SELECT count(*) FROM v1)
+        |  UNION ALL SELECT 3, 'delete', (SELECT count(*) FROM v3))
+        |SELECT CAST(version AS BIGINT) AS version, op,
+        |  TIMESTAMP '2024-06-01 00:00:00' + to_hours(version) AS commit_ts,
+        |  CAST(n_rows AS BIGINT) AS n_rows
+        |FROM counts ORDER BY version""".stripMargin),
+      staged = true),
+    QueryDef("src40_sql_vacuum", sqlVacuum, Some(
+      // up14's retained states through the SQL statement
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 2 AS version, event_type, cents FROM v2
+        |  UNION ALL SELECT 3, event_type, cents FROM v3)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
+    QueryDef("src39_sql_optimize", sqlOptimize, Some(
+      // the v3 state at BOTH v3 and v4: the SQL-spelled clustered
+      // rewrite must be a logical no-op
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |vs AS (SELECT * FROM (VALUES (3), (4)) AS t(version))
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM vs CROSS JOIN v3
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
+    QueryDef("src38_sql_ctas", sqlCreateTableAsSelect, Some(
+      // the CTAS body re-derived from raw events — a lost create or a
+      // doubled insert breaks the hash
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
+    QueryDef("src37_sql_restore", sqlRestore, Some(
+      // up22's states through the SQL spelling: v3 = pre-restore head
+      // (history preserved), v4 = v1's state re-served as head
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |all_v AS (
+        |  SELECT 3 AS version, event_type, cents FROM v3
+        |  UNION ALL SELECT 4, event_type, cents FROM v1)
+        |SELECT CAST(version AS BIGINT) AS version, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM all_v GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
     QueryDef("src36_sql_alter_column", sqlAlterColumn, Some(
       // head state under the renamed column: v3 ∪ evolved batch ∪ the
       // post-rename SQL-inserted slice, aggregated as `amount`

