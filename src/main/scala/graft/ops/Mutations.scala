@@ -1851,6 +1851,61 @@ object Mutations {
     ttCommitRetry(s, dir, v, adds, Nil, Seq("op=insert"))
   }
 
+  /** up30 — CONVERT a plain day-partitioned parquet directory into a tt
+    * table IN PLACE (Delta's `CONVERT TO DELTA`): one v0 commit whose
+    * adds are the EXISTING data files — zero bytes copied or moved, the
+    * directory becomes a versioned table where it stands. This is how a
+    * real estate of plain parquet adopts the format at 100 TB: the only
+    * cost is the one-time stats scan (`# stat=` lines per file, the
+    * same commit-time discipline every later append pays), after which
+    * every tt verb — INSERT/MERGE/OPTIMIZE/VACUUM/AS OF — works
+    * unchanged. Idempotent-hostile by design: a dir that already holds
+    * a `_log` refuses to convert again.
+    */
+  private[graft] def ttConvert(s: SparkSession, dir: String): Int = {
+    val fs = ttFs(s, dir)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log")),
+      s"$dir is already a tt table")
+    val base = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+    val adds = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next().getPath.toUri.getPath
+      val rel = p.stripPrefix(base).stripPrefix("/")
+      if (rel.endsWith(".parquet") && rel.startsWith("day=")) adds += rel
+    }
+    require(adds.nonEmpty, s"$dir holds no day-partitioned parquet files")
+    ttCommit(s, dir, 0, adds.toSeq.sorted, Nil, meta = Seq("op=convert"))
+    adds.size
+  }
+
+  /** The declared up30 query: write events as PLAIN day-partitioned
+    * parquet, CONVERT in place, then prove the converted dir is a full
+    * tt citizen — an INSERT-shaped append lands as v1, and the rollup
+    * answers from the v1 snapshot (conversion state ∪ appended slice,
+    * fully oracled). The staged builder owns the one-time conversion;
+    * reads are pinned at v1 so the query is run-invariant.
+    */
+  def convertInPlaceRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttScenario(s, d, "graft_up30_store") { dd =>
+      val base = events(s, d).select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      base.repartition(col("day")).write.partitionBy("day")
+        .mode("overwrite").parquet(dd)
+      ttConvert(s, dd)
+      val late = base.filter(col("event_id") % 17 === 0)
+        .withColumn("event_id", col("event_id") + lit(2000000000L))
+        .withColumn("cents", col("cents") + lit(40L))
+      ttCommit(s, dd, 1,
+        ttWriteBatch(s, dd, "b1", late.repartition(col("day"))), Nil,
+        meta = Seq("op=append"))
+    }
+    ttAsOf(s, dir, 1).groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** Build the 4-version store: v0 base, v1 append, v2 COW update,
     * v3 COW delete. Rebuilt per call (the scenario IS the operator;
     * declared queries instead stage a memoized copy via [[ttScenario]]).
@@ -2730,6 +2785,21 @@ object Mutations {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("up30_convert_in_place", convertInPlaceRollup, Some(
+      // conversion state (all events) ∪ the post-convert append — a
+      // conversion that lost or duplicated an existing file breaks it
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |v1 AS (
+        |  SELECT event_type, cents FROM base
+        |  UNION ALL
+        |  SELECT event_type, cents + 40 FROM base WHERE event_id % 17 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("up28_zorder_optimize", zorderOptimizeRollup, Some(
       // the v3 state key-banded (cap = max base id / 4), expected at
       // BOTH v3 (pre-clustering) and v4 (post) — the hash proves the

@@ -1198,4 +1198,54 @@ class MutationsSpec extends SparkSpec {
     // and the replay-dedup contract holds through the bounded probe
     assert(!Mutations.ttIdempotentAppend(spark, dir, batch, "probe#3"))
   }
+
+  test("up30 convert-in-place: zero-copy adoption, stats recorded, double-convert refused, verbs work after") {
+    val dir = graft.Tables.scratchDir("graft_convert_spec", sf0001)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    graft.Tables.events(spark, sf0001)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .repartition(col("day"))
+      .write.partitionBy("day").parquet(dir)
+    def fileIds(): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      val out = scala.collection.mutable.Map.empty[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        val p = f.getPath.toUri.getPath
+        if (p.endsWith(".parquet") && !p.contains("/_log/"))
+          out(p) = (f.getLen, f.getModificationTime)
+      }
+      out.toMap
+    }
+    val pre = fileIds()
+    val n = Mutations.ttConvert(spark, dir)
+    assert(n == pre.size, s"converted $n files, dir holds ${pre.size}")
+    // zero-copy: every pre-existing file byte-identical in place
+    val post = fileIds()
+    pre.foreach { case (p, id) =>
+      assert(post.get(p).contains(id), s"convert touched $p")
+    }
+    // stats landed at the convert commit (data skipping + history work)
+    assert(Mutations.ttStatsRowCount(spark, dir, 0)
+      .contains(graft.Tables.events(spark, sf0001).count()))
+    // a converted dir is a live table: append + AS OF both work
+    val late = graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 29 === 0)
+      .select((col("event_id") + 3000000000L).as("event_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    Mutations.ttSqlInsert(spark, dir, late)
+    assert(Mutations.ttAsOf(spark, dir, 1).count() >
+      Mutations.ttAsOf(spark, dir, 0).count())
+    // converting an already-converted dir is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      Mutations.ttConvert(spark, dir)
+    }
+    assert(err.getMessage.contains("already a tt table"))
+  }
 }
