@@ -991,6 +991,11 @@ object Mutations {
       res.txns.toSeq.sorted.foreach { t =>
         l.add(org.apache.spark.sql.Row(s"#txn:$t", null, null, null))
       }
+      // active CHECK constraints (src42) ride along — enforcement reads
+      // them from resolution, never a log replay
+      res.constraints.toSeq.sortBy(_._1).foreach { case (n, e) =>
+        l.add(org.apache.spark.sql.Row(s"#constraint:$n|$e", null, null, null))
+      }
       l
     }
     val staging = s"$dir/_log/.ckpt-v$v.${java.util.UUID.randomUUID.toString.take(8)}.tmp"
@@ -1066,7 +1071,7 @@ object Mutations {
     */
   private[graft] final case class TtResolution(live: Seq[String],
       stats: Map[String, TtStat], schemaOps: Seq[String], opened: Int,
-      txns: Set[String])
+      txns: Set[String], constraints: Map[String, String])
 
   private[graft] def ttLiveEntriesCounted(s: SparkSession, dir: String,
       asOf: Int): (Seq[String], Map[String, TtStat], Int) = {
@@ -1091,6 +1096,7 @@ object Mutations {
     val stats = scala.collection.mutable.Map.empty[String, TtStat]
     val schemaOps = scala.collection.mutable.ArrayBuffer.empty[String]
     val txns = scala.collection.mutable.Set.empty[String]
+    val constraints = scala.collection.mutable.Map.empty[String, String]
     val ckpt = names.map(_.getName).filter(_.matches("ckpt-v\\d+\\.parquet"))
       .map(_.stripPrefix("ckpt-v").stripSuffix(".parquet").toInt)
       .filter(_ <= asOf).sorted.lastOption
@@ -1109,6 +1115,10 @@ object Mutations {
       metaRows.map(_._1).foreach {
         case r if r.startsWith("#txn:") => txns += r.stripPrefix("#txn:")
         case r if r.startsWith("#schema:") => // ordered fold below
+        case r if r.startsWith("#constraint:") =>
+          val body = r.stripPrefix("#constraint:")
+          val i = body.indexOf('|')
+          constraints(body.take(i)) = body.drop(i + 1)
         case other => sys.error(s"unknown checkpoint metadata row: $other")
       }
       metaRows.map(_._1).filter(_.startsWith("#schema:"))
@@ -1135,10 +1145,16 @@ object Mutations {
           // this line, in order
           schemaOps.clear()
         else if (line.startsWith("# txn=")) txns += line.stripPrefix("# txn=")
+        else if (line.startsWith("# constraint=")) {
+          val body = line.stripPrefix("# constraint=")
+          val i = body.indexOf('|')
+          constraints(body.take(i)) = body.drop(i + 1)
+        } else if (line.startsWith("# dropconstraint="))
+          constraints -= line.stripPrefix("# dropconstraint=")
       }
     }
     TtResolution(live.toSeq.sorted, stats.toMap, schemaOps.toSeq, opened,
-      txns.toSet)
+      txns.toSet, constraints.toMap)
   }
 
   private def ttParseStat(line: String): Option[(String, TtStat)] =
@@ -1841,6 +1857,12 @@ object Mutations {
   private[graft] def ttSqlInsert(s: SparkSession, dir: String,
       data: DataFrame): Unit = {
     val v = ttHeadVersion(s, dir) + 1
+    // CHECK constraints (src42): the batch is validated against every
+    // active constraint BEFORE anything is staged — Delta's write-path
+    // enforcement. Expressions evaluate over LOGICAL names (the user's
+    // view), so the check runs before the physical unwind. One
+    // validation job per constrained insert, cost ∝ the batch.
+    ttCheckConstraints(s, dir, v - 1, data)
     // the analyzer already aligned `data` to the LOGICAL head schema
     // (order, arity, types); unwind column mapping so the batch lands
     // under physical names (src36) and write it whole — per-snapshot
@@ -1849,6 +1871,53 @@ object Mutations {
     require(rows.columns.contains("day"), "insert batch lost the day column")
     val adds = ttWriteBatch(s, dir, s"i$v", rows.repartition(col("day")))
     ttCommitRetry(s, dir, v, adds, Nil, Seq("op=insert"))
+  }
+
+  // ---- src42: CHECK constraints (Delta's ADD CONSTRAINT) ----
+
+  /** Refuse `batch` loudly if any active constraint rejects a row —
+    * the count is reported per constraint so the failure is actionable.
+    */
+  private[graft] def ttCheckConstraints(s: SparkSession, dir: String,
+      asOf: Int, batch: DataFrame): Unit = {
+    val active = ttResolve(s, dir, asOf).constraints
+    if (active.isEmpty) return
+    active.toSeq.sortBy(_._1).foreach { case (name, exprStr) =>
+      val bad = batch.filter(!expr(exprStr)).count()
+      require(bad == 0L,
+        s"CHECK constraint $name ($exprStr) violated by $bad row(s) — " +
+          "nothing committed")
+    }
+  }
+
+  /** src42 — ADD CONSTRAINT as ONE metadata commit, after proving the
+    * CURRENT head already satisfies it (Delta refuses constraints the
+    * existing data violates — otherwise reads would be "constrained"
+    * while the table is not). The expression is any boolean SQL over
+    * the table's logical columns; enforcement happens on the SQL write
+    * path ([[ttSqlInsert]]) from then on.
+    */
+  private[graft] def ttAddConstraint(s: SparkSession, dir: String, v: Int,
+      name: String, exprStr: String): Unit = {
+    require(!name.contains("|") && !exprStr.contains("\n"),
+      "constraint name/expression must be single-line, name pipe-free")
+    val existing = ttAsOf(s, dir, v - 1).filter(!expr(exprStr)).count()
+    require(existing == 0L,
+      s"cannot add CHECK $name ($exprStr): $existing existing row(s) violate it")
+    ttCommit(s, dir, v, Nil, Nil,
+      meta = Seq("op=add-constraint", s"constraint=$name|$exprStr"))
+  }
+
+  /** src42 — DROP CONSTRAINT: one metadata commit; unknown names are
+    * refused (a silently-ignored drop would leave the caller believing
+    * enforcement ended).
+    */
+  private[graft] def ttDropConstraint(s: SparkSession, dir: String, v: Int,
+      name: String): Unit = {
+    require(ttResolve(s, dir, v - 1).constraints.contains(name),
+      s"no CHECK constraint named $name")
+    ttCommit(s, dir, v, Nil, Nil,
+      meta = Seq("op=drop-constraint", s"dropconstraint=$name"))
   }
 
   /** up30 — CONVERT a plain day-partitioned parquet directory into a tt

@@ -40,6 +40,10 @@ class TtSqlParser(delegate: ParserInterface) extends ParserInterface {
         TtSqlVacuumCommand(name, hours.toInt)
       case TtSqlParser.History(name) =>
         TtSqlHistoryCommand(name)
+      case TtSqlParser.AddConstraint(name, cname, cexpr) =>
+        TtSqlAddConstraintCommand(name, cname, cexpr.trim)
+      case TtSqlParser.DropConstraint(name, cname) =>
+        TtSqlDropConstraintCommand(name, cname)
       case _ => delegate.parsePlan(sqlText)
     }
 
@@ -92,6 +96,19 @@ object TtSqlParser {
   /** `DESCRIBE HISTORY tt.<name>` — Delta's audit statement. */
   private[plans] val History =
     """(?is)\s*DESCRIBE\s+HISTORY\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
+  /** `ALTER TABLE tt.<name> ADD CONSTRAINT <cname> CHECK (<expr>)` /
+    * `... DROP CONSTRAINT <cname>` — Delta's CHECK-constraint DDL.
+    * Other ALTER TABLE shapes fall through to Spark's grammar (RENAME /
+    * DROP COLUMN route via the catalog's alterTable).
+    */
+  private[plans] val AddConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """ADD\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """CHECK\s*\((.+)\)\s*;?\s*""").r
+  private[plans] val DropConstraint =
+    ("""(?is)\s*ALTER\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
 
   private[plans] def dirOf(table: String): String = {
     val dir = graft.sources.TtCatalog.tables.get(table)
@@ -171,6 +188,42 @@ case class TtSqlVacuumCommand(table: String, hours: Int)
     val (before, after, removed) =
       graft.ops.Mutations.ttVacuumRetainHours(spark, dir, hours, nowMs)
     Seq(Row(s"tt.$table", before.toLong, after.toLong, removed.toLong))
+  }
+}
+
+/** src42 — `ALTER TABLE tt.x ADD CONSTRAINT n CHECK (expr)`: one
+  * OCC-retried metadata commit, refused if existing data violates the
+  * expression (Delta's rule); SQL INSERTs are validated against active
+  * constraints from then on.
+  */
+case class TtSqlAddConstraintCommand(table: String, cname: String,
+    cexpr: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("committed_as", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TtSqlParser.dirOf(table)
+    val v = graft.ops.Mutations.ttRetryVerb(spark, dir,
+      graft.sources.TtCatalog.headVersion(spark, dir) + 1)(tv =>
+      graft.ops.Mutations.ttAddConstraint(spark, dir, tv, cname, cexpr))
+    Seq(Row(s"tt.$table", cname, v.toLong))
+  }
+}
+
+/** src42 — `ALTER TABLE tt.x DROP CONSTRAINT n`. */
+case class TtSqlDropConstraintCommand(table: String, cname: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("constraint", StringType, nullable = false)(),
+    AttributeReference("committed_as", LongType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] = {
+    val dir = TtSqlParser.dirOf(table)
+    val v = graft.ops.Mutations.ttRetryVerb(spark, dir,
+      graft.sources.TtCatalog.headVersion(spark, dir) + 1)(tv =>
+      graft.ops.Mutations.ttDropConstraint(spark, dir, tv, cname))
+    Seq(Row(s"tt.$table", cname, v.toLong))
   }
 }
 

@@ -1911,7 +1911,70 @@ object Sources {
     s.sql("DESCRIBE HISTORY tt.src41_store").orderBy("version")
   }
 
+  /** src42 — CHECK CONSTRAINTS through SQL (Delta's `ALTER TABLE ...
+    * ADD CONSTRAINT ... CHECK`): the constraint lands as one metadata
+    * commit (refused if existing data violates it), and every later SQL
+    * INSERT is validated against the active set BEFORE staging — a
+    * violating batch is refused loudly with nothing committed
+    * (spec-pinned). The declared scenario adds `nonneg_cents`, inserts
+    * a conforming slice through the constrained path, and answers the
+    * pinned head rollup — the oracle proves the constrained insert
+    * landed exactly once.
+    */
+  def sqlCheckConstraint(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src42_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d)) { dd =>
+      TtCatalog.install(s)
+      TtCatalog.register("src42_store", dd)
+      val out = s.sql("""ALTER TABLE tt.src42_store
+        ADD CONSTRAINT nonneg_cents CHECK (cents >= 0)""").collect()
+      require(out.length == 1 && out(0).getLong(2) == 4L,
+        s"ADD CONSTRAINT landed wrong: ${out.mkString}")
+      graft.Tables.events(s, d).createOrReplaceTempView("graft_src42_events")
+      s.sql("""INSERT INTO tt.src42_store
+        SELECT event_id + 8500000000 AS event_id, event_type,
+          cast(round(value * 100) as bigint) + 100 AS cents,
+          date_format(ts, 'yyyy-MM-dd') AS day
+        FROM graft_src42_events WHERE event_id % 23 = 0""")
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src42_store", dir)
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.src42_store VERSION AS OF 5
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src42_sql_constraint", sqlCheckConstraint, Some(
+      // v3 ∪ the constrained insert's slice — a refused-but-committed
+      // or double-committed insert breaks the hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |head AS (
+        |  SELECT event_type, cents FROM v3
+        |  UNION ALL
+        |  SELECT event_type, cents + 100 FROM base WHERE event_id % 23 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM head GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("src41_sql_history", sqlDescribeHistory, Some(
       // up24's oracle shape over the 4-version base store: ops and the
       // deterministic clock are protocol constants; the ROW COUNTS are

@@ -337,6 +337,50 @@ class TtCatalogSpec extends SparkSpec {
     assert(hist.map(_.getTimestamp(2).getTime).toSeq == lib.map(_.tsMs))
   }
 
+  test("CHECK constraints: violating INSERT refused with nothing committed; pre-violated ADD refused; DROP re-opens the path") {
+    import graft.ops.Mutations
+    val dir = Mutations.ttStore(spark, sf0001)
+    TtCatalog.install(spark)
+    TtCatalog.register("r16_ck_store", dir)
+    // an ADD whose expression existing data violates is refused
+    val preAdd = intercept[Throwable] {
+      spark.sql("""ALTER TABLE tt.r16_ck_store
+        ADD CONSTRAINT impossible CHECK (cents > 100000000)""")
+    }
+    assert(preAdd.getMessage.contains("violate"), preAdd.getMessage)
+    assert(Mutations.ttHeadVersion(spark, dir) == 3)
+    // a satisfiable ADD lands as one metadata commit
+    spark.sql("""ALTER TABLE tt.r16_ck_store
+      ADD CONSTRAINT nonneg CHECK (cents >= 0)""")
+    assert(Mutations.ttHistory(spark, dir).last.op == "add-constraint")
+    // violating INSERT: refused loudly, head unchanged, no files staged
+    spark.table("tt.r16_ck_store").createOrReplaceTempView("r16_ck_head")
+    val err = intercept[Throwable] {
+      spark.sql("""INSERT INTO tt.r16_ck_store
+        SELECT event_id + 9100000000, event_type, -1 AS cents, day
+        FROM r16_ck_head WHERE event_id % 101 = 0""")
+    }
+    assert(err.getMessage.contains("nonneg"), err.getMessage)
+    assert(Mutations.ttHeadVersion(spark, dir) == 4,
+      "refused insert still committed")
+    // a conforming INSERT passes the same constraint
+    spark.sql("""INSERT INTO tt.r16_ck_store
+      SELECT event_id + 9100000000, event_type, cents + 5, day
+      FROM r16_ck_head WHERE event_id % 101 = 0""")
+    assert(Mutations.ttHeadVersion(spark, dir) == 5)
+    // DROP CONSTRAINT: the once-violating insert now lands
+    spark.sql("ALTER TABLE tt.r16_ck_store DROP CONSTRAINT nonneg")
+    spark.sql("""INSERT INTO tt.r16_ck_store
+      SELECT event_id + 9300000000, event_type, -1 AS cents, day
+      FROM r16_ck_head WHERE event_id % 101 = 0""")
+    assert(Mutations.ttHeadVersion(spark, dir) == 7)
+    // unknown DROP is refused (a silent no-op would fake un-enforcement)
+    val unk = intercept[Throwable] {
+      spark.sql("ALTER TABLE tt.r16_ck_store DROP CONSTRAINT nope")
+    }
+    assert(unk.getMessage.contains("no CHECK constraint"), unk.getMessage)
+  }
+
   test("SQL TIMESTAMP AS OF floors to the newest commit ≤ t and equals its VERSION AS OF twin") {
     val dir = graft.ops.Mutations.ttBaseScenario(spark, sf0001)
     TtCatalog.install(spark)
