@@ -1208,6 +1208,14 @@ object Mutations {
     val fs = ttFs(s, dir)
     require(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/_log")),
       s"location $dir already holds a tt store")
+    // CREATE over a NON-EMPTY directory is refused (Delta's rule): the
+    // existing files would sit unreferenced by any version — invisible
+    // to reads but still on disk, where the first VACUUM would delete
+    // them as garbage. Adopting existing parquet is ttConvert's job.
+    val root = new org.apache.hadoop.fs.Path(dir)
+    require(!fs.exists(root) || fs.listStatus(root).isEmpty,
+      s"location $dir is not empty — use CONVERT (ttConvert) to adopt " +
+        "existing parquet, never CREATE over it")
     val day = schema.fields.find(_.name == "day").getOrElse(
       sys.error("tt tables require a 'day' partition column"))
     require(day.dataType == org.apache.spark.sql.types.StringType,
@@ -2397,6 +2405,12 @@ object Mutations {
     */
   private[graft] def ttRestore(s: SparkSession, dir: String, v: Int,
       target: Int): Unit = {
+    // a nonexistent target must die HERE, not resolve: replaying the log
+    // "as of" a version beyond the head silently yields the head's own
+    // state, and the restore would then report a misleading no-op
+    require(ttFs(s, dir).exists(
+        new org.apache.hadoop.fs.Path(s"$dir/_log/v$target.txt")),
+      s"cannot restore to v$target: no such committed version under $dir")
     val headRes = ttResolve(s, dir, v - 1)
     val tgtRes = ttResolve(s, dir, target)
     val head = headRes.live.toSet

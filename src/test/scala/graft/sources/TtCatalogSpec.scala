@@ -221,6 +221,17 @@ class TtCatalogSpec extends SparkSpec {
       spark.sql("RESTORE TABLE tt.nope_missing TO VERSION AS OF 1").collect()
     }
     assert(missing.getMessage != null)
+    // restoring to a version that never existed is refused loudly —
+    // resolution past the head would otherwise yield the head's own
+    // state and a misleading no-op error
+    val headNow = Mutations.ttHeadVersion(spark, dir)
+    val badV = intercept[Throwable] {
+      spark.sql("RESTORE TABLE tt.r16_probe_store TO VERSION AS OF 999")
+        .collect()
+    }
+    assert(badV.getMessage.contains("no such committed version"),
+      badV.getMessage)
+    assert(Mutations.ttHeadVersion(spark, dir) == headNow)
   }
 
   test("SQL CREATE TABLE / CTAS: create-insert-read round-trip, empty read between, DROP purges, re-CREATE starts clean") {
@@ -284,6 +295,22 @@ class TtCatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE tt.r16_ddl_shared")
     assert(new java.io.File(shared).exists,
       "DROP reached through the registration and destroyed a shared store")
+    // CREATE over a NON-EMPTY directory is refused: the existing files
+    // would be unreferenced by any version and the first VACUUM would
+    // reap them — adoption is CONVERT's job, never CREATE's
+    val occupied = graft.Tables.scratchDir("graft_r16_ddl_occupied", sf0001)
+    new org.apache.hadoop.fs.Path(occupied)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(occupied), true)
+    graft.Tables.events(spark, sf0001).limit(5)
+      .write.parquet(occupied)
+    TtCatalog.tables.remove("r16_ddl_occupied")
+    val occ = intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE tt.r16_ddl_occupied
+        (event_id BIGINT, event_type STRING, cents BIGINT, day STRING)
+        USING parquet LOCATION '$occupied'""")
+    }
+    assert(occ.getMessage.contains("CONVERT"), occ.getMessage)
   }
 
   test("SQL maintenance verbs: OPTIMIZE [ZORDER BY] / VACUUM RETAIN / DESCRIBE HISTORY ≡ library verbs") {
