@@ -2178,6 +2178,65 @@ object Mutations {
       .unionByName(r.exceptAll(a).withColumn("_change_type", lit("delete")))
   }
 
+  /** st33 — apply ONE bronze commit's change feed to a silver replica
+    * as ONE atomic, txn-tagged commit (the medallion bronze→silver
+    * step; Delta: `readStream.option("readChangeFeed")` → foreachBatch
+    * MERGE with txnAppId): deletes land as a deletion vector over the
+    * silver head's matching rows, inserts as an appended batch, both
+    * referenced by a single commit so a replica reader never observes
+    * a half-applied version. Idempotent via the txn probe (a replayed
+    * version is absorbed — returns false); OCC-retried with
+    * RE-DERIVATION (the DV rows are derived from the silver head, so a
+    * lost claim recomputes them against the head that won). Cost ∝ the
+    * version's churn, never either table.
+    */
+  private[graft] def ttApplyCdc(s: SparkSession, bronzeDir: String,
+      silverDir: String, v: Int, txn: String): Boolean = {
+    if (ttTxnCommitted(s, silverDir, txn)) return false
+    val ch =
+      if (v == 0)
+        ttAsOf(s, bronzeDir, 0).withColumn("_change_type", lit("insert"))
+      else ttChanges(s, bronzeDir, v - 1, v)
+    val ins = ch.filter(col("_change_type") === "insert")
+      .drop("_change_type").localCheckpoint(true)
+    val delKeys = ch.filter(col("_change_type") === "delete")
+      .select("event_id").localCheckpoint(true)
+    val hasIns = ins.head(1).nonEmpty
+    val hasDel = delKeys.head(1).nonEmpty
+    var attempts = 0
+    while (attempts < 20) {
+      attempts += 1
+      val sv = ttHeadVersion(s, silverDir) + 1
+      if (ttTxnCommitted(s, silverDir, txn)) return false
+      // DV rows are silver-head-derived — recomputed on every attempt
+      val dvAdds =
+        if (!hasDel) Nil
+        else {
+          val (dvF, dataF) =
+            ttLiveFiles(s, silverDir, sv - 1).partition(ttIsDv)
+          val tagged = ttApplyDv(s, silverDir,
+            ttReadFiles(s, silverDir, dataF, mergeSchema = true)
+              .withColumn("_pf", ttRelFile(silverDir)), dvF)
+          val doomed = tagged.join(delKeys, Seq("event_id"))
+            .select(col("_pf").as("file"), col("event_id"))
+            .localCheckpoint(true)
+          ttWriteDv(s, silverDir, s"cdc$sv-dv", doomed)
+        }
+      val batchAdds =
+        if (!hasIns) Nil
+        else ttWriteBatch(s, silverDir, s"cdc$sv",
+          ins.repartition(col("day")))
+      try {
+        ttCommit(s, silverDir, sv, dvAdds ++ batchAdds, Nil,
+          meta = Seq("op=cdc-apply", s"txn=$txn"))
+        return true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => () // rebase
+      }
+    }
+    sys.error(s"cdc apply txn=$txn lost $attempts straight commit races")
+  }
+
   /** The declared up15 query: per adjacent version pair of the up13
     * scenario, the change feed rolled up by (change, event_type). The
     * delete commit (v3) emits NO insert rows and the append (v1) no

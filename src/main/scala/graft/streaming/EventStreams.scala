@@ -1592,6 +1592,66 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** st33 — STREAMING tt→tt CDC REPLICATION (the medallion
+    * bronze→silver pipeline): a file stream tails the BRONZE table's
+    * commit log; each arriving commit's change feed ([[graft.ops
+    * .Mutations.ttChanges]] — churn-sized, never a table scan) is
+    * applied to an independent SILVER tt table as ONE atomic txn-tagged
+    * commit (DV over retired rows + appended batch,
+    * [[graft.ops.Mutations.ttApplyCdc]]). Versions are applied in LOG
+    * ORDER regardless of file-stream arrival order (st28's reorder
+    * buffer), and every version is deliberately applied TWICE — the
+    * replay must be absorbed by the txn probe, so the oracle hash
+    * (silver head ≡ bronze head state, recomputed from raw events)
+    * proves end-to-end exactly-once replication: a double-applied
+    * delete or insert breaks it. This is the composition the lakehouse
+    * tier exists for: CDF (up15) + DV deletes (up20) + idempotent
+    * commits (st31) + OCC (up27) driving a downstream table that any
+    * reader can time-travel independently of the source.
+    */
+  def streamingCdcReplication(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.Mutations
+    val bronze = Mutations.ttBaseScenario(s, d)
+    val silver = Tables.scratchDir("graft_st33_silver", d)
+    val root = new org.apache.hadoop.fs.Path(silver)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_st33_ckpt").toString
+    var nextV = 0
+    val pending = scala.collection.mutable.SortedSet.empty[Int]
+    val q = s.readStream
+      .option("maxFilesPerTrigger", 1)
+      .option("pathGlobFilter", "v*.txt")
+      .text(s"$bronze/_log")
+      .select(input_file_name().as("f"))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val sp = b.sparkSession
+        pending ++= b.select("f").distinct().collect()
+          .map(_.getString(0).split("/v").last.stripSuffix(".txt").toInt)
+        while (pending.contains(nextV)) {
+          pending -= nextV
+          val txn = s"st33#$nextV"
+          require(Mutations.ttApplyCdc(sp, bronze, silver, nextV, txn),
+            s"version $nextV was already applied on first delivery")
+          // simulated redelivery: the SAME version must be absorbed
+          require(!Mutations.ttApplyCdc(sp, bronze, silver, nextV, txn),
+            s"replayed version $nextV double-applied")
+          nextV += 1
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    require(nextV == 4, s"replication stopped at v$nextV of 4")
+    Mutations.ttAsOf(s, silver, Mutations.ttHeadVersion(s, silver))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("event_type")
+  }
+
   /** `fromCheckpoint = false` replays from v0 even when the log carries
     * a checkpoint — for consumers that want the FULL version history
     * (st30's declared per-version feed) and know pre-checkpoint commits
@@ -2019,6 +2079,34 @@ object EventStreams {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("st33_streaming_cdc_replication", streamingCdcReplication, Some(
+      // silver head ≡ bronze v3 state recomputed from raw events — a
+      // lost, half-applied, or double-applied version breaks the hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe)))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v3 GROUP BY 1 ORDER BY 1""".stripMargin),
+      // staged: the BRONZE template build is shared staging (the silver
+      // replication rebuilds per run and is the operator's timed cost)
+      staged = true),
     QueryDef("st32_streaming_auto_compact", streamingAutoCompact, Some(
       // hash-identical to an uncompacted sink: auto-compaction rewrites
       // bytes, never rows — a pack that loses or doubles a row breaks it

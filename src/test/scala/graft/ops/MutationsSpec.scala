@@ -1199,6 +1199,33 @@ class MutationsSpec extends SparkSpec {
     assert(!Mutations.ttIdempotentAppend(spark, dir, batch, "probe#3"))
   }
 
+  test("st33 replication plumbing: one atomic cdc-apply commit per version, txn-absorbed replays, silver ≡ bronze row for row") {
+    graft.streaming.EventStreams.streamingCdcReplication(spark, sf0001)
+      .collect()
+    val silver = graft.Tables.scratchDir("graft_st33_silver", sf0001)
+    val bronze = Mutations.ttBaseScenario(spark, sf0001)
+    // exactly one commit per bronze version, all cdc-apply, all txn'd
+    assert(Mutations.ttHeadVersion(spark, silver) == 3)
+    assert(Mutations.ttHistory(spark, silver).map(_.op).toSet ==
+      Set("cdc-apply"))
+    (0 to 3).foreach(v =>
+      assert(Mutations.ttTxnCommitted(spark, silver, s"st33#$v")))
+    assert(!Mutations.ttTxnCommitted(spark, silver, "st33#4"))
+    // row-for-row identity with the bronze head (not just the rollup)
+    val cols = Seq("event_id", "event_type", "cents", "day").map(col)
+    val a = Mutations.ttAsOf(spark, silver, 3).select(cols: _*)
+      .orderBy("event_id", "day", "cents").collect().toSeq
+    val b = Mutations.ttAsOf(spark, bronze, 3).select(cols: _*)
+      .orderBy("event_id", "day", "cents").collect().toSeq
+    assert(a.size == b.size && a == b, "silver diverges from bronze head")
+    // intermediate silver versions track bronze versions exactly
+    (0 to 2).foreach { v =>
+      assert(Mutations.ttAsOf(spark, silver, v).count() ==
+        Mutations.ttAsOf(spark, bronze, v).count(),
+        s"silver v$v count diverges from bronze v$v")
+    }
+  }
+
   test("up30 convert-in-place: zero-copy adoption, stats recorded, double-convert refused, verbs work after") {
     val dir = graft.Tables.scratchDir("graft_convert_spec", sf0001)
     val fs = new org.apache.hadoop.fs.Path(dir)
