@@ -800,6 +800,14 @@ object Mutations {
     val fs = ttFs(s, dir)
     val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
     fs.mkdirs(log)
+    // CHECK constraints (src42) are enforced HERE, in the one commit
+    // path every write verb funnels through — Delta's invariant rule:
+    // validation on every commit that adds data rows, not per frontend.
+    // Running inside the commit (and therefore inside every OCC retry)
+    // also closes the TOCTOU: a retry that rebases onto a newer head
+    // re-resolves and re-validates against the constraint set of the
+    // version it actually targets.
+    ttEnforceConstraints(s, dir, v, adds, meta)
     // `# key=value` metadata lines (st31's txn markers, the commit
     // timestamp, per-file stats) ride the commit file; every action
     // parser keys on the `a `/`r ` prefixes and ignores them
@@ -1137,13 +1145,20 @@ object Mutations {
         else if (line.startsWith("r ")) live -= line.drop(2)
         else if (line.startsWith("# stat=")) ttParseStat(line)
           .foreach { case (f, st) => stats(f) = st }
-        else if (line.startsWith("# rename=") || line.startsWith("# dropcol="))
+        else if (line.startsWith("# rename=") || line.startsWith("# dropcol=")
+            || line.startsWith("# addcolumn="))
           schemaOps += line.stripPrefix("# ")
         else if (line.startsWith("# schemareset="))
           // a restore rolling back schema state: clear the accumulated
           // ops — the commit re-declares the target's ops right after
           // this line, in order
           schemaOps.clear()
+        else if (line.startsWith("# constraintreset="))
+          // a restore rolling back constraint state: clear the active
+          // set — the commit re-declares the target's constraints right
+          // after this line (the schemareset discipline, applied to the
+          // other half of table metadata Delta's RESTORE rolls back)
+          constraints.clear()
         else if (line.startsWith("# txn=")) txns += line.stripPrefix("# txn=")
         else if (line.startsWith("# constraint=")) {
           val body = line.stripPrefix("# constraint=")
@@ -1264,6 +1279,17 @@ object Mutations {
           val Array(from, to) = spec.split('|')
           if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
         case Array("dropcol", c) => d.drop(c)
+        case Array("addcolumn", spec) =>
+          // src44 — ADD COLUMN is metadata: files written before the add
+          // never carry the column, so when NO live file surfaces it the
+          // read materializes it as typed NULLs; once any post-add writer
+          // lands it physically, mergeSchema reconciliation owns it (old
+          // files read NULL) and this op is a no-op
+          val i = spec.indexOf('|')
+          val name = spec.take(i)
+          if (d.columns.contains(name)) d
+          else d.withColumn(name, lit(null).cast(
+            org.apache.spark.sql.types.DataType.fromJson(spec.drop(i + 1))))
         case _ => d
       }
     }
@@ -1309,6 +1335,42 @@ object Mutations {
         "dropping partition columns for the same reason.")
     ttCommit(s, dir, v, Nil, Nil,
       meta = Seq("op=drop-column", s"dropcol=$c"))
+  }
+
+  /** src44 — ADD COLUMN as ONE metadata commit (Delta's `ALTER TABLE
+    * ADD COLUMN`): no file is touched — pre-add files read the column
+    * as typed NULLs (via [[ttApplyMapping]] until a post-add writer
+    * lands it physically, via mergeSchema reconciliation after), and
+    * pre-add snapshots never surface it at all. At 100 TB this is why
+    * column adds are free in a lakehouse; the alternative is restating
+    * every file. Collisions are refused through the WHOLE name history:
+    * the head's logical schema (the column exists), and any name the
+    * schema-op history renamed away or dropped — this format keeps
+    * physical names (no Delta column-mapping ids), so a recycled name
+    * could weld old bytes onto the new column at mergeSchema
+    * reconciliation (and the ordered op fold would mis-apply an old
+    * dropcol to new files). Name recycling is the one thing Delta's
+    * id-based mapping buys that a name-based mapping must refuse.
+    */
+  private[graft] def ttAddColumn(s: SparkSession, dir: String, v: Int,
+      name: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    require(!name.contains("|"), "column name must be pipe-free")
+    val res = ttResolve(s, dir, v - 1)
+    val logical = ttAsOf(s, dir, v - 1).columns
+    require(!logical.contains(name),
+      s"cannot add column '$name': it already exists in the table schema")
+    val shadowed = res.schemaOps.flatMap(op => op.split("=", 2) match {
+      case Array("rename", spec) => Seq(spec.split('|')(0))
+      case Array("dropcol", c)   => Seq(c)
+      case _                     => Nil
+    })
+    require(!shadowed.contains(name),
+      s"cannot add column '$name': the name appears in this store's " +
+        "schema history (renamed away or dropped) — recycling a physical " +
+        "name would weld old bytes onto the new column at schema " +
+        "reconciliation; pick a fresh name")
+    ttCommit(s, dir, v, Nil, Nil,
+      meta = Seq("op=add-column", s"addcolumn=$name|${dt.json}"))
   }
 
   /** Inverse-map a LOGICAL-schema batch to the store's PHYSICAL names
@@ -1571,18 +1633,25 @@ object Mutations {
       v: Int): DataFrame = ttHeadRelationWithStats(s, dir, v, Map.empty)
 
   private def ttHeadRelationWithStats(s: SparkSession, dir: String, v: Int,
-      stats: Map[String, Map[String, graft.sources.ManifestFileIndex.ColStat]])
-      : DataFrame = ttConfLock.synchronized {
+      stats: Map[String, Map[String, graft.sources.ManifestFileIndex.ColStat]],
+      liveOverride: Seq[String] = Nil): DataFrame = ttConfLock.synchronized {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-    val res = ttResolve(s, dir, v)
-    val live = res.live
-    require(res.schemaOps.isEmpty,
-      "ttHeadRelation cannot serve a column-mapped snapshot (use ttAsOf)")
-    require(!live.exists(ttIsDv),
-      "ttHeadRelation cannot serve a DV-bearing snapshot")
-    require(!live.exists(_.startsWith("/")),
-      "ttHeadRelation cannot serve clone-inherited external files")
+    // an explicit live set comes from the checkpoint-relation path
+    // (ttCheckpointSurvivors), which already guarded against DV /
+    // schema-op / external snapshots IN-PLAN and fell back otherwise —
+    // re-resolving here would materialize the very driver-side set the
+    // relation path exists to avoid
+    val live = if (liveOverride.nonEmpty) liveOverride else {
+      val res = ttResolve(s, dir, v)
+      require(res.schemaOps.isEmpty,
+        "ttHeadRelation cannot serve a column-mapped snapshot (use ttAsOf)")
+      require(!res.live.exists(ttIsDv),
+        "ttHeadRelation cannot serve a DV-bearing snapshot")
+      require(!res.live.exists(_.startsWith("/")),
+        "ttHeadRelation cannot serve clone-inherited external files")
+      res.live
+    }
     require(live.nonEmpty, s"version $v has no live files")
     val savedInfer = s.conf
       .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
@@ -1603,31 +1672,141 @@ object Mutations {
       "spark.sql.sources.partitionColumnTypeInference.enabled", savedInfer)
   }
 
+  /** r16 verdict #7 (Missing #3) — snapshot resolution served from the
+    * checkpoint AS A RELATION: the newest `ckpt-v<N>.parquet` ≤ asOf is
+    * scanned as a Spark relation (one row per live file with its
+    * commit-time stats — the shape a 1000-executor cluster reads, and
+    * at millions of files the ONLY shape that survives: Delta resolves
+    * exactly this way), the ≤ interval suffix commits overlay as a
+    * churn-sized add/remove set, and an optional skip-key BAND prunes
+    * IN-PLAN — on the checkpoint's own (lo, hi) columns, inside the
+    * scan — so the driver only ever collects the SURVIVING file list,
+    * never the full live set. [[ttLiveFiles]] (the driver replay)
+    * remains the bounded fallback for pre-checkpoint stores and for
+    * facilities that genuinely need every entry (vacuum's accounting,
+    * restore's set difference).
+    *
+    * Returns None when no checkpoint covers asOf; otherwise the
+    * surviving (file, stat) rows plus the metadata-file open count
+    * (spec-pinned: 1 checkpoint + the suffix commits, never O(log)).
+    */
+  private[graft] def ttCheckpointSurvivors(s: SparkSession, dir: String,
+      asOf: Int, band: Option[(Long, Long)])
+      : Option[(Seq[(String, TtStat)], Int)] = {
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    val names = fs.listStatus(log).toSeq.map(_.getPath)
+    val ckpt = names.map(_.getName).filter(_.matches("ckpt-v\\d+\\.parquet"))
+      .map(_.stripPrefix("ckpt-v").stripSuffix(".parquet").toInt)
+      .filter(_ <= asOf).sorted.lastOption
+    val cv = ckpt.getOrElse(return None)
+    var opened = 1 // the checkpoint itself
+    // suffix overlay: ≤ interval commit files, replayed in order into a
+    // net (adds-with-stats, removes) pair — churn-sized, driver text.
+    // Anything the raw-file relation cannot serve (DV sidecars, schema
+    // mapping ops, clone-inherited externals) flips the guard and the
+    // caller falls back to the full resolution path, which owns those.
+    var guard = false
+    val plus = scala.collection.mutable.LinkedHashMap.empty[String, TtStat]
+    val minus = scala.collection.mutable.Set.empty[String]
+    names.filter(_.getName.matches("v\\d+\\.txt"))
+      .map(p => p.getName.stripPrefix("v").stripSuffix(".txt").toInt -> p)
+      .filter { case (v, _) => v > cv && v <= asOf }
+      .sortBy(_._1)
+      .foreach { case (_, p) =>
+        opened += 1
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        val lines = body.split("\n").filter(_.nonEmpty)
+        val stats = lines.filter(_.startsWith("# stat="))
+          .flatMap(ttParseStat).toMap
+        lines.foreach { line =>
+          if (line.startsWith("a ")) {
+            val f = line.drop(2)
+            if (ttIsDv(f) || f.startsWith("/")) guard = true
+            else { stats.get(f).foreach(plus(f) = _); minus -= f }
+          } else if (line.startsWith("r ")) {
+            val f = line.drop(2)
+            if (plus.remove(f).isEmpty) minus += f
+          } else if (line.startsWith("# rename=") ||
+              line.startsWith("# dropcol=") ||
+              line.startsWith("# addcolumn=") ||
+              line.startsWith("# schemareset=")) guard = true
+        }
+      }
+    if (guard) return None
+    // checkpoint-level guards, read IN-PLAN (one tiny aggregate over the
+    // manifest): DV rows, folded schema ops, external references
+    val ckptPath = s"$dir/_log/ckpt-v$cv.parquet"
+    val g = s.read.parquet(ckptPath).agg(
+      max(when(col("file").startsWith("_dv/") ||
+        col("file").startsWith("#schema:") ||
+        col("file").startsWith("/"), 1).otherwise(0))).head
+    if (!g.isNullAt(0) && g.getInt(0) == 1) return None
+    // THE RELATION: distributed scan of the checkpoint manifest, the
+    // suffix overlay composed in-plan (anti-filter + small union), the
+    // band prune applied BEFORE anything is collected. At 100-TB file
+    // counts this is where a partition/stat predicate keeps the driver
+    // out of the loop entirely.
+    var rel = s.read.parquet(ckptPath)
+      .select("file", "numRows", "lo", "hi")
+      .filter(!col("file").startsWith("#"))
+    if (minus.nonEmpty)
+      rel = rel.filter(!col("file").isInCollection(minus))
+    if (plus.nonEmpty) {
+      import s.implicits._
+      rel = rel.unionByName(plus.toSeq
+        .map { case (f, st) => (f, st.numRows, st.lo, st.hi) }
+        .toDF("file", "numRows", "lo", "hi"))
+    }
+    band.foreach { case (bandLo, bandHi) =>
+      // a stat-less row (null lo/hi) cannot be pruned — it survives the
+      // band and dies loudly at the strictness check below, exactly the
+      // driver path's contract
+      rel = rel.filter(col("lo").isNull ||
+        (col("hi") >= bandLo && col("lo") <= bandHi))
+    }
+    val survivors = rel.collect().map { r =>
+      require(!r.isNullAt(1),
+        s"live file ${r.getString(0)} carries no commit-time stats")
+      (r.getString(0), TtStat(r.getLong(1), r.getLong(2), r.getLong(3)))
+    }.toSeq.sortBy(_._1)
+    Some((survivors, opened))
+  }
+
   /** src32 — DATA SKIPPING on tt snapshot reads: the snapshot relation
     * carries per-live-file key min/max and the FileIndex intersects
     * them with the PUSHED predicates inside `listFiles` — Delta data
     * skipping over the versioned store, composing the manifest tier
     * (src23/src27's pruning pass) with the tt snapshot index. The
-    * stats now come FROM THE LOG (recorded at commit into `# stat=`
+    * stats come FROM THE LOG (recorded at commit into `# stat=`
     * lines and folded into the parquet checkpoint — Delta's stats
-    * JSON): resolution metadata, zero data scan (r14's lazy key scan
-    * is retired; a stat-less file dies loudly rather than silently
-    * un-prunable). The per-(file, key) manifest is O(files) driver
-    * metadata.
+    * JSON): resolution metadata, zero data scan (a stat-less file dies
+    * loudly rather than silently un-prunable). When a checkpoint covers
+    * the snapshot, the live set is resolved THROUGH THE CHECKPOINT
+    * RELATION ([[ttCheckpointSurvivors]]) — and a known skip-key `band`
+    * prunes in-plan there, so the FileIndex is built from survivors
+    * only and the driver never materializes the full live set.
     */
   private[graft] def ttSkippingRelation(s: SparkSession, dir: String,
-      v: Int): DataFrame = {
-    val (live, stats, _) = ttLiveEntriesCounted(s, dir, v)
-    val dataFiles = live.filterNot(ttIsDv)
+      v: Int, band: Option[(Long, Long)] = None): DataFrame = {
+    val entries: Seq[(String, TtStat)] =
+      ttCheckpointSurvivors(s, dir, v, band).map(_._1).getOrElse {
+        // pre-checkpoint store: the bounded driver replay
+        val (live, stats, _) = ttLiveEntriesCounted(s, dir, v)
+        live.filterNot(ttIsDv).map { f =>
+          f -> stats.getOrElse(f,
+            sys.error(s"live file $f carries no commit-time stats"))
+        }
+      }
     val base = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    val idxStats = dataFiles.map { f =>
-      val st = stats.getOrElse(f,
-        sys.error(s"live file $f carries no commit-time stats"))
+    val idxStats = entries.map { case (f, st) =>
       s"$base/$f" ->
         Map[String, graft.sources.ManifestFileIndex.ColStat]("event_id" ->
           graft.sources.ManifestFileIndex.ColRange(st.lo, st.hi))
     }.toMap
-    ttHeadRelationWithStats(s, dir, v, idxStats)
+    ttHeadRelationWithStats(s, dir, v, idxStats, entries.map(_._1))
   }
 
   /** The declared src32 query: the appended-id band (`event_id ≥ 1e9`,
@@ -1639,7 +1818,11 @@ object Mutations {
     */
   def ttSkippingQuery(s: SparkSession, d: String): DataFrame = {
     val dir = ttBaseScenario(s, d)
-    ttSkippingRelation(s, dir, 3)
+    // the band is also handed to the relation builder: when a checkpoint
+    // covers v3 it prunes IN-PLAN over the manifest; here (v3 predates
+    // the first checkpoint) the driver fallback serves, and the pushed
+    // filter + FileIndex stats intersection still prune the scan
+    ttSkippingRelation(s, dir, 3, Some((1000000000L, Long.MaxValue)))
       .filter(col("event_id") >= 1000000000L)
       .groupBy(to_date(col("day")).as("day"))
       .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
@@ -1804,14 +1987,20 @@ object Mutations {
     * files. `repartitionByRange(day, key)` gives each task a contiguous
     * (day, key) slab, so per-day outputs carry disjoint key ranges;
     * `sortWithinPartitions` additionally orders rows inside each file
-    * (tighter parquet row-group stats for free). Z-order proper
-    * (Morton interleave of ≥2 dims, src22/src12's `mortonSpread`) is
-    * the multi-column generalization; over ONE skip key the space-
-    * filling curve degenerates to exactly this range sort.
+    * (tighter parquet row-group stats for free). Z-order proper — TWO
+    * keys — is the Morton interleave (src22/src12's `mortonSpread`)
+    * over each key's 16-bit linear scaling, so every output file covers
+    * a small RECTANGLE of the two key spaces and min/max stats prune on
+    * BOTH dimensions at once; over ONE skip key the space-filling curve
+    * degenerates to exactly the range sort. The scaling bounds are four
+    * aggregate scalars over the rewrite set — data the rewrite reads
+    * anyway, never an extra table scan.
     */
   private[graft] def ttOptimizeClustered(s: SparkSession, dir: String,
-      v: Int, sub: String, key: String = "event_id",
+      v: Int, sub: String, keys: Seq[String] = Seq("event_id"),
       filesPerDay: Int = 4): Boolean = {
+    require(keys.nonEmpty && keys.size <= 2,
+      s"ZORDER BY takes one or two columns, got ${keys.size}")
     val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
     require(dvF.isEmpty,
       "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
@@ -1820,10 +2009,24 @@ object Mutations {
     val days = packed.map(f => f.take(f.indexOf('/'))).distinct.size
     val rows = ttReadFiles(s, dir, packed, mergeSchema = true)
       .localCheckpoint(true)
+    val cluster: org.apache.spark.sql.Column = keys match {
+      case Seq(k) => col(k)
+      case Seq(a, b) =>
+        val bounds = rows.agg(min(a), max(a), min(b), max(b)).head()
+        def bound(i: Int): Long = bounds.getAs[Number](i).longValue
+        def scaled(k: String, lo: Long, hi: Long) =
+          ((col(k).cast("long") - lit(lo)) * lit(65535L) /
+            lit(math.max(1L, hi - lo))).cast("long")
+        graft.sources.Sources.mortonSpread(scaled(a, bound(0), bound(1)))
+          .bitwiseOR(shiftleft(graft.sources.Sources.mortonSpread(
+            scaled(b, bound(2), bound(3))), 1))
+    }
     ttCommit(s, dir, v,
       ttWriteBatch(s, dir, sub,
-        rows.repartitionByRange(days * filesPerDay, col("day"), col(key))
-          .sortWithinPartitions(col("day"), col(key))),
+        rows.withColumn("_zc", cluster)
+          .repartitionByRange(days * filesPerDay, col("day"), col("_zc"))
+          .sortWithinPartitions(col("day"), col("_zc"))
+          .drop("_zc")),
       packed, meta = Seq("op=optimize"))
     true
   }
@@ -1840,10 +2043,13 @@ object Mutations {
   def zorderOptimizeRollup(s: SparkSession, d: String): DataFrame = {
     val dir = ttDerivedScenario(s, d, "graft_up28_store",
       () => ttBaseScenario(s, d))(dd =>
-      require(ttOptimizeClustered(s, dd, 4, "z4", "event_id", 4),
+      require(ttOptimizeClustered(s, dd, 4, "z4", Seq("event_id"), 4),
         "up28 fixture had nothing to rewrite"))
     val cap = events(s, d).agg(max("event_id")).head.getLong(0) / 4
-    Seq(3 -> ttAsOf(s, dir, 3), 4 -> ttSkippingRelation(s, dir, 4))
+    // v4 is checkpoint-covered: the band prunes in-plan over the ckpt
+    // RELATION, so the snapshot index is built from surviving files only
+    Seq(3 -> ttAsOf(s, dir, 3),
+        4 -> ttSkippingRelation(s, dir, 4, Some((Long.MinValue, cap))))
       .map { case (v, df) =>
         df.filter(col("event_id") <= cap)
           .groupBy(col("event_type"))
@@ -1865,12 +2071,9 @@ object Mutations {
   private[graft] def ttSqlInsert(s: SparkSession, dir: String,
       data: DataFrame): Unit = {
     val v = ttHeadVersion(s, dir) + 1
-    // CHECK constraints (src42): the batch is validated against every
-    // active constraint BEFORE anything is staged — Delta's write-path
-    // enforcement. Expressions evaluate over LOGICAL names (the user's
-    // view), so the check runs before the physical unwind. One
-    // validation job per constrained insert, cost ∝ the batch.
-    ttCheckConstraints(s, dir, v - 1, data)
+    // CHECK constraints (src42) are enforced in the shared commit path
+    // (ttEnforceConstraints) — every write verb validates, not just
+    // this one, and a rebased OCC retry re-validates at its real target
     // the analyzer already aligned `data` to the LOGICAL head schema
     // (order, arity, types); unwind column mapping so the batch lands
     // under physical names (src36) and write it whole — per-snapshot
@@ -1883,18 +2086,68 @@ object Mutations {
 
   // ---- src42: CHECK constraints (Delta's ADD CONSTRAINT) ----
 
-  /** Refuse `batch` loudly if any active constraint rejects a row —
-    * the count is reported per constraint so the failure is actionable.
+  /** Ops whose data adds re-reference rows a prior enforced commit
+    * already validated: compaction/clustering rewrites (the rows are
+    * copies), restore re-adds (validated under the constraint state the
+    * restore itself re-declares), convert/clone adoption (v0 — no
+    * constraint can predate the table). Everything else that adds data
+    * rows validates; a NEW verb is therefore enforced by default.
     */
-  private[graft] def ttCheckConstraints(s: SparkSession, dir: String,
-      asOf: Int, batch: DataFrame): Unit = {
-    val active = ttResolve(s, dir, asOf).constraints
-    if (active.isEmpty) return
-    active.toSeq.sortBy(_._1).foreach { case (name, exprStr) =>
-      val bad = batch.filter(!expr(exprStr)).count()
-      require(bad == 0L,
-        s"CHECK constraint $name ($exprStr) violated by $bad row(s) — " +
-          "nothing committed")
+  private val ttConstraintExemptOps =
+    Set("optimize", "restore", "convert", "clone")
+
+  /** Enforce every active CHECK constraint against a commit's staged
+    * data adds — called from [[ttCommit]], so EVERY write path (SQL
+    * INSERT, UPDATE's rewrite batch, MERGE's output, the streaming
+    * idempotent append, CDC apply, CTAS) validates before its version
+    * publishes: Delta enforces invariants on every write, and a
+    * constraint the user can watch INSERT enforce but UPDATE silently
+    * violate certifies data that is not clean. The staged batch reads
+    * back under PHYSICAL names, so the snapshot's column mapping is
+    * applied first — expressions evaluate over the user's logical view.
+    * A batch that lacks a referenced column reads as NULL under
+    * mergeSchema reconciliation, and CHECK over NULL is not-violated
+    * (SQL three-valued logic) — the padded columns reproduce exactly
+    * that. On violation the staged files are deleted (they are
+    * referenced by no version) and the commit is refused loudly with
+    * the per-constraint row count. Cost: one metadata resolution per
+    * enforced commit (checkpoint-memoized), plus — only when
+    * constraints are active — one scan of the NEW batch per
+    * constraint, ∝ the commit's churn, never the table.
+    */
+  private def ttEnforceConstraints(s: SparkSession, dir: String, v: Int,
+      adds: Seq[String], meta: Seq[String]): Unit = {
+    if (v <= 0) return // v0 creates the store — no constraint can exist yet
+    val dataAdds = adds.filterNot(ttIsDv)
+    if (dataAdds.isEmpty) return
+    val op = meta.collectFirst {
+      case m if m.startsWith("op=") => m.stripPrefix("op=")
+    }.getOrElse("")
+    if (ttConstraintExemptOps(op)) return
+    val res = ttResolve(s, dir, v - 1)
+    if (res.constraints.isEmpty) return
+    val batch = ttApplyMapping(res.schemaOps,
+      ttReadFiles(s, dir, dataAdds, mergeSchema = true))
+    res.constraints.toSeq.sortBy(_._1).foreach { case (name, exprStr) =>
+      val refs = s.sessionState.sqlParser.parseExpression(exprStr).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          a.name
+      }
+      val padded = refs.distinct.filterNot(batch.columns.contains)
+        .foldLeft(batch)((b, c) => b.withColumn(c, lit(null)))
+      val bad = padded.filter(!expr(exprStr)).count()
+      if (bad > 0L) {
+        // refuse with NOTHING COMMITTED: the staged files are not
+        // referenced by any version — reap them now instead of leaving
+        // garbage for vacuum (exempt ops are the only re-adders, so
+        // everything here was staged by this very verb)
+        val fs = ttFs(s, dir)
+        adds.filterNot(_.startsWith("/")).foreach(f =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$dir/$f"), false))
+        throw new IllegalArgumentException(
+          s"requirement failed: CHECK constraint $name ($exprStr) " +
+            s"violated by $bad row(s) — nothing committed")
+      }
     }
   }
 
@@ -2474,7 +2727,8 @@ object Mutations {
     val tgtRes = ttResolve(s, dir, target)
     val head = headRes.live.toSet
     val tgt = tgtRes.live.toSet
-    require(head != tgt || headRes.schemaOps != tgtRes.schemaOps,
+    require(head != tgt || headRes.schemaOps != tgtRes.schemaOps ||
+        headRes.constraints != tgtRes.constraints,
       s"restore to v$target is a no-op")
     // restore must roll back SCHEMA state too, not just the file set —
     // a regretted DROP/RENAME COLUMN is a metadata-only commit, and
@@ -2487,8 +2741,18 @@ object Mutations {
     val schemaMeta =
       if (headRes.schemaOps == tgtRes.schemaOps) Nil
       else "schemareset=1" +: tgtRes.schemaOps
+    // constraint state restores the same way (Delta's RESTORE puts back
+    // table METADATA wholesale, not just the file set): clear the active
+    // set, re-declare the target's — so a regretted ADD CONSTRAINT is
+    // undone by restoring to before it, and restoring forward past an
+    // ADD re-activates enforcement
+    val constraintMeta =
+      if (headRes.constraints == tgtRes.constraints) Nil
+      else "constraintreset=1" +: tgtRes.constraints.toSeq.sortBy(_._1)
+        .map { case (n, e) => s"constraint=$n|$e" }
     ttCommit(s, dir, v, (tgt -- head).toSeq.sorted,
-      (head -- tgt).toSeq.sorted, meta = Seq("op=restore") ++ schemaMeta)
+      (head -- tgt).toSeq.sorted,
+      meta = Seq("op=restore") ++ schemaMeta ++ constraintMeta)
   }
 
   /** The declared up22 query: restore the 4-version store to v1 as v4,

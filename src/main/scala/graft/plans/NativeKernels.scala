@@ -115,5 +115,45 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction(binary("graft_dot", DotProduct))
     ext.injectFunction(binary("graft_cosine", CosineSim))
+    // src43 — `table_changes('name', from, to)`: the change feed's SQL
+    // spelling as a TABLE-VALUED FUNCTION (Delta's table_changes),
+    // resolved at analysis to the CDF plan over the registered tt store
+    ext.injectTableFunction((FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[TtTableChanges.type].getName, "table_changes"),
+      (args: Seq[Expression]) => TtTableChanges.plan(args)))
+  }
+}
+
+/** src43 — the `table_changes` TVF body: literal args (table name in the
+  * tt catalog, from-version, to-version) resolve to the row-level change
+  * feed between the two versions — up15's `ttChanges` (net file diff +
+  * bag difference; cost ∝ churn, never the table) with `_change_type`
+  * ∈ {insert, delete}. The TVF builder runs at ANALYSIS time, so the
+  * returned plan is the analyzed CDF read — Spark inlines it like any
+  * table subquery, and every downstream clause (WHERE/GROUP BY/JOIN)
+  * composes. Delta spells this identically (`table_changes('t', v1,
+  * v2)`); Iceberg's twin is the incremental-read option.
+  */
+object TtTableChanges {
+  private def lit(e: Expression, what: String): Any = e match {
+    case l: Literal => l.value
+    case other => throw new IllegalArgumentException(
+      s"table_changes: $what must be a literal, got $other")
+  }
+
+  def plan(args: Seq[Expression]): LogicalPlan = {
+    require(args.length == 3,
+      s"table_changes(table, fromVersion, toVersion) takes 3 arguments, " +
+        s"got ${args.length}")
+    val name = String.valueOf(lit(args(0), "the table name"))
+      .stripPrefix("tt.")
+    val from = lit(args(1), "fromVersion").asInstanceOf[Number].intValue
+    val to = lit(args(2), "toVersion").asInstanceOf[Number].intValue
+    require(from < to,
+      s"table_changes: fromVersion $from must be < toVersion $to")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val dir = TtSqlParser.dirOf(name)
+    graft.ops.Mutations.ttChanges(spark, dir, from, to)
+      .queryExecution.analyzed
   }
 }

@@ -34,8 +34,9 @@ class TtSqlParser(delegate: ParserInterface) extends ParserInterface {
     sqlText match {
       case TtSqlParser.Restore(name, v) =>
         TtSqlRestoreCommand(name, v.toInt)
-      case TtSqlParser.Optimize(name, zcol) =>
-        TtSqlOptimizeCommand(name, Option(zcol))
+      case TtSqlParser.Optimize(name, zcols) =>
+        TtSqlOptimizeCommand(name,
+          Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim))
       case TtSqlParser.Vacuum(name, hours) =>
         TtSqlVacuumCommand(name, hours.toInt)
       case TtSqlParser.History(name) =>
@@ -44,7 +45,21 @@ class TtSqlParser(delegate: ParserInterface) extends ParserInterface {
         TtSqlAddConstraintCommand(name, cname, cexpr.trim)
       case TtSqlParser.DropConstraint(name, cname) =>
         TtSqlDropConstraintCommand(name, cname)
-      case _ => delegate.parsePlan(sqlText)
+      case other =>
+        // near-miss guard: a statement that is clearly AIMED at one of
+        // our verbs but malformed must fail HERE with the supported
+        // shape, not fall through to an unrelated Spark syntax error
+        // deep in its grammar (e.g. a 3-column ZORDER list, a quoted
+        // identifier). Only heads we own are claimed; everything else —
+        // including ALTER TABLE RENAME/DROP COLUMN, which Spark's own
+        // grammar routes to the catalog — still delegates.
+        TtSqlParser.nearMiss(other).foreach { case (at, shape) =>
+          throw new org.apache.spark.sql.catalyst.parser.ParseException(
+            Option(other), org.apache.spark.sql.catalyst.trees.Origin(),
+            "PARSE_SYNTAX_ERROR",
+            Map("error" -> s"'$at'", "hint" -> s": supported shape is $shape"))
+        }
+        delegate.parsePlan(other)
     }
 
   override def parseExpression(sqlText: String): Expression =
@@ -75,13 +90,15 @@ object TtSqlParser {
     ("""(?is)\s*RESTORE\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
       """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
-  /** `OPTIMIZE tt.<name> [ZORDER BY (<col>)]` — Delta's compaction
-    * statement: bin-packing without the clause, clustered rewrite with
-    * it (parens optional, one column — the tt skip key).
+  /** `OPTIMIZE tt.<name> [ZORDER BY (<col>[, <col>])]` — Delta's
+    * compaction statement: bin-packing without the clause, clustered
+    * rewrite with it (parens optional; one column = range sort, two =
+    * Morton interleave — the up28 verb's shapes).
     */
   private[plans] val Optimize =
     ("""(?is)\s*OPTIMIZE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""" +
-      """(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?)?\s*;?\s*""").r
+      """(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z_][A-Za-z0-9_]*""" +
+      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)?)\s*\)?)?\s*;?\s*""").r
 
   /** `VACUUM tt.<name> RETAIN <n> HOURS` — Delta's retention statement.
     * The horizon instant is the HEAD COMMIT's timestamp (deterministic
@@ -109,6 +126,29 @@ object TtSqlParser {
   private[plans] val DropConstraint =
     ("""(?is)\s*ALTER\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
       """DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+
+  /** Loose statement-head probes for the near-miss guard: if a statement
+    * matches a head we own but none of the exact shapes, return (the
+    * offending head word, the supported shape) for a targeted error.
+    */
+  private[plans] def nearMiss(sql: String): Option[(String, String)] = {
+    def hits(re: String) = re.r.pattern.matcher(sql).matches()
+    if (hits("""(?is)\s*OPTIMIZE\s+tt\s*\..*"""))
+      Some(("OPTIMIZE",
+        "OPTIMIZE tt.<table> [ZORDER BY (<col>[, <col>])] — unquoted " +
+          "identifiers, at most two zorder columns"))
+    else if (hits("""(?is)\s*VACUUM\s+tt\s*\..*"""))
+      Some(("VACUUM", "VACUUM tt.<table> RETAIN <n> HOURS"))
+    else if (hits("""(?is)\s*RESTORE\s+TABLE\s+tt\s*\..*"""))
+      Some(("RESTORE", "RESTORE TABLE tt.<table> TO VERSION AS OF <v>"))
+    else if (hits("""(?is)\s*DESCRIBE\s+HISTORY\s+tt\s*\..*"""))
+      Some(("DESCRIBE HISTORY", "DESCRIBE HISTORY tt.<table>"))
+    else if (hits("""(?is)\s*ALTER\s+TABLE\s+tt\s*\..*\bCONSTRAINT\b.*"""))
+      Some(("ALTER TABLE",
+        "ALTER TABLE tt.<table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
+          "ALTER TABLE tt.<table> DROP CONSTRAINT <name>"))
+    else None
+  }
 
   private[plans] def dirOf(table: String): String = {
     val dir = graft.sources.TtCatalog.tables.get(table)
@@ -139,12 +179,13 @@ case class TtSqlRestoreCommand(table: String, target: Int)
   }
 }
 
-/** src39 — `OPTIMIZE tt.x [ZORDER BY (col)]`: one OCC-retried
+/** src39 — `OPTIMIZE tt.x [ZORDER BY (c1[, c2])]`: one OCC-retried
   * `op=optimize` commit — bin-packing (up25) bare, clustered rewrite
-  * (up28) with the ZORDER clause. `committed_as` is -1 when nothing
-  * needed packing (the statement is then a true no-op, no commit).
+  * (up28) with the ZORDER clause: one column range-sorts, two Morton-
+  * interleave (src12's curve inside the tt compaction). `committed_as`
+  * is -1 when nothing needed packing (a true no-op, no commit).
   */
-case class TtSqlOptimizeCommand(table: String, zorderBy: Option[String])
+case class TtSqlOptimizeCommand(table: String, zorderBy: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table", StringType, nullable = false)(),
@@ -157,14 +198,13 @@ case class TtSqlOptimizeCommand(table: String, zorderBy: Option[String])
     var did = false
     val v = graft.ops.Mutations.ttRetryVerb(spark, dir,
       graft.sources.TtCatalog.headVersion(spark, dir) + 1) { tv =>
-      did = zorderBy match {
-        case Some(key) =>
-          graft.ops.Mutations.ttOptimizeClustered(spark, dir, tv, s"z$tv", key)
-        case None =>
-          graft.ops.Mutations.ttOptimize(spark, dir, tv, s"o$tv")
-      }
+      did =
+        if (zorderBy.nonEmpty)
+          graft.ops.Mutations.ttOptimizeClustered(spark, dir, tv, s"z$tv",
+            zorderBy)
+        else graft.ops.Mutations.ttOptimize(spark, dir, tv, s"o$tv")
     }
-    Seq(Row(s"tt.$table", zorderBy.isDefined, if (did) v.toLong else -1L))
+    Seq(Row(s"tt.$table", zorderBy.nonEmpty, if (did) v.toLong else -1L))
   }
 }
 

@@ -1944,7 +1944,139 @@ object Sources {
       GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** src43 — SQL `table_changes('name', from, to)` through the injected
+    * TABLE-VALUED FUNCTION ([[graft.plans.TtTableChanges]], Delta's
+    * spelling): the change feed finally has its SQL front door — every
+    * other lake verb got one in src35–src42, and the CDF was the last
+    * library-only surface. The TVF resolves at analysis to up15's
+    * `ttChanges` plan (net file diff + bag difference, cost ∝ churn),
+    * so WHERE/GROUP BY compose over it like any table. The declared
+    * query is up15's per-adjacent-pair rollup driven ENTIRELY from SQL;
+    * oracle = up15's EXCEPT ALL replay verbatim. A spec pins the TVF
+    * row-equal to the library verb plus the literal/arity refusals.
+    */
+  def sqlTableChanges(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttBaseScenario(s, d) // read-only, staged
+    TtCatalog.install(s)
+    TtCatalog.register("src43_store", dir)
+    (1 to 3).map { v =>
+      s.sql(s"""SELECT CAST($v AS BIGINT) AS version,
+        _change_type AS change, event_type,
+        count(*) AS n, sum(cents) AS sum_cents
+        FROM table_changes('src43_store', ${v - 1}, $v)
+        GROUP BY _change_type, event_type""")
+    }.reduce(_.unionByName(_)).orderBy("version", "change", "event_type")
+  }
+
+  /** src44 — SQL `ALTER TABLE tt.x ADD COLUMN c TYPE` (Delta's metadata
+    * column add): one commit, no file touched — pre-add rows read the
+    * column as NULL, pre-add SNAPSHOTS never surface it, and the next
+    * INSERT lands it physically. The declared scenario adds `bonus`
+    * (v4), inserts a slice carrying it (v5), and answers the head
+    * rollup counting evolved rows — fully oracled from raw events; the
+    * DROP/ADD round-trip, collision refusals and pre-add snapshot
+    * invisibility are spec-pinned.
+    */
+  def sqlAddColumn(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttDerivedScenario(s, d, "graft_src44_store",
+      () => graft.ops.Mutations.ttBaseScenario(s, d)) { dd =>
+      TtCatalog.install(s)
+      TtCatalog.register("src44_store", dd)
+      s.sql("ALTER TABLE tt.src44_store ADD COLUMN bonus BIGINT") // v4
+      graft.Tables.events(s, d).createOrReplaceTempView("graft_src44_events")
+      s.sql("""INSERT INTO tt.src44_store
+        SELECT event_id + 9500000000 AS event_id, event_type,
+          cast(round(value * 100) as bigint) AS cents,
+          date_format(ts, 'yyyy-MM-dd') AS day,
+          cast(round(value * 100) as bigint) % 97 AS bonus
+        FROM graft_src44_events WHERE event_id % 29 = 0""") // v5
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src44_store", dir)
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents,
+      count(bonus) AS n_bonus, sum(bonus) AS sum_bonus
+      FROM tt.src44_store VERSION AS OF 5
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src43_sql_table_changes", sqlTableChanges, Some(
+      // up15's EXCEPT ALL replay verbatim — the TVF must emit exactly
+      // the library CDF's rows
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |ch AS (
+        |  SELECT 1 AS version, 'insert' AS change, event_type, cents
+        |    FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM base)
+        |  UNION ALL
+        |  SELECT 1, 'delete', event_type, cents
+        |    FROM (SELECT * FROM base EXCEPT ALL SELECT * FROM v1)
+        |  UNION ALL
+        |  SELECT 2, 'insert', event_type, cents
+        |    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v1)
+        |  UNION ALL
+        |  SELECT 2, 'delete', event_type, cents
+        |    FROM (SELECT * FROM v1 EXCEPT ALL SELECT * FROM v2)
+        |  UNION ALL
+        |  SELECT 3, 'insert', event_type, cents
+        |    FROM (SELECT * FROM v3 EXCEPT ALL SELECT * FROM v2)
+        |  UNION ALL
+        |  SELECT 3, 'delete', event_type, cents
+        |    FROM (SELECT * FROM v2 EXCEPT ALL SELECT * FROM v3))
+        |SELECT CAST(version AS BIGINT) AS version, change, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM ch GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin),
+      staged = true),
+    QueryDef("src44_sql_add_column", sqlAddColumn, Some(
+      // v3 (bonus reads NULL — metadata add, no file touched) ∪ the
+      // post-add insert slice carrying it; n_bonus counts ONLY evolved
+      // rows, so a backfilled or dropped column breaks the hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |head AS (
+        |  SELECT event_type, cents, CAST(NULL AS BIGINT) AS bonus FROM v3
+        |  UNION ALL
+        |  SELECT event_type, cents, cents % 97 AS bonus
+        |  FROM base WHERE event_id % 29 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  count(bonus) AS n_bonus, CAST(sum(bonus) AS BIGINT) AS sum_bonus
+        |FROM head GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("src42_sql_constraint", sqlCheckConstraint, Some(
       // v3 ∪ the constrained insert's slice — a refused-but-committed
       // or double-committed insert breaks the hash

@@ -186,19 +186,34 @@ final class TtCatalog extends TableCatalog {
     val loc = Option(properties.get("location")).getOrElse(
       throw new UnsupportedOperationException(
         "tt CREATE TABLE requires an explicit LOCATION"))
+    if (columns.isEmpty) {
+      // schema-less CREATE over an existing store RE-ATTACHES it (the
+      // Delta pattern: `CREATE TABLE t USING delta LOCATION path` with
+      // no columns adopts the table at `path`) — the inverse of the
+      // unregister-only DROP below; the store's own log is the schema
+      val fs = new org.apache.hadoop.fs.Path(loc)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      require(fs.exists(new org.apache.hadoop.fs.Path(s"$loc/_log")),
+        s"schema-less CREATE TABLE requires an existing tt store at $loc")
+      TtCatalog.register(ident.name, loc)
+      return loadTable(ident)
+    }
     val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
       org.apache.spark.sql.types.StructField(c.name, c.dataType, c.nullable)))
     graft.ops.Mutations.ttCreateTable(s, loc, schema)
     TtCatalog.register(ident.name, loc)
     loadTable(ident)
   }
-  /** src36 — `ALTER TABLE tt.x RENAME COLUMN a TO b` / `DROP COLUMN c`:
-    * the SQL spellings of up26's column mapping, each landing as ONE
-    * metadata commit (no file touched — the whole point of column
-    * mapping). Any other ALTER shape is refused loudly: adding data
-    * columns happens by writing them (up17's schema-evolution append),
-    * and type changes would need a rewrite this format deliberately
-    * refuses to hide behind DDL.
+  /** src36/src44 — `ALTER TABLE tt.x RENAME COLUMN a TO b` /
+    * `DROP COLUMN c` / `ADD COLUMN c <type>`: the SQL spellings of
+    * up26's column mapping and src44's metadata column add, each
+    * landing as ONE metadata commit (no file touched — the whole point
+    * of schema-as-metadata). ADD COLUMN must be top-level and nullable
+    * (pre-add files READ the column as NULL; a non-null add would
+    * certify a guarantee the existing rows cannot meet — Delta refuses
+    * it the same way). Any other ALTER shape is refused loudly: type
+    * changes would need a rewrite this format deliberately refuses to
+    * hide behind DDL.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val s = SparkSession.active
@@ -221,30 +236,32 @@ final class TtCatalog extends TableCatalog {
           "tt tables have no nested columns to drop")
         retried(v => graft.ops.Mutations.ttDropColumn(s, dir, v,
           d.fieldNames.head))
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          "tt tables have no nested columns to add into")
+        require(a.isNullable,
+          "tt ADD COLUMN must be nullable: pre-add files read the new " +
+            "column as NULL")
+        retried(v => graft.ops.Mutations.ttAddColumn(s, dir, v,
+          a.fieldNames.head, a.dataType))
       case other => throw new UnsupportedOperationException(
-        s"tt ALTER TABLE supports RENAME COLUMN and DROP COLUMN only, got $other")
+        "tt ALTER TABLE supports RENAME COLUMN, DROP COLUMN and " +
+          s"ADD COLUMN only, got $other")
     }
     loadTable(ident)
   }
-  /** DROP TABLE: always unregisters; the tree is deleted ONLY for
-    * SQL-created stores (v0 carries `createschema`) — engine-registered
-    * stores are memoized scenario dirs other queries share, and a SQL
-    * DROP must never reach through the registration to destroy them
-    * (Delta's managed-vs-external split: managed drops purge, external
-    * drops only forget).
+  /** DROP TABLE: unregister ONLY — never delete the tree. Every tt
+    * table is created with an explicit LOCATION, which in Spark/Delta
+    * semantics makes it EXTERNAL, and Delta purges only MANAGED tables
+    * on DROP: a user who declared a path keeps their data when they
+    * drop the catalog entry (the pre-r17 purge irreversibly destroyed a
+    * user-declared tree, and inconsistently spared CONVERTed stores —
+    * equally external — just because they lack a createschema line).
+    * The inverse is the schema-less re-attach CREATE above; a real
+    * purge is an explicit filesystem delete the user makes knowingly.
     */
-  override def dropTable(ident: Identifier): Boolean = {
-    val dir = TtCatalog.tables.remove(ident.name)
-    if (dir == null) false
-    else {
-      val s = SparkSession.active
-      if (graft.ops.Mutations.ttCreateSchema(s, dir).isDefined) {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      }
-      true
-    }
-  }
+  override def dropTable(ident: Identifier): Boolean =
+    TtCatalog.tables.remove(ident.name) != null
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
     throw new UnsupportedOperationException("tt tables cannot be renamed")
 }

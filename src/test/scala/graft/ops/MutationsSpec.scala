@@ -1115,7 +1115,7 @@ class MutationsSpec extends SparkSpec {
     val pre = Mutations.ttAsOf(spark, dir, 3)
       .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
       .orderBy("event_type").collect().toSeq
-    assert(Mutations.ttOptimizeClustered(spark, dir, 4, "z4", "event_id", 4))
+    assert(Mutations.ttOptimizeClustered(spark, dir, 4, "z4", Seq("event_id"), 4))
     val post = Mutations.ttAsOf(spark, dir, 4)
       .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
       .orderBy("event_type").collect().toSeq
@@ -1149,6 +1149,108 @@ class MutationsSpec extends SparkSpec {
       .count(f => stats(f).lo <= cap)
     assert(scanned == survivors,
       s"scan read $scanned files, stats survivors $survivors")
+  }
+
+  test("checkpoint-relation resolution: survivors ≡ driver replay, band prunes in-plan, ≤ 1 ckpt + suffix opens, unservable snapshots fall back") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    // v4 clustered rewrite lands the first checkpoint; v5 append gives
+    // the relation path a suffix commit to overlay
+    assert(Mutations.ttOptimizeClustered(spark, dir, 4, "z4",
+      Seq("event_id"), 4))
+    val extra = graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 61 === 0)
+      .select((col("event_id") + lit(4000000000L)).as("event_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    Mutations.ttMappedAppend(spark, dir, 5, "b5", extra)
+    // full (band-less) relation resolution ≡ the driver replay, at the
+    // pinned metadata cost: ONE checkpoint + the one suffix commit
+    val (full, opened) =
+      Mutations.ttCheckpointSurvivors(spark, dir, 5, None).get
+    val driver = Mutations.ttLiveFiles(spark, dir, 5)
+      .filterNot(Mutations.ttIsDv).sorted
+    assert(full.map(_._1) == driver,
+      "relation-backed live set diverges from the driver replay")
+    assert(opened == 2, s"opened $opened metadata files, expected 2")
+    // the band prunes IN-PLAN: survivors are exactly the stats-filtered
+    // subset, and strictly fewer than the live set
+    val cap = graft.Tables.events(spark, sf0001)
+      .agg(max("event_id")).head.getLong(0) / 4
+    val (banded, _) =
+      Mutations.ttCheckpointSurvivors(spark, dir, 5,
+        Some((Long.MinValue, cap))).get
+    assert(banded == full.filter(_._2.lo <= cap))
+    assert(banded.size < full.size,
+      s"band pruned nothing: ${banded.size} of ${full.size}")
+    // the skipping relation through the checkpoint path answers the
+    // band rollup identically to the plain snapshot read
+    val viaRel = Mutations.ttSkippingRelation(spark, dir, 5,
+        Some((Long.MinValue, cap)))
+      .filter(col("event_id") <= cap)
+      .agg(count(lit(1)), sum("cents")).collect().toSeq
+    val viaAsOf = Mutations.ttAsOf(spark, dir, 5)
+      .filter(col("event_id") <= cap)
+      .agg(count(lit(1)), sum("cents")).collect().toSeq
+    assert(viaRel == viaAsOf, "relation-backed band read diverges")
+    // snapshots the raw-file relation cannot serve FALL BACK loudly to
+    // the full resolution path: a DV-bearing head...
+    Mutations.ttDvDelete(spark, dir, 6, "dv6",
+      pmod(col("event_id"), lit(23)) === 0)
+    assert(Mutations.ttCheckpointSurvivors(spark, dir, 6, None).isEmpty,
+      "DV-bearing snapshot served through the raw-file relation")
+    // ...and a pre-checkpoint version has no relation to serve
+    assert(Mutations.ttCheckpointSurvivors(spark, dir, 3, None).isEmpty)
+  }
+
+  test("two-key ZORDER: the Morton layout prunes BOTH dimensions; a single-key layout cannot prune the second") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    val pre = Mutations.ttAsOf(spark, dir, 3)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .orderBy("event_type").collect().toSeq
+    assert(Mutations.ttOptimizeClustered(spark, dir, 4, "z4",
+      Seq("event_id", "cents"), 4))
+    val post = Mutations.ttAsOf(spark, dir, 4)
+      .groupBy("event_type").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .orderBy("event_type").collect().toSeq
+    assert(pre == post, "two-key clustering changed the data")
+    // per-file rectangles of (cents, event_id) after each rewrite
+    def ranges(d: String): Seq[(Long, Long, Long, Long)] =
+      Mutations.ttAsOf(spark, d, 4)
+        .withColumn("_f", input_file_name())
+        .groupBy("_f")
+        .agg(min("cents").as("clo"), max("cents").as("chi"),
+          min("event_id").as("elo"), max("event_id").as("ehi"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val two = ranges(dir)
+    // the single-key twin on its own dir, same data, same file budget
+    val twin = graft.Tables.scratchDir("graft_r17_z2_twin", sf0001)
+    val tp = new org.apache.hadoop.fs.Path(twin)
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    Mutations.ttBuildStore(spark, sf0001, twin)
+    assert(Mutations.ttOptimizeClustered(spark, twin, 4, "z4",
+      Seq("event_id"), 4))
+    val one = ranges(twin)
+    // second-dimension slice: the bottom-quarter cents band. Under the
+    // Morton layout every file covers a small RECTANGLE, so the band
+    // intersects a strict subset; under the event-only range sort every
+    // file spans the whole cents range and nothing can prune.
+    val (cmin, cmax) = (two.map(_._1).min, two.map(_._2).max)
+    val capC = cmin + (cmax - cmin) / 4
+    val twoSurv = two.count(_._1 <= capC)
+    val oneSurv = one.count(_._1 <= capC)
+    assert(twoSurv < two.size,
+      s"two-key layout pruned nothing on cents: $twoSurv of ${two.size}")
+    assert(oneSurv == one.size,
+      s"single-key layout claims cents pruning it cannot have: " +
+        s"$oneSurv of ${one.size}")
+    // the FIRST dimension still prunes under the interleave (rectangle,
+    // not a stripe): the appended-id band touches a strict subset too
+    val twoSurvE = two.count(_._4 >= 1000000000L)
+    assert(twoSurvE < two.size,
+      s"two-key layout pruned nothing on event_id: $twoSurvE of ${two.size}")
   }
 
   test("up29 time-based vacuum: retained snapshots intact, superseded files reaped, pre-horizon AS OF dies") {
