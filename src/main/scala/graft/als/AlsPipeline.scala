@@ -664,19 +664,19 @@ object AlsPipeline {
   /** als_sweep_refit — CLOSE the model-selection loop end-to-end (the
     * r16 verdict's composition item): sweep a rank × λ grid on the
     * preference fixture's SHARED train/probe split with budget fits
-    * (maxIter=5, the als_sweep discipline), take the exact probe-RMSE
-    * argmin, REFIT the winner at the production budget (maxIter=10),
-    * and evaluate it with the ranking metric the recommender actually
-    * ships on — NDCG@10 vs the default production config (rank 8,
-    * λ 0.1, the evalScored fit) on the SAME probe set. Everything is
-    * staged as one small parquet row per dataset (the artifacts memo
-    * discipline): 4 budget fits + ≤1 full refit per dataset per JVM,
-    * and the declared query is a one-row read. Rows-only (seeded MLlib
-    * RNG upstream); the spec pins the loop's CONTRACT: the winner is
-    * als-sweep-consistent (exact argmin over the shared split), the
-    * refit's NDCG ≥ the default config's (model selection must never
-    * ship a worse model than the hand-picked default), and reruns are
-    * memo-identical.
+    * (maxIter=5, the als_sweep discipline), select by the SHIPPING
+    * metric (NDCG@10 on the probe — selecting by RMSE shipped a 0.957
+    * ranker against the incumbent's 0.983 on this very fixture), REFIT
+    * the winner at the production budget (maxIter=10), and gate the
+    * result against the INCUMBENT default config (rank 8, λ 0.1 — the
+    * evalScored fit, same split, same metric): the loop ships
+    * max(refit, incumbent) and says which. Everything is staged as one
+    * small parquet row per dataset (the artifacts memo discipline):
+    * 4 budget fits + 1 full refit per dataset per JVM, and the
+    * declared query is a one-row read. Rows-only (seeded MLlib RNG
+    * upstream); the spec pins the loop's CONTRACT: grid-membership of
+    * the winner, shipped ≥ incumbent, kept_default honesty, and
+    * memo-identical reruns.
     */
   private val sweepRefitMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]

@@ -1771,7 +1771,11 @@ object Mutations {
       require(!r.isNullAt(1),
         s"live file ${r.getString(0)} carries no commit-time stats")
       (r.getString(0), TtStat(r.getLong(1), r.getLong(2), r.getLong(3)))
-    }.toSeq.sortBy(_._1)
+    }.toSeq
+      // a file removed and re-added inside ONE suffix window (a restore
+      // straddling the checkpoint) appears in both the manifest and the
+      // overlay — same stats (restore re-declares them), one entry wins
+      .distinctBy(_._1).sortBy(_._1)
     Some((survivors, opened))
   }
 
