@@ -561,6 +561,39 @@ class TtCatalogSpec extends SparkSpec {
     assert(negatives() == 0L)
   }
 
+  test("CHECK over a column a batch doesn't carry: NULL passes (three-valued logic), a carried violation still refuses") {
+    import graft.ops.Mutations
+    val dir = freshEnfStore("graft_r17_3vl")
+    TtCatalog.install(spark)
+    TtCatalog.register("r17_3vl", dir)
+    // evolve the schema by writing the column (up17's discipline), then
+    // constrain it — older-generation writers keep appending WITHOUT it
+    Mutations.ttMappedAppend(spark, dir, 4, "b4",
+      spark.range(2).select((col("id") + 9710000000L).as("event_id"),
+        lit("gen2").as("event_type"), (col("id") + 10L).as("cents"),
+        lit("2024-01-04").as("day"), lit(5L).as("ingest_gen")))
+    spark.sql("""ALTER TABLE tt.r17_3vl
+      ADD CONSTRAINT gen_pos CHECK (ingest_gen > 0)""") // v5
+    // an old-generation batch LACKING the column reads it as NULL under
+    // mergeSchema — CHECK over NULL is not-violated (SQL three-valued
+    // logic), so the append lands; Delta enforces identically
+    assert(Mutations.ttIdempotentAppend(spark, dir,
+      spark.range(1).select(lit(9710000009L).as("event_id"),
+        lit("gen1").as("event_type"), lit(7L).as("cents"),
+        lit("2024-01-05").as("day")), "r17_3vl_old_gen")) // v6
+    assert(Mutations.ttHeadVersion(spark, dir) == 6)
+    // a batch that CARRIES the column and violates is still refused
+    val e = intercept[Throwable] {
+      Mutations.ttIdempotentAppend(spark, dir,
+        spark.range(1).select(lit(9710000010L).as("event_id"),
+          lit("gen2").as("event_type"), lit(8L).as("cents"),
+          lit("2024-01-05").as("day"), lit(-1L).as("ingest_gen")),
+        "r17_3vl_bad_gen")
+    }
+    assert(e.getMessage.contains("gen_pos"), e.getMessage)
+    assert(Mutations.ttHeadVersion(spark, dir) == 6)
+  }
+
   test("RESTORE rolls back constraint state: restore-to-before-ADD un-enforces, restore-forward re-activates; constraint-only diff is not a no-op") {
     import graft.ops.Mutations
     val dir = freshEnfStore("graft_r17_rst")
