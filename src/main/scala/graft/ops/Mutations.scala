@@ -1957,13 +1957,24 @@ object Mutations {
     * its own commit. Returns whether anything was packed.
     */
   private[graft] def ttOptimize(s: SparkSession, dir: String, v: Int,
-      sub: String, minFilesPerDay: Int = 2): Boolean = {
+      sub: String, minFilesPerDay: Int = 2,
+      onlyDays: Option[Set[String]] = None): Boolean = {
     val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
     require(dvF.isEmpty,
       "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
+    // up31 — PARTITION-SCOPED compaction (Delta's `OPTIMIZE ... WHERE`):
+    // at 100 TB nobody optimizes the whole table — the hot tail (the
+    // days streaming ingest just fragmented) is compacted on a schedule
+    // while the cold majority is never read or rewritten. `onlyDays`
+    // restricts the candidate set BEFORE any file is read, so cost is
+    // ∝ the selected days' fragmentation, provably zero elsewhere
+    // (untouched days keep byte-identical files — spec-pinned).
     val packed = dataF.filter(_.startsWith("day="))
       .groupBy(f => f.take(f.indexOf('/')))
-      .filter(_._2.size >= minFilesPerDay)
+      .filter { case (dayDir, fs) =>
+        fs.size >= minFilesPerDay &&
+          onlyDays.forall(_.contains(dayDir.stripPrefix("day=")))
+      }
       .values.flatten.toSeq.sorted
     if (packed.isEmpty) return false
     // one file per packed day: repartition(day) puts each day in exactly
@@ -2002,13 +2013,15 @@ object Mutations {
     */
   private[graft] def ttOptimizeClustered(s: SparkSession, dir: String,
       v: Int, sub: String, keys: Seq[String] = Seq("event_id"),
-      filesPerDay: Int = 4): Boolean = {
+      filesPerDay: Int = 4, onlyDays: Option[Set[String]] = None): Boolean = {
     require(keys.nonEmpty && keys.size <= 2,
       s"ZORDER BY takes one or two columns, got ${keys.size}")
     val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
     require(dvF.isEmpty,
       "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
     val packed = dataF.filter(_.startsWith("day="))
+      .filter(f => onlyDays.forall(
+        _.contains(f.take(f.indexOf('/')).stripPrefix("day="))))
     if (packed.isEmpty) return false
     val days = packed.map(f => f.take(f.indexOf('/'))).distinct.size
     val rows = ttReadFiles(s, dir, packed, mergeSchema = true)
@@ -2061,6 +2074,33 @@ object Mutations {
           .select(lit(v.toLong).as("version"), col("event_type"),
             col("n"), col("sum_cents"))
       }.reduce(_.unionByName(_)).orderBy("version", "event_type")
+  }
+
+  /** The declared up31 query: PARTITION-SCOPED OPTIMIZE (Delta's
+    * `OPTIMIZE ... WHERE`) — the many-commit store's FIRST day
+    * compacted at v10 while every other day keeps its ten fragments.
+    * At 100 TB this is how compaction actually runs: the hot tail
+    * (days streaming ingest just fragmented) compacts on a schedule,
+    * the cold majority is never read or rewritten — cost ∝ selected
+    * days, zero elsewhere. The timed rollup groups the v10 head per
+    * (day, type), fully oracled from raw events, so the hash proves
+    * the scoped rewrite moved bytes on one day and rows nowhere; the
+    * spec pins the physical claim (target day → one file, other days
+    * keep their ten byte-identical fragments, scoped re-run = no-op).
+    */
+  def optimizeWhereRollup(s: SparkSession, d: String): DataFrame = {
+    val dir = ttDerivedScenario(s, d, "graft_up31_store",
+      () => ttManyScenario(s, d)) { dd =>
+      val day0 = events(s, d)
+        .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd"))
+        .head.getString(0)
+      require(ttOptimize(s, dd, 10, "w10", 2, Some(Set(day0))),
+        "up31 fixture had nothing to pack on the target day")
+    }
+    ttAsOf(s, dir, 10)
+      .groupBy(to_date(col("day")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      .orderBy("day", "event_type")
   }
 
   /** src35 — the SQL INSERT INTO verb: one plain append commit at
@@ -3242,6 +3282,21 @@ object Mutations {
         |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
         |FROM vs CROSS JOIN banded
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
+    QueryDef("up31_optimize_where", optimizeWhereRollup, Some(
+      // the v10 head per (day, type): every base row twice (base ∪ the
+      // nine re-keyed slices) — identical rows whether a day was
+      // compacted or not, so a scoped rewrite that moved ROWS (not just
+      // bytes) anywhere breaks the hash
+      """WITH base AS (
+        |  SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |st AS (SELECT * FROM base UNION ALL SELECT * FROM base)
+        |SELECT day, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
       staged = true),
     QueryDef("up25_optimize", optimizeRollup, Some(
       // one full state (base ∪ all nine re-keyed slices = every base row

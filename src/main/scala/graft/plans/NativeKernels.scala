@@ -147,12 +147,28 @@ object TtTableChanges {
         s"got ${args.length}")
     val name = String.valueOf(lit(args(0), "the table name"))
       .stripPrefix("tt.")
-    val from = lit(args(1), "fromVersion").asInstanceOf[Number].intValue
-    val to = lit(args(2), "toVersion").asInstanceOf[Number].intValue
-    require(from < to,
-      s"table_changes: fromVersion $from must be < toVersion $to")
     val spark = org.apache.spark.sql.SparkSession.active
     val dir = TtSqlParser.dirOf(name)
+    // each bound is a VERSION (integer literal) or a TIMESTAMP (string
+    // literal, 'yyyy-MM-dd HH:mm:ss' in the session's UTC clock) — the
+    // Delta spelling accepts either; an instant floors to the newest
+    // version committed at-or-before it (src34's TIMESTAMP AS OF rule)
+    def versionOf(e: Expression, what: String): Int =
+      lit(e, what) match {
+        case n: Number => n.intValue
+        case ts: org.apache.spark.unsafe.types.UTF8String =>
+          val ms = java.time.LocalDateTime
+            .parse(ts.toString.trim.replace(' ', 'T'))
+            .atZone(java.time.ZoneOffset.UTC).toInstant.toEpochMilli
+          graft.ops.Mutations.ttVersionAt(spark, dir, ms)
+        case other => throw new IllegalArgumentException(
+          s"table_changes: $what must be an integer version or a " +
+            s"'yyyy-MM-dd HH:mm:ss' timestamp string, got $other")
+      }
+    val from = versionOf(args(1), "fromVersion")
+    val to = versionOf(args(2), "toVersion")
+    require(from < to,
+      s"table_changes: fromVersion $from must be < toVersion $to")
     graft.ops.Mutations.ttChanges(spark, dir, from, to)
       .queryExecution.analyzed
   }

@@ -34,9 +34,10 @@ class TtSqlParser(delegate: ParserInterface) extends ParserInterface {
     sqlText match {
       case TtSqlParser.Restore(name, v) =>
         TtSqlRestoreCommand(name, v.toInt)
-      case TtSqlParser.Optimize(name, zcols) =>
+      case TtSqlParser.Optimize(name, whereDay, zcols) =>
         TtSqlOptimizeCommand(name,
-          Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim))
+          Option(zcols).toSeq.flatMap(_.split(',')).map(_.trim),
+          Option(whereDay))
       case TtSqlParser.Vacuum(name, hours) =>
         TtSqlVacuumCommand(name, hours.toInt)
       case TtSqlParser.History(name) =>
@@ -90,13 +91,18 @@ object TtSqlParser {
     ("""(?is)\s*RESTORE\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
       """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
-  /** `OPTIMIZE tt.<name> [ZORDER BY (<col>[, <col>])]` — Delta's
-    * compaction statement: bin-packing without the clause, clustered
-    * rewrite with it (parens optional; one column = range sort, two =
-    * Morton interleave — the up28 verb's shapes).
+  /** `OPTIMIZE tt.<name> [WHERE day = '<day>'] [ZORDER BY (<col>[,
+    * <col>])]` — Delta's compaction statement: bin-packing bare,
+    * clustered rewrite with the ZORDER clause (parens optional; one
+    * column = range sort, two = Morton interleave — the up28 verb's
+    * shapes), PARTITION-SCOPED with the WHERE clause (up31: only the
+    * named day's files are candidates — the hot-tail compaction shape;
+    * the predicate is restricted to the layout key because that is the
+    * only thing a scoped rewrite can honor without scanning data).
     */
   private[plans] val Optimize =
     ("""(?is)\s*OPTIMIZE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+WHERE\s+day\s*=\s*'([0-9][0-9-]{0,9})')?""" +
       """(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z_][A-Za-z0-9_]*""" +
       """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)?)\s*\)?)?\s*;?\s*""").r
 
@@ -135,8 +141,9 @@ object TtSqlParser {
     def hits(re: String) = re.r.pattern.matcher(sql).matches()
     if (hits("""(?is)\s*OPTIMIZE\s+tt\s*\..*"""))
       Some(("OPTIMIZE",
-        "OPTIMIZE tt.<table> [ZORDER BY (<col>[, <col>])] — unquoted " +
-          "identifiers, at most two zorder columns"))
+        "OPTIMIZE tt.<table> [WHERE day = '<day>'] [ZORDER BY " +
+          "(<col>[, <col>])] — unquoted identifiers, at most two zorder " +
+          "columns, the layout key as the only WHERE predicate"))
     else if (hits("""(?is)\s*VACUUM\s+tt\s*\..*"""))
       Some(("VACUUM", "VACUUM tt.<table> RETAIN <n> HOURS"))
     else if (hits("""(?is)\s*RESTORE\s+TABLE\s+tt\s*\..*"""))
@@ -179,14 +186,16 @@ case class TtSqlRestoreCommand(table: String, target: Int)
   }
 }
 
-/** src39 — `OPTIMIZE tt.x [ZORDER BY (c1[, c2])]`: one OCC-retried
-  * `op=optimize` commit — bin-packing (up25) bare, clustered rewrite
-  * (up28) with the ZORDER clause: one column range-sorts, two Morton-
-  * interleave (src12's curve inside the tt compaction). `committed_as`
-  * is -1 when nothing needed packing (a true no-op, no commit).
+/** src39/up31 — `OPTIMIZE tt.x [WHERE day = 'D'] [ZORDER BY (c1[,
+  * c2])]`: one OCC-retried `op=optimize` commit — bin-packing (up25)
+  * bare, clustered rewrite (up28) with the ZORDER clause (one column
+  * range-sorts, two Morton-interleave), PARTITION-SCOPED with WHERE
+  * (up31: candidates restricted to the named day before any file is
+  * read). `committed_as` is -1 when nothing needed packing (a true
+  * no-op, no commit).
   */
-case class TtSqlOptimizeCommand(table: String, zorderBy: Seq[String])
-    extends LeafRunnableCommand {
+case class TtSqlOptimizeCommand(table: String, zorderBy: Seq[String],
+    whereDay: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("table", StringType, nullable = false)(),
     AttributeReference("clustered", org.apache.spark.sql.types.BooleanType,
@@ -195,14 +204,16 @@ case class TtSqlOptimizeCommand(table: String, zorderBy: Seq[String])
 
   override def run(spark: SparkSession): Seq[Row] = {
     val dir = TtSqlParser.dirOf(table)
+    val days = whereDay.map(Set(_))
     var did = false
     val v = graft.ops.Mutations.ttRetryVerb(spark, dir,
       graft.sources.TtCatalog.headVersion(spark, dir) + 1) { tv =>
       did =
         if (zorderBy.nonEmpty)
           graft.ops.Mutations.ttOptimizeClustered(spark, dir, tv, s"z$tv",
-            zorderBy)
-        else graft.ops.Mutations.ttOptimize(spark, dir, tv, s"o$tv")
+            zorderBy, onlyDays = days)
+        else graft.ops.Mutations.ttOptimize(spark, dir, tv, s"o$tv",
+          onlyDays = days)
     }
     Seq(Row(s"tt.$table", zorderBy.nonEmpty, if (did) v.toLong else -1L))
   }

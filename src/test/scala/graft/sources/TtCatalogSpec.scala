@@ -706,6 +706,17 @@ class TtCatalogSpec extends SparkSpec {
       WHERE _change_type = 'delete'""").head.getLong(0)
     assert(n > 0 && n == Mutations.ttChanges(spark, dir, 2, 3)
       .filter(col("_change_type") === "delete").count())
+    // TIMESTAMP bounds (the Delta spelling's other half): instants
+    // floor to the newest commit at-or-before them (src34's rule), so
+    // '01:30' ↦ v1 and '03:00' ↦ v3 on the injected clock — the feed
+    // must equal the version-addressed one exactly
+    val viaTs = rows(spark.sql(
+      """SELECT * FROM table_changes('src43_spec_store',
+           '2024-06-01 01:30:00', '2024-06-01 03:00:00')
+         ORDER BY _change_type, event_id, day, cents"""))
+    val viaV = rows(Mutations.ttChanges(spark, dir, 1, 3)
+      .orderBy("_change_type", "event_id", "day", "cents"))
+    assert(viaTs == viaV, "timestamp-addressed feed diverges from v1→v3")
     // an empty/inverted range is refused
     val inv = intercept[Throwable] {
       spark.sql("SELECT * FROM table_changes('src43_spec_store', 3, 3)")
@@ -722,6 +733,60 @@ class TtCatalogSpec extends SparkSpec {
       spark.sql("SELECT * FROM table_changes('src43_spec_store', 1)")
     }
     assert(arity.getMessage.contains("3 arguments"), arity.getMessage)
+  }
+
+  test("partition-scoped OPTIMIZE WHERE: only the named day compacts, other days byte-identical, scoped re-run is a no-op, composes with ZORDER") {
+    import graft.ops.Mutations
+    val dir = graft.Tables.scratchDir("graft_r17_optwhere", sf0001)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Mutations.ttBuildManyCommits(spark, sf0001, dir)
+    TtCatalog.install(spark)
+    TtCatalog.register("r17_optwhere", dir)
+    def filesByDay(v: Int): Map[String, Seq[String]] =
+      Mutations.ttLiveFiles(spark, dir, v).filter(_.startsWith("day="))
+        .groupBy(f => f.take(f.indexOf('/')).stripPrefix("day="))
+    val before = filesByDay(9)
+    val days = before.keys.toSeq.sorted
+    val (day0, dayOther) = (days.head, days.last)
+    def sizesOf(fsq: Seq[String]): Map[String, Long] =
+      fsq.map(f => f -> fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).toMap
+    val otherBefore = sizesOf(before(dayOther))
+    val pre = rows(spark.sql("""SELECT event_type, count(*) n, sum(cents) c
+      FROM tt.r17_optwhere GROUP BY 1 ORDER BY 1"""))
+    // scoped compaction: ONE day's fragments collapse, the rest keep
+    // every fragment byte-identical (never read, never rewritten)
+    val o1 = spark.sql(s"OPTIMIZE tt.r17_optwhere WHERE day = '$day0'")
+      .collect()
+    assert(o1(0).getLong(2) == 10L && !o1(0).getBoolean(1))
+    val after = filesByDay(10)
+    assert(after(day0).size == 1,
+      s"target day still holds ${after(day0).size} files")
+    assert(after(dayOther) == before(dayOther),
+      "an out-of-scope day's file SET changed")
+    assert(sizesOf(after(dayOther)) == otherBefore,
+      "an out-of-scope day's bytes changed")
+    assert(before(day0).size >= 10, "fixture wasn't fragmented")
+    val post = rows(spark.sql("""SELECT event_type, count(*) n, sum(cents) c
+      FROM tt.r17_optwhere GROUP BY 1 ORDER BY 1"""))
+    assert(pre == post, "scoped OPTIMIZE changed the data")
+    // a scoped re-run of the already-packed day is a loud no-op
+    val o2 = spark.sql(s"OPTIMIZE tt.r17_optwhere WHERE day = '$day0'")
+      .collect()
+    assert(o2(0).getLong(2) == -1L, "scoped re-OPTIMIZE committed")
+    // WHERE composes with ZORDER: the clustered rewrite also scopes
+    val o3 = spark.sql(
+      s"""OPTIMIZE tt.r17_optwhere WHERE day = '$dayOther'
+          ZORDER BY (event_id)""").collect()
+    assert(o3(0).getBoolean(1) && o3(0).getLong(2) == 11L)
+    val afterZ = filesByDay(11)
+    assert(afterZ(dayOther).size <= 4 && afterZ(day0) == after(day0),
+      "scoped ZORDER leaked outside its day")
+    val postZ = rows(spark.sql("""SELECT event_type, count(*) n, sum(cents) c
+      FROM tt.r17_optwhere GROUP BY 1 ORDER BY 1"""))
+    assert(pre == postZ, "scoped ZORDER changed the data")
   }
 
   test("parser near-misses die with the supported shape, never an unrelated Spark syntax error") {
