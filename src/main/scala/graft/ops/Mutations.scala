@@ -2829,7 +2829,13 @@ object Mutations {
   private[graft] def ttShallowClone(s: SparkSession, srcDir: String,
       cloneDir: String, asOf: Int): Unit = {
     val fs = ttFs(s, cloneDir)
-    fs.delete(new org.apache.hadoop.fs.Path(cloneDir), true)
+    // clone into an EMPTY location only (ttCreateTable's rule): the verb
+    // is SQL-reachable (src45), and silently wiping a user-declared path
+    // is exactly the destructive reach-through the external-DROP fix
+    // removed — callers that want a fresh tree delete it themselves
+    val root = new org.apache.hadoop.fs.Path(cloneDir)
+    require(!fs.exists(root) || fs.listStatus(root).isEmpty,
+      s"clone location $cloneDir is not empty")
     val live = ttLiveFiles(s, srcDir, asOf)
     // clone a DV-bearing snapshot AFTER compacting it (ttDvCompact):
     // sidecar references don't survive the external-path convention

@@ -46,6 +46,11 @@ class TtSqlParser(delegate: ParserInterface) extends ParserInterface {
         TtSqlAddConstraintCommand(name, cname, cexpr.trim)
       case TtSqlParser.DropConstraint(name, cname) =>
         TtSqlDropConstraintCommand(name, cname)
+      case TtSqlParser.Clone(newName, srcName, v, loc) =>
+        TtSqlCloneCommand(newName, srcName,
+          Option(v).map(_.toInt), loc)
+      case TtSqlParser.Convert(path, name) =>
+        TtSqlConvertCommand(path, name)
       case other =>
         // near-miss guard: a statement that is clearly AIMED at one of
         // our verbs but malformed must fail HERE with the supported
@@ -133,6 +138,27 @@ object TtSqlParser {
     ("""(?is)\s*ALTER\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
       """DROP\s+CONSTRAINT\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
 
+  /** `CREATE TABLE tt.<new> SHALLOW CLONE tt.<src> [VERSION AS OF <v>]
+    * LOCATION '<path>'` — Delta's zero-copy fork statement (src45): the
+    * clone's v0 references the source snapshot's files, LOCATION is
+    * required like every tt CREATE (the table IS its directory).
+    */
+  private[plans] val Clone =
+    ("""(?is)\s*CREATE\s+TABLE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """SHALLOW\s+CLONE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+VERSION\s+AS\s+OF\s+(\d+))?\s+""" +
+      """LOCATION\s+'([^']+)'\s*;?\s*""").r
+
+  /** `CONVERT TO TT '<path>' AS tt.<name>` — Delta's `CONVERT TO DELTA`
+    * spelling for up30's in-place adoption (src46): the plain
+    * day-partitioned parquet dir at `path` becomes a tt table where it
+    * stands (one v0 commit referencing its existing files, zero bytes
+    * moved) and registers under the name.
+    */
+  private[plans] val Convert =
+    ("""(?is)\s*CONVERT\s+TO\s+TT\s+'([^']+)'\s+""" +
+      """AS\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
+
   /** Loose statement-head probes for the near-miss guard: if a statement
     * matches a head we own but none of the exact shapes, return (the
     * offending head word, the supported shape) for a targeted error.
@@ -154,6 +180,12 @@ object TtSqlParser {
       Some(("ALTER TABLE",
         "ALTER TABLE tt.<table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
           "ALTER TABLE tt.<table> DROP CONSTRAINT <name>"))
+    else if (hits("""(?is)\s*CREATE\s+TABLE\s+tt\s*\..*\bSHALLOW\s+CLONE\b.*"""))
+      Some(("SHALLOW CLONE",
+        "CREATE TABLE tt.<new> SHALLOW CLONE tt.<src> [VERSION AS OF <v>] " +
+          "LOCATION '<path>' — LOCATION is required"))
+    else if (hits("""(?is)\s*CONVERT\s+TO\s+TT\b.*"""))
+      Some(("CONVERT TO TT", "CONVERT TO TT '<path>' AS tt.<name>"))
     else None
   }
 
@@ -275,6 +307,58 @@ case class TtSqlDropConstraintCommand(table: String, cname: String)
       graft.sources.TtCatalog.headVersion(spark, dir) + 1)(tv =>
       graft.ops.Mutations.ttDropConstraint(spark, dir, tv, cname))
     Seq(Row(s"tt.$table", cname, v.toLong))
+  }
+}
+
+/** src45 — `CREATE TABLE tt.y SHALLOW CLONE tt.x [VERSION AS OF v]
+  * LOCATION '...'`: up23's zero-copy fork, SQL spelling. The clone's v0
+  * commit REFERENCES the source snapshot's files (absolute paths —
+  * nothing copied); it then evolves independently, and its vacuum can
+  * never delete source bytes. A non-empty location and a taken name
+  * are refused; a DV-bearing source snapshot must be compacted first
+  * (the library verb's rule, surfaced verbatim).
+  */
+case class TtSqlCloneCommand(newTable: String, srcTable: String,
+    version: Option[Int], location: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("cloned_from", StringType, nullable = false)(),
+    AttributeReference("as_of", LongType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (graft.sources.TtCatalog.tables.containsKey(newTable))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq("tt", newTable))
+    val srcDir = TtSqlParser.dirOf(srcTable)
+    val asOf = version.getOrElse(
+      graft.sources.TtCatalog.headVersion(spark, srcDir))
+    graft.ops.Mutations.ttShallowClone(spark, srcDir, location, asOf)
+    graft.sources.TtCatalog.register(newTable, location)
+    Seq(Row(s"tt.$newTable", s"tt.$srcTable", asOf.toLong, location))
+  }
+}
+
+/** src46 — `CONVERT TO TT '<path>' AS tt.<name>`: up30's in-place
+  * adoption, SQL spelling — one v0 commit referencing the plain
+  * day-partitioned dir's existing files (zero bytes moved, the one-time
+  * stats scan is the only cost), then registered so every later SQL
+  * verb works on it unchanged. Double-converts and taken names refused.
+  */
+case class TtSqlConvertCommand(path: String, table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("files_adopted", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    if (graft.sources.TtCatalog.tables.containsKey(table))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .TableAlreadyExistsException(Seq("tt", table))
+    val n = graft.ops.Mutations.ttConvert(spark, path)
+    graft.sources.TtCatalog.register(table, path)
+    Seq(Row(s"tt.$table", path, n.toLong))
   }
 }
 

@@ -1999,7 +1999,146 @@ object Sources {
       GROUP BY event_type ORDER BY event_type""")
   }
 
+  /** src45 — SQL SHALLOW CLONE (`CREATE TABLE tt.y SHALLOW CLONE tt.x
+    * VERSION AS OF v LOCATION '...'`, Delta's zero-copy fork): the
+    * dev/test-against-production pattern from the SQL front door — fork
+    * a snapshot for free, mutate the fork, the source never notices.
+    * The scenario clones the 4-version store at v3, SQL-MERGEs an
+    * independent +5-on-views mutation into the CLONE, and answers both
+    * heads; oracle = up23's verbatim (clone = v3 with view+5, source =
+    * v3 untouched — independence in one hash). Refusals (taken name,
+    * non-empty location, DV-bearing source) spec-pinned.
+    */
+  def sqlShallowClone(s: SparkSession, d: String): DataFrame = {
+    // the clone's log references its SOURCE's files absolutely, so the
+    // scenario owns a private source tree (copied from the memoized
+    // base template — up23's discipline; both resolved/built outside
+    // any same-map memoized builder)
+    val srcDir = graft.Tables.scratchDir("graft_src45_src", d)
+    val baseDir = graft.ops.Mutations.ttBaseScenario(s, d)
+    val cloneDir = graft.ops.Mutations.ttScenario(s, d, "graft_src45_clone") {
+      cd =>
+        val fs = new org.apache.hadoop.fs.Path(srcDir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(baseDir), fs,
+          new org.apache.hadoop.fs.Path(srcDir),
+          false, true, s.sparkContext.hadoopConfiguration),
+          "src45 source copy failed")
+        TtCatalog.install(s)
+        TtCatalog.tables.remove("src45_clone")
+        TtCatalog.register("src45_src", srcDir)
+        val out = s.sql(s"""CREATE TABLE tt.src45_clone
+          SHALLOW CLONE tt.src45_src VERSION AS OF 3
+          LOCATION '$cd'""").collect()
+        require(out.length == 1 && out(0).getLong(2) == 3L,
+          s"SQL CLONE landed wrong: ${out.mkString}")
+        // independent clone mutation through SQL MERGE (up23's +5 on
+        // views, read from the PINNED v0 clone snapshot)
+        s.sql("""SELECT event_id, event_type, cents + 5 AS cents, day
+          FROM tt.src45_clone VERSION AS OF 0 WHERE event_type = 'view'""")
+          .createOrReplaceTempView("graft_src45_mut")
+        s.sql("""MERGE INTO tt.src45_clone t USING graft_src45_mut s
+          ON t.event_id = s.event_id
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *""")
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src45_src", srcDir)
+    TtCatalog.register("src45_clone", cloneDir)
+    s.sql("""SELECT 'clone' AS tbl, event_type, count(*) AS n,
+        sum(cents) AS sum_cents
+      FROM tt.src45_clone VERSION AS OF 1 GROUP BY event_type""")
+      .unionByName(s.sql(
+        """SELECT 'source' AS tbl, event_type, count(*) AS n,
+          sum(cents) AS sum_cents
+        FROM tt.src45_src VERSION AS OF 3 GROUP BY event_type"""))
+      .orderBy("tbl", "event_type")
+  }
+
+  /** src46 — SQL CONVERT (`CONVERT TO TT '<path>' AS tt.<name>`,
+    * Delta's `CONVERT TO DELTA` spelling): a plain day-partitioned
+    * parquet estate adopts the format from the SQL front door — one v0
+    * commit referencing the existing files, zero bytes moved — and the
+    * converted table is immediately a full citizen (the scenario
+    * SQL-INSERTs up30's late slice as v1). Oracle = up30's verbatim.
+    */
+  def sqlConvert(s: SparkSession, d: String): DataFrame = {
+    val dir = graft.ops.Mutations.ttScenario(s, d, "graft_src46_store") {
+      dd =>
+        TtCatalog.tables.remove("src46_store")
+        val base = graft.Tables.events(s, d)
+          .select(col("event_id"), col("event_type"),
+            expr("cast(round(value * 100) as bigint)").as("cents"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        base.repartition(col("day")).write.partitionBy("day")
+          .mode("overwrite").parquet(dd)
+        TtCatalog.install(s)
+        val out = s.sql(s"CONVERT TO TT '$dd' AS tt.src46_store").collect()
+        require(out.length == 1 && out(0).getLong(2) > 0L,
+          s"SQL CONVERT adopted nothing: ${out.mkString}")
+        base.createOrReplaceTempView("graft_src46_events")
+        s.sql("""INSERT INTO tt.src46_store
+          SELECT event_id + 2000000000 AS event_id, event_type,
+            cents + 40 AS cents, day
+          FROM graft_src46_events WHERE event_id % 17 = 0""")
+    }
+    TtCatalog.install(s)
+    TtCatalog.register("src46_store", dir)
+    s.sql("""SELECT event_type, count(*) AS n, sum(cents) AS sum_cents
+      FROM tt.src46_store VERSION AS OF 1
+      GROUP BY event_type ORDER BY event_type""")
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("src45_sql_clone", sqlShallowClone, Some(
+      // up23's oracle verbatim: clone head = v3 with view cents +5,
+      // source head = v3 untouched — zero-copy independence in one hash
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents,
+        |    CAST(ts AS DATE) AS day
+        |  FROM events),
+        |probe AS (
+        |  SELECT min(day) + 3 AS d0, min(day) + 5 AS d1 FROM base),
+        |appended AS (
+        |  SELECT event_id + 1000000000 AS event_id, event_type, cents, day
+        |  FROM base WHERE event_id % 7 = 0),
+        |v1 AS (SELECT * FROM base UNION ALL SELECT * FROM appended),
+        |v2 AS (
+        |  SELECT event_id, event_type,
+        |    cents + CASE WHEN day = (SELECT d0 FROM probe)
+        |      THEN 9 ELSE 0 END AS cents, day
+        |  FROM v1),
+        |v3 AS (
+        |  SELECT * FROM v2
+        |  WHERE NOT (event_type = 'click' AND day = (SELECT d1 FROM probe))),
+        |tb AS (
+        |  SELECT 'clone' AS tbl, event_type,
+        |    cents + CASE WHEN event_type = 'view' THEN 5 ELSE 0 END AS cents
+        |  FROM v3
+        |  UNION ALL
+        |  SELECT 'source', event_type, cents FROM v3)
+        |SELECT tbl, event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM tb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      staged = true),
+    QueryDef("src46_sql_convert", sqlConvert, Some(
+      // up30's oracle verbatim: conversion state ∪ the post-convert
+      // SQL-inserted slice
+      """WITH base AS (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |v1 AS (
+        |  SELECT event_type, cents FROM base
+        |  UNION ALL
+        |  SELECT event_type, cents + 40 FROM base WHERE event_id % 17 = 0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM v1 GROUP BY 1 ORDER BY 1""".stripMargin),
+      staged = true),
     QueryDef("src43_sql_table_changes", sqlTableChanges, Some(
       // up15's EXCEPT ALL replay verbatim — the TVF must emit exactly
       // the library CDF's rows

@@ -628,6 +628,18 @@ class MutationsSpec extends SparkSpec {
   test("up23 shallow clone: zero data copied, source untouched by clone mutations") {
     val dir = Mutations.ttStore(spark, sf0001)
     val clone = graft.Tables.scratchDir("graft_up23_spec_clone", sf0001)
+    val cfs = new org.apache.hadoop.fs.Path(clone)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    cfs.delete(new org.apache.hadoop.fs.Path(clone), true)
+    // a non-empty clone target is refused (the verb is SQL-reachable
+    // and must never wipe a user-declared path)
+    val dirty = graft.Tables.scratchDir("graft_up23_spec_dirty", sf0001)
+    cfs.delete(new org.apache.hadoop.fs.Path(dirty), true)
+    cfs.mkdirs(new org.apache.hadoop.fs.Path(s"$dirty/squatter"))
+    val occ = intercept[IllegalArgumentException] {
+      Mutations.ttShallowClone(spark, dir, dirty, asOf = 3)
+    }
+    assert(occ.getMessage.contains("not empty"), occ.getMessage)
     Mutations.ttShallowClone(spark, dir, clone, asOf = 3)
     val fs = new org.apache.hadoop.fs.Path(clone)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

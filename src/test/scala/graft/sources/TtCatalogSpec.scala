@@ -789,6 +789,79 @@ class TtCatalogSpec extends SparkSpec {
     assert(pre == postZ, "scoped ZORDER changed the data")
   }
 
+  test("SQL SHALLOW CLONE and CONVERT TO TT: zero-copy fork + in-place adoption from SQL, refusals loud") {
+    import graft.ops.Mutations
+    TtCatalog.install(spark)
+    val src = freshEnfStore("graft_r17_cl_src")
+    TtCatalog.register("r17_cl_src", src)
+    val cloneLoc = graft.Tables.scratchDir("graft_r17_cl_clone", sf0001)
+    val fs = new org.apache.hadoop.fs.Path(cloneLoc)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(cloneLoc), true)
+    TtCatalog.tables.remove("r17_cl")
+    // clone at the default (head) version; the clone tree holds ZERO
+    // data files — its v0 references the source's bytes
+    val out = spark.sql(s"""CREATE TABLE tt.r17_cl SHALLOW CLONE
+      tt.r17_cl_src LOCATION '$cloneLoc'""").collect()
+    assert(out(0).getLong(2) == 3L, s"default as_of wrong: ${out.mkString}")
+    assert(dataFileCount(cloneLoc) == 0, "shallow clone copied data bytes")
+    assert(rows(spark.table("tt.r17_cl")) == rows(spark.table("tt.r17_cl_src")))
+    // the fork evolves independently: an INSERT lands in the CLONE tree
+    val srcHead = Mutations.ttHeadVersion(spark, src)
+    spark.table("tt.r17_cl").limit(1).createOrReplaceTempView("r17_cl_one")
+    spark.sql("""INSERT INTO tt.r17_cl
+      SELECT event_id + 9900000000, event_type, cents + 1, day
+      FROM r17_cl_one""")
+    assert(Mutations.ttHeadVersion(spark, src) == srcHead,
+      "clone INSERT committed into the SOURCE log")
+    assert(dataFileCount(cloneLoc) > 0)
+    assert(spark.table("tt.r17_cl").count() ==
+      spark.table("tt.r17_cl_src").count() + 1)
+    // refusals: taken name, dirty location
+    intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE tt.r17_cl SHALLOW CLONE tt.r17_cl_src
+        LOCATION '${cloneLoc}_x'""")
+    }
+    TtCatalog.tables.remove("r17_cl_dirty")
+    val dirty = intercept[Throwable] {
+      spark.sql(s"""CREATE TABLE tt.r17_cl_dirty SHALLOW CLONE
+        tt.r17_cl_src LOCATION '$cloneLoc'""")
+    }
+    assert(dirty.getMessage.contains("not empty"), dirty.getMessage)
+    // a LOCATION-less clone is a near-miss, not a delegate grammar error
+    val nl = intercept[Throwable] {
+      spark.sql("CREATE TABLE tt.r17_cl2 SHALLOW CLONE tt.r17_cl_src")
+    }
+    assert(nl.getMessage.contains("supported shape"), nl.getMessage)
+
+    // CONVERT TO TT: adopt a plain day-partitioned dir, then read it
+    val plain = graft.Tables.scratchDir("graft_r17_cv", sf0001)
+    fs.delete(new org.apache.hadoop.fs.Path(plain), true)
+    graft.Tables.events(spark, sf0001).limit(200)
+      .select(col("event_id"), col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .repartition(col("day")).write.partitionBy("day").parquet(plain)
+    TtCatalog.tables.remove("r17_cv")
+    val cv = spark.sql(s"CONVERT TO TT '$plain' AS tt.r17_cv").collect()
+    assert(cv(0).getLong(2) > 0, cv.mkString)
+    assert(spark.table("tt.r17_cv").count() == 200)
+    // double convert refused (the dir already holds a _log)
+    TtCatalog.tables.remove("r17_cv2")
+    val dbl = intercept[Throwable] {
+      spark.sql(s"CONVERT TO TT '$plain' AS tt.r17_cv2")
+    }
+    assert(dbl.getMessage.contains("already a tt table"), dbl.getMessage)
+    // taken name refused; malformed CONVERT is a near-miss
+    intercept[Throwable] {
+      spark.sql(s"CONVERT TO TT '${plain}_y' AS tt.r17_cv")
+    }
+    val nm = intercept[Throwable] {
+      spark.sql(s"CONVERT TO TT '$plain'")
+    }
+    assert(nm.getMessage.contains("supported shape"), nm.getMessage)
+  }
+
   test("parser near-misses die with the supported shape, never an unrelated Spark syntax error") {
     def shapeError(sql: String, mustMention: String): Unit = {
       val e = intercept[Throwable](spark.sql(sql))
