@@ -355,8 +355,18 @@ object Bench {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
         shardArg.map(sh => s"bench_shard_$sh.json").getOrElse(
           if (queryArgs.nonEmpty) "bench_probe.json" else "bench_mono.json"))
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (fullLine + "\n").getBytes("UTF-8"))
+      // bench_probe.json is APPEND-ONLY (r17 verdict Wrong #1, twice): the
+      // sealed slow-line probe record was overwritten by a later small
+      // calibration probe in r16 AND r17. A probe file is a ledger — every
+      // probe line appends; the newest line is last, history is never lost.
+      if (out == "bench_probe.json")
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (fullLine + "\n").getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+      else
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (fullLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}")
     }
