@@ -1486,12 +1486,19 @@ object Mutations {
     * effect.
     */
   private[graft] def ttDvDelete(s: SparkSession, dir: String, v: Int,
-      sub: String, pred: org.apache.spark.sql.Column): Unit = {
+      sub: String, pred: org.apache.spark.sql.Column,
+      dayScope: Option[Set[String]] = None): Unit = {
     // tag the file BEFORE applying live DVs: input_file_name is a
     // single-source expression, and on an already-DV-bearing store the
     // DV-applied snapshot is a JOIN — tagging its output would throw
     // MULTI_SOURCES_UNSUPPORTED (hit by a repeat DELETE on one store)
-    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    //
+    // candidate files come through the checkpoint RELATION (r17 #1):
+    // a day-scoped delete (the caller guarantees pred only matches
+    // rows inside dayScope's days) lists ONLY those days' files on the
+    // driver; the unscoped form still resolves in-plan
+    val cand = ttWriteCandidates(s, dir, v - 1, dayScope)
+    val (dvF, dataF) = (cand.dv, cand.data)
     require(dataF.nonEmpty, s"version ${v - 1} has no live files")
     val doomed = ttApplyDv(s, dir,
         ttReadFiles(s, dir, dataF, mergeSchema = true)
@@ -1514,11 +1521,17 @@ object Mutations {
     */
   private[graft] def ttDvUpdate(s: SparkSession, dir: String, v: Int,
       sub: String, pred: org.apache.spark.sql.Column,
-      set: Seq[(String, org.apache.spark.sql.Column)]): Unit = {
+      set: Seq[(String, org.apache.spark.sql.Column)],
+      dayScope: Option[Set[String]] = None): Unit = {
     // tag the file BEFORE applying live DVs (single-source expression —
     // see ttDvDelete) and BEFORE checkpointing (input_file_name is a
     // scan-time property and dies with the localCheckpoint's lineage cut)
-    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    //
+    // candidate files through the checkpoint RELATION (r17 #1): an
+    // UPDATE scoped to one day (caller guarantees pred ⊆ dayScope's
+    // days) never materializes the other days' file list on the driver
+    val cand = ttWriteCandidates(s, dir, v - 1, dayScope)
+    val (dvF, dataF) = (cand.dv, cand.data)
     require(dataF.nonEmpty, s"version ${v - 1} has no live files")
     val tagged = ttApplyDv(s, dir,
         ttReadFiles(s, dir, dataF, mergeSchema = true)
@@ -1551,11 +1564,18 @@ object Mutations {
     */
   private[graft] def ttDvCompact(s: SparkSession, dir: String, v: Int,
       sub: String): Unit = {
-    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    // two relation-scoped resolutions (r17 #1), never the full file
+    // list: (1) the DV sidecars alone (dataFileFilter=Nil zeroes the
+    // data side in-plan); (2) liveness of exactly the dv-REFERENCED
+    // files, the referenced list pushed in-plan — inert entries (dead
+    // files) drop because the relation only returns live ones
+    val dvF = ttWriteCandidates(s, dir, v - 1, dataFileFilter = Some(Nil)).dv
     require(dvF.nonEmpty, "no deletion vectors to compact")
     val dv = s.read.parquet(dvF.map(f => s"$dir/$f"): _*)
-    val bearing = dv.select("file").distinct().collect().map(_.getString(0))
-      .filter(dataF.contains).toSeq.sorted // inert entries (dead files) skip
+    val referenced = dv.select("file").distinct().collect()
+      .map(_.getString(0)).toSeq
+    val bearing =
+      ttWriteCandidates(s, dir, v - 1, dataFileFilter = Some(referenced)).data
     val rewritten = ttApplyDv(s, dir, ttReadFiles(s, dir, bearing), dvF)
       .localCheckpoint(true)
     ttCommit(s, dir, v,
@@ -1634,15 +1654,40 @@ object Mutations {
 
   private def ttHeadRelationWithStats(s: SparkSession, dir: String, v: Int,
       stats: Map[String, Map[String, graft.sources.ManifestFileIndex.ColStat]],
-      liveOverride: Seq[String] = Nil): DataFrame = ttConfLock.synchronized {
+      liveOverride: Option[Seq[String]] = None): DataFrame = ttConfLock.synchronized {
     import org.apache.spark.sql.execution.datasources.HadoopFsRelation
     import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
     // an explicit live set comes from the checkpoint-relation path
     // (ttCheckpointSurvivors), which already guarded against DV /
     // schema-op / external snapshots IN-PLAN and fell back otherwise —
     // re-resolving here would materialize the very driver-side set the
-    // relation path exists to avoid
-    val live = if (liveOverride.nonEmpty) liveOverride else {
+    // relation path exists to avoid. Option, not a Nil sentinel (r17
+    // advice #2): a band that prunes EVERY survivor is Some(Nil) and
+    // short-circuits to an EMPTY relation below — the old sentinel fell
+    // into the full re-resolution the relation path exists to avoid.
+    if (liveOverride.contains(Nil)) {
+      val base = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      val fs = ttFs(s, dir)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(dir), true)
+      var probe: Option[String] = None
+      while (probe.isEmpty && it.hasNext) {
+        val p = it.next().getPath.toUri.getPath
+        val rel = p.stripPrefix(base + "/")
+        if (rel.startsWith("day=") && rel.endsWith(".parquet"))
+          probe = Some(rel)
+      }
+      // schema from ONE probed file (the relation path already guarded
+      // schema-op stores out, so every generation shares it) + the day
+      // partition column the partitioned write strips from footers
+      val dataSchema = probe.map(f => s.read.parquet(s"$dir/$f").schema)
+        .getOrElse(sys.error(s"no parquet file under $dir to probe a schema"))
+      val schema = org.apache.spark.sql.types.StructType(
+        dataSchema.fields :+ org.apache.spark.sql.types.StructField(
+          "day", org.apache.spark.sql.types.StringType))
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+    val live = liveOverride.getOrElse {
       val res = ttResolve(s, dir, v)
       require(res.schemaOps.isEmpty,
         "ttHeadRelation cannot serve a column-mapped snapshot (use ttAsOf)")
@@ -1725,7 +1770,14 @@ object Mutations {
           if (line.startsWith("a ")) {
             val f = line.drop(2)
             if (ttIsDv(f) || f.startsWith("/")) guard = true
-            else { stats.get(f).foreach(plus(f) = _); minus -= f }
+            else {
+              // a stat-less data add dies LOUDLY (r17 advice #1): the
+              // checkpoint rows and the driver fallback both do, and a
+              // silently-dropped add would be silently-missing rows
+              plus(f) = stats.getOrElse(f,
+                sys.error(s"live file $f carries no commit-time stats"))
+              minus -= f
+            }
           } else if (line.startsWith("r ")) {
             val f = line.drop(2)
             if (plus.remove(f).isEmpty) minus += f
@@ -1779,6 +1831,111 @@ object Mutations {
     Some((survivors, opened))
   }
 
+  /** r17 verdict #1 — WRITE-PATH candidate resolution through the
+    * checkpoint RELATION: the mutation verbs (DV update/delete/merge,
+    * the COW rewrites, optimize candidate selection) used to partition
+    * the FULL live set via [[ttLiveFiles]]' driver text replay before
+    * touching anything — at 100-TB file counts that materializes
+    * millions of entries on the driver to rewrite one day. This
+    * resolver serves them the way reads are served
+    * ([[ttCheckpointSurvivors]]): the newest checkpoint manifest is
+    * scanned AS A RELATION, the ≤ interval suffix commits overlay as a
+    * churn-sized add/remove set, and the verb's file scope — a day set
+    * (partition-scoped UPDATE/OPTIMIZE) or an explicit candidate list
+    * (DV compaction's dv-referenced files) — is pushed IN-PLAN, so the
+    * driver only ever collects the candidate files the verb will
+    * actually rewrite, never the table's file list. Unlike the read
+    * path this resolver needs NAMES only (no stats) and serves
+    * DV-bearing and clone-inherited-external live sets with full
+    * fidelity (the verbs own those semantics); only schema-mapped
+    * stores and pre-checkpoint stores fall back to the bounded driver
+    * replay, which vacuum/restore keep outright (they genuinely need
+    * the total enumeration).
+    */
+  private[graft] final case class TtWriteCandidates(dv: Seq[String],
+      data: Seq[String], opened: Int, viaRelation: Boolean)
+
+  private[graft] def ttWriteCandidates(s: SparkSession, dir: String,
+      asOf: Int, dayScope: Option[Set[String]] = None,
+      dataFileFilter: Option[Seq[String]] = None): TtWriteCandidates = {
+    def inScope(f: String): Boolean =
+      dayScope.forall(_.exists(day =>
+        f.startsWith(s"day=$day/") || f.contains(s"/day=$day/"))) &&
+        dataFileFilter.forall(_.contains(f))
+    def fallback(): TtWriteCandidates = {
+      val (dvF, dataF) = ttLiveFiles(s, dir, asOf).partition(ttIsDv)
+      TtWriteCandidates(dvF, dataF.filter(inScope), 0, viaRelation = false)
+    }
+    val fs = ttFs(s, dir)
+    val log = new org.apache.hadoop.fs.Path(s"$dir/_log")
+    val names = fs.listStatus(log).toSeq.map(_.getPath)
+    val ckpt = names.map(_.getName).filter(_.matches("ckpt-v\\d+\\.parquet"))
+      .map(_.stripPrefix("ckpt-v").stripSuffix(".parquet").toInt)
+      .filter(_ <= asOf).sorted.lastOption
+    val cv = ckpt.getOrElse(return fallback())
+    var opened = 1 // the checkpoint itself
+    // suffix overlay — identical replay to ttCheckpointSurvivors, but
+    // DV adds are first-class (kept in their own bucket, never a guard):
+    // the write verbs are exactly the consumers that need them
+    var guard = false
+    val plus = scala.collection.mutable.LinkedHashSet.empty[String]
+    val minus = scala.collection.mutable.Set.empty[String]
+    names.filter(_.getName.matches("v\\d+\\.txt"))
+      .map(p => p.getName.stripPrefix("v").stripSuffix(".txt").toInt -> p)
+      .filter { case (v, _) => v > cv && v <= asOf }
+      .sortBy(_._1)
+      .foreach { case (_, p) =>
+        opened += 1
+        val in = fs.open(p)
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        body.split("\n").filter(_.nonEmpty).foreach { line =>
+          if (line.startsWith("a ")) { plus += line.drop(2); minus -= line.drop(2) }
+          else if (line.startsWith("r ")) {
+            val f = line.drop(2)
+            if (!plus.remove(f)) minus += f
+          } else if (line.startsWith("# rename=") ||
+              line.startsWith("# dropcol=") ||
+              line.startsWith("# addcolumn=") ||
+              line.startsWith("# schemareset="))
+            // a schema-mapped store: the verbs layer their own handling
+            // over the FULL resolution (which owns op ordering) — the
+            // relation shortcut must not half-serve it
+            guard = true
+        }
+      }
+    if (guard) return fallback()
+    // checkpoint-level schema guard, read IN-PLAN (one tiny aggregate)
+    val ckptPath = s"$dir/_log/ckpt-v$cv.parquet"
+    val g = s.read.parquet(ckptPath)
+      .agg(max(when(col("file").startsWith("#schema:"), 1).otherwise(0))).head
+    if (!g.isNullAt(0) && g.getInt(0) == 1) return fallback()
+    // THE RELATION: checkpoint manifest scan, suffix overlay composed
+    // in-plan, the verb's scope pushed BEFORE anything is collected —
+    // the driver sees candidate names only
+    import s.implicits._
+    var rel = s.read.parquet(ckptPath).select("file")
+      .filter(!col("file").startsWith("#"))
+    if (minus.nonEmpty) rel = rel.filter(!col("file").isInCollection(minus))
+    if (plus.nonEmpty) rel = rel.unionByName(plus.toSeq.toDF("file"))
+    val dvRel = rel.filter(col("file").startsWith("_dv/"))
+    var dataRel = rel.filter(!col("file").startsWith("_dv/"))
+    dayScope.foreach { ds =>
+      dataRel = dataRel.filter(ds.toSeq.sorted.map(day =>
+          col("file").startsWith(s"day=$day/") ||
+            col("file").contains(s"/day=$day/"))
+        .reduceOption(_ || _).getOrElse(lit(false)))
+    }
+    dataFileFilter.foreach { ff =>
+      dataRel = dataRel.filter(
+        if (ff.isEmpty) lit(false) else col("file").isInCollection(ff))
+    }
+    TtWriteCandidates(
+      dvRel.collect().map(_.getString(0)).toSeq.distinct.sorted,
+      dataRel.collect().map(_.getString(0)).toSeq.distinct.sorted,
+      opened, viaRelation = true)
+  }
+
   /** src32 — DATA SKIPPING on tt snapshot reads: the snapshot relation
     * carries per-live-file key min/max and the FileIndex intersects
     * them with the PUSHED predicates inside `listFiles` — Delta data
@@ -1799,6 +1956,7 @@ object Mutations {
       ttCheckpointSurvivors(s, dir, v, band).map(_._1).getOrElse {
         // pre-checkpoint store: the bounded driver replay
         val (live, stats, _) = ttLiveEntriesCounted(s, dir, v)
+        require(live.nonEmpty, s"version $v has no live files")
         live.filterNot(ttIsDv).map { f =>
           f -> stats.getOrElse(f,
             sys.error(s"live file $f carries no commit-time stats"))
@@ -1810,7 +1968,7 @@ object Mutations {
         Map[String, graft.sources.ManifestFileIndex.ColStat]("event_id" ->
           graft.sources.ManifestFileIndex.ColRange(st.lo, st.hi))
     }.toMap
-    ttHeadRelationWithStats(s, dir, v, idxStats, entries.map(_._1))
+    ttHeadRelationWithStats(s, dir, v, idxStats, Some(entries.map(_._1)))
   }
 
   /** The declared src32 query: the appended-id band (`event_id ≥ 1e9`,
@@ -1959,22 +2117,21 @@ object Mutations {
   private[graft] def ttOptimize(s: SparkSession, dir: String, v: Int,
       sub: String, minFilesPerDay: Int = 2,
       onlyDays: Option[Set[String]] = None): Boolean = {
-    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
-    require(dvF.isEmpty,
-      "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
     // up31 — PARTITION-SCOPED compaction (Delta's `OPTIMIZE ... WHERE`):
     // at 100 TB nobody optimizes the whole table — the hot tail (the
     // days streaming ingest just fragmented) is compacted on a schedule
     // while the cold majority is never read or rewritten. `onlyDays`
-    // restricts the candidate set BEFORE any file is read, so cost is
-    // ∝ the selected days' fragmentation, provably zero elsewhere
-    // (untouched days keep byte-identical files — spec-pinned).
-    val packed = dataF.filter(_.startsWith("day="))
+    // restricts the candidate set BEFORE any file is read — pushed
+    // IN-PLAN over the checkpoint relation (r17 #1), so a one-day
+    // OPTIMIZE never lists the other days' files on the driver — and
+    // cost is ∝ the selected days' fragmentation, provably zero
+    // elsewhere (untouched days keep byte-identical files, spec-pinned).
+    val cand = ttWriteCandidates(s, dir, v - 1, dayScope = onlyDays)
+    require(cand.dv.isEmpty,
+      "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
+    val packed = cand.data.filter(_.startsWith("day="))
       .groupBy(f => f.take(f.indexOf('/')))
-      .filter { case (dayDir, fs) =>
-        fs.size >= minFilesPerDay &&
-          onlyDays.forall(_.contains(dayDir.stripPrefix("day=")))
-      }
+      .filter { case (_, fs) => fs.size >= minFilesPerDay }
       .values.flatten.toSeq.sorted
     if (packed.isEmpty) return false
     // one file per packed day: repartition(day) puts each day in exactly
@@ -2014,14 +2171,14 @@ object Mutations {
   private[graft] def ttOptimizeClustered(s: SparkSession, dir: String,
       v: Int, sub: String, keys: Seq[String] = Seq("event_id"),
       filesPerDay: Int = 4, onlyDays: Option[Set[String]] = None): Boolean = {
-    require(keys.nonEmpty && keys.size <= 2,
-      s"ZORDER BY takes one or two columns, got ${keys.size}")
-    val (dvF, dataF) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
-    require(dvF.isEmpty,
+    require(keys.nonEmpty && keys.size <= 8,
+      s"ZORDER BY takes 1-8 columns, got ${keys.size}")
+    // candidate files through the checkpoint relation, day scope
+    // in-plan (r17 #1) — see ttOptimize
+    val cand = ttWriteCandidates(s, dir, v - 1, dayScope = onlyDays)
+    require(cand.dv.isEmpty,
       "OPTIMIZE on a DV-bearing snapshot — materialize (ttDvCompact) first")
-    val packed = dataF.filter(_.startsWith("day="))
-      .filter(f => onlyDays.forall(
-        _.contains(f.take(f.indexOf('/')).stripPrefix("day="))))
+    val packed = cand.data.filter(_.startsWith("day="))
     if (packed.isEmpty) return false
     val days = packed.map(f => f.take(f.indexOf('/'))).distinct.size
     val rows = ttReadFiles(s, dir, packed, mergeSchema = true)
@@ -2029,6 +2186,9 @@ object Mutations {
     val cluster: org.apache.spark.sql.Column = keys match {
       case Seq(k) => col(k)
       case Seq(a, b) =>
+        // the proven two-key fast path: magic-mask bit spreading (4
+        // fold steps per key); bit placement — a's bit i at 2i, b's at
+        // 2i+1 — is EXACTLY the k=2 instance of the general case below
         val bounds = rows.agg(min(a), max(a), min(b), max(b)).head()
         def bound(i: Int): Long = bounds.getAs[Number](i).longValue
         def scaled(k: String, lo: Long, hi: Long) =
@@ -2037,6 +2197,29 @@ object Mutations {
         graft.sources.Sources.mortonSpread(scaled(a, bound(0), bound(1)))
           .bitwiseOR(shiftleft(graft.sources.Sources.mortonSpread(
             scaled(b, bound(2), bound(3))), 1))
+      case ks =>
+        // r17 verdict #4 — N-KEY Z-ORDER (Delta accepts any ZORDER BY
+        // list): each key linearly scaled to `bits` = min(16, 62/k)
+        // bits (k=3 keeps the full 16 → a 48-bit curve; k=4 → 15 bits;
+        // the sign bit is never touched), then the general Morton
+        // interleave — key j's bit i lands at curve position i·k + j —
+        // so every output file covers a small HYPERRECTANGLE of the k
+        // key spaces and min/max stats prune on EVERY dimension at
+        // once. Scaling bounds are 2k aggregate scalars over the
+        // rewrite set — data the rewrite reads anyway.
+        val k = ks.size
+        val bits = math.min(16, 62 / k)
+        val aggs = ks.flatMap(c => Seq(min(c), max(c)))
+        val bounds = rows.agg(aggs.head, aggs.tail: _*).head()
+        def bound(i: Int): Long = bounds.getAs[Number](i).longValue
+        ks.zipWithIndex.map { case (kc, j) =>
+          val lo = bound(2 * j); val hi = bound(2 * j + 1)
+          val sc = ((col(kc).cast("long") - lit(lo)) *
+            lit((1L << bits) - 1) / lit(math.max(1L, hi - lo))).cast("long")
+          (0 until bits).map(i =>
+            shiftleft(shiftright(sc, i).bitwiseAND(lit(1L)), i * k + j))
+            .reduce(_.bitwiseOR(_))
+        }.reduce(_.bitwiseOR(_))
     }
     ttCommit(s, dir, v,
       ttWriteBatch(s, dir, sub,
@@ -2313,7 +2496,10 @@ object Mutations {
       date_add(min(to_date(col("ts"))), 5), "yyyy-MM-dd")).head.getString(0)
     // v2: COW update — read ONLY the touched day's live files, rewrite
     def cow(v: Int, day: String, sub: String, op: String)(tf: DataFrame => DataFrame): Unit = {
-      val touched = ttLiveFiles(s, dir, v - 1).filter(_.contains(s"day=$day/"))
+      // touched-day candidates through the checkpoint relation (r17 #1);
+      // this scenario's v1-v3 predate the first checkpoint, so the
+      // bounded replay serves here — the path is shared regardless
+      val touched = ttWriteCandidates(s, dir, v - 1, Some(Set(day))).data
       val cur = ttConfLock.synchronized {
         val savedInfer = s.conf
           .get("spark.sql.sources.partitionColumnTypeInference.enabled", "true")
@@ -2509,8 +2695,10 @@ object Mutations {
       val dvAdds =
         if (!hasDel) Nil
         else {
-          val (dvF, dataF) =
-            ttLiveFiles(s, silverDir, sv - 1).partition(ttIsDv)
+          // silver-head candidates through the checkpoint relation
+          // (r17 #1) — re-resolved per OCC attempt like the head probe
+          val cdcCand = ttWriteCandidates(s, silverDir, sv - 1)
+          val (dvF, dataF) = (cdcCand.dv, cdcCand.data)
           val tagged = ttApplyDv(s, silverDir,
             ttReadFiles(s, silverDir, dataF, mergeSchema = true)
               .withColumn("_pf", ttRelFile(silverDir)), dvF)
@@ -2634,7 +2822,9 @@ object Mutations {
     // an entry whose data file is no longer live never matches) — the
     // same-commit metadata retirement Delta gets by rewriting sidecars;
     // ttDvCompact reaps inert entries with the rest.
-    val (dvLive, dataLive) = ttLiveFiles(s, dir, v - 1).partition(ttIsDv)
+    // candidate resolution through the checkpoint relation (r17 #1)
+    val mergeCand = ttWriteCandidates(s, dir, v - 1)
+    val (dvLive, dataLive) = (mergeCand.dv, mergeCand.data)
     val srcKeys = source.select("event_id")
     val touched =
       if (dataLive.isEmpty) Seq.empty[String]

@@ -1389,4 +1389,196 @@ class MutationsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("already a tt table"))
   }
+
+  test("write candidates resolve through the checkpoint relation: scoped resolution lists ONLY the scoped day, ≡ driver replay, DV stores served, pre-checkpoint falls back") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    // v4 clustered rewrite lands the first checkpoint (interval 4);
+    // v5 append gives the relation path a suffix commit to overlay
+    assert(Mutations.ttOptimizeClustered(spark, dir, 4, "z4",
+      Seq("event_id"), 4))
+    val extra = graft.Tables.events(spark, sf0001)
+      .filter(col("event_id") % 61 === 0)
+      .select((col("event_id") + lit(4000000000L)).as("event_id"),
+        col("event_type"),
+        expr("cast(round(value * 100) as bigint)").as("cents"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+    Mutations.ttMappedAppend(spark, dir, 5, "b5", extra)
+    // unscoped: relation-backed, pinned open count (ckpt + one suffix
+    // commit), ≡ the driver replay
+    val cand = Mutations.ttWriteCandidates(spark, dir, 5)
+    assert(cand.viaRelation, "checkpoint-covered store not relation-served")
+    assert(cand.opened == 2, s"opened ${cand.opened} metadata files")
+    val (dvRep, dataRep) =
+      Mutations.ttLiveFiles(spark, dir, 5).partition(Mutations.ttIsDv)
+    assert(cand.data == dataRep.sorted && cand.dv == dvRep.sorted,
+      "relation-backed candidates diverge from the driver replay")
+    // day-scoped: the returned list IS everything the driver sees — it
+    // holds ONLY the scoped day's files (an UPDATE touching one day
+    // never materializes the other days' file list on the driver)
+    val day0 = graft.Tables.events(spark, sf0001)
+      .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd"))
+      .head.getString(0)
+    val scoped = Mutations.ttWriteCandidates(spark, dir, 5,
+      dayScope = Some(Set(day0)))
+    assert(scoped.viaRelation)
+    assert(scoped.data.nonEmpty &&
+      scoped.data.forall(_.startsWith(s"day=$day0/")),
+      s"scoped candidates leak other days: ${scoped.data.take(3)}")
+    assert(scoped.data == dataRep.filter(_.startsWith(s"day=$day0/")).sorted)
+    // a day-scoped DV UPDATE through the relation path ≡ the unscoped
+    // verb on a twin store (same predicate, same post-state)
+    Mutations.ttDvUpdate(spark, dir, 6, "u6", col("day") === day0,
+      Seq("cents" -> (col("cents") + lit(7L))), dayScope = Some(Set(day0)))
+    val twin = graft.Tables.scratchDir("graft_r18_cand_twin", sf0001)
+    val tp = new org.apache.hadoop.fs.Path(twin)
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    Mutations.ttBuildStore(spark, sf0001, twin)
+    assert(Mutations.ttOptimizeClustered(spark, twin, 4, "z4",
+      Seq("event_id"), 4))
+    Mutations.ttMappedAppend(spark, twin, 5, "b5", extra)
+    Mutations.ttDvUpdate(spark, twin, 6, "u6", col("day") === day0,
+      Seq("cents" -> (col("cents") + lit(7L))))
+    def state(d: String) = Mutations.ttAsOf(spark, d, 6)
+      .groupBy("day").agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .orderBy("day").collect().toSeq
+    assert(state(dir) == state(twin),
+      "day-scoped DV update diverges from the unscoped verb")
+    // DV-bearing head: still relation-served (DV adds are first-class
+    // on the write path, unlike the read-side survivors guard)
+    val dvCand = Mutations.ttWriteCandidates(spark, dir, 6)
+    assert(dvCand.viaRelation && dvCand.dv.nonEmpty,
+      "DV-bearing store fell back on the write path")
+    val (dvRep6, dataRep6) =
+      Mutations.ttLiveFiles(spark, dir, 6).partition(Mutations.ttIsDv)
+    assert(dvCand.dv == dvRep6.sorted && dvCand.data == dataRep6.sorted)
+    // dataFileFilter pushes liveness probes in-plan (DV compaction's
+    // shape): Nil zeroes the data side, a named subset returns exactly
+    // the live members of that subset
+    assert(Mutations.ttWriteCandidates(spark, dir, 6,
+      dataFileFilter = Some(Nil)).data.isEmpty)
+    val probe = dataRep6.take(2) :+ "day=1970-01-01/nonexistent.parquet"
+    assert(Mutations.ttWriteCandidates(spark, dir, 6,
+      dataFileFilter = Some(probe)).data == dataRep6.take(2).sorted)
+    // pre-checkpoint version: the bounded driver replay serves
+    val pre = Mutations.ttWriteCandidates(spark, dir, 3)
+    assert(!pre.viaRelation)
+    assert(pre.data == Mutations.ttLiveFiles(spark, dir, 3).sorted)
+  }
+
+  test("N-key ZORDER: the 3-key Morton layout prunes ALL THREE dimensions; the 2-key layout cannot prune the third") {
+    // a store with a third numeric key, hash-scrambled so it is
+    // uncorrelated with the other two (no accidental pruning)
+    def build(d: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      // ONE day: at this SF the fixture has ~1000 rows, and splitting
+      // them across 30 day-partitions × 8 files gives ~4-row files
+      // whose min/max stats prune ANY band by luck — the layout claim
+      // needs the full curve budget on one partition (8 files × ~125
+      // rows), which is also the shape a real hot-day compaction has.
+      // The second/third keys are UNIFORM hash-scrambled values: the
+      // claim under test is the interleave's geometry (boxes vs
+      // stripes), which a skewed fixture column (cents) would blur —
+      // a quarter of its RANGE holds nearly all its mass
+      val base = graft.Tables.events(spark, sf0001).select(
+        col("event_id"), col("event_type"),
+        pmod(xxhash64(col("event_id") + lit(1L)), lit(1000L)).as("c2"),
+        pmod(xxhash64(col("event_id") + lit(2L)), lit(1000L)).as("mills"),
+        lit("2024-01-01").as("day"))
+      base.repartition(col("day")).write.partitionBy("day")
+        .mode("overwrite").parquet(d)
+      Mutations.ttConvert(spark, d) // in-place adoption → v0 with stats
+    }
+    val dir3 = graft.Tables.scratchDir("graft_r18_z3", sf0001)
+    build(dir3)
+    val pre = Mutations.ttAsOf(spark, dir3, 0)
+      .agg(count(lit(1)), sum("c2"), sum("mills")).collect().toSeq
+    // 8 files per day: the curve's top three bits take one bit from
+    // EACH key, so every file's box halves every dimension
+    assert(Mutations.ttOptimizeClustered(spark, dir3, 1, "z1",
+      Seq("event_id", "c2", "mills"), 8))
+    val post = Mutations.ttAsOf(spark, dir3, 1)
+      .agg(count(lit(1)), sum("c2"), sum("mills")).collect().toSeq
+    assert(pre == post, "3-key clustering changed the data")
+    // per-file key boxes + row counts: pruning claims are ROW-WEIGHTED
+    // (at this SF many range-partitioned files hold a handful of rows,
+    // and a 3-row file's min can clear any band by luck — rows, not
+    // file counts, are what a scan actually pays for)
+    def ranges(d: String): Seq[(Long, Long, Long, Long, Long, Long, Long)] =
+      Mutations.ttAsOf(spark, d, 1)
+        .withColumn("_f", input_file_name())
+        .groupBy("_f")
+        .agg(min("event_id").as("elo"), max("event_id").as("ehi"),
+          min("c2").as("clo"), max("c2").as("chi"),
+          min("mills").as("mlo"), max("mills").as("mhi"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))
+        .toSeq
+    val three = ranges(dir3)
+    // the 2-key twin: same data, same file budget, mills NOT a key
+    val dir2 = graft.Tables.scratchDir("graft_r18_z3_twin", sf0001)
+    build(dir2)
+    assert(Mutations.ttOptimizeClustered(spark, dir2, 1, "z1",
+      Seq("event_id", "c2"), 8))
+    val two = ranges(dir2)
+    def scannedFrac(rs: Seq[(Long, Long, Long, Long, Long, Long, Long)],
+        surv: ((Long, Long, Long, Long, Long, Long, Long)) => Boolean)
+        : Double =
+      rs.filter(surv).map(_._7).sum.toDouble / rs.map(_._7).sum
+    // third-dimension slice (bottom-quarter mills band): the 3-key
+    // layout's boxes halve the mills space, so the band scan pays a
+    // FRACTION of the rows; under the 2-key layout mills is hash-
+    // scrambled across every box and (row-weighted) nothing prunes
+    val capM = 250L
+    val threeM = scannedFrac(three, _._5 <= capM)
+    val twoM = scannedFrac(two, _._5 <= capM)
+    assert(threeM <= 0.75,
+      s"3-key layout scans ${threeM} of rows on the mills band")
+    assert(twoM >= 0.9,
+      s"2-key layout claims mills pruning it cannot have: scans $twoM")
+    assert(threeM < twoM - 0.2,
+      s"3rd dimension not materially prunable: $threeM vs $twoM")
+    // the first two dimensions still prune under the 3-key interleave
+    // (boxes, not stripes)
+    val (elo, ehi) = (three.map(_._1).min, three.map(_._2).max)
+    val capE = elo + (ehi - elo) / 4
+    assert(scannedFrac(three, _._1 <= capE) <= 0.8,
+      "3-key layout pruned nothing on event_id")
+    val capC = 250L
+    assert(scannedFrac(three, _._3 <= capC) <= 0.8,
+      "3-key layout pruned nothing on c2")
+    // the SQL spelling accepts the 3-column list end to end; >8 keys
+    // refused by the verb
+    graft.sources.TtCatalog.install(spark)
+    graft.sources.TtCatalog.register("r18_z3", dir3)
+    val sqlOut = spark
+      .sql("OPTIMIZE tt.r18_z3 ZORDER BY (event_id, c2, mills)").collect()
+    assert(sqlOut.length == 1 && sqlOut(0).getBoolean(1),
+      s"SQL 3-key ZORDER did not cluster: ${sqlOut.mkString}")
+    val err = intercept[IllegalArgumentException] {
+      Mutations.ttOptimizeClustered(spark, dir3, 2, "z2",
+        (1 to 9).map(i => s"k$i"), 8)
+    }
+    assert(err.getMessage.contains("1-8"))
+  }
+
+  test("empty band survivors short-circuit to an EMPTY relation (no full re-resolution), schema intact") {
+    val dir = Mutations.ttStore(spark, sf0001)
+    assert(Mutations.ttOptimizeClustered(spark, dir, 4, "z4",
+      Seq("event_id"), 4)) // lands the v4 checkpoint
+    // a band beyond every file's hi: the relation path returns zero
+    // survivors and the read serves an empty frame with the head schema
+    val empty = Mutations.ttSkippingRelation(spark, dir, 4,
+      Some((Long.MaxValue - 1, Long.MaxValue)))
+    assert(empty.count() == 0L)
+    val cols = empty.columns.toSet
+    assert(Set("event_id", "event_type", "cents", "day").subsetOf(cols),
+      s"empty relation lost the schema: $cols")
+    // and the survivors themselves are Some(empty), not a fallback
+    val (surv, _) = Mutations.ttCheckpointSurvivors(spark, dir, 4,
+      Some((Long.MaxValue - 1, Long.MaxValue))).get
+    assert(surv.isEmpty)
+  }
 }
