@@ -131,8 +131,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   * ∈ {insert, delete}. The TVF builder runs at ANALYSIS time, so the
   * returned plan is the analyzed CDF read — Spark inlines it like any
   * table subquery, and every downstream clause (WHERE/GROUP BY/JOIN)
-  * composes. Delta spells this identically (`table_changes('t', v1,
-  * v2)`); Iceberg's twin is the incremental-read option.
+  * composes. Delta spells this `table_changes('t', v1[, v2])` too, with
+  * one documented convention gap (r17 advice #3): Delta's bounds are
+  * INCLUSIVE COMMIT versions (start=v includes v's changes, start=end
+  * valid), while here `from` is the EXCLUSIVE base snapshot — the rows
+  * turning snapshot `from` into snapshot `to`, i.e. commits
+  * `from+1 .. to`, so graft's (0, 1) equals Delta's (1, 1) and
+  * from=to would be the empty feed (refused as a near-certain
+  * off-by-one). The upper bound may be OMITTED (r17 verdict #6 —
+  * arity-2 form, Delta's default): it resolves to the table's head
+  * version at analysis time.
   */
 object TtTableChanges {
   private def lit(e: Expression, what: String): Any = e match {
@@ -142,9 +150,9 @@ object TtTableChanges {
   }
 
   def plan(args: Seq[Expression]): LogicalPlan = {
-    require(args.length == 3,
-      s"table_changes(table, fromVersion, toVersion) takes 3 arguments, " +
-        s"got ${args.length}")
+    require(args.length == 2 || args.length == 3,
+      s"table_changes(table, fromVersion[, toVersion]) takes 2 or 3 " +
+        s"arguments, got ${args.length}")
     val name = String.valueOf(lit(args(0), "the table name"))
       .stripPrefix("tt.")
     val spark = org.apache.spark.sql.SparkSession.active
@@ -166,7 +174,10 @@ object TtTableChanges {
             s"'yyyy-MM-dd HH:mm:ss' timestamp string, got $other")
       }
     val from = versionOf(args(1), "fromVersion")
-    val to = versionOf(args(2), "toVersion")
+    // arity-2: open-ended upper bound, defaulting to the head version
+    // at analysis time (Delta's omitted-end rule)
+    val to = if (args.length == 3) versionOf(args(2), "toVersion")
+      else graft.ops.Mutations.ttHeadVersion(spark, dir)
     require(from < to,
       s"table_changes: fromVersion $from must be < toVersion $to")
     graft.ops.Mutations.ttChanges(spark, dir, from, to)

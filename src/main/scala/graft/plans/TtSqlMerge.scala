@@ -128,7 +128,8 @@ case class TtSqlDeleteCommand(dir: String, condition: Expression)
     graft.ops.Mutations.ttRetryVerb(spark, dir,
       graft.sources.TtCatalog.headVersion(spark, dir) + 1)(v =>
       graft.ops.Mutations.ttDvDelete(spark, dir, v, s"dv$v",
-        TtSqlCommands.byName(condition)))
+        TtSqlCommands.byName(condition),
+        dayScope = TtSqlCommands.dayScope(condition)))
     Seq.empty
   }
 }
@@ -141,12 +142,13 @@ case class TtSqlUpdateCommand(dir: String, sets: Seq[(String, Expression)],
       graft.sources.TtCatalog.headVersion(spark, dir) + 1)(v =>
       graft.ops.Mutations.ttDvUpdate(spark, dir, v, s"u$v",
         TtSqlCommands.byName(condition),
-        sets.map { case (c, e) => c -> TtSqlCommands.byName(e) }))
+        sets.map { case (c, e) => c -> TtSqlCommands.byName(e) },
+        dayScope = TtSqlCommands.dayScope(condition)))
     Seq.empty
   }
 }
 
-private object TtSqlCommands {
+private[graft] object TtSqlCommands {
   /** Re-bind a parsed expression to the snapshot DataFrame by column
     * NAME — the SQL relation's exprIds mean nothing to the snapshot
     * read the commands execute against.
@@ -156,4 +158,45 @@ private object TtSqlCommands {
       case a: AttributeReference =>
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute.quoted(a.name)
     })
+
+  private def nameOf(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+      Some(u.name)
+    case _ => None
+  }
+
+  /** Partition-scope extraction (r18, the SQL half of the write-path
+    * checkpoint-relation resolution): a `day = 'D'` / `day IN (...)`
+    * conjunct anywhere in the predicate's top-level AND chain scopes
+    * the verb's candidate files to those days — `UPDATE ... WHERE day
+    * = 'D' AND type = 'x'` lists only day-D files on the driver. SOUND
+    * by implication: the predicate can only match rows inside the
+    * extracted days, so out-of-scope files can't contain matches.
+    * Anything non-extractable (ORs, functions of day, other columns)
+    * returns None and the verb resolves unscoped — never wrong, only
+    * unpruned.
+    */
+  def dayScope(e: Expression): Option[Set[String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, In, Literal}
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    conjuncts(e).flatMap {
+      case EqualTo(a, Literal(v, org.apache.spark.sql.types.StringType))
+          if nameOf(a).exists(_.equalsIgnoreCase("day")) =>
+        Some(Set(String.valueOf(v)))
+      case EqualTo(Literal(v, org.apache.spark.sql.types.StringType), a)
+          if nameOf(a).exists(_.equalsIgnoreCase("day")) =>
+        Some(Set(String.valueOf(v)))
+      case In(a, vs) if nameOf(a).exists(_.equalsIgnoreCase("day")) &&
+          vs.nonEmpty && vs.forall {
+            case Literal(_, org.apache.spark.sql.types.StringType) => true
+            case _ => false
+          } =>
+        Some(vs.map { case Literal(v, _) => String.valueOf(v) }.toSet)
+      case _ => None
+    }.headOption
+  }
 }

@@ -51,6 +51,11 @@ class TtSqlParser(delegate: ParserInterface) extends ParserInterface {
           Option(v).map(_.toInt), loc)
       case TtSqlParser.Convert(path, name) =>
         TtSqlConvertCommand(path, name)
+      case TtSqlParser.ApplyChanges(target, source, fromV) =>
+        TtSqlApplyChangesCommand(target, source,
+          Option(fromV).map(_.toInt))
+      case TtSqlParser.DescribeDetail(name) =>
+        TtSqlDescribeDetailCommand(name)
       case other =>
         // near-miss guard: a statement that is clearly AIMED at one of
         // our verbs but malformed must fail HERE with the supported
@@ -97,10 +102,11 @@ object TtSqlParser {
       """TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""").r
 
   /** `OPTIMIZE tt.<name> [WHERE day = '<day>'] [ZORDER BY (<col>[,
-    * <col>])]` — Delta's compaction statement: bin-packing bare,
+    * <col>]*)]` — Delta's compaction statement: bin-packing bare,
     * clustered rewrite with the ZORDER clause (parens optional; one
-    * column = range sort, two = Morton interleave — the up28 verb's
-    * shapes), PARTITION-SCOPED with the WHERE clause (up31: only the
+    * column = range sort, two or more = the N-key Morton interleave at
+    * min(16, 62/k) bits per key — Delta accepts any ZORDER list),
+    * PARTITION-SCOPED with the WHERE clause (up31: only the
     * named day's files are candidates — the hot-tail compaction shape;
     * the predicate is restricted to the layout key because that is the
     * only thing a scoped rewrite can honor without scanning data).
@@ -109,7 +115,7 @@ object TtSqlParser {
     ("""(?is)\s*OPTIMIZE\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""" +
       """(?:\s+WHERE\s+day\s*=\s*'([0-9][0-9-]{0,9})')?""" +
       """(?:\s+ZORDER\s+BY\s+\(?\s*([A-Za-z_][A-Za-z0-9_]*""" +
-      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)?)\s*\)?)?\s*;?\s*""").r
+      """(?:\s*,\s*[A-Za-z_][A-Za-z0-9_]*)*)\s*\)?)?\s*;?\s*""").r
 
   /** `VACUUM tt.<name> RETAIN <n> HOURS` — Delta's retention statement.
     * The horizon instant is the HEAD COMMIT's timestamp (deterministic
@@ -159,6 +165,26 @@ object TtSqlParser {
     ("""(?is)\s*CONVERT\s+TO\s+TT\s+'([^']+)'\s+""" +
       """AS\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""").r
 
+  /** `APPLY CHANGES INTO tt.<target> FROM tt.<source> [FROM VERSION
+    * <v>]` — Delta Live Tables' CDC-apply spelling (src48): the
+    * bronze→silver replication loop (st33's [[graft.ops.Mutations
+    * .ttApplyCdc]]) from the SQL front door. Each source version's
+    * change feed is applied to the target as ONE atomic txn-tagged
+    * commit, in log order, idempotently (a re-run is absorbed by the
+    * txn probe). FROM VERSION resumes mid-stream; a version gap — the
+    * predecessor never applied through this statement — is refused.
+    */
+  private[plans] val ApplyChanges =
+    ("""(?is)\s*APPLY\s+CHANGES\s+INTO\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s+""" +
+      """FROM\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)""" +
+      """(?:\s+FROM\s+VERSION\s+(\d+))?\s*;?\s*""").r
+
+  /** `DESCRIBE DETAIL tt.<name>` — Delta's table-metadata summary
+    * (src49): the operational front door an engineer reaches for first.
+    */
+  private[plans] val DescribeDetail =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+tt\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*""".r
+
   /** Loose statement-head probes for the near-miss guard: if a statement
     * matches a head we own but none of the exact shapes, return (the
     * offending head word, the supported shape) for a targeted error.
@@ -168,7 +194,7 @@ object TtSqlParser {
     if (hits("""(?is)\s*OPTIMIZE\s+tt\s*\..*"""))
       Some(("OPTIMIZE",
         "OPTIMIZE tt.<table> [WHERE day = '<day>'] [ZORDER BY " +
-          "(<col>[, <col>])] — unquoted identifiers, at most two zorder " +
+          "(<col>[, <col>]*)] — unquoted identifiers, 1-8 zorder " +
           "columns, the layout key as the only WHERE predicate"))
     else if (hits("""(?is)\s*VACUUM\s+tt\s*\..*"""))
       Some(("VACUUM", "VACUUM tt.<table> RETAIN <n> HOURS"))
@@ -176,6 +202,12 @@ object TtSqlParser {
       Some(("RESTORE", "RESTORE TABLE tt.<table> TO VERSION AS OF <v>"))
     else if (hits("""(?is)\s*DESCRIBE\s+HISTORY\s+tt\s*\..*"""))
       Some(("DESCRIBE HISTORY", "DESCRIBE HISTORY tt.<table>"))
+    else if (hits("""(?is)\s*DESCRIBE\s+DETAIL\s+tt\s*\..*"""))
+      Some(("DESCRIBE DETAIL", "DESCRIBE DETAIL tt.<table>"))
+    else if (hits("""(?is)\s*APPLY\s+CHANGES\b.*"""))
+      Some(("APPLY CHANGES",
+        "APPLY CHANGES INTO tt.<target> FROM tt.<source> " +
+          "[FROM VERSION <v>] — both tables registered in the tt catalog"))
     else if (hits("""(?is)\s*ALTER\s+TABLE\s+tt\s*\..*\bCONSTRAINT\b.*"""))
       Some(("ALTER TABLE",
         "ALTER TABLE tt.<table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
@@ -382,5 +414,106 @@ case class TtSqlHistoryCommand(table: String) extends LeafRunnableCommand {
         .getOrElse(graft.ops.Mutations.ttAsOf(spark, dir, ci.version).count())
       Row(ci.version.toLong, ci.op, new java.sql.Timestamp(ci.tsMs), n)
     }
+  }
+}
+
+/** src48 — `APPLY CHANGES INTO tt.<target> FROM tt.<source> [FROM
+  * VERSION v]`: the bronze→silver CDC replication loop (st33's
+  * [[graft.ops.Mutations.ttApplyCdc]] — CDF + DV deletes + idempotent
+  * txn-tagged commits) behind Delta Live Tables' SQL spelling. Every
+  * source version in [from, source head] is applied IN LOG ORDER as one
+  * atomic commit on the target; a version already applied through this
+  * statement is absorbed (the txn probe — re-running the whole
+  * statement is a no-op), so the statement is safely re-runnable.
+  * Refusals: an unregistered source or target
+  * (NoSuchTableException from the catalog), and a FROM VERSION that
+  * leaves a GAP (its predecessor never applied through this statement —
+  * silently skipping versions would silently lose deletes).
+  * Exactly-once is per txn namespace: the statement tags commits
+  * `applychanges#<source>#<v>`, independent of any library-side loop.
+  */
+case class TtSqlApplyChangesCommand(target: String, source: String,
+    fromVersion: Option[Int]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("target", StringType, nullable = false)(),
+    AttributeReference("source", StringType, nullable = false)(),
+    AttributeReference("from_version", LongType, nullable = false)(),
+    AttributeReference("to_version", LongType, nullable = false)(),
+    AttributeReference("versions_applied", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val srcDir = TtSqlParser.dirOf(source)
+    val tgtDir = TtSqlParser.dirOf(target)
+    val head = graft.sources.TtCatalog.headVersion(spark, srcDir)
+    val from = fromVersion.getOrElse(0)
+    require(from >= 0 && from <= head,
+      s"APPLY CHANGES: FROM VERSION $from is outside tt.$source's " +
+        s"history [0, $head]")
+    def txn(v: Int) = s"applychanges#$source#$v"
+    if (from > 0) {
+      val prevApplied =
+        try graft.ops.Mutations.ttTxnCommitted(spark, tgtDir, txn(from - 1))
+        catch { case _: Throwable => false } // fresh target: no log yet
+      require(prevApplied,
+        s"APPLY CHANGES INTO tt.$target FROM VERSION $from leaves a " +
+          s"version gap: tt.$source version ${from - 1} was never applied " +
+          "to the target through this statement")
+    }
+    var applied = 0L
+    (from to head).foreach { v =>
+      if (graft.ops.Mutations.ttApplyCdc(spark, srcDir, tgtDir, v, txn(v)))
+        applied += 1
+    }
+    Seq(Row(s"tt.$target", s"tt.$source", from.toLong, head.toLong, applied))
+  }
+}
+
+/** src49 — `DESCRIBE DETAIL tt.<name>` (Delta's spelling): the
+  * table-level metadata summary — location, head version, live
+  * file/byte accounting, stats-served row count, partition columns,
+  * the active constraint set, schema-op count — all from ONE log
+  * resolution plus a bounded per-live-file stat call (Delta carries
+  * byte sizes in its add actions and skips even that; our log carries
+  * row-count stats, so bytes are the one filesystem-sourced column).
+  * The row count falls back to a single snapshot count when DVs are
+  * live or stats are missing (ttStatsRowCount's contract).
+  */
+case class TtSqlDescribeDetailCommand(table: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("table", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("head_version", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("partition_columns", StringType, nullable = false)(),
+    AttributeReference("constraints", StringType, nullable = false)(),
+    AttributeReference("num_schema_ops", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    import graft.ops.Mutations
+    val dir = TtSqlParser.dirOf(table)
+    val head = graft.sources.TtCatalog.headVersion(spark, dir)
+    val res = Mutations.ttResolve(spark, dir, head)
+    val (dvF, dataF) = res.live.partition(Mutations.ttIsDv)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = res.live.map { f =>
+      val p = if (f.startsWith("/")) new org.apache.hadoop.fs.Path(f)
+        else new org.apache.hadoop.fs.Path(s"$dir/$f")
+      fs.getFileStatus(p).getLen
+    }.sum
+    val nRows = Mutations.ttStatsRowCount(spark, dir, head)
+      .getOrElse(Mutations.ttAsOf(spark, dir, head).count())
+    // partition columns read off the live layout (the store's layout
+    // key is its directory scheme — day-partitioned or flat)
+    val partCols =
+      if (dataF.exists(f => f.startsWith("day=") || f.contains("/day=")))
+        "day" else ""
+    val constraints = res.constraints.toSeq.sorted
+      .map { case (n, e) => s"$n CHECK ($e)" }.mkString("; ")
+    Seq(Row(s"tt.$table", dir, head.toLong, res.live.size.toLong, bytes,
+      nRows, partCols, constraints, res.schemaOps.size.toLong))
   }
 }

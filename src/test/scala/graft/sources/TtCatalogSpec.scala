@@ -728,11 +728,22 @@ class TtCatalogSpec extends SparkSpec {
     }
     assert(missing.getMessage.toLowerCase.contains("table"),
       missing.getMessage)
+    // the OPEN-ENDED arity-2 form (r17 verdict #6): omitted upper bound
+    // resolves to the head version at analysis time — row-equal to the
+    // explicit to-head form
+    val open = rows(spark.sql(
+      """SELECT * FROM table_changes('src43_spec_store', 1)
+         ORDER BY _change_type, event_id, day, cents"""))
+    assert(open == viaV, "arity-2 (open-ended) feed diverges from (1, head)")
     // wrong arity is refused with the signature
     val arity = intercept[Throwable] {
-      spark.sql("SELECT * FROM table_changes('src43_spec_store', 1)")
+      spark.sql("SELECT * FROM table_changes('src43_spec_store')")
     }
-    assert(arity.getMessage.contains("3 arguments"), arity.getMessage)
+    assert(arity.getMessage.contains("2 or 3 arguments"), arity.getMessage)
+    val arity4 = intercept[Throwable] {
+      spark.sql("SELECT * FROM table_changes('src43_spec_store', 0, 1, 2)")
+    }
+    assert(arity4.getMessage.contains("2 or 3 arguments"), arity4.getMessage)
   }
 
   test("partition-scoped OPTIMIZE WHERE: only the named day compacts, other days byte-identical, scoped re-run is a no-op, composes with ZORDER") {
@@ -869,10 +880,12 @@ class TtCatalogSpec extends SparkSpec {
           && e.getMessage.contains(mustMention),
         s"near-miss '$sql' gave: ${e.getMessage}")
     }
-    // three zorder columns / quoted identifier: aimed at OPTIMIZE, tell
-    // the user its real shape instead of delegating into Spark's grammar
-    shapeError("OPTIMIZE tt.x ZORDER BY (a, b, c)", "ZORDER BY")
+    // quoted identifier / empty list: aimed at OPTIMIZE, tell the user
+    // its real shape instead of delegating into Spark's grammar (a
+    // three-column list is a VALID shape since the r18 N-key ZORDER —
+    // see the parse check below)
     shapeError("OPTIMIZE tt.x ZORDER BY (`a`)", "ZORDER BY")
+    shapeError("OPTIMIZE tt.x ZORDER BY ()", "ZORDER BY")
     shapeError("VACUUM tt.x", "RETAIN")
     shapeError("RESTORE TABLE tt.x TO VERSION 3", "VERSION AS OF")
     shapeError("DESCRIBE HISTORY tt.x AT 4", "DESCRIBE HISTORY tt.<table>")
@@ -884,12 +897,153 @@ class TtCatalogSpec extends SparkSpec {
     }
     assert(!String.valueOf(del.getMessage).contains("supported shape"),
       del.getMessage)
-    // a two-column ZORDER list PARSES (fails later at table resolution,
-    // never as a near-miss) — the up28 two-key shape has a SQL spelling
-    val twoCol = intercept[Throwable] {
-      spark.sql("OPTIMIZE tt.nope_nm ZORDER BY (event_id, cents)")
+    // two- AND three-column ZORDER lists PARSE (fail later at table
+    // resolution, never as a near-miss) — N-key ZORDER has a SQL
+    // spelling since r18
+    Seq("OPTIMIZE tt.nope_nm ZORDER BY (event_id, cents)",
+        "OPTIMIZE tt.nope_nm ZORDER BY (event_id, cents, day)").foreach {
+      sql =>
+        val e = intercept[Throwable](spark.sql(sql))
+        assert(!String.valueOf(e.getMessage).contains("supported shape"),
+          e.getMessage)
     }
-    assert(!String.valueOf(twoCol.getMessage).contains("supported shape"),
-      twoCol.getMessage)
+    // the new r18 statements near-miss too
+    shapeError("APPLY CHANGES INTO tt.x", "APPLY CHANGES INTO")
+    shapeError("DESCRIBE DETAIL tt.x AT 4", "DESCRIBE DETAIL tt.<table>")
+  }
+
+  test("SQL APPLY CHANGES INTO ≡ the library CDC loop; re-run absorbed; version gaps and unregistered tables refused") {
+    import graft.ops.Mutations
+    val bronze = Mutations.ttBaseScenario(spark, sf0001)
+    TtCatalog.install(spark)
+    TtCatalog.register("r18ac_bronze", bronze)
+    def fresh(name: String): String = {
+      val d = graft.Tables.scratchDir(name, sf0001)
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      d
+    }
+    val silverSql = fresh("graft_r18ac_sql")
+    TtCatalog.register("r18ac_silver", silverSql)
+    val out = spark.sql(
+      "APPLY CHANGES INTO tt.r18ac_silver FROM tt.r18ac_bronze").collect()
+    assert(out.length == 1 && out(0).getLong(4) == 4L, out.mkString)
+    // the library loop on its own silver — SQL ≡ library row for row
+    val silverLib = fresh("graft_r18ac_lib")
+    (0 to 3).foreach { v =>
+      assert(Mutations.ttApplyCdc(spark, bronze, silverLib, v, s"libloop#$v"))
+    }
+    def state(d: String) = rows(Mutations.ttAsOf(spark, d,
+      Mutations.ttHeadVersion(spark, d))
+      .orderBy("event_id", "day", "event_type", "cents"))
+    assert(state(silverSql) == state(silverLib),
+      "SQL APPLY CHANGES diverges from the library CDC loop")
+    // whole-statement re-run: every version absorbed by its txn probe
+    val rerun = spark.sql(
+      "APPLY CHANGES INTO tt.r18ac_silver FROM tt.r18ac_bronze").collect()
+    assert(rerun(0).getLong(4) == 0L, s"re-run applied ${rerun(0).getLong(4)}")
+    assert(state(silverSql) == state(silverLib), "re-run mutated the target")
+    // FROM VERSION resumes mid-stream (predecessor applied → no gap)
+    val resume = spark.sql("APPLY CHANGES INTO tt.r18ac_silver " +
+      "FROM tt.r18ac_bronze FROM VERSION 3").collect()
+    assert(resume(0).getLong(4) == 0L) // v3 already applied — absorbed
+    // a version GAP is refused: v0 never applied to a fresh target
+    val silverGap = fresh("graft_r18ac_gap")
+    TtCatalog.register("r18ac_gap", silverGap)
+    val gap = intercept[Throwable] {
+      spark.sql("APPLY CHANGES INTO tt.r18ac_gap FROM tt.r18ac_bronze " +
+        "FROM VERSION 2")
+    }
+    assert(gap.getMessage.contains("version gap"), gap.getMessage)
+    // unregistered source/target die with NoSuchTable
+    val missing = intercept[Throwable] {
+      spark.sql("APPLY CHANGES INTO tt.r18ac_silver FROM tt.nope_ac")
+    }
+    assert(missing.getMessage.toLowerCase.contains("table"),
+      missing.getMessage)
+    // a FROM VERSION beyond the source history is refused
+    val beyond = intercept[Throwable] {
+      spark.sql("APPLY CHANGES INTO tt.r18ac_silver FROM tt.r18ac_bronze " +
+        "FROM VERSION 9")
+    }
+    assert(beyond.getMessage.contains("outside"), beyond.getMessage)
+  }
+
+  test("DESCRIBE DETAIL: filesystem columns match a direct listing; metadata columns match the log; constraints and schema ops surface") {
+    import graft.ops.Mutations
+    val dir = Mutations.ttStore(spark, sf0001)
+    TtCatalog.install(spark)
+    TtCatalog.register("r18dd_store", dir)
+    val row = spark.sql("DESCRIBE DETAIL tt.r18dd_store").collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getString(0) == "tt.r18dd_store")
+    assert(r.getString(1) == dir)
+    assert(r.getLong(2) == 3L, s"head_version ${r.getLong(2)}")
+    val live = Mutations.ttLiveFiles(spark, dir, 3)
+    assert(r.getLong(3) == live.size.toLong, "num_files vs live set")
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = live.map(f =>
+      fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
+    assert(r.getLong(4) == bytes, "size_bytes vs direct listing")
+    assert(r.getLong(5) == Mutations.ttAsOf(spark, dir, 3).count(),
+      "num_rows vs snapshot count")
+    assert(r.getString(6) == "day" && r.getString(7) == "" &&
+      r.getLong(8) == 0L)
+    // a constraint and a schema op surface in the summary
+    spark.sql("ALTER TABLE tt.r18dd_store ADD CONSTRAINT pos_cents " +
+      "CHECK (cents >= 0)")
+    spark.sql("ALTER TABLE tt.r18dd_store ADD COLUMN bonus BIGINT")
+    val r2 = spark.sql("DESCRIBE DETAIL tt.r18dd_store").collect()(0)
+    assert(r2.getLong(2) == 5L)
+    assert(r2.getString(7).contains("pos_cents CHECK (cents >= 0)"),
+      r2.getString(7))
+    assert(r2.getLong(8) == 1L, s"schema ops ${r2.getLong(8)}")
+    // unregistered table dies with NoSuchTable
+    val missing = intercept[Throwable] {
+      spark.sql("DESCRIBE DETAIL tt.nope_dd")
+    }
+    assert(missing.getMessage.toLowerCase.contains("table"),
+      missing.getMessage)
+  }
+
+  test("SQL UPDATE/DELETE extract day scopes for candidate resolution: scoped ≡ unscoped, non-extractable predicates stay unscoped") {
+    import graft.ops.Mutations
+    import graft.plans.TtSqlCommands
+    def ex(sql: String) = spark.sessionState.sqlParser.parseExpression(sql)
+    // the extractor: day-equality conjuncts scope, anything else doesn't
+    assert(TtSqlCommands.dayScope(
+      ex("day = '2024-01-03' AND event_type = 'view'"))
+      == Some(Set("2024-01-03")))
+    assert(TtSqlCommands.dayScope(ex("'2024-01-03' = day"))
+      == Some(Set("2024-01-03")))
+    assert(TtSqlCommands.dayScope(ex("day IN ('2024-01-03', '2024-01-04')"))
+      == Some(Set("2024-01-03", "2024-01-04")))
+    assert(TtSqlCommands.dayScope(
+      ex("day = '2024-01-03' OR event_type = 'view'")).isEmpty,
+      "an OR must not scope — the other arm can match any day")
+    assert(TtSqlCommands.dayScope(ex("event_type = 'view'")).isEmpty)
+    assert(TtSqlCommands.dayScope(ex("substr(day, 1, 4) = '2024'")).isEmpty)
+    // end to end: the day-scoped SQL UPDATE ≡ the unscoped library verb
+    val dir = Mutations.ttStore(spark, sf0001)
+    TtCatalog.install(spark)
+    TtCatalog.register("r18ds_store", dir)
+    val day0 = graft.Tables.events(spark, sf0001)
+      .agg(date_format(min(to_date(col("ts"))), "yyyy-MM-dd"))
+      .head.getString(0)
+    spark.sql(s"UPDATE tt.r18ds_store SET cents = cents + 3 " +
+      s"WHERE day = '$day0' AND event_type = 'view'")
+    val twin = graft.Tables.scratchDir("graft_r18ds_twin", sf0001)
+    val tp = new org.apache.hadoop.fs.Path(twin)
+    tp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(tp, true)
+    Mutations.ttBuildStore(spark, sf0001, twin)
+    Mutations.ttDvUpdate(spark, twin, 4, "u4",
+      col("day") === day0 && col("event_type") === "view",
+      Seq("cents" -> (col("cents") + lit(3L)))) // unscoped
+    def state(d: String) = rows(Mutations.ttAsOf(spark, d, 4)
+      .orderBy("event_id", "day", "event_type", "cents"))
+    assert(state(dir) == state(twin),
+      "day-scoped SQL UPDATE diverges from the unscoped library verb")
   }
 }
