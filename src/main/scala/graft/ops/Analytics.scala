@@ -620,11 +620,13 @@ object Analytics {
     * distinct counts cheap at 100 TB: materialize sketch cubes once,
     * answer any coarser rollup from the cube (register-max union is
     * commutative and associative, so estimates are deterministic and
-    * partitioning-independent — unlike re-scanning). The exact weekly
-    * distinct and the relative error ride along so the estimate is
-    * judged in-query; rows-only (no DuckDB HLL twin), invariants pinned
-    * in AnalyticsSpec: union-of-dailies ≡ direct weekly sketch, error
-    * within the configured rsd.
+    * partitioning-independent — unlike re-scanning). FULLY ORACLED
+    * since r18 (r17 verdict #7): the declared row is the EXACT weekly
+    * distinct (recomputable in DuckDB) plus the estimate judged
+    * in-query as a 3-rsd band BOOLEAN — an estimate drifting out of
+    * band flips the column and breaks the hash, while the raw register
+    * values (no DuckDB HLL twin) stay spec-pinned in AnalyticsSpec:
+    * union-of-dailies ≡ direct weekly sketch, error within the band.
     */
   def hllRollup(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(
@@ -640,9 +642,11 @@ object Analytics {
     weeklyExact.join(weeklyEst, "week")
       .select(
         date_format(col("week"), "yyyy-MM-dd").as("week"),
-        col("exact_users"), col("est_users"),
-        round(abs(col("est_users") - col("exact_users")).cast("double") /
-          col("exact_users").cast("double"), 6).as("rel_err"))
+        col("exact_users"),
+        // default lgConfigK=12 → rsd ≈ 0.0408; 3 standard deviations
+        (abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= lit(3 * 0.0408))
+          .as("est_in_band"))
       .orderBy("week")
   }
 
@@ -1131,7 +1135,13 @@ object Analytics {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     // rows-only: estimates have no DuckDB twin; merge-identity and error
     // bounds pinned in AnalyticsSpec
-    QueryDef("a17_hll_rollup", hllRollup, None),
+    QueryDef("a17_hll_rollup", hllRollup, Some(
+      // the EXACT re-aggregation half oracled (r17 #7); the in-band
+      // boolean is the estimate's judgment — TRUE in the oracle, so an
+      // out-of-band sketch estimate breaks the hash
+      """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+        |  count(DISTINCT user_id) AS exact_users, TRUE AS est_in_band
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
     QueryDef("a20_bitmap_distinct", bitmapDistinctRollup, Some(
       """SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
         |  count(DISTINCT user_id) AS n_users

@@ -274,10 +274,11 @@ class AnalyticsSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val rows = Analytics.hllRollup(spark, sf0001).collect()
     assert(rows.nonEmpty)
-    // default rsd ≈ 0.0408; allow 3 standard deviations
+    // every weekly estimate inside the declared 3-rsd band (the
+    // declared query carries this as the est_in_band boolean)
     rows.foreach { r =>
-      assert(r.getDouble(3) <= 3 * 0.0408,
-        s"week ${r.getString(0)}: rel_err ${r.getDouble(3)} too high")
+      assert(r.getBoolean(2),
+        s"week ${r.getString(0)}: estimate out of the 3-rsd band")
     }
     // register-max union is associative: merging per-day sketches must
     // give the SAME estimate as sketching the whole week directly
