@@ -103,8 +103,8 @@ object EventStreams {
     * insertion-order-independent — so the streamed cube is EXACTLY the
     * batch cube: equality with a17's batch output is spec-pinned
     * (rows-only for the driver; DuckDB has no HLL-sketch twin). The
-    * exact count rides along from the batch side purely to report the
-    * estimator's relative error, a17's contract.
+    * exact count rides along from the batch side and the estimate is
+    * declared as a17's 3-rsd in-band boolean — a17's (r18) contract.
     */
   def streamingHllRollup(s: SparkSession, d: String): DataFrame = {
     val src = stageDir(s, d)
@@ -126,9 +126,11 @@ object EventStreams {
     weeklyExact.join(weeklyEst, "week")
       .select(
         date_format(col("week"), "yyyy-MM-dd").as("week"),
-        col("exact_users"), col("est_users"),
-        round(abs(col("est_users") - col("exact_users")).cast("double") /
-          col("exact_users").cast("double"), 6).as("rel_err"))
+        col("exact_users"),
+        // a17's r18 shape: default lgConfigK=12 → rsd ≈ 0.0408; 3 sd band
+        (abs(col("est_users") - col("exact_users")).cast("double") /
+          col("exact_users").cast("double") <= lit(3 * 0.0408))
+          .as("est_in_band"))
       .orderBy("week")
   }
 

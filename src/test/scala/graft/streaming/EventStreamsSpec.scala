@@ -23,10 +23,10 @@ class EventStreamsSpec extends SparkSpec {
     // the micro-batch insertion order cannot change the merged sketch —
     // the streamed cube must reproduce the batch rollup bit-for-bit
     val streamed = EventStreams.streamingHllRollup(spark, sf0001).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
       .sortBy(_._1)
     val batch = graft.SparkEntry.queries("a17_hll_rollup")(spark, sf0001).collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
       .sortBy(_._1)
     assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
       s"stream/batch sketch drift:\n$streamed\nvs\n$batch")
