@@ -40,29 +40,35 @@ object Graph {
     // caller's edge DERIVATION (for g1: a four-table join + window) is
     // re-evaluated once per iteration — measured 10 redundant passes
     val edges = edgesIn.cache()
+    // r18 (guide §2.4): the dangling flag rides the node row, so the
+    // per-iteration dangling-mass term is a conditional 1-row aggregate
+    // over ranks instead of a semi-join + aggregate — one join per
+    // iteration removed; same summand set in the same arbitrary-order fp
+    // class (the 12-dp round absorbs summation-order noise either way)
     val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node"))).distinct().cache()
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .join(edges.select(col("src").as("has_out")).distinct(),
+        col("node") === col("has_out"), "left")
+      .select(col("node"), col("has_out").isNull.as("dang")).cache()
     val n = nodes.count().toDouble
-    val dangling = nodes.join(edges.select("src").distinct(),
-      nodes("node") === col("src"), "left_anti").select("node").cache()
 
-    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    var ranks = nodes.select(col("node"), col("dang"), lit(1.0 / n).as("rank"))
     for (i <- 1 to iterations) {
-      val dm = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val dm = ranks
+        .agg(coalesce(sum(when(col("dang"), col("rank"))), lit(0.0)).as("dm"))
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .groupBy(edges("dst").as("cnode"))
         .agg(sum(col("w") * col("rank")).as("mass"))
       ranks = nodes
         .join(contrib, nodes("node") === col("cnode"), "left")
         .crossJoin(dm)
-        .select(col("node"),
+        .select(col("node"), col("dang"),
           round(lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("mass"), lit(0.0)) + col("dm") / n), 12)
             .as("rank"))
       if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
-    ranks
+    ranks.select("node", "rank")
   }
 
   /** PERSONALIZED PageRank (the random-walk-with-restart ranking behind
@@ -88,31 +94,35 @@ object Graph {
       .join(nodes, Seq("node"), "left_semi").cache()
     val ns = seeds.count().toDouble
     require(ns > 0, "personalized PageRank needs at least one seed in the graph")
+    // restart vector + dangling flag on one cached node row (r18, the
+    // pageRank discipline: dm becomes a conditional aggregate, no
+    // per-iteration semi-join)
     val pvec = nodes
       .join(seeds.withColumn("__s", lit(1)), Seq("node"), "left")
+      .join(edges.select(col("src").as("has_out")).distinct(),
+        col("node") === col("has_out"), "left")
       .select(col("node"),
-        when(col("__s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0)).as("p"))
+        when(col("__s").isNotNull, lit(1.0 / ns)).otherwise(lit(0.0)).as("p"),
+        col("has_out").isNull.as("dang"))
       .cache()
-    val dangling = nodes.join(edges.select("src").distinct(),
-      nodes("node") === col("src"), "left_anti").select("node").cache()
 
-    var ranks = pvec.select(col("node"), col("p").as("rank"))
+    var ranks = pvec.select(col("node"), col("dang"), col("p").as("rank"))
     for (i <- 1 to iterations) {
-      val dm = ranks.join(dangling, Seq("node"), "left_semi")
-        .agg(coalesce(sum("rank"), lit(0.0)).as("dm"))
+      val dm = ranks
+        .agg(coalesce(sum(when(col("dang"), col("rank"))), lit(0.0)).as("dm"))
       val contrib = edges.join(ranks, edges("src") === ranks("node"))
         .groupBy(edges("dst").as("cnode"))
         .agg(sum(col("w") * col("rank")).as("mass"))
       ranks = pvec
         .join(contrib, pvec("node") === col("cnode"), "left")
         .crossJoin(dm)
-        .select(pvec("node"),
+        .select(pvec("node"), col("dang"),
           round(lit(1 - damping) * col("p") +
             lit(damping) * (coalesce(col("mass"), lit(0.0))
               + col("dm") * col("p")), 12).as("rank"))
       if (i % 3 == 0) ranks = ranks.localCheckpoint()
     }
-    ranks
+    ranks.select("node", "rank")
   }
 
   /** The nation-level trade graph g1 and g8 rank over: an edge
@@ -185,23 +195,38 @@ object Graph {
     */
   private[graft] val maxBasket = 1024
 
-  /** (ok, pk) → unordered co-occurrence pairs (u < v), basket-capped. */
+  /** (ok, pk) → unordered co-occurrence pairs (u < v), basket-capped.
+    *
+    * r18 optimization (guide §2.4 — remove shuffles outright): the
+    * original form cost a distinct pass upstream, a row_number window
+    * (shuffle on ok + sort) and a sort-merge/broadcast SELF-JOIN on ok.
+    * All three collapse into ONE aggregation: collect_set builds the
+    * per-order basket (map-side partial aggregation dedups (ok, pk)
+    * before the exchange, so callers need not pre-distinct),
+    * sort_array + slice keeps the cap LOWEST part ids — exactly the
+    * row_number(pk asc) <= cap truncation — and the u < v pairs are
+    * generated in-task from the sorted basket by a codegen'd nested
+    * transform. Result set and multiplicities (one row per (ok, u, v))
+    * are identical to the join form; the planted-hub cap spec and every
+    * g/a21 oracle pin that.
+    */
   private[graft] def cappedPairs(op: DataFrame, cap: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("ok").orderBy("pk")
-    val capped = op.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= cap).drop("__rn")
-    capped.as("a").join(capped.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
+    val baskets = op.groupBy("ok")
+      .agg(slice(sort_array(collect_set(col("pk"))), 1, cap).as("ps"))
+    baskets.select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
+          y => struct(x.as("u"), y.as("v")))))).as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v"))
   }
 
   /** Undirected part co-occurrence edges (parts sharing an order),
     * stored once per unordered pair as u < v. Shared by g2 and g3.
     */
   private def partCoEdges(s: SparkSession, d: String): DataFrame = {
+    // no .distinct() before cappedPairs: collect_set dedups per order
+    // inside the one basket aggregation (one shuffle saved)
     val op = lineitem(s, d).select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk")).distinct()
+      col("l_partkey").as("pk"))
     cappedPairs(op, maxBasket).distinct()
   }
 
@@ -505,7 +530,7 @@ object Graph {
     */
   def labelPropagation(s: SparkSession, d: String, rounds: Int = 4): DataFrame = {
     val op = lineitem(s, d).select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk")).distinct()
+      col("l_partkey").as("pk")) // cappedPairs dedups per order
     val pairs = cappedPairs(op, maxBasket)
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
     val und = pairs
@@ -672,7 +697,7 @@ object Graph {
     */
   def partWeightedHops(s: SparkSession, d: String): DataFrame = {
     val op = lineitem(s, d).select(col("l_orderkey").as("ok"),
-      col("l_partkey").as("pk")).distinct()
+      col("l_partkey").as("pk")) // cappedPairs dedups per order
     val e = cappedPairs(op, maxBasket)
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("w"))
