@@ -294,7 +294,14 @@ object Bench {
       // staged queries: first pass builds the memoized staging, untimed
       // (recorded separately); the timed pass below reads serving cost
       if (stagedSet(name)) stageSecs(name) = runOnce()
-      val d1 = runOnce()
+      // r19 probe-only knob (guide §1: measure correctly): fresh-JVM
+      // single probes on this box swing ±30% with system state, so
+      // name-filtered A/B probes may ask for min-of-N within one JVM.
+      // Applies ONLY to explicit name-args probes (bench_probe.json) —
+      // the official sharded record never sees it.
+      val repeat = if (queryArgs.nonEmpty)
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_REPEAT", "1").toInt else 1
+      val d1 = (1 to math.max(1, repeat)).map(_ => runOnce()).min
       // Cold-start armor (the r8 driver artifact showed 4-13x first-touch
       // spikes concentrated on sub-second queries): re-time and take the
       // min when the first measurement is (a) sub-second — where JIT/

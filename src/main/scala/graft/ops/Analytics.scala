@@ -643,7 +643,13 @@ object Analytics {
       .select(
         date_format(col("week"), "yyyy-MM-dd").as("week"),
         col("exact_users"),
-        // default lgConfigK=12 → rsd ≈ 0.0408; 3 standard deviations
+        // band constant note (r19, advice item): the true DataSketches
+        // HLL RSE at lgConfigK=12 is ≈ 1.04/√4096 ≈ 0.016, so 0.0408 is
+        // a DELIBERATELY loose (~2.5×) sanity band, not the nominal
+        // 3-sd interval. The value is part of the declared (oracled)
+        // output and st18 pins stream ≡ batch on it, so tightening it is
+        // a semantic change — kept as-is and documented here and in
+        // streamingHllRollup.
         (abs(col("est_users") - col("exact_users")).cast("double") /
           col("exact_users").cast("double") <= lit(3 * 0.0408))
           .as("est_in_band"))

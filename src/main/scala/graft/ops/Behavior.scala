@@ -215,6 +215,9 @@ object Behavior {
           .cast("double").as("last_day"),
         count(lit(1)).cast("double").as("freq"),
         round(sum("o_totalprice"), 2).as("money"))
+      // r19 (guide §5): consumed by the cuts agg AND the scoring pass —
+      // caching skips re-running the per-customer aggregation shuffle
+      .cache()
     val qs = Seq(0.25, 0.5, 0.75)
     val cuts = Stats.quantileCuts(cust, Seq(
       Stats.CutSpec("rc", "last_day", qs),

@@ -377,13 +377,19 @@ object Dedup {
     *     checkpointed — one cheap pass over already-cached blocks — so
     *     consumers compose it downstream against a leaf, not the loop's
     *     plan history.
-    *   - ACTIONS: a convergence `count()` is a full extra job, so it runs
-    *     only every 2nd round; propagation is monotone (labels only ever
-    *     decrease), so one potentially-redundant extra round is idempotent
-    *     and a "no change since the previous round" observation at ANY
-    *     round proves convergence.
+    *   - ACTIONS (r19 reshape, guide §1/§2.4): each round is ONE
+    *     localCheckpoint job that materializes the new labels WITH the
+    *     previous label carried alongside, plus a filter+count over that
+    *     in-memory leaf (no shuffle, no recompute) for convergence. The
+    *     old cadence (cache rounds, checkpoint every 3rd, count every
+    *     2nd) made each job replay up to 3 rounds of lineage with the
+    *     pointer-jumping self-join doubling every layer, and the count
+    *     was a full labels⋈prev join. Convergence is now checked every
+    *     round, so the loop also stops at the first no-change round
+    *     instead of overshooting to the next even round — the fixpoint
+    *     (and therefore the result) is identical either way because
+    *     propagation is monotone.
     */
-  private val CheckpointEvery = 3
   private[ops] def connectedComponents(nodes: DataFrame, undirected: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     // symmetrize with ONE narrow generator, not union(swap): both union
@@ -397,38 +403,28 @@ object Dedup {
         struct(col("b").as("a"), col("a").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .cache()
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).cache()
+    // a flat leaf from round 0: every round's joins then read
+    // executor-local blocks, never a lineage replay
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint()
     var changed = 1L
     var round = 0
-    // superseded rounds' caches; released only once the CURRENT round is
-    // known materialized (checkpoint or count) — unpersisting a parent of
-    // a still-lazy child would force the child to recompute from the last
-    // checkpoint
-    var retired = List.empty[DataFrame]
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("a") === labels("doc_id"))
         .select(edges("b").as("doc_id"), col("label"))
         .groupBy("doc_id").agg(min("label").as("nmin"))
       val stepped = labels.join(nbrMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // pointer jumping: adopt the label's own label (path halving)
       val parents = stepped.select(col("doc_id").as("pid"), col("label").as("plabel"))
-      val prev = labels
       round += 1
       val next = stepped.join(parents, stepped("label") === parents("pid"), "left")
-        .select(col("doc_id"), coalesce(col("plabel"), col("label")).as("label"))
-      labels =
-        if (round % CheckpointEvery == 0) next.localCheckpoint() // eager; truncates lineage
-        else next.cache()
-      retired ::= prev
-      if (round % 2 == 0 || round >= maxRounds)
-        changed = labels.join(prev.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).count()
-      if (round % CheckpointEvery == 0 || round % 2 == 0 || round >= maxRounds) {
-        retired.foreach(_.unpersist(blocking = false))
-        retired = Nil
-      }
+        .select(col("doc_id"), coalesce(col("plabel"), col("label")).as("label"),
+          col("old"))
+        .localCheckpoint() // eager: the round's one real job
+      changed = next.filter(col("label") =!= col("old")).count() // leaf-only
+      labels = next.select("doc_id", "label")
     }
     edges.unpersist(blocking = false)
     // silent non-convergence would return plausible-but-wrong labels;
@@ -437,9 +433,7 @@ object Dedup {
     if (changed > 0)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds ($changed labels still moving)")
-    val out = labels.localCheckpoint() // flat leaf for downstream plans
-    labels.unpersist(blocking = false)
-    out.select(col("doc_id"), col("label").as("cluster_id"))
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
   }
 
   /** d9 — the end-to-end near-dup dedup DECISION: d5's exact

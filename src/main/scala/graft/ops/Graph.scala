@@ -66,7 +66,12 @@ object Graph {
           round(lit((1 - damping) / n) +
             lit(damping) * (coalesce(col("mass"), lit(0.0)) + col("dm") / n), 12)
             .as("rank"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+        // r19 (guide §2.4): checkpoint EVERY iteration — each iteration
+        // references the previous ranks twice (dm + contrib), so the old
+        // every-3rd cadence evaluated up to 2³ copies of the window's
+        // subtree per checkpoint job; one flat job per iteration is
+        // strictly less work and keeps the plan a leaf
+        .localCheckpoint()
     }
     ranks.select("node", "rank")
   }
@@ -120,7 +125,8 @@ object Graph {
           round(lit(1 - damping) * col("p") +
             lit(damping) * (coalesce(col("mass"), lit(0.0))
               + col("dm") * col("p")), 12).as("rank"))
-      if (i % 3 == 0) ranks = ranks.localCheckpoint()
+        // r19: per-iteration checkpoint — see pageRank
+        .localCheckpoint()
     }
     ranks.select("node", "rank")
   }
@@ -211,8 +217,17 @@ object Graph {
     * g/a21 oracle pin that.
     */
   private[graft] def cappedPairs(op: DataFrame, cap: Int): DataFrame = {
-    val baskets = op.groupBy("ok")
-      .agg(slice(sort_array(collect_set(col("pk"))), 1, cap).as("ps"))
+    // r19 (guide §5, advice item): the r18 collect_set+slice form held
+    // the ENTIRE distinct basket in one unbounded heap buffer before the
+    // cap truncated it — exactly the degenerate-hub threat the cap
+    // exists for. LowestK enforces the bound DURING aggregation (buffer
+    // ≤ 2·cap entries, map-side included) and returns bit-identically
+    // slice(sort_array(collect_set(pk)), 1, cap). pk must be non-null
+    // (collect_set dropped nulls; LowestK's input is primitive) — every
+    // caller's pk is a non-null l_partkey, pinned by the filter here.
+    val lowK = udaf(graft.functions.LowestK(cap))
+    val baskets = op.filter(col("pk").isNotNull).groupBy("ok")
+      .agg(lowK(col("pk")).as("ps"))
     baskets.select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
           y => struct(x.as("u"), y.as("v")))))).as("p"))

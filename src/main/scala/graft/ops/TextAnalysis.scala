@@ -1423,6 +1423,17 @@ object TextAnalysis {
       prev = s"surv_$nm"
     }
     pd = pd.withColumn("surv_q", col(prev) && col("q_keep"))
+    // r19 (guide §5 caching / §3.3 duplicated subtrees): the per-doc
+    // decision table is the expensive subtree (clean pipeline + window +
+    // quality score + each extraKeeps join — for p14 that is the full
+    // d12 LSH and d15 SemDeDup pipelines), and the mix/pack stage below
+    // references it FIVE times in one plan (the returned left side,
+    // `packed`→`surv`, `budgets`→`weighted`→`bySrc`→`surv`, and the
+    // `norm`/`tb` broadcast subtrees). Without this boundary Catalyst
+    // re-evaluates the whole upstream per reference. The cache is
+    // intra-query (narrow per-doc rows, no text column); the harness
+    // clearCache()s after the sink.
+    pd = pd.cache()
     // p8 temperature mix (τ=0.5) over the surviving docs' CLEANED tokens
     val surv = pd.filter(col("surv_q"))
     val bySrc = surv.groupBy("source").agg(sum("clean_toks").as("s_tok"))
@@ -1564,6 +1575,10 @@ object TextAnalysis {
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), col("n_spans").cast("int")),
           i => md5(array_join(slice(col("t"), i, lit(w)), " ")))).as("h"))
+      // r19 (guide §5): consumed twice (dup-hash agg + the per-doc
+      // semi-join) — the per-position windowed md5 is the dominant
+      // cost, never pay it twice
+      .cache()
     val dupHashes = spans.groupBy("h")
       .agg(countDistinct("doc_id").as("nd"))
       .filter(col("nd") > 1).select("h")
@@ -1596,6 +1611,9 @@ object TextAnalysis {
   def bigramScore(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      // r19 (guide §5): two consumers (the bigram generator, the vocab
+      // agg) each re-tokenized the corpus — one cached pass instead
+      .cache()
     val big = toks.filter(size(col("t")) >= 2)
       .select(col("doc_id"),
         explode(transform(sequence(lit(1), size(col("t")) - 1),
@@ -1603,6 +1621,9 @@ object TextAnalysis {
             concat_ws(" ", element_at(col("t"), i),
               element_at(col("t"), i + 1)).as("bg")))).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.bg").as("bg"))
+      // r19 (guide §5): three consumers (bigram counts, first-word
+      // counts, the scoring join's probe side) re-ran the generator
+      .cache()
     val bigc = big.groupBy("bg").agg(count(lit(1)).as("cb"))
     val unic = big.groupBy("w1").agg(count(lit(1)).as("cu"))
     val vocab = toks.select(explode(col("t")).as("tok"))
@@ -1635,6 +1656,9 @@ object TextAnalysis {
   def perplexityTiers(s: SparkSession, d: String): DataFrame = {
     val scored = bigramScore(s, d)
       .select(col("doc_id"), col("n_bigrams"), col("avg_logprob"))
+      // r19 (guide §5): consumed twice (cuts agg + tier rollup);
+      // recompute would replay the whole t16 scoring pipeline
+      .cache()
     val cuts = Stats.quantileCuts(scored, Seq(Stats.CutSpec("c",
         "avg_logprob", Seq(0.3333333333333333, 0.6666666666666666))))._1
       .select(element_at(col("c"), 1).as("c1"),
@@ -1669,8 +1693,11 @@ object TextAnalysis {
     */
   def backoffPerplexity(s: SparkSession, d: String,
       minCount: Long = 5): DataFrame = {
+    // r19 (guide §5): five consumers re-tokenized the corpus (grams, the
+    // pruned trigram/bigram tables, c1, nTok) — one cached pass instead
     val toks = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      .cache()
     val t = col("t")
     val grams = toks.filter(size(t) >= 3)
       .select(col("doc_id"),
@@ -1724,6 +1751,10 @@ object TextAnalysis {
         sum("h2").as("n_bigram_backoffs"),
         (count(lit(1)) - sum("h3") - sum("h2")).as("n_unigram_backoffs"),
         round(avg("lp"), 6).as("avg_logprob"))
+      // r19 (guide §5): consumed twice — the quantile-cuts agg and the
+      // final tier projection — and recomputing it replays the whole
+      // 5-way scoring join; per-doc rows are narrow, cache them
+      .cache()
     val cuts = Stats.quantileCuts(perDoc, Seq(Stats.CutSpec("c",
         "avg_logprob", Seq(0.3333333333333333, 0.6666666666666666))))._1
       .select(element_at(col("c"), 1).as("k1"),
@@ -1761,8 +1792,11 @@ object TextAnalysis {
     */
   def backoffPerplexity5(s: SparkSession, d: String,
       minCount: Long = 2): DataFrame = {
+    // r19 (guide §5): SEVEN consumers re-tokenized the corpus (grams,
+    // four pruned n-gram tables, c1, nTok) — one cached pass instead
     val toks = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      .cache()
     val t = col("t")
     def joinTok(from: Int, to: Int, i: Column): Column =
       concat_ws(" ", (from to to).map(o => element_at(t, i + o)): _*)
@@ -1842,6 +1876,9 @@ object TextAnalysis {
         (count(lit(1)) - sum("h5") - sum("h4") - sum("h3") - sum("h2"))
           .as("n_unigram_backoffs"),
         round(avg("lp"), 6).as("avg_logprob"))
+      // r19 (guide §5): consumed twice (cuts agg + final tier
+      // projection); recompute would replay the 9-way scoring join
+      .cache()
     val cuts = Stats.quantileCuts(perDoc, Seq(Stats.CutSpec("c",
         "avg_logprob", Seq(0.3333333333333333, 0.6666666666666666))))._1
       .select(element_at(col("c"), 1).as("k1"),
@@ -1890,8 +1927,11 @@ object TextAnalysis {
     * boundary cross-engine independent of fp.
     */
   def kneserNeyPerplexity(s: SparkSession, d: String): DataFrame = {
+    // r19 (guide §5): the position table feeds the type inventory AND
+    // the scoring join — cache the tokenized pass it generates from
     val toks = documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      .cache()
     val t = col("t")
     val pos = toks.filter(size(t) >= 3)
       .select(col("doc_id"),
@@ -1909,10 +1949,17 @@ object TextAnalysis {
     // an aggregate of this one table (no separate bigram/unigram scans)
     val tri = pos.groupBy("g3", "h2", "g2", "w2", "w3")
       .agg(count(lit(1)).as("c3"))
+      // r19 (guide §5): three consumers (hist, cont2, d3 discount,
+      // triFull) re-ran the corpus-wide type-inventory agg — cache the
+      // type-bounded table once
+      .cache()
     val hist = tri.groupBy("h2")
       .agg(sum("c3").as("ch2"), count(lit(1)).as("t_h2")) // c(w₁w₂), N₁₊(w₁w₂•)
     val cont2 = tri.groupBy("g2", "w2", "w3")
       .agg(count(lit(1)).as("nc")) // N₁₊(•w₂w₃): distinct preceding w₁
+      // r19 (guide §5): five consumers (mid, uni, tot, d2, the scoring
+      // join) — same reasoning, strictly smaller table
+      .cache()
     val mid = cont2.groupBy("w2")
       .agg(sum("nc").as("ncdot"), count(lit(1)).as("types_w2")) // N₁₊(•w₂•), N₁₊(w₂•)
     val uni = cont2.groupBy("w3").agg(count(lit(1)).as("ncw3")) // N₁₊(•w₃)
@@ -2025,6 +2072,9 @@ object TextAnalysis {
     val scored = documents(s, d).select(col("doc_id"),
       round(qualityCol(col("text")), 6).as("q"),
       md5(col("doc_id").cast("string")).as("hk"))
+      // r19 (guide §5): consumed by the cuts agg AND the final schedule
+      // — caching skips the second quality-score corpus pass
+      .cache()
     val cuts = Stats.quantileCuts(scored,
       Seq(Stats.CutSpec("c", "q", Seq(0.25, 0.5, 0.75))))._1
       .select(element_at(col("c"), 1).as("c1"),
@@ -2220,6 +2270,11 @@ object TextAnalysis {
                 element_at(acc, -1) === lw && x === rw,
               concat(slice(acc, lit(1), size(acc) - 1), array(concat(lw, rw))))
               .otherwise(concat(acc, array(x)))).as("sym"))
+        // cadence 3, measured in r19: BPE's round is ONE job (the argmax
+        // collect), so per-round checkpointing ADDS a job without saving
+        // one — min-of-3 A/B showed 2.49 s → 2.74 s. WordPiece's round is
+        // two jobs and does win from per-round materialization; see
+        // wordpieceMerges.
         syms = if (step % 3 == 0) next.localCheckpoint() else next
         step += 1
       }
@@ -2323,14 +2378,18 @@ object TextAnalysis {
         .join(scounts.select(col("s").as("l"), col("sc").as("cl")), "l")
         .join(scounts.select(col("s").as("r"), col("sc").as("cr")), "r")
         .withColumn("ds", col("pc").cast("double") / (col("cl") * col("cr")))
+        // r19 (guide §5): evaluated twice per round (max agg + band
+        // collect) — cache so the pair/symbol counts run once
+        .cache()
       val mxRow = scored.agg(max("ds")).head
-      if (mxRow.isNullAt(0)) done = true
+      if (mxRow.isNullAt(0)) { scored.unpersist(blocking = false); done = true }
       else {
         val band = scored
           .filter(col("ds") >= mxRow.getDouble(0) * (1 - 1e-12))
           .select("l", "r", "pc", "cl", "cr").collect()
           .map(r => (r.getString(0), r.getString(1),
             r.getLong(2), r.getLong(3), r.getLong(4)))
+        scored.unpersist(blocking = false)
         val win = band.reduceLeft { (a, b) =>
           val lhs = BigInt(a._3) * BigInt(b._4) * BigInt(b._5)
           val rhs = BigInt(b._3) * BigInt(a._4) * BigInt(a._5)
@@ -2346,7 +2405,10 @@ object TextAnalysis {
                 element_at(acc, -1) === lw && x === rw,
               concat(slice(acc, lit(1), size(acc) - 1), array(mw)))
               .otherwise(concat(acc, array(x)))).as("sym"))
-        syms = if (step % 3 == 0) next.localCheckpoint() else next
+        // r19 (guide §2.4/§5): per-round checkpoint — the every-3rd
+        // cadence made each round's pair+symbol counts replay up to 3
+        // stacked re-segmentation folds (see bpeMergesFromWords)
+        syms = next.localCheckpoint()
         step += 1
       }
     }

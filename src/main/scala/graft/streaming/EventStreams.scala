@@ -127,7 +127,12 @@ object EventStreams {
       .select(
         date_format(col("week"), "yyyy-MM-dd").as("week"),
         col("exact_users"),
-        // a17's r18 shape: default lgConfigK=12 → rsd ≈ 0.0408; 3 sd band
+        // a17's r18 shape. Band constant note (r19, advice item): the
+        // true DataSketches HLL RSE at lgConfigK=12 is ≈ 1.04/√4096 ≈
+        // 0.016, so 0.0408 is a DELIBERATELY loose (~2.5×) sanity band,
+        // not the nominal 3-sd interval; it must stay numerically equal
+        // to a17's constant (spec pins stream ≡ batch row-for-row), so
+        // both places keep 0.0408 and document the slack instead.
         (abs(col("est_users") - col("exact_users")).cast("double") /
           col("exact_users").cast("double") <= lit(3 * 0.0408))
           .as("est_in_band"))
