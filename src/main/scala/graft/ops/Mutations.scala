@@ -2652,6 +2652,12 @@ object Mutations {
     val added = eff(newFiles, dvToF)
     val removed = eff(oldFiles, dvFromF)
     def emptyLike(df: DataFrame): DataFrame = df.filter(lit(false))
+    // NOT cached (r19, measured): each side feeds both exceptAll
+    // directions, but the up15/up16/st29 specs pin the feed's
+    // inputFiles ⊆ changed-set (the churn-boundedness contract), and a
+    // cache boundary erases inputFiles. The double read is churn-sized;
+    // consumers that need a materialized feed checkpoint what they
+    // derive from it (ttApplyCdc's ins/delKeys leaves).
     val a = added.getOrElse(emptyLike(removed.get))
     val r = removed.getOrElse(emptyLike(added.get))
     // bag difference both ways: rows copied verbatim by a COW rewrite
@@ -2680,6 +2686,11 @@ object Mutations {
       if (v == 0)
         ttAsOf(s, bronzeDir, 0).withColumn("_change_type", lit("insert"))
       else ttChanges(s, bronzeDir, v - 1, v)
+    // per-branch checkpoints kept (r19, measured): one shared checkpoint
+    // of the full feed looked cheaper on paper (ch evaluated once, not
+    // twice) but A/B'd 30% SLOWER on st33 — the OCC loop re-reads these
+    // leaves per attempt, and two narrow post-filter leaves beat one
+    // wide full-feed leaf re-filtered per use.
     val ins = ch.filter(col("_change_type") === "insert")
       .drop("_change_type").localCheckpoint(true)
     val delKeys = ch.filter(col("_change_type") === "delete")

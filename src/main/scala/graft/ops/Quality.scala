@@ -410,6 +410,8 @@ object Quality {
     val daily = orders(s, d)
       .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
       .agg(round(sum("o_totalprice"), 2).as("rev"))
+    // partition-less window is safe HERE: input is the post-aggregate
+    // daily rollup (|days| rows, calendar-sized at any corpus scale)
     val wTrend = Window.orderBy("day").rowsBetween(-3, 3)
     val detrended = daily
       .withColumn("trend", round(avg("rev").over(wTrend), 4))
@@ -443,6 +445,8 @@ object Quality {
       .groupBy(col("o_orderdate").as("day"))
       .agg(round(round(sum("o_totalprice"), 2) * 100, 0).cast("long").as("cents"))
     val tot = daily.agg(count(lit(1)).as("n_days"), sum("cents").as("total_cents"))
+    // partition-less windows safe HERE: input is the |days|-row
+    // post-aggregate rollup, calendar-sized at any corpus scale
     val ord = Window.orderBy("day")
     val cum = Window.orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -682,6 +686,8 @@ object Quality {
       .select(explode(sequence(col("d0"), col("d1"))).as("day"))
     val grid = calendar.join(daily, Seq("day"), "left")
       .na.fill(0L, Seq("n"))
+    // partition-less window safe HERE: the grid is one row per calendar
+    // day of the fixture's range — bounded at any corpus scale
     val w = Window.orderBy("day").rowsBetween(-7, -1)
     grid
       .withColumn("sum7", sum("n").over(w))

@@ -1437,6 +1437,8 @@ object TextAnalysis {
     // p8 temperature mix (τ=0.5) over the surviving docs' CLEANED tokens
     val surv = pd.filter(col("surv_q"))
     val bySrc = surv.groupBy("source").agg(sum("clean_toks").as("s_tok"))
+    // partition-less window safe HERE: input is the |sources|-row
+    // per-source rollup (a handful of rows at any corpus scale)
     val ordered = Window.orderBy("source")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val weighted = bySrc
