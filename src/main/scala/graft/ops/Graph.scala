@@ -220,14 +220,15 @@ object Graph {
     // r19 (guide §5, advice item): the r18 collect_set+slice form held
     // the ENTIRE distinct basket in one unbounded heap buffer before the
     // cap truncated it — exactly the degenerate-hub threat the cap
-    // exists for. LowestK enforces the bound DURING aggregation (buffer
-    // ≤ 2·cap entries, map-side included) and returns bit-identically
-    // slice(sort_array(collect_set(pk)), 1, cap). pk must be non-null
-    // (collect_set dropped nulls; LowestK's input is primitive) — every
-    // caller's pk is a non-null l_partkey, pinned by the filter here.
-    val lowK = udaf(graft.functions.LowestK(cap))
-    val baskets = op.filter(col("pk").isNotNull).groupBy("ok")
-      .agg(lowK(col("pk")).as("ps"))
+    // exists for. LowestK (a native TypedImperativeAggregate — the same
+    // ObjectHashAggregate machinery collect_set uses; a udaf Aggregator
+    // form measured 1-4 s/query of encoder overhead and was replaced)
+    // enforces the bound DURING aggregation (buffer ≤ cap+1 entries,
+    // map-side included) and returns bit-identically
+    // slice(sort_array(collect_set(pk)), 1, cap). Nulls are skipped
+    // exactly like collect_set (callers' pk is a non-null l_partkey).
+    val baskets = op.groupBy("ok")
+      .agg(graft.functions.LowestK.lowestK(col("pk"), cap).as("ps"))
     baskets.select(explode(flatten(transform(col("ps"), (x, i) =>
         transform(slice(col("ps"), i + lit(2), size(col("ps")) - i - lit(1)),
           y => struct(x.as("u"), y.as("v")))))).as("p"))
